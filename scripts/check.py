@@ -1,0 +1,103 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate (t2).
+
+Usage: python3 scripts/check.py [sfDir] [outDir]
+
+Reads outDir/<name>/ parquet (written by `sbt "runMain graft.Verify
+<sfDir> <outDir>"`) and outDir/oracle_sql.json, runs each oracle SQL in
+DuckDB against views over the sfDir parquet tables, sorts columns by
+name, and compares row-by-row. NOT part of the shipped library — dev
+tooling only (duckdb/pandas are driver-side deps).
+"""
+import glob
+import json
+import math
+import os
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    if isinstance(v, list):
+        return "[" + ",".join(canon(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}:{canon(x)}" for k, x in sorted(v.items())) + "}"
+    return repr(v)
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    with open(f"{out_dir}/oracle_sql.json") as f:
+        oracles = json.load(f)
+
+    got_dirs = sorted(
+        d for d in os.listdir(out_dir)
+        if os.path.isdir(os.path.join(out_dir, d)))
+    n_pass = n_fail = 0
+    for name in got_dirs:
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no parquet output")
+            n_fail += 1
+            continue
+        mine = con.sql(f"SELECT * FROM '{files[0]}'")
+        mine_cols = sorted(mine.columns)
+        mine_rows = con.sql(
+            f"SELECT {', '.join(mine_cols)} FROM mine_v"
+            if False else f"SELECT * FROM '{files[0]}'").fetchall()
+        mine_idx = [mine.columns.index(c) for c in mine_cols]
+        mine_canon = [tuple(canon(r[i]) for i in mine_idx) for r in mine_rows]
+        if name not in oracles:
+            status = "ROWS-ONLY" if len(mine_rows) >= 0 else "??"
+            print(f"{status} {name}: {len(mine_rows)} rows (no oracle)")
+            continue
+        try:
+            or_rel = con.sql(oracles[name])
+            or_cols = sorted(or_rel.columns)
+            or_idx = [or_rel.columns.index(c) for c in or_cols]
+            or_rows = or_rel.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}")
+            n_fail += 1
+            continue
+        or_canon = [tuple(canon(r[i]) for i in or_idx) for r in or_rows]
+        if mine_cols != or_cols:
+            print(f"FAIL {name}: columns {mine_cols} vs oracle {or_cols}")
+            n_fail += 1
+        elif len(mine_canon) != len(or_canon):
+            print(f"FAIL {name}: {len(mine_canon)} rows vs oracle {len(or_canon)}")
+            n_fail += 1
+        elif mine_canon != or_canon:
+            bad = next(i for i, (a, b) in enumerate(zip(mine_canon, or_canon)) if a != b)
+            print(f"FAIL {name}: first diff at row {bad}:")
+            print(f"  mine:   {mine_canon[bad]}")
+            print(f"  oracle: {or_canon[bad]}")
+            n_fail += 1
+        else:
+            print(f"PASS {name}: {len(mine_canon)} rows")
+            n_pass += 1
+    missing = set(oracles) - set(got_dirs)
+    for name in sorted(missing):
+        print(f"FAIL {name}: oracle declared but no output dir")
+        n_fail += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, "
+          f"{len(got_dirs) - n_pass - n_fail} rows-only")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()

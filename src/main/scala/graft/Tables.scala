@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Table access + determinism helpers shared by every operator.
+  *
+  * Data model (FIXTURES.md "DFS-role mapping"): `lineitem` plays the
+  * reference's *chunks* (`l_orderkey`→filename, `l_linenumber`→sequenceNo,
+  * `l_suppkey`→replica location), `orders` plays *files*, `supplier` plays
+  * *storage nodes* (10 rows = the reference's 10-node cluster,
+  * reference scripts/start-storage-nodes.sh:9), `events` plays the
+  * heartbeat stream (reference storageNode/HeartbeatRunnable.java:43-47).
+  */
+object Tables {
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = apply(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = apply(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = apply(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = apply(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = apply(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = apply(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = apply(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame    = apply(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+
+  /** Exact decimal sum of a ~2-decimal DOUBLE money column, returned as
+    * DOUBLE. Summing doubles directly is partition-order dependent (and
+    * differs from DuckDB); summing DECIMAL(18,2) is exact and
+    * order-independent, and the final decimal→double cast is identical on
+    * both engines. Oracle-side mirror: CAST(SUM(CAST(x AS DECIMAL(18,2)))
+    * AS DOUBLE). (SURVEY §7.4 rule 1.)
+    */
+  def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast(DoubleType)
+
+  /** Exact mean via decimal sum / count — both engines end in the same
+    * IEEE double÷bigint. Mirror: CAST(SUM(CAST(x AS DECIMAL(18,2))) AS
+    * DOUBLE) / COUNT(x).
+    */
+  def davg(c: Column): Column =
+    sum(c.cast(DecimalType(18, 2))).cast(DoubleType) / count(c)
+}
