@@ -1,0 +1,309 @@
+package graft.ops
+
+import graft.Tables
+import graft.udaf.{ChunkHash, FileChecksum}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** SURVEY §2A chunk-lifecycle operators #9-#16, #19, #20, #23 — the
+  * reference's chunk split/integrity/placement/delta computations as
+  * declarative Spark plans over the chunk-shaped `lineitem` table
+  * (FIXTURES.md role mapping).
+  *
+  * Scale notes: the only row-multiplying op is the chunk-split generator
+  * (#9), which is a per-row explode (no shuffle). Set ops (#16, #20) are
+  * shuffle-on-key anti-joins/excepts; candidate enumeration (#20) filters
+  * to the under-replicated subset BEFORE expanding against the node dim —
+  * the expansion factor is the (bounded) cluster size, never data×data.
+  */
+object Chunks {
+
+  /** Reference chunk size: dfs.properties:5 (1,000,000 bytes). */
+  private val ChunkSize = 1000000L
+
+  /** "File size in bytes" proxy: o_totalprice in cents, exactly (decimal
+    * cast of a 2-decimal double is exact on both engines).
+    */
+  private def sizeBytes: Column =
+    col("o_totalprice").cast("decimal(18,2)").multiply(lit(100)).cast(LongType)
+
+  /** Per-chunk synthetic checksum: md5 over the chunk's identity fields
+    * (integers only — double→string formatting differs across engines).
+    */
+  private def chunkMd5: Column =
+    md5(concat_ws("|",
+      col("l_orderkey"), col("l_linenumber"), col("l_quantity").cast(LongType)))
+
+  /** #9 q_chunk_split — file → ⌈size/chunkSize⌉ chunks, last chunk short
+    * (Chunk.createChunksFromFile + sizing math,
+    * structures/Chunk.java:36-76,195-214). Generator via
+    * explode(sequence(...)): pure per-row expansion, embarrassingly
+    * parallel, no shuffle.
+    */
+  def chunkSplit(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), sizeBytes.as("size"))
+      .withColumn("n_chunks", floor((col("size") + lit(ChunkSize - 1)) / lit(ChunkSize)))
+      .select(col("o_orderkey"), col("size"), col("n_chunks"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("seq"))
+      .withColumn("chunk_size", least(lit(ChunkSize), col("size") - col("seq") * lit(ChunkSize)))
+      .orderBy("o_orderkey", "seq")
+
+  /** #10 q_window_contiguity — gap/duplicate detection in per-file chunk
+    * sequences (reassembly validation, structures/Chunk.java:78-98:
+    * seq starts at 0/1, no gaps). lag() over (file, seq) + aggregate.
+    */
+  def windowContiguity(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"))
+      .withColumn("prev", lag("l_linenumber", 1).over(w))
+      .groupBy("l_orderkey")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        min("l_linenumber").as("first_seq"),
+        max("l_linenumber").as("last_seq"),
+        sum(when(col("prev").isNotNull && col("l_linenumber") =!= col("prev") + 1, 1)
+          .otherwise(0)).as("n_gaps"))
+      .withColumn("is_contiguous",
+        col("first_seq") === 1 && col("n_gaps") === 0)
+      .orderBy("l_orderkey")
+  }
+
+  /** #11 q_udaf_file_checksum — file integrity = md5 of in-order chunk
+    * checksums (ordered concat structures/Chunk.java:100-126 + md5
+    * Utils.java:28-58). Declarative primary impl:
+    * md5(array_join(transform(sort_array(collect_list(struct(...)))))).
+    * The custom-Aggregator alternative is fileChecksumAggregator below.
+    */
+  def fileChecksum(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), chunkMd5.as("chunk_md5"))
+      .groupBy("l_orderkey")
+      .agg(md5(array_join(transform(
+        sort_array(collect_list(struct(col("l_linenumber").as("seq"), col("chunk_md5").as("hash")))),
+        x => x.getField("hash")), "")).as("file_md5"))
+      .orderBy("l_orderkey")
+
+  /** #11-alt q_file_checksum_aggregator — same semantics via a custom
+    * typed Aggregator (udaf/FileChecksum.scala), proving the UDAF
+    * extension surface. Shares #11's oracle SQL.
+    */
+  def fileChecksumAggregator(s: SparkSession, d: String): DataFrame = {
+    val checksum = udaf(new FileChecksum(), org.apache.spark.sql.Encoders.product[ChunkHash])
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), chunkMd5.as("chunk_md5"))
+      .groupBy("l_orderkey")
+      .agg(checksum(col("l_linenumber"), col("chunk_md5")).as("file_md5"))
+      .orderBy("l_orderkey")
+  }
+
+  /** #12 q_filter_corrupt — recompute checksum, keep mismatches
+    * (Chunk.isCorrupted structures/Chunk.java:156-164; monitor sweep
+    * storageNode/ChunkCorruptionMonitor.java:31-75). Corruption is
+    * simulated deterministically: chunks with seq 3 carry a checksum
+    * computed over perturbed content. Pure filter — pushed to the scan.
+    */
+  def filterCorrupt(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        chunkMd5.as("recomputed"),
+        when(col("l_linenumber") === 3,
+          md5(concat_ws("|", col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity").cast(LongType), lit("corrupt"))))
+          .otherwise(chunkMd5).as("stored"))
+      .filter(col("recomputed") =!= col("stored"))
+      .orderBy("l_orderkey", "l_linenumber", "recomputed")
+
+  /** #13 q_scalar_regex_parse — chunk filename parse
+    * (storageNode/StorageNode.java:66,77-82: non-greedy
+    * `(.*?)-chunk([0-9]+)`; sidecar split StorageNode.java:90).
+    */
+  def regexParse(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(concat(lit("file"), col("l_orderkey"), lit("-chunk"), col("l_linenumber")).as("chunk_file"))
+      .distinct()
+      .select(
+        col("chunk_file"),
+        regexp_extract(col("chunk_file"), "(.*?)-chunk([0-9]+)", 1).as("filename"),
+        regexp_extract(col("chunk_file"), "(.*?)-chunk([0-9]+)", 2).as("seq_str"),
+        element_at(split(concat(col("chunk_file"), lit(" sidecar.md5")), " "), 1).as("base_token"))
+      .orderBy("chunk_file")
+
+  /** #14 q_scalar_concat_format — chunk naming + fixed-width table print
+    * (structures/Chunk.java:216-219; client/Client.java:156-164
+    * `%-40s %5d`).
+    */
+  def concatFormat(s: SparkSession, d: String): DataFrame =
+    Tables.supplier(s, d)
+      .select(col("s_suppkey"),
+        format_string("%-40s %5d", col("s_name"), col("s_nationkey")).as("listing"),
+        concat(col("s_name"), lit("-chunk"), col("s_suppkey")).as("chunk_name"))
+      .orderBy("s_suppkey")
+
+  /** #15 q_topk_random_n — choose-N (Utils.chooseNrandomOrMin
+    * Utils.java:15-22); deterministic analog: top-10 by size →
+    * TakeOrderedAndProject (no full sort, per-partition heaps + single
+    * merge — the scalable top-k).
+    */
+  def topkRandomN(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select("o_orderkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+
+  /** #16 q_except_delta — heartbeat delta: chunks now ∖ chunks last-acked
+    * (storageNode/HeartbeatRunnable.java:123-143). EXCEPT on the chunk
+    * key; literal timestamp cutoffs (no now() — SURVEY §7.4 rule 4).
+    */
+  def exceptDelta(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select("l_orderkey", "l_linenumber", "l_shipdate")
+    val current = li.filter(col("l_shipdate") < lit("1999-01-01").cast("timestamp"))
+      .select("l_orderkey", "l_linenumber")
+    val acked = li.filter(col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .select("l_orderkey", "l_linenumber")
+    current.except(acked).orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** #19 q_join_placement_mod — round-robin chunk→node placement
+    * (client/Client.java:342-355: `(idx+1) % nbStorageNodes`) + broadcast
+    * join to the node table. The node count is computed, not hard-coded,
+    * via a broadcast 1-row cross join (never collect()).
+    */
+  def placementMod(s: SparkSession, d: String): DataFrame = {
+    val sup = Tables.supplier(s, d)
+    val nNodes = sup.agg(count(lit(1)).as("n_nodes"))
+    Tables.lineitem(s, d)
+      .select("l_orderkey", "l_linenumber")
+      .crossJoin(broadcast(nNodes))
+      .withColumn("node", pmod(col("l_orderkey") + col("l_linenumber"), col("n_nodes")))
+      .join(broadcast(sup.select(col("s_suppkey"), col("s_name"))),
+        col("node") === col("s_suppkey"))
+      .select("l_orderkey", "l_linenumber", "node", "s_name")
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** #20 q_set_diff_candidates — replica-candidate selection
+    * (controller/ChunkReplicationRunnable.java:49-74): candidates =
+    * onlineNodes ∖ currentReplicas, need = min − have. Filters to
+    * under-replicated files first, then expands only those against the
+    * (bounded, broadcast) node dim, then anti-joins existing replicas.
+    */
+  def setDiffCandidates(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val under = li.groupBy("l_orderkey")
+      .agg(countDistinct("l_suppkey").as("have"))
+      .where(col("have") < 3)
+    val repl = li.select("l_orderkey", "l_suppkey").distinct()
+    val nodes = Tables.supplier(s, d).select(col("s_suppkey").as("node"))
+    under.crossJoin(broadcast(nodes))
+      .join(repl,
+        under("l_orderkey") === repl("l_orderkey") && col("node") === repl("l_suppkey"),
+        "left_anti")
+      .groupBy("l_orderkey")
+      .agg(max("have").as("have"), (lit(3) - max("have")).as("need"),
+        count(lit(1)).as("n_candidates"))
+      .orderBy("l_orderkey")
+  }
+
+  /** #23 q_failover_coalesce — first non-failed replica per chunk
+    * (download failover client/Client.java:443-454): rank alive replicas
+    * by preference order, keep rank 1. Nodes {1,2} are "failed".
+    */
+  def failoverCoalesce(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("l_orderkey").orderBy("l_suppkey")
+    Tables.lineitem(s, d)
+      .select("l_orderkey", "l_suppkey").distinct()
+      .filter(!col("l_suppkey").isin(1L, 2L))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("l_orderkey"), col("l_suppkey").as("chosen_node"))
+      .orderBy("l_orderkey")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_chunk_split"              -> (chunkSplit _),
+    "q_window_contiguity"        -> (windowContiguity _),
+    "q_udaf_file_checksum"       -> (fileChecksum _),
+    "q_file_checksum_aggregator" -> (fileChecksumAggregator _),
+    "q_filter_corrupt"           -> (filterCorrupt _),
+    "q_scalar_regex_parse"       -> (regexParse _),
+    "q_scalar_concat_format"     -> (concatFormat _),
+    "q_topk_random_n"            -> (topkRandomN _),
+    "q_except_delta"             -> (exceptDelta _),
+    "q_join_placement_mod"       -> (placementMod _),
+    "q_set_diff_candidates"      -> (setDiffCandidates _),
+    "q_failover_coalesce"        -> (failoverCoalesce _),
+  )
+
+  private val checksumOracle =
+    "WITH chunks AS (SELECT l_orderkey, l_linenumber, " +
+      "md5(l_orderkey || '|' || l_linenumber || '|' || CAST(l_quantity AS BIGINT)) AS chunk_md5 " +
+      "FROM lineitem) " +
+      "SELECT l_orderkey, md5(string_agg(chunk_md5, '' ORDER BY l_linenumber, chunk_md5)) AS file_md5 " +
+      "FROM chunks GROUP BY l_orderkey ORDER BY l_orderkey"
+
+  val oracle: Map[String, String] = Map(
+    "q_chunk_split" ->
+      ("SELECT o_orderkey, size, n_chunks, " +
+        "unnest(generate_series(0, n_chunks - 1)) AS seq, " +
+        "least(1000000, size - unnest(generate_series(0, n_chunks - 1)) * 1000000) AS chunk_size " +
+        "FROM (SELECT o_orderkey, size, (size + 999999) // 1000000 AS n_chunks " +
+        "FROM (SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS size " +
+        "FROM orders)) ORDER BY o_orderkey, seq"),
+    "q_window_contiguity" ->
+      ("SELECT l_orderkey, count(*) AS n_chunks, min(l_linenumber) AS first_seq, " +
+        "max(l_linenumber) AS last_seq, " +
+        "CAST(sum(CASE WHEN prev IS NOT NULL AND l_linenumber <> prev + 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps, " +
+        "(min(l_linenumber) = 1 AND " +
+        "sum(CASE WHEN prev IS NOT NULL AND l_linenumber <> prev + 1 THEN 1 ELSE 0 END) = 0) AS is_contiguous " +
+        "FROM (SELECT l_orderkey, l_linenumber, " +
+        "lag(l_linenumber) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS prev FROM lineitem) " +
+        "GROUP BY l_orderkey ORDER BY l_orderkey"),
+    "q_udaf_file_checksum" -> checksumOracle,
+    "q_file_checksum_aggregator" -> checksumOracle,
+    "q_filter_corrupt" ->
+      ("SELECT l_orderkey, l_linenumber, " +
+        "md5(l_orderkey || '|' || l_linenumber || '|' || CAST(l_quantity AS BIGINT)) AS recomputed, " +
+        "md5(l_orderkey || '|' || l_linenumber || '|' || CAST(l_quantity AS BIGINT) || '|corrupt') AS stored " +
+        "FROM lineitem WHERE l_linenumber = 3 " +
+        "ORDER BY l_orderkey, l_linenumber, recomputed"),
+    "q_scalar_regex_parse" ->
+      ("SELECT chunk_file, regexp_extract(chunk_file, '(.*?)-chunk([0-9]+)', 1) AS filename, " +
+        "regexp_extract(chunk_file, '(.*?)-chunk([0-9]+)', 2) AS seq_str, " +
+        "string_split(chunk_file || ' sidecar.md5', ' ')[1] AS base_token " +
+        "FROM (SELECT DISTINCT 'file' || l_orderkey || '-chunk' || l_linenumber AS chunk_file " +
+        "FROM lineitem) ORDER BY chunk_file"),
+    "q_scalar_concat_format" ->
+      ("SELECT s_suppkey, printf('%-40s %5d', s_name, s_nationkey) AS listing, " +
+        "s_name || '-chunk' || s_suppkey AS chunk_name FROM supplier ORDER BY s_suppkey"),
+    "q_topk_random_n" ->
+      ("SELECT o_orderkey, o_totalprice FROM orders " +
+        "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10"),
+    "q_except_delta" ->
+      ("SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_shipdate < TIMESTAMP '1999-01-01' " +
+        "EXCEPT SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-01-01' " +
+        "ORDER BY l_orderkey, l_linenumber"),
+    "q_join_placement_mod" ->
+      ("SELECT l_orderkey, l_linenumber, (l_orderkey + l_linenumber) % n_nodes AS node, s_name " +
+        "FROM lineitem CROSS JOIN (SELECT count(*) AS n_nodes FROM supplier) " +
+        "JOIN supplier ON s_suppkey = (l_orderkey + l_linenumber) % n_nodes " +
+        "ORDER BY l_orderkey, l_linenumber"),
+    "q_set_diff_candidates" ->
+      ("WITH under AS (SELECT l_orderkey, count(DISTINCT l_suppkey) AS have FROM lineitem " +
+        "GROUP BY l_orderkey HAVING count(DISTINCT l_suppkey) < 3), " +
+        "repl AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem), " +
+        "cand AS (SELECT u.l_orderkey, u.have, s.s_suppkey FROM under u CROSS JOIN supplier s " +
+        "WHERE NOT EXISTS (SELECT 1 FROM repl r WHERE r.l_orderkey = u.l_orderkey AND r.l_suppkey = s.s_suppkey)) " +
+        "SELECT l_orderkey, max(have) AS have, 3 - max(have) AS need, count(*) AS n_candidates " +
+        "FROM cand GROUP BY l_orderkey ORDER BY l_orderkey"),
+    "q_failover_coalesce" ->
+      ("SELECT l_orderkey, l_suppkey AS chosen_node FROM " +
+        "(SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) " +
+        "WHERE l_suppkey NOT IN (1, 2) " +
+        "QUALIFY row_number() OVER (PARTITION BY l_orderkey ORDER BY l_suppkey) = 1 " +
+        "ORDER BY l_orderkey"),
+  )
+}
