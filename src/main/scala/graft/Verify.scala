@@ -14,6 +14,9 @@ object Verify {
       // Write int64 micros (not legacy INT96) so DuckDB reads timestamps
       // back exactly as Spark computed them.
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      // events.parquet has TIMESTAMP(NANOS) — read as long, converted in
+      // Tables.events (same micros truncation DuckDB applies).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

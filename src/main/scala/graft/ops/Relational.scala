@@ -1,0 +1,350 @@
+package graft.ops
+
+import graft.Tables
+import graft.Tables.dsum
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType}
+
+/** SURVEY §2B standard relational closure #25-#42 — the join/agg/window
+  * surface the reference exercises only degenerately (its joins are
+  * hash-map lookups, e.g. files.get(chunk.getFilename())
+  * controller/FileTable.java:85), declared explicitly so the engine is a
+  * real analytics surface.
+  *
+  * Scale notes: dimension joins broadcast (region/nation/supplier are
+  * bounded); fact-fact joins shuffle on their equi keys and AQE may
+  * downgrade to broadcast at runtime; the range join (#29) carries an
+  * equi key (user_id) so it plans as a sort-merge/hash join with a
+  * residual range predicate — never BroadcastNestedLoopJoin.
+  */
+object Relational {
+
+  private def dec(c: String) = col(c).cast(DecimalType(18, 2))
+
+  /** #25 q_join_inner — fact⋈dim inner equi join (orders⋈customer). */
+  def joinInner(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"), "inner")
+      .select("o_orderkey", "c_custkey", "c_name", "o_totalprice")
+      .orderBy("o_orderkey")
+
+  /** #26 q_join_broadcast — small-dim broadcast join (nation⋈region),
+    * explicit broadcast() hint (plan-shape asserted in RelationalSpec).
+    */
+  def joinBroadcast(s: SparkSession, d: String): DataFrame =
+    Tables.nation(s, d)
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name", "r_name")
+      .orderBy("n_nationkey")
+
+  /** #27 q_join_left_outer — customers with and without orders; count(col)
+    * skips nulls so orderless customers report 0.
+    */
+  def joinLeftOuter(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("o_custkey") === col("c_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .orderBy("c_custkey")
+
+  /** #28 q_join_semi — "file has ≥1 replica" reachability pattern
+    * (FileTable.java:9-12) as LEFT SEMI: customers having ≥1 order.
+    */
+  def joinSemi(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** #29 q_join_range — events within 5 minutes after another event of the
+    * same user (heartbeat-age shape, HeartbeatMonitor.java:36-37). The
+    * user_id equi key keeps the plan out of BNLJ; the range condition is
+    * a residual filter on the joined stream.
+    */
+  def joinRange(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select("event_id", "user_id", "ts")
+    val a = ev.alias("a")
+    val b = ev.alias("b")
+    a.join(b,
+        col("a.user_id") === col("b.user_id") &&
+          col("b.ts") > col("a.ts") &&
+          col("b.ts") <= col("a.ts") + expr("INTERVAL 5 MINUTES"))
+      .groupBy(col("a.user_id").as("user_id"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("user_id")
+  }
+
+  /** #30 q_join_asof — latest event ≤ cutoff per key ("last heartbeat
+    * before cutoff"). Spark has no native as-of join: the idiomatic form
+    * is row_number over (key ORDER BY ts DESC), rank 1. Fixed literal
+    * cutoff (no now() — SURVEY §7.4 rule 4).
+    */
+  def joinAsof(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(s, d)
+      .filter(col("ts") <= lit("2024-01-15 00:00:00").cast("timestamp"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      // epoch micros, not raw TIMESTAMP: Spark writes instant-semantics
+      // (UTC-adjusted) parquet timestamps while the oracle reads the
+      // source's naive TIMESTAMP_NS — integers compare cleanly
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"))
+      .orderBy("user_id")
+  }
+
+  /** #31 q_agg_pricing_summary — TPC-H Q1 shape: multi-agg by two keys
+    * with a pushed-down date filter. All money math in DECIMAL for
+    * engine-exact sums (SURVEY §7.4 rule 1).
+    */
+  def aggPricingSummary(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") < lit("1999-06-01").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum(dec("l_extendedprice") * (lit(1) - dec("l_discount")))
+          .cast(DoubleType).as("sum_disc_price"),
+        (sum(dec("l_quantity")).cast(DoubleType) / count(col("l_quantity"))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** #32 q_agg_count_distinct — exact distinct suppliers per part
+    * (expand + two-phase aggregate).
+    */
+  def aggCountDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_partkey")
+      .agg(countDistinct("l_suppkey").as("n_suppliers"))
+      .orderBy("l_partkey")
+
+  /** #33 q_agg_approx_distinct — HLL++ sketch distinct count. Approx ≠
+    * oracle: no oracle SQL declared; RelationalSpec asserts tolerance vs
+    * the exact count instead (SURVEY §7.4 rule 8). At 100 TB this is the
+    * operator you actually run — fixed-size sketch, single pass, no
+    * expand.
+    */
+  def aggApproxDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(approx_count_distinct("l_partkey", 0.02).as("approx_parts"))
+      .orderBy("l_returnflag")
+
+  /** #34 q_agg_rollup — region → nation → grand-total rollup over
+    * customer accounts.
+    */
+  def aggRollup(s: SparkSession, d: String): DataFrame = {
+    // Through the SQL surface: Dataset.rollup over a post-join projection
+    // trips the ambiguous-self-join check (Expand duplicates the grouping
+    // attributes); SQL resolution is name-based and clean. Same Catalyst
+    // plan (Expand + two-phase HashAggregate) either way.
+    Tables.customer(s, d)
+      .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .select("r_name", "n_name", "c_acctbal")
+      .createOrReplaceTempView("rollup_src")
+    s.sql(
+      """SELECT r_name, n_name, count(*) AS n_customers,
+        |CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM rollup_src GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin)
+  }
+
+  /** #35 q_agg_grouping_sets — GROUPING SETS ((segment),(nation),()),
+    * native SQL grouping sets (one Expand, no cube-then-filter waste).
+    */
+  def aggGroupingSets(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d)
+      .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+      .select("c_mktsegment", "n_name")
+      .createOrReplaceTempView("gsets_src")
+    s.sql(
+      """SELECT c_mktsegment, n_name, count(*) AS n_customers
+        |FROM gsets_src GROUP BY GROUPING SETS ((c_mktsegment), (n_name), ())
+        |ORDER BY c_mktsegment ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin)
+  }
+
+  /** #36 q_window_rank — top-3 orders per customer by price; ordering key
+    * made unique with o_orderkey so ranks are deterministic.
+    */
+  def windowRank(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(s, d)
+      .withColumn("rn", rank().over(w))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** #37 q_window_running — running per-supplier quantity. DECIMAL inside
+    * the windowed sum: the default RANGE UNBOUNDED PRECEDING..CURRENT ROW
+    * frame gives tied sort keys identical running values on both engines,
+    * and decimal makes the sum order-independent.
+    */
+  def windowRunning(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("l_suppkey")
+      .orderBy(col("l_shipdate").asc, col("l_orderkey").asc, col("l_linenumber").asc)
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.lineitem(s, d)
+      .select("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber", "l_quantity")
+      .withColumn("running_qty",
+        sum(dec("l_quantity")).over(w).cast(DoubleType))
+      .orderBy("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber", "l_quantity")
+  }
+
+  /** #38 q_union — union-distinct of two overlapping event slices. */
+  def unionDistinct(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select("event_id", "user_id", "event_type")
+    val early = ev.filter(col("event_id") < 200)
+    val errors = Tables.events(s, d).filter(col("event_type") === "error")
+      .select("event_id", "user_id", "event_type")
+    early.union(errors).distinct().orderBy("event_id")
+  }
+
+  /** #39 q_intersect — users active in both halves of January. */
+  def intersectKeys(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val w1 = ev.filter(col("ts") < lit("2024-01-15 00:00:00").cast("timestamp"))
+      .select("user_id")
+    val w2 = ev.filter(col("ts") >= lit("2024-01-15 00:00:00").cast("timestamp"))
+      .select("user_id")
+    w1.intersect(w2).orderBy("user_id")
+  }
+
+  /** #40 q_scalar_date — date parts / trunc / seconds-between (heartbeat
+    * age arithmetic, HeartbeatMonitor.java:34-37), fixed epoch literal.
+    */
+  def scalarDate(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(
+        col("event_id"),
+        year(col("ts")).cast(IntegerType).as("y"),
+        month(col("ts")).cast(IntegerType).as("m"),
+        to_date(date_trunc("day", col("ts"))).as("day_ts"), // DATE on both engines
+        (unix_timestamp(col("ts")) - lit(1704067200L)).as("age_s"))
+      .orderBy("event_id")
+
+  /** #41 q_scalar_json — JSON field extraction from the events props
+    * column (get_json_object ≡ DuckDB json_extract_string).
+    */
+  def scalarJson(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").as("k_str"),
+        get_json_object(col("props"), "$.k").cast(IntegerType).as("k_int"))
+      .orderBy("event_id")
+
+  /** #42 q_scalar_hash — md5 over a string column (reference hashes file
+    * bytes, Utils.java:28-58; we hash document text).
+    */
+  def scalarHash(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), md5(col("text")).as("text_md5"))
+      .orderBy("doc_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_inner"          -> (joinInner _),
+    "q_join_broadcast"      -> (joinBroadcast _),
+    "q_join_left_outer"     -> (joinLeftOuter _),
+    "q_join_semi"           -> (joinSemi _),
+    "q_join_range"          -> (joinRange _),
+    "q_join_asof"           -> (joinAsof _),
+    "q_agg_pricing_summary" -> (aggPricingSummary _),
+    "q_agg_count_distinct"  -> (aggCountDistinct _),
+    "q_agg_approx_distinct" -> (aggApproxDistinct _),
+    "q_agg_rollup"          -> (aggRollup _),
+    "q_agg_grouping_sets"   -> (aggGroupingSets _),
+    "q_window_rank"         -> (windowRank _),
+    "q_window_running"      -> (windowRunning _),
+    "q_union"               -> (unionDistinct _),
+    "q_intersect"           -> (intersectKeys _),
+    "q_scalar_date"         -> (scalarDate _),
+    "q_scalar_json"         -> (scalarJson _),
+    "q_scalar_hash"         -> (scalarHash _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_join_inner" ->
+      ("SELECT o_orderkey, c_custkey, c_name, o_totalprice FROM orders " +
+        "JOIN customer ON o_custkey = c_custkey ORDER BY o_orderkey"),
+    "q_join_broadcast" ->
+      ("SELECT n_nationkey, n_name, r_name FROM nation " +
+        "JOIN region ON n_regionkey = r_regionkey ORDER BY n_nationkey"),
+    "q_join_left_outer" ->
+      ("SELECT c_custkey, count(o_orderkey) AS n_orders FROM customer " +
+        "LEFT JOIN orders ON o_custkey = c_custkey GROUP BY c_custkey ORDER BY c_custkey"),
+    "q_join_semi" ->
+      ("SELECT c_custkey, c_name FROM customer WHERE EXISTS " +
+        "(SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey"),
+    "q_join_range" ->
+      ("SELECT a.user_id, count(*) AS n_pairs FROM events a JOIN events b " +
+        "ON a.user_id = b.user_id AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE " +
+        "GROUP BY a.user_id ORDER BY a.user_id"),
+    "q_join_asof" ->
+      ("SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type FROM events " +
+        "WHERE ts <= TIMESTAMP '2024-01-15 00:00:00' " +
+        "QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1 " +
+        "ORDER BY user_id"),
+    "q_agg_pricing_summary" ->
+      ("SELECT l_returnflag, l_linestatus, " +
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price, " +
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty, " +
+        "COUNT(*) AS count_order " +
+        "FROM lineitem WHERE l_shipdate < TIMESTAMP '1999-06-01' " +
+        "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
+    "q_agg_count_distinct" ->
+      ("SELECT l_partkey, count(DISTINCT l_suppkey) AS n_suppliers FROM lineitem " +
+        "GROUP BY l_partkey ORDER BY l_partkey"),
+    "q_agg_rollup" ->
+      ("SELECT r_name, n_name, count(*) AS n_customers, " +
+        "CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal " +
+        "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey " +
+        "GROUP BY ROLLUP(r_name, n_name) " +
+        "ORDER BY r_name NULLS FIRST, n_name NULLS FIRST"),
+    "q_agg_grouping_sets" ->
+      ("SELECT c_mktsegment, n_name, count(*) AS n_customers " +
+        "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
+        "GROUP BY GROUPING SETS ((c_mktsegment), (n_name), ()) " +
+        "ORDER BY c_mktsegment NULLS FIRST, n_name NULLS FIRST"),
+    "q_window_rank" ->
+      ("SELECT o_custkey, rn, o_orderkey, o_totalprice FROM " +
+        "(SELECT o_custkey, o_orderkey, o_totalprice, " +
+        "rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn " +
+        "FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn"),
+    "q_window_running" ->
+      ("SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber, l_quantity, " +
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER " +
+        "(PARTITION BY l_suppkey ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC " +
+        "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty " +
+        "FROM lineitem " +
+        "ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber, l_quantity"),
+    "q_union" ->
+      ("SELECT event_id, user_id, event_type FROM events WHERE event_id < 200 " +
+        "UNION SELECT event_id, user_id, event_type FROM events WHERE event_type = 'error' " +
+        "ORDER BY event_id"),
+    "q_intersect" ->
+      ("SELECT user_id FROM events WHERE ts < TIMESTAMP '2024-01-15 00:00:00' " +
+        "INTERSECT SELECT user_id FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00' " +
+        "ORDER BY user_id"),
+    "q_scalar_date" ->
+      ("SELECT event_id, CAST(year(ts) AS INTEGER) AS y, CAST(month(ts) AS INTEGER) AS m, " +
+        "date_trunc('day', ts) AS day_ts, " +
+        "date_diff('second', TIMESTAMP '2024-01-01 00:00:00', ts) AS age_s " +
+        "FROM events ORDER BY event_id"),
+    "q_scalar_json" ->
+      ("SELECT event_id, json_extract_string(props, '$.k') AS k_str, " +
+        "CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int " +
+        "FROM events ORDER BY event_id"),
+    "q_scalar_hash" ->
+      "SELECT doc_id, md5(text) AS text_md5 FROM documents ORDER BY doc_id",
+  )
+}
