@@ -1,0 +1,196 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** SURVEY §2D streaming operators + the batch analogs of §2A #17-18.
+  *
+  * The reference runs four perpetual period-driven loops (heartbeat emit
+  * storageNode/HeartbeatRunnable.java:33-80, age check
+  * controller/HeartbeatMonitor.java:23-58, replication check
+  * controller/ChunkReplicationRunnable.java:32-47, corruption scan
+  * storageNode/ChunkCorruptionMonitor.java:31-75) — micro-batch streaming
+  * jobs in all but name. The `events` table plays the heartbeat stream:
+  * user_id = node identity, ts = heartbeat arrival.
+  *
+  * Scale notes: every windowed aggregation here is a single shuffle on
+  * (window, key) with map-side partial aggregation; at 100 TB the state
+  * in a true streaming run is bounded by the watermark (statefulLiveness)
+  * — unbounded keys never accumulate because timeouts purge silent ones.
+  * Batch `window()`/`session_window()` compile to the same exchange +
+  * hash-agg plans as any groupBy, so the sf0.01 oracle checks exercise
+  * exactly the plan that would run on the cluster.
+  */
+object Streaming {
+
+  /** "Now" for liveness math — fixed literal, never now() (SURVEY §7.4
+    * rule 4). All events precede it.
+    */
+  private val cutoff = "2024-02-01 00:00:00"
+
+  /** #17 q_stream_liveness — batch analog of HeartbeatMonitor.run
+    * (controller/HeartbeatMonitor.java:23-58): a node is dead when its
+    * last heartbeat is older than max-age (30 s in dfs.properties:3;
+    * 7 days here to match the events table's day-scale cadence).
+    */
+  def liveness(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(max(col("ts")).as("last_ts"))
+      .select(
+        col("user_id"),
+        unix_micros(col("last_ts")).as("last_us"),
+        (unix_timestamp(lit(cutoff).cast("timestamp")) -
+          unix_timestamp(col("last_ts"))).as("age_s"))
+      .withColumn("status",
+        when(col("age_s") > 7L * 24 * 3600, lit("dead")).otherwise(lit("alive")))
+      .orderBy("user_id")
+
+  /** #18 q_stream_first_seen — first-heartbeat detection
+    * (controller/MessageProcessor.java:289-332): the earliest event per
+    * key triggers full-resync handling; keys first seen after a cutoff
+    * are flagged as late joiners.
+    */
+  def firstSeen(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(min(col("ts")).as("first_ts"), count(lit(1)).as("n_events"))
+      .select(
+        col("user_id"),
+        unix_micros(col("first_ts")).as("first_us"),
+        col("n_events"),
+        (col("first_ts") > lit("2024-01-02 00:00:00").cast("timestamp"))
+          .as("late_joiner"))
+      .orderBy("user_id")
+
+  /** #48 q_stream_tumbling — 1 h tumbling window count by event_type
+    * (periodic-sweep analog, ChunkCorruptionMonitor.java:31-75). Batch
+    * `window()` compiles to the identical plan a readStream would use.
+    */
+  def tumbling(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        unix_micros(col("window.start")).as("ws_us"),
+        col("event_type"), col("n_events"))
+      .orderBy("ws_us", "event_type")
+
+  /** #49 q_stream_sliding — 10 min windows sliding every 5 min: each
+    * event lands in exactly two windows (Spark expands via a generator,
+    * then one shuffle on (window, type)).
+    */
+  def sliding(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        unix_micros(col("window.start")).as("ws_us"),
+        col("event_type"), col("n_events"))
+      .orderBy("ws_us", "event_type")
+
+  /** #50 q_stream_session — 30 min-gap session windows per user
+    * (connection-lifetime shape, controller/MessageProcessor.java:33-74).
+    * `session_window` is batch-capable since 3.2; start = first event,
+    * sessions merge while gaps < 30 min.
+    */
+  def session(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), max(col("ts")).as("last_ts"))
+      .select(
+        col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        unix_micros(col("last_ts")).as("last_us"),
+        col("n_events"))
+      .orderBy("user_id", "session_start_us")
+
+  // ---------------------------------------------------------------------
+  // #51 — true streaming surface (no oracle; MemoryStream-verified in
+  // StreamingSpec, SURVEY §5.2 item 4). Not in the `queries` map:
+  // streaming runtime behavior isn't a deterministic batch result
+  // (SURVEY §7.4 rule 7).
+  // ---------------------------------------------------------------------
+
+  case class Heartbeat(ts: java.sql.Timestamp, node: String)
+  case class NodeStatus(node: String, nHeartbeats: Long, dead: Boolean)
+
+  /** Watermarked tumbling count — late data beyond the 10 min watermark
+    * is dropped (the reference instead silently re-adds late nodes,
+    * MessageProcessor.java:283-287; watermark-drop is the bounded-state
+    * equivalent).
+    */
+  def watermarkedCounts(hb: Dataset[Heartbeat]): DataFrame =
+    hb.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("node"))
+      .agg(count(lit(1)).as("n"))
+
+  /** HeartbeatMonitor semantics as stateful streaming: per-node heartbeat
+    * count, and a "dead" record emitted when a node goes silent past the
+    * timeout (controller/HeartbeatMonitor.java:36-45, 30 s max age).
+    * ProcessingTimeTimeout because the monitor's clock is wall time, not
+    * event time — exactly the reference's `new Date()` comparison.
+    */
+  def statefulLiveness(hb: Dataset[Heartbeat], timeoutMs: Long = 30000L): Dataset[NodeStatus] = {
+    import hb.sparkSession.implicits._
+    hb.groupByKey(_.node)
+      .flatMapGroupsWithState[Long, NodeStatus](
+        OutputMode.Update(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        case (node, beats, state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            val n = state.getOption.getOrElse(0L)
+            state.remove()
+            Iterator(NodeStatus(node, n, dead = true))
+          } else {
+            val n = state.getOption.getOrElse(0L) + beats.size
+            state.update(n)
+            state.setTimeoutDuration(timeoutMs)
+            Iterator(NodeStatus(node, n, dead = false))
+          }
+      }
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_liveness"   -> (liveness _),
+    "q_stream_first_seen" -> (firstSeen _),
+    "q_stream_tumbling"   -> (tumbling _),
+    "q_stream_sliding"    -> (sliding _),
+    "q_stream_session"    -> (session _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_stream_liveness" ->
+      ("SELECT user_id, epoch_us(max(ts)) AS last_us, " +
+        s"date_diff('second', max(ts), TIMESTAMP '$cutoff') AS age_s, " +
+        s"CASE WHEN date_diff('second', max(ts), TIMESTAMP '$cutoff') > 604800 " +
+        "THEN 'dead' ELSE 'alive' END AS status " +
+        "FROM events GROUP BY user_id ORDER BY user_id"),
+    "q_stream_first_seen" ->
+      ("SELECT user_id, epoch_us(min(ts)) AS first_us, count(*) AS n_events, " +
+        "min(ts) > TIMESTAMP '2024-01-02 00:00:00' AS late_joiner " +
+        "FROM events GROUP BY user_id ORDER BY user_id"),
+    "q_stream_tumbling" ->
+      ("SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS ws_us, " +
+        "event_type, count(*) AS n_events " +
+        "FROM events GROUP BY 1, 2 ORDER BY ws_us, event_type"),
+    "q_stream_sliding" ->
+      ("SELECT ws_us, event_type, count(*) AS n_events FROM (" +
+        "SELECT epoch_us(time_bucket(INTERVAL '10 minutes', ts)) AS ws_us, event_type FROM events " +
+        "UNION ALL " +
+        "SELECT epoch_us(time_bucket(INTERVAL '10 minutes', ts, INTERVAL '5 minutes')) AS ws_us, event_type FROM events" +
+        ") GROUP BY ws_us, event_type ORDER BY ws_us, event_type"),
+    "q_stream_session" ->
+      ("WITH flagged AS (SELECT user_id, ts, CASE WHEN " +
+        "date_diff('second', lag(ts) OVER (PARTITION BY user_id ORDER BY ts), ts) >= 1800 " +
+        "OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL THEN 1 ELSE 0 END AS new_s " +
+        "FROM events), numbered AS (SELECT user_id, ts, " +
+        "sum(new_s) OVER (PARTITION BY user_id ORDER BY ts " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM flagged) " +
+        "SELECT user_id, epoch_us(min(ts)) AS session_start_us, " +
+        "epoch_us(max(ts)) AS last_us, count(*) AS n_events " +
+        "FROM numbered GROUP BY user_id, sid " +
+        "ORDER BY user_id, session_start_us"),
+  )
+}
