@@ -1,0 +1,543 @@
+package graft.ops
+
+import graft.Tables
+import graft.Tables.davg
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2C LLM-pipeline operators (#43-47) plus the training-data
+  * extensions: the dedup family (exact / MinHash-LSH / SimHash / n-gram
+  * Jaccard / embedding-cosine), similarity search (brute-force + IVF),
+  * and text analysis (language-ID, quality, token counts, fingerprints).
+  *
+  * Determinism strategy (everything here is oracle-checked except the
+  * spark.ml MinHashLSH variant):
+  *  - All signature hashing is md5-hex; "minimum hash" = lexicographic
+  *    min of hex strings, identical across engines (binary collation).
+  *  - SimHash bits come from the high bit of each md5 hex char
+  *    (c >= '8'), avoiding hex→int conversion DuckDB lacks.
+  *  - Embedding math is fixed-point: floats quantized to q = round(x *
+  *    1000) longs; dots/norms are exact integer sums, with ONE final
+  *    double division/sqrt — bit-identical on both engines. (At cluster
+  *    scale you would keep float32 SIMD and skip the oracle, but the
+  *    operator shape — block, dot, rank — is unchanged.)
+  *
+  * Scale notes: every pairwise operator is banded/blocked (LSH band
+  * join, label block, IVF bucket) so candidate generation is an equi
+  * shuffle join, never a cross join; the all-pairs forms exist only
+  * inside a block. Signatures are computed in one projection pass
+  * (codegen'd higher-order functions over the token array — no UDFs,
+  * no explode-shuffle for per-doc results).
+  */
+object LlmPipeline {
+
+  // ---------------------------------------------------------------- text
+  /** Tokens of the whitespace-soup text column (split on single space;
+    * Spark split and DuckDB string_split agree incl. empty handling).
+    */
+  private val toks = "split(text, ' ')"
+
+  /** 3-word shingles (docs shorter than 3 tokens fall back to the whole
+    * text as one shingle). 1-based slice in both engines.
+    */
+  private val shingles =
+    s"CASE WHEN size($toks) >= 3 THEN transform(sequence(1, size($toks) - 2), " +
+      s"i -> concat_ws(' ', slice($toks, i, 3))) ELSE array(text) END"
+
+  private val shinglesDuck =
+    "CASE WHEN len(string_split(text,' ')) >= 3 THEN " +
+      "list_transform(generate_series(1, len(string_split(text,' ')) - 2), " +
+      "i -> array_to_string(list_slice(string_split(text,' '), i, i + 2), ' ')) " +
+      "ELSE [text] END"
+
+  /** #43 q_dedup_exact — exact dedup: keep the min doc_id per normalized
+    * text; n_copies counts the group. Hash-groupBy on the normalized key
+    * — the canonical 100 TB exact-dedup plan (one shuffle on the key).
+    */
+  def dedupExact(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(lower(trim(col("text"))).as("norm"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"), md5(col("norm")).as("norm_md5"))
+      .orderBy("keep_id")
+
+  /** MinHash signatures: 16 "permutations" h_i(s) = md5(i || '|' || s),
+    * signature_i = min over shingles (hex-string min). Banded 4×4 for
+    * the LSH join.
+    */
+  private def minhashSigs(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d).select(col("doc_id"), expr(shingles).as("sh"))
+    val sigCols = (0 until 16).map { i =>
+      expr(s"array_min(transform(sh, s -> md5(concat('$i|', s))))").as(s"sig$i")
+    }
+    base.select(col("doc_id") +: sigCols: _*)
+  }
+
+  /** q_dedup_minhash_sig — per-doc banded MinHash signature (band key =
+    * md5 of 4 concatenated signature mins). This is the shuffle key a
+    * 100 TB dedup would exchange on: fixed 4×32 bytes per doc regardless
+    * of text size.
+    */
+  def dedupMinhashSig(s: SparkSession, d: String): DataFrame = {
+    val sigs = minhashSigs(s, d)
+    val bands = (0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat((0 until 4).map(i => col(s"sig${4 * b + i}")): _*)).as("band_key"))
+    }
+    sigs.select(col("doc_id"), explode(array(bands: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+      .orderBy("doc_id", "band")
+  }
+
+  /** q_dedup_minhash_pairs — LSH candidate pairs: docs agreeing on ≥1
+    * band. Equi self-join on (band, band_key) — linear shuffle, no cross
+    * join; pair survives only if some band's 4 signature mins all match.
+    */
+  def dedupMinhashPairs(s: SparkSession, d: String): DataFrame = {
+    val b = dedupMinhashSig(s, d)
+    val l = b.select(col("doc_id").as("doc_a"), col("band"), col("band_key"))
+    val r = b.select(col("doc_id").as("doc_b"), col("band"), col("band_key"))
+    l.join(r, Seq("band", "band_key"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** q_dedup_simhash — SimHash near-dup pairs. Per-doc 32-bit SimHash:
+    * bit b (1..32) is the sign of Σ_tokens (±1), +1 when hex char b of
+    * md5(token) has its high bit set (c >= '8') — one md5 per token,
+    * reused across all 32 bits. 4 bands × 8 bits: by
+    * pigeonhole, any pair with Hamming distance ≤ 3 shares ≥1 band, so
+    * the band join is a COMPLETE candidate generator for distance ≤ 3
+    * (reported pairs are all banded candidates with distance ≤ 16,
+    * mirroring a production LSH-then-verify pipeline).
+    */
+  def dedupSimhash(s: SparkSession, d: String): DataFrame = {
+    val withHs = Tables.documents(s, d)
+      .select(col("doc_id"), expr(s"transform($toks, t -> md5(t))").as("hs"))
+    val bitSum = (b: Int) =>
+      s"(CAST(size(filter(hs, h -> substring(h, $b, 1) >= '8')) AS BIGINT) * 2 - CAST(size(hs) AS BIGINT))"
+    val sim = (1 to 32).map { b =>
+      s"(CASE WHEN ${bitSum(b)} > 0 THEN CAST(pow(2, ${32 - b}) AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString(" + ")
+    val sh = withHs.select(col("doc_id"), expr(sim).as("simhash"))
+    val banded = sh.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("band"),
+          expr(s"CAST(floor(simhash / pow(256, ${3 - b})) AS BIGINT) % 256").as("bv"))
+      }: _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"), col("bk.band").as("band"), col("bk.bv").as("bv"))
+    val l = banded.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"),
+      col("band"), col("bv"))
+    val r = banded.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b"),
+      col("band"), col("bv"))
+    l.join(r, Seq("band", "bv"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("bit_count(sh_a ^ sh_b)").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= 16)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** #44 q_dedup_near — spark.ml MinHashLSH near-dup join: HashingTF
+    * token vectors → MinHash signatures → approxSimilarityJoin at
+    * Jaccard distance ≤ 0.5. Approximate (hash-seed-dependent), so no
+    * DuckDB oracle — the driver records rows-only and LlmPipelineSpec
+    * asserts 100% recall on planted near-duplicates (SURVEY §5.2 item
+    * 4). This is the library-grade scale path: OR-amplified band joins,
+    * state linear in docs, never all-pairs.
+    */
+  def dedupNear(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), expr(s"array_distinct($toks)").as("tokens"))
+    val tf = new HashingTF().setInputCol("tokens").setOutputCol("features")
+      .setNumFeatures(1 << 18)
+    val feats = tf.transform(docs)
+      .where(expr("size(tokens) > 0"))
+    val lsh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
+      .setNumHashTables(8).setSeed(42L)
+    val model = lsh.fit(feats)
+    model.approxSimilarityJoin(feats, feats, 0.5, "jaccard_dist")
+      .select(col("datasetA.doc_id").as("doc_a"), col("datasetB.doc_id").as("doc_b"),
+        col("jaccard_dist"))
+      .where(col("doc_a") < col("doc_b"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** q_dedup_ngram — exact n-gram Jaccard over an inverted-index join:
+    * only pairs sharing ≥1 distinct shingle are generated (equi join on
+    * the shingle), then J = |∩| / (|A| + |B| − |∩|). Top-100 pairs by
+    * (J desc, doc_a, doc_b) — total order, deterministic.
+    */
+  def dedupNgram(s: SparkSession, d: String): DataFrame = {
+    val docSh = Tables.documents(s, d)
+      .select(col("doc_id"), explode(expr(s"array_distinct($shingles)")).as("sh"))
+    val sizes = docSh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = docSh.select(col("doc_id").as("doc_a"), col("sh"))
+      .join(docSh.select(col("doc_id").as("doc_b"), col("sh")), Seq("sh"))
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+          .as("jaccard"))
+      .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
+      .limit(100)
+  }
+
+  // ----------------------------------------------------------- embeddings
+  /** Fixed-point quantization of the FLOAT[64] embedding: q = round(x *
+    * 1000) as long. Dot/norm sums are then exact integers.
+    */
+  private val quant =
+    "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+  private val quantDuck =
+    "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+
+  private val dotQ =
+    "aggregate(zip_with(qa, qb, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+  private val dotQDuck =
+    "CAST(list_sum(list_transform(list_zip(qa, qb), p -> p[1] * p[2])) AS BIGINT)"
+  private val normQ =
+    "aggregate(zip_with(%s, %s, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+
+  /** q_dedup_embed — embedding near-dup pairs, blocked by label (the
+    * block key stands in for an LSH bucket: candidate generation is an
+    * equi join, the exact cosine runs only within blocks). Top-100 by
+    * (cos desc, a, b).
+    */
+  def dedupEmbed(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), expr(quant).as("q"))
+    val nrm = e.select(col("vec_id"), col("label"), col("q"),
+      expr(normQ.format("q", "q")).as("n2"))
+    val l = nrm.select(col("vec_id").as("vec_a"), col("label"),
+      col("q").as("qa"), col("n2").as("n2a"))
+    val r = nrm.select(col("vec_id").as("vec_b"), col("label"),
+      col("q").as("qb"), col("n2").as("n2b"))
+    l.join(r, Seq("label"))
+      .where(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        (expr(dotQ).cast("double") /
+          sqrt(col("n2a").cast("double") * col("n2b").cast("double"))).as("cos"))
+      .orderBy(col("cos").desc, col("vec_a"), col("vec_b"))
+      .limit(100)
+  }
+
+  /** #45 q_sim_search — brute-force cosine top-k against the probe
+    * vector (vec_id = 0). The probe is a 1-row broadcast (crossJoin with
+    * a broadcast side = BroadcastNestedLoopJoin over one row — a map-side
+    * scan, no shuffle); top-k via TakeOrderedAndProject.
+    */
+  def simSearch(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), expr(quant).as("q"))
+    val probe = broadcast(e.where(col("vec_id") === 0)
+      .select(col("q").as("qa"), expr(normQ.format("q", "q")).as("n2a")))
+    e.where(col("vec_id") =!= 0)
+      .withColumnRenamed("q", "qb")
+      .crossJoin(probe)
+      .select(col("vec_id"),
+        (expr(dotQ).cast("double") /
+          sqrt(col("n2a").cast("double") *
+            expr(normQ.format("qb", "qb")).cast("double"))).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  /** q_sim_search_ivf — IVF-style ANN: centroids = vectors with vec_id <
+    * 8 (deterministic stand-ins for k-means centers); every vector is
+    * assigned to its nearest centroid (exact squared-L2 in integer
+    * space, ties → lowest centroid id); the probe searches ONLY its own
+    * centroid's bucket. At scale: nlist buckets shrink the scanned set
+    * by ~nlist×, the assignment is a broadcast join against the tiny
+    * centroid table, and the bucket scan shuffles on centroid id.
+    */
+  def simSearchIvf(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), expr(quant).as("q"))
+    val cents = broadcast(e.where(col("vec_id") < 8)
+      .select(col("vec_id").as("cent_id"), col("q").as("qc")))
+    val d2 = "aggregate(zip_with(q, qc, (x, y) -> (x - y) * (x - y)), " +
+      "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    val w = Window.partitionBy("vec_id").orderBy(col("dist2").asc, col("cent_id").asc)
+    val assigned = e.crossJoin(cents)
+      .select(col("vec_id"), col("q"), col("cent_id"), expr(d2).as("dist2"))
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("vec_id"), col("q"), col("cent_id"))
+    val probeCent = assigned.where(col("vec_id") === 0)
+      .select(col("q").as("qa"), expr(normQ.format("q", "q")).as("n2a"),
+        col("cent_id").as("probe_cent"))
+    assigned.where(col("vec_id") =!= 0)
+      .join(broadcast(probeCent), col("cent_id") === col("probe_cent"))
+      .select(col("vec_id"), col("cent_id"),
+        (expr(dotQ.replace("qb", "q")).cast("double") /
+          sqrt(col("n2a").cast("double") *
+            expr(normQ.format("q", "q")).cast("double"))).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(5)
+  }
+
+  // ------------------------------------------------------- text analysis
+  /** #46 q_text_tokens — top-5 tokens per lang by (count desc, token
+    * asc): explode → two-phase count → per-lang window rank.
+    */
+  def textTokens(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy(col("n").desc, col("tok").asc)
+    Tables.documents(s, d)
+      .select(col("lang"), explode(expr(toks)).as("tok"))
+      .groupBy("lang", "tok").agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= 5)
+      .select("lang", "rn", "tok", "n")
+      .orderBy("lang", "rn")
+  }
+
+  /** #47 q_text_stats — per-source corpus stats. */
+  def textStats(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        davg(col("n_chars")).as("avg_chars"),
+        countDistinct(col("lang")).as("n_langs"))
+      .orderBy("source")
+
+  /** Stopword profiles for the language-ID heuristic (marker tokens per
+    * language; CJK handled by a codepoint-class count).
+    */
+  private val profiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
+    "en" -> Seq("the", "a", "of", "and", "to", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "un"),
+  )
+
+  /** q_text_langid — n-gram/marker-token language ID: score = marker-
+    * token hits per language profile (with multiplicity) + CJK codepoint
+    * count for zh; prediction = argmax, ties broken by lang name. A
+    * single codegen'd projection — the 100 TB plan is a mapper-only
+    * scan, no shuffle before the final order.
+    */
+  def textLangid(s: SparkSession, d: String): DataFrame = {
+    def hits(words: Seq[String]): String = {
+      val lst = words.map(w => s"'$w'").mkString(", ")
+      s"CAST(size(filter($toks, t -> array_contains(array($lst), t))) AS BIGINT)"
+    }
+    val scoreCols = profiles.map { case (lang, ws) => expr(hits(ws)).as(s"s_$lang") } :+
+      expr("CAST(regexp_count(text, '[\\\\x{4e00}-\\\\x{9fff}]') AS BIGINT)").as("s_zh")
+    val scored = Tables.documents(s, d).select(col("doc_id") +: col("lang") +: scoreCols: _*)
+    val langs = profiles.map(_._1) :+ "zh"
+    val best = langs.map(l => s"s_$l").reduce((a, b) => s"greatest($a, $b)")
+    val pred = langs.foldRight("'und'") { (l, acc) =>
+      s"CASE WHEN s_$l = best AND best > 0 THEN '$l' ELSE $acc END"
+    }
+    scored.withColumn("best", expr(best))
+      .withColumn("pred_lang", expr(pred))
+      .select(col("doc_id"), col("lang"), col("pred_lang"), col("best").as("score"))
+      .orderBy("doc_id")
+  }
+
+  /** q_text_quality — heuristic quality score from length, stopword
+    * ratio, and mean token length (all ratios are int/int double
+    * divisions — engine-exact). Formula mirrors C4/Gopher-style length +
+    * stopword gates.
+    */
+  def textQuality(s: SparkSession, d: String): DataFrame = {
+    val stop = profiles.flatMap(_._2).distinct.map(w => s"'$w'").mkString(", ")
+    Tables.documents(s, d)
+      .withColumn("n_tokens", expr(s"CAST(size($toks) AS BIGINT)"))
+      .withColumn("n_stop",
+        expr(s"CAST(size(filter($toks, t -> array_contains(array($stop), t))) AS BIGINT)"))
+      .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_tokens"))
+      .withColumn("avg_tok_len",
+        (col("n_chars") - (col("n_tokens") - 1)).cast("double") / col("n_tokens"))
+      .withColumn("quality",
+        expr("least(CAST(n_tokens AS DOUBLE) / 100, CAST(1 AS DOUBLE)) * 0.4") +
+          col("stop_ratio") * 0.3 +
+          expr("least(avg_tok_len / 8, CAST(1 AS DOUBLE)) * 0.3"))
+      .select("doc_id", "n_tokens", "n_stop", "stop_ratio", "avg_tok_len", "quality")
+      .orderBy("doc_id")
+  }
+
+  /** q_text_token_count — whitespace token count + a BPE-ish subword
+    * count (runs of ≤4 letters: every [a-z]{1,4} match is one
+    * "subword"), + char count.
+    */
+  def textTokenCount(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        expr(s"CAST(size($toks) AS BIGINT)").as("ws_tokens"),
+        expr("CAST(regexp_count(text, '[a-z]{1,4}') AS BIGINT)").as("bpe_ish_tokens"),
+        col("n_chars"))
+      .orderBy("doc_id")
+
+  /** q_text_fingerprint — two content fingerprints: fp_sorted = md5 of
+    * the sorted distinct token set (OpenRefine-style key collision) and
+    * fp_min = winnowing-style minimum shingle hash. Both are per-doc
+    * projections (no shuffle).
+    */
+  def textFingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        md5(expr(s"concat_ws(' ', array_sort(array_distinct($toks)))")).as("fp_sorted"),
+        expr(s"array_min(transform($shingles, s -> md5(s)))").as("fp_min"))
+      .orderBy("doc_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact"         -> (dedupExact _),
+    "q_dedup_minhash_sig"   -> (dedupMinhashSig _),
+    "q_dedup_minhash_pairs" -> (dedupMinhashPairs _),
+    "q_dedup_simhash"       -> (dedupSimhash _),
+    "q_dedup_near"          -> (dedupNear _),
+    "q_dedup_ngram"         -> (dedupNgram _),
+    "q_dedup_embed"         -> (dedupEmbed _),
+    "q_sim_search"          -> (simSearch _),
+    "q_sim_search_ivf"      -> (simSearchIvf _),
+    "q_text_tokens"         -> (textTokens _),
+    "q_text_stats"          -> (textStats _),
+    "q_text_langid"         -> (textLangid _),
+    "q_text_quality"        -> (textQuality _),
+    "q_text_token_count"    -> (textTokenCount _),
+    "q_text_fingerprint"    -> (textFingerprint _),
+  )
+
+  val oracle: Map[String, String] = {
+    val stop = profiles.flatMap(_._2).distinct.map(w => s"'$w'").mkString(", ")
+    def hitsDuck(words: Seq[String]): String = {
+      val lst = words.map(w => s"'$w'").mkString(", ")
+      s"CAST(len(list_filter(string_split(text,' '), t -> list_contains([$lst], t))) AS BIGINT)"
+    }
+    val langidScores = profiles.map { case (l, ws) => s"${hitsDuck(ws)} AS s_$l" }
+      .mkString(", ") +
+      ", CAST(len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS BIGINT) AS s_zh"
+    val langs = profiles.map(_._1) :+ "zh"
+    val bestDuck = langs.map(l => s"s_$l").reduce((a, b) => s"greatest($a, $b)")
+    val predDuck = langs.foldRight("'und'") { (l, acc) =>
+      s"CASE WHEN s_$l = best AND best > 0 THEN '$l' ELSE $acc END"
+    }
+
+    Map(
+      "q_dedup_exact" ->
+        ("SELECT min(doc_id) AS keep_id, count(*) AS n_copies, " +
+          "md5(lower(trim(text))) AS norm_md5 FROM documents " +
+          "GROUP BY lower(trim(text)) ORDER BY keep_id"),
+      "q_dedup_minhash_sig" ->
+        (s"WITH sh AS (SELECT doc_id, unnest($shinglesDuck) AS s FROM documents), " +
+          "sig AS (SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || '|' || s)) AS m " +
+          "FROM sh, (SELECT unnest(generate_series(0, 15)) AS i) perms " +
+          "GROUP BY doc_id, i) " +
+          "SELECT doc_id, CAST(CAST(floor(i / 4) AS BIGINT) AS INTEGER) AS band, " +
+          "md5(string_agg(m, '' ORDER BY i)) AS band_key " +
+          "FROM sig GROUP BY doc_id, floor(i / 4) ORDER BY doc_id, band"),
+      "q_dedup_minhash_pairs" ->
+        (s"WITH sh AS (SELECT doc_id, unnest($shinglesDuck) AS s FROM documents), " +
+          "sig AS (SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || '|' || s)) AS m " +
+          "FROM sh, (SELECT unnest(generate_series(0, 15)) AS i) perms GROUP BY doc_id, i), " +
+          "bands AS (SELECT doc_id, floor(i / 4) AS band, " +
+          "md5(string_agg(m, '' ORDER BY i)) AS band_key FROM sig GROUP BY doc_id, floor(i / 4)) " +
+          "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b " +
+          "FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key " +
+          "AND a.doc_id < b.doc_id ORDER BY doc_a, doc_b"),
+      "q_dedup_simhash" -> {
+        val bitSums = (1 to 32).map(b =>
+          s"CAST(sum(CASE WHEN substr(m, $b, 1) >= '8' THEN 1 ELSE -1 END) AS BIGINT) AS v$b")
+          .mkString(", ")
+        val shSum = (1 to 32).map(b =>
+          s"(CASE WHEN v$b > 0 THEN CAST(power(2, ${32 - b}) AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+          .mkString(" + ")
+        "WITH hs AS (SELECT doc_id, md5(unnest(string_split(text,' '))) AS m FROM documents), " +
+          s"bits AS (SELECT doc_id, $bitSums FROM hs GROUP BY doc_id), " +
+          s"sh AS (SELECT doc_id, $shSum AS simhash FROM bits), " +
+          "bands AS (SELECT doc_id, simhash, b, " +
+          "CAST(floor(simhash / power(256, 3 - b)) AS BIGINT) % 256 AS bv " +
+          "FROM sh, (SELECT unnest(generate_series(0, 3)) AS b) bb) " +
+          "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+          "bit_count(xor(a.simhash, b.simhash)) AS hamming " +
+          "FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id " +
+          "WHERE bit_count(xor(a.simhash, b.simhash)) <= 16 ORDER BY doc_a, doc_b"
+      },
+      "q_dedup_ngram" ->
+        (s"WITH ds AS (SELECT doc_id, unnest(list_distinct($shinglesDuck)) AS sh FROM documents), " +
+          "sizes AS (SELECT doc_id, count(*) AS n_sh FROM ds GROUP BY doc_id), " +
+          "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter " +
+          "FROM ds a JOIN ds b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+          "SELECT doc_a, doc_b, " +
+          "CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) AS jaccard " +
+          "FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b " +
+          "ORDER BY jaccard DESC, doc_a, doc_b LIMIT 100"),
+      "q_dedup_embed" ->
+        (s"WITH q AS (SELECT vec_id, label, $quantDuck AS q FROM embeddings), " +
+          "n AS (SELECT vec_id, label, q, " +
+          "CAST(list_sum(list_transform(list_zip(q, q), p -> p[1] * p[2])) AS BIGINT) AS n2 FROM q) " +
+          "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, " +
+          "CAST(list_sum(list_transform(list_zip(a.q, b.q), p -> p[1] * p[2])) AS BIGINT) " +
+          "/ sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE)) AS cos " +
+          "FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id " +
+          "ORDER BY cos DESC, vec_a, vec_b LIMIT 100"),
+      "q_sim_search" ->
+        (s"WITH q AS (SELECT vec_id, $quantDuck AS q FROM embeddings), " +
+          "n AS (SELECT vec_id, q, " +
+          "CAST(list_sum(list_transform(list_zip(q, q), p -> p[1] * p[2])) AS BIGINT) AS n2 FROM q) " +
+          "SELECT b.vec_id AS vec_id, " +
+          "CAST(list_sum(list_transform(list_zip(a.q, b.q), p -> p[1] * p[2])) AS BIGINT) " +
+          "/ sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE)) AS cos " +
+          "FROM n a, n b WHERE a.vec_id = 0 AND b.vec_id <> 0 " +
+          "ORDER BY cos DESC, vec_id LIMIT 10"),
+      "q_sim_search_ivf" ->
+        (s"WITH q AS (SELECT vec_id, $quantDuck AS q FROM embeddings), " +
+          "cents AS (SELECT vec_id AS cent_id, q AS qc FROM q WHERE vec_id < 8), " +
+          "dists AS (SELECT vec_id, q, cent_id, " +
+          "CAST(list_sum(list_transform(list_zip(q, qc), p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS dist2 " +
+          "FROM q, cents), " +
+          "assigned AS (SELECT vec_id, q, cent_id FROM dists " +
+          "QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist2 ASC, cent_id ASC) = 1), " +
+          "pn AS (SELECT q AS qa, cent_id AS probe_cent, " +
+          "CAST(list_sum(list_transform(list_zip(q, q), p -> p[1] * p[2])) AS BIGINT) AS n2a " +
+          "FROM assigned WHERE vec_id = 0) " +
+          "SELECT b.vec_id, b.cent_id, " +
+          "CAST(list_sum(list_transform(list_zip(pn.qa, b.q), p -> p[1] * p[2])) AS BIGINT) " +
+          "/ sqrt(CAST(pn.n2a AS DOUBLE) * CAST(" +
+          "CAST(list_sum(list_transform(list_zip(b.q, b.q), p -> p[1] * p[2])) AS BIGINT) AS DOUBLE)) AS cos " +
+          "FROM assigned b, pn WHERE b.cent_id = pn.probe_cent AND b.vec_id <> 0 " +
+          "ORDER BY cos DESC, vec_id LIMIT 5"),
+      "q_text_tokens" ->
+        ("SELECT lang, rn, tok, n FROM (SELECT lang, tok, count(*) AS n, " +
+          "row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, tok ASC) AS rn " +
+          "FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents) " +
+          "GROUP BY lang, tok) WHERE rn <= 5 ORDER BY lang, rn"),
+      "q_text_stats" ->
+        ("SELECT source, count(*) AS n_docs, sum(n_chars) AS sum_chars, " +
+          "CAST(SUM(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE) / COUNT(n_chars) AS avg_chars, " +
+          "count(DISTINCT lang) AS n_langs FROM documents GROUP BY source ORDER BY source"),
+      "q_text_langid" ->
+        (s"WITH scored AS (SELECT doc_id, lang, $langidScores FROM documents), " +
+          s"b AS (SELECT *, $bestDuck AS best FROM scored) " +
+          s"SELECT doc_id, lang, $predDuck AS pred_lang, best AS score " +
+          "FROM b ORDER BY doc_id"),
+      "q_text_quality" ->
+        (s"WITH t AS (SELECT doc_id, n_chars, " +
+          "CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens, " +
+          s"CAST(len(list_filter(string_split(text,' '), t -> list_contains([$stop], t))) AS BIGINT) AS n_stop " +
+          "FROM documents) " +
+          "SELECT doc_id, n_tokens, n_stop, " +
+          "CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio, " +
+          "CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens AS avg_tok_len, " +
+          "least(CAST(n_tokens AS DOUBLE) / 100, CAST(1 AS DOUBLE)) * 0.4 " +
+          "+ (CAST(n_stop AS DOUBLE) / n_tokens) * 0.3 " +
+          "+ least((CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens) / 8, CAST(1 AS DOUBLE)) * 0.3 AS quality " +
+          "FROM t ORDER BY doc_id"),
+      "q_text_token_count" ->
+        ("SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS ws_tokens, " +
+          "CAST(len(regexp_extract_all(text, '[a-z]{1,4}')) AS BIGINT) AS bpe_ish_tokens, " +
+          "n_chars FROM documents ORDER BY doc_id"),
+      "q_text_fingerprint" ->
+        (s"SELECT doc_id, " +
+          "md5(array_to_string(list_sort(list_distinct(string_split(text,' '))), ' ')) AS fp_sorted, " +
+          s"list_min(list_transform($shinglesDuck, s -> md5(s))) AS fp_min " +
+          "FROM documents ORDER BY doc_id"),
+    )
+  }
+}
