@@ -151,8 +151,13 @@ object LlmPipeline {
     */
   def dedupNear(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
+    // Shingle sets, not raw token sets: the synthetic corpus has a tiny
+    // vocabulary, so every long doc contains nearly every token and
+    // token-set Jaccard degenerates to ~1 for all pairs. 3-word shingles
+    // (~|V|^3 space) keep the LSH join selective — the same choice real
+    // web-dedup pipelines make.
     val docs = Tables.documents(s, d)
-      .select(col("doc_id"), expr(s"array_distinct($toks)").as("tokens"))
+      .select(col("doc_id"), expr(s"array_distinct($shingles)").as("tokens"))
     val tf = new HashingTF().setInputCol("tokens").setOutputCol("features")
       .setNumFeatures(1 << 18)
     val feats = tf.transform(docs)

@@ -1,0 +1,128 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing for a training-data pipeline: media
+  * treated as opaque `binary` columns plus typed metadata, with
+  * decode / feature-extract / resize / frame-sample stages.
+  *
+  * The container has no image/audio codecs, so the DECODE step is a
+  * >>> STUB <<< — a deterministic fake that derives pixel metadata from
+  * the content md5 (clearly marked below). Everything around it is the
+  * real Spark plumbing this pipeline needs at 100 TB:
+  *  - the binary payload travels as `BinaryType` (parquet BYTE_ARRAY),
+  *    never stringified;
+  *  - decode runs in `mapPartitions` over a typed Dataset — one
+  *    decoder instance per partition (exactly how a JNI/codec handle
+  *    would amortize), preserving partitioning, batch-shaped;
+  *  - downstream stages (resize math, frame sampling) are codegen'd
+  *    projections/generators over the decoded metadata;
+  *  - the fake decode is md5-derived so every stage stays DuckDB
+  *    oracle-checkable end-to-end.
+  *
+  * In production the stub body is replaced by the real codec call (e.g.
+  * javax.imageio / ffmpeg JNI) with the same row shape — no plan change.
+  */
+object Multimodal {
+
+  /** Decoded media metadata — the typed row shape the decode stage
+    * emits. Mirrors (file:line) the reference's chunk sidecar metadata
+    * idea (storageNode/StorageNode.java:90 checksum sidecars): payload +
+    * typed facts about it.
+    */
+  case class MediaMeta(doc_id: Long, n_bytes: Long, content_md5: String,
+                       width: Int, height: Int, channels: Int)
+
+  private def hexVal(c: Char): Int = java.lang.Character.digit(c, 16)
+
+  /** q_mm_decode — binary payload → typed metadata via per-partition
+    * "decode". The md5 and byte length are real; width/height/channels
+    * are the DETERMINISTIC FAKE standing in for the codec:
+    *   width    = 320 + hex[0..1] of md5   (320..575)
+    *   height   = 240 + hex[2..3] of md5   (240..495)
+    *   channels = 1 + hex[4] % 3           (1..3)
+    */
+  def decode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // one digest instance per partition — where a real codec handle
+        // (ffmpeg context, ImageIO reader) would be allocated once
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, payload) =>
+          md.reset()
+          val hex = md.digest(payload).map("%02x".format(_)).mkString
+          // --- STUB: real image decode goes here ----------------------
+          val width = 320 + 16 * hexVal(hex(0)) + hexVal(hex(1))
+          val height = 240 + 16 * hexVal(hex(2)) + hexVal(hex(3))
+          val channels = 1 + hexVal(hex(4)) % 3
+          // -------------------------------------------------------------
+          MediaMeta(id, payload.length.toLong, hex, width, height, channels)
+        }
+      }
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  /** q_mm_resize — fit-into-224×224 resize math over the decoded dims
+    * (aspect-preserving, scale = min(224/w, 224/h)). Pure codegen'd
+    * projection; identical IEEE double steps on both engines.
+    */
+  def resize(s: SparkSession, d: String): DataFrame =
+    decode(s, d)
+      .withColumn("scale",
+        least(lit(224.0) / col("width"), lit(224.0) / col("height")))
+      .select(col("doc_id"), col("width"), col("height"),
+        expr("CAST(floor(width * scale) AS INTEGER)").as("out_w"),
+        expr("CAST(floor(height * scale) AS INTEGER)").as("out_h"))
+      .orderBy("doc_id")
+
+  /** q_mm_frame_sample — video-style frame sampling: n_frames =
+    * ceil(n_bytes / 100), keep every 10th frame. The generator is
+    * `explode(sequence(...))` — Spark's rows-from-one-row path (same
+    * shape as chunk split, SURVEY §2A #9), shuffle-free.
+    */
+  def frameSample(s: SparkSession, d: String): DataFrame =
+    decode(s, d)
+      .select(col("doc_id"), col("content_md5"),
+        expr("(n_bytes + 99) DIV 100").as("n_frames"))
+      .select(col("doc_id"), col("n_frames"),
+        explode(expr("sequence(CAST(0 AS BIGINT), n_frames - 1, CAST(10 AS BIGINT))")).as("frame_no"))
+      .select(col("doc_id"), col("n_frames"), col("frame_no"))
+      .orderBy("doc_id", "frame_no")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mm_decode"       -> (decode _),
+    "q_mm_resize"       -> (resize _),
+    "q_mm_frame_sample" -> (frameSample _),
+  )
+
+  private val hx = "instr('0123456789abcdef', substr(md5(text), %d, 1)) - 1"
+  private val widthSql = s"CAST(320 + 16 * (${hx.format(1)}) + (${hx.format(2)}) AS INTEGER)"
+  private val heightSql = s"CAST(240 + 16 * (${hx.format(3)}) + (${hx.format(4)}) AS INTEGER)"
+
+  val oracle: Map[String, String] = Map(
+    "q_mm_decode" ->
+      ("SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, " +
+        "md5(text) AS content_md5, " +
+        s"$widthSql AS width, $heightSql AS height, " +
+        s"CAST(1 + (${hx.format(5)}) % 3 AS INTEGER) AS channels " +
+        "FROM documents ORDER BY doc_id"),
+    "q_mm_resize" ->
+      (s"WITH dims AS (SELECT doc_id, $widthSql AS width, $heightSql AS height FROM documents), " +
+        "sc AS (SELECT *, least(CAST(224 AS DOUBLE) / width, CAST(224 AS DOUBLE) / height) AS scale FROM dims) " +
+        "SELECT doc_id, width, height, " +
+        "CAST(floor(width * scale) AS INTEGER) AS out_w, " +
+        "CAST(floor(height * scale) AS INTEGER) AS out_h " +
+        "FROM sc ORDER BY doc_id"),
+    "q_mm_frame_sample" ->
+      ("WITH f AS (SELECT doc_id, " +
+        "CAST((octet_length(encode(text)) + 99) // 100 AS BIGINT) AS n_frames FROM documents) " +
+        "SELECT doc_id, n_frames, CAST(unnest(generate_series(0, n_frames - 1, 10)) AS BIGINT) AS frame_no " +
+        "FROM f ORDER BY doc_id, frame_no"),
+  )
+}
