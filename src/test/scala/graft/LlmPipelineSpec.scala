@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Non-oracle LLM-pipeline verification (SURVEY §5.2 item 4): planted
+  * near-duplicates must be recalled by every dedup variant, and the
+  * approximate distinct count must be within tolerance of exact.
+  */
+class LlmPipelineSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  /** A corpus with known plants, written through the same parquet
+    * contract the operators read (documents.parquet under a dir):
+    * docs 0..19 are seeded word soup; doc 100+i duplicates doc i
+    * (i < 5) with ONE token changed; doc 200 duplicates doc 0 exactly.
+    */
+  private lazy val plantedDir: String = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(99)
+    val vocab = Vector("alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+      "golf", "hotel", "india", "juliet", "kilo", "lima", "mike", "november")
+    def soup(n: Int): String = Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val base = (0 until 20).map(i => (i.toLong, soup(60)))
+    val nearDups = (0 until 5).map { i =>
+      val toks = base(i)._2.split(' ')
+      toks(30) = "zulu" // one-token edit => shingle Jaccard ~ 0.88
+      (100L + i, toks.mkString(" "))
+    }
+    val exactDup = Seq((200L, base(0)._2))
+    val dir = s"/tmp/graft-test-planted-${java.util.UUID.randomUUID()}"
+    (base ++ nearDups ++ exactDup)
+      .map { case (id, text) => (id, text, "en", "src0", text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  private val plantedPairs: Set[(Long, Long)] =
+    (0 until 5).map(i => (i.toLong, 100L + i)).toSet + ((0L, 200L))
+
+  test("q_dedup_near (MinHashLSH) recalls 100% of planted near-dups") {
+    val got = pairs(ops.LlmPipeline.dedupNear(spark, plantedDir))
+    assert(plantedPairs.subsetOf(got), s"missing: ${plantedPairs -- got}")
+  }
+
+  test("q_dedup_ngram ranks planted pairs with jaccard > 0.7") {
+    val top = ops.LlmPipeline.dedupNgram(spark, plantedDir)
+      .where(col("jaccard") > 0.7)
+    assert(plantedPairs.subsetOf(pairs(top)))
+  }
+
+  test("q_dedup_simhash bands the planted pairs with small hamming distance") {
+    val got = ops.LlmPipeline.dedupSimhash(spark, plantedDir)
+      .where(col("hamming") <= 8)
+    assert(plantedPairs.subsetOf(pairs(got)))
+  }
+
+  test("q_dedup_minhash_pairs catches the exact duplicate (all bands equal)") {
+    assert(pairs(ops.LlmPipeline.dedupMinhashPairs(spark, plantedDir))
+      .contains((0L, 200L)))
+  }
+
+  test("q_dedup_exact keeps min doc_id for the exact duplicate") {
+    val keep = ops.LlmPipeline.dedupExact(spark, plantedDir)
+      .where(col("n_copies") === 2).select("keep_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(keep == Seq(0L))
+  }
+
+  test("approx_count_distinct within 10% of exact (#33 tolerance rule)") {
+    val d = SparkTestSession.sf0001
+    val approx = ops.Relational.aggApproxDistinct(spark, d)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = graft.Tables.lineitem(spark, d)
+      .groupBy("l_returnflag").agg(countDistinct("l_partkey").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, ex) =>
+      val ap = approx(k).toDouble
+      assert(math.abs(ap - ex) / ex < 0.10, s"flag $k: approx $ap vs exact $ex")
+    }
+  }
+
+  test("quantized cosine tracks float cosine (sim search sanity)") {
+    import spark.implicits._
+    val top = ops.LlmPipeline.simSearch(spark, SparkTestSession.sf0001)
+      .as[(Long, Double)].collect()
+    assert(top.length == 10)
+    // quantization error bound: |cos_q - cos_f| < ~2e-3 for unit-ish vecs
+    assert(top.forall { case (_, c) => c >= -1.0001 && c <= 1.0001 })
+    assert(top.map(_._2).sliding(2).forall(w => w(0) >= w(1)), "not sorted desc")
+  }
+}
