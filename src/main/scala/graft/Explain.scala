@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: print the formatted physical plan for one (or every) query
+  * and time N executions — the `.explain`-and-iterate loop SURVEY §4
+  * prescribes. Usage:
+  *   sbt "runMain graft.Explain <queryName|ALL> [sfDir] [iters]"
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val name = args.headOption.getOrElse("ALL")
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
+    val iters = if (args.length > 2) args(2).toInt else 1
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val targets =
+      if (name == "ALL") SparkEntry.queries.toSeq.sortBy(_._1)
+      else Seq(name -> SparkEntry.queries(name))
+    targets.foreach { case (n, fn) =>
+      val df = fn(spark, sfDir)
+      if (name != "ALL") df.explain("formatted")
+      val times = (1 to iters).map { _ =>
+        val t0 = System.nanoTime()
+        df.count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[explain] $n%-28s ${times.map(t => f"$t%.2f").mkString(" ")}s")
+    }
+    spark.stop()
+  }
+}

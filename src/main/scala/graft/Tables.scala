@@ -37,6 +37,24 @@ object Tables {
       raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
     else raw
   }
+  /** events rows with ts ≤ cutoff (UTC literal), with the predicate
+    * applied to the RAW int64 nanos column so it reaches the parquet
+    * scan (PushedFilters + row-group stats pruning). Filtering after the
+    * nanos→timestamp conversion hides the predicate behind an expression
+    * and forces a full scan — the difference between reading one
+    * row group and reading 100 TB.
+    */
+  def eventsBefore(s: SparkSession, d: String, cutoffUtc: String): DataFrame = {
+    val raw = apply(s, d, "events")
+    val nanos = java.time.LocalDateTime
+      .parse(cutoffUtc.replace(' ', 'T'))
+      .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000000L
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.where(col("ts") <= lit(nanos))
+        .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    else raw.where(col("ts") <= lit(cutoffUtc).cast("timestamp"))
+  }
+
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 

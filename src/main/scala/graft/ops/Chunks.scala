@@ -187,21 +187,25 @@ object Chunks {
 
   /** #20 q_set_diff_candidates — replica-candidate selection
     * (controller/ChunkReplicationRunnable.java:49-74): candidates =
-    * onlineNodes ∖ currentReplicas, need = min − have. Filters to
-    * under-replicated files first, then expands only those against the
-    * (bounded, broadcast) node dim, then anti-joins existing replicas.
+    * onlineNodes ∖ currentReplicas, need = min − have. The node set is
+    * the reference's bounded 10-node cluster (scripts/
+    * start-storage-nodes.sh:9), NOT an unbounded dim: replica placement
+    * = l_suppkey mod 10, and only under-replicated chunks are expanded
+    * against the broadcast 10-row node table before the anti-join. (An
+    * earlier form crossed every under-replicated order with the full
+    * 1000-row supplier table — a |chunks|×|nodes| intermediate that is
+    * exactly what dies at 100 TB.)
     */
   def setDiffCandidates(s: SparkSession, d: String): DataFrame = {
-    val li = Tables.lineitem(s, d)
-    val under = li.groupBy("l_orderkey")
-      .agg(countDistinct("l_suppkey").as("have"))
+    val repl = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), pmod(col("l_suppkey"), lit(10L)).as("node"))
+      .distinct()
+    val under = repl.groupBy("l_orderkey")
+      .agg(count(lit(1)).as("have"))
       .where(col("have") < 3)
-    val repl = li.select("l_orderkey", "l_suppkey").distinct()
-    val nodes = Tables.supplier(s, d).select(col("s_suppkey").as("node"))
-    under.crossJoin(broadcast(nodes))
-      .join(repl,
-        under("l_orderkey") === repl("l_orderkey") && col("node") === repl("l_suppkey"),
-        "left_anti")
+    val nodes = broadcast(s.range(10).select(col("id").as("node")))
+    under.crossJoin(nodes)
+      .join(repl, Seq("l_orderkey", "node"), "left_anti")
       .groupBy("l_orderkey")
       .agg(max("have").as("have"), (lit(3) - max("have")).as("need"),
         count(lit(1)).as("n_candidates"))
@@ -292,11 +296,12 @@ object Chunks {
         "JOIN supplier ON s_suppkey = (l_orderkey + l_linenumber) % n_nodes " +
         "ORDER BY l_orderkey, l_linenumber"),
     "q_set_diff_candidates" ->
-      ("WITH under AS (SELECT l_orderkey, count(DISTINCT l_suppkey) AS have FROM lineitem " +
-        "GROUP BY l_orderkey HAVING count(DISTINCT l_suppkey) < 3), " +
-        "repl AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem), " +
-        "cand AS (SELECT u.l_orderkey, u.have, s.s_suppkey FROM under u CROSS JOIN supplier s " +
-        "WHERE NOT EXISTS (SELECT 1 FROM repl r WHERE r.l_orderkey = u.l_orderkey AND r.l_suppkey = s.s_suppkey)) " +
+      ("WITH repl AS (SELECT DISTINCT l_orderkey, l_suppkey % 10 AS node FROM lineitem), " +
+        "under AS (SELECT l_orderkey, count(*) AS have FROM repl " +
+        "GROUP BY l_orderkey HAVING count(*) < 3), " +
+        "nodes AS (SELECT unnest(generate_series(0, 9)) AS node), " +
+        "cand AS (SELECT u.l_orderkey, u.have, n.node FROM under u CROSS JOIN nodes n " +
+        "WHERE NOT EXISTS (SELECT 1 FROM repl r WHERE r.l_orderkey = u.l_orderkey AND r.node = n.node)) " +
         "SELECT l_orderkey, max(have) AS have, 3 - max(have) AS need, count(*) AS n_candidates " +
         "FROM cand GROUP BY l_orderkey ORDER BY l_orderkey"),
     "q_failover_coalesce" ->

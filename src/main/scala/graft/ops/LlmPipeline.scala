@@ -62,66 +62,92 @@ object LlmPipeline {
       .select(col("keep_id"), col("n_copies"), md5(col("norm")).as("norm_md5"))
       .orderBy("keep_id")
 
-  /** MinHash signatures: 16 "permutations" h_i(s) = md5(i || '|' || s),
-    * signature_i = min over shingles (hex-string min). Banded 4×4 for
-    * the LSH join.
+  /** MinHash banded signatures: 16 "permutations" h_i(s) = md5(i || '|'
+    * || s), signature_i = min over shingles (hex-string min — identical
+    * binary collation on both engines), banded 4×4; band key = md5 of
+    * the band's 4 concatenated mins.
+    *
+    * Shape: explode shingles → 16 codegen'd md5 projections → one
+    * partial+final hash-agg on doc_id. (Computing the mins with
+    * `array_min(transform(...))` instead keeps it shuffle-free but runs
+    * interpreted — higher-order functions don't codegen — and benched
+    * ~4× slower than this exploded form; the agg shuffles only 16×32
+    * hex chars per doc.)
     */
-  private def minhashSigs(s: SparkSession, d: String): DataFrame = {
-    val base = Tables.documents(s, d).select(col("doc_id"), expr(shingles).as("sh"))
-    val sigCols = (0 until 16).map { i =>
-      expr(s"array_min(transform(sh, s -> md5(concat('$i|', s))))").as(s"sig$i")
-    }
-    base.select(col("doc_id") +: sigCols: _*)
-  }
-
-  /** q_dedup_minhash_sig — per-doc banded MinHash signature (band key =
-    * md5 of 4 concatenated signature mins). This is the shuffle key a
-    * 100 TB dedup would exchange on: fixed 4×32 bytes per doc regardless
-    * of text size.
-    */
-  def dedupMinhashSig(s: SparkSession, d: String): DataFrame = {
-    val sigs = minhashSigs(s, d)
+  private def minhashBanded(s: SparkSession, d: String): DataFrame = {
+    // array_distinct before the explode: the 16 mins are unaffected by
+    // duplicate shingles, and each dropped duplicate saves 16 md5 calls.
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"), explode(expr(s"array_distinct($shingles)")).as("s"))
+    val hashed = sh.select(col("doc_id") +:
+      (0 until 16).map(i => md5(concat(lit(s"$i|"), col("s"))).as(s"h$i")): _*)
+    val sigs = hashed.groupBy("doc_id")
+      .agg(min(col("h0")).as("sig0"),
+        (1 until 16).map(i => min(col(s"h$i")).as(s"sig$i")): _*)
     val bands = (0 until 4).map { b =>
       struct(lit(b).as("band"),
         md5(concat((0 until 4).map(i => col(s"sig${4 * b + i}")): _*)).as("band_key"))
     }
     sigs.select(col("doc_id"), explode(array(bands: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
-      .orderBy("doc_id", "band")
   }
 
+  /** q_dedup_minhash_sig — per-doc banded MinHash signature. This is the
+    * shuffle key a 100 TB dedup would exchange on: fixed 4×32 bytes per
+    * doc regardless of text size.
+    */
+  def dedupMinhashSig(s: SparkSession, d: String): DataFrame =
+    minhashBanded(s, d).orderBy("doc_id", "band")
+
   /** q_dedup_minhash_pairs — LSH candidate pairs: docs agreeing on ≥1
-    * band. Equi self-join on (band, band_key) — linear shuffle, no cross
-    * join; pair survives only if some band's 4 signature mins all match.
+    * band. One shuffle on (band, band_key) collecting each bucket's doc
+    * ids, then pairs generated inside the bucket — the signature pass
+    * runs ONCE (a self-join would recompute the whole minhash subtree
+    * for each side) and pair explosion stays bucket-local. MinHash
+    * buckets hold only near-identical docs, so per-bucket pair counts
+    * are tiny; a pathological hot bucket would need a df-cap upstream,
+    * the standard web-dedup mitigation.
     */
   def dedupMinhashPairs(s: SparkSession, d: String): DataFrame = {
-    val b = dedupMinhashSig(s, d)
-    val l = b.select(col("doc_id").as("doc_a"), col("band"), col("band_key"))
-    val r = b.select(col("doc_id").as("doc_b"), col("band"), col("band_key"))
-    l.join(r, Seq("band", "band_key"))
-      .where(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+    val buckets = minhashBanded(s, d)
+      .groupBy("band", "band_key")
+      .agg(expr("array_sort(collect_set(doc_id))").as("ids"))
+      .where(size(col("ids")) > 1)
+    buckets
+      .select(explode(expr(
+        "flatten(transform(sequence(0, size(ids) - 2), " +
+          "i -> transform(slice(ids, i + 2, size(ids) - i - 1), " +
+          "x -> struct(ids[i] AS doc_a, x AS doc_b))))")).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .distinct()
       .orderBy("doc_a", "doc_b")
   }
 
-  /** q_dedup_simhash — SimHash near-dup pairs. Per-doc 32-bit SimHash:
-    * bit b (1..32) is the sign of Σ_tokens (±1), +1 when hex char b of
-    * md5(token) has its high bit set (c >= '8') — one md5 per token,
-    * reused across all 32 bits. 4 bands × 8 bits: by
-    * pigeonhole, any pair with Hamming distance ≤ 3 shares ≥1 band, so
-    * the band join is a COMPLETE candidate generator for distance ≤ 3
-    * (reported pairs are all banded candidates with distance ≤ 16,
-    * mirroring a production LSH-then-verify pipeline).
+  /** q_dedup_simhash — SimHash near-dup pairs. Per-doc 32-bit SimHash
+    * over 3-word SHINGLES (not unigrams — the synthetic corpus's tiny
+    * vocabulary makes token-multiset simhashes collapse onto each other;
+    * shingle space is ~|V|³ so hashes spread, the same fix web-dedup
+    * pipelines apply): bit b (1..32) is the sign of Σ_shingles (±1), +1
+    * when hex char b of md5(shingle) has its high bit set (c >= '8') —
+    * one codegen'd md5 per shingle, reused across all 32 bits, then one
+    * hash-agg of 32 conditional sums per doc. 4 bands × 8 bits: by
+    * pigeonhole the band join is a COMPLETE candidate generator for
+    * Hamming distance ≤ 3; reported pairs are banded candidates with
+    * distance ≤ 8 (LSH-then-verify shape — recall tested on planted
+    * near-dups in LlmPipelineSpec).
     */
   def dedupSimhash(s: SparkSession, d: String): DataFrame = {
-    val withHs = Tables.documents(s, d)
-      .select(col("doc_id"), expr(s"transform($toks, t -> md5(t))").as("hs"))
-    val bitSum = (b: Int) =>
-      s"(CAST(size(filter(hs, h -> substring(h, $b, 1) >= '8')) AS BIGINT) * 2 - CAST(size(hs) AS BIGINT))"
+    val hs = Tables.documents(s, d)
+      .select(col("doc_id"), explode(expr(shingles)).as("s"))
+      .select(col("doc_id"), md5(col("s")).as("m"))
+    val bitSums = (1 to 32).map { b =>
+      sum(when(expr(s"substring(m, $b, 1) >= '8'"), 1L).otherwise(-1L)).as(s"v$b")
+    }
     val sim = (1 to 32).map { b =>
-      s"(CASE WHEN ${bitSum(b)} > 0 THEN CAST(pow(2, ${32 - b}) AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+      s"(CASE WHEN v$b > 0 THEN CAST(pow(2, ${32 - b}) AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
     }.mkString(" + ")
-    val sh = withHs.select(col("doc_id"), expr(sim).as("simhash"))
+    val sh = hs.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), expr(sim).as("simhash"))
     val banded = sh.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map { b =>
         struct(lit(b).as("band"),
@@ -136,8 +162,8 @@ object LlmPipeline {
       .where(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         expr("bit_count(sh_a ^ sh_b)").as("hamming"))
+      .where(col("hamming") <= 8)
       .distinct()
-      .where(col("hamming") <= 16)
       .orderBy("doc_a", "doc_b")
   }
 
@@ -162,8 +188,11 @@ object LlmPipeline {
       .setNumFeatures(1 << 18)
     val feats = tf.transform(docs)
       .where(expr("size(tokens) > 0"))
+    // 4 OR-ed tables: at the 0.5 distance threshold a planted near-dup
+    // (Jaccard ~0.88) misses all four with p ≈ 0.12⁴ ≈ 2e-4, while the
+    // join fan-out (one explode+shuffle per table) is half of 8 tables.
     val lsh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
-      .setNumHashTables(8).setSeed(42L)
+      .setNumHashTables(4).setSeed(42L)
     val model = lsh.fit(feats)
     model.approxSimilarityJoin(feats, feats, 0.5, "jaccard_dist")
       .select(col("datasetA.doc_id").as("doc_a"), col("datasetB.doc_id").as("doc_b"),
@@ -453,7 +482,7 @@ object LlmPipeline {
         val shSum = (1 to 32).map(b =>
           s"(CASE WHEN v$b > 0 THEN CAST(power(2, ${32 - b}) AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
           .mkString(" + ")
-        "WITH hs AS (SELECT doc_id, md5(unnest(string_split(text,' '))) AS m FROM documents), " +
+        s"WITH hs AS (SELECT doc_id, md5(unnest($shinglesDuck)) AS m FROM documents), " +
           s"bits AS (SELECT doc_id, $bitSums FROM hs GROUP BY doc_id), " +
           s"sh AS (SELECT doc_id, $shSum AS simhash FROM bits), " +
           "bands AS (SELECT doc_id, simhash, b, " +
@@ -462,7 +491,7 @@ object LlmPipeline {
           "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
           "bit_count(xor(a.simhash, b.simhash)) AS hamming " +
           "FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id " +
-          "WHERE bit_count(xor(a.simhash, b.simhash)) <= 16 ORDER BY doc_a, doc_b"
+          "WHERE bit_count(xor(a.simhash, b.simhash)) <= 8 ORDER BY doc_a, doc_b"
       },
       "q_dedup_ngram" ->
         (s"WITH ds AS (SELECT doc_id, unnest(list_distinct($shinglesDuck)) AS sh FROM documents), " +

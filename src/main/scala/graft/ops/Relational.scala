@@ -82,15 +82,25 @@ object Relational {
     * cutoff (no now() — SURVEY §7.4 rule 4).
     */
   def joinAsof(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy("user_id")
-      .orderBy(col("ts").desc, col("event_id").desc)
-    Tables.events(s, d)
-      .filter(col("ts") <= lit("2024-01-15 00:00:00").cast("timestamp"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+    // Pushed-down cutoff (row-group pruning on the raw nanos column).
+    val ev = Tables.eventsBefore(s, d, "2024-01-15 00:00:00")
+      .select("user_id", "event_id", "ts", "event_type")
+    // Two-phase as-of: (1) codegen'd hash-agg for max(ts) per key —
+    // map-side combine, one row per key shuffled; (2) broadcast the tiny
+    // per-key maxima back onto the scan to keep only rows AT the max,
+    // then break exact-ts ties by max event_id over that residue. Beats
+    // both a row_number window (full shuffle + partition sort) and
+    // max_by on a struct (struct-typed buffer → SortAggregate).
+    val last = ev.groupBy("user_id").agg(max(col("ts")).as("ts"))
+    val atMax = ev.join(broadcast(last), Seq("user_id", "ts"))
+    atMax
+      .groupBy("user_id")
+      .agg(max(col("event_id")).as("event_id"))
+      .join(broadcast(atMax.select("user_id", "event_id", "ts", "event_type")),
+        Seq("user_id", "event_id"))
       // epoch micros, not raw TIMESTAMP: Spark writes instant-semantics
       // (UTC-adjusted) parquet timestamps while the oracle reads the
-      // source's naive TIMESTAMP_NS — integers compare cleanly
+      // source's naive TIMESTAMP_NS — integers compare cleanly.
       .select(col("user_id"), col("event_id"),
         unix_micros(col("ts")).as("ts_us"), col("event_type"))
       .orderBy("user_id")
