@@ -1,0 +1,82 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Byte-level round-trip for the ingest source — the Spark form of the
+  * reference's ChunkTest.java:38-100 (split-then-reassemble equals the
+  * original bytes) over real binary content, including a
+  * non-chunk-aligned file.
+  */
+class ChunkIngestSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def md5hex(b: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5").digest(b)
+      .map("%02x".format(_)).mkString
+
+  private lazy val (dir, originals) = {
+    val d = Files.createTempDirectory("graft-ingest").toString
+    val rnd = new scala.util.Random(7)
+    val files = Map(
+      "aligned.bin" -> Array.fill(4000)(rnd.nextInt().toByte),   // 4 chunks of 1000
+      "ragged.bin"  -> Array.fill(2501)(rnd.nextInt().toByte),   // last chunk = 501
+      "tiny.bin"    -> Array.fill(7)(rnd.nextInt().toByte))      // single short chunk
+    files.foreach { case (n, b) => Files.write(Paths.get(d, n), b) }
+    (d, files)
+  }
+
+  private lazy val chunks =
+    sources.ChunkIngest.chunk(spark, dir, chunkSize = 1000L).cache()
+
+  test("chunk counts and last-chunk sizes match the reference math") {
+    val got = chunks.groupBy("filename")
+      .agg(count(lit(1)).as("n"), max(col("size")).as("maxs"), min(col("size")).as("mins"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(3)))).toMap
+    assert(got("aligned.bin") == ((4L, 1000L)))
+    assert(got("ragged.bin") == ((3L, 501L)))
+    assert(got("tiny.bin") == ((1L, 7L)))
+  }
+
+  test("per-chunk checksums verify (no corruption on the happy path)") {
+    import spark.implicits._
+    val bad = chunks.filter(md5(col("data")) =!= col("checksum")).count()
+    assert(bad == 0)
+    // planted corruption is caught — Chunk.isCorrupted:156-164
+    val corrupted = chunks.withColumn("data",
+      when(col("filename") === "tiny.bin", lit(Array[Byte](1, 2, 3)))
+        .otherwise(col("data")))
+    assert(corrupted.filter(md5(col("data")) =!= col("checksum"))
+      .select("filename").as[String].collect().toSeq == Seq("tiny.bin"))
+  }
+
+  test("validation accepts contiguous chunks and flags a gap") {
+    val ok = sources.ChunkIngest.validate(chunks)
+      .collect().map(r => r.getString(0) -> r.getBoolean(6)).toMap
+    assert(ok.values.forall(identity))
+    val gapped = sources.ChunkIngest.validate(chunks.filter(
+      !(col("filename") === "aligned.bin" && col("seq") === 2)))
+      .collect().map(r => r.getString(0) -> r.getBoolean(6)).toMap
+    assert(!gapped("aligned.bin") && gapped("ragged.bin") && gapped("tiny.bin"))
+  }
+
+  test("reassembled bytes hash-match the original files (round trip)") {
+    val got = sources.ChunkIngest.reassemble(chunks)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    originals.foreach { case (name, bytes) =>
+      assert(got(name) == ((bytes.length.toLong, md5hex(bytes))), name)
+    }
+  }
+
+  test("write/read round trip through the partitioned parquet sink") {
+    val dest = Files.createTempDirectory("graft-ingest-out").toString + "/chunks"
+    sources.ChunkIngest.write(chunks, dest)
+    val back = spark.read.parquet(dest)
+    val got = sources.ChunkIngest.reassemble(back)
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    originals.foreach { case (name, bytes) =>
+      assert(got(name) == md5hex(bytes), name)
+    }
+  }
+}

@@ -49,4 +49,25 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!readSchema.contains("l_comment") && !readSchema.contains("l_partkey"),
       s"column pruning failed: $readSchema")
   }
+
+  test("events ts cutoff is pushed to the scan as a raw nanos predicate (#30)") {
+    val plan = physical(Tables.eventsBefore(spark, d, "2024-01-15 00:00:00"))
+    assert(plan.contains("LessThanOrEqual(ts"),
+      s"nanos cutoff not in PushedFilters:\n$plan")
+  }
+
+  test("replica-candidate expansion broadcasts the bounded node dim (#20)") {
+    val plan = physical(ops.Chunks.setDiffCandidates(spark, d))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"node dim not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"unbounded cartesian in candidate expansion:\n$plan")
+  }
+
+  test("as-of join aggregates with hash aggregation, no window sort over events (#30)") {
+    val plan = physical(ops.Relational.joinAsof(spark, d))
+    assert(plan.contains("HashAggregate"), s"expected HashAggregate in:\n$plan")
+    assert(!plan.contains("SortAggregate") && !plan.contains("RunningWindowFunction"),
+      s"as-of fell back to sort-based aggregation:\n$plan")
+  }
 }
