@@ -2,6 +2,7 @@ package graft
 
 import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.{OutputMode, Trigger}
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -49,6 +50,36 @@ class StreamingSpec extends AnyFunSuite {
     val deadline = System.currentTimeMillis + timeoutMs
     while (!pred && System.currentTimeMillis < deadline) Thread.sleep(200)
     assert(pred, what)
+  }
+
+  test("readStream file source -> watermarked window -> parquet sink (production path)") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val (src, out, ckpt) = (s"$base/src", s"$base/out", s"$base/ckpt")
+    // two source files = two micro-batches, so the watermark advances
+    // between them and the closed window flushes in Append mode
+    Seq(ops.Streaming.Heartbeat(ts("2024-01-01 10:00:30"), "n1"),
+      ops.Streaming.Heartbeat(ts("2024-01-01 10:01:00"), "n1"))
+      .toDF().write.parquet(s"$src/f0")
+    Seq(ops.Streaming.Heartbeat(ts("2024-01-01 10:30:00"), "n2"))
+      .toDF().write.parquet(s"$src/f1")
+    val stream = spark.readStream
+      .schema("ts TIMESTAMP, node STRING")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$src/*")
+    val q = ops.Streaming.watermarkedCounts(stream.as[ops.Streaming.Heartbeat])
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val rows = spark.read.parquet(out)
+      .select(col("window.start").cast("string"), col("node"), col("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    // the [10:00, 10:05) window closed once the watermark passed it;
+    // n2's window is still open and must NOT have been emitted
+    assert(rows == Set(("2024-01-01 10:00:00", "n1", 2L)), rows.toString)
   }
 
   test("stateful liveness emits dead-node record on timeout (#51)") {
