@@ -27,12 +27,23 @@ object Explain {
     targets.foreach { case (n, fn) =>
       val df = fn(spark, sfDir)
       if (name != "ALL") df.explain("formatted")
+      // scale red flags: a cartesian product is always a bug; sort-based
+      // aggregation and one-partition exchanges deserve a justification
+      // (some are inherent: string/struct agg buffers, global sorts)
+      val plan = df.queryExecution.executedPlan.toString
+      val flags = Seq(
+        "CartesianProduct" -> "CARTESIAN",
+        "SortAggregate" -> "sort-agg",
+        "SinglePartition" -> "1-partition").collect {
+        case (marker, label) if plan.contains(marker) => label
+      }
       val times = (1 to iters).map { _ =>
         val t0 = System.nanoTime()
         df.count()
         (System.nanoTime() - t0) / 1e9
       }
-      println(f"[explain] $n%-28s ${times.map(t => f"$t%.2f").mkString(" ")}s")
+      val flagStr = if (flags.isEmpty) "" else flags.mkString("  [", ",", "]")
+      println(f"[explain] $n%-28s ${times.map(t => f"$t%.2f").mkString(" ")}s$flagStr")
     }
     spark.stop()
   }

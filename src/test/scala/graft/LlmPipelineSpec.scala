@@ -72,6 +72,30 @@ class LlmPipelineSpec extends AnyFunSuite {
     assert(keep == Seq(0L))
   }
 
+  test("simhash 4x8 banding is a complete candidate generator for hamming <= 3") {
+    // pigeonhole property the q_dedup_simhash join relies on, checked
+    // against the DEPLOYED band expression (floor / pow(256, 3-b) % 256)
+    // over random 32-bit pairs with up to 3 flipped bits
+    import spark.implicits._
+    val rnd = new scala.util.Random(1234)
+    val cases = (0 until 500).map { _ =>
+      val x = rnd.nextLong() & 0xffffffffL
+      val nFlips = rnd.nextInt(4)
+      val y = (0 until nFlips).foldLeft(x)((v, _) => v ^ (1L << rnd.nextInt(32)))
+      (x, y)
+    }
+    val bandExpr = (c: String, b: Int) =>
+      s"CAST(floor($c / pow(256, ${3 - b})) AS BIGINT) % 256"
+    val sharesBand = (0 until 4)
+      .map(b => s"(${bandExpr("x", b)}) = (${bandExpr("y", b)})")
+      .mkString(" OR ")
+    val violations = cases.toDF("x", "y")
+      .where(org.apache.spark.sql.functions.expr(
+        s"bit_count(x ^ y) <= 3 AND NOT ($sharesBand)"))
+      .count()
+    assert(violations == 0)
+  }
+
   test("approx_count_distinct within 10% of exact (#33 tolerance rule)") {
     val d = SparkTestSession.sf0001
     val approx = ops.Relational.aggApproxDistinct(spark, d)
