@@ -26,9 +26,10 @@ import org.apache.spark.sql.functions._
   * Scale notes: every pairwise operator is banded/blocked (LSH band
   * join, label block, IVF bucket) so candidate generation is an equi
   * shuffle join, never a cross join; the all-pairs forms exist only
-  * inside a block. Signatures are computed in one projection pass
-  * (codegen'd higher-order functions over the token array — no UDFs,
-  * no explode-shuffle for per-doc results).
+  * inside a block. Signature passes are explode → codegen'd scalar
+  * hash → partial+final hash-agg per doc (higher-order functions over
+  * the token array evaluate interpreted, so the hot hashing work is
+  * kept in codegen'd projections; shuffled bytes per doc stay fixed).
   */
 object LlmPipeline {
 

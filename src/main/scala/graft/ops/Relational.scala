@@ -77,8 +77,8 @@ object Relational {
   }
 
   /** #30 q_join_asof — latest event ≤ cutoff per key ("last heartbeat
-    * before cutoff"). Spark has no native as-of join: the idiomatic form
-    * is row_number over (key ORDER BY ts DESC), rank 1. Fixed literal
+    * before cutoff"). Spark has no native as-of join; implemented as a
+    * two-phase max + broadcast join-back (details below). Fixed literal
     * cutoff (no now() — SURVEY §7.4 rule 4).
     */
   def joinAsof(s: SparkSession, d: String): DataFrame = {
