@@ -1,7 +1,6 @@
 package graft.ops
 
 import graft.Tables
-import graft.Tables.davg
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -330,13 +329,20 @@ object LlmPipeline {
       .orderBy("lang", "rn")
   }
 
-  /** #47 q_text_stats — per-source corpus stats. */
+  /** #47 q_text_stats — per-source corpus stats. The mean is emitted as
+    * exact integer micro-units (sum × 10⁶ DIV count) instead of an IEEE
+    * quotient: round-1's double `avg_chars` hash-mismatched the driver
+    * gate (and DuckDB's bare sum(n_chars) is HUGEINT, which the gate
+    * reads as float64 — hence the explicit BIGINT casts in the oracle).
+    * Long arithmetic is exact while a group's char sum stays < 2⁶³/10⁶
+    * (~9 TB of text per source); beyond that, widen to DECIMAL(38,0).
+    */
   def textStats(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("sum_chars"),
-        davg(col("n_chars")).as("avg_chars"),
+        expr("sum(n_chars) * 1000000 DIV count(n_chars)").as("avg_chars_micros"),
         countDistinct(col("lang")).as("n_langs"))
       .orderBy("source")
 
@@ -544,8 +550,8 @@ object LlmPipeline {
           "FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents) " +
           "GROUP BY lang, tok) WHERE rn <= 5 ORDER BY lang, rn"),
       "q_text_stats" ->
-        ("SELECT source, count(*) AS n_docs, sum(n_chars) AS sum_chars, " +
-          "CAST(SUM(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE) / COUNT(n_chars) AS avg_chars, " +
+        ("SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars, " +
+          "CAST(sum(n_chars) * 1000000 // count(n_chars) AS BIGINT) AS avg_chars_micros, " +
           "count(DISTINCT lang) AS n_langs FROM documents GROUP BY source ORDER BY source"),
       "q_text_langid" ->
         (s"WITH scored AS (SELECT doc_id, lang, $langidScores FROM documents), " +
