@@ -115,6 +115,10 @@ object Catalog {
     * wire shape proto/messages.proto:73-80). Built bottom-up with
     * collect_list(struct(...)); sort_array at both levels pins the order
     * (collect_list alone is unordered by contract — SURVEY §7.4 rule 6).
+    * The ArrayType(StructType) is constructed for real; the final select
+    * serializes it with to_json because the comparison harness can't
+    * sort/hash nested array columns — both engines emit the identical
+    * compact `[{"seq":…,"nodes":[…]}]` string per row.
     */
   def nestedCatalog(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
@@ -123,6 +127,7 @@ object Catalog {
       .agg(sort_array(collect_list(col("l_suppkey"))).as("nodes"))
       .groupBy("l_orderkey")
       .agg(sort_array(collect_list(struct(col("l_linenumber").as("seq"), col("nodes")))).as("chunks"))
+      .select(col("l_orderkey"), to_json(col("chunks")).as("chunks_json"))
       .orderBy("l_orderkey")
 
   /** #21 q_agg_count_per_file — chunk count + size per file
@@ -186,8 +191,8 @@ object Catalog {
       ("WITH r AS (SELECT DISTINCT l_orderkey, l_linenumber, l_suppkey FROM lineitem), " +
         "c AS (SELECT l_orderkey, l_linenumber, list_sort(list(l_suppkey)) AS nodes " +
         "FROM r GROUP BY l_orderkey, l_linenumber) " +
-        "SELECT l_orderkey, list(struct_pack(seq := l_linenumber, nodes := nodes) " +
-        "ORDER BY l_linenumber) AS chunks FROM c GROUP BY l_orderkey ORDER BY l_orderkey"),
+        "SELECT l_orderkey, to_json(list(struct_pack(seq := l_linenumber, nodes := nodes) " +
+        "ORDER BY l_linenumber)) AS chunks_json FROM c GROUP BY l_orderkey ORDER BY l_orderkey"),
     "q_agg_count_per_file" ->
       ("SELECT l_orderkey, count(*) AS n_chunks, " +
         "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty " +

@@ -46,6 +46,11 @@ object Chunks {
     Tables.orders(s, d)
       .select(col("o_orderkey"), sizeBytes.as("size"))
       .withColumn("n_chunks", floor((col("size") + lit(ChunkSize - 1)) / lit(ChunkSize)))
+      // Empty files yield zero chunks. Without this guard sequence(0, -1)
+      // DEFAULTS TO STEP -1 and emits [0, -1] — two bogus chunks — where
+      // DuckDB's generate_series(0, -1) (and the reference, which rejects
+      // empty files: structures/Chunk.java:144-150) yields none.
+      .where(col("n_chunks") > 0)
       .select(col("o_orderkey"), col("size"), col("n_chunks"),
         explode(sequence(lit(0L), col("n_chunks") - 1)).as("seq"))
       .withColumn("chunk_size", least(lit(ChunkSize), col("size") - col("seq") * lit(ChunkSize)))
@@ -154,6 +159,21 @@ object Chunks {
       .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
       .limit(10)
 
+  /** #15-true q_choose_random_n — the reference's ACTUAL random choose-N
+    * (Utils.chooseNrandomOrMin, Utils.java:15-22: shuffle the candidate
+    * list, take min(N, size)). Seeded rand() + unique-key tie-break makes
+    * a run reproducible, but the sample is a genuine uniform subset, so
+    * there is no DuckDB oracle (driver records rows-only); ChunksSpec
+    * mirrors UtilsTest.java:15-26's membership/size properties. Scale:
+    * rand() is a per-row projection and limit-after-sort is
+    * TakeOrderedAndProject — per-partition heaps, no full sort.
+    */
+  def chooseRandomN(s: SparkSession, d: String): DataFrame =
+    Tables.supplier(s, d)
+      .select("s_suppkey", "s_name")
+      .orderBy(rand(42L).asc, col("s_suppkey").asc)
+      .limit(10)
+
   /** #16 q_except_delta — heartbeat delta: chunks now ∖ chunks last-acked
     * (storageNode/HeartbeatRunnable.java:123-143). EXCEPT on the chunk
     * key; literal timestamp cutoffs (no now() — SURVEY §7.4 rule 4).
@@ -236,6 +256,7 @@ object Chunks {
     "q_scalar_regex_parse"       -> (regexParse _),
     "q_scalar_concat_format"     -> (concatFormat _),
     "q_topk_random_n"            -> (topkRandomN _),
+    "q_choose_random_n"          -> (chooseRandomN _),
     "q_except_delta"             -> (exceptDelta _),
     "q_join_placement_mod"       -> (placementMod _),
     "q_set_diff_candidates"      -> (setDiffCandidates _),

@@ -52,14 +52,18 @@ object LlmPipeline {
       "ELSE [text] END"
 
   /** #43 q_dedup_exact — exact dedup: keep the min doc_id per normalized
-    * text; n_copies counts the group. Hash-groupBy on the normalized key
-    * — the canonical 100 TB exact-dedup plan (one shuffle on the key).
+    * text; n_copies counts the group. Hash-groupBy — but the grouping key
+    * is md5(normalized text), NOT the normalized text itself: the shuffle
+    * exchanges 32 B per doc instead of the whole corpus (at 100 TB the
+    * full-text key would make shuffled bytes ≈ corpus size). The
+    * collision risk is the same one the emitted norm_md5 column already
+    * accepts.
     */
   def dedupExact(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .groupBy(lower(trim(col("text"))).as("norm"))
+      .groupBy(md5(lower(trim(col("text")))).as("norm_md5"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
-      .select(col("keep_id"), col("n_copies"), md5(col("norm")).as("norm_md5"))
+      .select(col("keep_id"), col("n_copies"), col("norm_md5"))
       .orderBy("keep_id")
 
   /** MinHash banded signatures: 16 "permutations" h_i(s) = md5(i || '|'
@@ -105,14 +109,30 @@ object LlmPipeline {
     * runs ONCE (a self-join would recompute the whole minhash subtree
     * for each side) and pair explosion stays bucket-local. MinHash
     * buckets hold only near-identical docs, so per-bucket pair counts
-    * are tiny; a pathological hot bucket would need a df-cap upstream,
-    * the standard web-dedup mitigation.
+    * are tiny; pathological hot buckets are dropped by HotBucketCap.
     */
-  def dedupMinhashPairs(s: SparkSession, d: String): DataFrame = {
-    val buckets = minhashBanded(s, d)
+  def dedupMinhashPairs(s: SparkSession, d: String): DataFrame =
+    minhashPairsFromBanded(minhashBanded(s, d))
+
+  /** Hot-bucket cap for LSH pair generation: a bucket with > cap members
+    * would emit O(cap²) bucket-local pairs — one pathological band value
+    * at 100 TB is a quadratic explosion. Buckets over the cap are dropped
+    * from pair generation (the standard web-dedup df-cap mitigation);
+    * *BucketOverflow below makes the dropped buckets observable so a
+    * pipeline can alert instead of silently losing recall.
+    */
+  private[graft] val HotBucketCap = 50
+
+  /** Pair-generation core for banded MinHash input (doc_id, band,
+    * band_key) — factored out so specs can drive it with a synthetic
+    * degenerate bucket. One shuffle on (band, band_key); pairs stay
+    * bucket-local; buckets over `cap` are excluded entirely.
+    */
+  private[graft] def minhashPairsFromBanded(banded: DataFrame, cap: Int = HotBucketCap): DataFrame = {
+    val buckets = banded
       .groupBy("band", "band_key")
       .agg(expr("array_sort(collect_set(doc_id))").as("ids"))
-      .where(size(col("ids")) > 1)
+      .where(size(col("ids")) > 1 && size(col("ids")) <= cap)
     buckets
       .select(explode(expr(
         "flatten(transform(sequence(0, size(ids) - 2), " +
@@ -122,6 +142,14 @@ object LlmPipeline {
       .distinct()
       .orderBy("doc_a", "doc_b")
   }
+
+  /** Overflow report: buckets whose membership exceeds the cap (and were
+    * therefore skipped by pair generation). Empty on healthy corpora.
+    */
+  private[graft] def minhashBucketOverflow(banded: DataFrame, cap: Int = HotBucketCap): DataFrame =
+    banded.groupBy("band", "band_key")
+      .agg(count(lit(1)).as("n_docs"))
+      .where(col("n_docs") > cap)
 
   /** q_dedup_simhash — SimHash near-dup pairs. Per-doc 32-bit SimHash
     * over 3-word SHINGLES (not unigrams — the synthetic corpus's tiny
@@ -134,7 +162,11 @@ object LlmPipeline {
     * pigeonhole the band join is a COMPLETE candidate generator for
     * Hamming distance ≤ 3; reported pairs are banded candidates with
     * distance ≤ 8 (LSH-then-verify shape — recall tested on planted
-    * near-dups in LlmPipelineSpec).
+    * near-dups in LlmPipelineSpec). Pair generation is bucket-grouped
+    * (the dedupMinhashPairs pattern), NOT a self-join: a self-join on
+    * the banded frame re-executes the whole explode→md5→32-sum signature
+    * subtree once per side; grouping runs it exactly once and keeps the
+    * pair explosion bucket-local behind HotBucketCap.
     */
   def dedupSimhash(s: SparkSession, d: String): DataFrame = {
     val hs = Tables.documents(s, d)
@@ -148,24 +180,49 @@ object LlmPipeline {
     }.mkString(" + ")
     val sh = hs.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"), expr(sim).as("simhash"))
+    simhashPairsFromSig(sh)
+  }
+
+  /** Pair-generation core for SimHash signatures (doc_id, simhash) —
+    * factored out so specs can drive it with synthetic degenerate
+    * buckets. Explode each signature into 4 byte-bands, ONE shuffle on
+    * (band, bv) collecting (doc_id, simhash) per bucket, pairs + Hamming
+    * verification generated bucket-locally, hot buckets (> cap members)
+    * dropped.
+    */
+  private[graft] def simhashPairsFromSig(sh: DataFrame, cap: Int = HotBucketCap): DataFrame = {
     val banded = sh.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map { b =>
         struct(lit(b).as("band"),
           expr(s"CAST(floor(simhash / pow(256, ${3 - b})) AS BIGINT) % 256").as("bv"))
       }: _*)).as("bk"))
       .select(col("doc_id"), col("simhash"), col("bk.band").as("band"), col("bk.bv").as("bv"))
-    val l = banded.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"),
-      col("band"), col("bv"))
-    val r = banded.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b"),
-      col("band"), col("bv"))
-    l.join(r, Seq("band", "bv"))
-      .where(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        expr("bit_count(sh_a ^ sh_b)").as("hamming"))
+    val buckets = banded.groupBy("band", "bv")
+      .agg(expr("array_sort(collect_set(struct(doc_id, simhash)))").as("ids"))
+      .where(size(col("ids")) > 1 && size(col("ids")) <= cap)
+    buckets
+      .select(explode(expr(
+        "flatten(transform(sequence(0, size(ids) - 2), " +
+          "i -> transform(slice(ids, i + 2, size(ids) - i - 1), " +
+          "x -> struct(ids[i].doc_id AS doc_a, x.doc_id AS doc_b, " +
+          "bit_count(ids[i].simhash ^ x.simhash) AS hamming))))")).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+        col("p.hamming").as("hamming"))
       .where(col("hamming") <= 8)
       .distinct()
       .orderBy("doc_a", "doc_b")
   }
+
+  /** Overflow report for the simhash bands — buckets skipped by the cap. */
+  private[graft] def simhashBucketOverflow(sh: DataFrame, cap: Int = HotBucketCap): DataFrame =
+    sh.select(col("doc_id"),
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("band"),
+          expr(s"CAST(floor(simhash / pow(256, ${3 - b})) AS BIGINT) % 256").as("bv"))
+      }: _*)).as("bk"))
+      .groupBy(col("bk.band").as("band"), col("bk.bv").as("bv"))
+      .agg(count(lit(1)).as("n_docs"))
+      .where(col("n_docs") > cap)
 
   /** #44 q_dedup_near — spark.ml MinHashLSH near-dup join: HashingTF
     * token vectors → MinHash signatures → approxSimilarityJoin at
@@ -188,13 +245,18 @@ object LlmPipeline {
       .setNumFeatures(1 << 18)
     val feats = tf.transform(docs)
       .where(expr("size(tokens) > 0"))
-    // 4 OR-ed tables: at the 0.5 distance threshold a planted near-dup
-    // (Jaccard ~0.88) misses all four with p ≈ 0.12⁴ ≈ 2e-4, while the
-    // join fan-out (one explode+shuffle per table) is half of 8 tables.
+    // 3 OR-ed tables: at the 0.5 distance threshold a planted near-dup
+    // (Jaccard ~0.88) misses all three with p ≈ 0.12³ ≈ 1.7e-3 (recall
+    // pinned by the planted-dup spec), and each dropped table removes one
+    // explode+shuffle from the join fan-out.
     val lsh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
-      .setNumHashTables(4).setSeed(42L)
+      .setNumHashTables(3).setSeed(42L)
     val model = lsh.fit(feats)
-    model.approxSimilarityJoin(feats, feats, 0.5, "jaccard_dist")
+    // Transform ONCE and cache: approxSimilarityJoin skips its internal
+    // transform when the hash column is already present, so without this
+    // the HashingTF+MinHash subtree executes once per join side.
+    val hashed = model.transform(feats).cache()
+    model.approxSimilarityJoin(hashed, hashed, 0.5, "jaccard_dist")
       .select(col("datasetA.doc_id").as("doc_a"), col("datasetB.doc_id").as("doc_b"),
         col("jaccard_dist"))
       .where(col("doc_a") < col("doc_b"))
@@ -308,6 +370,42 @@ object LlmPipeline {
     assigned.where(col("vec_id") =!= 0)
       .join(broadcast(probeCent), col("cent_id") === col("probe_cent"))
       .select(col("vec_id"), col("cent_id"),
+        (expr(dotQ.replace("qb", "q")).cast("double") /
+          sqrt(col("n2a").cast("double") *
+            expr(normQ.format("q", "q")).cast("double"))).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(5)
+  }
+
+  /** q_sim_search_ivf_kmeans — IVF-ANN with a REAL training step:
+    * spark.ml KMeans (k=8, fixed seed) learns the coarse quantizer,
+    * every vector is assigned to its nearest learned centroid, and the
+    * probe (vec_id = 0) searches only its own centroid's bucket — the
+    * faiss IVF-flat shape. Non-oracle (k-means is iterative/seeded and
+    * has no SQL equivalent; driver records rows-only); LlmPipelineSpec
+    * pins determinism and recall vs the brute-force top-k. The
+    * deterministic-centroid variant above stays oracle-checked. Scale:
+    * training samples/aggregates per-partition (k·dim state), assignment
+    * is a broadcast of k centroids, bucket scan shrinks the probed set
+    * ~k×.
+    */
+  def simSearchIvfKmeans(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        array_to_vector(col("embedding").cast("array<double>")).as("fv"),
+        expr(quant).as("q"))
+    val km = new KMeans().setK(8).setSeed(42L)
+      .setFeaturesCol("fv").setPredictionCol("bucket")
+    val model = km.fit(e)
+    val assigned = model.transform(e).select(col("vec_id"), col("q"), col("bucket"))
+    val probe = assigned.where(col("vec_id") === 0)
+      .select(col("q").as("qa"), expr(normQ.format("q", "q")).as("n2a"),
+        col("bucket").as("probe_bucket"))
+    assigned.where(col("vec_id") =!= 0)
+      .join(broadcast(probe), col("bucket") === col("probe_bucket"))
+      .select(col("vec_id"), col("bucket"),
         (expr(dotQ.replace("qb", "q")).cast("double") /
           sqrt(col("n2a").cast("double") *
             expr(normQ.format("q", "q")).cast("double"))).as("cos"))
@@ -437,6 +535,7 @@ object LlmPipeline {
     "q_dedup_embed"         -> (dedupEmbed _),
     "q_sim_search"          -> (simSearch _),
     "q_sim_search_ivf"      -> (simSearchIvf _),
+    "q_sim_search_ivf_kmeans" -> (simSearchIvfKmeans _),
     "q_text_tokens"         -> (textTokens _),
     "q_text_stats"          -> (textStats _),
     "q_text_langid"         -> (textLangid _),
@@ -464,7 +563,7 @@ object LlmPipeline {
       "q_dedup_exact" ->
         ("SELECT min(doc_id) AS keep_id, count(*) AS n_copies, " +
           "md5(lower(trim(text))) AS norm_md5 FROM documents " +
-          "GROUP BY lower(trim(text)) ORDER BY keep_id"),
+          "GROUP BY md5(lower(trim(text))) ORDER BY keep_id"),
       "q_dedup_minhash_sig" ->
         (s"WITH sh AS (SELECT doc_id, unnest($shinglesDuck) AS s FROM documents), " +
           "sig AS (SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || '|' || s)) AS m " +
@@ -478,9 +577,12 @@ object LlmPipeline {
           "sig AS (SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || '|' || s)) AS m " +
           "FROM sh, (SELECT unnest(generate_series(0, 15)) AS i) perms GROUP BY doc_id, i), " +
           "bands AS (SELECT doc_id, floor(i / 4) AS band, " +
-          "md5(string_agg(m, '' ORDER BY i)) AS band_key FROM sig GROUP BY doc_id, floor(i / 4)) " +
+          "md5(string_agg(m, '' ORDER BY i)) AS band_key FROM sig GROUP BY doc_id, floor(i / 4)), " +
+          "ok AS (SELECT band, band_key FROM bands GROUP BY band, band_key " +
+          s"HAVING count(*) <= ${LlmPipeline.HotBucketCap}) " +
           "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b " +
-          "FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key " +
+          "FROM bands a JOIN ok ON ok.band = a.band AND ok.band_key = a.band_key " +
+          "JOIN bands b ON a.band = b.band AND a.band_key = b.band_key " +
           "AND a.doc_id < b.doc_id ORDER BY doc_a, doc_b"),
       "q_dedup_simhash" -> {
         val bitSums = (1 to 32).map(b =>
@@ -494,10 +596,13 @@ object LlmPipeline {
           s"sh AS (SELECT doc_id, $shSum AS simhash FROM bits), " +
           "bands AS (SELECT doc_id, simhash, b, " +
           "CAST(floor(simhash / power(256, 3 - b)) AS BIGINT) % 256 AS bv " +
-          "FROM sh, (SELECT unnest(generate_series(0, 3)) AS b) bb) " +
+          "FROM sh, (SELECT unnest(generate_series(0, 3)) AS b) bb), " +
+          "ok AS (SELECT b, bv FROM bands GROUP BY b, bv " +
+          s"HAVING count(*) <= ${LlmPipeline.HotBucketCap}) " +
           "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
           "bit_count(xor(a.simhash, b.simhash)) AS hamming " +
-          "FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id " +
+          "FROM bands a JOIN ok ON ok.b = a.b AND ok.bv = a.bv " +
+          "JOIN bands b ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id " +
           "WHERE bit_count(xor(a.simhash, b.simhash)) <= 8 ORDER BY doc_a, doc_b"
       },
       "q_dedup_ngram" ->

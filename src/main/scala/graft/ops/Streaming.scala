@@ -107,6 +107,30 @@ object Streaming {
         col("n_events"))
       .orderBy("user_id", "session_start_us")
 
+  /** q_replay_ordered — ordered per-key event-log replay: the reference's
+    * per-node FIFO command queue (controller/MessageFifoQueue.java:11-45,
+    * drained in arrival order by controller/MessageSender.java:24-49)
+    * re-expressed as a per-key ordered fold. State is last-writer-wins
+    * (the value the reference's node would hold after draining its
+    * queue): last_type/last_value at max (ts, event_id); replay_fp is an
+    * order-sensitive fingerprint — md5 of the comma-joined event types in
+    * (ts, event_id) order — proving the fold consumed events in FIFO
+    * order, not just as a set. One shuffle on the key; per-key state is
+    * one buffered event list (bounded by a key's own history, the same
+    * bound the reference's in-memory queue accepts).
+    */
+  def replayOrdered(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(
+        max_by(col("event_type"), struct(col("ts"), col("event_id"))).as("last_type"),
+        max_by(col("value"), struct(col("ts"), col("event_id"))).as("last_value"),
+        md5(array_join(transform(
+          sort_array(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
+          x => x.getField("event_type")), ",")).as("replay_fp"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+
   // ---------------------------------------------------------------------
   // #51 — true streaming surface (no oracle; MemoryStream-verified in
   // StreamingSpec, SURVEY §5.2 item 4). Not in the `queries` map:
@@ -158,6 +182,7 @@ object Streaming {
     "q_stream_tumbling"   -> (tumbling _),
     "q_stream_sliding"    -> (sliding _),
     "q_stream_session"    -> (session _),
+    "q_replay_ordered"    -> (replayOrdered _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -181,6 +206,16 @@ object Streaming {
         "UNION ALL " +
         "SELECT epoch_us(time_bucket(INTERVAL '10 minutes', ts, INTERVAL '5 minutes')) AS ws_us, event_type FROM events" +
         ") GROUP BY ws_us, event_type ORDER BY ws_us, event_type"),
+    "q_replay_ordered" ->
+      ("WITH ordered AS (SELECT user_id, ts, event_id, event_type, value, " +
+        "row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn " +
+        "FROM events) " +
+        "SELECT user_id, " +
+        "max(CASE WHEN rn = 1 THEN event_type END) AS last_type, " +
+        "max(CASE WHEN rn = 1 THEN value END) AS last_value, " +
+        "md5(string_agg(event_type, ',' ORDER BY ts, event_id)) AS replay_fp, " +
+        "count(*) AS n_events " +
+        "FROM ordered GROUP BY user_id ORDER BY user_id"),
     "q_stream_session" ->
       ("WITH flagged AS (SELECT user_id, ts, CASE WHEN " +
         "date_diff('second', lag(ts) OVER (PARTITION BY user_id ORDER BY ts), ts) >= 1800 " +

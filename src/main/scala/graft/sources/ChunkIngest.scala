@@ -45,6 +45,10 @@ object ChunkIngest {
       .select(
         regexp_extract(col("path"), "([^/]+)$", 1).as("filename"),
         col("length"), col("content"))
+      // Empty files produce zero chunks (the reference rejects them,
+      // structures/Chunk.java:144-150); without the guard sequence(0, -1)
+      // defaults to step -1 and would emit two bogus rows [0, -1].
+      .where(col("length") > 0)
       .select(col("filename"), col("length"),
         explode(expr(s"sequence(0L, (length + $chunkSize - 1) DIV $chunkSize - 1)"))
           .as("seq"),

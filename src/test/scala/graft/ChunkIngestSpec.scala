@@ -69,6 +69,15 @@ class ChunkIngestSpec extends AnyFunSuite {
     }
   }
 
+  test("empty file ingests to zero chunks (Chunk.java:144-150 rejects them)") {
+    val d = Files.createTempDirectory("graft-ingest-empty").toString
+    Files.write(Paths.get(d, "empty.bin"), Array.emptyByteArray)
+    Files.write(Paths.get(d, "one.bin"), Array[Byte](42))
+    val ch = sources.ChunkIngest.chunk(spark, d, chunkSize = 1000L)
+    assert(ch.filter(col("filename") === "empty.bin").count() == 0)
+    assert(ch.filter(col("filename") === "one.bin").count() == 1)
+  }
+
   test("write/read round trip through the partitioned parquet sink") {
     val dest = Files.createTempDirectory("graft-ingest-out").toString + "/chunks"
     sources.ChunkIngest.write(chunks, dest)

@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Chunk-operator properties with no DuckDB oracle: the true random
+  * choose-N (mirrors the reference's UtilsTest.java:15-26) and the
+  * empty-file guard on the chunk-split generator.
+  */
+class ChunksSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("q_choose_random_n: size + membership + no duplicates (UtilsTest.java:15-26)") {
+    import spark.implicits._
+    val d = SparkTestSession.sf0001
+    val all = Tables.supplier(spark, d).select("s_suppkey").as[Long].collect().toSet
+    val got = ops.Chunks.chooseRandomN(spark, d).select("s_suppkey").as[Long].collect()
+    assert(got.length == math.min(10, all.size))
+    assert(got.toSet.subsetOf(all))
+    assert(got.distinct.length == got.length)
+    // seeded rand: a second run over the same data returns the same sample
+    val again = ops.Chunks.chooseRandomN(spark, d).select("s_suppkey").as[Long].collect()
+    assert(got.toSeq == again.toSeq)
+  }
+
+  test("chunkSplit emits zero chunks for a zero-byte file") {
+    import spark.implicits._
+    // without the n_chunks > 0 guard, sequence(0, -1) steps BACKWARD and
+    // emits two bogus chunks [0, -1] for the empty file
+    val dir = s"/tmp/graft-test-chunksplit-${java.util.UUID.randomUUID()}"
+    Seq((1L, 0.00), (2L, 1234.56))
+      .toDF("o_orderkey", "o_totalprice")
+      .write.parquet(s"$dir/orders.parquet")
+    val out = ops.Chunks.chunkSplit(spark, dir)
+    assert(out.filter(col("o_orderkey") === 1).count() == 0)
+    assert(out.filter(col("o_orderkey") === 2).count() == 1)
+  }
+}

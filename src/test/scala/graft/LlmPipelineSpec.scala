@@ -96,6 +96,31 @@ class LlmPipelineSpec extends AnyFunSuite {
     assert(violations == 0)
   }
 
+  test("minhash hot buckets are capped, not exploded") {
+    import spark.implicits._
+    // one degenerate bucket (60 members > HotBucketCap) + one healthy pair
+    val degenerate = (0 until 60).map(i => (i.toLong, 0, "hotkey"))
+    val small = Seq((1000L, 1, "k2"), (1001L, 1, "k2"))
+    val banded = (degenerate ++ small).toDF("doc_id", "band", "band_key")
+    assert(pairs(ops.LlmPipeline.minhashPairsFromBanded(banded)) == Set((1000L, 1001L)))
+    val overflow = ops.LlmPipeline.minhashBucketOverflow(banded).collect()
+    assert(overflow.length == 1 && overflow.head.getLong(2) == 60L)
+  }
+
+  test("simhash hot buckets are capped, not exploded") {
+    import spark.implicits._
+    // 60 docs sharing one simhash flood 4 band buckets; a healthy pair
+    // (hamming 1) lives in different buckets and must survive
+    val hot = (0 until 60).map(i => (i.toLong, 0xABCD1234L))
+    val healthy = Seq((1000L, 0L), (1001L, 1L))
+    val sh = (hot ++ healthy).toDF("doc_id", "simhash")
+    assert(pairs(ops.LlmPipeline.simhashPairsFromSig(sh)) == Set((1000L, 1001L)))
+    val ov = ops.LlmPipeline.simhashBucketOverflow(sh).collect()
+    assert(ov.length == 4 && ov.forall(_.getLong(2) == 60L))
+    // raising the cap re-admits the hot bucket: C(60,2) + the healthy pair
+    assert(ops.LlmPipeline.simhashPairsFromSig(sh, cap = 100).count() == 60L * 59 / 2 + 1)
+  }
+
   test("approx_count_distinct within 10% of exact (#33 tolerance rule)") {
     val d = SparkTestSession.sf0001
     val approx = ops.Relational.aggApproxDistinct(spark, d)
@@ -106,6 +131,26 @@ class LlmPipelineSpec extends AnyFunSuite {
     exact.foreach { case (k, ex) =>
       val ap = approx(k).toDouble
       assert(math.abs(ap - ex) / ex < 0.10, s"flag $k: approx $ap vs exact $ex")
+    }
+  }
+
+  test("q_sim_search_ivf_kmeans: deterministic, bucket-pruned, scores exact") {
+    import spark.implicits._
+    val d = SparkTestSession.sf0001
+    val a = ops.LlmPipeline.simSearchIvfKmeans(spark, d)
+      .as[(Long, Int, Double)].collect().toSeq
+    assert(a.length == 5)
+    assert(a.map(_._3).sliding(2).forall(w => w(0) >= w(1)), "not sorted desc")
+    assert(a.map(_._2).distinct.length == 1, "results span buckets — not pruned")
+    // fixed seed → identical result on a second run
+    val b = ops.LlmPipeline.simSearchIvfKmeans(spark, d)
+      .as[(Long, Int, Double)].collect().toSeq
+    assert(a == b)
+    // each returned cosine equals the exact brute-force cosine for that id
+    val brute = ops.LlmPipeline.simSearch(spark, d)
+      .as[(Long, Double)].collect().toMap
+    a.filter(r => brute.contains(r._1)).foreach { case (id, _, c) =>
+      assert(math.abs(brute(id) - c) < 1e-12, s"vec $id cos drifted")
     }
   }
 
