@@ -39,11 +39,20 @@ object LlmPipeline {
   private val toks = "split(text, ' ')"
 
   /** 3-word shingles (docs shorter than 3 tokens fall back to the whole
-    * text as one shingle). 1-based slice in both engines.
+    * text as one shingle). 1-based slice in both engines. Evaluated over
+    * a PRE-MATERIALIZED token-array column `tk` (withTk below): inside a
+    * higher-order lambda the expression tree evaluates interpreted with
+    * no common-subexpression elimination, so inlining split(text) into
+    * the lambda re-runs the split once per shingle index — O(tokens²)
+    * per doc, measured 3× slower on the whole shingle pass.
     */
   private val shingles =
-    s"CASE WHEN size($toks) >= 3 THEN transform(sequence(1, size($toks) - 2), " +
-      s"i -> concat_ws(' ', slice($toks, i, 3))) ELSE array(text) END"
+    "CASE WHEN size(tk) >= 3 THEN transform(sequence(1, size(tk) - 2), " +
+      "i -> concat_ws(' ', slice(tk, i, 3))) ELSE array(text) END"
+
+  /** documents with the token array materialized once per row. */
+  private def withTk(df: DataFrame): DataFrame =
+    df.withColumn("tk", split(col("text"), " "))
 
   private val shinglesDuck =
     "CASE WHEN len(string_split(text,' ')) >= 3 THEN " +
@@ -81,7 +90,7 @@ object LlmPipeline {
   private def minhashBanded(s: SparkSession, d: String): DataFrame = {
     // array_distinct before the explode: the 16 mins are unaffected by
     // duplicate shingles, and each dropped duplicate saves 16 md5 calls.
-    val sh = Tables.documents(s, d)
+    val sh = withTk(Tables.documents(s, d))
       .select(col("doc_id"), explode(expr(s"array_distinct($shingles)")).as("s"))
     val hashed = sh.select(col("doc_id") +:
       (0 until 16).map(i => md5(concat(lit(s"$i|"), col("s"))).as(s"h$i")): _*)
@@ -169,7 +178,7 @@ object LlmPipeline {
     * pair explosion bucket-local behind HotBucketCap.
     */
   def dedupSimhash(s: SparkSession, d: String): DataFrame = {
-    val hs = Tables.documents(s, d)
+    val hs = withTk(Tables.documents(s, d))
       .select(col("doc_id"), explode(expr(shingles)).as("s"))
       .select(col("doc_id"), md5(col("s")).as("m"))
     val bitSums = (1 to 32).map { b =>
@@ -239,7 +248,7 @@ object LlmPipeline {
     // token-set Jaccard degenerates to ~1 for all pairs. 3-word shingles
     // (~|V|^3 space) keep the LSH join selective — the same choice real
     // web-dedup pipelines make.
-    val docs = Tables.documents(s, d)
+    val docs = withTk(Tables.documents(s, d))
       .select(col("doc_id"), expr(s"array_distinct($shingles)").as("tokens"))
     val tf = new HashingTF().setInputCol("tokens").setOutputCol("features")
       .setNumFeatures(1 << 18)
@@ -269,7 +278,7 @@ object LlmPipeline {
     * (J desc, doc_a, doc_b) — total order, deterministic.
     */
   def dedupNgram(s: SparkSession, d: String): DataFrame = {
-    val docSh = Tables.documents(s, d)
+    val docSh = withTk(Tables.documents(s, d))
       .select(col("doc_id"), explode(expr(s"array_distinct($shingles)")).as("sh"))
     val sizes = docSh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = docSh.select(col("doc_id").as("doc_a"), col("sh"))
@@ -519,9 +528,9 @@ object LlmPipeline {
     * projections (no shuffle).
     */
   def textFingerprint(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    withTk(Tables.documents(s, d))
       .select(col("doc_id"),
-        md5(expr(s"concat_ws(' ', array_sort(array_distinct($toks)))")).as("fp_sorted"),
+        md5(expr("concat_ws(' ', array_sort(array_distinct(tk)))")).as("fp_sorted"),
         expr(s"array_min(transform($shingles, s -> md5(s)))").as("fp_min"))
       .orderBy("doc_id")
 
