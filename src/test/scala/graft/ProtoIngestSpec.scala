@@ -1,0 +1,90 @@
+package graft
+
+import graft.sources.ProtoIngest
+import graft.sources.ProtoIngest._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-trips for the proto3 wire-format source (proto/messages.proto
+  * shapes), including the decoder-leniency rules proto3 requires:
+  * unknown fields skipped, any field order, unpacked repeated scalars.
+  */
+class ProtoIngestSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def binDf(msgs: Seq[Array[Byte]]) = {
+    import spark.implicits._
+    msgs.toDF("msg")
+  }
+
+  test("StoreChunk round-trips through encode -> Dataset decode") {
+    val rnd = new scala.util.Random(3)
+    val chunks = (0 until 5).map { i =>
+      StoreChunk(s"file-$i.bin", i, f"sum$i%032d", Array.fill(100 + i)(rnd.nextInt().toByte))
+    }
+    val got = ProtoIngest.storeChunks(spark, binDf(chunks.map(encodeStoreChunk)))
+      .collect().sortBy(_.sequenceNo)
+    assert(got.length == 5)
+    chunks.zip(got).foreach { case (want, g) =>
+      assert(g.fileName == want.fileName && g.sequenceNo == want.sequenceNo &&
+        g.checksum == want.checksum && g.data.sameElements(want.data))
+    }
+  }
+
+  test("nested DownloadFileResponse decodes to the catalog shape (messages.proto:72-80)") {
+    val cat = FileCatalog("big.dat", Seq(
+      ChunkLocation(0, Seq(StorageNode("n1", 9001), StorageNode("n2", 9002))),
+      ChunkLocation(1, Seq(StorageNode("n3", 9003)))))
+    val got = ProtoIngest.fileCatalog(spark, binDf(Seq(encodeFileCatalog(cat)))).head()
+    assert(got == cat)
+  }
+
+  test("Heartbeat with packed repeated sequenceNos (messages.proto:31-42)") {
+    val hb = Heartbeat("node-a", 9090, Seq(
+      FileChunks("f1", Seq(0, 1, 2, 300)), // 300 exercises multi-byte varint
+      FileChunks("f2", Seq(7))))
+    val got = ProtoIngest.heartbeats(spark, binDf(Seq(encodeHeartbeat(hb)))).head()
+    assert(got == hb)
+  }
+
+  test("proto3 leniency: unknown fields skipped, field order free, unpacked repeated") {
+    // StoreChunk with an unknown field 9 prepended and fields reversed
+    val base = encodeStoreChunk(StoreChunk("x.bin", 3, "abc", Array[Byte](1, 2)))
+    def vi(v: Long): Array[Byte] = { // local varint for the hand-built frames
+      var x = v; val b = Array.newBuilder[Byte]
+      var more = true
+      while (more) { val lo = (x & 0x7f).toByte; x >>>= 7; more = x != 0
+        b += (if (more) (lo | 0x80).toByte else lo) }
+      b.result()
+    }
+    val unknown = (Array((9 << 3).toByte) ++ vi(12345L)) ++ base
+    val got = ProtoIngest.storeChunks(spark, binDf(Seq(unknown))).head()
+    assert(got.fileName == "x.bin" && got.sequenceNo == 3)
+    // FileChunks with UNPACKED repeated int32 (wire 0 per element)
+    val unpacked =
+      (Array(((1 << 3) | 2).toByte, 2.toByte) ++ "f9".getBytes) ++
+        (Array(((2 << 3) | 0).toByte) ++ vi(5)) ++
+        (Array(((2 << 3) | 0).toByte) ++ vi(6))
+    val hbFrame = Array(((3 << 3) | 2).toByte) ++ vi(unpacked.length) ++ unpacked
+    val hb = ProtoIngest.heartbeats(spark, binDf(Seq(hbFrame))).head()
+    assert(hb.fileChunks == Seq(FileChunks("f9", Seq(5, 6))))
+  }
+
+  test("decoded StoreChunks feed the existing validate/reassemble path") {
+    val rnd = new scala.util.Random(11)
+    val content = Array.fill(2501)(rnd.nextInt().toByte)
+    val frames = content.grouped(1000).zipWithIndex.map { case (part, i) =>
+      encodeStoreChunk(StoreChunk("wire.bin", i, "", part))
+    }.toSeq
+    val chunks = ProtoIngest.storeChunks(spark, binDf(frames))
+      .toDF().withColumnRenamed("fileName", "filename")
+      .withColumnRenamed("sequenceNo", "seq")
+      .withColumn("size", org.apache.spark.sql.functions.length(
+        org.apache.spark.sql.functions.col("data")).cast("long"))
+    val ok = sources.ChunkIngest.validate(chunks).collect()
+    assert(ok.length == 1 && ok.head.getBoolean(6))
+    val re = sources.ChunkIngest.reassemble(chunks).head()
+    val md = java.security.MessageDigest.getInstance("MD5").digest(content)
+      .map("%02x".format(_)).mkString
+    assert(re.getLong(1) == 2501L && re.getString(2) == md)
+  }
+}
