@@ -405,7 +405,10 @@ object LlmPipeline {
       .select(col("vec_id"),
         array_to_vector(col("embedding").cast("array<double>")).as("fv"),
         expr(quant).as("q"))
-    val km = new KMeans().setK(8).setSeed(42L)
+    // 5 Lloyd iterations: the coarse quantizer only needs rough cells
+    // (faiss trains IVF lists the same way); fixed seed keeps the
+    // assignment deterministic for the spec regardless of convergence.
+    val km = new KMeans().setK(8).setSeed(42L).setMaxIter(5)
       .setFeaturesCol("fv").setPredictionCol("bucket")
     val model = km.fit(e)
     val assigned = model.transform(e).select(col("vec_id"), col("q"), col("bucket"))
