@@ -272,19 +272,31 @@ object LlmPipeline {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** q_dedup_ngram — exact n-gram Jaccard over an inverted-index join:
-    * only pairs sharing ≥1 distinct shingle are generated (equi join on
-    * the shingle), then J = |∩| / (|A| + |B| − |∩|). Top-100 pairs by
-    * (J desc, doc_a, doc_b) — total order, deterministic.
+  /** q_dedup_ngram — exact n-gram Jaccard over an inverted index:
+    * ONE shuffle on the shingle collects each posting list, pairs are
+    * generated list-locally (the same bucket-grouped pattern as the LSH
+    * generators — a two-sided self-join shuffles the index twice and
+    * routes the same df² rows to the same partition anyway), then
+    * J = |∩| / (|A| + |B| − |∩|). Top-100 pairs by (J desc, doc_a,
+    * doc_b) — total order, deterministic. Exactness is the contract
+    * here, so no hot-bucket cap: at 100 TB a stopword-like shingle must
+    * instead be df-capped upstream (the C4/RefinedWeb mitigation),
+    * accepting approximate |∩| — the HotBucketCap machinery above is
+    * the template.
     */
   def dedupNgram(s: SparkSession, d: String): DataFrame = {
     val docSh = withTk(Tables.documents(s, d))
       .select(col("doc_id"), explode(expr(s"array_distinct($shingles)")).as("sh"))
     val sizes = docSh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val inter = docSh.select(col("doc_id").as("doc_a"), col("sh"))
-      .join(docSh.select(col("doc_id").as("doc_b"), col("sh")), Seq("sh"))
-      .where(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+    val inter = docSh.groupBy("sh")
+      .agg(expr("array_sort(collect_set(doc_id))").as("ids"))
+      .where(size(col("ids")) > 1)
+      .select(explode(expr(
+        "flatten(transform(sequence(0, size(ids) - 2), " +
+          "i -> transform(slice(ids, i + 2, size(ids) - i - 1), " +
+          "x -> struct(ids[i] AS doc_a, x AS doc_b))))")).as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
     inter
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
       .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
