@@ -241,6 +241,9 @@ object LlmPipeline {
     * 4). This is the library-grade scale path: OR-amplified band joins,
     * state linear in docs, never all-pairs.
     */
+  private val lastNearHashed =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+
   def dedupNear(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
     // Shingle sets, not raw token sets: the synthetic corpus has a tiny
@@ -263,8 +266,12 @@ object LlmPipeline {
     val model = lsh.fit(feats)
     // Transform ONCE and cache: approxSimilarityJoin skips its internal
     // transform when the hash column is already present, so without this
-    // the HashingTF+MinHash subtree executes once per join side.
+    // the HashingTF+MinHash subtree executes once per join side. The cache
+    // must outlive this method (the caller materializes the returned lazy
+    // frame), so each call evicts the previous call's cache instead —
+    // bounding the session's cache footprint at one signature table.
     val hashed = model.transform(feats).cache()
+    Option(lastNearHashed.getAndSet(hashed)).foreach(_.unpersist(blocking = false))
     model.approxSimilarityJoin(hashed, hashed, 0.5, "jaccard_dist")
       .select(col("datasetA.doc_id").as("doc_a"), col("datasetB.doc_id").as("doc_b"),
         col("jaccard_dist"))

@@ -123,8 +123,14 @@ object Streaming {
     Tables.events(s, d)
       .groupBy("user_id")
       .agg(
-        max_by(col("event_type"), struct(col("ts"), col("event_id"))).as("last_type"),
-        max_by(col("value"), struct(col("ts"), col("event_id"))).as("last_value"),
+        // Tiebreak key is total (ts, event_id, event_type, value): event_id
+        // is unique in the fixture, but nothing upstream guarantees it, and
+        // a partial order here would let Spark and the oracle disagree
+        // nondeterministically on which tied event "wins".
+        max_by(col("event_type"),
+          struct(col("ts"), col("event_id"), col("event_type"), col("value"))).as("last_type"),
+        max_by(col("value"),
+          struct(col("ts"), col("event_id"), col("event_type"), col("value"))).as("last_value"),
         md5(array_join(transform(
           sort_array(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
           x => x.getField("event_type")), ",")).as("replay_fp"),
@@ -208,12 +214,13 @@ object Streaming {
         ") GROUP BY ws_us, event_type ORDER BY ws_us, event_type"),
     "q_replay_ordered" ->
       ("WITH ordered AS (SELECT user_id, ts, event_id, event_type, value, " +
-        "row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn " +
+        "row_number() OVER (PARTITION BY user_id " +
+        "ORDER BY ts DESC, event_id DESC, event_type DESC, value DESC) AS rn " +
         "FROM events) " +
         "SELECT user_id, " +
         "max(CASE WHEN rn = 1 THEN event_type END) AS last_type, " +
         "max(CASE WHEN rn = 1 THEN value END) AS last_value, " +
-        "md5(string_agg(event_type, ',' ORDER BY ts, event_id)) AS replay_fp, " +
+        "md5(string_agg(event_type, ',' ORDER BY ts, event_id, event_type)) AS replay_fp, " +
         "count(*) AS n_events " +
         "FROM ordered GROUP BY user_id ORDER BY user_id"),
     "q_stream_session" ->

@@ -47,6 +47,10 @@ object ProtoIngest {
   private def readVarint(b: Array[Byte], pos0: Int): (Long, Int) = {
     var pos = pos0; var shift = 0; var v = 0L; var more = true
     while (more) {
+      if (pos >= b.length)
+        throw new IllegalArgumentException(s"truncated varint at offset $pos0 (buffer ${b.length} B)")
+      if (shift > 63)
+        throw new IllegalArgumentException(s"varint at offset $pos0 exceeds 64 bits")
       val x = b(pos)
       v |= (x & 0x7fL) << shift
       pos += 1; shift += 7; more = (x & 0x80) != 0
@@ -65,9 +69,23 @@ object ProtoIngest {
           val (v, p2) = readVarint(b, p1); out += RawField(num, v, null); pos = p2
         case 2 =>
           val (len, p2) = readVarint(b, p1)
+          if (len < 0 || p2 + len > b.length)
+            throw new IllegalArgumentException(
+              s"corrupt length-delimited field $num: len=$len at offset $p2, buffer ${b.length} B")
           out += RawField(num, 0L, java.util.Arrays.copyOfRange(b, p2, p2 + len.toInt))
           pos = p2 + len.toInt
-        case w => throw new IllegalArgumentException(s"unsupported wire type $w (field $num)")
+        // Unknown fixed-width fields from a newer writer are skipped, not
+        // fatal (proto3 forward compatibility); the reference schema uses
+        // neither, so there is nothing to surface.
+        case 1 =>
+          if (p1 + 8 > b.length)
+            throw new IllegalArgumentException(s"truncated fixed64 field $num at offset $p1")
+          pos = p1 + 8
+        case 5 =>
+          if (p1 + 4 > b.length)
+            throw new IllegalArgumentException(s"truncated fixed32 field $num at offset $p1")
+          pos = p1 + 4
+        case w => throw new IllegalArgumentException(s"invalid wire type $w (field $num)")
       }
     }
     out.result()

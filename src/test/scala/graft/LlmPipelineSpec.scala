@@ -149,6 +149,10 @@ class LlmPipelineSpec extends AnyFunSuite {
     // each returned cosine equals the exact brute-force cosine for that id
     val brute = ops.LlmPipeline.simSearch(spark, d)
       .as[(Long, Double)].collect().toMap
+    // guard against a vacuous pass: the pruned bucket must actually recall
+    // some of the brute-force top-10 before the per-id exactness check
+    val overlap = a.count(r => brute.contains(r._1))
+    assert(overlap >= 3, s"IVF bucket recalled only $overlap of brute-force top-10")
     a.filter(r => brute.contains(r._1)).foreach { case (id, _, c) =>
       assert(math.abs(brute(id) - c) < 1e-12, s"vec $id cos drifted")
     }

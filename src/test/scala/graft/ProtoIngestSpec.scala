@@ -69,6 +69,37 @@ class ProtoIngestSpec extends AnyFunSuite {
     assert(hb.fileChunks == Seq(FileChunks("f9", Seq(5, 6))))
   }
 
+  test("unknown fixed64/fixed32 fields are skipped, not fatal (proto3 forward compat)") {
+    val base = encodeStoreChunk(StoreChunk("y.bin", 7, "def", Array[Byte](9)))
+    // unknown field 10 as fixed64 (wire 1) + field 11 as fixed32 (wire 5)
+    val fixed64 = Array(((10 << 3) | 1).toByte) ++ Array.fill[Byte](8)(0x5a)
+    val fixed32 = Array(((11 << 3) | 5).toByte) ++ Array.fill[Byte](4)(0x3c)
+    val got = ProtoIngest.storeChunks(spark, binDf(Seq(fixed64 ++ fixed32 ++ base))).head()
+    assert(got.fileName == "y.bin" && got.sequenceNo == 7 && got.checksum == "def")
+  }
+
+  test("truncated and corrupt frames error loudly instead of decoding garbage") {
+    val base = encodeStoreChunk(StoreChunk("z.bin", 1, "s", Array[Byte](1, 2, 3, 4)))
+    // truncated length-delimited payload (drop the last 2 bytes)
+    val truncated = base.dropRight(2)
+    val e1 = intercept[org.apache.spark.SparkException] {
+      ProtoIngest.storeChunks(spark, binDf(Seq(truncated))).head()
+    }
+    assert(e1.getMessage.contains("corrupt") || e1.getCause.getMessage.contains("corrupt"))
+    // varint length running past the buffer: field 4, wire 2, huge length
+    val corrupt = Array(((4 << 3) | 2).toByte, 0xff.toByte, 0xff.toByte, 0x7f.toByte, 1.toByte)
+    val e2 = intercept[org.apache.spark.SparkException] {
+      ProtoIngest.storeChunks(spark, binDf(Seq(corrupt))).head()
+    }
+    assert(e2.getMessage.contains("corrupt") || e2.getCause.getMessage.contains("corrupt"))
+    // truncated fixed64: tag says 8 bytes follow, only 3 do
+    val shortFixed = Array(((10 << 3) | 1).toByte, 1.toByte, 2.toByte, 3.toByte)
+    val e3 = intercept[org.apache.spark.SparkException] {
+      ProtoIngest.storeChunks(spark, binDf(Seq(shortFixed))).head()
+    }
+    assert(e3.getMessage.contains("truncated") || e3.getCause.getMessage.contains("truncated"))
+  }
+
   test("decoded StoreChunks feed the existing validate/reassemble path") {
     val rnd = new scala.util.Random(11)
     val content = Array.fill(2501)(rnd.nextInt().toByte)
