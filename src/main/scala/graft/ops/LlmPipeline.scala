@@ -75,31 +75,50 @@ object LlmPipeline {
       .select(col("keep_id"), col("n_copies"), col("norm_md5"))
       .orderBy("keep_id")
 
-  /** MinHash banded signatures: 16 "permutations" h_i(s) = md5(i || '|'
-    * || s), signature_i = min over shingles (hex-string min — identical
-    * binary collation on both engines), banded 4×4; band key = md5 of
-    * the band's 4 concatenated mins.
+  /** 16 fixed 62-bit XOR salts for the MinHash "permutation" family
+    * h_i(s) = base(s) XOR salt_i (splitmix64 of 0..15, masked to 62
+    * bits so every derived hash stays a positive BIGINT on both
+    * engines). XOR-with-constant is the standard one-hash MinHash
+    * family (pairwise-uniform; spark.ml's own MinHashLSH similarly
+    * derives its tables from one hash) — and unlike (a·h+b) mod p it
+    * cannot overflow, which matters because Spark wraps 64-bit
+    * multiplication while DuckDB raises, so a mod-prime family could
+    * never be oracle-mirrored.
+    */
+  private[graft] val MinhashSalts: Seq[Long] = Seq(
+    2459150361376443823L, 1227844342346046657L, 1682153688901572302L,
+    2092789425003139053L, 3347269030627216074L, 2522925141726970714L,
+    4423843088329334784L, 2579403582464986583L, 2186024489510581814L,
+    3363998700739256420L, 614480483733483466L, 1221993362530250909L,
+    1459159667599904515L, 345149584737929983L, 3074223602948367934L,
+    530179042305200133L)
+
+  /** MinHash banded signatures: ONE md5 per shingle → 60-bit integer
+    * base hash (15 hex chars via conv) → 16 XOR-derived hashes →
+    * min(BIGINT) per doc, banded 4×4; band key = md5 of the band's 4
+    * mins joined with '|'.
     *
-    * Shape: explode shingles → 16 codegen'd md5 projections → one
-    * partial+final hash-agg on doc_id. (Computing the mins with
-    * `array_min(transform(...))` instead keeps it shuffle-free but runs
-    * interpreted — higher-order functions don't codegen — and benched
-    * ~4× slower than this exploded form; the agg shuffles only 16×32
-    * hex chars per doc.)
+    * Shape: explode shingles → one codegen'd md5 + conv projection →
+    * 16 integer XORs → one partial+final HASH-agg on doc_id. The
+    * previous form (16 md5 calls per shingle, min over 32-char hex
+    * strings) spent 16× the hashing work and fell to SortAggregate —
+    * variable-length string agg buffers can't hash-aggregate; BIGINT
+    * mins can, and shuffle 8 B per (doc, permutation) instead of 32.
     */
   private def minhashBanded(s: SparkSession, d: String): DataFrame = {
     // array_distinct before the explode: the 16 mins are unaffected by
-    // duplicate shingles, and each dropped duplicate saves 16 md5 calls.
+    // duplicate shingles, and each dropped duplicate saves the hash work.
     val sh = withTk(Tables.documents(s, d))
       .select(col("doc_id"), explode(expr(s"array_distinct($shingles)")).as("s"))
-    val hashed = sh.select(col("doc_id") +:
-      (0 until 16).map(i => md5(concat(lit(s"$i|"), col("s"))).as(s"h$i")): _*)
-    val sigs = hashed.groupBy("doc_id")
-      .agg(min(col("h0")).as("sig0"),
-        (1 until 16).map(i => min(col(s"h$i")).as(s"sig$i")): _*)
+    val base = sh.select(col("doc_id"),
+      expr("CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)").as("h"))
+    val sigs = base.groupBy("doc_id").agg(
+      min(col("h").bitwiseXOR(lit(MinhashSalts.head))).as("sig0"),
+      (1 until 16).map(i => min(col("h").bitwiseXOR(lit(MinhashSalts(i)))).as(s"sig$i")): _*)
     val bands = (0 until 4).map { b =>
       struct(lit(b).as("band"),
-        md5(concat((0 until 4).map(i => col(s"sig${4 * b + i}")): _*)).as("band_key"))
+        md5(concat_ws("|",
+          (0 until 4).map(i => col(s"sig${4 * b + i}").cast("string")): _*)).as("band_key"))
     }
     sigs.select(col("doc_id"), explode(array(bands: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
@@ -590,25 +609,33 @@ object LlmPipeline {
       s"CASE WHEN s_$l = best AND best > 0 THEN '$l' ELSE $acc END"
     }
 
+    // Mirror of minhashBanded: one md5 per shingle → 60-bit base hash →
+    // 16 XOR-salted mins → 4 band keys. (No shingle dedup needed: min is
+    // idempotent under duplicates.)
+    val saltSig = (0 until 16)
+      .map(i => s"min(xor(h, ${MinhashSalts(i)})) AS sig$i").mkString(", ")
+    val minhashBandsDuck = {
+      def bandSel(b: Int) = {
+        val cols = (0 until 4).map(i => s"CAST(sig${4 * b + i} AS VARCHAR)").mkString(", ")
+        s"SELECT doc_id, $b AS band, md5(concat_ws('|', $cols)) AS band_key FROM sig"
+      }
+      s"WITH sh AS (SELECT doc_id, unnest($shinglesDuck) AS s FROM documents), " +
+        "base AS (SELECT doc_id, " +
+        "CAST(concat('0x', substring(md5(s), 1, 15)) AS BIGINT) AS h FROM sh), " +
+        s"sig AS (SELECT doc_id, $saltSig FROM base GROUP BY doc_id), " +
+        s"bands AS (${(0 until 4).map(bandSel).mkString(" UNION ALL ")})"
+    }
+
     Map(
       "q_dedup_exact" ->
         ("SELECT min(doc_id) AS keep_id, count(*) AS n_copies, " +
           "md5(lower(trim(text))) AS norm_md5 FROM documents " +
           "GROUP BY md5(lower(trim(text))) ORDER BY keep_id"),
       "q_dedup_minhash_sig" ->
-        (s"WITH sh AS (SELECT doc_id, unnest($shinglesDuck) AS s FROM documents), " +
-          "sig AS (SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || '|' || s)) AS m " +
-          "FROM sh, (SELECT unnest(generate_series(0, 15)) AS i) perms " +
-          "GROUP BY doc_id, i) " +
-          "SELECT doc_id, CAST(CAST(floor(i / 4) AS BIGINT) AS INTEGER) AS band, " +
-          "md5(string_agg(m, '' ORDER BY i)) AS band_key " +
-          "FROM sig GROUP BY doc_id, floor(i / 4) ORDER BY doc_id, band"),
+        (s"$minhashBandsDuck " +
+          "SELECT doc_id, band, band_key FROM bands ORDER BY doc_id, band"),
       "q_dedup_minhash_pairs" ->
-        (s"WITH sh AS (SELECT doc_id, unnest($shinglesDuck) AS s FROM documents), " +
-          "sig AS (SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || '|' || s)) AS m " +
-          "FROM sh, (SELECT unnest(generate_series(0, 15)) AS i) perms GROUP BY doc_id, i), " +
-          "bands AS (SELECT doc_id, floor(i / 4) AS band, " +
-          "md5(string_agg(m, '' ORDER BY i)) AS band_key FROM sig GROUP BY doc_id, floor(i / 4)), " +
+        (s"$minhashBandsDuck, " +
           "ok AS (SELECT band, band_key FROM bands GROUP BY band, band_key " +
           s"HAVING count(*) <= ${LlmPipeline.HotBucketCap}) " +
           "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b " +
