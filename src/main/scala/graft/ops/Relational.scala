@@ -258,7 +258,100 @@ object Relational {
       .select(col("doc_id"), md5(col("text")).as("text_md5"))
       .orderBy("doc_id")
 
+  /** q_join_full_outer — full outer join: high-balance customers vs
+    * big-order counts, either side may be absent (the catalog-vs-report
+    * reconciliation shape: files with no live replicas and replicas with
+    * no catalog entry both survive, reference FileTable.java:41-52 only
+    * sees the inner slice). n_big_orders is coalesced to 0 on both
+    * engines so the numeric column stays non-null (int-null vs NaN
+    * round-trips differ between parquet and the oracle's result frame);
+    * the left-only/right-only structure is still visible through c_name.
+    */
+  def joinFullOuter(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d).where(col("c_acctbal") > 5000)
+      .select("c_custkey", "c_name")
+    val big = Tables.orders(s, d).where(col("o_totalprice") > 150000)
+      .groupBy("o_custkey").agg(count(lit(1)).as("n_big"))
+    cust.join(big, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        col("c_name"), coalesce(col("n_big"), lit(0L)).as("n_big_orders"))
+      .orderBy("custkey")
+  }
+
+  /** q_pivot — status-by-priority order counts as a wide table
+    * (groupBy + pivot with an EXPLICIT value list: without it Spark runs
+    * an extra distinct pass over the pivot column AND the output schema
+    * becomes data-dependent — both wrong at 100 TB). Absent combos are
+    * 0, not null, matching the oracle's FILTER counts.
+    */
+  def pivotStatus(s: SparkSession, d: String): DataFrame = {
+    val statuses = Seq("O", "F", "P")
+    Tables.orders(s, d)
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", statuses)
+      .agg(count(lit(1)))
+      .select(col("o_orderpriority") +:
+        statuses.map(st => coalesce(col(st), lit(0L)).as(s"n_${st.toLowerCase}")): _*)
+      .orderBy("o_orderpriority")
+  }
+
+  /** q_window_lag_lead — per-user previous/next event value and delta
+    * (the heartbeat gap-detection shape: HeartbeatMonitor.java:34-37
+    * compares consecutive report times). Window order (ts, event_id) is
+    * total per user; partition-edge rows carry genuine nulls on both
+    * engines.
+    */
+  def windowLagLead(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("prev_value", lag(col("value"), 1).over(w))
+      .withColumn("next_value", lead(col("value"), 1).over(w))
+      .withColumn("delta", col("value") - col("prev_value"))
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("value"), col("prev_value"), col("next_value"), col("delta"))
+      .orderBy("user_id", "ts_us", "event_id")
+  }
+
+  /** q_agg_percentile — exact interpolated quartiles of quantity per
+    * return flag (Spark `percentile` ≡ DuckDB `quantile_cont`). Exact
+    * percentile buffers the group's values — fine for bounded groups;
+    * the sketch form below is the 100 TB path. Determinism: quantities
+    * are small integers and 0.25/0.5/0.75 are binary fractions, so the
+    * linear interpolation is bit-exact on both engines.
+    */
+  def aggPercentile(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        expr("percentile(CAST(l_quantity AS DOUBLE), 0.25D)").as("p25"),
+        expr("percentile(CAST(l_quantity AS DOUBLE), 0.5D)").as("p50"),
+        expr("percentile(CAST(l_quantity AS DOUBLE), 0.75D)").as("p75"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  /** q_agg_approx_quantile — the same quartiles via the KLL-style
+    * approx_percentile sketch: fixed-size state per group, mergeable
+    * partials, no value buffering — the form that survives 100 TB.
+    * Sketch output is accuracy-parameter-dependent, so no DuckDB oracle
+    * (rows-only check); RelationalSpec bounds it against the exact
+    * quartiles (SURVEY §7.4 rule 8, the q_agg_approx_distinct pattern).
+    */
+  def aggApproxQuantile(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(expr(
+        "approx_percentile(CAST(l_quantity AS DOUBLE), array(0.25D, 0.5D, 0.75D), 10000)").as("q"))
+      .select(col("l_returnflag"), col("q")(0).as("p25"),
+        col("q")(1).as("p50"), col("q")(2).as("p75"))
+      .orderBy("l_returnflag")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_full_outer"     -> (joinFullOuter _),
+    "q_pivot"               -> (pivotStatus _),
+    "q_window_lag_lead"     -> (windowLagLead _),
+    "q_agg_percentile"      -> (aggPercentile _),
+    "q_agg_approx_quantile" -> (aggApproxQuantile _),
     "q_join_inner"          -> (joinInner _),
     "q_join_broadcast"      -> (joinBroadcast _),
     "q_join_left_outer"     -> (joinLeftOuter _),
@@ -280,6 +373,32 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_join_full_outer" ->
+      ("SELECT coalesce(c_custkey, o_custkey) AS custkey, c_name, " +
+        "coalesce(n_big, 0) AS n_big_orders FROM " +
+        "(SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 5000) c " +
+        "FULL OUTER JOIN " +
+        "(SELECT o_custkey, count(*) AS n_big FROM orders " +
+        "WHERE o_totalprice > 150000 GROUP BY o_custkey) o " +
+        "ON c_custkey = o_custkey ORDER BY custkey"),
+    "q_pivot" ->
+      ("SELECT o_orderpriority, " +
+        "count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o, " +
+        "count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f, " +
+        "count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p " +
+        "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+    "q_window_lag_lead" ->
+      ("SELECT user_id, event_id, epoch_us(ts) AS ts_us, value, " +
+        "lag(value) OVER w AS prev_value, lead(value) OVER w AS next_value, " +
+        "value - lag(value) OVER w AS delta FROM events " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id) " +
+        "ORDER BY user_id, ts_us, event_id"),
+    "q_agg_percentile" ->
+      ("SELECT l_returnflag, " +
+        "quantile_cont(CAST(l_quantity AS DOUBLE), 0.25) AS p25, " +
+        "quantile_cont(CAST(l_quantity AS DOUBLE), 0.5) AS p50, " +
+        "quantile_cont(CAST(l_quantity AS DOUBLE), 0.75) AS p75, " +
+        "count(*) AS n FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
     "q_join_inner" ->
       ("SELECT o_orderkey, c_custkey, c_name, o_totalprice FROM orders " +
         "JOIN customer ON o_custkey = c_custkey ORDER BY o_orderkey"),

@@ -134,6 +134,24 @@ class LlmPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("approx_percentile quartiles track exact percentile (rule-8 tolerance)") {
+    val d = SparkTestSession.sf0001
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val approx = asMap(ops.Relational.aggApproxQuantile(spark, d))
+    val exact = asMap(ops.Relational.aggPercentile(spark, d)
+      .select("l_returnflag", "p25", "p50", "p75"))
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, (e25, e50, e75)) =>
+      val (a25, a50, a75) = approx(k)
+      // quantities are 1..50; the 10k-accuracy sketch is exact-rank to
+      // within ~1 value at this SF
+      Seq((a25, e25), (a50, e50), (a75, e75)).foreach { case (a, e) =>
+        assert(math.abs(a - e) <= 2.0, s"flag $k: approx $a vs exact $e")
+      }
+    }
+  }
+
   test("q_sim_search_ivf_kmeans: deterministic, bucket-pruned, scores exact") {
     import spark.implicits._
     val d = SparkTestSession.sf0001
