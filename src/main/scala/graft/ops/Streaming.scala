@@ -182,6 +182,22 @@ object Streaming {
       }
   }
 
+  /** Streaming exact dedup with watermark-bounded state — q_dedup_exact's
+    * streaming form. The reference dedups chunk writes implicitly
+    * (re-storing a (filename, seq) overwrites the same path,
+    * storageNode/StorageNode.java write path); a streaming engine must
+    * instead remember seen keys, and unbounded remembering is a state
+    * leak at 100 TB. `dropDuplicatesWithinWatermark` keeps one state row
+    * per key and EVICTS it once the watermark passes the key's event
+    * time + delay — re-occurrences beyond the horizon re-emit (at-least-
+    * once dedup, the trade every bounded-state dedup makes).
+    * MemoryStream-verified in StreamingSpec; not in `queries` (streaming
+    * runtime, SURVEY §7.4 rule 7).
+    */
+  def dedupWithinWatermark(hb: Dataset[Heartbeat]): Dataset[Heartbeat] =
+    hb.withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("node")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_liveness"   -> (liveness _),
     "q_stream_first_seen" -> (firstSeen _),

@@ -70,4 +70,47 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("SortAggregate") && !plan.contains("RunningWindowFunction"),
       s"as-of fell back to sort-based aggregation:\n$plan")
   }
+
+  test("bucketed tables co-locate the fact-fact join: zero shuffle exchanges") {
+    // The 100 TB answer for repeated fact-fact joins: bucket BOTH sides
+    // by the join key at write time, and the join needs no Exchange at
+    // read time — the shuffle is paid once, at ingest, not per query.
+    val broadcastBefore = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // plain (non-adaptive) plan so the join subtree is inspectable pre-run;
+    // bucketing removes the exchange with or without AQE
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      Tables.orders(spark, d).select("o_orderkey", "o_custkey", "o_totalprice")
+        .write.mode("overwrite").bucketBy(4, "o_orderkey")
+        .sortBy("o_orderkey").saveAsTable("orders_bkt")
+      Tables.lineitem(spark, d).select("l_orderkey", "l_quantity")
+        .write.mode("overwrite").bucketBy(4, "l_orderkey")
+        .sortBy("l_orderkey").saveAsTable("lineitem_bkt")
+      val joined = spark.table("lineitem_bkt")
+        .join(spark.table("orders_bkt"),
+          org.apache.spark.sql.functions.col("l_orderkey") ===
+            org.apache.spark.sql.functions.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+      val joinPlan = joined.queryExecution.executedPlan.collectFirst {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      }
+      assert(joinPlan.isDefined, "expected a sort-merge join over bucketed scans")
+      val shufflesUnderJoin = joinPlan.get.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(shufflesUnderJoin.isEmpty,
+        s"bucketed join still shuffles:\n${joinPlan.get}")
+      // and the result is right: one row group per order side-checked
+      assert(joined.count() == Tables.orders(spark, d).select("o_custkey").distinct().count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", broadcastBefore)
+      spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+      spark.sql("DROP TABLE IF EXISTS orders_bkt")
+      spark.sql("DROP TABLE IF EXISTS lineitem_bkt")
+    }
+  }
 }

@@ -15,6 +15,8 @@ object SparkTestSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.streaming.checkpointLocation",
         s"/tmp/graft-test-ckpt-${java.util.UUID.randomUUID()}")
+      .config("spark.sql.warehouse.dir",
+        s"/tmp/graft-test-warehouse-${java.util.UUID.randomUUID()}")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

@@ -82,6 +82,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows == Set(("2024-01-01 10:00:00", "n1", 2L)), rows.toString)
   }
 
+  test("streaming dedup suppresses in-horizon duplicates, evicts state at the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[ops.Streaming.Heartbeat]
+    val q = ops.Streaming.dedupWithinWatermark(ms.toDS())
+      .writeStream.format("memory").queryName("dedup_wm")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // same-batch duplicate + in-horizon duplicate in the next batch
+      ms.addData(ops.Streaming.Heartbeat(ts("2024-01-01 10:00:00"), "n1"),
+        ops.Streaming.Heartbeat(ts("2024-01-01 10:00:30"), "n1"))
+      q.processAllAvailable()
+      ms.addData(ops.Streaming.Heartbeat(ts("2024-01-01 10:05:00"), "n1"))
+      q.processAllAvailable()
+      // n2 at 11:00 advances the watermark to 10:50, evicting n1's state
+      // (expiry 10:00 + 10 min horizon = 10:10 < 10:50)
+      ms.addData(ops.Streaming.Heartbeat(ts("2024-01-01 11:00:00"), "n2"))
+      q.processAllAvailable()
+      // n1 re-occurs past the horizon: state was evicted, so it re-emits
+      ms.addData(ops.Streaming.Heartbeat(ts("2024-01-01 11:05:00"), "n1"))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT CAST(ts AS STRING), node FROM dedup_wm")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      assert(rows == Set(
+        ("2024-01-01 10:00:00", "n1"),
+        ("2024-01-01 11:00:00", "n2"),
+        ("2024-01-01 11:05:00", "n1")), rows.toString)
+    } finally q.stop()
+  }
+
   test("stateful liveness emits dead-node record on timeout (#51)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
