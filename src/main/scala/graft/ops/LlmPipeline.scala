@@ -424,6 +424,57 @@ object LlmPipeline {
       .limit(5)
   }
 
+  /** 4 deterministic random hyperplanes for sign-LSH over the 64-dim
+    * embeddings: integer weights in [-1000, 1000] from splitmix64 of the
+    * (plane, dim) index — literals on both engines, so the bucketing is
+    * oracle-exact (no RNG state to mirror).
+    */
+  private[graft] val LshPlanes: Seq[Seq[Long]] = {
+    def splitmix64(x0: Long): Long = {
+      var z = x0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    (0 until 4).map(p => (0 until 64).map { i =>
+      math.floorMod(splitmix64((p * 64 + i).toLong), 2001L) - 1000L
+    })
+  }
+
+  /** q_sim_search_lsh — random-hyperplane (sign) LSH ANN: bucket =
+    * 4-bit signature of sign(plane_p · q); the probe (vec_id = 0)
+    * searches only its own bucket. The SimHash-for-cosine complement to
+    * the IVF variants: no training step, bucket boundaries are
+    * data-independent, and two near-parallel vectors agree on every
+    * plane with high probability. All integer arithmetic over the
+    * quantized embedding, so — unlike IVF-kmeans — fully oracle-checked.
+    * Scale: the signature is a mapper-only projection; at 100 TB the
+    * bucket id becomes the table's bucketBy/partition key so the probe
+    * reads ONE bucket (the PlanShapeSpec bucketed-join pattern), and
+    * multi-probe = flipping the lowest-margin bits, not a wider scan.
+    */
+  def simSearchLsh(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), expr(quant).as("q"))
+    def planeDot(p: Int) =
+      s"aggregate(zip_with(q, array(${LshPlanes(p).mkString(", ")}), " +
+        "(x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    val bucketExpr = (0 until 4)
+      .map(p => s"(CASE WHEN ${planeDot(p)} >= 0 THEN ${1 << p} ELSE 0 END)")
+      .mkString(" + ")
+    val b = e.withColumn("bucket", expr(bucketExpr).cast("int"))
+    val probe = broadcast(b.where(col("vec_id") === 0)
+      .select(col("q").as("qa"), expr(normQ.format("q", "q")).as("n2a"),
+        col("bucket").as("probe_bucket")))
+    b.where(col("vec_id") =!= 0)
+      .join(probe, col("bucket") === col("probe_bucket"))
+      .select(col("vec_id"), col("bucket"),
+        (expr(dotQ.replace("qb", "q")).cast("double") /
+          sqrt(col("n2a").cast("double") *
+            expr(normQ.format("q", "q")).cast("double"))).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(5)
+  }
+
   /** q_sim_search_ivf_kmeans — IVF-ANN with a REAL training step:
     * spark.ml KMeans (k=8, fixed seed) learns the coarse quantizer,
     * every vector is assigned to its nearest learned centroid, and the
@@ -585,6 +636,7 @@ object LlmPipeline {
     "q_dedup_embed"         -> (dedupEmbed _),
     "q_sim_search"          -> (simSearch _),
     "q_sim_search_ivf"      -> (simSearchIvf _),
+    "q_sim_search_lsh"      -> (simSearchLsh _),
     "q_sim_search_ivf_kmeans" -> (simSearchIvfKmeans _),
     "q_text_tokens"         -> (textTokens _),
     "q_text_stats"          -> (textStats _),
@@ -707,6 +759,25 @@ object LlmPipeline {
           "CAST(list_sum(list_transform(list_zip(b.q, b.q), p -> p[1] * p[2])) AS BIGINT) AS DOUBLE)) AS cos " +
           "FROM assigned b, pn WHERE b.cent_id = pn.probe_cent AND b.vec_id <> 0 " +
           "ORDER BY cos DESC, vec_id LIMIT 5"),
+      "q_sim_search_lsh" -> {
+        def planeDotDuck(p: Int) =
+          s"CAST(list_sum(list_transform(list_zip(q, [${LshPlanes(p).mkString(", ")}]), " +
+            "p -> p[1] * p[2])) AS BIGINT)"
+        val bucketDuck = (0 until 4)
+          .map(p => s"(CASE WHEN ${planeDotDuck(p)} >= 0 THEN ${1 << p} ELSE 0 END)")
+          .mkString(" + ")
+        s"WITH q AS (SELECT vec_id, $quantDuck AS q FROM embeddings), " +
+          s"b AS (SELECT vec_id, q, CAST($bucketDuck AS INTEGER) AS bucket FROM q), " +
+          "pn AS (SELECT q AS qa, bucket AS probe_bucket, " +
+          "CAST(list_sum(list_transform(list_zip(q, q), p -> p[1] * p[2])) AS BIGINT) AS n2a " +
+          "FROM b WHERE vec_id = 0) " +
+          "SELECT v.vec_id, v.bucket, " +
+          "CAST(list_sum(list_transform(list_zip(pn.qa, v.q), p -> p[1] * p[2])) AS BIGINT) " +
+          "/ sqrt(CAST(pn.n2a AS DOUBLE) * CAST(" +
+          "CAST(list_sum(list_transform(list_zip(v.q, v.q), p -> p[1] * p[2])) AS BIGINT) AS DOUBLE)) AS cos " +
+          "FROM b v, pn WHERE v.bucket = pn.probe_bucket AND v.vec_id <> 0 " +
+          "ORDER BY cos DESC, vec_id LIMIT 5"
+      },
       "q_text_tokens" ->
         ("SELECT lang, rn, tok, n FROM (SELECT lang, tok, count(*) AS n, " +
           "row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, tok ASC) AS rn " +

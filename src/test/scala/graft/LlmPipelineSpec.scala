@@ -176,6 +176,23 @@ class LlmPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("q_sim_search_lsh: bucket-pruned, scores exact, recalls brute-force neighbors") {
+    import spark.implicits._
+    val d = SparkTestSession.sf0001
+    val a = ops.LlmPipeline.simSearchLsh(spark, d)
+      .as[(Long, Int, Double)].collect().toSeq
+    assert(a.nonEmpty && a.length <= 5)
+    assert(a.map(_._2).distinct.length == 1, "results span buckets — not pruned")
+    assert(a.map(_._3).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)), "not sorted desc")
+    val brute = ops.LlmPipeline.simSearch(spark, d)
+      .as[(Long, Double)].collect().toMap
+    val overlap = a.count(r => brute.contains(r._1))
+    assert(overlap >= 1, "LSH bucket recalled none of the brute-force top-10")
+    a.filter(r => brute.contains(r._1)).foreach { case (id, _, c) =>
+      assert(math.abs(brute(id) - c) < 1e-12, s"vec $id cos drifted")
+    }
+  }
+
   test("quantized cosine tracks float cosine (sim search sanity)") {
     import spark.implicits._
     val top = ops.LlmPipeline.simSearch(spark, SparkTestSession.sf0001)
