@@ -12,10 +12,11 @@ import org.apache.spark.sql.functions._
   *
   * Determinism strategy (everything here is oracle-checked except the
   * spark.ml MinHashLSH variant):
-  *  - All signature hashing is md5-hex; "minimum hash" = lexicographic
-  *    min of hex strings, identical across engines (binary collation).
-  *  - SimHash bits come from the high bit of each md5 hex char
-  *    (c >= '8'), avoiding hex→int conversion DuckDB lacks.
+  *  - All signature hashing derives from ONE md5 per shingle, reduced
+  *    to a 60-bit integer base hash (15 hex chars → BIGINT; Spark
+  *    `conv` ≡ DuckDB CAST('0x…')): MinHash permutations are XOR
+  *    salts over it, SimHash bits are integer bit-tests on it — both
+  *    hash-aggregable BIGINT state, no string minima.
   *  - Embedding math is fixed-point: floats quantized to q = round(x *
   *    1000) longs; dots/norms are exact integer sums, with ONE final
   *    double division/sqrt — bit-identical on both engines. (At cluster
@@ -184,9 +185,9 @@ object LlmPipeline {
     * vocabulary makes token-multiset simhashes collapse onto each other;
     * shingle space is ~|V|³ so hashes spread, the same fix web-dedup
     * pipelines apply): bit b (1..32) is the sign of Σ_shingles (±1), +1
-    * when hex char b of md5(shingle) has its high bit set (c >= '8') —
-    * one codegen'd md5 per shingle, reused across all 32 bits, then one
-    * hash-agg of 32 conditional sums per doc. 4 bands × 8 bits: by
+    * when bit b-1 of the shingle's 60-bit base hash is set — one
+    * codegen'd md5+conv per shingle, reused across all 32 bit-tests,
+    * then one hash-agg of 32 conditional sums per doc. 4 bands × 8 bits: by
     * pigeonhole the band join is a COMPLETE candidate generator for
     * Hamming distance ≤ 3; reported pairs are banded candidates with
     * distance ≤ 8 (LSH-then-verify shape — recall tested on planted
@@ -197,11 +198,16 @@ object LlmPipeline {
     * pair explosion bucket-local behind HotBucketCap.
     */
   def dedupSimhash(s: SparkSession, d: String): DataFrame = {
+    // One md5 + conv per shingle (the minhashBanded base-hash trick);
+    // bit b of the signature is integer bit-test (h >> b) & 1 — the
+    // previous form ran 32 substring-compares per shingle over the hex
+    // string, which is 32 string ops where 32 codegen'd shifts suffice.
     val hs = withTk(Tables.documents(s, d))
       .select(col("doc_id"), explode(expr(shingles)).as("s"))
-      .select(col("doc_id"), md5(col("s")).as("m"))
+      .select(col("doc_id"),
+        expr("CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)").as("h"))
     val bitSums = (1 to 32).map { b =>
-      sum(when(expr(s"substring(m, $b, 1) >= '8'"), 1L).otherwise(-1L)).as(s"v$b")
+      sum(when(expr(s"(h >> ${b - 1}) & 1 = 1"), 1L).otherwise(-1L)).as(s"v$b")
     }
     val sim = (1 to 32).map { b =>
       s"(CASE WHEN v$b > 0 THEN CAST(pow(2, ${32 - b}) AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
@@ -311,8 +317,16 @@ object LlmPipeline {
     * the template.
     */
   def dedupNgram(s: SparkSession, d: String): DataFrame = {
+    // The inverted index is keyed by the shingle's 60-bit base hash, not
+    // the shingle string: the posting-list shuffle then exchanges 8 B per
+    // (shingle, doc) instead of the shingle text — at 100 TB the string
+    // key makes shuffled bytes ≈ 3× corpus size. |∩| over hashed
+    // shingles equals |∩| over strings modulo 60-bit collisions — the
+    // same risk every fingerprint column here accepts.
     val docSh = withTk(Tables.documents(s, d))
-      .select(col("doc_id"), explode(expr(s"array_distinct($shingles)")).as("sh"))
+      .select(col("doc_id"), explode(expr(s"array_distinct($shingles)")).as("s"))
+      .select(col("doc_id"),
+        expr("CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)").as("sh"))
     val sizes = docSh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = docSh.groupBy("sh")
       .agg(expr("array_sort(collect_set(doc_id))").as("ids"))
@@ -696,12 +710,14 @@ object LlmPipeline {
           "AND a.doc_id < b.doc_id ORDER BY doc_a, doc_b"),
       "q_dedup_simhash" -> {
         val bitSums = (1 to 32).map(b =>
-          s"CAST(sum(CASE WHEN substr(m, $b, 1) >= '8' THEN 1 ELSE -1 END) AS BIGINT) AS v$b")
+          s"CAST(sum(CASE WHEN (h >> ${b - 1}) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS v$b")
           .mkString(", ")
         val shSum = (1 to 32).map(b =>
           s"(CASE WHEN v$b > 0 THEN CAST(power(2, ${32 - b}) AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
           .mkString(" + ")
-        s"WITH hs AS (SELECT doc_id, md5(unnest($shinglesDuck)) AS m FROM documents), " +
+        s"WITH hs AS (SELECT doc_id, " +
+          s"CAST(concat('0x', substring(md5(unnest($shinglesDuck)), 1, 15)) AS BIGINT) AS h " +
+          "FROM documents), " +
           s"bits AS (SELECT doc_id, $bitSums FROM hs GROUP BY doc_id), " +
           s"sh AS (SELECT doc_id, $shSum AS simhash FROM bits), " +
           "bands AS (SELECT doc_id, simhash, b, " +
@@ -716,7 +732,9 @@ object LlmPipeline {
           "WHERE bit_count(xor(a.simhash, b.simhash)) <= 8 ORDER BY doc_a, doc_b"
       },
       "q_dedup_ngram" ->
-        (s"WITH ds AS (SELECT doc_id, unnest(list_distinct($shinglesDuck)) AS sh FROM documents), " +
+        (s"WITH ds AS (SELECT doc_id, " +
+          s"CAST(concat('0x', substring(md5(unnest(list_distinct($shinglesDuck))), 1, 15)) AS BIGINT) AS sh " +
+          "FROM documents), " +
           "sizes AS (SELECT doc_id, count(*) AS n_sh FROM ds GROUP BY doc_id), " +
           "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter " +
           "FROM ds a JOIN ds b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
