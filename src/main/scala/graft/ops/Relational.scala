@@ -313,6 +313,19 @@ object Relational {
       .orderBy("user_id", "ts_us", "event_id")
   }
 
+  /** q_window_ntile — quartile assignment of each user's events by time
+    * (the equal-depth histogram primitive; standard SQL ntile semantics
+    * — first `n mod 4` buckets get the extra row — match on both
+    * engines given the total (ts, event_id) order).
+    */
+  def windowNtile(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        ntile(4).over(w).as("quartile"))
+      .orderBy("user_id", "ts_us", "event_id")
+  }
+
   /** q_agg_percentile — exact interpolated quartiles of quantity per
     * return flag (Spark `percentile` ≡ DuckDB `quantile_cont`). Exact
     * percentile buffers the group's values — fine for bounded groups;
@@ -350,6 +363,7 @@ object Relational {
     "q_join_full_outer"     -> (joinFullOuter _),
     "q_pivot"               -> (pivotStatus _),
     "q_window_lag_lead"     -> (windowLagLead _),
+    "q_window_ntile"        -> (windowNtile _),
     "q_agg_percentile"      -> (aggPercentile _),
     "q_agg_approx_quantile" -> (aggApproxQuantile _),
     "q_join_inner"          -> (joinInner _),
@@ -393,6 +407,10 @@ object Relational {
         "value - lag(value) OVER w AS delta FROM events " +
         "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id) " +
         "ORDER BY user_id, ts_us, event_id"),
+    "q_window_ntile" ->
+      ("SELECT user_id, event_id, epoch_us(ts) AS ts_us, " +
+        "ntile(4) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS quartile " +
+        "FROM events ORDER BY user_id, ts_us, event_id"),
     "q_agg_percentile" ->
       ("SELECT l_returnflag, " +
         "quantile_cont(CAST(l_quantity AS DOUBLE), 0.25) AS p25, " +

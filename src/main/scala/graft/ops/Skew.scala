@@ -1,0 +1,39 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for hot join keys — the declarative fallback when a
+  * key's row count breaks partition-sized assumptions (the reference's
+  * analog: every chunk of a hot file lands on the same FileTable entry,
+  * `controller/FileTable.java:14-16`, which a single-JVM map absorbs but
+  * a shuffle partition cannot).
+  *
+  * AQE's runtime skew-join split (`spark.sql.adaptive.skewJoin.*`)
+  * handles sort-merge joins transparently and is the first choice; use
+  * explicit salting when (a) the skewed side feeds an operator AQE does
+  * not split (e.g. a bucket-local pair generator like the LSH dedups),
+  * or (b) the plan must be stable/explainable offline. Algebraic
+  * aggregations (sum/count/min/max) do NOT need salting — Spark's
+  * map-side partial aggregation already collapses hot keys before the
+  * shuffle; salting pays off for holistic state (collect_list, exact
+  * distinct) and for joins.
+  */
+object Skew {
+
+  /** Equi join `fact ⋈ dim` on `key`, with the fact side's hot keys
+    * spread over `nSalts` shuffle partitions: each fact row gets a salt
+    * from a hash of a row-unique id (which salt a row gets is
+    * irrelevant — only the spread matters), and the dim side is
+    * replicated once per salt so every (key, salt) pair still meets its
+    * match. Cost: dim shuffle volume × nSalts — the standard trade; size
+    * nSalts ≈ hot-key rows / target partition rows.
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, nSalts: Int): DataFrame = {
+    val saltedFact = fact.withColumn("_salt",
+      pmod(hash(monotonically_increasing_id()), lit(nSalts)))
+    val saltedDim = dim.withColumn("_salt",
+      explode(array((0 until nSalts).map(lit(_)): _*)))
+    saltedFact.join(saltedDim, Seq(key, "_salt")).drop("_salt")
+  }
+}
