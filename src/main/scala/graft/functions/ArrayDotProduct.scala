@@ -85,12 +85,15 @@ object ArrayDotProduct {
   }
 }
 
-/** Deployment path: `spark.sql.extensions=graft.plans.GraftExtensions`-
-  * style registration (`SparkSessionExtensions.injectFunction`), so
-  * `expr("array_dot_f(a, b)")` and SQL both resolve it.
+/** Deployment path: `spark.sql.extensions=graft.functions.GraftExtensions`
+  * registration — `expr("array_dot_f(a, b)")` and SQL resolve the native
+  * expression (`injectFunction`), and the optimizer gains the chained-XOR
+  * constant fold (`injectOptimizerRule`, plans/FoldChainedXor).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(
       (ArrayDotProduct.identifier, ArrayDotProduct.info, ArrayDotProduct.builder))
+    ext.injectOptimizerRule(_ => graft.plans.FoldChainedXor)
+  }
 }
