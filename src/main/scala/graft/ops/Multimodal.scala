@@ -95,10 +95,53 @@ object Multimodal {
       .select(col("doc_id"), col("n_frames"), col("frame_no"))
       .orderBy("doc_id", "frame_no")
 
+  /** Feature row for q_mm_feature: 8-bin byte-value histogram (bin =
+    * byte >> 5) + distinct-byte count over the raw payload. Flat h0..h7
+    * columns, not an array — the driver's pandas gate can't sort
+    * array columns (the q_nested_catalog lesson).
+    */
+  case class MediaFeatures(doc_id: Long, n_bytes: Long, n_distinct_bytes: Long,
+                           h0: Long, h1: Long, h2: Long, h3: Long,
+                           h4: Long, h5: Long, h6: Long, h7: Long)
+
+  /** q_mm_feature — feature extraction over the binary payload: one
+    * pass per row computing the byte histogram + distinct-byte count
+    * (entropy-style signals a media quality filter runs before decode
+    * — e.g. truncated/constant payload detection). Unlike the decode
+    * dims this is NOT a stub: the bytes are really scanned. Same
+    * per-partition batch shape as decode; swapping in a model-based
+    * extractor (CLIP embedding etc.) changes the loop body, not the
+    * plan.
+    */
+  def features(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, p) =>
+          val hist = new Array[Long](8)
+          val seen = new Array[Boolean](256)
+          var i = 0
+          while (i < p.length) {
+            val b = p(i) & 0xFF
+            hist(b >> 5) += 1
+            seen(b) = true
+            i += 1
+          }
+          MediaFeatures(id, p.length.toLong, seen.count(identity).toLong,
+            hist(0), hist(1), hist(2), hist(3), hist(4), hist(5), hist(6), hist(7))
+        }
+      }
+      .toDF()
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mm_decode"       -> (decode _),
     "q_mm_resize"       -> (resize _),
     "q_mm_frame_sample" -> (frameSample _),
+    "q_mm_feature"      -> (features _),
   )
 
   private val hx = "instr('0123456789abcdef', substr(md5(text), %d, 1)) - 1"
@@ -124,5 +167,20 @@ object Multimodal {
         "CAST((octet_length(encode(text)) + 99) // 100 AS BIGINT) AS n_frames FROM documents) " +
         "SELECT doc_id, n_frames, CAST(unnest(generate_series(0, n_frames - 1, 10)) AS BIGINT) AS frame_no " +
         "FROM f ORDER BY doc_id, frame_no"),
+    // byte ≡ char here: the corpus is pure ASCII (verified: octet_length
+    // = length for every doc), so ord(char)//32 mirrors (byte & 0xFF)>>5;
+    // left join keeps zero-byte docs with all-zero features
+    "q_mm_feature" -> {
+      val bins = (0 until 8)
+        .map(b => s"count(*) FILTER (WHERE code // 32 = $b) AS h$b").mkString(", ")
+      s"WITH ch AS (SELECT doc_id, ord(unnest(regexp_extract_all(text, '[\\s\\S]'))) AS code " +
+        "FROM documents), " +
+        s"b AS (SELECT doc_id, CAST(count(DISTINCT code) AS BIGINT) AS nd, $bins " +
+        "FROM ch GROUP BY doc_id) " +
+        "SELECT d.doc_id, CAST(octet_length(encode(d.text)) AS BIGINT) AS n_bytes, " +
+        "coalesce(b.nd, 0) AS n_distinct_bytes, " +
+        (0 until 8).map(i => s"coalesce(b.h$i, 0) AS h$i").mkString(", ") + " " +
+        "FROM documents d LEFT JOIN b ON b.doc_id = d.doc_id ORDER BY d.doc_id"
+    },
   )
 }
