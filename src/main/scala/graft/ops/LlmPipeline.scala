@@ -640,6 +640,24 @@ object LlmPipeline {
         expr(s"array_min(transform($shingles, s -> md5(s)))").as("fp_min"))
       .orderBy("doc_id")
 
+  /** q_sample_stratified — per-language Bernoulli sampling with
+    * per-stratum rates (the language-rebalancing step every multilingual
+    * training mix runs: downsample the dominant language, keep the
+    * rest). `sampleBy` filters on rand(seed) per row — mapper-only, no
+    * shuffle, no stratum-size precomputation; at 100 TB this is a
+    * single scan-and-keep pass. Seeded but engine-specific RNG, so no
+    * DuckDB oracle (rows-only); LlmPipelineSpec pins determinism,
+    * the subset property, and per-stratum rates.
+    */
+  private[graft] val SampleFractions =
+    Map("en" -> 0.3, "de" -> 0.8, "es" -> 0.8, "fr" -> 0.8, "zh" -> 0.8)
+
+  def sampleStratified(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .stat.sampleBy("lang", SampleFractions, seed = 42L)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact"         -> (dedupExact _),
     "q_dedup_minhash_sig"   -> (dedupMinhashSig _),
@@ -658,6 +676,7 @@ object LlmPipeline {
     "q_text_quality"        -> (textQuality _),
     "q_text_token_count"    -> (textTokenCount _),
     "q_text_fingerprint"    -> (textFingerprint _),
+    "q_sample_stratified"   -> (sampleStratified _),
   )
 
   val oracle: Map[String, String] = {

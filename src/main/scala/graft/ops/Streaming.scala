@@ -198,6 +198,25 @@ object Streaming {
     hb.withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("node")
 
+  /** Stream-stream inner join with bounded state — the
+    * request/acknowledgement correlation the reference does with its
+    * in-memory pending-request maps (e.g. the controller matching a
+    * replication order to the storage node's later chunk-stored
+    * confirmation, controller/ChunkReplicationRunnable.java:60-75 +
+    * MessageProcessor's stored-ack handling). Both sides are
+    * watermarked AND the join condition is time-bounded, which is what
+    * lets Spark evict matched/expired rows instead of buffering both
+    * streams forever — the difference between O(window) and O(stream)
+    * state at 100 TB. MemoryStream-verified in StreamingSpec; not in
+    * `queries` (streaming runtime, SURVEY §7.4 rule 7).
+    */
+  def streamStreamJoin(ping: Dataset[Heartbeat], echo: Dataset[Heartbeat]): DataFrame =
+    ping.toDF("p_ts", "node").withWatermark("p_ts", "10 minutes")
+      .join(echo.toDF("e_ts", "e_node").withWatermark("e_ts", "10 minutes"),
+        expr("node = e_node AND e_ts BETWEEN p_ts AND p_ts + INTERVAL 5 MINUTES"))
+      .select(col("node"), unix_micros(col("p_ts")).as("ping_us"),
+        unix_micros(col("e_ts")).as("echo_us"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_liveness"   -> (liveness _),
     "q_stream_first_seen" -> (firstSeen _),

@@ -193,6 +193,24 @@ class LlmPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("q_sample_stratified: deterministic subset with per-stratum rates") {
+    val d = SparkTestSession.sf0001
+    val a = ops.LlmPipeline.sampleStratified(spark, d).collect()
+    val b = ops.LlmPipeline.sampleStratified(spark, d).collect()
+    assert(a.toSeq == b.toSeq, "seeded sample not deterministic")
+    val srcIds = graft.Tables.documents(spark, d)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a.forall(r => srcIds.contains(r.getLong(0))), "sample not a subset")
+    // per-stratum rate sanity: en downsampled hard vs the rest
+    val byLang = a.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    val totals = graft.Tables.documents(spark, d).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    ops.LlmPipeline.SampleFractions.foreach { case (lang, f) =>
+      val got = byLang.getOrElse(lang, 0).toDouble / totals(lang)
+      assert(math.abs(got - f) < 0.25, s"$lang: rate $got vs target $f")
+    }
+  }
+
   test("quantized cosine tracks float cosine (sim search sanity)") {
     import spark.implicits._
     val top = ops.LlmPipeline.simSearch(spark, SparkTestSession.sf0001)

@@ -112,6 +112,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream join matches within the time bound, drops outside it") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val pings = MemoryStream[ops.Streaming.Heartbeat]
+    val echos = MemoryStream[ops.Streaming.Heartbeat]
+    val q = ops.Streaming.streamStreamJoin(pings.toDS(), echos.toDS())
+      .writeStream.format("memory").queryName("ss_join")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      pings.addData(ops.Streaming.Heartbeat(ts("2024-01-01 10:00:00"), "n1"),
+        ops.Streaming.Heartbeat(ts("2024-01-01 10:00:00"), "n2"))
+      echos.addData(
+        ops.Streaming.Heartbeat(ts("2024-01-01 10:03:00"), "n1"), // in bound
+        ops.Streaming.Heartbeat(ts("2024-01-01 10:09:00"), "n2"), // out of bound (> 5 min)
+        ops.Streaming.Heartbeat(ts("2024-01-01 10:01:00"), "n3")) // no ping
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT node, ping_us, echo_us FROM ss_join")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      // only n1's echo is within the 5-minute bound (180 s after its ping);
+      // epoch offsets compared relatively to stay JVM-timezone-neutral
+      assert(rows.size == 1 && rows.head._1 == "n1" &&
+        rows.head._3 - rows.head._2 == 180L * 1000000L, rows.toString)
+    } finally q.stop()
+  }
+
   test("stateful liveness emits dead-node record on timeout (#51)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
