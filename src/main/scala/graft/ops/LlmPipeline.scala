@@ -11,7 +11,9 @@ import org.apache.spark.sql.functions._
   * and text analysis (language-ID, quality, token counts, fingerprints).
   *
   * Determinism strategy (everything here is oracle-checked except the
-  * spark.ml MinHashLSH variant):
+  * spark.ml MinHashLSH variant, the KMeans-trained IVF, and the seeded
+  * stratified sample — engine-specific RNG/training, spec-verified
+  * instead per SURVEY §7.4 rules 7-8):
   *  - All signature hashing derives from ONE md5 per shingle, reduced
   *    to a 60-bit integer base hash (15 hex chars → BIGINT; Spark
   *    `conv` ≡ DuckDB CAST('0x…')): MinHash permutations are XOR

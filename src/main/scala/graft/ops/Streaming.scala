@@ -217,6 +217,38 @@ object Streaming {
       .select(col("node"), unix_micros(col("p_ts")).as("ping_us"),
         unix_micros(col("e_ts")).as("echo_us"))
 
+  /** foreachBatch upsert sink: maintains a per-node latest-heartbeat
+    * parquet snapshot (the reference's `heartbeats.put(node, date)` map,
+    * controller/MessageProcessor.java:283-287, as a durable table).
+    * The merge is read-snapshot ∪ batch → max(ts) per node — an
+    * IDEMPOTENT restatement, so replaying a micro-batch after a crash
+    * yields the same snapshot: the exactly-once recipe over an
+    * at-least-once engine. The snapshot is materialized (cache+count)
+    * before the overwrite deletes the files it was read from — fine for
+    * a keyed state table that fits the cluster's cache; the production
+    * form writes a fresh versioned directory and atomically swaps a
+    * pointer (or uses a transactional table format) instead of
+    * overwrite-in-place.
+    */
+  def latestSnapshotSink(hb: Dataset[Heartbeat], dir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    hb.writeStream.outputMode(OutputMode.Update())
+      .foreachBatch { (batch: Dataset[Heartbeat], _: Long) =>
+        val s = batch.sparkSession
+        val incoming = batch.groupBy(col("node")).agg(max(col("ts")).as("ts"))
+        val prev =
+          if (new java.io.File(dir).exists()) s.read.parquet(dir).select("node", "ts")
+          else incoming.limit(0)
+        val merged = prev.unionByName(incoming)
+          .groupBy("node").agg(max(col("ts")).as("ts"))
+          .cache()
+        merged.count() // materialize before overwriting the input files
+        merged.write.mode("overwrite").parquet(dir)
+        merged.unpersist()
+        ()
+      }
+      .start()
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_liveness"   -> (liveness _),
     "q_stream_first_seen" -> (firstSeen _),

@@ -137,6 +137,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("foreachBatch snapshot sink upserts latest heartbeat per node, idempotently") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-snap").toString + "/latest"
+    val ms = MemoryStream[ops.Streaming.Heartbeat]
+    val q = ops.Streaming.latestSnapshotSink(ms.toDS(), dir)
+    def snapshot(): Map[String, String] =
+      spark.read.parquet(dir).selectExpr("node", "CAST(ts AS STRING)")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    try {
+      ms.addData(ops.Streaming.Heartbeat(ts("2024-01-01 10:00:00"), "n1"),
+        ops.Streaming.Heartbeat(ts("2024-01-01 10:01:00"), "n2"))
+      q.processAllAvailable()
+      assert(snapshot() == Map("n1" -> "2024-01-01 10:00:00", "n2" -> "2024-01-01 10:01:00"))
+      // newer n1 beat upserts; stale n2 beat (earlier ts) must NOT regress
+      ms.addData(ops.Streaming.Heartbeat(ts("2024-01-01 10:05:00"), "n1"),
+        ops.Streaming.Heartbeat(ts("2024-01-01 10:00:30"), "n2"),
+        ops.Streaming.Heartbeat(ts("2024-01-01 10:02:00"), "n3"))
+      q.processAllAvailable()
+      assert(snapshot() == Map("n1" -> "2024-01-01 10:05:00",
+        "n2" -> "2024-01-01 10:01:00", "n3" -> "2024-01-01 10:02:00"))
+    } finally q.stop()
+  }
+
   test("stateful liveness emits dead-node record on timeout (#51)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
