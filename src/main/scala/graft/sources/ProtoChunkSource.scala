@@ -77,20 +77,27 @@ private class ProtoChunkTable(path: String) extends Table with SupportsRead {
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ProtoChunkScanBuilder(path)
+    // mode: FAILFAST (default) raises on the first corrupt frame;
+    // PERMISSIVE drops the corrupt frame and the rest of its file (the
+    // framing is length-chained, so one bad length orphans the
+    // remainder) — the CSV/JSON corrupt-record policy applied to a
+    // binary stream source
+    new ProtoChunkScanBuilder(path,
+      "permissive".equalsIgnoreCase(options.getOrDefault("mode", "failfast")))
 }
 
-private class ProtoChunkScanBuilder(path: String)
+private class ProtoChunkScanBuilder(path: String, permissive: Boolean)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = ProtoChunkSource.schema
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new ProtoChunkScan(path, required)
+  override def build(): Scan = new ProtoChunkScan(path, required, permissive)
 }
 
-private class ProtoChunkScan(path: String, required: StructType) extends Scan with Batch {
+private class ProtoChunkScan(path: String, required: StructType, permissive: Boolean)
+    extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
@@ -106,15 +113,15 @@ private class ProtoChunkScan(path: String, required: StructType) extends Scan wi
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ProtoChunkReaderFactory(required.fieldNames)
+    new ProtoChunkReaderFactory(required.fieldNames, permissive)
 }
 
 private case class ProtoChunkPartition(file: String) extends InputPartition
 
-private class ProtoChunkReaderFactory(columns: Array[String])
+private class ProtoChunkReaderFactory(columns: Array[String], permissive: Boolean)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new ProtoChunkReader(partition.asInstanceOf[ProtoChunkPartition].file, columns)
+    new ProtoChunkReader(partition.asInstanceOf[ProtoChunkPartition].file, columns, permissive)
 }
 
 /** Reads one frame file; emits only the pruned columns. The whole file
@@ -123,7 +130,7 @@ private class ProtoChunkReaderFactory(columns: Array[String])
   * a production reader for unbounded files would stream the varint
   * scanner over an FSDataInputStream instead.
   */
-private class ProtoChunkReader(file: String, columns: Array[String])
+private class ProtoChunkReader(file: String, columns: Array[String], permissive: Boolean)
     extends PartitionReader[InternalRow] {
   private val bytes: Array[Byte] = {
     val p = new org.apache.hadoop.fs.Path(file)
@@ -142,24 +149,40 @@ private class ProtoChunkReader(file: String, columns: Array[String])
 
   override def next(): Boolean = {
     if (pos >= bytes.length) return false
-    var len = 0; var shift = 0
-    var more = true
-    while (more) {
-      val x = bytes(pos); pos += 1
-      len |= (x & 0x7f) << shift; shift += 7; more = (x & 0x80) != 0
+    try {
+      var len = 0; var shift = 0
+      var more = true
+      while (more) {
+        if (pos >= bytes.length)
+          throw new IllegalArgumentException(s"truncated frame length in $file")
+        val x = bytes(pos); pos += 1
+        len |= (x & 0x7f) << shift; shift += 7; more = (x & 0x80) != 0
+      }
+      if (len < 0 || pos + len > bytes.length)
+        throw new IllegalArgumentException(
+          s"corrupt frame length $len at offset $pos in $file")
+      val frame = java.util.Arrays.copyOfRange(bytes, pos, pos + len)
+      pos += len
+      // decode once; when `data` is pruned the payload bytes are never
+      // copied into the row (the big win for media payloads)
+      val c = ProtoIngest.decodeStoreChunk(frame)
+      current = InternalRow.fromSeq(columns.toSeq.map {
+        case "fileName"   => UTF8String.fromString(c.fileName)
+        case "sequenceNo" => c.sequenceNo
+        case "checksum"   => UTF8String.fromString(c.checksum)
+        case "data"       => if (needData) c.data else null
+      })
+      true
+    } catch {
+      case e: IllegalArgumentException if permissive =>
+        // the framing is length-chained: one corrupt length orphans the
+        // remainder of the file, so drop it and end this partition
+        pos = bytes.length
+        false
+      case e: IllegalArgumentException =>
+        throw new IllegalArgumentException(
+          s"corrupt frame in $file (use mode=permissive to skip): ${e.getMessage}", e)
     }
-    val frame = java.util.Arrays.copyOfRange(bytes, pos, pos + len)
-    pos += len
-    // decode once; when `data` is pruned the payload bytes are never
-    // copied into the row (the big win for media payloads)
-    val c = ProtoIngest.decodeStoreChunk(frame)
-    current = InternalRow.fromSeq(columns.toSeq.map {
-      case "fileName"   => UTF8String.fromString(c.fileName)
-      case "sequenceNo" => c.sequenceNo
-      case "checksum"   => UTF8String.fromString(c.checksum)
-      case "data"       => if (needData) c.data else null
-    })
-    true
   }
 
   override def get(): InternalRow = current

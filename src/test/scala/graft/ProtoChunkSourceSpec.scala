@@ -57,6 +57,23 @@ class ProtoChunkSourceSpec extends AnyFunSuite {
     assert(pruned.distinct().count() == 12)
   }
 
+  test("permissive mode drops a corrupted file's tail; failfast raises") {
+    val dir = writeFixture()
+    // append a frame with a length running far past the buffer
+    val bad = java.nio.file.Paths.get(dir, "frames-1.pb")
+    val good = java.nio.file.Files.readAllBytes(bad)
+    java.nio.file.Files.write(bad,
+      good ++ Array[Byte](0xff.toByte, 0xff.toByte, 0x7f, 1, 2, 3))
+    val permissive = spark.read.format(fmt).option("mode", "permissive").load(dir)
+    // 12 intact frames survive; the corrupt tail of frames-1.pb is dropped
+    assert(permissive.count() == 12)
+    val e = intercept[org.apache.spark.SparkException] {
+      spark.read.format(fmt).load(dir).count()
+    }
+    assert(e.getMessage.contains("corrupt") ||
+      Option(e.getCause).exists(_.getMessage.contains("corrupt")))
+  }
+
   test("decoded frames feed the validate/reassemble path like any source") {
     val dir = writeFixture()
     val chunks = spark.read.format(fmt).load(dir)
