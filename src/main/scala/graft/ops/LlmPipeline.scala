@@ -298,7 +298,12 @@ object LlmPipeline {
     // frame), so each call evicts the previous call's cache instead —
     // bounding the session's cache footprint at one signature table.
     val hashed = model.transform(feats).cache()
-    Option(lastNearHashed.getAndSet(hashed)).foreach(_.unpersist(blocking = false))
+    // best-effort eviction of the previous call's cache: single-flight
+    // usage assumed (interleaving two un-materialized dedupNear frames
+    // would evict the first's cache early — correct, just slower). Try:
+    // the previous frame may belong to an already-stopped session.
+    Option(lastNearHashed.getAndSet(hashed))
+      .foreach(p => scala.util.Try(p.unpersist(blocking = false)))
     model.approxSimilarityJoin(hashed, hashed, 0.5, "jaccard_dist")
       .select(col("datasetA.doc_id").as("doc_a"), col("datasetB.doc_id").as("doc_b"),
         col("jaccard_dist"))
@@ -647,9 +652,14 @@ object LlmPipeline {
     * training mix runs: downsample the dominant language, keep the
     * rest). `sampleBy` filters on rand(seed) per row — mapper-only, no
     * shuffle, no stratum-size precomputation; at 100 TB this is a
-    * single scan-and-keep pass. Seeded but engine-specific RNG, so no
-    * DuckDB oracle (rows-only); LlmPipelineSpec pins determinism,
-    * the subset property, and per-stratum rates.
+    * single scan-and-keep pass. The fraction map is ALSO the training
+    * whitelist: sampleBy's default fraction is 0, so a language absent
+    * from SampleFractions is excluded entirely — deliberate (a mix
+    * config enumerates every language it trains on; an unexpected lang
+    * must not leak through at rate 1), and pinned by the spec's
+    * whitelist assertion. Seeded but engine-specific RNG, so no DuckDB
+    * oracle (rows-only); LlmPipelineSpec pins determinism, the subset
+    * property, and per-stratum rates.
     */
   private[graft] val SampleFractions =
     Map("en" -> 0.3, "de" -> 0.8, "es" -> 0.8, "fr" -> 0.8, "zh" -> 0.8)

@@ -315,7 +315,11 @@ object Relational {
     * engines.
     */
   def windowLagLead(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    // total window order incl. value (the q_replay_ordered rule):
+    // event_id is unique in the fixture, but nothing guarantees it, and a
+    // partial order would let the two engines disagree on tied rows
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"), col("value"))
     Tables.events(s, d)
       .select(col("user_id"), col("event_id"), col("ts"), col("value"))
       .withColumn("prev_value", lag(col("value"), 1).over(w))
@@ -323,7 +327,7 @@ object Relational {
       .withColumn("delta", col("value") - col("prev_value"))
       .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
         col("value"), col("prev_value"), col("next_value"), col("delta"))
-      .orderBy("user_id", "ts_us", "event_id")
+      .orderBy("user_id", "ts_us", "event_id", "value")
   }
 
   /** q_window_ntile — quartile assignment of each user's events by time
@@ -332,11 +336,13 @@ object Relational {
     * engines given the total (ts, event_id) order).
     */
   def windowNtile(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    // value in the order key for the same total-order reason as lag/lead
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"), col("value"))
     Tables.events(s, d)
       .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
         ntile(4).over(w).as("quartile"))
-      .orderBy("user_id", "ts_us", "event_id")
+      .orderBy("user_id", "ts_us", "event_id", "quartile")
   }
 
   /** q_agg_percentile — exact interpolated quartiles of quantity per
@@ -418,12 +424,12 @@ object Relational {
       ("SELECT user_id, event_id, epoch_us(ts) AS ts_us, value, " +
         "lag(value) OVER w AS prev_value, lead(value) OVER w AS next_value, " +
         "value - lag(value) OVER w AS delta FROM events " +
-        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id) " +
-        "ORDER BY user_id, ts_us, event_id"),
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id, value) " +
+        "ORDER BY user_id, ts_us, event_id, value"),
     "q_window_ntile" ->
       ("SELECT user_id, event_id, epoch_us(ts) AS ts_us, " +
-        "ntile(4) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS quartile " +
-        "FROM events ORDER BY user_id, ts_us, event_id"),
+        "ntile(4) OVER (PARTITION BY user_id ORDER BY ts, event_id, value) AS quartile " +
+        "FROM events ORDER BY user_id, ts_us, event_id, quartile"),
     "q_agg_percentile" ->
       ("SELECT l_returnflag, " +
         "quantile_cont(CAST(l_quantity AS DOUBLE), 0.25) AS p25, " +

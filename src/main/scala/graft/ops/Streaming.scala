@@ -236,8 +236,14 @@ object Streaming {
       .foreachBatch { (batch: Dataset[Heartbeat], _: Long) =>
         val s = batch.sparkSession
         val incoming = batch.groupBy(col("node")).agg(max(col("ts")).as("ts"))
+        // existence probed through the Hadoop FS API, not java.io.File: the
+        // snapshot dir may be hdfs://…/s3a://… where a local-File check is
+        // always false and would silently drop the prior snapshot each batch
+        val snapPath = new org.apache.hadoop.fs.Path(dir)
+        val exists = snapPath
+          .getFileSystem(s.sessionState.newHadoopConf()).exists(snapPath)
         val prev =
-          if (new java.io.File(dir).exists()) s.read.parquet(dir).select("node", "ts")
+          if (exists) s.read.parquet(dir).select("node", "ts")
           else incoming.limit(0)
         val merged = prev.unionByName(incoming)
           .groupBy("node").agg(max(col("ts")).as("ts"))

@@ -112,16 +112,29 @@ private class ProtoChunkScan(path: String, required: StructType, permissive: Boo
     files.sortBy(_.toString).map(f => ProtoChunkPartition(f.toString): InputPartition)
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new ProtoChunkReaderFactory(required.fieldNames, permissive)
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // the session's Hadoop conf (spark.hadoop.* — s3a credentials,
+    // endpoints, …) must travel to the executors with the factory; a
+    // bare `new Configuration()` on the reader side would only see
+    // classpath defaults and break any non-local filesystem
+    val confEntries = {
+      val conf = SparkSession.active.sessionState.newHadoopConf()
+      val it = conf.iterator()
+      val b = Map.newBuilder[String, String]
+      while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue) }
+      b.result()
+    }
+    new ProtoChunkReaderFactory(required.fieldNames, permissive, confEntries)
+  }
 }
 
 private case class ProtoChunkPartition(file: String) extends InputPartition
 
-private class ProtoChunkReaderFactory(columns: Array[String], permissive: Boolean)
-    extends PartitionReaderFactory {
+private class ProtoChunkReaderFactory(columns: Array[String], permissive: Boolean,
+    confEntries: Map[String, String]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new ProtoChunkReader(partition.asInstanceOf[ProtoChunkPartition].file, columns, permissive)
+    new ProtoChunkReader(partition.asInstanceOf[ProtoChunkPartition].file, columns,
+      permissive, confEntries)
 }
 
 /** Reads one frame file; emits only the pruned columns. The whole file
@@ -130,15 +143,23 @@ private class ProtoChunkReaderFactory(columns: Array[String], permissive: Boolea
   * a production reader for unbounded files would stream the varint
   * scanner over an FSDataInputStream instead.
   */
-private class ProtoChunkReader(file: String, columns: Array[String], permissive: Boolean)
-    extends PartitionReader[InternalRow] {
+private class ProtoChunkReader(file: String, columns: Array[String], permissive: Boolean,
+    confEntries: Map[String, String]) extends PartitionReader[InternalRow] {
   private val bytes: Array[Byte] = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    confEntries.foreach { case (k, v) => conf.set(k, v) }
     val p = new org.apache.hadoop.fs.Path(file)
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = p.getFileSystem(conf)
     val in = fs.open(p)
     try {
-      val len = fs.getFileStatus(p).getLen.toInt
-      val buf = new Array[Byte](len)
+      val len = fs.getFileStatus(p).getLen
+      // whole-file buffering is the demo simplification (frame files are
+      // chunk-sized by construction); fail loudly rather than truncating
+      // the length into a wrapped/negative array size
+      require(len <= Int.MaxValue - 8,
+        s"frame file $file is $len B — beyond this reader's whole-file buffer; " +
+          "split it into chunk-sized files")
+      val buf = new Array[Byte](len.toInt)
       in.readFully(0, buf)
       buf
     } finally in.close()
@@ -155,6 +176,11 @@ private class ProtoChunkReader(file: String, columns: Array[String], permissive:
       while (more) {
         if (pos >= bytes.length)
           throw new IllegalArgumentException(s"truncated frame length in $file")
+        // bound the shift BEFORE using it: Int shifts wrap mod 32, so an
+        // over-long corrupt varint would otherwise alias to a small,
+        // bounds-passing length and silently misalign every later frame
+        if (shift > 28)
+          throw new IllegalArgumentException(s"corrupt frame length varint in $file")
         val x = bytes(pos); pos += 1
         len |= (x & 0x7f) << shift; shift += 7; more = (x & 0x80) != 0
       }
@@ -163,14 +189,14 @@ private class ProtoChunkReader(file: String, columns: Array[String], permissive:
           s"corrupt frame length $len at offset $pos in $file")
       val frame = java.util.Arrays.copyOfRange(bytes, pos, pos + len)
       pos += len
-      // decode once; when `data` is pruned the payload bytes are never
-      // copied into the row (the big win for media payloads)
-      val c = ProtoIngest.decodeStoreChunk(frame)
+      // prune-aware decode: when `data` is not selected the payload
+      // bytes are skipped inside the decoder, never copied
+      val c = ProtoIngest.decodeStoreChunkPruned(frame, withData = needData)
       current = InternalRow.fromSeq(columns.toSeq.map {
         case "fileName"   => UTF8String.fromString(c.fileName)
         case "sequenceNo" => c.sequenceNo
         case "checksum"   => UTF8String.fromString(c.checksum)
-        case "data"       => if (needData) c.data else null
+        case "data"       => c.data
       })
       true
     } catch {

@@ -105,14 +105,55 @@ object ProtoIngest {
     }.flatten
 
   // ------------------------------------------------------------- decoders
-  def decodeStoreChunk(b: Array[Byte]): StoreChunk = {
+  // Every length-delimited pattern guards `p != null`: a field number
+  // re-encoded with wire type 0 (varint) carries a null payload, and
+  // per proto3 a field with an unexpected wire type is skipped like an
+  // unknown field — without the guard it would NPE out of the decoder
+  // instead of raising the declared IllegalArgumentException contract.
+  def decodeStoreChunk(b: Array[Byte]): StoreChunk =
+    decodeStoreChunkPruned(b, withData = true)
+
+  /** Prune-aware StoreChunk decode: with `withData = false` the payload
+    * bytes of field 4 are SKIPPED in place — never copied out of the
+    * frame buffer — which is what makes column pruning in
+    * ProtoChunkSource actually save the payload copy (most of the
+    * per-frame work for media-sized chunks). This is a dedicated loop,
+    * not rawFields: the generic path copies every length-delimited
+    * payload before the caller can decide it doesn't want it.
+    */
+  def decodeStoreChunkPruned(b: Array[Byte], withData: Boolean): StoreChunk = {
     var name = ""; var seq = 0; var sum = ""; var data = Array.emptyByteArray
-    rawFields(b).foreach {
-      case RawField(1, _, p) => name = new String(p, UTF_8)
-      case RawField(2, v, null) => seq = v.toInt
-      case RawField(3, _, p) => sum = new String(p, UTF_8)
-      case RawField(4, _, p) => data = p
-      case _ => () // proto3: unknown fields are skipped, not an error
+    var pos = 0
+    while (pos < b.length) {
+      val (tag, p1) = readVarint(b, pos)
+      val num = (tag >> 3).toInt
+      (tag & 7).toInt match {
+        case 0 =>
+          val (v, p2) = readVarint(b, p1)
+          if (num == 2) seq = v.toInt
+          pos = p2
+        case 2 =>
+          val (len, p2) = readVarint(b, p1)
+          if (len < 0 || p2 + len > b.length)
+            throw new IllegalArgumentException(
+              s"corrupt length-delimited field $num: len=$len at offset $p2, buffer ${b.length} B")
+          num match {
+            case 1 => name = new String(b, p2, len.toInt, UTF_8)
+            case 3 => sum = new String(b, p2, len.toInt, UTF_8)
+            case 4 if withData => data = java.util.Arrays.copyOfRange(b, p2, p2 + len.toInt)
+            case _ => () // pruned payload or unknown field: advance, no copy
+          }
+          pos = p2 + len.toInt
+        case 1 =>
+          if (p1 + 8 > b.length)
+            throw new IllegalArgumentException(s"truncated fixed64 field $num at offset $p1")
+          pos = p1 + 8
+        case 5 =>
+          if (p1 + 4 > b.length)
+            throw new IllegalArgumentException(s"truncated fixed32 field $num at offset $p1")
+          pos = p1 + 4
+        case w => throw new IllegalArgumentException(s"invalid wire type $w (field $num)")
+      }
     }
     StoreChunk(name, seq, sum, data)
   }
@@ -120,7 +161,7 @@ object ProtoIngest {
   private def decodeStorageNode(b: Array[Byte]): StorageNode = {
     var host = ""; var port = 0
     rawFields(b).foreach {
-      case RawField(1, _, p) => host = new String(p, UTF_8)
+      case RawField(1, _, p) if p != null => host = new String(p, UTF_8)
       case RawField(2, v, null) => port = v.toInt
       case _ => ()
     }
@@ -131,7 +172,7 @@ object ProtoIngest {
     var seq = 0; val nodes = Seq.newBuilder[StorageNode]
     rawFields(b).foreach {
       case RawField(1, v, null) => seq = v.toInt
-      case RawField(2, _, p) => nodes += decodeStorageNode(p)
+      case RawField(2, _, p) if p != null => nodes += decodeStorageNode(p)
       case _ => ()
     }
     ChunkLocation(seq, nodes.result())
@@ -140,8 +181,8 @@ object ProtoIngest {
   def decodeFileCatalog(b: Array[Byte]): FileCatalog = {
     var name = ""; val locs = Seq.newBuilder[ChunkLocation]
     rawFields(b).foreach {
-      case RawField(1, _, p) => name = new String(p, UTF_8)
-      case RawField(2, _, p) => locs += decodeChunkLocation(p)
+      case RawField(1, _, p) if p != null => name = new String(p, UTF_8)
+      case RawField(2, _, p) if p != null => locs += decodeChunkLocation(p)
       case _ => ()
     }
     FileCatalog(name, locs.result())
@@ -156,9 +197,9 @@ object ProtoIngest {
   def decodeHeartbeat(b: Array[Byte]): Heartbeat = {
     var host = ""; var port = 0; val fcs = Seq.newBuilder[FileChunks]
     rawFields(b).foreach {
-      case RawField(1, _, p) => host = new String(p, UTF_8)
+      case RawField(1, _, p) if p != null => host = new String(p, UTF_8)
       case RawField(2, v, null) => port = v.toInt
-      case RawField(3, _, p) => fcs += decodeFileChunks(p)
+      case RawField(3, _, p) if p != null => fcs += decodeFileChunks(p)
       case _ => ()
     }
     Heartbeat(host, port, fcs.result())

@@ -201,6 +201,9 @@ class LlmPipelineSpec extends AnyFunSuite {
     val srcIds = graft.Tables.documents(spark, d)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(a.forall(r => srcIds.contains(r.getLong(0))), "sample not a subset")
+    // the fraction map is the whitelist: nothing outside it may appear
+    assert(a.forall(r => ops.LlmPipeline.SampleFractions.contains(r.getString(1))),
+      "sample leaked a language outside the configured mix")
     // per-stratum rate sanity: en downsampled hard vs the rest
     val byLang = a.groupBy(_.getString(1)).view.mapValues(_.length).toMap
     val totals = graft.Tables.documents(spark, d).groupBy("lang").count()

@@ -78,6 +78,30 @@ class ProtoIngestSpec extends AnyFunSuite {
     assert(got.fileName == "y.bin" && got.sequenceNo == 7 && got.checksum == "def")
   }
 
+  test("field re-encoded with an unexpected wire type is skipped, not an NPE") {
+    // field 1 (fileName, length-delimited in the schema) arriving as
+    // wire type 0: [0x08, 0x01] — must be skipped per proto3, and must
+    // not pass a null payload into the string decoder
+    val confusedTag = Array[Byte](0x08, 0x01)
+    val got = ProtoIngest.storeChunks(spark,
+      binDf(Seq(confusedTag ++ encodeStoreChunk(StoreChunk("w.bin", 2, "s", Array[Byte](7)))))).head()
+    assert(got.fileName == "w.bin" && got.sequenceNo == 2)
+    // same confusion inside a nested FileCatalog (field 2 as varint)
+    val nested = Array[Byte](0x10, 0x05) ++
+      ProtoIngest.encodeFileCatalog(FileCatalog("f", Seq(ChunkLocation(1, Seq()))))
+    val cat = ProtoIngest.fileCatalog(spark, binDf(Seq(nested))).head()
+    assert(cat.filename == "f" && cat.chunkLocations == Seq(ChunkLocation(1, Seq())))
+  }
+
+  test("pruned decode skips the payload without copying it") {
+    val c = StoreChunk("p.bin", 9, "sum", Array.fill(1000)(0x42.toByte))
+    val pruned = ProtoIngest.decodeStoreChunkPruned(encodeStoreChunk(c), withData = false)
+    assert(pruned.fileName == "p.bin" && pruned.sequenceNo == 9 &&
+      pruned.checksum == "sum" && pruned.data.isEmpty)
+    val full = ProtoIngest.decodeStoreChunkPruned(encodeStoreChunk(c), withData = true)
+    assert(full.data.sameElements(c.data))
+  }
+
   test("truncated and corrupt frames error loudly instead of decoding garbage") {
     val base = encodeStoreChunk(StoreChunk("z.bin", 1, "s", Array[Byte](1, 2, 3, 4)))
     // truncated length-delimited payload (drop the last 2 bytes)
