@@ -335,14 +335,18 @@ object LlmPipeline {
       .select(col("doc_id"),
         expr("CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)").as("sh"))
     val sizes = docSh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    // pair generation as TWO chained explodes (each codegen'd in
+    // GenerateExec) + a doc_a < doc_b filter: emits df² rows where the
+    // nested transform-lambda form emits df²/2, but the lambdas evaluate
+    // interpreted (one closure dispatch per struct) and benched slower
+    // than twice the codegen'd row volume
     val inter = docSh.groupBy("sh")
       .agg(expr("array_sort(collect_set(doc_id))").as("ids"))
       .where(size(col("ids")) > 1)
-      .select(explode(expr(
-        "flatten(transform(sequence(0, size(ids) - 2), " +
-          "i -> transform(slice(ids, i + 2, size(ids) - i - 1), " +
-          "x -> struct(ids[i] AS doc_a, x AS doc_b))))")).as("p"))
-      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .select(col("ids"), explode(col("ids")).as("doc_a"))
+      .select(col("doc_a"), explode(col("ids")).as("doc_b"))
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("n_inter"))
     inter
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
