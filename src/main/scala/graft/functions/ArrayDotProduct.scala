@@ -94,6 +94,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(
       (ArrayDotProduct.identifier, ArrayDotProduct.info, ArrayDotProduct.builder))
+    ext.injectFunction(
+      (ArrayDotLong.identifier, ArrayDotLong.info, ArrayDotLong.builder))
     ext.injectOptimizerRule(_ => graft.plans.FoldChainedXor)
   }
 }

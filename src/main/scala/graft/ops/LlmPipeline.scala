@@ -367,12 +367,24 @@ object LlmPipeline {
   private val quantDuck =
     "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
 
-  private val dotQ =
-    "aggregate(zip_with(qa, qb, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+  /** Codegen'd exact integer dot (functions/ArrayDotLong, registered by
+    * dotReady below): Σ aᵢ·bᵢ over array<bigint>. Long addition is
+    * associative, so the value is bit-identical to the interpreted
+    * `aggregate(zip_with(...))` form it replaces — oracles unchanged —
+    * while the per-pair inner loop runs inside whole-stage codegen
+    * (one closure dispatch per ELEMENT per pair before, dominating the
+    * blocked cosine joins).
+    */
+  private def dotL(a: String, b: String) = s"array_dot_l($a, $b)"
   private val dotQDuck =
     "CAST(list_sum(list_transform(list_zip(qa, qb), p -> p[1] * p[2])) AS BIGINT)"
-  private val normQ =
-    "aggregate(zip_with(%s, %s, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+
+  /** Sessions launched without `spark.sql.extensions=GraftExtensions`
+    * (Verify/Bench/Explain mains, tests) get the native functions
+    * registered here, idempotently, at query-build time.
+    */
+  private def dotReady(s: SparkSession): Unit =
+    graft.functions.GraftFunctions.ensureRegistered(s)
 
   /** q_dedup_embed — embedding near-dup pairs, blocked by label (the
     * block key stands in for an LSH bucket: candidate generation is an
@@ -380,10 +392,11 @@ object LlmPipeline {
     * (cos desc, a, b).
     */
   def dedupEmbed(s: SparkSession, d: String): DataFrame = {
+    dotReady(s)
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"), expr(quant).as("q"))
     val nrm = e.select(col("vec_id"), col("label"), col("q"),
-      expr(normQ.format("q", "q")).as("n2"))
+      expr(dotL("q", "q")).as("n2"))
     val l = nrm.select(col("vec_id").as("vec_a"), col("label"),
       col("q").as("qa"), col("n2").as("n2a"))
     val r = nrm.select(col("vec_id").as("vec_b"), col("label"),
@@ -391,7 +404,7 @@ object LlmPipeline {
     l.join(r, Seq("label"))
       .where(col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
-        (expr(dotQ).cast("double") /
+        (expr(dotL("qa", "qb")).cast("double") /
           sqrt(col("n2a").cast("double") * col("n2b").cast("double"))).as("cos"))
       .orderBy(col("cos").desc, col("vec_a"), col("vec_b"))
       .limit(100)
@@ -403,16 +416,17 @@ object LlmPipeline {
     * scan, no shuffle); top-k via TakeOrderedAndProject.
     */
   def simSearch(s: SparkSession, d: String): DataFrame = {
+    dotReady(s)
     val e = Tables.embeddings(s, d).select(col("vec_id"), expr(quant).as("q"))
     val probe = broadcast(e.where(col("vec_id") === 0)
-      .select(col("q").as("qa"), expr(normQ.format("q", "q")).as("n2a")))
+      .select(col("q").as("qa"), expr(dotL("q", "q")).as("n2a")))
     e.where(col("vec_id") =!= 0)
       .withColumnRenamed("q", "qb")
       .crossJoin(probe)
       .select(col("vec_id"),
-        (expr(dotQ).cast("double") /
+        (expr(dotL("qa", "qb")).cast("double") /
           sqrt(col("n2a").cast("double") *
-            expr(normQ.format("qb", "qb")).cast("double"))).as("cos"))
+            expr(dotL("qb", "qb")).cast("double"))).as("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(10)
   }
@@ -426,25 +440,26 @@ object LlmPipeline {
     * centroid table, and the bucket scan shuffles on centroid id.
     */
   def simSearchIvf(s: SparkSession, d: String): DataFrame = {
+    dotReady(s)
     val e = Tables.embeddings(s, d).select(col("vec_id"), expr(quant).as("q"))
     val cents = broadcast(e.where(col("vec_id") < 8)
       .select(col("vec_id").as("cent_id"), col("q").as("qc")))
-    val d2 = "aggregate(zip_with(q, qc, (x, y) -> (x - y) * (x - y)), " +
-      "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    // |q - qc|² expanded to dots: exact integer identity, all codegen'd
+    val d2 = s"(${dotL("q", "q")} - 2 * ${dotL("q", "qc")} + ${dotL("qc", "qc")})"
     val w = Window.partitionBy("vec_id").orderBy(col("dist2").asc, col("cent_id").asc)
     val assigned = e.crossJoin(cents)
       .select(col("vec_id"), col("q"), col("cent_id"), expr(d2).as("dist2"))
       .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
       .select(col("vec_id"), col("q"), col("cent_id"))
     val probeCent = assigned.where(col("vec_id") === 0)
-      .select(col("q").as("qa"), expr(normQ.format("q", "q")).as("n2a"),
+      .select(col("q").as("qa"), expr(dotL("q", "q")).as("n2a"),
         col("cent_id").as("probe_cent"))
     assigned.where(col("vec_id") =!= 0)
       .join(broadcast(probeCent), col("cent_id") === col("probe_cent"))
       .select(col("vec_id"), col("cent_id"),
-        (expr(dotQ.replace("qb", "q")).cast("double") /
+        (expr(dotL("qa", "q")).cast("double") /
           sqrt(col("n2a").cast("double") *
-            expr(normQ.format("q", "q")).cast("double"))).as("cos"))
+            expr(dotL("q", "q")).cast("double"))).as("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(5)
   }
@@ -479,23 +494,23 @@ object LlmPipeline {
     * multi-probe = flipping the lowest-margin bits, not a wider scan.
     */
   def simSearchLsh(s: SparkSession, d: String): DataFrame = {
+    dotReady(s)
     val e = Tables.embeddings(s, d).select(col("vec_id"), expr(quant).as("q"))
     def planeDot(p: Int) =
-      s"aggregate(zip_with(q, array(${LshPlanes(p).mkString(", ")}), " +
-        "(x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+      dotL("q", s"array(${LshPlanes(p).map(w => s"${w}L").mkString(", ")})")
     val bucketExpr = (0 until 4)
       .map(p => s"(CASE WHEN ${planeDot(p)} >= 0 THEN ${1 << p} ELSE 0 END)")
       .mkString(" + ")
     val b = e.withColumn("bucket", expr(bucketExpr).cast("int"))
     val probe = broadcast(b.where(col("vec_id") === 0)
-      .select(col("q").as("qa"), expr(normQ.format("q", "q")).as("n2a"),
+      .select(col("q").as("qa"), expr(dotL("q", "q")).as("n2a"),
         col("bucket").as("probe_bucket")))
     b.where(col("vec_id") =!= 0)
       .join(probe, col("bucket") === col("probe_bucket"))
       .select(col("vec_id"), col("bucket"),
-        (expr(dotQ.replace("qb", "q")).cast("double") /
+        (expr(dotL("qa", "q")).cast("double") /
           sqrt(col("n2a").cast("double") *
-            expr(normQ.format("q", "q")).cast("double"))).as("cos"))
+            expr(dotL("q", "q")).cast("double"))).as("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(5)
   }
@@ -513,6 +528,7 @@ object LlmPipeline {
     * ~k×.
     */
   def simSearchIvfKmeans(s: SparkSession, d: String): DataFrame = {
+    dotReady(s)
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val e = Tables.embeddings(s, d)
@@ -527,14 +543,14 @@ object LlmPipeline {
     val model = km.fit(e)
     val assigned = model.transform(e).select(col("vec_id"), col("q"), col("bucket"))
     val probe = assigned.where(col("vec_id") === 0)
-      .select(col("q").as("qa"), expr(normQ.format("q", "q")).as("n2a"),
+      .select(col("q").as("qa"), expr(dotL("q", "q")).as("n2a"),
         col("bucket").as("probe_bucket"))
     assigned.where(col("vec_id") =!= 0)
       .join(broadcast(probe), col("bucket") === col("probe_bucket"))
       .select(col("vec_id"), col("bucket"),
-        (expr(dotQ.replace("qb", "q")).cast("double") /
+        (expr(dotL("qa", "q")).cast("double") /
           sqrt(col("n2a").cast("double") *
-            expr(normQ.format("q", "q")).cast("double"))).as("cos"))
+            expr(dotL("q", "q")).cast("double"))).as("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(5)
   }

@@ -10,12 +10,9 @@ import org.scalatest.funsuite.AnyFunSuite
 class ArrayDotProductSpec extends AnyFunSuite {
   private lazy val spark = {
     val s = SparkTestSession.spark
-    // same registration SparkSessionExtensions.injectFunction performs,
+    // same registrations SparkSessionExtensions.injectFunction performs,
     // applied to the already-running test session
-    s.sessionState.functionRegistry.registerFunction(
-      functions.ArrayDotProduct.identifier,
-      functions.ArrayDotProduct.info,
-      functions.ArrayDotProduct.builder)
+    functions.GraftFunctions.ensureRegistered(s)
     s
   }
 
@@ -43,6 +40,32 @@ class ArrayDotProductSpec extends AnyFunSuite {
     val nulls = Seq((Some(Array(1.0f)), Option.empty[Array[Float]]))
       .toDF("a", "b")
       .select(expr("array_dot_f(a, b)")).collect()
+    assert(nulls.head.isNullAt(0))
+  }
+
+  test("array_dot_l matches the interpreted aggregate form exactly (integer path)") {
+    import spark.implicits._
+    val q = "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+    val both = Tables.embeddings(spark, SparkTestSession.sf0001)
+      .select(expr(q).as("qa"))
+      .select(
+        expr("array_dot_l(qa, qa)").as("native"),
+        expr("aggregate(zip_with(qa, qa, (x, y) -> x * y), CAST(0 AS BIGINT), " +
+          "(acc, v) -> acc + v)").as("hof"))
+      .as[(Long, Long)].collect()
+    assert(both.nonEmpty)
+    both.foreach { case (n, h) => assert(n == h, s"$n vs $h") } // exact, not approx
+  }
+
+  test("array_dot_l golden value, ragged lengths, and null propagation") {
+    import spark.implicits._
+    val got = Seq((Array(1L, 2L, 3L), Array(4L, 5L, 6L, 99L)))
+      .toDF("a", "b")
+      .select(expr("array_dot_l(a, b)")).as[Long].head()
+    assert(got == 32L)
+    val nulls = Seq((Some(Array(1L)), Option.empty[Array[Long]]))
+      .toDF("a", "b")
+      .select(expr("array_dot_l(a, b)")).collect()
     assert(nulls.head.isNullAt(0))
   }
 
