@@ -87,5 +87,6 @@ object GraftFunctions {
       ArrayDotProduct.builder)
     reg.registerFunction(ArrayDotLong.identifier, ArrayDotLong.info,
       ArrayDotLong.builder)
+    reg.registerFunction(Shingle3.identifier, Shingle3.info, Shingle3.builder)
   }
 }

@@ -96,6 +96,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (ArrayDotProduct.identifier, ArrayDotProduct.info, ArrayDotProduct.builder))
     ext.injectFunction(
       (ArrayDotLong.identifier, ArrayDotLong.info, ArrayDotLong.builder))
+    ext.injectFunction(
+      (Shingle3.identifier, Shingle3.info, Shingle3.builder))
     ext.injectOptimizerRule(_ => graft.plans.FoldChainedXor)
   }
 }

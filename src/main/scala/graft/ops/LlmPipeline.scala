@@ -42,16 +42,17 @@ object LlmPipeline {
   private val toks = "split(text, ' ')"
 
   /** 3-word shingles (docs shorter than 3 tokens fall back to the whole
-    * text as one shingle). 1-based slice in both engines. Evaluated over
-    * a PRE-MATERIALIZED token-array column `tk` (withTk below): inside a
-    * higher-order lambda the expression tree evaluates interpreted with
-    * no common-subexpression elimination, so inlining split(text) into
-    * the lambda re-runs the split once per shingle index — O(tokens²)
-    * per doc, measured 3× slower on the whole shingle pass.
+    * text as one shingle), over a PRE-MATERIALIZED token-array column
+    * `tk` (withTk below). The shingle pass is the inner loop of the
+    * whole dedup family, so it is the native [[graft.functions.Shingle3]]
+    * expression — byte-identical to the composable
+    * `transform(sequence(1, size(tk)-2), i -> concat_ws(' ', slice(tk,
+    * i, 3)))`, which evaluates interpreted (and, before tk was
+    * materialized, re-ran split(text) per shingle index — O(tokens²)
+    * per doc, measured 3x slower).
     */
   private val shingles =
-    "CASE WHEN size(tk) >= 3 THEN transform(sequence(1, size(tk) - 2), " +
-      "i -> concat_ws(' ', slice(tk, i, 3))) ELSE array(text) END"
+    "CASE WHEN size(tk) >= 3 THEN shingle3(tk) ELSE array(text) END"
 
   /** documents with the token array materialized once per row. */
   private def withTk(df: DataFrame): DataFrame =
@@ -109,6 +110,7 @@ object LlmPipeline {
     * mins can, and shuffle 8 B per (doc, permutation) instead of 32.
     */
   private def minhashBanded(s: SparkSession, d: String): DataFrame = {
+    dotReady(s)
     // array_distinct before the explode: the 16 mins are unaffected by
     // duplicate shingles, and each dropped duplicate saves the hash work.
     val sh = withTk(Tables.documents(s, d))
@@ -200,6 +202,7 @@ object LlmPipeline {
     * pair explosion bucket-local behind HotBucketCap.
     */
   def dedupSimhash(s: SparkSession, d: String): DataFrame = {
+    dotReady(s)
     // One md5 + conv per shingle (the minhashBanded base-hash trick);
     // bit b of the signature is integer bit-test (h >> b) & 1 — the
     // previous form ran 32 substring-compares per shingle over the hex
@@ -272,6 +275,7 @@ object LlmPipeline {
     new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
 
   def dedupNear(s: SparkSession, d: String): DataFrame = {
+    dotReady(s)
     import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
     // Shingle sets, not raw token sets: the synthetic corpus has a tiny
     // vocabulary, so every long doc contains nearly every token and
@@ -324,6 +328,7 @@ object LlmPipeline {
     * the template.
     */
   def dedupNgram(s: SparkSession, d: String): DataFrame = {
+    dotReady(s)
     // The inverted index is keyed by the shingle's 60-bit base hash, not
     // the shingle string: the posting-list shuffle then exchanges 8 B per
     // (shingle, doc) instead of the shingle text — at 100 TB the string

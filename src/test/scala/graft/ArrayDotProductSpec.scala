@@ -69,6 +69,23 @@ class ArrayDotProductSpec extends AnyFunSuite {
     assert(nulls.head.isNullAt(0))
   }
 
+  test("shingle3 equals the composable transform/slice/concat_ws form") {
+    import spark.implicits._
+    val both = Tables.documents(spark, SparkTestSession.sf0001)
+      .select(split(col("text"), " ").as("tk"))
+      .select(
+        expr("shingle3(tk)").as("native"),
+        expr("CASE WHEN size(tk) >= 3 THEN transform(sequence(1, size(tk) - 2), " +
+          "i -> concat_ws(' ', slice(tk, i, 3))) ELSE array() END").as("hof"))
+      .as[(Seq[String], Seq[String])].collect()
+    assert(both.nonEmpty)
+    both.foreach { case (n, h) => assert(n == h) }
+    // short arrays → empty; null input → null
+    val edge = Seq((Some(Seq("a", "b")), Option.empty[Seq[String]])).toDF("a", "b")
+      .select(expr("shingle3(a)").as("short"), expr("shingle3(b)").as("nul")).head()
+    assert(edge.getSeq[String](0).isEmpty && edge.isNullAt(1))
+  }
+
   test("expression runs under whole-stage codegen (doGenCode compiles)") {
     // evaluated through a codegen'd projection over a real scan — if the
     // generated source were invalid, janino would throw at execution
