@@ -191,6 +191,35 @@ object Relational {
         |ORDER BY c_mktsegment ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin)
   }
 
+  /** q_agg_cube — full cube over (returnflag, linestatus), completing
+    * the rollup / grouping-sets / cube trio (one Expand ×4 combos; at
+    * scale prefer explicit GROUPING SETS of only the combos a dashboard
+    * reads — cube's 2^k blow-up is the waste mode).
+    */
+  def aggCube(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n_items"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** q_agg_histogram — equal-WIDTH histogram (the companion to ntile's
+    * equal-depth quartiles): order totals bucketed into 10 fixed
+    * 60k-wide bins per order-priority, overflow in bin 11. Mapper-only
+    * bucket id + one hash-agg — the shape that survives any scale. The
+    * bucket arithmetic is spelled out (floor(x / width) + 1) instead of
+    * width_bucket: DuckDB lacks the function, and mirroring the exact
+    * same division keeps the bin edges engine-identical.
+    */
+  def aggHistogram(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(col("o_orderpriority"),
+        expr("CASE WHEN CAST(o_totalprice AS DOUBLE) >= 600000.0 THEN CAST(11 AS BIGINT) " +
+          "ELSE CAST(floor(CAST(o_totalprice AS DOUBLE) / 60000.0) + 1 AS BIGINT) END")
+          .as("bucket"))
+      .groupBy("o_orderpriority", "bucket")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority", "bucket")
+
   /** #36 q_window_rank — top-3 orders per customer by price; ordering key
     * made unique with o_orderkey so ranks are deterministic.
     */
@@ -384,6 +413,8 @@ object Relational {
     "q_window_lag_lead"     -> (windowLagLead _),
     "q_window_ntile"        -> (windowNtile _),
     "q_agg_percentile"      -> (aggPercentile _),
+    "q_agg_cube"            -> (aggCube _),
+    "q_agg_histogram"       -> (aggHistogram _),
     "q_agg_approx_quantile" -> (aggApproxQuantile _),
     "q_join_inner"          -> (joinInner _),
     "q_join_broadcast"      -> (joinBroadcast _),
@@ -430,6 +461,17 @@ object Relational {
       ("SELECT user_id, event_id, epoch_us(ts) AS ts_us, " +
         "ntile(4) OVER (PARTITION BY user_id ORDER BY ts, event_id, value) AS quartile " +
         "FROM events ORDER BY user_id, ts_us, event_id, quartile"),
+    "q_agg_cube" ->
+      ("SELECT l_returnflag, l_linestatus, count(*) AS n_items, " +
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty " +
+        "FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus) " +
+        "ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"),
+    "q_agg_histogram" ->
+      ("SELECT o_orderpriority, " +
+        "CASE WHEN CAST(o_totalprice AS DOUBLE) >= 600000.0 THEN CAST(11 AS BIGINT) " +
+        "ELSE CAST(floor(CAST(o_totalprice AS DOUBLE) / 60000.0) + 1 AS BIGINT) END AS bucket, " +
+        "count(*) AS n_orders FROM orders " +
+        "GROUP BY 1, 2 ORDER BY o_orderpriority, bucket"),
     "q_agg_percentile" ->
       ("SELECT l_returnflag, " +
         "quantile_cont(CAST(l_quantity AS DOUBLE), 0.25) AS p25, " +
