@@ -11,6 +11,10 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    // native functions (array_dot_f/_l, shingle3) — the same registrations
+    // spark.sql.extensions=graft.functions.GraftExtensions performs; done
+    // here once so every query builder can rely on them
+    graft.functions.GraftFunctions.ensureRegistered(spark)
     spark.sparkContext.setLogLevel("WARN")
     // JVM/session warmup (untimed): initializes Hadoop FS, the codegen
     // compiler, and the scheduler once so the first measured query isn't

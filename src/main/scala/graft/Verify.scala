@@ -19,6 +19,10 @@ object Verify {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    // native functions (array_dot_f/_l, shingle3) — the same registrations
+    // spark.sql.extensions=graft.functions.GraftExtensions performs; done
+    // here once so every query builder can rely on them
+    graft.functions.GraftFunctions.ensureRegistered(spark)
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>

@@ -110,7 +110,6 @@ object LlmPipeline {
     * mins can, and shuffle 8 B per (doc, permutation) instead of 32.
     */
   private def minhashBanded(s: SparkSession, d: String): DataFrame = {
-    dotReady(s)
     // array_distinct before the explode: the 16 mins are unaffected by
     // duplicate shingles, and each dropped duplicate saves the hash work.
     val sh = withTk(Tables.documents(s, d))
@@ -202,7 +201,6 @@ object LlmPipeline {
     * pair explosion bucket-local behind HotBucketCap.
     */
   def dedupSimhash(s: SparkSession, d: String): DataFrame = {
-    dotReady(s)
     // One md5 + conv per shingle (the minhashBanded base-hash trick);
     // bit b of the signature is integer bit-test (h >> b) & 1 — the
     // previous form ran 32 substring-compares per shingle over the hex
@@ -275,7 +273,6 @@ object LlmPipeline {
     new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
 
   def dedupNear(s: SparkSession, d: String): DataFrame = {
-    dotReady(s)
     import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
     // Shingle sets, not raw token sets: the synthetic corpus has a tiny
     // vocabulary, so every long doc contains nearly every token and
@@ -328,7 +325,6 @@ object LlmPipeline {
     * the template.
     */
   def dedupNgram(s: SparkSession, d: String): DataFrame = {
-    dotReady(s)
     // The inverted index is keyed by the shingle's 60-bit base hash, not
     // the shingle string: the posting-list shuffle then exchanges 8 B per
     // (shingle, doc) instead of the shingle text — at 100 TB the string
@@ -372,8 +368,10 @@ object LlmPipeline {
   private val quantDuck =
     "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
 
-  /** Codegen'd exact integer dot (functions/ArrayDotLong, registered by
-    * dotReady below): Σ aᵢ·bᵢ over array<bigint>. Long addition is
+  /** Codegen'd exact integer dot (functions/ArrayDotLong; registered at
+    * session acquisition by the Verify/Bench/Explain mains and the test
+    * session, or by spark.sql.extensions=GraftExtensions in production):
+    * Σ aᵢ·bᵢ over array<bigint>. Long addition is
     * associative, so the value is bit-identical to the interpreted
     * `aggregate(zip_with(...))` form it replaces — oracles unchanged —
     * while the per-pair inner loop runs inside whole-stage codegen
@@ -384,12 +382,6 @@ object LlmPipeline {
   private val dotQDuck =
     "CAST(list_sum(list_transform(list_zip(qa, qb), p -> p[1] * p[2])) AS BIGINT)"
 
-  /** Sessions launched without `spark.sql.extensions=GraftExtensions`
-    * (Verify/Bench/Explain mains, tests) get the native functions
-    * registered here, idempotently, at query-build time.
-    */
-  private def dotReady(s: SparkSession): Unit =
-    graft.functions.GraftFunctions.ensureRegistered(s)
 
   /** q_dedup_embed — embedding near-dup pairs, blocked by label (the
     * block key stands in for an LSH bucket: candidate generation is an
@@ -397,7 +389,6 @@ object LlmPipeline {
     * (cos desc, a, b).
     */
   def dedupEmbed(s: SparkSession, d: String): DataFrame = {
-    dotReady(s)
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"), expr(quant).as("q"))
     val nrm = e.select(col("vec_id"), col("label"), col("q"),
@@ -421,7 +412,6 @@ object LlmPipeline {
     * scan, no shuffle); top-k via TakeOrderedAndProject.
     */
   def simSearch(s: SparkSession, d: String): DataFrame = {
-    dotReady(s)
     val e = Tables.embeddings(s, d).select(col("vec_id"), expr(quant).as("q"))
     val probe = broadcast(e.where(col("vec_id") === 0)
       .select(col("q").as("qa"), expr(dotL("q", "q")).as("n2a")))
@@ -445,7 +435,6 @@ object LlmPipeline {
     * centroid table, and the bucket scan shuffles on centroid id.
     */
   def simSearchIvf(s: SparkSession, d: String): DataFrame = {
-    dotReady(s)
     val e = Tables.embeddings(s, d).select(col("vec_id"), expr(quant).as("q"))
     val cents = broadcast(e.where(col("vec_id") < 8)
       .select(col("vec_id").as("cent_id"), col("q").as("qc")))
@@ -499,7 +488,6 @@ object LlmPipeline {
     * multi-probe = flipping the lowest-margin bits, not a wider scan.
     */
   def simSearchLsh(s: SparkSession, d: String): DataFrame = {
-    dotReady(s)
     val e = Tables.embeddings(s, d).select(col("vec_id"), expr(quant).as("q"))
     def planeDot(p: Int) =
       dotL("q", s"array(${LshPlanes(p).map(w => s"${w}L").mkString(", ")})")
@@ -533,7 +521,6 @@ object LlmPipeline {
     * ~k×.
     */
   def simSearchIvfKmeans(s: SparkSession, d: String): DataFrame = {
-    dotReady(s)
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val e = Tables.embeddings(s, d)

@@ -57,12 +57,18 @@ class ArrayDotProductSpec extends AnyFunSuite {
     both.foreach { case (n, h) => assert(n == h, s"$n vs $h") } // exact, not approx
   }
 
-  test("array_dot_l golden value, ragged lengths, and null propagation") {
+  test("array_dot_l golden value; ragged and null inputs yield NULL like the lambda form") {
     import spark.implicits._
-    val got = Seq((Array(1L, 2L, 3L), Array(4L, 5L, 6L, 99L)))
+    val got = Seq((Array(1L, 2L, 3L), Array(4L, 5L, 6L)))
       .toDF("a", "b")
       .select(expr("array_dot_l(a, b)")).as[Long].head()
     assert(got == 32L)
+    // ragged: zip_with pads with null → null sum, so the native form must
+    // return NULL too, not a truncated dot
+    val ragged = Seq((Array(1L, 2L, 3L), Array(4L, 5L, 6L, 99L)))
+      .toDF("a", "b")
+      .select(expr("array_dot_l(a, b)")).collect()
+    assert(ragged.head.isNullAt(0))
     val nulls = Seq((Some(Array(1L)), Option.empty[Array[Long]]))
       .toDF("a", "b")
       .select(expr("array_dot_l(a, b)")).collect()

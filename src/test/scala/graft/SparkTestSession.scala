@@ -20,6 +20,10 @@ object SparkTestSession {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // same registrations spark.sql.extensions=GraftExtensions performs —
+    // done at session acquisition so every spec and query builder can
+    // rely on the native functions without per-builder registration
+    graft.functions.GraftFunctions.ensureRegistered(s)
     s
   }
 
