@@ -92,8 +92,12 @@ object ArrayDotLong {
 
 /** Idempotent in-session registration for code paths that run without
   * `spark.sql.extensions` (the Verify/Bench/Explain mains, tests): the
-  * same registrations GraftExtensions performs, applied to a live
-  * session's function registry.
+  * same surface GraftExtensions installs — the three native functions
+  * AND the FoldChainedXor optimizer rule (injectOptimizerRule has no
+  * live-session equivalent, so the rule rides
+  * `spark.experimental.extraOptimizations`, which the optimizer runs in
+  * its user-provided batch). Benchmarks and plan-shape claims therefore
+  * reflect the shipped extension path, not a rule-less session.
   */
 object GraftFunctions {
   def ensureRegistered(s: SparkSession): Unit = {
@@ -103,5 +107,8 @@ object GraftFunctions {
     reg.registerFunction(ArrayDotLong.identifier, ArrayDotLong.info,
       ArrayDotLong.builder)
     reg.registerFunction(Shingle3.identifier, Shingle3.info, Shingle3.builder)
+    if (!s.experimental.extraOptimizations.contains(graft.plans.FoldChainedXor))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ graft.plans.FoldChainedXor
   }
 }

@@ -318,23 +318,41 @@ object LlmPipeline {
     * generators — a two-sided self-join shuffles the index twice and
     * routes the same df² rows to the same partition anyway), then
     * J = |∩| / (|A| + |B| − |∩|). Top-100 pairs by (J desc, doc_a,
-    * doc_b) — total order, deterministic. Exactness is the contract
-    * here, so no hot-bucket cap: at 100 TB a stopword-like shingle must
-    * instead be df-capped upstream (the C4/RefinedWeb mitigation),
-    * accepting approximate |∩| — the HotBucketCap machinery above is
-    * the template.
+    * doc_b) — total order, deterministic. Posting lists are df-capped at
+    * NgramDfCap (mirrored in the oracle's HAVING): a stopword-like
+    * shingle appearing in k docs otherwise emits O(k²) bucket-local
+    * pairs — at 100 TB one such shingle is a quadratic explosion, the
+    * exact failure mode HotBucketCap closes for the LSH families. The
+    * cap makes |∩| a lower bound (contributions from over-cap shingles
+    * are dropped — the C4/RefinedWeb df-cap mitigation); denominators
+    * |A|, |B| stay exact. ngramDfOverflow reports the dropped shingles
+    * so a pipeline can alert instead of silently losing recall.
     */
-  def dedupNgram(s: SparkSession, d: String): DataFrame = {
-    // The inverted index is keyed by the shingle's 60-bit base hash, not
-    // the shingle string: the posting-list shuffle then exchanges 8 B per
-    // (shingle, doc) instead of the shingle text — at 100 TB the string
-    // key makes shuffled bytes ≈ 3× corpus size. |∩| over hashed
-    // shingles equals |∩| over strings modulo 60-bit collisions — the
-    // same risk every fingerprint column here accepts.
-    val docSh = withTk(Tables.documents(s, d))
+  private[graft] val NgramDfCap = 100
+
+  def dedupNgram(s: SparkSession, d: String): DataFrame =
+    ngramPairsFromPostings(ngramPostings(s, d))
+
+  /** Inverted-index rows (doc_id, sh): one row per (doc, distinct
+    * shingle), keyed by the shingle's 60-bit base hash, not the shingle
+    * string — the posting-list shuffle then exchanges 8 B per (shingle,
+    * doc) instead of the shingle text; at 100 TB the string key makes
+    * shuffled bytes ≈ 3× corpus size. |∩| over hashed shingles equals
+    * |∩| over strings modulo 60-bit collisions — the same risk every
+    * fingerprint column here accepts.
+    */
+  private[graft] def ngramPostings(s: SparkSession, d: String): DataFrame =
+    withTk(Tables.documents(s, d))
       .select(col("doc_id"), explode(expr(s"array_distinct($shingles)")).as("s"))
       .select(col("doc_id"),
         expr("CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)").as("sh"))
+
+  /** Jaccard-pair core over inverted-index rows (doc_id, sh) — factored
+    * out so specs can drive it with a planted degenerate shingle.
+    * Posting lists longer than `cap` are excluded from intersection
+    * counting entirely (df-cap).
+    */
+  private[graft] def ngramPairsFromPostings(docSh: DataFrame, cap: Int = NgramDfCap): DataFrame = {
     val sizes = docSh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     // pair generation as TWO chained explodes (each codegen'd in
     // GenerateExec) + a doc_a < doc_b filter: emits df² rows where the
@@ -343,7 +361,7 @@ object LlmPipeline {
     // than twice the codegen'd row volume
     val inter = docSh.groupBy("sh")
       .agg(expr("array_sort(collect_set(doc_id))").as("ids"))
-      .where(size(col("ids")) > 1)
+      .where(size(col("ids")) > 1 && size(col("ids")) <= cap)
       .select(col("ids"), explode(col("ids")).as("doc_a"))
       .select(col("doc_a"), explode(col("ids")).as("doc_b"))
       .where(col("doc_a") < col("doc_b"))
@@ -358,6 +376,15 @@ object LlmPipeline {
       .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
       .limit(100)
   }
+
+  /** Overflow report: shingle hashes whose document frequency exceeds the
+    * df-cap (and were therefore excluded from intersection counting).
+    * Empty on healthy corpora — the minhashBucketOverflow pattern.
+    */
+  private[graft] def ngramDfOverflow(docSh: DataFrame, cap: Int = NgramDfCap): DataFrame =
+    docSh.groupBy("sh")
+      .agg(count(lit(1)).as("df"))
+      .where(col("df") > cap)
 
   // ----------------------------------------------------------- embeddings
   /** Fixed-point quantization of the FLOAT[64] embedding: q = round(x *
@@ -779,8 +806,14 @@ object LlmPipeline {
           s"CAST(concat('0x', substring(md5(unnest(list_distinct($shinglesDuck))), 1, 15)) AS BIGINT) AS sh " +
           "FROM documents), " +
           "sizes AS (SELECT doc_id, count(*) AS n_sh FROM ds GROUP BY doc_id), " +
+          // df-cap mirror: only shingles with 2..NgramDfCap postings count
+          // toward |∩| (the HAVING mirrors ngramPairsFromPostings's
+          // size(ids) <= cap filter)
+          "ok AS (SELECT sh FROM ds GROUP BY sh " +
+          s"HAVING count(*) > 1 AND count(*) <= ${LlmPipeline.NgramDfCap}), " +
           "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter " +
-          "FROM ds a JOIN ds b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+          "FROM ds a JOIN ok ON ok.sh = a.sh " +
+          "JOIN ds b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
           "SELECT doc_a, doc_b, " +
           "CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) AS jaccard " +
           "FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b " +

@@ -99,17 +99,24 @@ object Relational {
     val ev = Tables.eventsBefore(s, d, "2024-01-15 00:00:00")
       .select("user_id", "event_id", "ts", "event_type")
     // Two-phase as-of: (1) codegen'd hash-agg for max(ts) per key —
-    // map-side combine, one row per key shuffled; (2) broadcast the tiny
-    // per-key maxima back onto the scan to keep only rows AT the max,
-    // then break exact-ts ties by max event_id over that residue. Beats
-    // both a row_number window (full shuffle + partition sort) and
-    // max_by on a struct (struct-typed buffer → SortAggregate).
+    // map-side combine, one row per key shuffled; (2) join the per-key
+    // maxima back onto the scan to keep only rows AT the max, then break
+    // exact-ts ties by max event_id over that residue. Beats both a
+    // row_number window (full shuffle + partition sort) and max_by on a
+    // struct (struct-typed buffer → SortAggregate).
+    //
+    // No broadcast() hints: both sides of each join are one row per
+    // distinct user_id, so the key domain — unbounded at 100 TB — sets
+    // their size. AQE's runtime size check picks broadcast when the
+    // aggregate actually is small and falls back to a shuffled join when
+    // it isn't; a mandatory hint would force a driver collect-and-ship
+    // of a multi-GB frame at scale. (PlanShapeSpec guards this.)
     val last = ev.groupBy("user_id").agg(max(col("ts")).as("ts"))
-    val atMax = ev.join(broadcast(last), Seq("user_id", "ts"))
+    val atMax = ev.join(last, Seq("user_id", "ts"))
     atMax
       .groupBy("user_id")
       .agg(max(col("event_id")).as("event_id"))
-      .join(broadcast(atMax.select("user_id", "event_id", "ts", "event_type")),
+      .join(atMax.select("user_id", "event_id", "ts", "event_type"),
         Seq("user_id", "event_id"))
       // epoch micros, not raw TIMESTAMP: Spark writes instant-semantics
       // (UTC-adjusted) parquet timestamps while the oracle reads the

@@ -30,10 +30,21 @@ object Skew {
     * nSalts ≈ hot-key rows / target partition rows.
     */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, nSalts: Int): DataFrame = {
-    val saltedFact = fact.withColumn("_salt",
+    // withColumn silently REPLACES an existing column of the same name —
+    // a user `_salt` column would be corrupted in the output (drop
+    // removes it) or make the join key ambiguous, so refuse loudly
+    val clash = (fact.columns ++ dim.columns).find(_ == SaltCol)
+    require(clash.isEmpty,
+      s"input already has a '$SaltCol' column — rename it before saltedJoin")
+    val saltedFact = fact.withColumn(SaltCol,
       pmod(hash(monotonically_increasing_id()), lit(nSalts)))
-    val saltedDim = dim.withColumn("_salt",
+    val saltedDim = dim.withColumn(SaltCol,
       explode(array((0 until nSalts).map(lit(_)): _*)))
-    saltedFact.join(saltedDim, Seq(key, "_salt")).drop("_salt")
+    saltedFact.join(saltedDim, Seq(key, SaltCol)).drop(SaltCol)
   }
+
+  /** Internal salt column; namespaced to make accidental collision with
+    * user data implausible (and guarded by the require above).
+    */
+  private[graft] val SaltCol = "__graft_salt"
 }

@@ -182,6 +182,26 @@ object Streaming {
       }
   }
 
+  /** q_stream_session's TRUE-streaming form: session windows over an
+    * unbounded heartbeat stream. Streaming `session_window` requires a
+    * watermark and Append mode — a session is mergeable until the
+    * watermark passes its end (last event + gap), at which point it is
+    * finalized, emitted ONCE, and its state evicted: per-key state is
+    * bounded by the open-session horizon, not the stream's history.
+    * Same 30 min gap as the batch form, so the sf-oracle-checked plan
+    * and this stateful plan compute the same sessions on the same data.
+    * MemoryStream-verified in StreamingSpec; not in `queries`
+    * (streaming runtime, SURVEY §7.4 rule 7).
+    */
+  def sessionizedStream(hb: Dataset[Heartbeat]): DataFrame =
+    hb.withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("node"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("node"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n"))
+
   /** Streaming exact dedup with watermark-bounded state — q_dedup_exact's
     * streaming form. The reference dedups chunk writes implicitly
     * (re-storing a (filename, seq) overwrites the same path,
@@ -223,34 +243,38 @@ object Streaming {
     * The merge is read-snapshot ∪ batch → max(ts) per node — an
     * IDEMPOTENT restatement, so replaying a micro-batch after a crash
     * yields the same snapshot: the exactly-once recipe over an
-    * at-least-once engine. The snapshot is materialized (cache+count)
-    * before the overwrite deletes the files it was read from — fine for
-    * a keyed state table that fits the cluster's cache; the production
-    * form writes a fresh versioned directory and atomically swaps a
-    * pointer (or uses a transactional table format) instead of
-    * overwrite-in-place.
+    * at-least-once engine. The merged snapshot is written to a FRESH
+    * temp directory and swapped into place (delete + rename, both
+    * metadata ops) — never overwrite-in-place: an in-place overwrite
+    * deletes the very files the merge plan reads from, and a cache()
+    * barrier is not reliable (evicted blocks or a lost executor after
+    * count() recompute from the deleted directory). A crash inside the
+    * delete–rename window still leaves the full snapshot in the temp
+    * dir; the fully transactional form is a pointer swap or a
+    * transactional table format.
     */
   def latestSnapshotSink(hb: Dataset[Heartbeat], dir: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
     hb.writeStream.outputMode(OutputMode.Update())
-      .foreachBatch { (batch: Dataset[Heartbeat], _: Long) =>
+      .foreachBatch { (batch: Dataset[Heartbeat], batchId: Long) =>
         val s = batch.sparkSession
         val incoming = batch.groupBy(col("node")).agg(max(col("ts")).as("ts"))
         // existence probed through the Hadoop FS API, not java.io.File: the
         // snapshot dir may be hdfs://…/s3a://… where a local-File check is
         // always false and would silently drop the prior snapshot each batch
         val snapPath = new org.apache.hadoop.fs.Path(dir)
-        val exists = snapPath
-          .getFileSystem(s.sessionState.newHadoopConf()).exists(snapPath)
+        val fs = snapPath.getFileSystem(s.sessionState.newHadoopConf())
         val prev =
-          if (exists) s.read.parquet(dir).select("node", "ts")
+          if (fs.exists(snapPath)) s.read.parquet(dir).select("node", "ts")
           else incoming.limit(0)
         val merged = prev.unionByName(incoming)
           .groupBy("node").agg(max(col("ts")).as("ts"))
-          .cache()
-        merged.count() // materialize before overwriting the input files
-        merged.write.mode("overwrite").parquet(dir)
-        merged.unpersist()
+        // write reads old dir, writes temp — no self-overwrite, no barrier
+        val tmpPath = new org.apache.hadoop.fs.Path(dir + s".tmp-$batchId")
+        merged.write.mode("overwrite").parquet(tmpPath.toString)
+        fs.delete(snapPath, true)
+        if (!fs.rename(tmpPath, snapPath))
+          throw new java.io.IOException(s"snapshot swap $tmpPath -> $snapPath failed")
         ()
       }
       .start()

@@ -3,14 +3,16 @@ package graft.sources
 import java.util
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
-/** DataSource V2 batch source for length-delimited StoreChunk frame
+/** DataSource V2 source/sink for length-delimited StoreChunk frame
   * files (the reference's upload payload, proto/messages.proto:7-12, in
   * the standard `[varint length][frame]*` stream framing) — the
   * engine-API tier above ProtoIngest's mapPartitions decoding:
@@ -24,12 +26,29 @@ import org.apache.spark.unsafe.types.UTF8String
   *    the reader skips over the bytes instead of copying them, which at
   *    100 TB of media payloads is most of the IO. `.explain` shows the
   *    pruned ReadSchema on the scan, exactly like parquet.
+  *  - **write path** (`SupportsWrite`, BATCH_WRITE): `df.write.format(…)
+  *    .mode("append").save(dir)` encodes each partition into one frame
+  *    file via ProtoIngest.encodeStoreChunk — the reference's storage
+  *    node persists exactly these frames
+  *    (storageNode/MessageProcessor.java:180-216). Tasks write to a
+  *    dot-prefixed temp name and rename on task commit (rename is the
+  *    HDFS atomicity primitive), so a failed task leaves no partial
+  *    frame file visible; readers skip dot/underscore-prefixed files.
+  *  - **streaming read** (MICRO_BATCH_READ): `spark.readStream` over a
+  *    growing frame directory — the reference's chunk traffic is a
+  *    continuous stream (storageNode/HeartbeatRunnable.java:33-80).
+  *    Discovery is incremental: each `latestOffset` lists the directory
+  *    and assigns monotonically increasing indices to unseen files; a
+  *    micro-batch reads exactly the files in its offset range.
   *
   * File listing uses the Hadoop FileSystem API (works for hdfs:// and
   * s3a:// URIs, not just local paths); frames in one file are read
   * sequentially (the format is not splittable mid-file, like gzip —
   * parallelism comes from many files, which is how the reference shards
-  * too: one file per chunk).
+  * too: one file per chunk). The reader streams frames off an
+  * FSDataInputStream — memory is bounded by the largest single FRAME,
+  * not the file, so an unbounded append-log file reads in constant
+  * space.
   */
 class ProtoChunkSource extends TableProvider {
 
@@ -49,7 +68,7 @@ object ProtoChunkSource {
     StructField("data", BinaryType)))
 
   /** Encode frames in the stream framing this source reads (used by
-    * specs and as the reference-compatible writer).
+    * specs and the write path below).
     */
   def frameBytes(chunks: Seq[ProtoIngest.StoreChunk]): Array[Byte] =
     chunks.toArray.flatMap { c =>
@@ -57,7 +76,7 @@ object ProtoChunkSource {
       varint(body.length) ++ body
     }
 
-  private def varint(v0: Int): Array[Byte] = {
+  private[sources] def varint(v0: Int): Array[Byte] = {
     var v = v0
     val out = Array.newBuilder[Byte]
     var more = true
@@ -69,21 +88,67 @@ object ProtoChunkSource {
     }
     out.result()
   }
+
+  /** The session Hadoop conf flattened for executor-side reconstruction
+    * (spark.hadoop.* — s3a credentials, endpoints, …) — a bare
+    * `new Configuration()` on the task side only sees classpath defaults
+    * and breaks any non-local filesystem.
+    */
+  private[sources] def sessionConfEntries(): Map[String, String] = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    val it = conf.iterator()
+    val b = Map.newBuilder[String, String]
+    while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue) }
+    b.result()
+  }
+
+  private[sources] def hadoopConf(entries: Map[String, String]): org.apache.hadoop.conf.Configuration = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    entries.foreach { case (k, v) => conf.set(k, v) }
+    conf
+  }
+
+  /** Data files only: dot/underscore-prefixed names are in-progress
+    * temps or metadata (the parquet/_SUCCESS convention).
+    */
+  private[sources] def isDataFile(p: org.apache.hadoop.fs.Path): Boolean = {
+    val n = p.getName
+    !n.startsWith(".") && !n.startsWith("_")
+  }
+
+  private[sources] def listFrameFiles(path: String,
+      conf: org.apache.hadoop.conf.Configuration): Array[String] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return Array.empty
+    val stat = fs.getFileStatus(p)
+    val files =
+      if (stat.isDirectory)
+        fs.listStatus(p).filter(s => s.isFile && isDataFile(s.getPath)).map(_.getPath)
+      else Array(p)
+    files.map(_.toString).sorted
+  }
 }
 
-private class ProtoChunkTable(path: String) extends Table with SupportsRead {
+private class ProtoChunkTable(path: String) extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"proto_chunks($path)"
   override def schema(): StructType = ProtoChunkSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     // mode: FAILFAST (default) raises on the first corrupt frame;
-    // PERMISSIVE drops the corrupt frame and the rest of its file (the
-    // framing is length-chained, so one bad length orphans the
-    // remainder) — the CSV/JSON corrupt-record policy applied to a
+    // PERMISSIVE skips a frame whose BODY fails to decode (framing
+    // alignment is intact — the length prefix already bounded it) and
+    // drops the rest of the file only on a FRAMING error (corrupt/
+    // truncated length varint: the chain is broken, everything after is
+    // unparseable) — the CSV/JSON corrupt-record policy applied to a
     // binary stream source
     new ProtoChunkScanBuilder(path,
       "permissive".equalsIgnoreCase(options.getOrDefault("mode", "failfast")))
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new ProtoChunkWriteBuilder(path, info)
 }
 
 private class ProtoChunkScanBuilder(path: String, permissive: Boolean)
@@ -103,29 +168,16 @@ private class ProtoChunkScan(path: String, required: StructType, permissive: Boo
 
   override def planInputPartitions(): Array[InputPartition] = {
     val conf = SparkSession.active.sessionState.newHadoopConf()
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(conf)
-    val stat = fs.getFileStatus(p)
-    val files =
-      if (stat.isDirectory) fs.listStatus(p).filter(_.isFile).map(_.getPath)
-      else Array(p)
-    files.sortBy(_.toString).map(f => ProtoChunkPartition(f.toString): InputPartition)
+    ProtoChunkSource.listFrameFiles(path, conf)
+      .map(f => ProtoChunkPartition(f): InputPartition)
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = {
-    // the session's Hadoop conf (spark.hadoop.* — s3a credentials,
-    // endpoints, …) must travel to the executors with the factory; a
-    // bare `new Configuration()` on the reader side would only see
-    // classpath defaults and break any non-local filesystem
-    val confEntries = {
-      val conf = SparkSession.active.sessionState.newHadoopConf()
-      val it = conf.iterator()
-      val b = Map.newBuilder[String, String]
-      while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue) }
-      b.result()
-    }
-    new ProtoChunkReaderFactory(required.fieldNames, permissive, confEntries)
-  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ProtoChunkReaderFactory(required.fieldNames, permissive,
+      ProtoChunkSource.sessionConfEntries())
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new ProtoChunkMicroBatchStream(path, required.fieldNames, permissive)
 }
 
 private case class ProtoChunkPartition(file: String) extends InputPartition
@@ -137,80 +189,269 @@ private class ProtoChunkReaderFactory(columns: Array[String], permissive: Boolea
       permissive, confEntries)
 }
 
-/** Reads one frame file; emits only the pruned columns. The whole file
-  * is buffered (frame files are chunk-sized by construction — the
-  * reference caps chunks well under memory, Chunk.java constants);
-  * a production reader for unbounded files would stream the varint
-  * scanner over an FSDataInputStream instead.
-  */
-private class ProtoChunkReader(file: String, columns: Array[String], permissive: Boolean,
-    confEntries: Map[String, String]) extends PartitionReader[InternalRow] {
-  private val bytes: Array[Byte] = {
-    val conf = new org.apache.hadoop.conf.Configuration()
-    confEntries.foreach { case (k, v) => conf.set(k, v) }
-    val p = new org.apache.hadoop.fs.Path(file)
-    val fs = p.getFileSystem(conf)
-    val in = fs.open(p)
-    try {
-      val len = fs.getFileStatus(p).getLen
-      // whole-file buffering is the demo simplification (frame files are
-      // chunk-sized by construction); fail loudly rather than truncating
-      // the length into a wrapped/negative array size
-      require(len <= Int.MaxValue - 8,
-        s"frame file $file is $len B — beyond this reader's whole-file buffer; " +
-          "split it into chunk-sized files")
-      val buf = new Array[Byte](len.toInt)
-      in.readFully(0, buf)
-      buf
-    } finally in.close()
-  }
-  private var pos = 0
-  private var current: InternalRow = _
-  private val needData = columns.contains("data")
+// ------------------------------------------------------------- streaming
 
-  override def next(): Boolean = {
-    if (pos >= bytes.length) return false
-    try {
-      var len = 0; var shift = 0
-      var more = true
-      while (more) {
-        if (pos >= bytes.length)
-          throw new IllegalArgumentException(s"truncated frame length in $file")
-        // bound the shift BEFORE using it: Int shifts wrap mod 32, so an
-        // over-long corrupt varint would otherwise alias to a small,
-        // bounds-passing length and silently misalign every later frame
-        if (shift > 28)
-          throw new IllegalArgumentException(s"corrupt frame length varint in $file")
-        val x = bytes(pos); pos += 1
-        len |= (x & 0x7f) << shift; shift += 7; more = (x & 0x80) != 0
-      }
-      if (len < 0 || pos + len > bytes.length)
-        throw new IllegalArgumentException(
-          s"corrupt frame length $len at offset $pos in $file")
-      val frame = java.util.Arrays.copyOfRange(bytes, pos, pos + len)
-      pos += len
-      // prune-aware decode: when `data` is not selected the payload
-      // bytes are skipped inside the decoder, never copied
-      val c = ProtoIngest.decodeStoreChunkPruned(frame, withData = needData)
-      current = InternalRow.fromSeq(columns.toSeq.map {
-        case "fileName"   => UTF8String.fromString(c.fileName)
-        case "sequenceNo" => c.sequenceNo
-        case "checksum"   => UTF8String.fromString(c.checksum)
-        case "data"       => c.data
-      })
-      true
-    } catch {
-      case e: IllegalArgumentException if permissive =>
-        // the framing is length-chained: one corrupt length orphans the
-        // remainder of the file, so drop it and end this partition
-        pos = bytes.length
-        false
-      case e: IllegalArgumentException =>
-        throw new IllegalArgumentException(
-          s"corrupt frame in $file (use mode=permissive to skip): ${e.getMessage}", e)
+/** Micro-batch offset: the count of frame files discovered so far.
+  * Files are assigned monotonically increasing indices at discovery
+  * time, so the half-open index range (start, end] of a micro-batch
+  * names an immutable file set.
+  */
+private case class FrameCountOffset(n: Long) extends Offset {
+  override def json: String = n.toString
+}
+
+/** Incremental file discovery over a growing frame directory. Each
+  * `latestOffset` call lists the directory and appends unseen files
+  * (sorted, for deterministic intra-batch order) to the discovery log;
+  * a micro-batch plans one InputPartition per file in its offset range
+  * and reuses the batch PartitionReader unchanged.
+  *
+  * The discovery log lives in this driver-side instance — on restart
+  * from a checkpoint the log is rebuilt from the current listing, so a
+  * restarted query re-reads files that arrived after the last committed
+  * offset (at-least-once, like a file source without a compact log;
+  * frames are keyed so downstream dedup makes it effectively-once —
+  * the Streaming.dedupStream / idempotent-sink patterns).
+  */
+private class ProtoChunkMicroBatchStream(path: String, columns: Array[String],
+    permissive: Boolean) extends MicroBatchStream {
+  private val confEntries = ProtoChunkSource.sessionConfEntries()
+  private val discovered = new scala.collection.mutable.ArrayBuffer[String]()
+  private val seen = new scala.collection.mutable.HashSet[String]()
+
+  private def discover(): Unit = {
+    val files = ProtoChunkSource.listFrameFiles(path, ProtoChunkSource.hadoopConf(confEntries))
+    files.foreach { f =>
+      if (!seen.contains(f)) { seen += f; discovered += f }
     }
   }
 
+  override def initialOffset(): Offset = FrameCountOffset(0L)
+
+  override def latestOffset(): Offset = {
+    discover()
+    FrameCountOffset(discovered.length.toLong)
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[FrameCountOffset].n.toInt
+    val e = end.asInstanceOf[FrameCountOffset].n.toInt
+    discovered.slice(s, e).map(f => ProtoChunkPartition(f): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ProtoChunkReaderFactory(columns, permissive, confEntries)
+
+  override def deserializeOffset(json: String): Offset = FrameCountOffset(json.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+// ----------------------------------------------------------------- read
+
+/** Streams frames off one file; emits only the pruned columns. Memory
+  * is bounded by the largest single frame (one body buffer at a time),
+  * not the file — an unbounded append-log file reads in constant space.
+  *
+  * Error taxonomy (matters for permissive mode):
+  *  - FRAMING error — truncated/over-long length varint, or a length
+  *    past EOF: the length chain is broken, nothing after is
+  *    addressable → drop the rest of the file (permissive) or throw.
+  *  - BODY error — the frame was well-delimited but its protobuf body
+  *    fails to decode: alignment is intact → skip just that frame and
+  *    continue (permissive) or throw.
+  */
+private class ProtoChunkReader(file: String, columns: Array[String], permissive: Boolean,
+    confEntries: Map[String, String]) extends PartitionReader[InternalRow] {
+  private val (in, fileLen) = {
+    val conf = ProtoChunkSource.hadoopConf(confEntries)
+    val p = new org.apache.hadoop.fs.Path(file)
+    val fs = p.getFileSystem(conf)
+    val len = fs.getFileStatus(p).getLen
+    (new java.io.DataInputStream(new java.io.BufferedInputStream(fs.open(p), 1 << 16)), len)
+  }
+  private var pos = 0L
+  private var current: InternalRow = _
+  private val needData = columns.contains("data")
+
+  /** Frame-length varint, read byte-at-a-time off the stream.
+    * Accumulates into a LONG: an Int accumulator truncates the 5th
+    * byte's high bits (shift 28 pushes them past bit 31), so a corrupt
+    * varint like 80 80 80 80 10 would alias to len=0 and silently
+    * misalign every later frame — the exact failure the bounds check
+    * exists to catch. Returns -1 on clean EOF (stream ended exactly at
+    * a frame boundary).
+    */
+  private def readFrameLen(): Long = {
+    var v = 0L; var shift = 0; var first = true
+    while (true) {
+      val x = in.read()
+      if (x < 0) {
+        if (first) return -1L
+        throw new FramingException(s"truncated frame length varint at offset $pos in $file")
+      }
+      pos += 1
+      if (shift > 63)
+        throw new FramingException(s"corrupt frame length varint at offset $pos in $file")
+      v |= (x & 0x7fL) << shift
+      shift += 7; first = false
+      if ((x & 0x80) == 0) return v
+    }
+    v // unreachable
+  }
+
+  private final class FramingException(msg: String) extends IllegalArgumentException(msg)
+
+  override def next(): Boolean = {
+    while (true) {
+      val len =
+        try {
+          val l = readFrameLen()
+          if (l < 0) return false // clean EOF
+          if (l > fileLen - pos || l > Int.MaxValue)
+            throw new FramingException(
+              s"corrupt frame length $l at offset $pos in $file (${fileLen - pos} B remain)")
+          l.toInt
+        } catch {
+          case e: FramingException if permissive =>
+            // length chain broken: the remainder of the file is
+            // unaddressable — drop it and end this partition
+            return false
+          case e: FramingException =>
+            throw new IllegalArgumentException(
+              s"corrupt framing in $file (use mode=permissive to skip): ${e.getMessage}", e)
+        }
+      val frame = new Array[Byte](len)
+      try in.readFully(frame)
+      catch {
+        case _: java.io.EOFException if permissive => return false
+        case _: java.io.EOFException =>
+          throw new IllegalArgumentException(
+            s"truncated frame body at offset $pos in $file (use mode=permissive to skip)")
+      }
+      pos += len
+      // body decode: the frame is well-delimited, so a failure here does
+      // NOT break alignment — permissive mode skips just this frame
+      try {
+        val c = ProtoIngest.decodeStoreChunkPruned(frame, withData = needData)
+        current = InternalRow.fromSeq(columns.toSeq.map {
+          case "fileName"   => UTF8String.fromString(c.fileName)
+          case "sequenceNo" => c.sequenceNo
+          case "checksum"   => UTF8String.fromString(c.checksum)
+          case "data"       => c.data
+        })
+        return true
+      } catch {
+        case _: IllegalArgumentException if permissive => () // skip frame, loop on
+        case e: IllegalArgumentException =>
+          throw new IllegalArgumentException(
+            s"corrupt frame body in $file (use mode=permissive to skip): ${e.getMessage}", e)
+      }
+    }
+    false // unreachable
+  }
+
   override def get(): InternalRow = current
+  override def close(): Unit = in.close()
+}
+
+// ---------------------------------------------------------------- write
+
+private class ProtoChunkWriteBuilder(path: String, info: LogicalWriteInfo)
+    extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  // .mode("overwrite") arrives as truncate-then-append
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write =
+    new ProtoChunkWrite(path, info.schema(), info.queryId(), doTruncate)
+}
+
+private class ProtoChunkWrite(path: String, schema: StructType, queryId: String,
+    truncate: Boolean) extends Write with BatchWrite {
+  override def toBatch: BatchWrite = this
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    val names = schema.fieldNames
+    val missing = ProtoChunkSource.schema.fieldNames.filterNot(names.contains)
+    require(missing.isEmpty,
+      s"proto chunk write needs columns ${ProtoChunkSource.schema.fieldNames.mkString(", ")}; " +
+        s"missing: ${missing.mkString(", ")}")
+    val confEntries = ProtoChunkSource.sessionConfEntries()
+    if (truncate) {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(ProtoChunkSource.hadoopConf(confEntries))
+      if (fs.exists(p))
+        fs.listStatus(p).filter(s => s.isFile && ProtoChunkSource.isDataFile(s.getPath))
+          .foreach(s => fs.delete(s.getPath, false))
+    }
+    new ProtoChunkWriterFactory(path, names, queryId, confEntries)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    // committed task files are visible (rename already happened) — roll
+    // them back so an aborted job leaves the directory unchanged
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(ProtoChunkSource.hadoopConf(ProtoChunkSource.sessionConfEntries()))
+    messages.collect { case ProtoChunkCommit(f) =>
+      fs.delete(new org.apache.hadoop.fs.Path(f), false)
+    }
+  }
+}
+
+private case class ProtoChunkCommit(file: String) extends WriterCommitMessage
+
+private class ProtoChunkWriterFactory(path: String, names: Array[String], queryId: String,
+    confEntries: Map[String, String]) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new ProtoChunkWriter(path, names, queryId, partitionId, taskId, confEntries)
+}
+
+/** One frame file per task, encoded with ProtoIngest.encodeStoreChunk
+  * (the reference's persisted payload). Writes to a dot-prefixed temp
+  * name; task commit renames it into place — rename is the HDFS
+  * atomicity primitive, so a failed/speculative task never exposes a
+  * partial file (readers skip dot-files). File names carry
+  * (queryId, partitionId, taskId) so speculative attempts can't
+  * collide.
+  */
+private class ProtoChunkWriter(path: String, names: Array[String], queryId: String,
+    partitionId: Int, taskId: Long, confEntries: Map[String, String])
+    extends DataWriter[InternalRow] {
+  private val fs = new org.apache.hadoop.fs.Path(path)
+    .getFileSystem(ProtoChunkSource.hadoopConf(confEntries))
+  private val finalPath = new org.apache.hadoop.fs.Path(path,
+    f"part-$partitionId%05d-$taskId-$queryId.frames")
+  private val tempPath = new org.apache.hadoop.fs.Path(path, "." + finalPath.getName + ".inprogress")
+  private val out = fs.create(tempPath, true)
+  private val iName = names.indexOf("fileName")
+  private val iSeq = names.indexOf("sequenceNo")
+  private val iSum = names.indexOf("checksum")
+  private val iData = names.indexOf("data")
+
+  override def write(row: InternalRow): Unit = {
+    val c = ProtoIngest.StoreChunk(
+      if (row.isNullAt(iName)) "" else row.getUTF8String(iName).toString,
+      if (row.isNullAt(iSeq)) 0 else row.getInt(iSeq),
+      if (row.isNullAt(iSum)) "" else row.getUTF8String(iSum).toString,
+      if (row.isNullAt(iData)) Array.emptyByteArray else row.getBinary(iData))
+    val body = ProtoIngest.encodeStoreChunk(c)
+    out.write(ProtoChunkSource.varint(body.length))
+    out.write(body)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    if (!fs.rename(tempPath, finalPath))
+      throw new java.io.IOException(s"rename $tempPath -> $finalPath failed")
+    ProtoChunkCommit(finalPath.toString)
+  }
+
+  override def abort(): Unit = {
+    try out.close() catch { case _: java.io.IOException => () }
+    fs.delete(tempPath, false)
+  }
+
   override def close(): Unit = ()
 }

@@ -20,25 +20,24 @@ class FoldChainedXorSpec extends AnyFunSuite {
 
   test("chained constant XORs fold to one (rule applied to the live optimizer)") {
     import spark.implicits._
-    spark.experimental.extraOptimizations =
-      spark.experimental.extraOptimizations :+ plans.FoldChainedXor
-    try {
-      // parquet-backed source: a local Seq would be constant-folded into
-      // a LocalRelation before the xor chain is even visible
-      val df = Tables.events(spark, SparkTestSession.sf0001)
-        .select((col("event_id").bitwiseXOR(lit(1227844342346046657L))
-          .bitwiseXOR(lit(530179042305200133L))).as("salted"))
-      assert(countXors(df.queryExecution.optimizedPlan) == 1,
-        s"chain not folded:\n${df.queryExecution.optimizedPlan}")
-      // and the folded plan computes the same values as unfolded semantics
-      val ids = Tables.events(spark, SparkTestSession.sf0001)
-        .select("event_id").as[Long].collect()
-      val expect = ids.map(_ ^ 1227844342346046657L ^ 530179042305200133L).sorted.toSeq
-      assert(df.as[Long].collect().sorted.toSeq == expect)
-    } finally {
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations.filterNot(_ == plans.FoldChainedXor)
-    }
+    // GraftFunctions.ensureRegistered (run at session acquisition — the
+    // same path Verify/Bench/Explain use) installs the rule via
+    // experimental.extraOptimizations; no per-test splicing, so this
+    // asserts the SHIPPED registration path, not a test-only one
+    assert(spark.experimental.extraOptimizations.contains(plans.FoldChainedXor),
+      "ensureRegistered did not install FoldChainedXor")
+    // parquet-backed source: a local Seq would be constant-folded into
+    // a LocalRelation before the xor chain is even visible
+    val df = Tables.events(spark, SparkTestSession.sf0001)
+      .select((col("event_id").bitwiseXOR(lit(1227844342346046657L))
+        .bitwiseXOR(lit(530179042305200133L))).as("salted"))
+    assert(countXors(df.queryExecution.optimizedPlan) == 1,
+      s"chain not folded:\n${df.queryExecution.optimizedPlan}")
+    // and the folded plan computes the same values as unfolded semantics
+    val ids = Tables.events(spark, SparkTestSession.sf0001)
+      .select("event_id").as[Long].collect()
+    val expect = ids.map(_ ^ 1227844342346046657L ^ 530179042305200133L).sorted.toSeq
+    assert(df.as[Long].collect().sorted.toSeq == expect)
   }
 
   test("rule folds all commuted literal positions, skips column-column xor") {

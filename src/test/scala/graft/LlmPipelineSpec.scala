@@ -121,6 +121,27 @@ class LlmPipelineSpec extends AnyFunSuite {
     assert(ops.LlmPipeline.simhashPairsFromSig(sh, cap = 100).count() == 60L * 59 / 2 + 1)
   }
 
+  test("ngram degenerate shingle is df-capped, not exploded") {
+    import spark.implicits._
+    // a stopword-like shingle held by 150 docs (> NgramDfCap=100) must
+    // not contribute pairs; two docs sharing two healthy shingles must
+    // still pair with exact Jaccard over their FULL shingle sets
+    val stop = (0 until 150).map(i => (i.toLong, 99999L))
+    val healthy = Seq((1000L, 1L), (1000L, 2L), (1000L, 3L),
+      (1001L, 1L), (1001L, 2L), (1001L, 4L))
+    val postings = (stop ++ healthy).toDF("doc_id", "sh")
+    val out = ops.LlmPipeline.ngramPairsFromPostings(postings).collect()
+    assert(out.length == 1)
+    assert(out.head.getLong(0) == 1000L && out.head.getLong(1) == 1001L)
+    // |∩|=2 ({1,2}), |A|=|B|=3 → J = 2/(3+3-2) = 0.5
+    assert(out.head.getDouble(2) == 0.5)
+    val ov = ops.LlmPipeline.ngramDfOverflow(postings).collect()
+    assert(ov.length == 1 && ov.head.getLong(0) == 99999L && ov.head.getLong(1) == 150L)
+    // raising the cap re-admits the stopword shingle: C(150,2)+1 pairs,
+    // clipped to the function's own top-100
+    assert(ops.LlmPipeline.ngramPairsFromPostings(postings, cap = 200).count() == 100L)
+  }
+
   test("approx_count_distinct within 10% of exact (#33 tolerance rule)") {
     val d = SparkTestSession.sf0001
     val approx = ops.Relational.aggApproxDistinct(spark, d)

@@ -71,6 +71,22 @@ class PlanShapeSpec extends AnyFunSuite {
       s"as-of fell back to sort-based aggregation:\n$plan")
   }
 
+  test("as-of join never force-broadcasts the per-key aggregates (#30)") {
+    // Both join sides are one row per distinct user_id — unbounded at
+    // 100 TB — so a mandatory broadcast() hint (which bypasses AQE's size
+    // check) would be a multi-GB driver collect-and-ship at scale. The
+    // plan must leave the join strategy to AQE: no BROADCAST hint may
+    // survive into the optimized logical plan.
+    val hints = ops.Relational.joinAsof(spark, d)
+      .queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join
+            if j.hint.leftHint.exists(_.strategy.isDefined) ||
+               j.hint.rightHint.exists(_.strategy.isDefined) => j
+      }
+    assert(hints.isEmpty,
+      s"as-of join carries a mandatory join-strategy hint:\n${hints.mkString("\n")}")
+  }
+
   test("bucketed tables co-locate the fact-fact join: zero shuffle exchanges") {
     // The 100 TB answer for repeated fact-fact joins: bucket BOTH sides
     // by the join key at write time, and the join needs no Exchange at

@@ -74,6 +74,138 @@ class ProtoChunkSourceSpec extends AnyFunSuite {
       Option(e.getCause).exists(_.getMessage.contains("corrupt")))
   }
 
+  test("permissive mode skips a corrupt frame BODY but keeps later frames in the file") {
+    val dir = writeFixture()
+    // splice a well-FRAMED but undecodable body between two good frames:
+    // framing alignment is intact, so only that one frame may be lost
+    val target = java.nio.file.Paths.get(dir, "frames-1.pb")
+    val good = java.nio.file.Files.readAllBytes(target)
+    val badBody = Array[Byte](0x0f, 1, 2) // field 1, wire type 7 = invalid
+    val framed = Array[Byte](badBody.length.toByte) ++ badBody
+    java.nio.file.Files.write(target, framed ++ good) // bad frame FIRST
+    val permissive = spark.read.format(fmt).option("mode", "permissive").load(dir)
+    // all 12 good frames survive — the corrupt body cost only itself
+    assert(permissive.count() == 12)
+    assert(permissive.where(col("fileName") === "file-1.bin").count() == 4)
+    val e = intercept[org.apache.spark.SparkException] {
+      spark.read.format(fmt).load(dir).count()
+    }
+    assert(e.getMessage.contains("corrupt") ||
+      Option(e.getCause).exists(_.getMessage.contains("corrupt")))
+  }
+
+  test("over-long length varint is rejected, not truncated to a small alias") {
+    val dir = writeFixture()
+    // 80 80 80 80 80 80 80 80 80 80 (10 continuation bytes, shift > 63):
+    // an Int accumulator would alias bytes like 80 80 80 80 10 to len=0
+    // and silently misalign; the Long accumulator + shift bound rejects
+    val target = java.nio.file.Paths.get(dir, "frames-0.pb")
+    val good = java.nio.file.Files.readAllBytes(target)
+    java.nio.file.Files.write(target, good ++ Array.fill(10)(0x80.toByte))
+    val e = intercept[org.apache.spark.SparkException] {
+      spark.read.format(fmt).load(
+        java.nio.file.Paths.get(dir, "frames-0.pb").toString).count()
+    }
+    assert(e.getMessage.contains("corrupt") ||
+      Option(e.getCause).exists(_.getMessage.contains("corrupt")))
+    // and the 5-byte alias shape specifically: 80 80 80 80 10 must NOT
+    // parse as len=0 (it is a framing error: value 2^32+… > remaining)
+    java.nio.file.Files.write(target,
+      good ++ Array[Byte](0x80.toByte, 0x80.toByte, 0x80.toByte, 0x80.toByte, 0x10))
+    val permissive = spark.read.format(fmt).option("mode", "permissive")
+      .load(java.nio.file.Paths.get(dir, "frames-0.pb").toString)
+    assert(permissive.count() == 4) // the 4 good frames; tail dropped, nothing aliased
+  }
+
+  test("streamed reader handles a many-frame single file in constant frame-bounded memory") {
+    // the reader buffers ONE frame at a time off the FSDataInputStream —
+    // a file of many frames exercises the loop; memory is bounded by the
+    // largest frame, not the file (the old whole-file buffer is gone)
+    val dir = java.nio.file.Files.createTempDirectory("graft-protobig").toString
+    val chunks = (0 until 5000).map { i =>
+      ProtoIngest.StoreChunk(s"big-${i % 7}.bin", i, f"c$i%010d", Array.fill(64)(i.toByte))
+    }
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "big.pb"), ProtoChunkSource.frameBytes(chunks))
+    val df = spark.read.format(fmt).load(dir)
+    assert(df.count() == 5000)
+    assert(df.agg(sum("sequenceNo")).head.getLong(0) == 5000L * 4999 / 2)
+  }
+
+  test("write path: df.write through the source round-trips byte-exact") {
+    val src = writeFixture()
+    val out = java.nio.file.Files.createTempDirectory("graft-protowrite").toString
+    val df = spark.read.format(fmt).load(src)
+    df.write.format(fmt).mode("append").save(out)
+    // no temp litter: every in-progress temp was renamed away (dot-files
+    // that remain are the local FS's .crc checksum sidecars, which the
+    // reader's dot-file filter skips like any hidden metadata)
+    val files = new java.io.File(out).listFiles().map(_.getName)
+    assert(files.exists(f => !f.startsWith(".") && !f.startsWith("_")))
+    assert(!files.exists(_.endsWith(".inprogress")))
+    val back = spark.read.format(fmt).load(out)
+    assert(back.count() == 12)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getInt(1), r.getString(2), r.getAs[Array[Byte]](3).toSeq)
+    assert(back.collect().map(key).toSet == df.collect().map(key).toSet)
+    // the written frames ARE reference frames: raw ProtoIngest decode agrees
+    val raw = new java.io.File(out).listFiles().filter(f =>
+      !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+      .flatMap { f =>
+        val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+        var pos = 0
+        val outB = Seq.newBuilder[ProtoIngest.StoreChunk]
+        while (pos < bytes.length) {
+          var len = 0L; var shift = 0; var more = true
+          while (more) {
+            val x = bytes(pos); pos += 1
+            len |= (x & 0x7fL) << shift; shift += 7; more = (x & 0x80) != 0
+          }
+          outB += ProtoIngest.decodeStoreChunk(
+            java.util.Arrays.copyOfRange(bytes, pos, pos + len.toInt))
+          pos += len.toInt
+        }
+        outB.result()
+      }
+    assert(raw.length == 12 &&
+      raw.map(c => (c.fileName, c.sequenceNo, c.checksum, c.data.toSeq)).toSet ==
+        df.collect().map(key).toSet)
+    // overwrite truncates: writing a 4-row subset replaces the 12
+    df.where(col("fileName") === "file-0.bin")
+      .write.format(fmt).mode("overwrite").save(out)
+    assert(spark.read.format(fmt).load(out).count() == 4)
+    // pruned read over written files still green
+    val pruned = spark.read.format(fmt).load(out).select("fileName", "sequenceNo")
+    val scanLine = pruned.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("BatchScan")).getOrElse("")
+    assert(scanLine.contains("fileName") && !scanLine.contains("data#"))
+  }
+
+  test("micro-batch stream ingests frames appended across two batches") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-protostream").toString
+    def writeFrames(name: String, fileTag: String): Unit =
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, name),
+        ProtoChunkSource.frameBytes((0 until 4).map(i =>
+          ProtoIngest.StoreChunk(s"$fileTag.bin", i, f"c$i%010d", Array[Byte](1, 2)))))
+    writeFrames("batch-a.pb", "stream-a")
+    val q = spark.readStream.format(fmt).load(dir)
+      .select("fileName", "sequenceNo")
+      .writeStream.format("memory").queryName("proto_mb_sink").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("proto_mb_sink").count() == 4)
+      // second micro-batch: only the NEW file is read
+      writeFrames("batch-b.pb", "stream-b")
+      q.processAllAvailable()
+      val rows = spark.table("proto_mb_sink")
+        .collect().map(r => (r.getString(0), r.getInt(1)))
+      assert(rows.length == 8)
+      assert(rows.count(_._1 == "stream-a.bin") == 4)
+      assert(rows.count(_._1 == "stream-b.bin") == 4)
+    } finally q.stop()
+  }
+
   test("decoded frames feed the validate/reassemble path like any source") {
     val dir = writeFixture()
     val chunks = spark.read.format(fmt).load(dir)

@@ -33,6 +33,15 @@ class SkewSpec extends AnyFunSuite {
     assert(byKey(0) == 9000L && byKey(1) == 11L)
   }
 
+  test("salted join refuses inputs that already carry the salt column") {
+    import spark.implicits._
+    val withSalt = skewedFact.withColumn(ops.Skew.SaltCol, lit(0))
+    val e = intercept[IllegalArgumentException] {
+      ops.Skew.saltedJoin(withSalt, dim, "k", 8)
+    }
+    assert(e.getMessage.contains(ops.Skew.SaltCol))
+  }
+
   test("salting spreads the hot key across shuffle partitions") {
     import spark.implicits._
     def maxPartitionRows(df: org.apache.spark.sql.DataFrame): Long =

@@ -137,6 +137,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming session_window finalizes a session when the watermark passes it (#50)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[ops.Streaming.Heartbeat]
+    val q = ops.Streaming.sessionizedStream(ms.toDS())
+      .writeStream.format("memory").queryName("sessions_wm")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // two beats 10 min apart merge into one session [10:00, 10:40)
+      ms.addData(ops.Streaming.Heartbeat(ts("2024-01-01 10:00:00"), "n1"),
+        ops.Streaming.Heartbeat(ts("2024-01-01 10:10:00"), "n1"))
+      q.processAllAvailable()
+      // still open (watermark behind session end): nothing emitted yet
+      assert(spark.table("sessions_wm").count() == 0)
+      // 11:30 starts a NEW session (gap > 30 min) and advances the
+      // watermark to 11:20 — past 10:40, so session 1 finalizes
+      ms.addData(ops.Streaming.Heartbeat(ts("2024-01-01 11:30:00"), "n1"))
+      q.processAllAvailable()
+      def rows() = spark.sql(
+        "SELECT node, CAST(session_start AS STRING), CAST(session_end AS STRING), n " +
+          "FROM sessions_wm")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+      assert(rows() == Set(
+        ("n1", "2024-01-01 10:00:00", "2024-01-01 10:40:00", 2L)), rows().toString)
+      // advance past session 2's end (11:30 + 30 min = 12:00): it flushes
+      ms.addData(ops.Streaming.Heartbeat(ts("2024-01-01 13:00:00"), "n2"))
+      q.processAllAvailable()
+      assert(rows() == Set(
+        ("n1", "2024-01-01 10:00:00", "2024-01-01 10:40:00", 2L),
+        ("n1", "2024-01-01 11:30:00", "2024-01-01 12:00:00", 1L)), rows().toString)
+    } finally q.stop()
+  }
+
   test("foreachBatch snapshot sink upserts latest heartbeat per node, idempotently") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
