@@ -461,22 +461,41 @@ object LlmPipeline {
     * by ~nlist×, the assignment is a broadcast join against the tiny
     * centroid table, and the bucket scan shuffles on centroid id.
     */
-  def simSearchIvf(s: SparkSession, d: String): DataFrame = {
+  def simSearchIvf(s: SparkSession, d: String): DataFrame =
+    simSearchIvfProbed(s, d, nprobe = 1)
+
+  /** q_sim_search_ivf2 — the same IVF index probed with nprobe = 2: the
+    * probe vector searches its TWO nearest centroids' buckets. The
+    * standard recall fix for single-probe IVF (a query near a Voronoi
+    * boundary has most of its true neighbors in the second-closest
+    * cell); cost scales linearly in nprobe while recall climbs steeply,
+    * which is why faiss defaults nprobe > 1 at scale. Same deterministic
+    * integer math as the nprobe = 1 form, so fully oracle-checked; the
+    * recall ordering (multi ⊇ single probe candidates) is additionally
+    * pinned in LlmPipelineSpec.
+    */
+  def simSearchIvf2(s: SparkSession, d: String): DataFrame =
+    simSearchIvfProbed(s, d, nprobe = 2)
+
+  private def simSearchIvfProbed(s: SparkSession, d: String, nprobe: Int): DataFrame = {
     val e = Tables.embeddings(s, d).select(col("vec_id"), expr(quant).as("q"))
     val cents = broadcast(e.where(col("vec_id") < 8)
       .select(col("vec_id").as("cent_id"), col("q").as("qc")))
     // |q - qc|² expanded to dots: exact integer identity, all codegen'd
     val d2 = s"(${dotL("q", "q")} - 2 * ${dotL("q", "qc")} + ${dotL("qc", "qc")})"
     val w = Window.partitionBy("vec_id").orderBy(col("dist2").asc, col("cent_id").asc)
-    val assigned = e.crossJoin(cents)
+    val dists = e.crossJoin(cents)
       .select(col("vec_id"), col("q"), col("cent_id"), expr(d2).as("dist2"))
-      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .withColumn("rn", row_number().over(w))
+    val assigned = dists.where(col("rn") === 1)
       .select(col("vec_id"), col("q"), col("cent_id"))
-    val probeCent = assigned.where(col("vec_id") === 0)
+    // nprobe nearest centroids of the probe vector — nprobe rows, all
+    // carrying the probe's quantized vector and norm for the cosine
+    val probeCents = dists.where(col("vec_id") === 0 && col("rn") <= nprobe)
       .select(col("q").as("qa"), expr(dotL("q", "q")).as("n2a"),
         col("cent_id").as("probe_cent"))
     assigned.where(col("vec_id") =!= 0)
-      .join(broadcast(probeCent), col("cent_id") === col("probe_cent"))
+      .join(broadcast(probeCents), col("cent_id") === col("probe_cent"))
       .select(col("vec_id"), col("cent_id"),
         (expr(dotL("qa", "q")).cast("double") /
           sqrt(col("n2a").cast("double") *
@@ -525,6 +544,50 @@ object LlmPipeline {
     val probe = broadcast(b.where(col("vec_id") === 0)
       .select(col("q").as("qa"), expr(dotL("q", "q")).as("n2a"),
         col("bucket").as("probe_bucket")))
+    b.where(col("vec_id") =!= 0)
+      .join(probe, col("bucket") === col("probe_bucket"))
+      .select(col("vec_id"), col("bucket"),
+        (expr(dotL("qa", "q")).cast("double") /
+          sqrt(col("n2a").cast("double") *
+            expr(dotL("q", "q")).cast("double"))).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(5)
+  }
+
+  /** q_sim_search_lsh_mp — multi-probe sign-LSH: the probe searches its
+    * own bucket AND the bucket reached by flipping its LOWEST-MARGIN
+    * bit — the plane whose dot product with the probe is smallest in
+    * magnitude, i.e. the sign decision most likely to differ for a true
+    * near neighbor (the standard multi-probe LSH heuristic: perturb the
+    * least-confident hash bits first, instead of maintaining more hash
+    * tables). Doubles the probed set for one extra bucket lookup; at
+    * 100 TB with bucket as the bucketBy key this is two bucket reads
+    * instead of one, not a wider scan. Margin math is the same integer
+    * plane dots that build the bucket, tie → lowest plane index — fully
+    * deterministic, so oracle-checked like the single-probe form.
+    */
+  def simSearchLshMp(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), expr(quant).as("q"))
+    def planeDot(p: Int) =
+      dotL("q", s"array(${LshPlanes(p).map(w => s"${w}L").mkString(", ")})")
+    val withDots = e.select(col("vec_id") +: col("q") +:
+      (0 until 4).map(p => expr(planeDot(p)).as(s"d$p")): _*)
+    val bucketExpr = (0 until 4)
+      .map(p => s"(CASE WHEN d$p >= 0 THEN ${1 << p} ELSE 0 END)")
+      .mkString(" + ")
+    // first plane whose |dot| is <= every later plane's = lowest-index
+    // minimum margin; flipping that bit names the second probe bucket
+    val flipExpr =
+      "CASE WHEN abs(d0) <= abs(d1) AND abs(d0) <= abs(d2) AND abs(d0) <= abs(d3) THEN 1 " +
+        "WHEN abs(d1) <= abs(d2) AND abs(d1) <= abs(d3) THEN 2 " +
+        "WHEN abs(d2) <= abs(d3) THEN 4 ELSE 8 END"
+    val b = withDots
+      .withColumn("bucket", expr(bucketExpr).cast("int"))
+      .withColumn("flip", expr(flipExpr).cast("int"))
+    val probe = broadcast(b.where(col("vec_id") === 0)
+      .select(col("q").as("qa"), expr(dotL("q", "q")).as("n2a"),
+        explode(array(col("bucket"),
+          expr("CAST(bucket ^ flip AS INT)"))).as("probe_bucket")))
     b.where(col("vec_id") =!= 0)
       .join(probe, col("bucket") === col("probe_bucket"))
       .select(col("vec_id"), col("bucket"),
@@ -719,7 +782,9 @@ object LlmPipeline {
     "q_dedup_embed"         -> (dedupEmbed _),
     "q_sim_search"          -> (simSearch _),
     "q_sim_search_ivf"      -> (simSearchIvf _),
+    "q_sim_search_ivf2"     -> (simSearchIvf2 _),
     "q_sim_search_lsh"      -> (simSearchLsh _),
+    "q_sim_search_lsh_mp"   -> (simSearchLshMp _),
     "q_sim_search_ivf_kmeans" -> (simSearchIvfKmeans _),
     "q_text_tokens"         -> (textTokens _),
     "q_text_stats"          -> (textStats _),
@@ -853,6 +918,25 @@ object LlmPipeline {
           "CAST(list_sum(list_transform(list_zip(b.q, b.q), p -> p[1] * p[2])) AS BIGINT) AS DOUBLE)) AS cos " +
           "FROM assigned b, pn WHERE b.cent_id = pn.probe_cent AND b.vec_id <> 0 " +
           "ORDER BY cos DESC, vec_id LIMIT 5"),
+      "q_sim_search_ivf2" ->
+        // nprobe=2 mirror: the probe joins its TWO nearest centroids
+        (s"WITH q AS (SELECT vec_id, $quantDuck AS q FROM embeddings), " +
+          "cents AS (SELECT vec_id AS cent_id, q AS qc FROM q WHERE vec_id < 8), " +
+          "dists0 AS (SELECT vec_id, q, cent_id, " +
+          "CAST(list_sum(list_transform(list_zip(q, qc), p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS dist2 " +
+          "FROM q, cents), " +
+          "dists AS (SELECT *, row_number() OVER " +
+          "(PARTITION BY vec_id ORDER BY dist2 ASC, cent_id ASC) AS rn FROM dists0), " +
+          "assigned AS (SELECT vec_id, q, cent_id FROM dists WHERE rn = 1), " +
+          "pn AS (SELECT q AS qa, cent_id AS probe_cent, " +
+          "CAST(list_sum(list_transform(list_zip(q, q), p -> p[1] * p[2])) AS BIGINT) AS n2a " +
+          "FROM dists WHERE vec_id = 0 AND rn <= 2) " +
+          "SELECT b.vec_id, b.cent_id, " +
+          "CAST(list_sum(list_transform(list_zip(pn.qa, b.q), p -> p[1] * p[2])) AS BIGINT) " +
+          "/ sqrt(CAST(pn.n2a AS DOUBLE) * CAST(" +
+          "CAST(list_sum(list_transform(list_zip(b.q, b.q), p -> p[1] * p[2])) AS BIGINT) AS DOUBLE)) AS cos " +
+          "FROM assigned b JOIN pn ON b.cent_id = pn.probe_cent WHERE b.vec_id <> 0 " +
+          "ORDER BY cos DESC, vec_id LIMIT 5"),
       "q_sim_search_lsh" -> {
         def planeDotDuck(p: Int) =
           s"CAST(list_sum(list_transform(list_zip(q, [${LshPlanes(p).mkString(", ")}]), " +
@@ -864,6 +948,34 @@ object LlmPipeline {
           s"b AS (SELECT vec_id, q, CAST($bucketDuck AS INTEGER) AS bucket FROM q), " +
           "pn AS (SELECT q AS qa, bucket AS probe_bucket, " +
           "CAST(list_sum(list_transform(list_zip(q, q), p -> p[1] * p[2])) AS BIGINT) AS n2a " +
+          "FROM b WHERE vec_id = 0) " +
+          "SELECT v.vec_id, v.bucket, " +
+          "CAST(list_sum(list_transform(list_zip(pn.qa, v.q), p -> p[1] * p[2])) AS BIGINT) " +
+          "/ sqrt(CAST(pn.n2a AS DOUBLE) * CAST(" +
+          "CAST(list_sum(list_transform(list_zip(v.q, v.q), p -> p[1] * p[2])) AS BIGINT) AS DOUBLE)) AS cos " +
+          "FROM b v, pn WHERE v.bucket = pn.probe_bucket AND v.vec_id <> 0 " +
+          "ORDER BY cos DESC, vec_id LIMIT 5"
+      },
+      "q_sim_search_lsh_mp" -> {
+        def planeDotDuck(p: Int) =
+          s"CAST(list_sum(list_transform(list_zip(q, [${LshPlanes(p).mkString(", ")}]), " +
+            "p -> p[1] * p[2])) AS BIGINT)"
+        val dotsDuck = (0 until 4).map(p => s"${planeDotDuck(p)} AS d$p").mkString(", ")
+        val bucketDuck = (0 until 4)
+          .map(p => s"(CASE WHEN d$p >= 0 THEN ${1 << p} ELSE 0 END)")
+          .mkString(" + ")
+        // lowest-index minimal |margin| plane, mirroring flipExpr exactly
+        val flipDuck =
+          "CASE WHEN abs(d0) <= abs(d1) AND abs(d0) <= abs(d2) AND abs(d0) <= abs(d3) THEN 1 " +
+            "WHEN abs(d1) <= abs(d2) AND abs(d1) <= abs(d3) THEN 2 " +
+            "WHEN abs(d2) <= abs(d3) THEN 4 ELSE 8 END"
+        s"WITH q AS (SELECT vec_id, $quantDuck AS q FROM embeddings), " +
+          s"dd AS (SELECT vec_id, q, $dotsDuck FROM q), " +
+          s"b AS (SELECT vec_id, q, CAST($bucketDuck AS INTEGER) AS bucket, " +
+          s"CAST($flipDuck AS INTEGER) AS flip FROM dd), " +
+          "pn AS (SELECT q AS qa, " +
+          "CAST(list_sum(list_transform(list_zip(q, q), p -> p[1] * p[2])) AS BIGINT) AS n2a, " +
+          "unnest([bucket, CAST(xor(bucket, flip) AS INTEGER)]) AS probe_bucket " +
           "FROM b WHERE vec_id = 0) " +
           "SELECT v.vec_id, v.bucket, " +
           "CAST(list_sum(list_transform(list_zip(pn.qa, v.q), p -> p[1] * p[2])) AS BIGINT) " +

@@ -214,6 +214,43 @@ class LlmPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-probe ANN recall is >= single-probe (ivf nprobe=2, lsh bit-flip)") {
+    import spark.implicits._
+    val d = SparkTestSession.sf0001
+    // ground truth: brute-force top-5 neighbors of the probe
+    val brute5 = ops.LlmPipeline.simSearch(spark, d)
+      .as[(Long, Double)].collect().take(5).map(_._1).toSet
+    def recall(rows: Seq[(Long, _, Double)]): Double =
+      rows.map(_._1).toSet.intersect(brute5).size.toDouble / brute5.size
+    val ivf1 = ops.LlmPipeline.simSearchIvf(spark, d).as[(Long, Long, Double)].collect().toSeq
+    val ivf2 = ops.LlmPipeline.simSearchIvf2(spark, d).as[(Long, Long, Double)].collect().toSeq
+    val lsh1 = ops.LlmPipeline.simSearchLsh(spark, d).as[(Long, Int, Double)].collect().toSeq
+    val lshMp = ops.LlmPipeline.simSearchLshMp(spark, d).as[(Long, Int, Double)].collect().toSeq
+    // a wider probe can only add candidates, so recall is monotone
+    assert(recall(ivf2) >= recall(ivf1),
+      s"ivf nprobe=2 recall ${recall(ivf2)} < nprobe=1 ${recall(ivf1)}")
+    assert(recall(lshMp) >= recall(lsh1),
+      s"lsh multi-probe recall ${recall(lshMp)} < single ${recall(lsh1)}")
+    // the single-probe result embeds in the multi-probe one: every
+    // single-probe hit reappears with the identical exact cosine
+    val ivf2Map = ivf2.map(r => r._1 -> r._3).toMap
+    val mpMap = lshMp.map(r => r._1 -> r._3).toMap
+    // top-5 lists can differ only by multi-probe finding BETTER rows:
+    // any single-probe row absent from multi's top-5 must be out-scored
+    ivf1.foreach { case (id, _, c) =>
+      assert(ivf2Map.contains(id) && math.abs(ivf2Map(id) - c) < 1e-12 ||
+        ivf2Map.values.count(_ >= c - 1e-12) >= 5,
+        s"ivf2 lost single-probe hit $id without out-scoring it")
+    }
+    lsh1.foreach { case (id, _, c) =>
+      assert(mpMap.contains(id) && math.abs(mpMap(id) - c) < 1e-12 ||
+        mpMap.values.count(_ >= c - 1e-12) >= 5,
+        s"lsh_mp lost single-probe hit $id without out-scoring it")
+    }
+    // both multi-probe variants return a full (or fuller) result set
+    assert(ivf2.length >= ivf1.length && lshMp.length >= lsh1.length)
+  }
+
   test("q_sample_stratified: deterministic subset with per-stratum rates") {
     val d = SparkTestSession.sf0001
     val a = ops.LlmPipeline.sampleStratified(spark, d).collect()
