@@ -772,6 +772,97 @@ object LlmPipeline {
       .select(col("doc_id"), col("lang"), col("source"))
       .orderBy("doc_id")
 
+  /** q_decontaminate — benchmark decontamination, the eval-integrity
+    * pass every serious training pipeline runs (the C4/GPT-3 reports
+    * both describe it): a training document is flagged when it shares
+    * 3-gram shingles with the held-out benchmark set. Benchmark stand-in
+    * here: doc_id % 20 == 0 (eval suites are a FIXED, bounded set — at
+    * 100 TB the benchmark shingle table stays broadcast-sized by
+    * construction, so the overlap join is a map-side hash probe, and
+    * AQE picks exactly that without a mandatory hint). Reuses the
+    * hashed inverted-index rows of q_dedup_ngram. Output is the full
+    * per-document report (n_hits = shared shingle count, 0 = clean):
+    * the downstream filter is `n_hits = 0`, but reporting all docs
+    * keeps the contamination rate observable.
+    */
+  def decontaminate(s: SparkSession, d: String): DataFrame = {
+    val postings = ngramPostings(s, d)
+    val benchSh = postings.where(col("doc_id") % 20 === 0)
+      .select(col("sh")).distinct()
+    val train = postings.where(col("doc_id") % 20 =!= 0)
+    val hits = train.join(benchSh, "sh")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+    Tables.documents(s, d).where(col("doc_id") % 20 =!= 0)
+      .select("doc_id")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .orderBy("doc_id")
+  }
+
+  /** q_corpus_shuffle — deterministic global corpus shuffle: training
+    * order = ascending salted hash of the doc id. Every epoch of every
+    * large-scale run starts with exactly this op (reproducible global
+    * permutation, reshuffled by changing the salt); expressing it as
+    * ORDER BY md5(salt || id) makes it a range-partitioned distributed
+    * sort — no single-partition row_number window, no RNG state to
+    * mirror. The (shuffle_key, doc_id) order is total.
+    */
+  def corpusShuffle(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        md5(concat(lit("shuf|42|"), col("doc_id").cast("string"))).as("shuffle_key"))
+      .orderBy("shuffle_key", "doc_id")
+
+  /** Context-window budget for q_pack_sequences (tokens per packed
+    * training sequence).
+    */
+  private[graft] val PackBudget = 512L
+
+  /** q_pack_sequences — boundary packing of documents into fixed
+    * token-budget training sequences: bin = exclusive running token sum
+    * (per source shard, in doc_id order) DIV budget. This is the
+    * prefix-sum variant of greedy first-fit — documents never split,
+    * bins can overflow by at most one document — chosen because it is
+    * a WINDOW aggregation (partition by shard, one shuffle, parallel
+    * across shards) where exact first-fit is inherently sequential
+    * per shard. The packing is deterministic given the (source,
+    * doc_id) total order.
+    */
+  def packSequences(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        expr(s"CAST(size($toks) AS BIGINT)").as("n_tokens"))
+      .withColumn("cum_excl",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)) - col("n_tokens"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        // integer DIV, not double /: exact at any corpus size
+        expr(s"cum_excl DIV $PackBudget").as("bin"))
+      .orderBy("source", "doc_id")
+  }
+
+  /** q_mix_weights — source-mixing weights: the per-source resampling
+    * factor that equalizes token share across sources (the data-mixing
+    * step of a training run: weight > 1 upsamples an under-represented
+    * source, < 1 downsamples a dominant one). weight = (total_tokens /
+    * n_sources) / source_tokens, emitted as exact integer micros
+    * (the q_text_stats integer-mean pattern — no IEEE division in the
+    * hashed output). Two tiny aggregates; the global row broadcasts.
+    */
+  def mixWeights(s: SparkSession, d: String): DataFrame = {
+    val perSource = Tables.documents(s, d)
+      .select(col("source"), expr(s"CAST(size($toks) AS BIGINT)").as("n_tokens"))
+      .groupBy("source").agg(sum(col("n_tokens")).as("source_tokens"))
+    val global = perSource.agg(
+      sum(col("source_tokens")).as("total_tokens"),
+      count(lit(1)).as("n_sources"))
+    perSource.crossJoin(broadcast(global))
+      .select(col("source"), col("source_tokens"),
+        expr("total_tokens * 1000000 DIV (n_sources * source_tokens)")
+          .as("weight_micros"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact"         -> (dedupExact _),
     "q_dedup_minhash_sig"   -> (dedupMinhashSig _),
@@ -793,6 +884,10 @@ object LlmPipeline {
     "q_text_token_count"    -> (textTokenCount _),
     "q_text_fingerprint"    -> (textFingerprint _),
     "q_sample_stratified"   -> (sampleStratified _),
+    "q_decontaminate"       -> (decontaminate _),
+    "q_corpus_shuffle"      -> (corpusShuffle _),
+    "q_pack_sequences"      -> (packSequences _),
+    "q_mix_weights"         -> (mixWeights _),
   )
 
   val oracle: Map[String, String] = {
@@ -1019,6 +1114,37 @@ object LlmPipeline {
           "md5(array_to_string(list_sort(list_distinct(string_split(text,' '))), ' ')) AS fp_sorted, " +
           s"list_min(list_transform($shinglesDuck, s -> md5(s))) AS fp_min " +
           "FROM documents ORDER BY doc_id"),
+      "q_decontaminate" ->
+        (s"WITH ds AS (SELECT doc_id, " +
+          s"CAST(concat('0x', substring(md5(unnest(list_distinct($shinglesDuck))), 1, 15)) AS BIGINT) AS sh " +
+          "FROM documents), " +
+          "bench AS (SELECT DISTINCT sh FROM ds WHERE doc_id % 20 = 0), " +
+          "hits AS (SELECT doc_id, count(*) AS n_hits FROM ds " +
+          "JOIN bench USING (sh) WHERE doc_id % 20 <> 0 GROUP BY doc_id) " +
+          "SELECT d.doc_id, COALESCE(hits.n_hits, 0) AS n_hits " +
+          "FROM documents d LEFT JOIN hits ON hits.doc_id = d.doc_id " +
+          "WHERE d.doc_id % 20 <> 0 ORDER BY d.doc_id"),
+      "q_corpus_shuffle" ->
+        ("SELECT doc_id, md5(concat('shuf|42|', CAST(doc_id AS VARCHAR))) AS shuffle_key " +
+          "FROM documents ORDER BY shuffle_key, doc_id"),
+      "q_pack_sequences" ->
+        ("WITH t AS (SELECT doc_id, source, " +
+          "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents), " +
+          "c AS (SELECT doc_id, source, n_tokens, " +
+          "sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) - n_tokens AS cum_excl " +
+          "FROM t) " +
+          s"SELECT doc_id, source, n_tokens, cum_excl // ${LlmPipeline.PackBudget} AS bin " +
+          "FROM c ORDER BY source, doc_id"),
+      "q_mix_weights" ->
+        ("WITH t AS (SELECT source, " +
+          "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents), " +
+          "ps AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS source_tokens " +
+          "FROM t GROUP BY source), " +
+          "g AS (SELECT CAST(sum(source_tokens) AS BIGINT) AS total_tokens, " +
+          "count(*) AS n_sources FROM ps) " +
+          "SELECT source, source_tokens, " +
+          "CAST(total_tokens * 1000000 // (n_sources * source_tokens) AS BIGINT) AS weight_micros " +
+          "FROM ps, g ORDER BY source"),
     )
   }
 }

@@ -414,7 +414,52 @@ object Relational {
         col("q")(1).as("p50"), col("q")(2).as("p75"))
       .orderBy("l_returnflag")
 
+  /** q_window_distribution — percent_rank + cume_dist of order price
+    * within each order-priority class (the distributional companions to
+    * rank/ntile, completing §2B's window family). Both functions depend
+    * only on the ORDER key's value — ties get identical outputs on any
+    * engine — so the result is deterministic even though o_totalprice
+    * repeats; the emitted (priority, orderkey) order is total. One
+    * shuffle on the partition key + per-partition sort, the same plan
+    * every ranking window compiles to.
+    */
+  def windowDistribution(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority").orderBy("price")
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        col("pct_rank"), col("cume"))
+      .orderBy("o_orderpriority", "o_orderkey")
+  }
+
+  /** q_subquery_corr — the correlated-subquery shape: orders priced
+    * above their own customer's average order price. Decorrelated the
+    * way every engine (and Catalyst's RewriteCorrelatedScalarSubquery)
+    * executes it: per-customer aggregate + join back. The comparison is
+    * EXACT decimal cross-multiplication (price * n_orders >
+    * sum_of_prices) — no IEEE average in the predicate, so the row set
+    * cannot drift between engines on a tie (SURVEY §7.4 rule 1 applied
+    * to a filter instead of an output column).
+    */
+  def subqueryCorr(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"))
+    val perCust = o.groupBy("o_custkey")
+      .agg(sum(col("price")).as("sum_price"), count(lit(1)).as("n_orders"))
+    o.join(perCust, "o_custkey")
+      .where(col("price") * col("n_orders") > col("sum_price"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("price").cast("double").as("price"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_window_distribution" -> (windowDistribution _),
+    "q_subquery_corr"       -> (subqueryCorr _),
     "q_join_full_outer"     -> (joinFullOuter _),
     "q_pivot"               -> (pivotStatus _),
     "q_window_lag_lead"     -> (windowLagLead _),
@@ -444,6 +489,21 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_window_distribution" ->
+      ("SELECT o_orderkey, o_orderpriority, " +
+        "percent_rank() OVER (PARTITION BY o_orderpriority " +
+        "ORDER BY CAST(o_totalprice AS DECIMAL(18,2))) AS pct_rank, " +
+        "cume_dist() OVER (PARTITION BY o_orderpriority " +
+        "ORDER BY CAST(o_totalprice AS DECIMAL(18,2))) AS cume " +
+        "FROM orders ORDER BY o_orderpriority, o_orderkey"),
+    "q_subquery_corr" ->
+      ("WITH o AS (SELECT o_orderkey, o_custkey, " +
+        "CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM orders), " +
+        "pc AS (SELECT o_custkey, sum(price) AS sum_price, count(*) AS n_orders " +
+        "FROM o GROUP BY o_custkey) " +
+        "SELECT o_orderkey, o.o_custkey, CAST(price AS DOUBLE) AS price " +
+        "FROM o JOIN pc ON o.o_custkey = pc.o_custkey " +
+        "WHERE price * n_orders > sum_price ORDER BY o.o_custkey, o_orderkey"),
     "q_join_full_outer" ->
       ("SELECT coalesce(c_custkey, o_custkey) AS custkey, c_name, " +
         "coalesce(n_big, 0) AS n_big_orders FROM " +

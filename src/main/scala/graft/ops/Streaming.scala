@@ -107,6 +107,35 @@ object Streaming {
         col("n_events"))
       .orderBy("user_id", "session_start_us")
 
+  /** q_gap_fill — time-series densification: hourly event counts per
+    * type with MISSING HOURS zero-filled (the monitoring/feature-store
+    * prerequisite for any windowed model input — a silent hour must
+    * appear as 0, not vanish; the reference's heartbeat-age sweep
+    * assumes exactly this dense timeline when it scans for silence,
+    * controller/HeartbeatMonitor.java:23-58). Shape: one aggregate
+    * builds the sparse hourly counts (the only large shuffle), a 1-row
+    * min/max aggregate explodes into the hour spine via `sequence`,
+    * and spine × distinct-types (bounded × bounded) left-joins the
+    * counts. At 100 TB the spine stays O(span-hours × types) — the
+    * dense frame is output-sized, never corpus-sized.
+    */
+  def gapFill(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val hourly = ev
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    val spine = ev
+      .agg(date_trunc("hour", min(col("ts"))).as("h0"),
+        date_trunc("hour", max(col("ts"))).as("h1"))
+      .select(explode(expr("sequence(h0, h1, interval 1 hour)")).as("hour"))
+    val types = ev.select("event_type").distinct()
+    spine.crossJoin(types)
+      .join(hourly, Seq("hour", "event_type"), "left")
+      .select(unix_micros(col("hour")).as("hour_us"), col("event_type"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"))
+      .orderBy("hour_us", "event_type")
+  }
+
   /** q_replay_ordered — ordered per-key event-log replay: the reference's
     * per-node FIFO command queue (controller/MessageFifoQueue.java:11-45,
     * drained in arrival order by controller/MessageSender.java:24-49)
@@ -286,6 +315,7 @@ object Streaming {
     "q_stream_sliding"    -> (sliding _),
     "q_stream_session"    -> (session _),
     "q_replay_ordered"    -> (replayOrdered _),
+    "q_gap_fill"          -> (gapFill _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -331,5 +361,17 @@ object Streaming {
         "epoch_us(max(ts)) AS last_us, count(*) AS n_events " +
         "FROM numbered GROUP BY user_id, sid " +
         "ORDER BY user_id, session_start_us"),
+    "q_gap_fill" ->
+      ("WITH hourly AS (SELECT date_trunc('hour', ts) AS hour, event_type, " +
+        "count(*) AS n_events FROM events GROUP BY 1, 2), " +
+        "span AS (SELECT date_trunc('hour', min(ts)) AS h0, " +
+        "date_trunc('hour', max(ts)) AS h1 FROM events), " +
+        "spine AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM span), " +
+        "types AS (SELECT DISTINCT event_type FROM events) " +
+        "SELECT epoch_us(spine.hour) AS hour_us, types.event_type, " +
+        "COALESCE(hourly.n_events, 0) AS n_events " +
+        "FROM (spine CROSS JOIN types) LEFT JOIN hourly " +
+        "ON hourly.hour = spine.hour AND hourly.event_type = types.event_type " +
+        "ORDER BY hour_us, types.event_type"),
   )
 }

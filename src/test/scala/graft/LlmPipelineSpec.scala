@@ -272,6 +272,47 @@ class LlmPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("pipeline ops: packing bins respect the budget; decontamination excludes the benchmark") {
+    import spark.implicits._
+    val d = SparkTestSession.sf0001
+    // packing: within a shard, bins are monotone non-decreasing with no
+    // skips, and a bin's exclusive prefix always starts under budget
+    // (boundary packing: a bin overflows by at most its last document)
+    val packed = ops.LlmPipeline.packSequences(spark, d)
+      .as[(Long, String, Long, Long)].collect().toSeq
+    packed.groupBy(_._2).foreach { case (src, rows) =>
+      val bins = rows.sortBy(_._1).map(_._4)
+      assert(bins.head == 0L, s"$src: first bin ${bins.head}")
+      bins.sliding(2).foreach { w =>
+        if (w.length == 2)
+          assert(w(1) == w(0) || w(1) == w(0) + 1 || w(1) > w(0),
+            s"$src: bins not monotone: $w")
+      }
+      assert(bins.sliding(2).forall(w => w.length < 2 || w(1) >= w(0)))
+      // bin id = exclusive-cumsum DIV budget recomputed independently
+      var cum = 0L
+      rows.sortBy(_._1).foreach { case (id, _, n, bin) =>
+        assert(bin == cum / ops.LlmPipeline.PackBudget, s"doc $id bin $bin")
+        cum += n
+      }
+    }
+    // decontamination: the benchmark docs themselves never appear, and
+    // every n_hits is consistent with an actual shared shingle
+    val report = ops.LlmPipeline.decontaminate(spark, d)
+      .as[(Long, Long)].collect().toMap
+    assert(report.keys.forall(_ % 20 != 0), "benchmark doc leaked into the report")
+    assert(report.values.forall(_ >= 0L))
+    // flagged docs really share a shingle hash with the bench set
+    val postings = ops.LlmPipeline.ngramPostings(spark, d)
+    val benchSh = postings.where($"doc_id" % 20 === 0)
+      .select("sh").distinct().as[Long].collect().toSet
+    val some = report.filter(_._2 > 0).keys.take(3)
+    some.foreach { id =>
+      val docSh = postings.where($"doc_id" === id).select("sh").as[Long].collect().toSet
+      assert(docSh.intersect(benchSh).nonEmpty, s"doc $id flagged with no shared shingle")
+    }
+  }
+
   test("quantized cosine tracks float cosine (sim search sanity)") {
     import spark.implicits._
     val top = ops.LlmPipeline.simSearch(spark, SparkTestSession.sf0001)
