@@ -749,6 +749,26 @@ object LlmPipeline {
         expr(s"array_min(transform($shingles, s -> md5(s)))").as("fp_min"))
       .orderBy("doc_id")
 
+  /** q_text_clean — token-level text normalization (the cleaning pass
+    * between raw scrape and training mix: strip stopwords/boilerplate
+    * tokens, re-join, report what was removed). Mapper-only — one
+    * codegen'd filter + join per row, no shuffle before the final
+    * order; at 100 TB this is a pure scan-transform pass. The removal
+    * list reuses the langid stopword profiles (the non-vacuous
+    * normalization for this corpus; a production pass would also strip
+    * digits/URLs/PII patterns with the same shape).
+    */
+  def textClean(s: SparkSession, d: String): DataFrame = {
+    val stop = profiles.flatMap(_._2).distinct.map(w => s"'$w'").mkString(", ")
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        expr(s"array_join(filter($toks, t -> NOT array_contains(array($stop), t)), ' ')")
+          .as("clean_text"),
+        expr(s"CAST(size(filter($toks, t -> array_contains(array($stop), t))) AS BIGINT)")
+          .as("n_removed"))
+      .orderBy("doc_id")
+  }
+
   /** q_sample_stratified — per-language Bernoulli sampling with
     * per-stratum rates (the language-rebalancing step every multilingual
     * training mix runs: downsample the dominant language, keep the
@@ -883,6 +903,7 @@ object LlmPipeline {
     "q_text_quality"        -> (textQuality _),
     "q_text_token_count"    -> (textTokenCount _),
     "q_text_fingerprint"    -> (textFingerprint _),
+    "q_text_clean"          -> (textClean _),
     "q_sample_stratified"   -> (sampleStratified _),
     "q_decontaminate"       -> (decontaminate _),
     "q_corpus_shuffle"      -> (corpusShuffle _),
@@ -1113,6 +1134,11 @@ object LlmPipeline {
         (s"SELECT doc_id, " +
           "md5(array_to_string(list_sort(list_distinct(string_split(text,' '))), ' ')) AS fp_sorted, " +
           s"list_min(list_transform($shinglesDuck, s -> md5(s))) AS fp_min " +
+          "FROM documents ORDER BY doc_id"),
+      "q_text_clean" ->
+        (s"SELECT doc_id, " +
+          s"array_to_string(list_filter(string_split(text, ' '), t -> NOT list_contains([$stop], t)), ' ') AS clean_text, " +
+          s"CAST(len(list_filter(string_split(text, ' '), t -> list_contains([$stop], t))) AS BIGINT) AS n_removed " +
           "FROM documents ORDER BY doc_id"),
       "q_decontaminate" ->
         (s"WITH ds AS (SELECT doc_id, " +

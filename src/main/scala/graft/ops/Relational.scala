@@ -381,6 +381,29 @@ object Relational {
       .orderBy("user_id", "ts_us", "event_id", "quartile")
   }
 
+  /** q_window_first_last — first_value / last_value / nth_value over
+    * each key's full history (the "compare every event to the session's
+    * opening and closing state" shape — the reference reads exactly
+    * these endpoints from its sorted chunk sets,
+    * controller/FileTable.java:23-25). last_value needs the explicit
+    * UNBOUNDED FOLLOWING frame — the default frame ends at CURRENT ROW,
+    * which silently turns last_value into "current value" (both engines
+    * share the trap and the fix). Total (ts, event_id) order per key.
+    */
+  def windowFirstLast(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("first_type", first(col("event_type")).over(w))
+      .withColumn("last_type", last(col("event_type")).over(w))
+      .withColumn("second_type", nth_value(col("event_type"), 2).over(w))
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_type"), col("first_type"), col("last_type"), col("second_type"))
+      .orderBy("user_id", "ts_us", "event_id")
+  }
+
   /** q_agg_percentile — exact interpolated quartiles of quantity per
     * return flag (Spark `percentile` ≡ DuckDB `quantile_cont`). Exact
     * percentile buffers the group's values — fine for bounded groups;
@@ -459,6 +482,7 @@ object Relational {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_window_distribution" -> (windowDistribution _),
+    "q_window_first_last"   -> (windowFirstLast _),
     "q_subquery_corr"       -> (subqueryCorr _),
     "q_join_full_outer"     -> (joinFullOuter _),
     "q_pivot"               -> (pivotStatus _),
@@ -496,6 +520,14 @@ object Relational {
         "cume_dist() OVER (PARTITION BY o_orderpriority " +
         "ORDER BY CAST(o_totalprice AS DECIMAL(18,2))) AS cume " +
         "FROM orders ORDER BY o_orderpriority, o_orderkey"),
+    "q_window_first_last" ->
+      ("SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, " +
+        "first_value(event_type) OVER w AS first_type, " +
+        "last_value(event_type) OVER w AS last_type, " +
+        "nth_value(event_type, 2) OVER w AS second_type " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) " +
+        "ORDER BY user_id, ts_us, event_id"),
     "q_subquery_corr" ->
       ("WITH o AS (SELECT o_orderkey, o_custkey, " +
         "CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM orders), " +
