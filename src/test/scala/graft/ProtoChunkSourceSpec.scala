@@ -206,6 +206,35 @@ class ProtoChunkSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("proto stream feeds a grouped aggregation end-to-end (source tier -> operator tier)") {
+    // the full streaming pipeline shape: micro-batch proto frames ->
+    // per-file chunk counts in Complete mode — the storage-node ingest
+    // monitor as one readStream expression over the reference's wire
+    // format
+    val dir = java.nio.file.Files.createTempDirectory("graft-protoagg").toString
+    def writeFrames(name: String, tag: String, n: Int): Unit =
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, name),
+        ProtoChunkSource.frameBytes((0 until n).map(i =>
+          ProtoIngest.StoreChunk(s"$tag.bin", i, f"c$i%010d", Array[Byte](9)))))
+    writeFrames("a.pb", "agg-a", 3)
+    val q = spark.readStream.format(fmt).load(dir)
+      .groupBy("fileName").count()
+      .writeStream.format("memory").queryName("proto_agg_sink")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      def counts() = spark.table("proto_agg_sink")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(counts() == Map("agg-a.bin" -> 3L))
+      // late-arriving file folds into the running aggregate
+      writeFrames("b.pb", "agg-a", 2)
+      writeFrames("c.pb", "agg-b", 4)
+      q.processAllAvailable()
+      assert(counts() == Map("agg-a.bin" -> 5L, "agg-b.bin" -> 4L))
+    } finally q.stop()
+  }
+
   test("decoded frames feed the validate/reassemble path like any source") {
     val dir = writeFixture()
     val chunks = spark.read.format(fmt).load(dir)

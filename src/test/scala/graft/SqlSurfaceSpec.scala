@@ -41,6 +41,28 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(sql.collect().toSeq == api.collect().toSeq)
   }
 
+  test("a TRUE correlated subquery in SQL text matches the decorrelated DataFrame form") {
+    // the user-facing form of q_subquery_corr is a correlated scalar
+    // subquery; Catalyst decorrelates it (RewriteCorrelatedScalarSubquery)
+    // into the aggregate + join-back that Relational.subqueryCorr writes
+    // directly — both must return identical rows. The predicate here uses
+    // the IEEE avg while the DataFrame form cross-multiplies decimals;
+    // they agree because decimal sums are exact and no order's price
+    // TIES its customer's true average in the fixture data (the oracle
+    // gate pins the decimal form; this spec pins the SQL surface).
+    Tables.orders(spark, d).createOrReplaceTempView("orders_v")
+    val sql = spark.sql(
+      """SELECT o_orderkey, o_custkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+        |FROM orders_v o
+        |WHERE CAST(o_totalprice AS DECIMAL(18,2)) * (
+        |        SELECT count(*) FROM orders_v i WHERE i.o_custkey = o.o_custkey)
+        |      > (SELECT sum(CAST(o_totalprice AS DECIMAL(18,2))) FROM orders_v i
+        |         WHERE i.o_custkey = o.o_custkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin)
+    val api = ops.Relational.subqueryCorr(spark, d)
+    assert(sql.collect().toSeq == api.collect().toSeq)
+  }
+
   test("date-partitioned sink prunes partitions at the scan (PartitionFilters)") {
     val out = java.nio.file.Files.createTempDirectory("graft-part").toString + "/events_by_day"
     Tables.events(spark, d)
