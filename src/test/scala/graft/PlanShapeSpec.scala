@@ -87,6 +87,25 @@ class PlanShapeSpec extends AnyFunSuite {
       s"as-of join carries a mandatory join-strategy hint:\n${hints.mkString("\n")}")
   }
 
+  test("decontamination joins hash-probe the bounded benchmark side, no cartesian") {
+    val plan = physical(ops.LlmPipeline.decontaminate(spark, d))
+    assert(!plan.contains("CartesianProduct"),
+      s"decontamination degenerated to a cartesian:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin"),
+      s"expected an equi join over the shingle hash:\n$plan")
+  }
+
+  test("gap fill's dense spine never cross-joins unbounded data") {
+    // the only cross join allowed is spine x distinct-types — both
+    // derived from aggregates, both bounded; the event scan itself must
+    // meet the spine through an equi left join
+    val plan = physical(ops.Streaming.gapFill(spark, d))
+    assert(!plan.contains("CartesianProduct"),
+      s"gap fill cross-joined unbounded sides:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"spine x types should broadcast:\n$plan")
+  }
+
   test("bucketed tables co-locate the fact-fact join: zero shuffle exchanges") {
     // The 100 TB answer for repeated fact-fact joins: bucket BOTH sides
     // by the join key at write time, and the join needs no Exchange at
