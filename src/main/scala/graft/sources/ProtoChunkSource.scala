@@ -8,6 +8,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -34,6 +35,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *    dot-prefixed temp name and rename on task commit (rename is the
   *    HDFS atomicity primitive), so a failed task leaves no partial
   *    frame file visible; readers skip dot/underscore-prefixed files.
+  *    `writeStream` works too (STREAMING_WRITE): files are keyed by
+  *    (query, epoch, partition) so a replayed micro-batch overwrites
+  *    its own output — epoch-idempotent, no duplicated frames.
   *  - **streaming read** (MICRO_BATCH_READ): `spark.readStream` over a
   *    growing frame directory — the reference's chunk traffic is a
   *    continuous stream (storageNode/HeartbeatRunnable.java:33-80).
@@ -135,7 +139,8 @@ private class ProtoChunkTable(path: String) extends Table with SupportsRead with
   override def schema(): StructType = ProtoChunkSource.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ)
+      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ,
+      TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     // mode: FAILFAST (default) raises on the first corrupt frame;
     // PERMISSIVE skips a frame whose BODY fails to decode (framing
@@ -370,12 +375,17 @@ private class ProtoChunkWrite(path: String, schema: StructType, queryId: String,
     truncate: Boolean) extends Write with BatchWrite {
   override def toBatch: BatchWrite = this
 
-  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+  private def validatedNames(): Array[String] = {
     val names = schema.fieldNames
     val missing = ProtoChunkSource.schema.fieldNames.filterNot(names.contains)
     require(missing.isEmpty,
       s"proto chunk write needs columns ${ProtoChunkSource.schema.fieldNames.mkString(", ")}; " +
         s"missing: ${missing.mkString(", ")}")
+    names
+  }
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    val names = validatedNames()
     val confEntries = ProtoChunkSource.sessionConfEntries()
     if (truncate) {
       val p = new org.apache.hadoop.fs.Path(path)
@@ -389,9 +399,26 @@ private class ProtoChunkWrite(path: String, schema: StructType, queryId: String,
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
 
-  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    ProtoChunkWrite.deleteCommitted(path, messages)
+
+  /** writeStream form: one frame file per (epoch, partition), named by
+    * epochId so a replayed micro-batch after a crash re-creates the
+    * SAME file (fs.create overwrites) instead of duplicating frames —
+    * epoch-idempotent output, the file-sink recipe without the
+    * metadata log.
+    */
+  override def toStreaming: StreamingWrite = {
+    val names = validatedNames()
+    val confEntries = ProtoChunkSource.sessionConfEntries()
+    new ProtoChunkStreamingWrite(path, names, queryId, confEntries)
+  }
+}
+
+private object ProtoChunkWrite {
+  def deleteCommitted(path: String, messages: Array[WriterCommitMessage]): Unit = {
     // committed task files are visible (rename already happened) — roll
-    // them back so an aborted job leaves the directory unchanged
+    // them back so an aborted job/epoch leaves the directory unchanged
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(ProtoChunkSource.hadoopConf(ProtoChunkSource.sessionConfEntries()))
     messages.collect { case ProtoChunkCommit(f) =>
@@ -400,30 +427,55 @@ private class ProtoChunkWrite(path: String, schema: StructType, queryId: String,
   }
 }
 
+private class ProtoChunkStreamingWrite(path: String, names: Array[String],
+    queryId: String, confEntries: Map[String, String]) extends StreamingWrite {
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    new ProtoChunkStreamingWriterFactory(path, names, queryId, confEntries)
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    ProtoChunkWrite.deleteCommitted(path, messages)
+}
+
+private class ProtoChunkStreamingWriterFactory(path: String, names: Array[String],
+    queryId: String, confEntries: Map[String, String]) extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
+    // file identity = (query, epoch, partition) — NO taskId, so an epoch
+    // REPLAY commits onto the same stem (overwrite-idempotent, no dup
+    // frames); temp names stay attempt-unique via taskId
+    new ProtoChunkWriter(path, names,
+      f"part-$partitionId%05d-$queryId-e$epochId", taskId, confEntries)
+}
+
 private case class ProtoChunkCommit(file: String) extends WriterCommitMessage
 
 private class ProtoChunkWriterFactory(path: String, names: Array[String], queryId: String,
     confEntries: Map[String, String]) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new ProtoChunkWriter(path, names, queryId, partitionId, taskId, confEntries)
+    // batch: taskId in the FINAL name — every attempt commits a unique
+    // file and the driver's abort() removes losers
+    new ProtoChunkWriter(path, names, f"part-$partitionId%05d-$taskId-$queryId",
+      taskId, confEntries)
 }
 
 /** One frame file per task, encoded with ProtoIngest.encodeStoreChunk
   * (the reference's persisted payload). Writes to a dot-prefixed temp
-  * name; task commit renames it into place — rename is the HDFS
-  * atomicity primitive, so a failed/speculative task never exposes a
-  * partial file (readers skip dot-files). File names carry
-  * (queryId, partitionId, taskId) so speculative attempts can't
-  * collide.
+  * name unique per ATTEMPT; task commit renames it onto the file stem —
+  * rename is the HDFS atomicity primitive, so a failed/speculative
+  * attempt never exposes a partial file (readers skip dot-files). The
+  * batch path puts taskId in the stem (unique file per attempt); the
+  * streaming path keys the stem by (queryId, epochId, partitionId) so
+  * an epoch REPLAY overwrites its own output (commit deletes a
+  * pre-existing stem before renaming — last committer wins with
+  * identical deterministic content) instead of duplicating frames.
   */
-private class ProtoChunkWriter(path: String, names: Array[String], queryId: String,
-    partitionId: Int, taskId: Long, confEntries: Map[String, String])
+private class ProtoChunkWriter(path: String, names: Array[String], fileStem: String,
+    attemptId: Long, confEntries: Map[String, String])
     extends DataWriter[InternalRow] {
   private val fs = new org.apache.hadoop.fs.Path(path)
     .getFileSystem(ProtoChunkSource.hadoopConf(confEntries))
-  private val finalPath = new org.apache.hadoop.fs.Path(path,
-    f"part-$partitionId%05d-$taskId-$queryId.frames")
-  private val tempPath = new org.apache.hadoop.fs.Path(path, "." + finalPath.getName + ".inprogress")
+  private val finalPath = new org.apache.hadoop.fs.Path(path, s"$fileStem.frames")
+  private val tempPath = new org.apache.hadoop.fs.Path(path,
+    "." + finalPath.getName + s".$attemptId.inprogress")
   private val out = fs.create(tempPath, true)
   private val iName = names.indexOf("fileName")
   private val iSeq = names.indexOf("sequenceNo")
@@ -443,6 +495,9 @@ private class ProtoChunkWriter(path: String, names: Array[String], queryId: Stri
 
   override def commit(): WriterCommitMessage = {
     out.close()
+    // epoch-replay case (streaming): the stem already committed once —
+    // replace it; batch stems are attempt-unique so this never triggers
+    if (fs.exists(finalPath)) fs.delete(finalPath, false)
     if (!fs.rename(tempPath, finalPath))
       throw new java.io.IOException(s"rename $tempPath -> $finalPath failed")
     ProtoChunkCommit(finalPath.toString)

@@ -235,6 +235,35 @@ class ProtoChunkSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming write: writeStream sinks frames the batch source reads back byte-exact") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-protoswrite").toString
+    val (out, ckpt) = (s"$base/frames", s"$base/ckpt")
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Int, String, Array[Byte])]
+    val q = ms.toDS().toDF("fileName", "sequenceNo", "checksum", "data")
+      .writeStream.format(fmt)
+      .option("path", out).option("checkpointLocation", ckpt)
+      .start()
+    try {
+      ms.addData(("s1.bin", 0, "c0", Array[Byte](1, 2)), ("s1.bin", 1, "c1", Array[Byte](3)))
+      q.processAllAvailable()
+      ms.addData(("s2.bin", 0, "c0", Array[Byte](4, 5, 6)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val back = spark.read.format(fmt).load(out)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2),
+        r.getAs[Array[Byte]](3).toSeq)).toSet
+    assert(back == Set(
+      ("s1.bin", 0, "c0", Seq[Byte](1, 2)),
+      ("s1.bin", 1, "c1", Seq[Byte](3)),
+      ("s2.bin", 0, "c0", Seq[Byte](4, 5, 6))))
+    // epoch-keyed file names, no temp litter
+    val files = new java.io.File(out).listFiles().map(_.getName)
+    assert(files.exists(_.contains("-e0")) && files.exists(_.contains("-e1")))
+    assert(!files.exists(_.endsWith(".inprogress")))
+  }
+
   test("decoded frames feed the validate/reassemble path like any source") {
     val dir = writeFixture()
     val chunks = spark.read.format(fmt).load(dir)
