@@ -13,10 +13,14 @@ import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
-/** DataSource V2 source/sink for length-delimited StoreChunk frame
-  * files (the reference's upload payload, proto/messages.proto:7-12, in
-  * the standard `[varint length][frame]*` stream framing) — the
-  * engine-API tier above ProtoIngest's mapPartitions decoding:
+/** DataSource V2 source/sink for length-delimited proto frame files in
+  * the standard `[varint length][frame]*` stream framing — the
+  * engine-API tier above ProtoIngest's mapPartitions decoding. Default
+  * message is the reference's upload payload StoreChunk
+  * (proto/messages.proto:7-12); `.option("message", "heartbeat")`
+  * reads the periodic node-report frames instead
+  * (proto/messages.proto:37-42, nested repeated FileChunks :31-34 —
+  * the wire shape behind q_nested_catalog's flattened form):
   *
   *  - `spark.read.format(classOf[ProtoChunkSource].getName).load(dir)`
   *    plans one InputPartition per frame file (the natural parallel-IO
@@ -57,11 +61,13 @@ import org.apache.spark.unsafe.types.UTF8String
 class ProtoChunkSource extends TableProvider {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    ProtoChunkSource.schema
+    ProtoChunkSource.schemaFor(options.getOrDefault("message", "storechunk"))
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    new ProtoChunkTable(properties.get("path"))
+      properties: util.Map[String, String]): Table = {
+    val msg = Option(properties.get("message")).getOrElse("storechunk")
+    new ProtoChunkTable(properties.get("path"), msg.toLowerCase)
+  }
 }
 
 object ProtoChunkSource {
@@ -71,12 +77,38 @@ object ProtoChunkSource {
     StructField("checksum", StringType),
     StructField("data", BinaryType)))
 
+  /** Heartbeat frames (proto/messages.proto:37-42 with nested repeated
+    * FileChunks :31-34) exposed through the same source:
+    * `.option("message", "heartbeat")`.
+    */
+  val heartbeatSchema: StructType = StructType(Seq(
+    StructField("host", StringType),
+    StructField("port", IntegerType),
+    StructField("fileChunks", ArrayType(StructType(Seq(
+      StructField("filename", StringType),
+      StructField("sequenceNos", ArrayType(IntegerType))))))))
+
+  private[sources] def schemaFor(message: String): StructType =
+    message.toLowerCase match {
+      case "storechunk" => schema
+      case "heartbeat"  => heartbeatSchema
+      case m => throw new IllegalArgumentException(
+        s"unknown message type '$m' (expected storechunk or heartbeat)")
+    }
+
   /** Encode frames in the stream framing this source reads (used by
     * specs and the write path below).
     */
   def frameBytes(chunks: Seq[ProtoIngest.StoreChunk]): Array[Byte] =
     chunks.toArray.flatMap { c =>
       val body = ProtoIngest.encodeStoreChunk(c)
+      varint(body.length) ++ body
+    }
+
+  /** Heartbeat frames in the same stream framing (spec fixture/writer). */
+  def heartbeatFrameBytes(hbs: Seq[ProtoIngest.Heartbeat]): Array[Byte] =
+    hbs.toArray.flatMap { h =>
+      val body = ProtoIngest.encodeHeartbeat(h)
       varint(body.length) ++ body
     }
 
@@ -134,9 +166,10 @@ object ProtoChunkSource {
   }
 }
 
-private class ProtoChunkTable(path: String) extends Table with SupportsRead with SupportsWrite {
-  override def name(): String = s"proto_chunks($path)"
-  override def schema(): StructType = ProtoChunkSource.schema
+private class ProtoChunkTable(path: String, message: String)
+    extends Table with SupportsRead with SupportsWrite {
+  override def name(): String = s"proto_chunks($path,$message)"
+  override def schema(): StructType = ProtoChunkSource.schemaFor(message)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ,
@@ -149,25 +182,30 @@ private class ProtoChunkTable(path: String) extends Table with SupportsRead with
     // truncated length varint: the chain is broken, everything after is
     // unparseable) — the CSV/JSON corrupt-record policy applied to a
     // binary stream source
-    new ProtoChunkScanBuilder(path,
+    new ProtoChunkScanBuilder(path, message,
       "permissive".equalsIgnoreCase(options.getOrDefault("mode", "failfast")))
 
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    // the write path encodes StoreChunk rows only (the reference's
+    // persisted payload); heartbeat frames are transport, not storage
+    require(message == "storechunk",
+      s"proto chunk write supports message=storechunk only (got $message)")
     new ProtoChunkWriteBuilder(path, info)
+  }
 }
 
-private class ProtoChunkScanBuilder(path: String, permissive: Boolean)
+private class ProtoChunkScanBuilder(path: String, message: String, permissive: Boolean)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
-  private var required: StructType = ProtoChunkSource.schema
+  private var required: StructType = ProtoChunkSource.schemaFor(message)
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new ProtoChunkScan(path, required, permissive)
+  override def build(): Scan = new ProtoChunkScan(path, message, required, permissive)
 }
 
-private class ProtoChunkScan(path: String, required: StructType, permissive: Boolean)
-    extends Scan with Batch {
+private class ProtoChunkScan(path: String, message: String, required: StructType,
+    permissive: Boolean) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
@@ -178,20 +216,20 @@ private class ProtoChunkScan(path: String, required: StructType, permissive: Boo
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ProtoChunkReaderFactory(required.fieldNames, permissive,
+    new ProtoChunkReaderFactory(message, required.fieldNames, permissive,
       ProtoChunkSource.sessionConfEntries())
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new ProtoChunkMicroBatchStream(path, required.fieldNames, permissive)
+    new ProtoChunkMicroBatchStream(path, message, required.fieldNames, permissive)
 }
 
 private case class ProtoChunkPartition(file: String) extends InputPartition
 
-private class ProtoChunkReaderFactory(columns: Array[String], permissive: Boolean,
-    confEntries: Map[String, String]) extends PartitionReaderFactory {
+private class ProtoChunkReaderFactory(message: String, columns: Array[String],
+    permissive: Boolean, confEntries: Map[String, String]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new ProtoChunkReader(partition.asInstanceOf[ProtoChunkPartition].file, columns,
-      permissive, confEntries)
+    new ProtoChunkReader(partition.asInstanceOf[ProtoChunkPartition].file, message,
+      columns, permissive, confEntries)
 }
 
 // ------------------------------------------------------------- streaming
@@ -218,8 +256,8 @@ private case class FrameCountOffset(n: Long) extends Offset {
   * frames are keyed so downstream dedup makes it effectively-once —
   * the Streaming.dedupStream / idempotent-sink patterns).
   */
-private class ProtoChunkMicroBatchStream(path: String, columns: Array[String],
-    permissive: Boolean) extends MicroBatchStream {
+private class ProtoChunkMicroBatchStream(path: String, message: String,
+    columns: Array[String], permissive: Boolean) extends MicroBatchStream {
   private val confEntries = ProtoChunkSource.sessionConfEntries()
   private val discovered = new scala.collection.mutable.ArrayBuffer[String]()
   private val seen = new scala.collection.mutable.HashSet[String]()
@@ -245,7 +283,7 @@ private class ProtoChunkMicroBatchStream(path: String, columns: Array[String],
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ProtoChunkReaderFactory(columns, permissive, confEntries)
+    new ProtoChunkReaderFactory(message, columns, permissive, confEntries)
 
   override def deserializeOffset(json: String): Offset = FrameCountOffset(json.toLong)
   override def commit(end: Offset): Unit = ()
@@ -266,8 +304,9 @@ private class ProtoChunkMicroBatchStream(path: String, columns: Array[String],
   *    fails to decode: alignment is intact → skip just that frame and
   *    continue (permissive) or throw.
   */
-private class ProtoChunkReader(file: String, columns: Array[String], permissive: Boolean,
-    confEntries: Map[String, String]) extends PartitionReader[InternalRow] {
+private class ProtoChunkReader(file: String, message: String, columns: Array[String],
+    permissive: Boolean, confEntries: Map[String, String])
+    extends PartitionReader[InternalRow] {
   private val (in, fileLen) = {
     val conf = ProtoChunkSource.hadoopConf(confEntries)
     val p = new org.apache.hadoop.fs.Path(file)
@@ -338,13 +377,7 @@ private class ProtoChunkReader(file: String, columns: Array[String], permissive:
       // body decode: the frame is well-delimited, so a failure here does
       // NOT break alignment — permissive mode skips just this frame
       try {
-        val c = ProtoIngest.decodeStoreChunkPruned(frame, withData = needData)
-        current = InternalRow.fromSeq(columns.toSeq.map {
-          case "fileName"   => UTF8String.fromString(c.fileName)
-          case "sequenceNo" => c.sequenceNo
-          case "checksum"   => UTF8String.fromString(c.checksum)
-          case "data"       => c.data
-        })
+        current = decodeRow(frame)
         return true
       } catch {
         case _: IllegalArgumentException if permissive => () // skip frame, loop on
@@ -354,6 +387,33 @@ private class ProtoChunkReader(file: String, columns: Array[String], permissive:
       }
     }
     false // unreachable
+  }
+
+  private def decodeRow(frame: Array[Byte]): InternalRow = message match {
+    case "heartbeat" =>
+      val h = ProtoIngest.decodeHeartbeat(frame)
+      InternalRow.fromSeq(columns.toSeq.map {
+        case "host" => UTF8String.fromString(h.host)
+        case "port" => h.port
+        case "fileChunks" =>
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(
+            h.fileChunks.map { fc =>
+              InternalRow(UTF8String.fromString(fc.filename),
+                new org.apache.spark.sql.catalyst.util.GenericArrayData(
+                  fc.sequenceNos.toArray))
+            }.toArray[Any])
+      })
+    case _ =>
+      // prune-aware StoreChunk decode: the payload bytes are skipped in
+      // place when `data` is not selected (heartbeat payloads are
+      // metadata-sized, so their decode is always full)
+      val c = ProtoIngest.decodeStoreChunkPruned(frame, withData = needData)
+      InternalRow.fromSeq(columns.toSeq.map {
+        case "fileName"   => UTF8String.fromString(c.fileName)
+        case "sequenceNo" => c.sequenceNo
+        case "checksum"   => UTF8String.fromString(c.checksum)
+        case "data"       => c.data
+      })
   }
 
   override def get(): InternalRow = current

@@ -264,6 +264,35 @@ class ProtoChunkSourceSpec extends AnyFunSuite {
     assert(!files.exists(_.endsWith(".inprogress")))
   }
 
+  test("message=heartbeat reads nested node-report frames; heartbeat write is rejected") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-protohb").toString
+    val hbs = Seq(
+      ProtoIngest.Heartbeat("nodeA", 9090, Seq(
+        ProtoIngest.FileChunks("f1.bin", Seq(0, 1, 2)),
+        ProtoIngest.FileChunks("f2.bin", Seq(7)))),
+      ProtoIngest.Heartbeat("nodeB", 9091, Seq.empty))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "hb.pb"), ProtoChunkSource.heartbeatFrameBytes(hbs))
+    val df = spark.read.format(fmt).option("message", "heartbeat").load(dir)
+    assert(df.schema == ProtoChunkSource.heartbeatSchema)
+    val rows = df.selectExpr("host", "port", "fileChunks").collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(rows == Set(("nodeA", 9090), ("nodeB", 9091)))
+    // the nested repeated shape flattens like any array<struct> column
+    val flat = df.selectExpr("host", "explode(fileChunks) AS fc")
+      .selectExpr("host", "fc.filename", "fc.sequenceNos")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getSeq[Int](2))).toSet
+    assert(flat == Set(
+      ("nodeA", "f1.bin", Seq(0, 1, 2)),
+      ("nodeA", "f2.bin", Seq(7))))
+    // heartbeat frames are transport, not storage: the write path refuses
+    val e = intercept[Exception] {
+      df.write.format(fmt).option("message", "heartbeat").mode("append")
+        .save(java.nio.file.Files.createTempDirectory("graft-hbw").toString)
+    }
+    assert(e.getMessage.contains("storechunk"))
+  }
+
   test("decoded frames feed the validate/reassemble path like any source") {
     val dir = writeFixture()
     val chunks = spark.read.format(fmt).load(dir)
