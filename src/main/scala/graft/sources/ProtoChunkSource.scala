@@ -88,12 +88,25 @@ object ProtoChunkSource {
       StructField("filename", StringType),
       StructField("sequenceNos", ArrayType(IntegerType))))))))
 
+  /** DownloadFileResponse frames (proto/messages.proto:72-80): the
+    * doubly-nested file → [(seq, [nodes])] catalog —
+    * `.option("message", "catalog")`.
+    */
+  val catalogSchema: StructType = StructType(Seq(
+    StructField("filename", StringType),
+    StructField("chunkLocations", ArrayType(StructType(Seq(
+      StructField("sequenceNo", IntegerType),
+      StructField("storageNodes", ArrayType(StructType(Seq(
+        StructField("host", StringType),
+        StructField("port", IntegerType)))))))))))
+
   private[sources] def schemaFor(message: String): StructType =
     message.toLowerCase match {
       case "storechunk" => schema
       case "heartbeat"  => heartbeatSchema
+      case "catalog"    => catalogSchema
       case m => throw new IllegalArgumentException(
-        s"unknown message type '$m' (expected storechunk or heartbeat)")
+        s"unknown message type '$m' (expected storechunk, heartbeat, or catalog)")
     }
 
   /** Encode frames in the stream framing this source reads (used by
@@ -109,6 +122,13 @@ object ProtoChunkSource {
   def heartbeatFrameBytes(hbs: Seq[ProtoIngest.Heartbeat]): Array[Byte] =
     hbs.toArray.flatMap { h =>
       val body = ProtoIngest.encodeHeartbeat(h)
+      varint(body.length) ++ body
+    }
+
+  /** Catalog (DownloadFileResponse) frames in the same framing. */
+  def catalogFrameBytes(fcs: Seq[ProtoIngest.FileCatalog]): Array[Byte] =
+    fcs.toArray.flatMap { f =>
+      val body = ProtoIngest.encodeFileCatalog(f)
       varint(body.length) ++ body
     }
 
@@ -390,6 +410,19 @@ private class ProtoChunkReader(file: String, message: String, columns: Array[Str
   }
 
   private def decodeRow(frame: Array[Byte]): InternalRow = message match {
+    case "catalog" =>
+      val f = ProtoIngest.decodeFileCatalog(frame)
+      InternalRow.fromSeq(columns.toSeq.map {
+        case "filename" => UTF8String.fromString(f.filename)
+        case "chunkLocations" =>
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(
+            f.chunkLocations.map { cl =>
+              InternalRow(cl.sequenceNo,
+                new org.apache.spark.sql.catalyst.util.GenericArrayData(
+                  cl.storageNodes.map(n =>
+                    InternalRow(UTF8String.fromString(n.host), n.port)).toArray[Any]))
+            }.toArray[Any])
+      })
     case "heartbeat" =>
       val h = ProtoIngest.decodeHeartbeat(frame)
       InternalRow.fromSeq(columns.toSeq.map {

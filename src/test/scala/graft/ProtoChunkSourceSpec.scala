@@ -293,6 +293,27 @@ class ProtoChunkSourceSpec extends AnyFunSuite {
     assert(e.getMessage.contains("storechunk"))
   }
 
+  test("message=catalog reads the doubly-nested DownloadFileResponse shape") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-protocat").toString
+    val cats = Seq(
+      ProtoIngest.FileCatalog("f1.bin", Seq(
+        ProtoIngest.ChunkLocation(0, Seq(ProtoIngest.StorageNode("n1", 9090),
+          ProtoIngest.StorageNode("n2", 9091))),
+        ProtoIngest.ChunkLocation(1, Seq(ProtoIngest.StorageNode("n1", 9090))))),
+      ProtoIngest.FileCatalog("f2.bin", Seq.empty))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "cat.pb"), ProtoChunkSource.catalogFrameBytes(cats))
+    val df = spark.read.format(fmt).option("message", "catalog").load(dir)
+    assert(df.schema == ProtoChunkSource.catalogSchema)
+    // flatten to the q_nested_catalog replica-count shape: per (file,
+    // seq) replica counts out of the wire-form catalog
+    val flat = df.selectExpr("filename", "explode(chunkLocations) AS cl")
+      .selectExpr("filename", "cl.sequenceNo AS seq", "size(cl.storageNodes) AS n_replicas")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSet
+    assert(flat == Set(("f1.bin", 0, 2), ("f1.bin", 1, 1)))
+    assert(df.count() == 2) // the empty catalog row survives intact
+  }
+
   test("decoded frames feed the validate/reassemble path like any source") {
     val dir = writeFixture()
     val chunks = spark.read.format(fmt).load(dir)
