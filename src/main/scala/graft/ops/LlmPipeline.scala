@@ -380,10 +380,14 @@ object LlmPipeline {
   /** Overflow report: shingle hashes whose document frequency exceeds the
     * df-cap (and were therefore excluded from intersection counting).
     * Empty on healthy corpora — the minhashBucketOverflow pattern.
+    * df = DISTINCT docs, matching the cap's size(collect_set(doc_id))
+    * exactly — a raw row count would disagree with the cap whenever
+    * (doc, sh) rows duplicate (intra-doc hash collision), reporting
+    * recall loss that didn't happen.
     */
   private[graft] def ngramDfOverflow(docSh: DataFrame, cap: Int = NgramDfCap): DataFrame =
     docSh.groupBy("sh")
-      .agg(count(lit(1)).as("df"))
+      .agg(countDistinct(col("doc_id")).as("df"))
       .where(col("df") > cap)
 
   // ----------------------------------------------------------- embeddings
@@ -760,12 +764,14 @@ object LlmPipeline {
     */
   def textClean(s: SparkSession, d: String): DataFrame = {
     val stop = profiles.flatMap(_._2).distinct.map(w => s"'$w'").mkString(", ")
-    Tables.documents(s, d)
+    // ONE stopword scan per row: materialize tokens and the kept subset,
+    // then n_removed = size difference (the second filter pass would
+    // double the dominant O(tokens × stopwords) cost)
+    withTk(Tables.documents(s, d))
+      .withColumn("kept", expr(s"filter(tk, t -> NOT array_contains(array($stop), t))"))
       .select(col("doc_id"),
-        expr(s"array_join(filter($toks, t -> NOT array_contains(array($stop), t)), ' ')")
-          .as("clean_text"),
-        expr(s"CAST(size(filter($toks, t -> array_contains(array($stop), t))) AS BIGINT)")
-          .as("n_removed"))
+        expr("array_join(kept, ' ')").as("clean_text"),
+        expr("CAST(size(tk) - size(kept) AS BIGINT)").as("n_removed"))
       .orderBy("doc_id")
   }
 
@@ -878,7 +884,11 @@ object LlmPipeline {
       count(lit(1)).as("n_sources"))
     perSource.crossJoin(broadcast(global))
       .select(col("source"), col("source_tokens"),
-        expr("total_tokens * 1000000 DIV (n_sources * source_tokens)")
+        // DECIMAL(38,0) intermediate: total_tokens * 1e6 overflows a
+        // BIGINT at ~9.2e12 tokens — inside 100 TB-corpus range; the
+        // quotient itself always fits a BIGINT
+        expr("CAST(CAST(total_tokens AS DECIMAL(38,0)) * 1000000 DIV " +
+          "(CAST(n_sources AS DECIMAL(38,0)) * source_tokens) AS BIGINT)")
           .as("weight_micros"))
       .orderBy("source")
   }

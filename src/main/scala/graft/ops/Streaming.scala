@@ -273,13 +273,16 @@ object Streaming {
     * IDEMPOTENT restatement, so replaying a micro-batch after a crash
     * yields the same snapshot: the exactly-once recipe over an
     * at-least-once engine. The merged snapshot is written to a FRESH
-    * temp directory and swapped into place (delete + rename, both
-    * metadata ops) — never overwrite-in-place: an in-place overwrite
-    * deletes the very files the merge plan reads from, and a cache()
-    * barrier is not reliable (evicted blocks or a lost executor after
-    * count() recompute from the deleted directory). A crash inside the
-    * delete–rename window still leaves the full snapshot in the temp
-    * dir; the fully transactional form is a pointer swap or a
+    * temp directory and swapped in via a BACKUP-RENAME protocol —
+    * never overwrite-in-place (an in-place overwrite deletes the very
+    * files the merge plan reads from, and a cache() barrier is not
+    * reliable: evicted blocks or a lost executor after count()
+    * recompute from the deleted directory). Swap order: old snapshot
+    * RENAMES to .bak (never deleted first), temp renames in, then the
+    * backup is dropped — a crash at ANY point leaves the full previous
+    * state in either the snapshot or the backup, and the next batch's
+    * read prefers snapshot-then-backup, so no key's state is ever
+    * lost. The fully transactional form is a pointer swap or a
     * transactional table format.
     */
   def latestSnapshotSink(hb: Dataset[Heartbeat], dir: String)
@@ -292,18 +295,28 @@ object Streaming {
         // snapshot dir may be hdfs://…/s3a://… where a local-File check is
         // always false and would silently drop the prior snapshot each batch
         val snapPath = new org.apache.hadoop.fs.Path(dir)
+        val bakPath = new org.apache.hadoop.fs.Path(dir + ".bak")
         val fs = snapPath.getFileSystem(s.sessionState.newHadoopConf())
-        val prev =
-          if (fs.exists(snapPath)) s.read.parquet(dir).select("node", "ts")
-          else incoming.limit(0)
+        // crash recovery: the snapshot, or the backup a crashed swap left
+        val prevDir =
+          if (fs.exists(snapPath)) Some(dir)
+          else if (fs.exists(bakPath)) Some(bakPath.toString)
+          else None
+        val prev = prevDir
+          .map(p => s.read.parquet(p).select("node", "ts"))
+          .getOrElse(incoming.limit(0))
         val merged = prev.unionByName(incoming)
           .groupBy("node").agg(max(col("ts")).as("ts"))
         // write reads old dir, writes temp — no self-overwrite, no barrier
         val tmpPath = new org.apache.hadoop.fs.Path(dir + s".tmp-$batchId")
         merged.write.mode("overwrite").parquet(tmpPath.toString)
-        fs.delete(snapPath, true)
+        // swap: old -> .bak (keep), tmp -> snapshot, then drop .bak
+        if (fs.exists(bakPath)) fs.delete(bakPath, true)
+        if (fs.exists(snapPath) && !fs.rename(snapPath, bakPath))
+          throw new java.io.IOException(s"snapshot backup $snapPath -> $bakPath failed")
         if (!fs.rename(tmpPath, snapPath))
           throw new java.io.IOException(s"snapshot swap $tmpPath -> $snapPath failed")
+        fs.delete(bakPath, true)
         ()
       }
       .start()

@@ -299,6 +299,15 @@ private class ProtoChunkMicroBatchStream(path: String, message: String,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[FrameCountOffset].n.toInt
     val e = end.asInstanceOf[FrameCountOffset].n.toInt
+    // restart replay: Spark re-plans a logged-but-uncommitted batch
+    // BEFORE ever calling latestOffset — the discovery log is empty then
+    // and slicing it would silently commit an empty batch, permanently
+    // skipping those files. Rebuild discovery from the listing first;
+    // sorted assignment makes the rebuilt indices match the original
+    // run's as long as file names arrive in sort order (the writer's
+    // epoch-numbered names do; an out-of-order producer needs the file
+    // source's compact-log design instead).
+    if (discovered.length < e) discover()
     discovered.slice(s, e).map(f => ProtoChunkPartition(f): InputPartition).toArray
   }
 
@@ -357,9 +366,19 @@ private class ProtoChunkReader(file: String, message: String, columns: Array[Str
       pos += 1
       if (shift > 63)
         throw new FramingException(s"corrupt frame length varint at offset $pos in $file")
+      // at shift 63 only the lowest payload bit is representable; higher
+      // bits would WRAP the Long (…80 01 → Long.MinValue reads as
+      // negative, …80 02 → 0 reads as a phantom empty frame) — both
+      // must be framing errors, not silent truncation
+      if (shift == 63 && (x & 0x7e) != 0)
+        throw new FramingException(s"frame length varint overflows 64 bits at offset $pos in $file")
       v |= (x & 0x7fL) << shift
       shift += 7; first = false
-      if ((x & 0x80) == 0) return v
+      if ((x & 0x80) == 0) {
+        if (v < 0)
+          throw new FramingException(s"frame length overflows at offset $pos in $file")
+        return v
+      }
     }
     v // unreachable
   }
@@ -502,6 +521,12 @@ private class ProtoChunkWrite(path: String, schema: StructType, queryId: String,
     * metadata log.
     */
   override def toStreaming: StreamingWrite = {
+    // Complete mode arrives as truncate-then-stream; this sink is an
+    // append log and does not clear prior epochs, so accepting the
+    // truncate silently would accumulate every epoch's full snapshot —
+    // refuse loudly instead of returning wrong data
+    require(!truncate,
+      "proto frame streaming sink supports Append output mode only")
     val names = validatedNames()
     val confEntries = ProtoChunkSource.sessionConfEntries()
     new ProtoChunkStreamingWrite(path, names, queryId, confEntries)

@@ -115,6 +115,60 @@ class ProtoChunkSourceSpec extends AnyFunSuite {
     val permissive = spark.read.format(fmt).option("mode", "permissive")
       .load(java.nio.file.Paths.get(dir, "frames-0.pb").toString)
     assert(permissive.count() == 4) // the 4 good frames; tail dropped, nothing aliased
+    // 64-bit WRAP shapes: nine 0x80 then 0x01 accumulates 1L<<63 (reads
+    // negative — must not alias to 'clean EOF'), nine 0x80 then 0x02
+    // wraps to 0 (must not yield a phantom empty frame). Both are
+    // framing errors in failfast mode.
+    for (last <- Seq(0x01.toByte, 0x02.toByte)) {
+      java.nio.file.Files.write(target,
+        good ++ (Array.fill(9)(0x80.toByte) :+ last))
+      val e2 = intercept[org.apache.spark.SparkException] {
+        spark.read.format(fmt).load(
+          java.nio.file.Paths.get(dir, "frames-0.pb").toString).count()
+      }
+      assert(e2.getMessage.contains("corrupt") ||
+        Option(e2.getCause).exists(_.getMessage.contains("corrupt")), s"last=$last")
+    }
+  }
+
+  test("restart replays a logged-but-uncommitted micro-batch (files rediscovered)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-protorestart").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-protorestart-ck").toString
+    def writeFrames(name: String, tag: String): Unit =
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, name),
+        ProtoChunkSource.frameBytes((0 until 4).map(i =>
+          ProtoIngest.StoreChunk(s"$tag.bin", i, f"c$i%010d", Array[Byte](1)))))
+    writeFrames("a.pb", "r-a"); writeFrames("b.pb", "r-b")
+    // foreachBatch sink: supports checkpoint recovery (memory sink does
+    // not) and lets the test observe exactly what a replayed batch reads
+    def run(sink: java.util.concurrent.ConcurrentLinkedQueue[(String, Int)])
+        : org.apache.spark.sql.streaming.StreamingQuery =
+      spark.readStream.format(fmt).load(dir).select("fileName", "sequenceNo")
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.collect().foreach(r => sink.add((r.getString(0), r.getInt(1)))); ()
+        }
+        .option("checkpointLocation", ckpt).start()
+    val got1 = new java.util.concurrent.ConcurrentLinkedQueue[(String, Int)]()
+    val q1 = run(got1)
+    try { q1.processAllAvailable() } finally q1.stop()
+    // the checkpoint lock releases when the query leaves the active set
+    val deadline = System.currentTimeMillis + 30000
+    while (spark.streams.active.exists(_.id == q1.id) &&
+      System.currentTimeMillis < deadline) Thread.sleep(100)
+    assert(got1.size == 8)
+    // simulate a crash between offset log and commit: drop the commit
+    // record so the restarted query must REPLAY batch 0 — its
+    // planInputPartitions runs against a fresh (empty) discovery log,
+    // which must rebuild from the listing instead of committing empty
+    assert(new java.io.File(s"$ckpt/commits/0").delete())
+    new java.io.File(s"$ckpt/commits/.0.crc").delete() // stale checksum sidecar blocks the re-commit rename
+    val got2 = new java.util.concurrent.ConcurrentLinkedQueue[(String, Int)]()
+    val q2 = run(got2)
+    try { q2.processAllAvailable() } finally q2.stop()
+    assert(got2.size == 8,
+      s"replayed batch lost files (got ${got2.size} rows — empty discovery log on restart)")
   }
 
   test("streamed reader handles a many-frame single file in constant frame-bounded memory") {

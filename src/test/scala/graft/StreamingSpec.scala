@@ -194,6 +194,27 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("snapshot sink recovers state from the backup a crashed swap leaves behind") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-snapbak").toString + "/latest"
+    // a crash between backup-rename and swap strands the full previous
+    // snapshot in .bak with no live snapshot dir — the next batch must
+    // merge against the backup, not against empty state
+    Seq(("n0", ts("2024-01-01 09:00:00"))).toDF("node", "ts")
+      .write.parquet(dir + ".bak")
+    val ms = MemoryStream[ops.Streaming.Heartbeat]
+    val q = ops.Streaming.latestSnapshotSink(ms.toDS(), dir)
+    try {
+      ms.addData(ops.Streaming.Heartbeat(ts("2024-01-01 10:00:00"), "n1"))
+      q.processAllAvailable()
+      val snap = spark.read.parquet(dir).selectExpr("node", "CAST(ts AS STRING)")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(snap == Map("n0" -> "2024-01-01 09:00:00", "n1" -> "2024-01-01 10:00:00"),
+        s"backup state lost: $snap")
+    } finally q.stop()
+  }
+
   test("stateful liveness emits dead-node record on timeout (#51)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
