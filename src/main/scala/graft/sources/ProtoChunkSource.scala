@@ -559,9 +559,13 @@ private class ProtoChunkStreamingWriterFactory(path: String, names: Array[String
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
     // file identity = (query, epoch, partition) — NO taskId, so an epoch
     // REPLAY commits onto the same stem (overwrite-idempotent, no dup
-    // frames); temp names stay attempt-unique via taskId
+    // frames); temp names stay attempt-unique via taskId. Epoch is
+    // ZERO-PADDED: the micro-batch reader's restart rebuild assigns
+    // indices in name-sort order, and an unpadded e10 sorting before e2
+    // would violate exactly the arrival-in-sort-order constraint this
+    // sink's own output feeds
     new ProtoChunkWriter(path, names,
-      f"part-$partitionId%05d-$queryId-e$epochId", taskId, confEntries)
+      f"part-$partitionId%05d-$queryId-e$epochId%09d", taskId, confEntries)
 }
 
 private case class ProtoChunkCommit(file: String) extends WriterCommitMessage
