@@ -775,6 +775,24 @@ object LlmPipeline {
       .orderBy("doc_id")
   }
 
+  /** q_text_repetition — within-document repetition scoring (the
+    * Gopher/RefinedWeb repetition filters: a document whose n-grams
+    * repeat heavily is boilerplate/spam and gets culled before
+    * training). dup_ratio = 1 − distinct/total 3-gram shingles, as an
+    * exact int/int double division. Pure per-row projection over the
+    * already-materialized shingle array — no shuffle, the 100 TB plan
+    * is a mapper-only scan like the other text filters.
+    */
+  def textRepetition(s: SparkSession, d: String): DataFrame =
+    withTk(Tables.documents(s, d))
+      .withColumn("sh", expr(shingles))
+      .select(col("doc_id"),
+        expr("CAST(size(sh) AS BIGINT)").as("n_shingles"),
+        expr("CAST(size(array_distinct(sh)) AS BIGINT)").as("n_distinct"),
+        expr("CAST(size(sh) - size(array_distinct(sh)) AS DOUBLE) / size(sh)")
+          .as("dup_ratio"))
+      .orderBy("doc_id")
+
   /** q_sample_stratified — per-language Bernoulli sampling with
     * per-stratum rates (the language-rebalancing step every multilingual
     * training mix runs: downsample the dominant language, keep the
@@ -914,6 +932,7 @@ object LlmPipeline {
     "q_text_token_count"    -> (textTokenCount _),
     "q_text_fingerprint"    -> (textFingerprint _),
     "q_text_clean"          -> (textClean _),
+    "q_text_repetition"     -> (textRepetition _),
     "q_sample_stratified"   -> (sampleStratified _),
     "q_decontaminate"       -> (decontaminate _),
     "q_corpus_shuffle"      -> (corpusShuffle _),
@@ -1150,6 +1169,12 @@ object LlmPipeline {
           s"array_to_string(list_filter(string_split(text, ' '), t -> NOT list_contains([$stop], t)), ' ') AS clean_text, " +
           s"CAST(len(list_filter(string_split(text, ' '), t -> list_contains([$stop], t))) AS BIGINT) AS n_removed " +
           "FROM documents ORDER BY doc_id"),
+      "q_text_repetition" ->
+        (s"WITH t AS (SELECT doc_id, $shinglesDuck AS sh FROM documents) " +
+          "SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_shingles, " +
+          "CAST(len(list_distinct(sh)) AS BIGINT) AS n_distinct, " +
+          "CAST(len(sh) - len(list_distinct(sh)) AS DOUBLE) / len(sh) AS dup_ratio " +
+          "FROM t ORDER BY doc_id"),
       "q_decontaminate" ->
         (s"WITH ds AS (SELECT doc_id, " +
           s"CAST(concat('0x', substring(md5(unnest(list_distinct($shinglesDuck))), 1, 15)) AS BIGINT) AS sh " +
