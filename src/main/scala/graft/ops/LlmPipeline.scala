@@ -781,10 +781,14 @@ object LlmPipeline {
     * training). dup_ratio = 1 − distinct/total 3-gram shingles, as an
     * exact int/int double division. Pure per-row projection over the
     * already-materialized shingle array — no shuffle, the 100 TB plan
-    * is a mapper-only scan like the other text filters.
+    * is a mapper-only scan like the other text filters. NULL text is
+    * coalesced to '' (mirrored in the oracle): the CASE's ELSE
+    * array(text) branch would otherwise yield [NULL], where Spark's
+    * array_distinct keeps the null but DuckDB's list_distinct drops
+    * it — dup_ratio 0.0 vs 1.0 on the same row.
     */
   def textRepetition(s: SparkSession, d: String): DataFrame =
-    withTk(Tables.documents(s, d))
+    withTk(Tables.documents(s, d).withColumn("text", coalesce(col("text"), lit(""))))
       .withColumn("sh", expr(shingles))
       .select(col("doc_id"),
         expr("CAST(size(sh) AS BIGINT)").as("n_shingles"),
@@ -1170,7 +1174,8 @@ object LlmPipeline {
           s"CAST(len(list_filter(string_split(text, ' '), t -> list_contains([$stop], t))) AS BIGINT) AS n_removed " +
           "FROM documents ORDER BY doc_id"),
       "q_text_repetition" ->
-        (s"WITH t AS (SELECT doc_id, $shinglesDuck AS sh FROM documents) " +
+        (s"WITH d0 AS (SELECT doc_id, coalesce(text, '') AS text FROM documents), " +
+          s"t AS (SELECT doc_id, $shinglesDuck AS sh FROM d0) " +
           "SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_shingles, " +
           "CAST(len(list_distinct(sh)) AS BIGINT) AS n_distinct, " +
           "CAST(len(sh) - len(list_distinct(sh)) AS DOUBLE) / len(sh) AS dup_ratio " +

@@ -557,15 +557,22 @@ private class ProtoChunkStreamingWrite(path: String, names: Array[String],
 private class ProtoChunkStreamingWriterFactory(path: String, names: Array[String],
     queryId: String, confEntries: Map[String, String]) extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
-    // file identity = (query, epoch, partition) — NO taskId, so an epoch
+    // file identity = (epoch, partition, query) — NO taskId, so an epoch
     // REPLAY commits onto the same stem (overwrite-idempotent, no dup
-    // frames); temp names stay attempt-unique via taskId. Epoch is
-    // ZERO-PADDED: the micro-batch reader's restart rebuild assigns
-    // indices in name-sort order, and an unpadded e10 sorting before e2
-    // would violate exactly the arrival-in-sort-order constraint this
-    // sink's own output feeds
+    // frames); temp names stay attempt-unique via taskId. The stem is
+    // EPOCH-MAJOR and the epoch ZERO-PADDED: the micro-batch reader's
+    // restart rebuild assigns indices in name-sort order, so every file
+    // of epoch N must sort before every file of epoch N+1 — a
+    // partition-major stem (part-...-eN) breaks that with >1 writer
+    // partitions, and an unpadded e10 sorts before e2. The scheme is a
+    // per-directory contract: one directory, one naming scheme (mixing
+    // producers with different stems voids the reader's rebuild).
+    // Within ONE epoch, tasks rename independently, so a reader listing
+    // mid-commit can still observe partitions out of order — the
+    // compact-log design is the full fix; downstream keyed dedup covers
+    // the at-least-once residue (see ProtoChunkMicroBatchStream doc).
     new ProtoChunkWriter(path, names,
-      f"part-$partitionId%05d-$queryId-e$epochId%09d", taskId, confEntries)
+      f"e$epochId%09d-part-$partitionId%05d-$queryId", taskId, confEntries)
 }
 
 private case class ProtoChunkCommit(file: String) extends WriterCommitMessage

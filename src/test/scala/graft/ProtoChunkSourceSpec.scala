@@ -314,9 +314,11 @@ class ProtoChunkSourceSpec extends AnyFunSuite {
       ("s2.bin", 0, "c0", Seq[Byte](4, 5, 6))))
     // epoch-keyed file names, no temp litter
     val files = new java.io.File(out).listFiles().map(_.getName)
-    // zero-padded epoch names keep lexicographic order == epoch order
-    // (the micro-batch reader's restart rebuild depends on it)
-    assert(files.exists(_.contains("-e000000000")) && files.exists(_.contains("-e000000001")))
+    // epoch-major zero-padded names keep lexicographic order == epoch
+    // order across ALL partitions (the micro-batch reader's restart
+    // rebuild depends on it)
+    assert(files.exists(_.startsWith("e000000000-part-")) &&
+      files.exists(_.startsWith("e000000001-part-")))
     assert(!files.exists(_.endsWith(".inprogress")))
   }
 
