@@ -240,7 +240,8 @@ private class ProtoChunkScan(path: String, message: String, required: StructType
       ProtoChunkSource.sessionConfEntries())
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new ProtoChunkMicroBatchStream(path, message, required.fieldNames, permissive)
+    new ProtoChunkMicroBatchStream(path, message, required.fieldNames, permissive,
+      checkpointLocation)
 }
 
 private case class ProtoChunkPartition(file: String) extends InputPartition
@@ -269,23 +270,76 @@ private case class FrameCountOffset(n: Long) extends Offset {
   * a micro-batch plans one InputPartition per file in its offset range
   * and reuses the batch PartitionReader unchanged.
   *
-  * The discovery log lives in this driver-side instance — on restart
-  * from a checkpoint the log is rebuilt from the current listing, so a
-  * restarted query re-reads files that arrived after the last committed
-  * offset (at-least-once, like a file source without a compact log;
-  * frames are keyed so downstream dedup makes it effectively-once —
-  * the Streaming.dedupStream / idempotent-sink patterns).
+  * The discovery log is PERSISTED under the query's checkpoint (one
+  * zero-padded slice file per discovery that found new frames, written
+  * temp-then-rename, the file source's metadata-log design): a restart
+  * rebuilds index→file assignment from the log, byte-identical to the
+  * original run's, so a replayed logged-but-uncommitted batch re-reads
+  * EXACTLY its files — regardless of listing order, late-arriving
+  * names that sort before already-seen ones, or frames added after
+  * the crash. The slice is written BEFORE its offset is returned, so
+  * an offset never names files the log could lose.
   */
 private class ProtoChunkMicroBatchStream(path: String, message: String,
-    columns: Array[String], permissive: Boolean) extends MicroBatchStream {
+    columns: Array[String], permissive: Boolean, checkpointLocation: String)
+    extends MicroBatchStream {
   private val confEntries = ProtoChunkSource.sessionConfEntries()
   private val discovered = new scala.collection.mutable.ArrayBuffer[String]()
   private val seen = new scala.collection.mutable.HashSet[String]()
+  private val logDir =
+    new org.apache.hadoop.fs.Path(checkpointLocation, "graft-frame-log")
+  private var loaded = false
+
+  private def fs = logDir.getFileSystem(ProtoChunkSource.hadoopConf(confEntries))
+
+  /** Rebuild the in-memory log from the persisted slices (restart path;
+    * no-op on an empty checkpoint). Slice names are zero-padded start
+    * indices, so name order == append order.
+    */
+  private def ensureLoaded(): Unit = if (!loaded) {
+    loaded = true
+    val f = fs
+    if (f.exists(logDir)) {
+      f.listStatus(logDir)
+        .filter(st => st.isFile && st.getPath.getName.forall(_.isDigit))
+        .sortBy(_.getPath.getName)
+        .foreach { st =>
+          val in = f.open(st.getPath)
+          val text =
+            try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+            finally in.close()
+          text.split('\n').filter(_.nonEmpty).foreach { name =>
+            if (!seen.contains(name)) { seen += name; discovered += name }
+          }
+        }
+    }
+  }
+
+  /** Persist one discovery slice. Temp-then-rename: a reader of the log
+    * (only ever a restarted driver) sees complete slices or nothing. A
+    * rename onto an existing slice means a prior attempt crashed after
+    * the write — its content was loaded by ensureLoaded, so this path
+    * is unreachable; fail loudly rather than diverge.
+    */
+  private def appendSlice(startIdx: Int, names: Seq[String]): Unit = {
+    val f = fs
+    f.mkdirs(logDir)
+    val fin = new org.apache.hadoop.fs.Path(logDir, f"$startIdx%020d")
+    val tmp = new org.apache.hadoop.fs.Path(logDir, s".${fin.getName}.tmp")
+    val out = f.create(tmp, true)
+    try out.write(names.mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+    require(f.rename(tmp, fin), s"frame-log slice write lost a race: $fin")
+  }
 
   private def discover(): Unit = {
+    ensureLoaded()
     val files = ProtoChunkSource.listFrameFiles(path, ProtoChunkSource.hadoopConf(confEntries))
-    files.foreach { f =>
-      if (!seen.contains(f)) { seen += f; discovered += f }
+    val fresh = files.filterNot(seen.contains)
+    if (fresh.nonEmpty) {
+      val startIdx = discovered.length
+      fresh.foreach { f => seen += f; discovered += f }
+      appendSlice(startIdx, fresh)
     }
   }
 
@@ -300,13 +354,13 @@ private class ProtoChunkMicroBatchStream(path: String, message: String,
     val s = start.asInstanceOf[FrameCountOffset].n.toInt
     val e = end.asInstanceOf[FrameCountOffset].n.toInt
     // restart replay: Spark re-plans a logged-but-uncommitted batch
-    // BEFORE ever calling latestOffset — the discovery log is empty then
-    // and slicing it would silently commit an empty batch, permanently
-    // skipping those files. Rebuild discovery from the listing first;
-    // sorted assignment makes the rebuilt indices match the original
-    // run's as long as file names arrive in sort order (the writer's
-    // epoch-numbered names do; an out-of-order producer needs the file
-    // source's compact-log design instead).
+    // BEFORE ever calling latestOffset — the in-memory log is empty
+    // then, and slicing it would silently commit an empty batch,
+    // permanently skipping those files. ensureLoaded rebuilds the
+    // original run's assignment from the persisted slices; the listing
+    // fallback covers only a destroyed checkpoint (where Spark cannot
+    // hand us a replayed offset anyway).
+    ensureLoaded()
     if (discovered.length < e) discover()
     discovered.slice(s, e).map(f => ProtoChunkPartition(f): InputPartition).toArray
   }
@@ -560,17 +614,13 @@ private class ProtoChunkStreamingWriterFactory(path: String, names: Array[String
     // file identity = (epoch, partition, query) — NO taskId, so an epoch
     // REPLAY commits onto the same stem (overwrite-idempotent, no dup
     // frames); temp names stay attempt-unique via taskId. The stem is
-    // EPOCH-MAJOR and the epoch ZERO-PADDED: the micro-batch reader's
-    // restart rebuild assigns indices in name-sort order, so every file
-    // of epoch N must sort before every file of epoch N+1 — a
-    // partition-major stem (part-...-eN) breaks that with >1 writer
-    // partitions, and an unpadded e10 sorts before e2. The scheme is a
-    // per-directory contract: one directory, one naming scheme (mixing
-    // producers with different stems voids the reader's rebuild).
-    // Within ONE epoch, tasks rename independently, so a reader listing
-    // mid-commit can still observe partitions out of order — the
-    // compact-log design is the full fix; downstream keyed dedup covers
-    // the at-least-once residue (see ProtoChunkMicroBatchStream doc).
+    // EPOCH-MAJOR and the epoch ZERO-PADDED so a directory listing
+    // reads in write order (a partition-major stem interleaves epochs
+    // with >1 writer partitions; an unpadded e10 sorts before e2).
+    // The micro-batch reader no longer DEPENDS on name order — its
+    // discovery log is persisted in the checkpoint (see
+    // ProtoChunkMicroBatchStream) — but listing order == epoch order
+    // keeps batch reads and human debugging deterministic.
     new ProtoChunkWriter(path, names,
       f"e$epochId%09d-part-$partitionId%05d-$queryId", taskId, confEntries)
 }

@@ -160,8 +160,9 @@ class ProtoChunkSourceSpec extends AnyFunSuite {
     assert(got1.size == 8)
     // simulate a crash between offset log and commit: drop the commit
     // record so the restarted query must REPLAY batch 0 — its
-    // planInputPartitions runs against a fresh (empty) discovery log,
-    // which must rebuild from the listing instead of committing empty
+    // planInputPartitions runs against a fresh (empty) in-memory log,
+    // which must rebuild from the persisted frame log instead of
+    // committing empty
     assert(new java.io.File(s"$ckpt/commits/0").delete())
     new java.io.File(s"$ckpt/commits/.0.crc").delete() // stale checksum sidecar blocks the re-commit rename
     val got2 = new java.util.concurrent.ConcurrentLinkedQueue[(String, Int)]()
@@ -169,6 +170,49 @@ class ProtoChunkSourceSpec extends AnyFunSuite {
     try { q2.processAllAvailable() } finally q2.stop()
     assert(got2.size == 8,
       s"replayed batch lost files (got ${got2.size} rows — empty discovery log on restart)")
+  }
+
+  test("restart keeps index->file assignment when a late file sorts before a committed one") {
+    // a.pb arrives AFTER b.pb was discovered and committed, but sorts
+    // lexicographically BEFORE it. A restart that rebuilt discovery by
+    // listing-sort would assign a.pb the already-committed index 0 and
+    // re-emit b.pb as batch 1 (a.pb silently skipped forever); the
+    // persisted frame log pins b.pb=0, so the restarted query's next
+    // batch must deliver exactly a.pb's rows.
+    val dir = java.nio.file.Files.createTempDirectory("graft-protolate").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-protolate-ck").toString
+    def writeFrames(name: String, tag: String): Unit =
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, name),
+        ProtoChunkSource.frameBytes((0 until 2).map(i =>
+          ProtoIngest.StoreChunk(s"$tag.bin", i, f"c$i%010d", Array[Byte](1)))))
+    def run(sink: java.util.concurrent.ConcurrentLinkedQueue[String])
+        : org.apache.spark.sql.streaming.StreamingQuery =
+      spark.readStream.format(fmt).load(dir).select("fileName")
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.collect().foreach(r => sink.add(r.getString(0))); ()
+        }
+        .option("checkpointLocation", ckpt).start()
+    import scala.jdk.CollectionConverters._
+    writeFrames("b.pb", "late-b")
+    val got1 = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val q1 = run(got1)
+    try { q1.processAllAvailable() } finally q1.stop()
+    val deadline = System.currentTimeMillis + 30000
+    while (spark.streams.active.exists(_.id == q1.id) &&
+      System.currentTimeMillis < deadline) Thread.sleep(100)
+    assert(got1.asScala.toSeq == Seq("late-b.bin", "late-b.bin"))
+    writeFrames("a.pb", "late-a") // sorts before b.pb
+    val got2 = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val q2 = run(got2)
+    try { q2.processAllAvailable() } finally q2.stop()
+    assert(got2.asScala.toSeq == Seq("late-a.bin", "late-a.bin"),
+      s"restart mis-assigned file indices (got ${got2.asScala.toSeq})")
+    // the persisted log under the checkpoint is what made this exact
+    val logFiles = new java.io.File(s"$ckpt/sources/0/graft-frame-log")
+      .listFiles().map(_.getName).filterNot(_.startsWith(".")).sorted
+    assert(logFiles.toSeq == Seq(f"${0}%020d", f"${1}%020d"), logFiles.mkString(","))
   }
 
   test("streamed reader handles a many-frame single file in constant frame-bounded memory") {
