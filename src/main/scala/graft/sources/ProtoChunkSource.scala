@@ -289,52 +289,105 @@ private class ProtoChunkMicroBatchStream(path: String, message: String,
   private val logDir =
     new org.apache.hadoop.fs.Path(checkpointLocation, "graft-frame-log")
   private var loaded = false
+  // plain (non-compact) slices currently on disk — compaction trigger
+  private var plainSlices = 0
 
-  private def fs = logDir.getFileSystem(ProtoChunkSource.hadoopConf(confEntries))
+  private lazy val hconf = ProtoChunkSource.hadoopConf(confEntries)
+  private lazy val fs = logDir.getFileSystem(hconf)
 
-  /** Rebuild the in-memory log from the persisted slices (restart path;
-    * no-op on an empty checkpoint). Slice names are zero-padded start
-    * indices, so name order == append order.
-    */
-  private def ensureLoaded(): Unit = if (!loaded) {
-    loaded = true
-    val f = fs
-    if (f.exists(logDir)) {
-      f.listStatus(logDir)
-        .filter(st => st.isFile && st.getPath.getName.forall(_.isDigit))
-        .sortBy(_.getPath.getName)
-        .foreach { st =>
-          val in = f.open(st.getPath)
-          val text =
-            try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-            finally in.close()
-          text.split('\n').filter(_.nonEmpty).foreach { name =>
-            if (!seen.contains(name)) { seen += name; discovered += name }
-          }
-        }
+  private def isPlainSlice(n: String) = n.nonEmpty && n.forall(_.isDigit)
+  private def isCompact(n: String) =
+    n.endsWith(".compact") && isPlainSlice(n.stripSuffix(".compact"))
+
+  private def readNames(f: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Unit = {
+    val in = f.open(p)
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    text.split('\n').filter(_.nonEmpty).foreach { name =>
+      if (!seen.contains(name)) { seen += name; discovered += name }
     }
   }
 
-  /** Persist one discovery slice. Temp-then-rename: a reader of the log
-    * (only ever a restarted driver) sees complete slices or nothing. A
-    * rename onto an existing slice means a prior attempt crashed after
-    * the write — its content was loaded by ensureLoaded, so this path
-    * is unreachable; fail loudly rather than diverge.
+  /** Rebuild the in-memory log from the persisted slices (restart path;
+    * no-op on an empty checkpoint). The newest `.compact` file (full
+    * prefix of the log) loads first, then plain slices in name order —
+    * zero-padded start indices, so name order == append order; entries
+    * a compact already covers dedup away via `seen`. `loaded` flips
+    * only after a complete load: a transient IO failure mid-load clears
+    * the partial state and retries cleanly next call instead of slicing
+    * a truncated log.
     */
-  private def appendSlice(startIdx: Int, names: Seq[String]): Unit = {
-    val f = fs
-    f.mkdirs(logDir)
-    val fin = new org.apache.hadoop.fs.Path(logDir, f"$startIdx%020d")
+  private def ensureLoaded(): Unit = if (!loaded) {
+    try {
+      if (fs.exists(logDir)) {
+        val sts = fs.listStatus(logDir).filter(_.isFile)
+        val compacts = sts.filter(st => isCompact(st.getPath.getName))
+        if (compacts.nonEmpty)
+          readNames(fs, compacts.maxBy(_.getPath.getName).getPath)
+        val plain = sts.filter(st => isPlainSlice(st.getPath.getName))
+          .sortBy(_.getPath.getName)
+        plain.foreach(st => readNames(fs, st.getPath))
+        plainSlices = plain.length
+      }
+      loaded = true
+    } catch {
+      case e: Throwable =>
+        discovered.clear(); seen.clear(); plainSlices = 0
+        throw e
+    }
+  }
+
+  /** Write one log file temp-then-rename: a reader of the log (only
+    * ever a restarted driver) sees complete files or nothing. The
+    * destination must not already exist — local-FS rename silently
+    * REPLACES an existing destination (POSIX) while HDFS returns
+    * false, so the exists check, not the rename result, is the
+    * portable double-write guard.
+    */
+  private def writeLogFile(fin: org.apache.hadoop.fs.Path, names: Seq[String]): Unit = {
+    require(!fs.exists(fin), s"frame-log file already exists (diverged log): $fin")
     val tmp = new org.apache.hadoop.fs.Path(logDir, s".${fin.getName}.tmp")
-    val out = f.create(tmp, true)
+    val out = fs.create(tmp, true)
     try out.write(names.mkString("", "\n", "\n").getBytes("UTF-8"))
     finally out.close()
-    require(f.rename(tmp, fin), s"frame-log slice write lost a race: $fin")
+    require(fs.rename(tmp, fin), s"frame-log rename failed: $fin")
+  }
+
+  /** Persist one discovery slice, then fold the log into a single
+    * `.compact` file once enough small slices accumulate — a
+    * long-running query otherwise grows one tiny file per discovering
+    * trigger forever (restart cost and small-file pressure). Names the
+    * compact by log length so newer compacts sort later; the covered
+    * plain slices and older compacts are deleted AFTER the rename, so
+    * a crash anywhere leaves a log that loads to the same assignment
+    * (dedup makes the overlap harmless).
+    */
+  private def appendSlice(startIdx: Int, names: Seq[String]): Unit = {
+    require(names.forall(n => !n.contains('\n')),
+      s"frame file name contains a newline (unrepresentable in the frame log): " +
+        names.filter(_.contains('\n')).mkString(","))
+    fs.mkdirs(logDir)
+    writeLogFile(new org.apache.hadoop.fs.Path(logDir, f"$startIdx%020d"), names)
+    plainSlices += 1
+    if (plainSlices >= ProtoChunkMicroBatchStream.CompactEvery) {
+      val fin = new org.apache.hadoop.fs.Path(logDir,
+        f"${discovered.length}%020d.compact")
+      writeLogFile(fin, discovered.toSeq)
+      fs.listStatus(logDir)
+        .filter { st =>
+          val n = st.getPath.getName
+          st.isFile && (isPlainSlice(n) || (isCompact(n) && n < fin.getName))
+        }
+        .foreach(st => fs.delete(st.getPath, false))
+      plainSlices = 0
+    }
   }
 
   private def discover(): Unit = {
     ensureLoaded()
-    val files = ProtoChunkSource.listFrameFiles(path, ProtoChunkSource.hadoopConf(confEntries))
+    val files = ProtoChunkSource.listFrameFiles(path, hconf)
     val fresh = files.filterNot(seen.contains)
     if (fresh.nonEmpty) {
       val startIdx = discovered.length
@@ -371,6 +424,14 @@ private class ProtoChunkMicroBatchStream(path: String, message: String,
   override def deserializeOffset(json: String): Offset = FrameCountOffset(json.toLong)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
+}
+
+private object ProtoChunkMicroBatchStream {
+  /** Fold the frame log into one `.compact` file after this many plain
+    * slices — bounds restart-time log reads and checkpoint file count
+    * for long-running queries (the file source's compactInterval).
+    */
+  val CompactEvery = 10
 }
 
 // ----------------------------------------------------------------- read

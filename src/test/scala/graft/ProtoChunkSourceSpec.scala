@@ -215,6 +215,46 @@ class ProtoChunkSourceSpec extends AnyFunSuite {
     assert(logFiles.toSeq == Seq(f"${0}%020d", f"${1}%020d"), logFiles.mkString(","))
   }
 
+  test("frame log compacts after enough slices and restart replays from the compact") {
+    // 11 single-file discoveries in one running query: the 10th slice
+    // triggers compaction (CompactEvery = 10), folding the log into one
+    // .compact file; the 11th lands as a fresh plain slice. A restart
+    // must rebuild the same assignment from compact + slice and deliver
+    // exactly the post-restart file's rows.
+    val dir = java.nio.file.Files.createTempDirectory("graft-protocompact").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-protocompact-ck").toString
+    def writeFrames(i: Int): Unit =
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, f"f$i%03d.pb"),
+        ProtoChunkSource.frameBytes(Seq(
+          ProtoIngest.StoreChunk(f"cp$i%03d.bin", 0, f"c$i%010d", Array[Byte](1)))))
+    def run(sink: java.util.concurrent.ConcurrentLinkedQueue[String])
+        : org.apache.spark.sql.streaming.StreamingQuery =
+      spark.readStream.format(fmt).load(dir).select("fileName")
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.collect().foreach(r => sink.add(r.getString(0))); ()
+        }
+        .option("checkpointLocation", ckpt).start()
+    import scala.jdk.CollectionConverters._
+    val got1 = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val q1 = run(got1)
+    try {
+      (0 until 11).foreach { i => writeFrames(i); q1.processAllAvailable() }
+    } finally q1.stop()
+    assert(got1.asScala.toSet == (0 until 11).map(i => f"cp$i%03d.bin").toSet)
+    val logFiles = new java.io.File(s"$ckpt/sources/0/graft-frame-log")
+      .listFiles().map(_.getName).filterNot(_.startsWith(".")).sorted.toSeq
+    assert(logFiles == Seq(f"${10}%020d", f"${10}%020d.compact"),
+      s"log did not compact: ${logFiles.mkString(",")}")
+    writeFrames(11)
+    val got2 = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val q2 = run(got2)
+    try { q2.processAllAvailable() } finally q2.stop()
+    assert(got2.asScala.toSeq == Seq("cp011.bin"),
+      s"restart after compaction replayed wrong files (${got2.asScala.toSeq})")
+  }
+
   test("streamed reader handles a many-frame single file in constant frame-bounded memory") {
     // the reader buffers ONE frame at a time off the FSDataInputStream —
     // a file of many frames exercises the loop; memory is bounded by the
