@@ -236,16 +236,18 @@ object Chunks {
     * (download failover client/Client.java:443-454): rank alive replicas
     * by preference order, keep rank 1. Nodes {1,2} are "failed".
     */
-  def failoverCoalesce(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy("l_orderkey").orderBy("l_suppkey")
+  def failoverCoalesce(s: SparkSession, d: String): DataFrame =
+    // preference order is ascending node id, so rank-1-per-chunk IS
+    // min-per-chunk: one codegen'd hash aggregate with map-side
+    // partial combine — not distinct + row_number, which shuffles
+    // twice and sorts every partition. (A non-monotone preference
+    // list would need the window form; see q_window_rank for that
+    // shape.)
     Tables.lineitem(s, d)
-      .select("l_orderkey", "l_suppkey").distinct()
       .filter(!col("l_suppkey").isin(1L, 2L))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("l_orderkey"), col("l_suppkey").as("chosen_node"))
+      .groupBy("l_orderkey")
+      .agg(min("l_suppkey").as("chosen_node"))
       .orderBy("l_orderkey")
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_chunk_split"              -> (chunkSplit _),
@@ -326,10 +328,8 @@ object Chunks {
         "SELECT l_orderkey, max(have) AS have, 3 - max(have) AS need, count(*) AS n_candidates " +
         "FROM cand GROUP BY l_orderkey ORDER BY l_orderkey"),
     "q_failover_coalesce" ->
-      ("SELECT l_orderkey, l_suppkey AS chosen_node FROM " +
-        "(SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) " +
+      ("SELECT l_orderkey, min(l_suppkey) AS chosen_node FROM lineitem " +
         "WHERE l_suppkey NOT IN (1, 2) " +
-        "QUALIFY row_number() OVER (PARTITION BY l_orderkey ORDER BY l_suppkey) = 1 " +
-        "ORDER BY l_orderkey"),
+        "GROUP BY l_orderkey ORDER BY l_orderkey"),
   )
 }
