@@ -87,6 +87,13 @@ class PlanShapeSpec extends AnyFunSuite {
       s"as-of join carries a mandatory join-strategy hint:\n${hints.mkString("\n")}")
   }
 
+  test("failover choice is one partial hash aggregate, no window sort (#23)") {
+    val plan = physical(ops.Chunks.failoverCoalesce(spark, d))
+    assert(plan.contains("HashAggregate") && plan.contains("partial_min"),
+      s"expected map-side partial min in:\n$plan")
+    assert(!plan.contains("Window"), s"rank-1 should be min, not a window:\n$plan")
+  }
+
   test("decontamination joins hash-probe the bounded benchmark side, no cartesian") {
     val plan = physical(ops.LlmPipeline.decontaminate(spark, d))
     assert(!plan.contains("CartesianProduct"),
