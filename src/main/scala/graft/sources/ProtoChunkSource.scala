@@ -299,16 +299,18 @@ private class ProtoChunkMicroBatchStream(path: String, message: String,
   private def isCompact(n: String) =
     n.endsWith(".compact") && isPlainSlice(n.stripSuffix(".compact"))
 
-  private def readNames(f: org.apache.hadoop.fs.FileSystem,
-      p: org.apache.hadoop.fs.Path): Unit = {
-    val in = f.open(p)
+  private def readLines(p: org.apache.hadoop.fs.Path): Seq[String] = {
+    val in = fs.open(p)
     val text =
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
-    text.split('\n').filter(_.nonEmpty).foreach { name =>
+    text.split('\n').filter(_.nonEmpty).toSeq
+  }
+
+  private def adopt(names: Seq[String]): Unit =
+    names.foreach { name =>
       if (!seen.contains(name)) { seen += name; discovered += name }
     }
-  }
 
   /** Rebuild the in-memory log from the persisted slices (restart path;
     * no-op on an empty checkpoint). The newest `.compact` file (full
@@ -325,10 +327,10 @@ private class ProtoChunkMicroBatchStream(path: String, message: String,
         val sts = fs.listStatus(logDir).filter(_.isFile)
         val compacts = sts.filter(st => isCompact(st.getPath.getName))
         if (compacts.nonEmpty)
-          readNames(fs, compacts.maxBy(_.getPath.getName).getPath)
+          adopt(readLines(compacts.maxBy(_.getPath.getName).getPath))
         val plain = sts.filter(st => isPlainSlice(st.getPath.getName))
           .sortBy(_.getPath.getName)
-        plain.foreach(st => readNames(fs, st.getPath))
+        plain.foreach(st => adopt(readLines(st.getPath)))
         plainSlices = plain.length
       }
       loaded = true
@@ -339,42 +341,41 @@ private class ProtoChunkMicroBatchStream(path: String, message: String,
     }
   }
 
-  /** Write one log file temp-then-rename: a reader of the log (only
-    * ever a restarted driver) sees complete files or nothing. The
-    * destination must not already exist — local-FS rename silently
-    * REPLACES an existing destination (POSIX) while HDFS returns
-    * false, so the exists check, not the rename result, is the
-    * portable double-write guard.
+  /** Durably put `names` at `fin` and return the file's content — the
+    * committed truth. Temp-then-rename, so a reader of the log (only
+    * ever a restarted driver) sees complete files or nothing. If `fin`
+    * ALREADY exists — a prior attempt persisted it but failed before
+    * its names reached memory — its persisted content wins and is
+    * returned instead (an exists check, not the rename result: local-FS
+    * rename silently REPLACES an existing destination where HDFS
+    * returns false, so only the check is portable).
     */
-  private def writeLogFile(fin: org.apache.hadoop.fs.Path, names: Seq[String]): Unit = {
-    require(!fs.exists(fin), s"frame-log file already exists (diverged log): $fin")
-    val tmp = new org.apache.hadoop.fs.Path(logDir, s".${fin.getName}.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(names.mkString("", "\n", "\n").getBytes("UTF-8"))
-    finally out.close()
-    require(fs.rename(tmp, fin), s"frame-log rename failed: $fin")
+  private def writeOrAdopt(fin: org.apache.hadoop.fs.Path,
+      names: Seq[String]): Seq[String] = {
+    if (fs.exists(fin)) readLines(fin)
+    else {
+      val tmp = new org.apache.hadoop.fs.Path(logDir, s".${fin.getName}.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(names.mkString("", "\n", "\n").getBytes("UTF-8"))
+      finally out.close()
+      require(fs.rename(tmp, fin), s"frame-log rename failed: $fin")
+      names
+    }
   }
 
-  /** Persist one discovery slice, then fold the log into a single
-    * `.compact` file once enough small slices accumulate — a
-    * long-running query otherwise grows one tiny file per discovering
-    * trigger forever (restart cost and small-file pressure). Names the
-    * compact by log length so newer compacts sort later; the covered
-    * plain slices and older compacts are deleted AFTER the rename, so
-    * a crash anywhere leaves a log that loads to the same assignment
-    * (dedup makes the overlap harmless).
+  /** Fold the log into a single `.compact` file once enough small
+    * slices accumulate — a long-running query otherwise grows one tiny
+    * file per discovering trigger forever (restart cost and small-file
+    * pressure). Named by log length so newer compacts sort later; the
+    * covered plain slices and older compacts are deleted AFTER the
+    * rename, so a crash at ANY point leaves a log that loads back to
+    * the same assignment (load-time dedup makes overlap harmless).
     */
-  private def appendSlice(startIdx: Int, names: Seq[String]): Unit = {
-    require(names.forall(n => !n.contains('\n')),
-      s"frame file name contains a newline (unrepresentable in the frame log): " +
-        names.filter(_.contains('\n')).mkString(","))
-    fs.mkdirs(logDir)
-    writeLogFile(new org.apache.hadoop.fs.Path(logDir, f"$startIdx%020d"), names)
-    plainSlices += 1
+  private def maybeCompact(): Unit =
     if (plainSlices >= ProtoChunkMicroBatchStream.CompactEvery) {
       val fin = new org.apache.hadoop.fs.Path(logDir,
         f"${discovered.length}%020d.compact")
-      writeLogFile(fin, discovered.toSeq)
+      writeOrAdopt(fin, discovered.toSeq)
       fs.listStatus(logDir)
         .filter { st =>
           val n = st.getPath.getName
@@ -383,16 +384,28 @@ private class ProtoChunkMicroBatchStream(path: String, message: String,
         .foreach(st => fs.delete(st.getPath, false))
       plainSlices = 0
     }
-  }
 
+  /** Persist-then-adopt, in that order: the in-memory log mutates ONLY
+    * after the slice is durable, so a thrown write (transient IO, the
+    * newline guard) leaves memory exactly matching the persisted log
+    * and the next trigger retries the same names. If the slice file
+    * already exists (a crashed prior attempt), its content is adopted
+    * as-is; names it doesn't cover re-list as fresh next trigger.
+    */
   private def discover(): Unit = {
     ensureLoaded()
     val files = ProtoChunkSource.listFrameFiles(path, hconf)
     val fresh = files.filterNot(seen.contains)
     if (fresh.nonEmpty) {
-      val startIdx = discovered.length
-      fresh.foreach { f => seen += f; discovered += f }
-      appendSlice(startIdx, fresh)
+      require(fresh.forall(n => !n.contains('\n')),
+        s"frame file name contains a newline (unrepresentable in the frame log): " +
+          fresh.filter(_.contains('\n')).mkString(","))
+      fs.mkdirs(logDir)
+      val slice = writeOrAdopt(
+        new org.apache.hadoop.fs.Path(logDir, f"${discovered.length}%020d"), fresh)
+      adopt(slice)
+      plainSlices += 1
+      maybeCompact()
     }
   }
 
