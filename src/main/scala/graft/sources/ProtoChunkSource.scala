@@ -375,7 +375,13 @@ private class ProtoChunkMicroBatchStream(path: String, message: String,
     if (plainSlices >= ProtoChunkMicroBatchStream.CompactEvery) {
       val fin = new org.apache.hadoop.fs.Path(logDir,
         f"${discovered.length}%020d.compact")
-      writeOrAdopt(fin, discovered.toSeq)
+      // an existing compact at this length is a crashed prior attempt
+      // whose content is identical by construction (same log prefix);
+      // anything else means a second writer on this checkpoint — fail
+      // BEFORE the deletes below destroy the only durable record of
+      // the divergent names.
+      require(writeOrAdopt(fin, discovered.toSeq) == discovered.toSeq,
+        s"existing compact diverges from the log (second writer?): $fin")
       fs.listStatus(logDir)
         .filter { st =>
           val n = st.getPath.getName
@@ -401,9 +407,16 @@ private class ProtoChunkMicroBatchStream(path: String, message: String,
         s"frame file name contains a newline (unrepresentable in the frame log): " +
           fresh.filter(_.contains('\n')).mkString(","))
       fs.mkdirs(logDir)
+      val before = discovered.length
       val slice = writeOrAdopt(
-        new org.apache.hadoop.fs.Path(logDir, f"${discovered.length}%020d"), fresh)
+        new org.apache.hadoop.fs.Path(logDir, f"$before%020d"), fresh)
       adopt(slice)
+      // an adopted crashed-attempt slice always advances the log (its
+      // names were fresh when written and never reached memory); one
+      // that doesn't is foreign or truncated, and silently keeping it
+      // would recompute the same blocked slice name every trigger
+      require(discovered.length > before,
+        f"existing frame-log slice $before%020d adds no entries (foreign file?)")
       plainSlices += 1
       maybeCompact()
     }
