@@ -327,6 +327,30 @@ object Relational {
       .orderBy("custkey")
   }
 
+  /** q_join_part_promo — TPC-H Q14's promo-revenue shape, per brand:
+    * lineitem ⋈ part (the last base table the registry didn't touch)
+    * with a conditional decimal aggregate. Per-brand sums instead of
+    * Q14's single global double division keep the result engine-exact
+    * (no IEEE ratio; SURVEY §7.4 rule 1). Fact ⋈ dim on the integer
+    * part key with NO broadcast hint — part is dimension-sized locally
+    * but unbounded at corpus scale, so AQE's runtime size check picks
+    * the strategy (the q_join_asof rule).
+    */
+  def joinPartPromo(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).select("l_partkey", "l_extendedprice", "l_discount")
+      .join(Tables.part(s, d).select("p_partkey", "p_brand", "p_type"),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(
+        sum(when(col("p_type") === "ECONOMY",
+          dec("l_extendedprice") * (lit(1) - dec("l_discount")))
+          .otherwise(lit(0).cast(DecimalType(18, 2))))
+          .cast(DoubleType).as("promo_revenue"),
+        sum(dec("l_extendedprice") * (lit(1) - dec("l_discount")))
+          .cast(DoubleType).as("total_revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("p_brand")
+
   /** q_pivot — status-by-priority order counts as a wide table
     * (groupBy + pivot with an EXPLICIT value list: without it Spark runs
     * an extra distinct pass over the pivot column AND the output schema
@@ -485,6 +509,7 @@ object Relational {
     "q_window_first_last"   -> (windowFirstLast _),
     "q_subquery_corr"       -> (subqueryCorr _),
     "q_join_full_outer"     -> (joinFullOuter _),
+    "q_join_part_promo"     -> (joinPartPromo _),
     "q_pivot"               -> (pivotStatus _),
     "q_window_lag_lead"     -> (windowLagLead _),
     "q_window_ntile"        -> (windowNtile _),
@@ -544,6 +569,15 @@ object Relational {
         "(SELECT o_custkey, count(*) AS n_big FROM orders " +
         "WHERE o_totalprice > 150000 GROUP BY o_custkey) o " +
         "ON c_custkey = o_custkey ORDER BY custkey"),
+    "q_join_part_promo" ->
+      ("SELECT p_brand, " +
+        "CAST(SUM(CASE WHEN p_type = 'ECONOMY' " +
+        "THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) " +
+        "ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS promo_revenue, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue, " +
+        "count(*) AS n_lines " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "GROUP BY p_brand ORDER BY p_brand"),
     "q_pivot" ->
       ("SELECT o_orderpriority, " +
         "count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o, " +
