@@ -1,6 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import graft.Tables
+import graft.Tables.dsum
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Skew mitigation for hot join keys — the declarative fallback when a
@@ -47,4 +49,34 @@ object Skew {
     * user data implausible (and guarded by the require above).
     */
   private[graft] val SaltCol = "__graft_salt"
+
+  /** q_join_salted — the salted join as a first-class registered query:
+    * lineitem ⋈ supplier on the supplier key with the fact side spread
+    * over 8 salts, aggregated to per-supplier line counts and exact
+    * decimal revenue. The salt assignment is run-dependent
+    * (monotonically_increasing_id) but provably result-neutral — the
+    * join produces exactly the unsalted rows (SkewSpec parity test), so
+    * the oracle is the PLAIN join SQL: the mitigation must be invisible
+    * in the result to be correct.
+    */
+  def joinSalted(s: SparkSession, d: String): DataFrame =
+    saltedJoin(
+      Tables.lineitem(s, d).select("l_suppkey", "l_extendedprice"),
+      Tables.supplier(s, d).select("s_suppkey", "s_name")
+        .withColumnRenamed("s_suppkey", "l_suppkey"),
+      "l_suppkey", nSalts = 8)
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("n_lines"),
+        dsum(col("l_extendedprice")).as("revenue"))
+      .orderBy("s_name")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_salted" -> (joinSalted _))
+
+  val oracle: Map[String, String] = Map(
+    "q_join_salted" ->
+      ("SELECT s_name, count(*) AS n_lines, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue " +
+        "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey " +
+        "GROUP BY s_name ORDER BY s_name"))
 }
