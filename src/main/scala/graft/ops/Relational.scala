@@ -23,6 +23,14 @@ object Relational {
 
   private def dec(c: String) = col(c).cast(DecimalType(18, 2))
 
+  /** Exact-decimal discounted line revenue — the one expression every
+    * money aggregate here must share so a precision change lands once
+    * (mirror in each oracle: CAST(l_extendedprice AS DECIMAL(18,2)) *
+    * (1 - CAST(l_discount AS DECIMAL(18,2)))).
+    */
+  private def discRevenue =
+    dec("l_extendedprice") * (lit(1) - dec("l_discount"))
+
   /** #25 q_join_inner — fact⋈dim inner equi join (orders⋈customer). */
   def joinInner(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
@@ -137,7 +145,7 @@ object Relational {
       .agg(
         dsum(col("l_quantity")).as("sum_qty"),
         dsum(col("l_extendedprice")).as("sum_base_price"),
-        sum(dec("l_extendedprice") * (lit(1) - dec("l_discount")))
+        sum(discRevenue)
           .cast(DoubleType).as("sum_disc_price"),
         (sum(dec("l_quantity")).cast(DoubleType) / count(col("l_quantity"))).as("avg_qty"),
         count(lit(1)).as("count_order"))
@@ -342,11 +350,10 @@ object Relational {
         col("l_partkey") === col("p_partkey"))
       .groupBy("p_brand")
       .agg(
-        sum(when(col("p_type") === "ECONOMY",
-          dec("l_extendedprice") * (lit(1) - dec("l_discount")))
+        sum(when(col("p_type") === "PROMO", discRevenue)
           .otherwise(lit(0).cast(DecimalType(18, 2))))
           .cast(DoubleType).as("promo_revenue"),
-        sum(dec("l_extendedprice") * (lit(1) - dec("l_discount")))
+        sum(discRevenue)
           .cast(DoubleType).as("total_revenue"),
         count(lit(1)).as("n_lines"))
       .orderBy("p_brand")
@@ -571,7 +578,7 @@ object Relational {
         "ON c_custkey = o_custkey ORDER BY custkey"),
     "q_join_part_promo" ->
       ("SELECT p_brand, " +
-        "CAST(SUM(CASE WHEN p_type = 'ECONOMY' " +
+        "CAST(SUM(CASE WHEN p_type = 'PROMO' " +
         "THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) " +
         "ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS promo_revenue, " +
         "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue, " +
