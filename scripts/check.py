@@ -21,6 +21,27 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+def type_class(t):
+    """Collapse a DuckDB type to the value class the gate actually hashes.
+
+    The driver's comparison is value-level: int32 vs int64 both canon to the
+    same repr, but HUGEINT/DECIMAL surface as decimal.Decimal and mismatch a
+    plain int even when the values are equal (the q_pack_sequences r5
+    failure). Same class on both sides = safe; different class = hash risk.
+    """
+    t = str(t).upper()
+    if t.startswith("DECIMAL") or t in ("HUGEINT", "UHUGEINT"):
+        return "decimal"
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "int"
+    if t in ("FLOAT", "DOUBLE", "REAL"):
+        return "float"
+    if t.startswith("STRUCT") or t.endswith("[]") or t.startswith("MAP"):
+        return "nested:" + t
+    return t
+
+
 def canon(v):
     if isinstance(v, float):
         if math.isnan(v):
@@ -75,7 +96,16 @@ def main():
             n_fail += 1
             continue
         or_canon = [tuple(canon(r[i]) for i in or_idx) for r in or_rows]
-        if mine_cols != or_cols:
+        mine_types = {c: type_class(t) for c, t in zip(mine.columns, mine.types)}
+        or_types = {c: type_class(t) for c, t in zip(or_rel.columns, or_rel.types)}
+        type_diffs = [
+            f"{c}: spark={mine_types[c]} oracle={or_types[c]}"
+            for c in sorted(set(mine_types) & set(or_types))
+            if mine_types[c] != or_types[c]]
+        if type_diffs:
+            print(f"FAIL {name}: type-class mismatch ({'; '.join(type_diffs)})")
+            n_fail += 1
+        elif mine_cols != or_cols:
             print(f"FAIL {name}: columns {mine_cols} vs oracle {or_cols}")
             n_fail += 1
         elif len(mine_canon) != len(or_canon):

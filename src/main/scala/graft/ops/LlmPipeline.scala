@@ -1199,7 +1199,9 @@ object LlmPipeline {
           "c AS (SELECT doc_id, source, n_tokens, " +
           "sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) - n_tokens AS cum_excl " +
           "FROM t) " +
-          s"SELECT doc_id, source, n_tokens, cum_excl // ${LlmPipeline.PackBudget} AS bin " +
+          // DuckDB widens window sum(BIGINT) to HUGEINT and `//` preserves it;
+          // Spark emits int64 — pin the oracle type or the value-hash gate fails.
+          s"SELECT doc_id, source, n_tokens, CAST(cum_excl // ${LlmPipeline.PackBudget} AS BIGINT) AS bin " +
           "FROM c ORDER BY source, doc_id"),
       "q_mix_weights" ->
         ("WITH t AS (SELECT source, " +
