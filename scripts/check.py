@@ -39,6 +39,10 @@ def type_class(t):
         return "float"
     if t.startswith("STRUCT") or t.endswith("[]") or t.startswith("MAP"):
         return "nested:" + t
+    if t == "JSON":
+        # to_json() is typed JSON by newer DuckDBs but fetches as str —
+        # same value class as the VARCHAR Spark writes to parquet
+        return "VARCHAR"
     return t
 
 

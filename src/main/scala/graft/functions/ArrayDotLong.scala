@@ -107,7 +107,17 @@ object GraftFunctions {
     reg.registerFunction(ArrayDotLong.identifier, ArrayDotLong.info,
       ArrayDotLong.builder)
     reg.registerFunction(Shingle3.identifier, Shingle3.info, Shingle3.builder)
-    if (!s.experimental.extraOptimizations.contains(graft.plans.FoldChainedXor))
+    // A session built with spark.sql.extensions=GraftExtensions already
+    // runs FoldChainedXor in its injected-rule batch; appending it to
+    // extraOptimizations too would run it in a second batch. The rule IS
+    // idempotent (a folded `x ^ c` no longer matches any pattern —
+    // FoldChainedXorSpec pins this), but skip the duplicate anyway: the
+    // extensions conf is the only publicly inspectable registration site
+    // (RuleExecutor.batches is protected).
+    val viaExtensions = s.conf.getOption("spark.sql.extensions")
+      .exists(_.contains("GraftExtensions"))
+    if (!viaExtensions &&
+        !s.experimental.extraOptimizations.contains(graft.plans.FoldChainedXor))
       s.experimental.extraOptimizations =
         s.experimental.extraOptimizations :+ graft.plans.FoldChainedXor
   }

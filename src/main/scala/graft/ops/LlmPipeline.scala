@@ -487,15 +487,27 @@ object LlmPipeline {
       .select(col("vec_id").as("cent_id"), col("q").as("qc")))
     // |q - qc|² expanded to dots: exact integer identity, all codegen'd
     val d2 = s"(${dotL("q", "q")} - 2 * ${dotL("q", "qc")} + ${dotL("qc", "qc")})"
-    val w = Window.partitionBy("vec_id").orderBy(col("dist2").asc, col("cent_id").asc)
-    val dists = e.crossJoin(cents)
+    val cand = e.crossJoin(cents)
       .select(col("vec_id"), col("q"), col("cent_id"), expr(d2).as("dist2"))
-      .withColumn("rn", row_number().over(w))
-    val assigned = dists.where(col("rn") === 1)
-      .select(col("vec_id"), col("q"), col("cent_id"))
-    // nprobe nearest centroids of the probe vector — nprobe rows, all
-    // carrying the probe's quantized vector and norm for the cosine
-    val probeCents = dists.where(col("vec_id") === 0 && col("rn") <= nprobe)
+    // nearest centroid per vector as a combining MIN, not a row_number
+    // window: the 8 candidate rows per vector are born map-side
+    // (broadcast crossJoin), so a hash aggregate collapses 8→1 BEFORE
+    // the exchange, where the window form shuffled and sorted all 8n
+    // rows (the q_failover_coalesce pattern, ops/Chunks). The argmin
+    // (dist2 asc, cent_id asc) packs into ONE BIGINT — dist2 * 8 +
+    // cent_id — exact because cent_id < 8 and the 64-dim integer dist2
+    // stays far below 2⁶⁰; a min over struct(dist2, cent_id) would give
+    // the same order but a struct-typed buffer can't hash-aggregate
+    // (SortAggregate fallback).
+    val assigned = cand
+      .groupBy(col("vec_id"), col("q"))
+      .agg(min(col("dist2") * 8 + col("cent_id")).as("k"))
+      .select(col("vec_id"), col("q"), (col("k") % 8).as("cent_id"))
+    // nprobe nearest centroids of the probe vector — a top-k over the 8
+    // candidates of ONE vector (TakeOrderedAndProject), all carrying the
+    // probe's quantized vector and norm for the cosine
+    val probeCents = cand.where(col("vec_id") === 0)
+      .orderBy(col("dist2").asc, col("cent_id").asc).limit(nprobe)
       .select(col("q").as("qa"), expr(dotL("q", "q")).as("n2a"),
         col("cent_id").as("probe_cent"))
     assigned.where(col("vec_id") =!= 0)
@@ -1020,12 +1032,17 @@ object LlmPipeline {
           s"CAST(concat('0x', substring(md5(unnest(list_distinct($shinglesDuck))), 1, 15)) AS BIGINT) AS sh " +
           "FROM documents), " +
           "sizes AS (SELECT doc_id, count(*) AS n_sh FROM ds GROUP BY doc_id), " +
-          // df-cap mirror: only shingles with 2..NgramDfCap postings count
-          // toward |∩| (the HAVING mirrors ngramPairsFromPostings's
-          // size(ids) <= cap filter)
+          // df-cap mirror: only shingles present in 2..NgramDfCap DISTINCT
+          // docs count toward |∩| (mirrors ngramPairsFromPostings's
+          // size(collect_set(doc_id)) <= cap). COUNT DISTINCT on both
+          // doc_id here and sh in `inter` because ds can carry duplicate
+          // (doc, sh) rows when two distinct shingle strings of one doc
+          // collide in the 60-bit hash — list_distinct dedups strings,
+          // not hashes; a raw count(*) would then diverge from Spark's
+          // set-based cap and double-count the shared shingle
           "ok AS (SELECT sh FROM ds GROUP BY sh " +
-          s"HAVING count(*) > 1 AND count(*) <= ${LlmPipeline.NgramDfCap}), " +
-          "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter " +
+          s"HAVING count(DISTINCT doc_id) > 1 AND count(DISTINCT doc_id) <= ${LlmPipeline.NgramDfCap}), " +
+          "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(DISTINCT a.sh) AS n_inter " +
           "FROM ds a JOIN ok ON ok.sh = a.sh " +
           "JOIN ds b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
           "SELECT doc_a, doc_b, " +
