@@ -201,4 +201,21 @@ object Catalog {
       ("SELECT s_nationkey, s_name, s_suppkey, s_acctbal FROM supplier " +
         "ORDER BY s_nationkey ASC, s_name ASC, s_suppkey ASC"),
   )
+
+  /** Spark-dialect SQL for queries whose DuckDB oracle text doesn't run
+    * unchanged through spark.sql (SqlSurface: every other key's oracle
+    * SQL IS its Spark SQL). Semantics identical to the oracle pair.
+    */
+  val sparkSql: Map[String, String] = Map(
+    // DuckDB list_sort(list())/struct_pack(k := v)/list(... ORDER BY) →
+    // sort_array(collect_list())/named_struct — sort_array over the
+    // struct pins the same (seq)-ascending order the oracle's ORDER BY
+    // clause does (collect_list alone is unordered by contract).
+    "q_nested_catalog" ->
+      ("WITH r AS (SELECT DISTINCT l_orderkey, l_linenumber, l_suppkey FROM lineitem), " +
+        "c AS (SELECT l_orderkey, l_linenumber, sort_array(collect_list(l_suppkey)) AS nodes " +
+        "FROM r GROUP BY l_orderkey, l_linenumber) " +
+        "SELECT l_orderkey, to_json(sort_array(collect_list(named_struct('seq', l_linenumber, " +
+        "'nodes', nodes)))) AS chunks_json FROM c GROUP BY l_orderkey ORDER BY l_orderkey"),
+  )
 }

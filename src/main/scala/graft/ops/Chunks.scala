@@ -332,4 +332,46 @@ object Chunks {
         "WHERE l_suppkey NOT IN (1, 2) " +
         "GROUP BY l_orderkey ORDER BY l_orderkey"),
   )
+
+  /** Spark-dialect SQL surface overrides (SqlSurface) — DuckDB-only
+    * constructs rewritten: unnest(generate_series) → explode(sequence),
+    * `//` → DIV, string_agg(... ORDER BY) → md5 over a sort_array'd
+    * collect_list (the fileChecksum DataFrame shape), 1-based [] →
+    * element_at.
+    */
+  val sparkSql: Map[String, String] = {
+    val checksumSql =
+      ("WITH chunks AS (SELECT l_orderkey, l_linenumber, " +
+        "md5(concat_ws('|', l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT))) AS chunk_md5 " +
+        "FROM lineitem) " +
+        "SELECT l_orderkey, md5(array_join(transform(sort_array(collect_list(" +
+        "named_struct('seq', l_linenumber, 'hash', chunk_md5))), x -> x.hash), '')) AS file_md5 " +
+        "FROM chunks GROUP BY l_orderkey ORDER BY l_orderkey")
+    Map(
+      "q_chunk_split" ->
+        (s"WITH sized AS (SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS size FROM orders), " +
+          s"n AS (SELECT o_orderkey, size, (size + ${ChunkSize - 1}) DIV $ChunkSize AS n_chunks FROM sized), " +
+          "e AS (SELECT o_orderkey, size, n_chunks, " +
+          "explode(sequence(CAST(0 AS BIGINT), n_chunks - 1)) AS seq FROM n WHERE n_chunks > 0) " +
+          s"SELECT o_orderkey, size, n_chunks, seq, least($ChunkSize, size - seq * $ChunkSize) AS chunk_size " +
+          "FROM e ORDER BY o_orderkey, seq"),
+      "q_udaf_file_checksum" -> checksumSql,
+      "q_file_checksum_aggregator" -> checksumSql,
+      "q_scalar_regex_parse" ->
+        ("WITH cf AS (SELECT DISTINCT concat('file', l_orderkey, '-chunk', l_linenumber) AS chunk_file FROM lineitem) " +
+          "SELECT chunk_file, regexp_extract(chunk_file, '(.*?)-chunk([0-9]+)', 1) AS filename, " +
+          "regexp_extract(chunk_file, '(.*?)-chunk([0-9]+)', 2) AS seq_str, " +
+          "element_at(split(concat(chunk_file, ' sidecar.md5'), ' '), 1) AS base_token " +
+          "FROM cf ORDER BY chunk_file"),
+      "q_set_diff_candidates" ->
+        ("WITH repl AS (SELECT DISTINCT l_orderkey, pmod(l_suppkey, 10) AS node FROM lineitem), " +
+          "under AS (SELECT l_orderkey, count(*) AS have FROM repl " +
+          "GROUP BY l_orderkey HAVING count(*) < 3), " +
+          "nodes AS (SELECT explode(sequence(CAST(0 AS BIGINT), 9)) AS node), " +
+          "cand AS (SELECT u.l_orderkey, u.have, n.node FROM under u CROSS JOIN nodes n " +
+          "WHERE NOT EXISTS (SELECT 1 FROM repl r WHERE r.l_orderkey = u.l_orderkey AND r.node = n.node)) " +
+          "SELECT l_orderkey, max(have) AS have, 3 - max(have) AS need, count(*) AS n_candidates " +
+          "FROM cand GROUP BY l_orderkey ORDER BY l_orderkey"),
+    )
+  }
 }

@@ -1232,4 +1232,228 @@ object LlmPipeline {
           "FROM ps, g ORDER BY source"),
     )
   }
+
+  /** Spark-dialect SQL surface overrides (SqlSurface): the same
+    * computations as the DuckDB oracles above, written in Spark SQL over
+    * the registered views — including the engine's REGISTERED NATIVE
+    * FUNCTIONS (`shingle3`, `array_dot_l`), which are exactly what a SQL
+    * user of this library gets from GraftExtensions. Generated from the
+    * same constants (MinhashSalts, LshPlanes, profiles, caps) as the
+    * DataFrame builders, so the three surfaces (DataFrame, DuckDB
+    * oracle, Spark SQL) can never drift apart silently.
+    */
+  val sparkSql: Map[String, String] = {
+    val dtk = "dtk AS (SELECT *, split(text, ' ') AS tk FROM documents)"
+    val shS = "CASE WHEN size(tk) >= 3 THEN shingle3(tk) ELSE array(text) END"
+    def hash(c: String) = s"CAST(conv(substring(md5($c), 1, 15), 16, 10) AS BIGINT)"
+    val quantS = "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+    def dot(a: String, b: String) = s"array_dot_l($a, $b)"
+    val stop = profiles.flatMap(_._2).distinct.map(w => s"'$w'").mkString(", ")
+    val langs = profiles.map(_._1) :+ "zh"
+    val best = langs.map(l => s"s_$l").reduce((a, b) => s"greatest($a, $b)")
+    val pred = langs.foldRight("'und'") { (l, acc) =>
+      s"CASE WHEN s_$l = best AND best > 0 THEN '$l' ELSE $acc END"
+    }
+    // hashed inverted-index CTE shared by ngram/decontaminate (mirrors
+    // ngramPostings: per-doc DISTINCT shingles, 60-bit integer keys)
+    val dsCte = s"WITH $dtk, ds AS (SELECT doc_id, ${hash("s")} AS sh FROM " +
+      s"(SELECT doc_id, explode(array_distinct($shS)) AS s FROM dtk))"
+    // banded MinHash CTEs (mirrors minhashBanded)
+    val sigCols = (0 until 16)
+      .map(i => s"min(h ^ ${MinhashSalts(i)}L) AS sig$i").mkString(", ")
+    val bandSelects = (0 until 4).map { b =>
+      val cols = (0 until 4).map(i => s"CAST(sig${4 * b + i} AS STRING)").mkString(", ")
+      s"SELECT doc_id, $b AS band, md5(concat_ws('|', $cols)) AS band_key FROM sig"
+    }.mkString(" UNION ALL ")
+    val minhashCtes = s"WITH $dtk, " +
+      s"sh AS (SELECT doc_id, explode(array_distinct($shS)) AS s FROM dtk), " +
+      s"base AS (SELECT doc_id, ${hash("s")} AS h FROM sh), " +
+      s"sig AS (SELECT doc_id, $sigCols FROM base GROUP BY doc_id), " +
+      s"bands AS ($bandSelects)"
+    // SimHash CTEs (mirrors dedupSimhash: no array_distinct — bit votes
+    // count shingle multiplicity)
+    // Spark SQL has no `>>` operator — shiftright() is the function form
+    val bitCols = (1 to 32).map { b =>
+      s"CAST(sum(CASE WHEN (shiftright(h, ${b - 1}) & 1) = 1 THEN 1 ELSE -1 END) AS BIGINT) AS v$b"
+    }.mkString(", ")
+    val simExpr = (1 to 32).map { b =>
+      s"(CASE WHEN v$b > 0 THEN CAST(pow(2, ${32 - b}) AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString(" + ")
+    def plane(p: Int) = s"array(${LshPlanes(p).map(w => s"${w}L").mkString(", ")})"
+    val ivfSql = (nprobe: Int) =>
+      s"WITH q AS (SELECT vec_id, $quantS AS q FROM embeddings), " +
+        "cents AS (SELECT vec_id AS cent_id, q AS qc FROM q WHERE vec_id < 8), " +
+        s"dists0 AS (SELECT vec_id, q, cent_id, ${dot("q", "q")} - 2 * ${dot("q", "qc")} + " +
+        s"${dot("qc", "qc")} AS dist2 FROM q CROSS JOIN cents), " +
+        "dists AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist2 ASC, cent_id ASC) AS rn FROM dists0), " +
+        "assigned AS (SELECT vec_id, q, cent_id FROM dists WHERE rn = 1), " +
+        s"pn AS (SELECT q AS qa, cent_id AS probe_cent, ${dot("q", "q")} AS n2a " +
+        s"FROM dists WHERE vec_id = 0 AND rn <= $nprobe) " +
+        s"SELECT b.vec_id, b.cent_id, CAST(${dot("pn.qa", "b.q")} AS DOUBLE) / " +
+        s"sqrt(CAST(pn.n2a AS DOUBLE) * CAST(${dot("b.q", "b.q")} AS DOUBLE)) AS cos " +
+        "FROM assigned b JOIN pn ON b.cent_id = pn.probe_cent WHERE b.vec_id <> 0 " +
+        "ORDER BY cos DESC, vec_id LIMIT 5"
+    Map(
+      "q_corpus_shuffle" ->
+        ("SELECT doc_id, md5(concat('shuf|42|', CAST(doc_id AS STRING))) AS shuffle_key " +
+          "FROM documents ORDER BY shuffle_key, doc_id"),
+      "q_pack_sequences" ->
+        ("WITH t AS (SELECT doc_id, source, CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens " +
+          "FROM documents), " +
+          "c AS (SELECT doc_id, source, n_tokens, " +
+          "sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) - n_tokens AS cum_excl FROM t) " +
+          s"SELECT doc_id, source, n_tokens, cum_excl DIV $PackBudget AS bin " +
+          "FROM c ORDER BY source, doc_id"),
+      "q_mix_weights" ->
+        ("WITH t AS (SELECT source, CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens " +
+          "FROM documents), " +
+          "ps AS (SELECT source, sum(n_tokens) AS source_tokens FROM t GROUP BY source), " +
+          "g AS (SELECT sum(source_tokens) AS total_tokens, count(*) AS n_sources FROM ps) " +
+          "SELECT source, source_tokens, " +
+          "CAST(CAST(total_tokens AS DECIMAL(38,0)) * 1000000 DIV " +
+          "(CAST(n_sources AS DECIMAL(38,0)) * source_tokens) AS BIGINT) AS weight_micros " +
+          "FROM ps CROSS JOIN g ORDER BY source"),
+      "q_text_stats" ->
+        ("SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars, " +
+          "sum(n_chars) * 1000000 DIV count(n_chars) AS avg_chars_micros, " +
+          "count(DISTINCT lang) AS n_langs FROM documents GROUP BY source ORDER BY source"),
+      "q_text_token_count" ->
+        ("SELECT doc_id, CAST(size(split(text, ' ')) AS BIGINT) AS ws_tokens, " +
+          "CAST(regexp_count(text, '[a-z]{1,4}') AS BIGINT) AS bpe_ish_tokens, n_chars " +
+          "FROM documents ORDER BY doc_id"),
+      "q_text_tokens" ->
+        ("SELECT lang, rn, tok, n FROM (SELECT lang, tok, count(*) AS n, " +
+          "row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, tok ASC) AS rn " +
+          "FROM (SELECT lang, explode(split(text, ' ')) AS tok FROM documents) " +
+          "GROUP BY lang, tok) WHERE rn <= 5 ORDER BY lang, rn"),
+      "q_text_langid" -> {
+        val hits = profiles.map { case (lang, ws) =>
+          val lst = ws.map(w => s"'$w'").mkString(", ")
+          s"CAST(size(filter(split(text, ' '), t -> array_contains(array($lst), t))) AS BIGINT) AS s_$lang"
+        }.mkString(", ")
+        s"WITH scored AS (SELECT doc_id, lang, $hits, " +
+          "CAST(regexp_count(text, '[\\\\x{4e00}-\\\\x{9fff}]') AS BIGINT) AS s_zh FROM documents), " +
+          s"b AS (SELECT *, $best AS best FROM scored) " +
+          s"SELECT doc_id, lang, $pred AS pred_lang, best AS score FROM b ORDER BY doc_id"
+      },
+      "q_text_quality" ->
+        (s"WITH t AS (SELECT doc_id, n_chars, CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens, " +
+          s"CAST(size(filter(split(text, ' '), t -> array_contains(array($stop), t))) AS BIGINT) AS n_stop " +
+          "FROM documents) " +
+          "SELECT doc_id, n_tokens, n_stop, CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio, " +
+          "CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens AS avg_tok_len, " +
+          "least(CAST(n_tokens AS DOUBLE) / 100, CAST(1 AS DOUBLE)) * 0.4 + " +
+          "(CAST(n_stop AS DOUBLE) / n_tokens) * 0.3 + " +
+          "least((CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens) / 8, CAST(1 AS DOUBLE)) * 0.3 AS quality " +
+          "FROM t ORDER BY doc_id"),
+      "q_text_clean" ->
+        (s"WITH $dtk, " +
+          s"k AS (SELECT doc_id, tk, filter(tk, t -> NOT array_contains(array($stop), t)) AS kept FROM dtk) " +
+          "SELECT doc_id, array_join(kept, ' ') AS clean_text, " +
+          "CAST(size(tk) - size(kept) AS BIGINT) AS n_removed FROM k ORDER BY doc_id"),
+      "q_text_fingerprint" ->
+        (s"WITH $dtk " +
+          "SELECT doc_id, md5(concat_ws(' ', array_sort(array_distinct(tk)))) AS fp_sorted, " +
+          s"array_min(transform($shS, s -> md5(s))) AS fp_min FROM dtk ORDER BY doc_id"),
+      "q_text_repetition" ->
+        ("WITH d0 AS (SELECT doc_id, coalesce(text, '') AS text FROM documents), " +
+          "dtk AS (SELECT doc_id, text, split(text, ' ') AS tk FROM d0), " +
+          s"t AS (SELECT doc_id, $shS AS sh FROM dtk) " +
+          "SELECT doc_id, CAST(size(sh) AS BIGINT) AS n_shingles, " +
+          "CAST(size(array_distinct(sh)) AS BIGINT) AS n_distinct, " +
+          "CAST(size(sh) - size(array_distinct(sh)) AS DOUBLE) / size(sh) AS dup_ratio " +
+          "FROM t ORDER BY doc_id"),
+      "q_decontaminate" ->
+        (s"$dsCte, " +
+          "bench AS (SELECT DISTINCT sh FROM ds WHERE doc_id % 20 = 0), " +
+          "hits AS (SELECT doc_id, count(*) AS n_hits FROM ds JOIN bench USING (sh) " +
+          "WHERE doc_id % 20 <> 0 GROUP BY doc_id) " +
+          "SELECT d.doc_id, COALESCE(hits.n_hits, CAST(0 AS BIGINT)) AS n_hits " +
+          "FROM documents d LEFT JOIN hits ON hits.doc_id = d.doc_id " +
+          "WHERE d.doc_id % 20 <> 0 ORDER BY d.doc_id"),
+      "q_dedup_ngram" ->
+        (s"$dsCte, " +
+          "sizes AS (SELECT doc_id, count(*) AS n_sh FROM ds GROUP BY doc_id), " +
+          s"ok AS (SELECT sh FROM ds GROUP BY sh HAVING count(DISTINCT doc_id) > 1 " +
+          s"AND count(DISTINCT doc_id) <= $NgramDfCap), " +
+          "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(DISTINCT a.sh) AS n_inter " +
+          "FROM ds a JOIN ok ON ok.sh = a.sh JOIN ds b ON a.sh = b.sh AND a.doc_id < b.doc_id " +
+          "GROUP BY 1, 2) " +
+          "SELECT doc_a, doc_b, CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) AS jaccard " +
+          "FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b " +
+          "ORDER BY jaccard DESC, doc_a, doc_b LIMIT 100"),
+      "q_dedup_minhash_sig" ->
+        (s"$minhashCtes SELECT doc_id, band, band_key FROM bands ORDER BY doc_id, band"),
+      "q_dedup_minhash_pairs" ->
+        (s"$minhashCtes, ok AS (SELECT band, band_key FROM bands " +
+          s"GROUP BY band, band_key HAVING count(*) <= $HotBucketCap) " +
+          "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a " +
+          "JOIN ok ON ok.band = a.band AND ok.band_key = a.band_key " +
+          "JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id " +
+          "ORDER BY doc_a, doc_b"),
+      "q_dedup_simhash" ->
+        (s"WITH $dtk, " +
+          s"hs AS (SELECT doc_id, ${hash("s")} AS h FROM " +
+          s"(SELECT doc_id, explode($shS) AS s FROM dtk)), " +
+          s"bits AS (SELECT doc_id, $bitCols FROM hs GROUP BY doc_id), " +
+          s"sh AS (SELECT doc_id, $simExpr AS simhash FROM bits), " +
+          "bands AS (SELECT doc_id, simhash, b, " +
+          "CAST(floor(simhash / pow(256, 3 - b)) AS BIGINT) % 256 AS bv " +
+          "FROM sh CROSS JOIN (SELECT explode(sequence(0, 3)) AS b) bb), " +
+          s"ok AS (SELECT b, bv FROM bands GROUP BY b, bv HAVING count(*) <= $HotBucketCap) " +
+          "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+          "bit_count(a.simhash ^ b.simhash) AS hamming " +
+          "FROM bands a JOIN ok ON ok.b = a.b AND ok.bv = a.bv " +
+          "JOIN bands b ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id " +
+          "WHERE bit_count(a.simhash ^ b.simhash) <= 8 ORDER BY doc_a, doc_b"),
+      "q_dedup_embed" ->
+        (s"WITH q AS (SELECT vec_id, label, $quantS AS q FROM embeddings), " +
+          s"n AS (SELECT vec_id, label, q, ${dot("q", "q")} AS n2 FROM q) " +
+          s"SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, CAST(${dot("a.q", "b.q")} AS DOUBLE) / " +
+          "sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE)) AS cos " +
+          "FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id " +
+          "ORDER BY cos DESC, vec_a, vec_b LIMIT 100"),
+      "q_sim_search" ->
+        (s"WITH q AS (SELECT vec_id, $quantS AS q FROM embeddings), " +
+          s"n AS (SELECT vec_id, q, ${dot("q", "q")} AS n2 FROM q) " +
+          s"SELECT b.vec_id AS vec_id, CAST(${dot("a.q", "b.q")} AS DOUBLE) / " +
+          "sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE)) AS cos " +
+          "FROM n a CROSS JOIN n b WHERE a.vec_id = 0 AND b.vec_id <> 0 " +
+          "ORDER BY cos DESC, vec_id LIMIT 10"),
+      "q_sim_search_ivf" -> ivfSql(1),
+      "q_sim_search_ivf2" -> ivfSql(2),
+      "q_sim_search_lsh" -> {
+        val bucket = (0 until 4).map { p =>
+          s"(CASE WHEN ${dot("q", plane(p))} >= 0 THEN ${1 << p} ELSE 0 END)"
+        }.mkString(" + ")
+        s"WITH q AS (SELECT vec_id, $quantS AS q FROM embeddings), " +
+          s"b AS (SELECT vec_id, q, CAST($bucket AS INTEGER) AS bucket FROM q), " +
+          s"pn AS (SELECT q AS qa, bucket AS probe_bucket, ${dot("q", "q")} AS n2a " +
+          "FROM b WHERE vec_id = 0) " +
+          s"SELECT v.vec_id, v.bucket, CAST(${dot("pn.qa", "v.q")} AS DOUBLE) / " +
+          s"sqrt(CAST(pn.n2a AS DOUBLE) * CAST(${dot("v.q", "v.q")} AS DOUBLE)) AS cos " +
+          "FROM b v CROSS JOIN pn WHERE v.bucket = pn.probe_bucket AND v.vec_id <> 0 " +
+          "ORDER BY cos DESC, vec_id LIMIT 5"
+      },
+      "q_sim_search_lsh_mp" -> {
+        val ds = (0 until 4).map(p => s"${dot("q", plane(p))} AS d$p").mkString(", ")
+        val bucket = (0 until 4).map { p =>
+          s"(CASE WHEN d$p >= 0 THEN ${1 << p} ELSE 0 END)"
+        }.mkString(" + ")
+        val flip = "CASE WHEN abs(d0) <= abs(d1) AND abs(d0) <= abs(d2) AND abs(d0) <= abs(d3) THEN 1 " +
+          "WHEN abs(d1) <= abs(d2) AND abs(d1) <= abs(d3) THEN 2 " +
+          "WHEN abs(d2) <= abs(d3) THEN 4 ELSE 8 END"
+        s"WITH q AS (SELECT vec_id, $quantS AS q FROM embeddings), " +
+          s"dd AS (SELECT vec_id, q, $ds FROM q), " +
+          s"b AS (SELECT vec_id, q, CAST($bucket AS INTEGER) AS bucket, " +
+          s"CAST($flip AS INTEGER) AS flip FROM dd), " +
+          s"pn AS (SELECT qa, n2a, explode(array(bucket, CAST(bucket ^ flip AS INTEGER))) AS probe_bucket " +
+          s"FROM (SELECT q AS qa, ${dot("q", "q")} AS n2a, bucket, flip FROM b WHERE vec_id = 0)) " +
+          s"SELECT v.vec_id, v.bucket, CAST(${dot("pn.qa", "v.q")} AS DOUBLE) / " +
+          s"sqrt(CAST(pn.n2a AS DOUBLE) * CAST(${dot("v.q", "v.q")} AS DOUBLE)) AS cos " +
+          "FROM b v CROSS JOIN pn WHERE v.bucket = pn.probe_bucket AND v.vec_id <> 0 " +
+          "ORDER BY cos DESC, vec_id LIMIT 5"
+      },
+    )
+  }
 }

@@ -183,4 +183,37 @@ object Multimodal {
         "FROM documents d LEFT JOIN b ON b.doc_id = d.doc_id ORDER BY d.doc_id"
     },
   )
+
+  /** Spark-dialect SQL surface overrides (SqlSurface). DuckDB's 1-arg
+    * encode(text) (string → UTF-8 blob) → CAST(text AS BINARY);
+    * ord(unnest(...)) → ascii over an exploded char array; `//` → DIV.
+    * The hex-digit width/height/channels formulas run unchanged —
+    * instr/substr/md5 agree between the engines.
+    */
+  val sparkSql: Map[String, String] = Map(
+    "q_mm_decode" ->
+      ("SELECT doc_id, CAST(octet_length(CAST(text AS BINARY)) AS BIGINT) AS n_bytes, " +
+        "md5(text) AS content_md5, " +
+        s"$widthSql AS width, $heightSql AS height, " +
+        s"CAST(1 + (${hx.format(5)}) % 3 AS INTEGER) AS channels " +
+        "FROM documents ORDER BY doc_id"),
+    "q_mm_frame_sample" ->
+      ("WITH f AS (SELECT doc_id, " +
+        "CAST((octet_length(CAST(text AS BINARY)) + 99) DIV 100 AS BIGINT) AS n_frames FROM documents) " +
+        "SELECT doc_id, n_frames, " +
+        "explode(sequence(CAST(0 AS BIGINT), n_frames - 1, CAST(10 AS BIGINT))) AS frame_no " +
+        "FROM f ORDER BY doc_id, frame_no"),
+    "q_mm_feature" -> {
+      val bins = (0 until 8)
+        .map(b => s"count(*) FILTER (WHERE code DIV 32 = $b) AS h$b").mkString(", ")
+      s"WITH ch AS (SELECT doc_id, ascii(c) AS code FROM " +
+        "(SELECT doc_id, explode(regexp_extract_all(text, '[\\\\s\\\\S]', 0)) AS c FROM documents)), " +
+        s"b AS (SELECT doc_id, CAST(count(DISTINCT code) AS BIGINT) AS nd, $bins " +
+        "FROM ch GROUP BY doc_id) " +
+        "SELECT d.doc_id, CAST(octet_length(CAST(d.text AS BINARY)) AS BIGINT) AS n_bytes, " +
+        "coalesce(b.nd, CAST(0 AS BIGINT)) AS n_distinct_bytes, " +
+        (0 until 8).map(i => s"coalesce(b.h$i, CAST(0 AS BIGINT)) AS h$i").mkString(", ") + " " +
+        "FROM documents d LEFT JOIN b ON b.doc_id = d.doc_id ORDER BY d.doc_id"
+    },
+  )
 }

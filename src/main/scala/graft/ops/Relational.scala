@@ -695,4 +695,49 @@ object Relational {
     "q_scalar_hash" ->
       "SELECT doc_id, md5(text) AS text_md5 FROM documents ORDER BY doc_id",
   )
+
+  /** Spark-dialect SQL surface overrides (SqlSurface): epoch_us →
+    * unix_micros, quantile_cont → percentile, json_extract_string →
+    * get_json_object, date_diff('second',…) → unix_timestamp deltas,
+    * QUALIFY → ranked subquery.
+    */
+  val sparkSql: Map[String, String] = Map(
+    "q_agg_percentile" ->
+      ("SELECT l_returnflag, percentile(CAST(l_quantity AS DOUBLE), 0.25D) AS p25, " +
+        "percentile(CAST(l_quantity AS DOUBLE), 0.5D) AS p50, " +
+        "percentile(CAST(l_quantity AS DOUBLE), 0.75D) AS p75, count(*) AS n " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "q_join_asof" ->
+      ("SELECT user_id, event_id, unix_micros(ts) AS ts_us, event_type FROM (" +
+        "SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn " +
+        "FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00') WHERE rn = 1 " +
+        "ORDER BY user_id"),
+    "q_scalar_date" ->
+      ("SELECT event_id, CAST(year(ts) AS INTEGER) AS y, CAST(month(ts) AS INTEGER) AS m, " +
+        "to_date(date_trunc('day', ts)) AS day_ts, " +
+        "unix_timestamp(ts) - unix_timestamp(TIMESTAMP '2024-01-01 00:00:00') AS age_s " +
+        "FROM events ORDER BY event_id"),
+    "q_scalar_json" ->
+      ("SELECT event_id, get_json_object(props, '$.k') AS k_str, " +
+        "CAST(get_json_object(props, '$.k') AS INTEGER) AS k_int " +
+        "FROM events ORDER BY event_id"),
+    "q_window_first_last" ->
+      ("SELECT user_id, event_id, unix_micros(ts) AS ts_us, event_type, " +
+        "first_value(event_type) OVER w AS first_type, " +
+        "last_value(event_type) OVER w AS last_type, " +
+        "nth_value(event_type, 2) OVER w AS second_type FROM events " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) " +
+        "ORDER BY user_id, ts_us, event_id"),
+    "q_window_lag_lead" ->
+      ("SELECT user_id, event_id, unix_micros(ts) AS ts_us, value, " +
+        "lag(value) OVER w AS prev_value, lead(value) OVER w AS next_value, " +
+        "value - lag(value) OVER w AS delta FROM events " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id, value) " +
+        "ORDER BY user_id, ts_us, event_id, value"),
+    "q_window_ntile" ->
+      ("SELECT user_id, event_id, unix_micros(ts) AS ts_us, " +
+        "ntile(4) OVER (PARTITION BY user_id ORDER BY ts, event_id, value) AS quartile " +
+        "FROM events ORDER BY user_id, ts_us, event_id, quartile"),
+  )
 }

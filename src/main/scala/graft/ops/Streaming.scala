@@ -387,4 +387,55 @@ object Streaming {
         "ON hourly.hour = spine.hour AND hourly.event_type = types.event_type " +
         "ORDER BY hour_us, types.event_type"),
   )
+
+  /** Spark-dialect SQL surface overrides (SqlSurface). time_bucket →
+    * the native window()/session_window() table-valued grouping
+    * expressions — the same constructs the DataFrame builders compile
+    * to, usable directly from SQL text; epoch_us → unix_micros;
+    * date_diff('second',…) → unix_timestamp deltas; string_agg(…
+    * ORDER BY) → md5 over a sort_array'd collect_list.
+    */
+  val sparkSql: Map[String, String] = Map(
+    "q_stream_liveness" ->
+      (s"SELECT user_id, unix_micros(max(ts)) AS last_us, " +
+        s"unix_timestamp(TIMESTAMP '$cutoff') - unix_timestamp(max(ts)) AS age_s, " +
+        s"CASE WHEN unix_timestamp(TIMESTAMP '$cutoff') - unix_timestamp(max(ts)) > 604800 " +
+        "THEN 'dead' ELSE 'alive' END AS status " +
+        "FROM events GROUP BY user_id ORDER BY user_id"),
+    "q_stream_first_seen" ->
+      ("SELECT user_id, unix_micros(min(ts)) AS first_us, count(*) AS n_events, " +
+        "min(ts) > TIMESTAMP '2024-01-02 00:00:00' AS late_joiner " +
+        "FROM events GROUP BY user_id ORDER BY user_id"),
+    "q_stream_tumbling" ->
+      ("SELECT unix_micros(window.start) AS ws_us, event_type, count(*) AS n_events " +
+        "FROM events GROUP BY window(ts, '1 hour'), event_type ORDER BY ws_us, event_type"),
+    "q_stream_sliding" ->
+      ("SELECT unix_micros(window.start) AS ws_us, event_type, count(*) AS n_events " +
+        "FROM events GROUP BY window(ts, '10 minutes', '5 minutes'), event_type " +
+        "ORDER BY ws_us, event_type"),
+    "q_stream_session" ->
+      ("SELECT user_id, unix_micros(session_window.start) AS session_start_us, " +
+        "unix_micros(max(ts)) AS last_us, count(*) AS n_events " +
+        "FROM events GROUP BY session_window(ts, '30 minutes'), user_id " +
+        "ORDER BY user_id, session_start_us"),
+    "q_gap_fill" ->
+      ("WITH hourly AS (SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n_events " +
+        "FROM events GROUP BY 1, 2), " +
+        "span AS (SELECT date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1 FROM events), " +
+        "spine AS (SELECT explode(sequence(h0, h1, interval 1 hour)) AS hour FROM span), " +
+        "types AS (SELECT DISTINCT event_type FROM events) " +
+        "SELECT unix_micros(spine.hour) AS hour_us, types.event_type, " +
+        "COALESCE(hourly.n_events, CAST(0 AS BIGINT)) AS n_events " +
+        "FROM (spine CROSS JOIN types) LEFT JOIN hourly " +
+        "ON hourly.hour = spine.hour AND hourly.event_type = types.event_type " +
+        "ORDER BY hour_us, types.event_type"),
+    "q_replay_ordered" ->
+      ("SELECT user_id, " +
+        "max_by(event_type, struct(ts, event_id, event_type, value)) AS last_type, " +
+        "max_by(value, struct(ts, event_id, event_type, value)) AS last_value, " +
+        "md5(array_join(transform(sort_array(collect_list(struct(ts, event_id, event_type))), " +
+        "x -> x.event_type), ',')) AS replay_fp, " +
+        "count(*) AS n_events " +
+        "FROM events GROUP BY user_id ORDER BY user_id"),
+  )
 }

@@ -19,6 +19,29 @@ class SqlSurfaceSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   private val d = SparkTestSession.sf0001
 
+  // ------------------------------------------------------------------
+  // FULL-REGISTRY parity: every oracle-checked query must be reachable
+  // as spark.sql(...) text — the oracle SQL verbatim where the dialects
+  // agree, a module-local Spark-dialect override otherwise (SqlSurface).
+  // canon() compares column sets and every value's canonical rendering,
+  // so SQL text and DataFrame API must agree row-for-row, not just
+  // count-for-count. One generated test per query keeps failures
+  // attributable.
+  // ------------------------------------------------------------------
+  private lazy val viewsReady: Unit = SqlSurface.registerViews(spark, d)
+
+  SparkEntry.oracleSql.keySet.toSeq.sorted.foreach { name =>
+    test(s"SQL surface ≡ DataFrame API: $name") {
+      viewsReady
+      val sql = SqlSurface.sqlFor(name)
+        .getOrElse(fail(s"no SQL surface text for $name"))
+      val viaSql = SqlSurface.canon(spark.sql(sql))
+      val viaApi = SqlSurface.canon(SparkEntry.queries(name)(spark, d))
+      assert(viaSql._1 == viaApi._1, "column sets differ")
+      assert(viaSql._2 == viaApi._2, "row values differ")
+    }
+  }
+
   test("spark.sql text runs the flagship under-replication query identically (#3)") {
     Tables.lineitem(spark, d).createOrReplaceTempView("lineitem_v")
     val sql = spark.sql(
