@@ -114,8 +114,14 @@ object GraftFunctions {
     // FoldChainedXorSpec pins this), but skip the duplicate anyway: the
     // extensions conf is the only publicly inspectable registration site
     // (RuleExecutor.batches is protected).
+    // Exact class-name match, not substring: the conf is a comma-list
+    // of class names, and a foreign class merely CONTAINING
+    // "GraftExtensions" must not suppress the append (the rule would
+    // silently vanish from every batch — optimization-only, but
+    // plan-shape claims and benches would quietly regress).
     val viaExtensions = s.conf.getOption("spark.sql.extensions")
-      .exists(_.contains("GraftExtensions"))
+      .exists(_.split(',').map(_.trim)
+        .contains(classOf[GraftExtensions].getName))
     if (!viaExtensions &&
         !s.experimental.extraOptimizations.contains(graft.plans.FoldChainedXor))
       s.experimental.extraOptimizations =

@@ -481,9 +481,16 @@ object LlmPipeline {
   def simSearchIvf2(s: SparkSession, d: String): DataFrame =
     simSearchIvfProbed(s, d, nprobe = 2)
 
+  /** Centroid count for the deterministic IVF variants (vec_id < nlist
+    * are the stand-in centers). The argmin packing below derives its
+    * multiplier and modulus from this — one knob, not three magic 8s.
+    */
+  private[graft] val IvfNlist = 8
+
   private def simSearchIvfProbed(s: SparkSession, d: String, nprobe: Int): DataFrame = {
+    val nlist = IvfNlist
     val e = Tables.embeddings(s, d).select(col("vec_id"), expr(quant).as("q"))
-    val cents = broadcast(e.where(col("vec_id") < 8)
+    val cents = broadcast(e.where(col("vec_id") < nlist)
       .select(col("vec_id").as("cent_id"), col("q").as("qc")))
     // |q - qc|² expanded to dots: exact integer identity, all codegen'd
     val d2 = s"(${dotL("q", "q")} - 2 * ${dotL("q", "qc")} + ${dotL("qc", "qc")})"
@@ -501,8 +508,8 @@ object LlmPipeline {
     // (SortAggregate fallback).
     val assigned = cand
       .groupBy(col("vec_id"), col("q"))
-      .agg(min(col("dist2") * 8 + col("cent_id")).as("k"))
-      .select(col("vec_id"), col("q"), (col("k") % 8).as("cent_id"))
+      .agg(min(col("dist2") * nlist + col("cent_id")).as("k"))
+      .select(col("vec_id"), col("q"), (col("k") % nlist).as("cent_id"))
     // nprobe nearest centroids of the probe vector — a top-k over the 8
     // candidates of ONE vector (TakeOrderedAndProject), all carrying the
     // probe's quantized vector and norm for the cosine
@@ -626,7 +633,16 @@ object LlmPipeline {
     * is a broadcast of k centroids, bucket scan shrinks the probed set
     * ~k×.
     */
-  def simSearchIvfKmeans(s: SparkSession, d: String): DataFrame = {
+  def simSearchIvfKmeans(s: SparkSession, d: String): DataFrame =
+    ivfKmeansProbe(ivfKmeansFit(s, d))
+
+  /** Trained IVF state: every vector's quantized form + learned bucket.
+    * This is the INDEX a production ANN persists — build once, probe
+    * many (the reference's analog is the controller's long-lived
+    * FileTable vs per-request recomputation,
+    * reference controller/FileTable.java:14-16).
+    */
+  private def ivfKmeansFit(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val e = Tables.embeddings(s, d)
@@ -638,8 +654,14 @@ object LlmPipeline {
     // assignment deterministic for the spec regardless of convergence.
     val km = new KMeans().setK(8).setSeed(42L).setMaxIter(5)
       .setFeaturesCol("fv").setPredictionCol("bucket")
-    val model = km.fit(e)
-    val assigned = model.transform(e).select(col("vec_id"), col("q"), col("bucket"))
+    km.fit(e).transform(e).select(col("vec_id"), col("q"), col("bucket"))
+  }
+
+  /** Bucket-pruned cosine top-5 over a trained index (vec_id, q,
+    * bucket) — shared by the per-run form and the persisted-index form,
+    * so both produce identical plans from the assignment on.
+    */
+  private def ivfKmeansProbe(assigned: DataFrame): DataFrame = {
     val probe = assigned.where(col("vec_id") === 0)
       .select(col("q").as("qa"), expr(dotL("q", "q")).as("n2a"),
         col("bucket").as("probe_bucket"))
@@ -651,6 +673,57 @@ object LlmPipeline {
             expr(dotL("q", "q")).cast("double"))).as("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(5)
+  }
+
+  /** Default on-disk location for the persisted IVF index of one
+    * dataset dir (test/bench scale). A production deployment passes an
+    * explicit lake path to [[buildIvfIndex]] instead.
+    */
+  private[graft] def ivfIndexDir(d: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft-ivf-index/" +
+      d.replaceAll("[^A-Za-z0-9._-]", "_")
+
+  /** The INDEX-BUILD job: fit the coarse quantizer once and persist the
+    * searchable state — bucket assignments (vec_id, q, bucket) and the
+    * k learned centroid vectors (for assigning FUTURE query vectors
+    * that weren't in the training set). At 100 TB the assignments table
+    * is the corpus re-keyed by bucket (written once, probed by every
+    * subsequent query) and the centroid table is k·dim doubles —
+    * driver-sized state, exactly like faiss's coarse quantizer.
+    */
+  def buildIvfIndex(s: SparkSession, d: String, indexDir: String): Unit = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        array_to_vector(col("embedding").cast("array<double>")).as("fv"),
+        expr(quant).as("q"))
+    val model = new KMeans().setK(8).setSeed(42L).setMaxIter(5)
+      .setFeaturesCol("fv").setPredictionCol("bucket").fit(e)
+    model.transform(e).select(col("vec_id"), col("q"), col("bucket"))
+      .write.mode("overwrite").parquet(s"$indexDir/assignments")
+    val centroids = model.clusterCenters.toSeq.zipWithIndex.map {
+      case (c, i) => (i, c.toArray.toSeq)
+    }
+    import s.implicits._
+    centroids.toDF("cent_id", "center").coalesce(1)
+      .write.mode("overwrite").parquet(s"$indexDir/centroids")
+  }
+
+  /** q_sim_search_ivf_kmeans_probe — the PROBE-ONLY query over the
+    * persisted index: no KMeans fit in its plan, just a parquet read +
+    * the bucket-pruned cosine. First call per dataset dir builds the
+    * index (the training job); every later call — and every later
+    * SESSION — only reads it. Same no-oracle rationale as the per-run
+    * form (KMeans state isn't SQL-mirrorable); LlmPipelineSpec pins
+    * probe ≡ per-run result and fit-once/probe-twice identity.
+    */
+  def simSearchIvfKmeansProbe(s: SparkSession, d: String): DataFrame = {
+    val dir = ivfIndexDir(d)
+    val success = new org.apache.hadoop.fs.Path(s"$dir/assignments/_SUCCESS")
+    val fs = success.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(success)) buildIvfIndex(s, d, dir)
+    ivfKmeansProbe(s.read.parquet(s"$dir/assignments"))
   }
 
   // ------------------------------------------------------- text analysis
@@ -941,6 +1014,7 @@ object LlmPipeline {
     "q_sim_search_lsh"      -> (simSearchLsh _),
     "q_sim_search_lsh_mp"   -> (simSearchLshMp _),
     "q_sim_search_ivf_kmeans" -> (simSearchIvfKmeans _),
+    "q_sim_search_ivf_kmeans_probe" -> (simSearchIvfKmeansProbe _),
     "q_text_tokens"         -> (textTokens _),
     "q_text_stats"          -> (textStats _),
     "q_text_langid"         -> (textLangid _),

@@ -197,6 +197,64 @@ class LlmPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF argmin BIGINT packing: exact at the boundary, fixture far below it") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, min => fmin, expr}
+    val nlist = ops.LlmPipeline.IvfNlist
+    // packing k = dist2 * nlist + cent_id is exact iff dist2 never
+    // exceeds (Long.Max - (nlist-1)) / nlist; drive the EXACT aggregate
+    // expression at that edge: ties at maxSafe must break by cent_id
+    // without wrapping, and a strictly smaller dist2 must win
+    val maxSafe = (Long.MaxValue - (nlist - 1)) / nlist
+    val edge = Seq((1L, maxSafe, 5L), (1L, maxSafe, 3L), (1L, maxSafe - 1, 7L))
+      .toDF("vec_id", "dist2", "cent_id")
+      .groupBy("vec_id")
+      .agg(fmin(col("dist2") * nlist + col("cent_id")).as("k"))
+      .select(expr(s"k % $nlist").as("cent"), expr(s"k DIV $nlist").as("d2"))
+      .as[(Long, Long)].head()
+    assert(edge == ((7L, maxSafe - 1)), s"packing decoded $edge at the boundary")
+    // the fixture's quantized magnitudes leave orders-of-magnitude
+    // headroom: worst-case dist2 = dims * (2*maxAbsQ)^2 << maxSafe
+    val maxQ = spark.read.parquet(s"${SparkTestSession.sf0001}/embeddings.parquet")
+      .select(expr("max(array_max(transform(embedding, " +
+        "x -> abs(CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)))))"))
+      .as[Long].head()
+    val worstDist2 = 64L * (2 * maxQ) * (2 * maxQ)
+    assert(worstDist2 < maxSafe / 1000,
+      s"quantized magnitude $maxQ leaves too little argmin-packing headroom")
+  }
+
+  test("q_sim_search_ivf_kmeans_probe: persisted index — fit once, probe many") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val d = SparkTestSession.sf0001
+    val dir = ops.LlmPipeline.ivfIndexDir(d)
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(dir), true) // force a fresh build
+    val p1 = ops.LlmPipeline.simSearchIvfKmeansProbe(spark, d)
+      .as[(Long, Int, Double)].collect().toSeq
+    val success = new Path(s"$dir/assignments/_SUCCESS")
+    assert(fs.exists(success), "first probe did not persist the index")
+    val builtAt = fs.getFileStatus(success).getModificationTime
+    // second probe: identical result, and the index is NOT rebuilt —
+    // the production contract (training job once, probes forever)
+    val p2 = ops.LlmPipeline.simSearchIvfKmeansProbe(spark, d)
+      .as[(Long, Int, Double)].collect().toSeq
+    assert(p1 == p2)
+    assert(fs.getFileStatus(success).getModificationTime == builtAt,
+      "second probe retrained and rewrote the index")
+    // the persisted-index probe returns exactly the per-run form's rows
+    val perRun = ops.LlmPipeline.simSearchIvfKmeans(spark, d)
+      .as[(Long, Int, Double)].collect().toSeq
+    assert(p1 == perRun, "persisted-index probe drifted from fit-and-probe")
+    // centroid table: k=8 centers, full embedding dimensionality — the
+    // state that assigns FUTURE query vectors without a refit
+    val cents = spark.read.parquet(s"$dir/centroids")
+    assert(cents.count() == 8)
+    assert(cents.select(org.apache.spark.sql.functions.size(
+      org.apache.spark.sql.functions.col("center"))).as[Int].collect().forall(_ == 64))
+  }
+
   test("q_sim_search_lsh: bucket-pruned, scores exact, recalls brute-force neighbors") {
     import spark.implicits._
     val d = SparkTestSession.sf0001
