@@ -184,6 +184,80 @@ object ProtoChunkSource {
       else Array(p)
     files.map(_.toString).sorted
   }
+
+  // ------------------------------------------------- frame-index sidecar
+  /** The stream framing is not splittable mid-file (a byte offset is
+    * only addressable by walking the length chain from 0 — the gzip
+    * problem). The sidecar `.{name}.idx` fixes that: the batch writer
+    * records every frame's start offset at task commit, and the scan
+    * can then split ONE large frame file into many byte-range
+    * InputPartitions at frame boundaries — one giant append-log file no
+    * longer serializes a scan. Dot-prefixed, so data listings and the
+    * streaming discovery log never see it; a missing, corrupt, or STALE
+    * sidecar (offsets not matching the current file length) silently
+    * degrades to the one-partition-per-file plan, never to wrong rows.
+    */
+  private[sources] val IndexMagic = "GFIDX1"
+
+  private[sources] def indexPathFor(dataFile: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(dataFile.getParent, "." + dataFile.getName + ".idx")
+
+  private[sources] def writeFrameIndex(fs: org.apache.hadoop.fs.FileSystem,
+      dataFile: org.apache.hadoop.fs.Path, offsets: Seq[Long], attemptId: Long): Unit = {
+    val ip = indexPathFor(dataFile)
+    val tmp = new org.apache.hadoop.fs.Path(ip.getParent, ip.getName + s".$attemptId.inprogress")
+    val out = fs.create(tmp, true)
+    try out.write((IndexMagic +: offsets.map(_.toString)).mkString("", "\n", "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (fs.exists(ip)) fs.delete(ip, false)
+    if (!fs.rename(tmp, ip)) fs.delete(tmp, false) // index is best-effort
+  }
+
+  /** Frame start offsets from the sidecar, or None when absent/invalid/
+    * stale — validated strictly ascending from 0 and inside the CURRENT
+    * file length, so an index left behind by a replaced file can never
+    * misalign a read.
+    */
+  private[sources] def readFrameIndex(fs: org.apache.hadoop.fs.FileSystem,
+      dataFile: org.apache.hadoop.fs.Path, fileLen: Long): Option[Array[Long]] = {
+    val ip = indexPathFor(dataFile)
+    try {
+      if (!fs.exists(ip)) return None
+      val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+        fs.open(ip), java.nio.charset.StandardCharsets.UTF_8))
+      try {
+        if (in.readLine() != IndexMagic) return None
+        val b = Array.newBuilder[Long]
+        var line = in.readLine()
+        var prev = -1L
+        while (line != null) {
+          val v = line.trim.toLong
+          if (v <= prev || v >= fileLen) return None // stale or corrupt
+          if (prev < 0 && v != 0) return None        // must start at 0
+          b += v; prev = v
+          line = in.readLine()
+        }
+        val arr = b.result()
+        if (arr.isEmpty) None else Some(arr)
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Chop one indexed file into byte ranges of ≈ splitSize, always at
+    * frame boundaries. The last range is open-ended (reads to EOF).
+    */
+  private[sources] def splitRanges(offsets: Array[Long], fileLen: Long,
+      splitSize: Long): Seq[(Long, Long)] = {
+    val bounds = Seq.newBuilder[Long]
+    var start = 0L
+    bounds += 0L
+    offsets.foreach { off =>
+      if (off - start >= splitSize) { bounds += off; start = off }
+    }
+    val b = bounds.result()
+    b.zip(b.tail :+ Long.MaxValue)
+  }
 }
 
 private class ProtoChunkTable(path: String, message: String)
@@ -201,9 +275,12 @@ private class ProtoChunkTable(path: String, message: String)
     // drops the rest of the file only on a FRAMING error (corrupt/
     // truncated length varint: the chain is broken, everything after is
     // unparseable) — the CSV/JSON corrupt-record policy applied to a
-    // binary stream source
+    // binary stream source.
+    // splitSize (bytes, default 128 MiB): target byte-range size when a
+    // frame file has an offset sidecar; 0 disables splitting.
     new ProtoChunkScanBuilder(path, message,
-      "permissive".equalsIgnoreCase(options.getOrDefault("mode", "failfast")))
+      "permissive".equalsIgnoreCase(options.getOrDefault("mode", "failfast")),
+      options.getOrDefault("splitSize", (128L << 20).toString).toLong)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     // the write path encodes StoreChunk rows only (the reference's
@@ -214,25 +291,38 @@ private class ProtoChunkTable(path: String, message: String)
   }
 }
 
-private class ProtoChunkScanBuilder(path: String, message: String, permissive: Boolean)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+private class ProtoChunkScanBuilder(path: String, message: String, permissive: Boolean,
+    splitSize: Long) extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = ProtoChunkSource.schemaFor(message)
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new ProtoChunkScan(path, message, required, permissive)
+  override def build(): Scan =
+    new ProtoChunkScan(path, message, required, permissive, splitSize)
 }
 
 private class ProtoChunkScan(path: String, message: String, required: StructType,
-    permissive: Boolean) extends Scan with Batch {
+    permissive: Boolean, splitSize: Long) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] = {
     val conf = SparkSession.active.sessionState.newHadoopConf()
-    ProtoChunkSource.listFrameFiles(path, conf)
-      .map(f => ProtoChunkPartition(f): InputPartition)
+    ProtoChunkSource.listFrameFiles(path, conf).flatMap { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      val fs = p.getFileSystem(conf)
+      val len = fs.getFileStatus(p).getLen
+      // split only files worth splitting; a missing/invalid sidecar
+      // degrades to the whole-file partition
+      val ranges =
+        if (splitSize > 0 && len > splitSize)
+          ProtoChunkSource.readFrameIndex(fs, p, len)
+            .map(ProtoChunkSource.splitRanges(_, len, splitSize))
+            .getOrElse(Seq((0L, Long.MaxValue)))
+        else Seq((0L, Long.MaxValue))
+      ranges.map { case (s, e) => ProtoChunkPartition(f, s, e): InputPartition }
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -244,13 +334,21 @@ private class ProtoChunkScan(path: String, message: String, required: StructType
       checkpointLocation)
 }
 
-private case class ProtoChunkPartition(file: String) extends InputPartition
+/** Byte range [start, end) of one frame file; a frame belongs to the
+  * partition whose range contains its length-varint's first byte (the
+  * standard split-ownership rule). end = Long.MaxValue reads to EOF.
+  * Ranges other than (0, MaxValue) are only ever produced from a
+  * validated sidecar, so start is always a frame boundary.
+  */
+private case class ProtoChunkPartition(file: String, start: Long, end: Long)
+    extends InputPartition
 
 private class ProtoChunkReaderFactory(message: String, columns: Array[String],
     permissive: Boolean, confEntries: Map[String, String]) extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new ProtoChunkReader(partition.asInstanceOf[ProtoChunkPartition].file, message,
-      columns, permissive, confEntries)
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[ProtoChunkPartition]
+    new ProtoChunkReader(p.file, p.start, p.end, message, columns, permissive, confEntries)
+  }
 }
 
 // ------------------------------------------------------------- streaming
@@ -441,7 +539,8 @@ private class ProtoChunkMicroBatchStream(path: String, message: String,
     // hand us a replayed offset anyway).
     ensureLoaded()
     if (discovered.length < e) discover()
-    discovered.slice(s, e).map(f => ProtoChunkPartition(f): InputPartition).toArray
+    discovered.slice(s, e)
+      .map(f => ProtoChunkPartition(f, 0L, Long.MaxValue): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -474,17 +573,21 @@ private object ProtoChunkMicroBatchStream {
   *    fails to decode: alignment is intact → skip just that frame and
   *    continue (permissive) or throw.
   */
-private class ProtoChunkReader(file: String, message: String, columns: Array[String],
-    permissive: Boolean, confEntries: Map[String, String])
+private class ProtoChunkReader(file: String, start: Long, end: Long, message: String,
+    columns: Array[String], permissive: Boolean, confEntries: Map[String, String])
     extends PartitionReader[InternalRow] {
   private val (in, fileLen) = {
     val conf = ProtoChunkSource.hadoopConf(confEntries)
     val p = new org.apache.hadoop.fs.Path(file)
     val fs = p.getFileSystem(conf)
     val len = fs.getFileStatus(p).getLen
-    (new java.io.DataInputStream(new java.io.BufferedInputStream(fs.open(p), 1 << 16)), len)
+    val raw = fs.open(p)
+    // byte-range partition: seek BEFORE buffering — start is a frame
+    // boundary by construction (validated sidecar offsets)
+    if (start > 0) raw.seek(start)
+    (new java.io.DataInputStream(new java.io.BufferedInputStream(raw, 1 << 16)), len)
   }
-  private var pos = 0L
+  private var pos = start
   private var current: InternalRow = _
   private val needData = columns.contains("data")
 
@@ -528,6 +631,9 @@ private class ProtoChunkReader(file: String, message: String, columns: Array[Str
 
   override def next(): Boolean = {
     while (true) {
+      // split ownership: a frame is read by the partition whose range
+      // holds its length-varint's first byte
+      if (pos >= end) return false
       val len =
         try {
           val l = readFrameLen()
@@ -637,20 +743,44 @@ private class ProtoChunkWrite(path: String, schema: StructType, queryId: String,
     names
   }
 
+  /** Pre-existing data files captured at write start when overwriting —
+    * deleted only at job COMMIT. An overwrite that fails mid-job leaves
+    * the original frames intact (abort rolls back the new files), where
+    * eager truncation emptied the directory before any task committed.
+    * Not snapshot-isolated: a concurrent reader between task commits
+    * and job commit can see old + new files mixed — the same window
+    * every rename-based file sink has.
+    */
+  private var toDeleteOnCommit: Array[org.apache.hadoop.fs.Path] = Array.empty
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val names = validatedNames()
     val confEntries = ProtoChunkSource.sessionConfEntries()
     if (truncate) {
       val p = new org.apache.hadoop.fs.Path(path)
       val fs = p.getFileSystem(ProtoChunkSource.hadoopConf(confEntries))
-      if (fs.exists(p))
-        fs.listStatus(p).filter(s => s.isFile && ProtoChunkSource.isDataFile(s.getPath))
-          .foreach(s => fs.delete(s.getPath, false))
+      toDeleteOnCommit =
+        if (fs.exists(p))
+          fs.listStatus(p).filter(s => s.isFile && ProtoChunkSource.isDataFile(s.getPath))
+            .map(_.getPath)
+        else Array.empty
     }
     new ProtoChunkWriterFactory(path, names, queryId, confEntries)
   }
 
-  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    if (toDeleteOnCommit.nonEmpty) {
+      // batch stems embed this query's id, so a just-committed file can
+      // never collide with a captured pre-existing name — the exclusion
+      // set is belt-and-braces against a pathological re-run
+      val fresh = messages.collect { case ProtoChunkCommit(f) => f }.toSet
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(ProtoChunkSource.hadoopConf(ProtoChunkSource.sessionConfEntries()))
+      toDeleteOnCommit.filterNot(p => fresh.contains(p.toString)).foreach { p =>
+        fs.delete(p, false)
+        fs.delete(ProtoChunkSource.indexPathFor(p), false) // sidecar goes with its file
+      }
+    }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     ProtoChunkWrite.deleteCommitted(path, messages)
@@ -681,7 +811,9 @@ private object ProtoChunkWrite {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(ProtoChunkSource.hadoopConf(ProtoChunkSource.sessionConfEntries()))
     messages.collect { case ProtoChunkCommit(f) =>
-      fs.delete(new org.apache.hadoop.fs.Path(f), false)
+      val p = new org.apache.hadoop.fs.Path(f)
+      fs.delete(p, false)
+      fs.delete(ProtoChunkSource.indexPathFor(p), false) // sidecar goes with its file
     }
   }
 }
@@ -748,6 +880,11 @@ private class ProtoChunkWriter(path: String, names: Array[String], fileStem: Str
   private val iSum = names.indexOf("checksum")
   private val iData = names.indexOf("data")
 
+  // frame start offsets for the `.idx` sidecar — what makes this file
+  // SPLITTABLE on read (one large frame file → many InputPartitions)
+  private val frameOffsets = scala.collection.mutable.ArrayBuffer.empty[Long]
+  private var bytesOut = 0L
+
   override def write(row: InternalRow): Unit = {
     val c = ProtoIngest.StoreChunk(
       if (row.isNullAt(iName)) "" else row.getUTF8String(iName).toString,
@@ -755,8 +892,11 @@ private class ProtoChunkWriter(path: String, names: Array[String], fileStem: Str
       if (row.isNullAt(iSum)) "" else row.getUTF8String(iSum).toString,
       if (row.isNullAt(iData)) Array.emptyByteArray else row.getBinary(iData))
     val body = ProtoIngest.encodeStoreChunk(c)
-    out.write(ProtoChunkSource.varint(body.length))
+    frameOffsets += bytesOut
+    val header = ProtoChunkSource.varint(body.length)
+    out.write(header)
     out.write(body)
+    bytesOut += header.length + body.length
   }
 
   override def commit(): WriterCommitMessage = {
@@ -766,6 +906,9 @@ private class ProtoChunkWriter(path: String, names: Array[String], fileStem: Str
     if (fs.exists(finalPath)) fs.delete(finalPath, false)
     if (!fs.rename(tempPath, finalPath))
       throw new java.io.IOException(s"rename $tempPath -> $finalPath failed")
+    // sidecar AFTER the data rename: readers that race see a data file
+    // without an index (unsplit scan), never an index without its file
+    ProtoChunkSource.writeFrameIndex(fs, finalPath, frameOffsets.toSeq, attemptId)
     ProtoChunkCommit(finalPath.toString)
   }
 

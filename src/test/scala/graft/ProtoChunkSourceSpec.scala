@@ -319,6 +319,65 @@ class ProtoChunkSourceSpec extends AnyFunSuite {
     assert(scanLine.contains("fileName") && !scanLine.contains("data#"))
   }
 
+  test("frame-index sidecar: one multi-frame file reads through >1 partition") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-proto-split").toString
+    val df = (0 until 200).map(i => (s"f-$i.bin", i, s"c$i", Array.fill(16)(i.toByte)))
+      .toDF("fileName", "sequenceNo", "checksum", "data")
+    df.repartition(1).write.format(fmt).mode("overwrite").save(out)
+    val dataFiles = new java.io.File(out).listFiles().filter(f =>
+      !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+    assert(dataFiles.length == 1, "expected a single frame file")
+    assert(new java.io.File(out).listFiles().exists(_.getName.endsWith(".idx")),
+      "writer did not emit the offset sidecar")
+    val whole = spark.read.format(fmt).load(out)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getInt(1), r.getString(2), r.getAs[Array[Byte]](3).toSeq)
+    // tiny splitSize → the sidecar chops the one file into many ranges
+    val split = spark.read.format(fmt).option("splitSize", "512").load(out)
+    assert(split.rdd.getNumPartitions > 1,
+      s"sidecar present but scan stayed at ${split.rdd.getNumPartitions} partition(s)")
+    assert(split.collect().map(key).toSet == whole.collect().map(key).toSet)
+    assert(split.count() == 200)
+    // column pruning still reaches the split readers
+    assert(split.select("fileName").distinct().count() == 200)
+    // a CORRUPT sidecar degrades to whole-file partitions, never wrong rows
+    val idx = new java.io.File(out).listFiles().find(_.getName.endsWith(".idx")).get
+    java.nio.file.Files.write(idx.toPath, "GFIDX1\n999999999\n".getBytes)
+    val degraded = spark.read.format(fmt).option("splitSize", "512").load(out)
+    assert(degraded.rdd.getNumPartitions == 1)
+    assert(degraded.count() == 200)
+  }
+
+  test("a FAILING overwrite job leaves the original frames readable") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-protow-txn").toString
+    val original = Seq(("keep-0.bin", 0, "c0", Array[Byte](1)),
+      ("keep-1.bin", 1, "c1", Array[Byte](2)))
+      .toDF("fileName", "sequenceNo", "checksum", "data")
+    original.write.format(fmt).mode("overwrite").save(out)
+    assert(spark.read.format(fmt).load(out).count() == 2)
+    // an overwrite whose task throws mid-write: old files must survive
+    // (deletion is deferred to job commit; eager truncation emptied the
+    // directory before any task committed and abort() could not restore)
+    val boom = org.apache.spark.sql.functions.udf { (i: Int) =>
+      if (i >= 0) throw new RuntimeException("boom"); i
+    }
+    val failing = original.withColumn("sequenceNo", boom(col("sequenceNo")))
+    intercept[Exception] {
+      failing.write.format(fmt).mode("overwrite").save(out)
+    }
+    val after = spark.read.format(fmt).load(out)
+    assert(after.count() == 2, "failed overwrite destroyed pre-existing frames")
+    assert(after.select("fileName").as[String].collect().toSet ==
+      Set("keep-0.bin", "keep-1.bin"))
+    // and a SUCCESSFUL overwrite still truncates: the old files go at commit
+    original.where(col("fileName") === "keep-0.bin")
+      .write.format(fmt).mode("overwrite").save(out)
+    assert(spark.read.format(fmt).load(out)
+      .select("fileName").as[String].collect().toSeq == Seq("keep-0.bin"))
+  }
+
   test("micro-batch stream ingests frames appended across two batches") {
     val dir = java.nio.file.Files.createTempDirectory("graft-protostream").toString
     def writeFrames(name: String, fileTag: String): Unit =
