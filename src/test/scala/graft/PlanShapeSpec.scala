@@ -94,6 +94,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), s"rank-1 should be min, not a window:\n$plan")
   }
 
+  test("IVF centroid assignment is a combining hash aggregate, no window sort") {
+    // nearest-centroid per vector must be the packed-argmin MIN (8
+    // candidate rows collapse map-side before any exchange), not a
+    // row_number window shuffling and sorting all 8n rows
+    val plan = physical(ops.LlmPipeline.simSearchIvf(spark, d))
+    assert(plan.contains("HashAggregate") && plan.contains("partial_min"),
+      s"expected map-side partial argmin in:\n$plan")
+    assert(!plan.contains("Window"),
+      s"IVF assignment regressed to a window:\n$plan")
+  }
+
   test("decontamination joins hash-probe the bounded benchmark side, no cartesian") {
     val plan = physical(ops.LlmPipeline.decontaminate(spark, d))
     assert(!plan.contains("CartesianProduct"),
