@@ -23,12 +23,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Catalog.queries ++ ops.Chunks.queries ++ ops.Relational.queries ++
       ops.Streaming.queries ++ ops.LlmPipeline.queries ++
-      ops.Multimodal.queries ++ ops.Skew.queries
+      ops.Multimodal.queries ++ ops.Skew.queries ++ ops.Storage.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ops.Catalog.oracle ++ ops.Chunks.oracle ++ ops.Relational.oracle ++
       ops.Streaming.oracle ++ ops.LlmPipeline.oracle ++
-      ops.Multimodal.oracle ++ ops.Skew.oracle
+      ops.Multimodal.oracle ++ ops.Skew.oracle ++ ops.Storage.oracle
 }

@@ -72,5 +72,5 @@ object SqlSurface {
   val overrides: Map[String, String] =
     ops.Catalog.sparkSql ++ ops.Chunks.sparkSql ++ ops.Relational.sparkSql ++
       ops.Streaming.sparkSql ++ ops.LlmPipeline.sparkSql ++
-      ops.Multimodal.sparkSql
+      ops.Multimodal.sparkSql ++ ops.Storage.sparkSql
 }

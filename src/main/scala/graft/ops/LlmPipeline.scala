@@ -621,6 +621,77 @@ object LlmPipeline {
       .limit(5)
   }
 
+  /** Product-quantization geometry (q_sim_search_pq): PqM subspaces of
+    * PqSubDim dims each (PqM × PqSubDim = the 64-dim embedding), PqK
+    * codes per subspace. Codebook = subvectors of vec_id < PqK — the
+    * same deterministic stand-in convention as IvfNlist (a real
+    * trainer would k-means each subspace; the GEOMETRY of encode +
+    * asymmetric distance is identical and stays oracle-exact).
+    */
+  private[graft] val PqM = 8
+  private[graft] val PqSubDim = 8
+  private[graft] val PqK = 8
+
+  /** q_sim_search_pq — product-quantization ANN (the memory-side
+    * compression of the ANN toolbox, vs IVF's partitioning and LSH's
+    * hashing): each vector is stored as PqM 3-bit codes (64 dims × 4 B
+    * float → 8 codes ≈ 32× smaller — at 100 TB of embeddings the
+    * difference between an index that fits executor memory and one that
+    * doesn't), and the probe scans CODES, not vectors: a PqM×PqK
+    * distance table (probe subvector ↔ every code, 64 tiny rows,
+    * broadcast) turns each vector's approximate distance into PqM table
+    * lookups + a sum — no per-pair vector math at scan time.
+    *
+    * Everything is exact integer arithmetic on the quantized embedding:
+    * encode = packed-argmin per (vector, subspace) (the IVF combining-
+    * MIN pattern — map-side hash aggregate, no window), ADC = broadcast
+    * equi-join on (subspace, code) + one hash aggregate. Fully
+    * oracle-checked; LlmPipelineSpec additionally pins the ADC identity
+    * (for codebook vectors the approximate distance IS the exact
+    * distance — their codes reconstruct them losslessly).
+    */
+  def simSearchPq(s: SparkSession, d: String): DataFrame =
+    pqAdcAll(s, d)
+      .orderBy(col("adist2").asc, col("vec_id").asc)
+      .limit(5)
+
+  /** Full ADC scan (every vector's approximate distance to the probe) —
+    * the top-k query above is its TakeOrderedAndProject; the spec uses
+    * the unlimited form to pin the codebook-reconstruction identity.
+    */
+  private[graft] def pqAdcAll(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), expr(quant).as("q"))
+    // (vec_id, j, sub): PqM mapper-side rows per vector, no shuffle
+    val subs = e.select(col("vec_id"),
+      posexplode(expr(s"transform(sequence(0, ${PqM - 1}), " +
+        s"j -> slice(q, j * $PqSubDim + 1, $PqSubDim))")))
+      .toDF("vec_id", "j", "sub")
+    // 64-row codebook: subspace j's code c = subvector j of vector c
+    val codebook = broadcast(subs.where(col("vec_id") < PqK)
+      .select(col("vec_id").cast("int").as("c"), col("j"), col("sub").as("csub")))
+    val d2 = s"(${dotL("sub", "sub")} - 2 * ${dotL("sub", "csub")} + " +
+      s"${dotL("csub", "csub")})"
+    // encode: nearest code per (vector, subspace) — broadcast join makes
+    // the PqK candidates map-side; packed argmin (dist2·PqK + c, exact:
+    // c < PqK, sub-dist2 ≪ 2⁶⁰) collapses them BEFORE any exchange
+    val codes = subs.join(codebook, "j")
+      .select(col("vec_id"), col("j"),
+        (expr(d2) * PqK + col("c")).as("packed"))
+      .groupBy("vec_id", "j")
+      .agg(min(col("packed")).as("k"))
+      .select(col("vec_id"), col("j"), (col("k") % PqK).cast("int").as("code"))
+    // ADC table: probe subvector ↔ every code of its subspace (PqM × PqK
+    // rows, broadcast)
+    val adcTable = broadcast(subs.where(col("vec_id") === 0)
+      .join(codebook, "j")
+      .select(col("j").as("aj"), col("c"), expr(d2).as("t")))
+    // scan codes, not vectors: PqM lookups + a sum per vector
+    codes.where(col("vec_id") =!= 0)
+      .join(adcTable, col("j") === col("aj") && col("code") === col("c"))
+      .groupBy("vec_id")
+      .agg(sum(col("t")).as("adist2"))
+  }
+
   /** q_sim_search_ivf_kmeans — IVF-ANN with a REAL training step:
     * spark.ml KMeans (k=8, fixed seed) learns the coarse quantizer,
     * every vector is assigned to its nearest learned centroid, and the
@@ -1000,6 +1071,32 @@ object LlmPipeline {
       .orderBy("source")
   }
 
+  /** q_mix_temperature — temperature-scaled source mixing: sampled share
+    * ∝ (source token count)^(1/T) with T = 2 (the √-scaling the
+    * multilingual-pretraining recipes popularized — mBERT's exponentiated
+    * smoothing, XLM-R's α=0.5 — flattening the source distribution
+    * without equalizing it: dominant sources are downsampled, small ones
+    * boosted, order preserved). Determinism across engines: sqrt is
+    * IEEE-correctly-rounded on both, its value is pinned to integer
+    * micros with round() BEFORE the ratio, and the final share is exact
+    * integer DIV with a DECIMAL(38,0) intermediate (the q_mix_weights
+    * overflow guard). Two tiny aggregates + a 1-row broadcast — the
+    * output is one row per source regardless of corpus size.
+    */
+  def mixTemperature(s: SparkSession, d: String): DataFrame = {
+    val perSource = Tables.documents(s, d)
+      .select(col("source"), expr(s"CAST(size($toks) AS BIGINT)").as("n_tokens"))
+      .groupBy("source").agg(sum(col("n_tokens")).as("source_tokens"))
+      .withColumn("s_scaled",
+        expr("CAST(round(sqrt(CAST(source_tokens AS DOUBLE)) * 1000000) AS BIGINT)"))
+    val global = perSource.agg(sum(col("s_scaled")).as("z"))
+    perSource.crossJoin(broadcast(global))
+      .select(col("source"), col("source_tokens"),
+        expr("CAST(CAST(s_scaled AS DECIMAL(38,0)) * 1000000 DIV z AS BIGINT)")
+          .as("share_ppm"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact"         -> (dedupExact _),
     "q_dedup_minhash_sig"   -> (dedupMinhashSig _),
@@ -1013,6 +1110,7 @@ object LlmPipeline {
     "q_sim_search_ivf2"     -> (simSearchIvf2 _),
     "q_sim_search_lsh"      -> (simSearchLsh _),
     "q_sim_search_lsh_mp"   -> (simSearchLshMp _),
+    "q_sim_search_pq"       -> (simSearchPq _),
     "q_sim_search_ivf_kmeans" -> (simSearchIvfKmeans _),
     "q_sim_search_ivf_kmeans_probe" -> (simSearchIvfKmeansProbe _),
     "q_text_tokens"         -> (textTokens _),
@@ -1028,6 +1126,7 @@ object LlmPipeline {
     "q_corpus_shuffle"      -> (corpusShuffle _),
     "q_pack_sequences"      -> (packSequences _),
     "q_mix_weights"         -> (mixWeights _),
+    "q_mix_temperature"     -> (mixTemperature _),
   )
 
   val oracle: Map[String, String] = {
@@ -1224,6 +1323,33 @@ object LlmPipeline {
           "FROM b v, pn WHERE v.bucket = pn.probe_bucket AND v.vec_id <> 0 " +
           "ORDER BY cos DESC, vec_id LIMIT 5"
       },
+      "q_sim_search_pq" -> {
+        // PqM-way subvector split: 1-based inclusive list slices
+        val subsDuck = (0 until PqM).map { j =>
+          val lo = j * PqSubDim + 1
+          val hi = (j + 1) * PqSubDim
+          s"SELECT vec_id, $j AS j, q[$lo:$hi] AS sub FROM q"
+        }.mkString(" UNION ALL ")
+        // exact integer squared-L2 between 8-dim subvectors
+        def d2(a: String, b: String) =
+          s"CAST(list_sum(list_transform(list_zip($a, $b), " +
+            "p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT)"
+        s"WITH q AS (SELECT vec_id, $quantDuck AS q FROM embeddings), " +
+          s"subs AS ($subsDuck), " +
+          s"cb AS (SELECT CAST(vec_id AS INTEGER) AS c, j, sub AS csub " +
+          s"FROM subs WHERE vec_id < $PqK), " +
+          // encode: packed argmin over the PqK codes of each subspace
+          s"codes AS (SELECT vec_id, j, CAST(min(${d2("sub", "csub")} * $PqK + c) " +
+          s"% $PqK AS INTEGER) AS code " +
+          "FROM subs JOIN cb USING (j) GROUP BY vec_id, j), " +
+          // ADC table: probe subvector ↔ every code (PqM × PqK rows)
+          s"adc AS (SELECT j, c, ${d2("sub", "csub")} AS t " +
+          "FROM subs JOIN cb USING (j) WHERE vec_id = 0) " +
+          "SELECT codes.vec_id, CAST(sum(adc.t) AS BIGINT) AS adist2 " +
+          "FROM codes JOIN adc ON codes.j = adc.j AND codes.code = adc.c " +
+          "WHERE codes.vec_id <> 0 " +
+          "GROUP BY codes.vec_id ORDER BY adist2 ASC, vec_id ASC LIMIT 5"
+      },
       "q_text_tokens" ->
         ("SELECT lang, rn, tok, n FROM (SELECT lang, tok, count(*) AS n, " +
           "row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, tok ASC) AS rn " +
@@ -1304,6 +1430,23 @@ object LlmPipeline {
           "SELECT source, source_tokens, " +
           "CAST(total_tokens * 1000000 // (n_sources * source_tokens) AS BIGINT) AS weight_micros " +
           "FROM ps, g ORDER BY source"),
+      "q_mix_temperature" ->
+        ("WITH t AS (SELECT source, " +
+          "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents), " +
+          "ps AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS source_tokens " +
+          "FROM t GROUP BY source), " +
+          // sqrt is IEEE-exact on both engines; pin to integer micros
+          // with round() BEFORE the ratio so no IEEE division reaches
+          // the hashed output
+          "sc AS (SELECT source, source_tokens, " +
+          "CAST(round(sqrt(CAST(source_tokens AS DOUBLE)) * 1000000) AS BIGINT) " +
+          "AS s_scaled FROM ps), " +
+          "g AS (SELECT CAST(sum(s_scaled) AS BIGINT) AS z FROM sc) " +
+          // BIGINT `//` floors like Spark's DECIMAL DIV truncates;
+          // DuckDB's DECIMAL `//` would ROUND and hash-mismatch
+          "SELECT source, source_tokens, " +
+          "CAST(s_scaled * 1000000 // z AS BIGINT) AS share_ppm " +
+          "FROM sc, g ORDER BY source"),
     )
   }
 
@@ -1387,6 +1530,17 @@ object LlmPipeline {
           "CAST(CAST(total_tokens AS DECIMAL(38,0)) * 1000000 DIV " +
           "(CAST(n_sources AS DECIMAL(38,0)) * source_tokens) AS BIGINT) AS weight_micros " +
           "FROM ps CROSS JOIN g ORDER BY source"),
+      "q_mix_temperature" ->
+        ("WITH t AS (SELECT source, CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens " +
+          "FROM documents), " +
+          "ps AS (SELECT source, sum(n_tokens) AS source_tokens FROM t GROUP BY source), " +
+          "sc AS (SELECT source, source_tokens, " +
+          "CAST(round(sqrt(CAST(source_tokens AS DOUBLE)) * 1000000) AS BIGINT) " +
+          "AS s_scaled FROM ps), " +
+          "g AS (SELECT sum(s_scaled) AS z FROM sc) " +
+          "SELECT source, source_tokens, " +
+          "CAST(CAST(s_scaled AS DECIMAL(38,0)) * 1000000 DIV z AS BIGINT) AS share_ppm " +
+          "FROM sc CROSS JOIN g ORDER BY source"),
       "q_text_stats" ->
         ("SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars, " +
           "sum(n_chars) * 1000000 DIV count(n_chars) AS avg_chars_micros, " +
@@ -1527,6 +1681,29 @@ object LlmPipeline {
           s"sqrt(CAST(pn.n2a AS DOUBLE) * CAST(${dot("v.q", "v.q")} AS DOUBLE)) AS cos " +
           "FROM b v CROSS JOIN pn WHERE v.bucket = pn.probe_bucket AND v.vec_id <> 0 " +
           "ORDER BY cos DESC, vec_id LIMIT 5"
+      },
+      "q_sim_search_pq" -> {
+        // slice(arr, start, LENGTH) — Spark's spelling of the oracle's
+        // 1-based inclusive q[lo:hi]
+        val subsSpark = (0 until PqM).map { j =>
+          s"SELECT vec_id, $j AS j, slice(q, ${j * PqSubDim + 1}, $PqSubDim) AS sub FROM q"
+        }.mkString(" UNION ALL ")
+        // same exact-integer squared-L2, via the codegen'd native dot
+        def d2(a: String, b: String) =
+          s"(${dot(a, a)} - 2 * ${dot(a, b)} + ${dot(b, b)})"
+        s"WITH q AS (SELECT vec_id, $quantS AS q FROM embeddings), " +
+          s"subs AS ($subsSpark), " +
+          s"cb AS (SELECT CAST(vec_id AS INTEGER) AS c, j, sub AS csub " +
+          s"FROM subs WHERE vec_id < $PqK), " +
+          s"codes AS (SELECT vec_id, j, CAST(min(${d2("sub", "csub")} * $PqK + c) " +
+          s"% $PqK AS INTEGER) AS code " +
+          "FROM subs JOIN cb USING (j) GROUP BY vec_id, j), " +
+          s"adc AS (SELECT j, c, ${d2("sub", "csub")} AS t " +
+          "FROM subs JOIN cb USING (j) WHERE vec_id = 0) " +
+          "SELECT codes.vec_id, CAST(sum(adc.t) AS BIGINT) AS adist2 " +
+          "FROM codes JOIN adc ON codes.j = adc.j AND codes.code = adc.c " +
+          "WHERE codes.vec_id <> 0 " +
+          "GROUP BY codes.vec_id ORDER BY adist2 ASC, vec_id ASC LIMIT 5"
       },
     )
   }

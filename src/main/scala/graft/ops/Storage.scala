@@ -1,0 +1,208 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Storage-maintenance operators — the jobs a 100 TB lake runs against
+  * its own catalog rather than its data: zone-map (data-skipping index)
+  * build + prune, small-file compaction planning, and join-key skew
+  * diagnosis. The reference's analog is the controller's metadata tier:
+  * FileTable bookkeeping (reference controller/FileTable.java:14-16) and
+  * the free-space/heartbeat reports it serves without touching chunk
+  * bytes (controller/MessageProcessor.java:76-118). The Spark-native
+  * re-expression: each of these is an aggregate over the chunk catalog
+  * (`lineitem`, FIXTURES.md role mapping) whose OUTPUT is ~1/10⁴ the
+  * size of the data it describes — so the maintenance queries stay
+  * metadata-sized even when the table is 100 TB.
+  */
+object Storage {
+
+  /** Chunk-size stand-in (units): exact decimal sum of l_quantity,
+    * truncated to BIGINT (values are integral doubles; the decimal hop
+    * makes the sum order-independent and engine-identical).
+    */
+  private val sizeUnits =
+    "CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,0)) AS BIGINT)"
+
+  /** q_zonemap_build — per-file zone map (min/max column stats + chunk
+    * count + size), the data-skipping index every serious lake keeps
+    * (parquet row-group stats, Iceberg manifests, Delta file stats are
+    * all this table). One two-phase hash aggregate over the chunk
+    * catalog; the output is one row per FILE — at 100 TB with ~100 MB
+    * files that's ~10⁶ rows ≈ 100 MB of metadata, broadcastable to any
+    * planner. Min/max pairs for the two prunable dimensions (ship date =
+    * the time column, part key = the equi-join column) make the index
+    * usable for both range and point predicates.
+    */
+  def zonemapBuild(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey").as("file_id"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        min(col("l_shipdate")).as("min_ship"),
+        max(col("l_shipdate")).as("max_ship"),
+        min(col("l_partkey")).as("min_part"),
+        max(col("l_partkey")).as("max_part"),
+        expr(sizeUnits).as("size_units"))
+      .orderBy("file_id")
+
+  /** Prune window for q_zonemap_prune (inclusive ship-date range). */
+  private[graft] val PruneLo = "1995-06-01 00:00:00"
+  private[graft] val PruneHi = "1995-06-30 23:59:59"
+
+  /** q_zonemap_prune — candidate files for a ship-date range predicate,
+    * answered FROM THE ZONE MAP ALONE: a file qualifies iff its
+    * [min_ship, max_ship] interval overlaps the query window. Sound
+    * (never drops a file that contains a matching chunk — StorageSpec
+    * pins this against the raw data) but inexact (a file may span the
+    * window without a chunk inside it); the scan that follows reads only
+    * candidates. On this fixture the window keeps 3,672 of 14,743 files
+    * (75% of the data never read); at 100 TB this is the difference
+    * between a metadata lookup + targeted scan and a full-table pass.
+    */
+  def zonemapPrune(s: SparkSession, d: String): DataFrame =
+    zonemapBuild(s, d)
+      .where(col("max_ship") >= lit(PruneLo).cast("timestamp") &&
+        col("min_ship") <= lit(PruneHi).cast("timestamp"))
+      .select("file_id", "n_chunks", "size_units")
+      .orderBy("file_id")
+
+  /** Files below this size are compaction candidates (q_compact_plan). */
+  private[graft] val SmallFileUnits = 100L
+  /** Target compacted-file size (q_compact_plan bin budget). */
+  private[graft] val CompactTarget = 512L
+
+  /** q_compact_plan — small-file compaction planner: group each
+    * partition's sub-target files into merge bins of ~CompactTarget
+    * units. Small files are the operational tax of every streaming/
+    * incremental ingest (each micro-batch commit is a file; a 100 TB
+    * table accretes millions), and compaction is the job that keeps scan
+    * parallelism healthy. The plan is the q_pack_sequences prefix-sum
+    * shape applied to the catalog tier: bin = exclusive running size sum
+    * (per partition, in file-id order) DIV target — a window aggregate,
+    * one shuffle, parallel across partitions, never splitting a file;
+    * bins overflow by at most one file. Files ≥ the threshold are left
+    * alone (rewriting them is wasted IO). The orders join supplies the
+    * table-partition dimension (o_orderstatus); both sides hash to the
+    * same key, and the planner input is already metadata-sized.
+    */
+  def compactPlan(s: SparkSession, d: String): DataFrame = {
+    val files = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey").as("file_id"))
+      .agg(expr(sizeUnits).as("size_units"))
+      .where(col("size_units") < SmallFileUnits)
+    val parts = Tables.orders(s, d)
+      .select(col("o_orderkey").as("file_id"), col("o_orderstatus").as("status"))
+    val w = Window.partitionBy("status").orderBy("file_id")
+    files.join(parts, "file_id")
+      .withColumn("cum_excl",
+        coalesce(sum(col("size_units"))
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("status"), col("file_id"), col("size_units"),
+        expr(s"cum_excl DIV $CompactTarget").as("bin"))
+      .orderBy("status", "file_id")
+  }
+
+  /** Report size for q_skew_diagnose (top-N heaviest keys). */
+  private[graft] val SkewTopN = 20
+
+  /** q_skew_diagnose — join-key heavy-hitter report: the pre-flight
+    * check that decides whether a join needs the q_join_salted
+    * mitigation (ops/Skew.scala) or AQE's skew split. Per-key row
+    * counts, each key's share of the table (ppm), and its ratio to the
+    * uniform share (micros; 1,000,000 = perfectly uniform) — all exact
+    * integer arithmetic (the q_mix_weights pattern: no IEEE division in
+    * the hashed output, DECIMAL(38,0) intermediates so `n × n_keys ×
+    * 10⁶` survives 100 TB row counts). Two hash aggregates + a 1-row
+    * broadcast; the report is top-SkewTopN, driver-safe by construction.
+    */
+  def skewDiagnose(s: SparkSession, d: String): DataFrame = {
+    val perKey = Tables.lineitem(s, d)
+      .groupBy(col("l_partkey").as("part_key"))
+      .agg(count(lit(1)).as("n_chunks"))
+    val global = perKey.agg(
+      sum(col("n_chunks")).as("total_chunks"),
+      count(lit(1)).as("n_keys"))
+    perKey.crossJoin(broadcast(global))
+      .select(col("part_key"), col("n_chunks"),
+        expr("CAST(CAST(n_chunks AS DECIMAL(38,0)) * 1000000 DIV " +
+          "total_chunks AS BIGINT)").as("share_ppm"),
+        expr("CAST(CAST(n_chunks AS DECIMAL(38,0)) * n_keys * 1000000 DIV " +
+          "total_chunks AS BIGINT)").as("skew_micros"))
+      .orderBy(col("n_chunks").desc, col("part_key"))
+      .limit(SkewTopN)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_zonemap_build" -> (zonemapBuild _),
+    "q_zonemap_prune" -> (zonemapPrune _),
+    "q_compact_plan"  -> (compactPlan _),
+    "q_skew_diagnose" -> (skewDiagnose _))
+
+  /** Shared zone-map CTE (both dialects agree on this text). */
+  private val zmCte =
+    "zm AS (SELECT l_orderkey AS file_id, count(*) AS n_chunks, " +
+      "min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship, " +
+      "min(l_partkey) AS min_part, max(l_partkey) AS max_part, " +
+      s"$sizeUnits AS size_units FROM lineitem GROUP BY l_orderkey)"
+
+  val oracle: Map[String, String] = Map(
+    "q_zonemap_build" ->
+      (s"WITH $zmCte SELECT * FROM zm ORDER BY file_id"),
+    "q_zonemap_prune" ->
+      (s"WITH $zmCte SELECT file_id, n_chunks, size_units FROM zm " +
+        s"WHERE max_ship >= TIMESTAMP '$PruneLo' " +
+        s"AND min_ship <= TIMESTAMP '$PruneHi' ORDER BY file_id"),
+    "q_compact_plan" ->
+      (s"WITH f AS (SELECT l_orderkey AS file_id, $sizeUnits AS size_units " +
+        s"FROM lineitem GROUP BY l_orderkey HAVING $sizeUnits < $SmallFileUnits), " +
+        "j AS (SELECT o_orderstatus AS status, file_id, size_units " +
+        "FROM f JOIN orders ON file_id = o_orderkey), " +
+        "c AS (SELECT status, file_id, size_units, " +
+        "sum(size_units) OVER (PARTITION BY status ORDER BY file_id) " +
+        "- size_units AS cum_excl FROM j) " +
+        // DuckDB widens the window sum to HUGEINT and `//` preserves it;
+        // pin BIGINT or the value-hash gate fails (the q_pack_sequences
+        // lesson, scripts/check.py type-class gate)
+        s"SELECT status, file_id, size_units, " +
+        s"CAST(cum_excl // $CompactTarget AS BIGINT) AS bin " +
+        "FROM c ORDER BY status, file_id"),
+    "q_skew_diagnose" ->
+      // BIGINT `//` floors like Spark's DECIMAL DIV truncates (values are
+      // positive); DuckDB's `//` on DECIMAL operands ROUNDS instead —
+      // 816.67 would come back 817 and hash-mismatch. BIGINT is safe at
+      // oracle scale; the Spark side carries the DECIMAL(38,0) guard.
+      ("WITH pk AS (SELECT l_partkey AS part_key, count(*) AS n_chunks " +
+        "FROM lineitem GROUP BY l_partkey), " +
+        "g AS (SELECT CAST(sum(n_chunks) AS BIGINT) AS total_chunks, " +
+        "count(*) AS n_keys FROM pk) " +
+        "SELECT part_key, n_chunks, " +
+        "CAST(n_chunks * 1000000 // total_chunks AS BIGINT) AS share_ppm, " +
+        "CAST(n_chunks * n_keys * 1000000 // total_chunks AS BIGINT) " +
+        "AS skew_micros " +
+        "FROM pk, g " +
+        s"ORDER BY n_chunks DESC, part_key LIMIT $SkewTopN"))
+
+  /** Spark-dialect overrides — the zone-map texts run verbatim in both
+    * dialects; these two differ only in integer division (Spark `DIV` vs
+    * DuckDB `//`) and in the skew report's DECIMAL(38,0) overflow guard
+    * (needed for 100 TB row counts; DuckDB's decimal `//` rounds instead
+    * of flooring, so the oracle stays BIGINT at its own scale).
+    */
+  val sparkSql: Map[String, String] = Map(
+    "q_compact_plan" -> oracle("q_compact_plan").replace(
+      s"cum_excl // $CompactTarget", s"cum_excl DIV $CompactTarget"),
+    "q_skew_diagnose" ->
+      ("WITH pk AS (SELECT l_partkey AS part_key, count(*) AS n_chunks " +
+        "FROM lineitem GROUP BY l_partkey), " +
+        "g AS (SELECT sum(n_chunks) AS total_chunks, count(*) AS n_keys FROM pk) " +
+        "SELECT part_key, n_chunks, " +
+        "CAST(CAST(n_chunks AS DECIMAL(38,0)) * 1000000 DIV total_chunks " +
+        "AS BIGINT) AS share_ppm, " +
+        "CAST(CAST(n_chunks AS DECIMAL(38,0)) * n_keys * 1000000 DIV " +
+        "total_chunks AS BIGINT) AS skew_micros " +
+        "FROM pk CROSS JOIN g " +
+        s"ORDER BY n_chunks DESC, part_key LIMIT $SkewTopN"))
+}

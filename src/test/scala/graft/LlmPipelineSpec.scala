@@ -309,6 +309,33 @@ class LlmPipelineSpec extends AnyFunSuite {
     assert(ivf2.length >= ivf1.length && lshMp.length >= lsh1.length)
   }
 
+  test("q_sim_search_pq: ADC reconstructs codebook vectors exactly; top-5 is the scan's head") {
+    val d = SparkTestSession.sf0001
+    val all = ops.LlmPipeline.pqAdcAll(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // codebook vectors' codes reconstruct them losslessly, so their
+    // APPROXIMATE distance must equal the EXACT integer squared-L2 to
+    // the probe — the identity that makes PQ's error model analyzable
+    val e = graft.Tables.embeddings(spark, d).selectExpr("vec_id",
+      "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q")
+    val q0 = e.where(col("vec_id") === 0).head.getSeq[Long](1)
+    e.where(col("vec_id") > 0 && col("vec_id") < ops.LlmPipeline.PqK)
+      .collect().foreach { r =>
+        val v = r.getLong(0)
+        val exact = q0.zip(r.getSeq[Long](1))
+          .map { case (a, b) => (a - b) * (a - b) }.sum
+        assert(all(v) == exact, s"vec $v: ADC ${all(v)} != exact $exact")
+      }
+    assert(all.values.forall(_ >= 0L), "negative approximate distance")
+    // every non-probe vector got encoded (no row lost in the code join)
+    assert(all.size == e.count() - 1)
+    // the registered query is exactly the full scan's (adist2, vec_id) head
+    val top = ops.LlmPipeline.simSearchPq(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val expTop = all.toSeq.sortBy { case (id, ad) => (ad, id) }.take(5)
+    assert(top == expTop)
+  }
+
   test("q_sample_stratified: deterministic subset with per-stratum rates") {
     val d = SparkTestSession.sf0001
     val a = ops.LlmPipeline.sampleStratified(spark, d).collect()
@@ -327,6 +354,29 @@ class LlmPipelineSpec extends AnyFunSuite {
     ops.LlmPipeline.SampleFractions.foreach { case (lang, f) =>
       val got = byLang.getOrElse(lang, 0).toDouble / totals(lang)
       assert(math.abs(got - f) < 0.25, s"$lang: rate $got vs target $f")
+    }
+  }
+
+  test("q_mix_temperature: shares normalize and flatten the source distribution") {
+    val d = SparkTestSession.sf0001
+    val rows = ops.LlmPipeline.mixTemperature(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // shares are a probability vector in ppm (floor division loses < 1
+    // ppm per source)
+    val sum = rows.map(_._3).sum
+    assert(sum <= 1000000L && sum > 1000000L - rows.length,
+      s"shares sum to $sum ppm")
+    // temperature flattens but preserves order: for every source pair,
+    // the share ratio is between 1 and the token ratio
+    for (a <- rows; b <- rows if a._2 > b._2) {
+      assert(a._3 >= b._3 - 1, s"${a._1} vs ${b._1}: order inverted")
+      val tokRatio = a._2.toDouble / b._2
+      val shareRatio = a._3.toDouble / b._3
+      assert(shareRatio <= tokRatio + 1e-3,
+        s"${a._1}/${b._1}: share ratio $shareRatio exceeds token ratio $tokRatio")
+      // √-scaling: the share ratio should be ≈ sqrt(token ratio)
+      assert(math.abs(shareRatio - math.sqrt(tokRatio)) < 0.01 * shareRatio,
+        s"${a._1}/${b._1}: share ratio $shareRatio vs sqrt(token ratio) ${math.sqrt(tokRatio)}")
     }
   }
 

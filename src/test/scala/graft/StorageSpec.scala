@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Storage-maintenance operators (ops/Storage): zone-map soundness,
+  * compaction-plan invariants, skew-report arithmetic.
+  */
+class StorageSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val d = SparkTestSession.sf0001
+
+  test("zonemap build: one row per file, bounds ordered, counts total") {
+    val zm = ops.Storage.zonemapBuild(spark, d).cache()
+    val li = Tables.lineitem(spark, d)
+    assert(zm.count() == li.select("l_orderkey").distinct().count())
+    assert(zm.where(col("min_ship") > col("max_ship") ||
+      col("min_part") > col("max_part")).isEmpty)
+    val total = zm.agg(sum("n_chunks")).head.getLong(0)
+    assert(total == li.count())
+  }
+
+  test("zonemap prune is sound: never drops a file with a matching chunk") {
+    val cand = ops.Storage.zonemapPrune(spark, d)
+      .select("file_id")
+    val truth = Tables.lineitem(spark, d)
+      .where(col("l_shipdate")
+        .between(ops.Storage.PruneLo, ops.Storage.PruneHi))
+      .select(col("l_orderkey").as("file_id")).distinct()
+    // zone maps may over-select (file spans the window without a chunk
+    // inside) but must NEVER under-select — truth ∖ candidates = ∅
+    assert(truth.except(cand).isEmpty,
+      "zone-map pruning dropped a file that contains a matching chunk")
+    assert(cand.count() >= truth.count())
+  }
+
+  test("compact plan: only small files, bins bounded and contiguous") {
+    val plan = ops.Storage.compactPlan(spark, d).cache()
+    assert(plan.where(col("size_units") >= ops.Storage.SmallFileUnits).isEmpty)
+    // per-(status, bin) size: prefix-sum DIV target ⇒ a bin exceeds the
+    // target by at most its last file (the pack_sequences overflow bound)
+    val overflow = plan.groupBy("status", "bin")
+      .agg(sum("size_units").as("bin_units"), max("size_units").as("max_file"))
+      .where(col("bin_units") >= col("max_file") + ops.Storage.CompactTarget)
+    assert(overflow.isEmpty, "a compaction bin overflowed by more than one file")
+    // bins are contiguous 0..max within each status partition
+    val perStatus = plan.groupBy("status")
+      .agg(countDistinct("bin").as("n_bins"), max("bin").as("max_bin"))
+      .where(col("n_bins") =!= col("max_bin") + 1)
+    assert(perStatus.isEmpty, "bin ids are not contiguous from 0")
+  }
+
+  test("skew diagnose: exact integer shares, uniform ratio centered at 1e6") {
+    val rep = ops.Storage.skewDiagnose(spark, d).cache()
+    assert(rep.count() == ops.Storage.SkewTopN)
+    val li = Tables.lineitem(spark, d)
+    val total = li.count()
+    val nKeys = li.select("l_partkey").distinct().count()
+    val top = rep.orderBy(col("n_chunks").desc, col("part_key")).head
+    // spot-check the arithmetic against direct computation
+    val n = top.getLong(top.fieldIndex("n_chunks"))
+    assert(top.getLong(top.fieldIndex("share_ppm")) == n * 1000000L / total)
+    assert(top.getLong(top.fieldIndex("skew_micros")) == n * nKeys * 1000000L / total)
+    // the report is the TOP of the distribution: its heaviest key is ≥
+    // uniform (1e6 micros) unless the table itself is tiny/degenerate
+    assert(top.getLong(top.fieldIndex("skew_micros")) >= 1000000L)
+  }
+}
