@@ -183,6 +183,107 @@ object LlmPipeline {
       .agg(count(lit(1)).as("n_docs"))
       .where(col("n_docs") > cap)
 
+  /** q_dedup_cc — near-duplicate CLUSTERS from the MinHash candidate
+    * pairs: every doc that appears in ≥1 candidate pair is labeled with
+    * the smallest doc_id reachable through the pair graph (its connected
+    * component's representative). This is the decision step that turns a
+    * pair list into an actual dedup — keep `doc_id = rep_id`, drop the
+    * rest — and it must be transitive: if A~B and B~C, naive pairwise
+    * keep-the-min retains both A and C. (Reference behavior: the
+    * chunk→file grouping in its file table is the same
+    * many-rows-to-one-representative fold; see
+    * /root/reference/src/main/java/edu/usfca/cs/dfs/components/controller/FileTable.java:14.)
+    *
+    * Algorithm: distributed min-label propagation. l₀(v) = min(v, N(v));
+    * each round propagates labels one hop (equi join edges⋈labels, then
+    * a map-side-combining min per node) and stops when no label
+    * decreased. Rounds = graph diameter; near-dup components are
+    * near-cliques (members share band buckets), so the fixpoint lands in
+    * 2-3 rounds regardless of corpus size. Per-round cost is one
+    * shuffle of 16 B × |nodes-in-pairs| — the duplicate set, not the
+    * corpus. The only driver-side state is the converged-yet count;
+    * localCheckpoint pins each round's labels so the plan (and the
+    * signature subtree) is not re-executed per round and lineage stays
+    * O(1).
+    */
+  def dedupCc(s: SparkSession, d: String): DataFrame =
+    ccLabels(minhashPairsFromBanded(minhashBanded(s, d))).orderBy("doc_id")
+
+  /** Min-label-propagation core over an undirected pair list (doc_a,
+    * doc_b) — factored out so specs can drive it with synthetic graphs
+    * (chains exercise the multi-round path that clique-shaped MinHash
+    * components never do). Returns (doc_id, rep_id) for every doc
+    * present in ≥1 pair.
+    */
+  private[graft] def ccLabels(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
+    // Symmetrize once and pin: edges are re-scanned every round, and
+    // without the checkpoint each round would re-run the whole
+    // minhash signature subtree feeding `pairs`.
+    val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      .localCheckpoint()
+    var labels = edges.groupBy(col("u").as("doc_id"))
+      .agg(min(col("v")).as("nmin"))
+      .select(col("doc_id"), least(col("doc_id"), col("nmin")).as("rep_id"))
+      .localCheckpoint()
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val prop = edges
+        .join(labels.withColumnRenamed("doc_id", "u"), "u")
+        .groupBy(col("v").as("doc_id"))
+        .agg(min(col("rep_id")).as("nmin"))
+      val next = labels
+        .join(prop, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("rep_id"), coalesce(col("nmin"), col("rep_id"))).as("rep_id"))
+        .localCheckpoint()
+      converged = next
+        .join(labels.withColumnRenamed("rep_id", "prev"), "doc_id")
+        .where(col("rep_id") < col("prev"))
+        .isEmpty
+      labels = next
+      round += 1
+    }
+    labels
+  }
+
+  /** q_dedup_incremental — incremental dedup of a NEW batch against the
+    * HISTORICAL corpus: which incoming docs (source = 'src0', standing in
+    * for today's crawl) MinHash-collide with any already-ingested doc
+    * (every other source)? Per flagged doc: how many historical dups and
+    * the smallest colliding historical id.
+    *
+    * This is the daily-ingest shape — the full-corpus pair join never
+    * reruns; the batch only probes the historical BAND INDEX. One
+    * signature pass over the corpus (in production the historical half is
+    * a persisted table maintained per ingest, the buildIvfIndex pattern;
+    * recomputed here so the oracle can mirror it), then an equi join on
+    * (band, band_key): shuffled bytes = 40 B × |bands|, never text.
+    * Historical buckets over HotBucketCap are excluded the same way
+    * pair generation excludes them — a pathological bucket would fan
+    * every colliding batch doc out cap× before the per-doc fold.
+    */
+  def dedupIncremental(s: SparkSession, d: String): DataFrame = {
+    val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    val banded = minhashBanded(s, d).join(src, "doc_id")
+    val hist = banded.where(col("source") =!= "src0")
+      .select(col("doc_id").as("hist_id"), col("band"), col("band_key"))
+    val okBuckets = hist.groupBy("band", "band_key")
+      .agg(countDistinct(col("hist_id")).as("n_hist"))
+      .where(col("n_hist") <= HotBucketCap)
+      .select("band", "band_key")
+    val batch = banded.where(col("source") === "src0")
+      .select(col("doc_id"), col("band"), col("band_key"))
+    batch
+      .join(okBuckets, Seq("band", "band_key"))
+      .join(hist, Seq("band", "band_key"))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("hist_id")).as("n_hist_dups"),
+        min(col("hist_id")).as("first_hist_id"))
+      .orderBy("doc_id")
+  }
+
   /** q_dedup_simhash — SimHash near-dup pairs. Per-doc 32-bit SimHash
     * over 3-word SHINGLES (not unigrams — the synthetic corpus's tiny
     * vocabulary makes token-multiset simhashes collapse onto each other;
@@ -1101,6 +1202,8 @@ object LlmPipeline {
     "q_dedup_exact"         -> (dedupExact _),
     "q_dedup_minhash_sig"   -> (dedupMinhashSig _),
     "q_dedup_minhash_pairs" -> (dedupMinhashPairs _),
+    "q_dedup_cc"            -> (dedupCc _),
+    "q_dedup_incremental"   -> (dedupIncremental _),
     "q_dedup_simhash"       -> (dedupSimhash _),
     "q_dedup_near"          -> (dedupNear _),
     "q_dedup_ngram"         -> (dedupNgram _),
@@ -1177,6 +1280,39 @@ object LlmPipeline {
           "FROM bands a JOIN ok ON ok.band = a.band AND ok.band_key = a.band_key " +
           "JOIN bands b ON a.band = b.band AND a.band_key = b.band_key " +
           "AND a.doc_id < b.doc_id ORDER BY doc_a, doc_b"),
+      // Transitive closure of the candidate-pair graph: min reachable
+      // doc_id per node via a recursive CTE (UNION dedups, so the
+      // frontier is the reachability set and terminates). Mirrors the
+      // Spark side's min-label-propagation fixpoint exactly.
+      "q_dedup_cc" ->
+        (s"${minhashBandsDuck.replaceFirst("WITH ", "WITH RECURSIVE ")}, " +
+          "ok AS (SELECT band, band_key FROM bands GROUP BY band, band_key " +
+          s"HAVING count(*) <= ${LlmPipeline.HotBucketCap}), " +
+          "pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b " +
+          "FROM bands a JOIN ok ON ok.band = a.band AND ok.band_key = a.band_key " +
+          "JOIN bands b ON a.band = b.band AND a.band_key = b.band_key " +
+          "AND a.doc_id < b.doc_id), " +
+          "edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs " +
+          "UNION ALL SELECT doc_b, doc_a FROM pairs), " +
+          "reach(doc_id, lbl) AS (SELECT u, u FROM edges " +
+          "UNION SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.doc_id) " +
+          "SELECT doc_id, min(lbl) AS rep_id FROM reach GROUP BY doc_id " +
+          "ORDER BY doc_id"),
+      "q_dedup_incremental" ->
+        (s"$minhashBandsDuck, " +
+          "src AS (SELECT doc_id, source FROM documents), " +
+          "sb AS (SELECT b.doc_id, b.band, b.band_key, s.source " +
+          "FROM bands b JOIN src s ON s.doc_id = b.doc_id), " +
+          "hist AS (SELECT doc_id AS hist_id, band, band_key FROM sb " +
+          "WHERE source <> 'src0'), " +
+          "okb AS (SELECT band, band_key FROM hist GROUP BY band, band_key " +
+          s"HAVING count(DISTINCT hist_id) <= ${LlmPipeline.HotBucketCap}), " +
+          "batch AS (SELECT doc_id, band, band_key FROM sb WHERE source = 'src0') " +
+          "SELECT b.doc_id, count(DISTINCT h.hist_id) AS n_hist_dups, " +
+          "min(h.hist_id) AS first_hist_id " +
+          "FROM batch b JOIN okb o ON o.band = b.band AND o.band_key = b.band_key " +
+          "JOIN hist h ON h.band = b.band AND h.band_key = b.band_key " +
+          "GROUP BY b.doc_id ORDER BY b.doc_id"),
       "q_dedup_simhash" -> {
         val bitSums = (1 to 32).map(b =>
           s"CAST(sum(CASE WHEN (h >> ${b - 1}) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS v$b")

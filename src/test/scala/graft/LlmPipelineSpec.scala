@@ -107,6 +107,34 @@ class LlmPipelineSpec extends AnyFunSuite {
     assert(overflow.length == 1 && overflow.head.getLong(2) == 60L)
   }
 
+  test("ccLabels: chain graphs converge to the global min across rounds") {
+    import spark.implicits._
+    // A 7-node path 10-11-...-16 (diameter 6 forces multiple propagation
+    // rounds — real MinHash components are cliques and converge in one),
+    // a 3-clique with shuffled pair order, and an isolated pair.
+    val chain = (10L until 16L).map(i => (i, i + 1))
+    val clique = Seq((21L, 22L), (20L, 22L), (20L, 21L))
+    val lone = Seq((30L, 31L))
+    val labels = ops.LlmPipeline
+      .ccLabels((chain ++ clique ++ lone).toDF("doc_a", "doc_b"))
+      .as[(Long, Long)].collect().toMap
+    assert((10L to 16L).forall(labels(_) == 10L))
+    assert((20L to 22L).forall(labels(_) == 20L))
+    assert(labels(30L) == 30L && labels(31L) == 30L)
+    assert(labels.size == 12) // only docs that appear in >= 1 pair
+  }
+
+  test("q_dedup_cc groups the exact dup and its near-dup transitively") {
+    // doc 0, its one-token-edit near-dup 100, and its exact copy 200
+    // must land in ONE component represented by 0 — the transitive
+    // decision pairwise keep-the-min cannot make.
+    val labels = ops.LlmPipeline.dedupCc(spark, plantedDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels(200L) == 0L)
+    assert(labels.get(100L).forall(_ == 0L)) // near-dup joins iff banded with 0
+    assert(labels(0L) == 0L)
+  }
+
   test("simhash hot buckets are capped, not exploded") {
     import spark.implicits._
     // 60 docs sharing one simhash flood 4 band buckets; a healthy pair
