@@ -183,6 +183,19 @@ object LlmPipeline {
       .agg(count(lit(1)).as("n_docs"))
       .where(col("n_docs") > cap)
 
+  /** Fixed round count for the UNROLLED min-label propagation in the
+    * q_dedup_cc Spark-SQL text surface (sparkSql below). Spark's
+    * recursive CTE rejects the cycle-safe UNION form
+    * (UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE) and UNION ALL diverges on a
+    * symmetric edge list, so the text mirror unrolls a fixed number of
+    * propagation rounds instead: exact whenever every component's
+    * diameter ≤ this bound. MinHash components are band-bucket
+    * near-cliques (diameter 2-3), so 8 leaves a wide margin; the
+    * DataFrame form (the production path) iterates to true convergence
+    * and needs no bound.
+    */
+  private[graft] val CcSqlRounds = 8
+
   /** q_dedup_cc — near-duplicate CLUSTERS from the MinHash candidate
     * pairs: every doc that appears in ≥1 candidate pair is labeled with
     * the smallest doc_id reachable through the pair graph (its connected
@@ -1755,6 +1768,43 @@ object LlmPipeline {
           "JOIN ok ON ok.band = a.band AND ok.band_key = a.band_key " +
           "JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id " +
           "ORDER BY doc_a, doc_b"),
+      "q_dedup_cc" -> {
+        // Unrolled min-label propagation (CcSqlRounds rounds — see the
+        // constant's scaladoc for why not WITH RECURSIVE). Self-loops
+        // fold each node's own label into the neighbor min, so every
+        // round is ONE equi join + ONE combining min aggregate — label
+        // tables stay |nodes|-sized (no recursive path explosion).
+        val ccPairs = s"$minhashCtes, ok AS (SELECT band, band_key FROM bands " +
+          s"GROUP BY band, band_key HAVING count(*) <= $HotBucketCap), " +
+          "pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a " +
+          "JOIN ok ON ok.band = a.band AND ok.band_key = a.band_key " +
+          "JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id), " +
+          "edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs " +
+          "UNION ALL SELECT doc_b, doc_a FROM pairs " +
+          "UNION ALL SELECT doc_a, doc_a FROM pairs " +
+          "UNION ALL SELECT doc_b, doc_b FROM pairs), " +
+          "l0 AS (SELECT v AS doc_id, min(u) AS rep_id FROM edges GROUP BY v)"
+        val rounds = (1 to CcSqlRounds).map { k =>
+          s"l$k AS (SELECT e.v AS doc_id, min(l.rep_id) AS rep_id " +
+            s"FROM edges e JOIN l${k - 1} l ON l.doc_id = e.u GROUP BY e.v)"
+        }.mkString(", ")
+        s"$ccPairs, $rounds SELECT doc_id, rep_id FROM l$CcSqlRounds ORDER BY doc_id"
+      },
+      "q_dedup_incremental" ->
+        (s"$minhashCtes, " +
+          "sb AS (SELECT b.doc_id, b.band, b.band_key, s.source " +
+          "FROM bands b JOIN (SELECT doc_id, source FROM documents) s " +
+          "ON s.doc_id = b.doc_id), " +
+          "hist AS (SELECT doc_id AS hist_id, band, band_key FROM sb " +
+          "WHERE source <> 'src0'), " +
+          "okb AS (SELECT band, band_key FROM hist GROUP BY band, band_key " +
+          s"HAVING count(DISTINCT hist_id) <= $HotBucketCap), " +
+          "batch AS (SELECT doc_id, band, band_key FROM sb WHERE source = 'src0') " +
+          "SELECT b.doc_id, count(DISTINCT h.hist_id) AS n_hist_dups, " +
+          "min(h.hist_id) AS first_hist_id " +
+          "FROM batch b JOIN okb o ON o.band = b.band AND o.band_key = b.band_key " +
+          "JOIN hist h ON h.band = b.band AND h.band_key = b.band_key " +
+          "GROUP BY b.doc_id ORDER BY b.doc_id"),
       "q_dedup_simhash" ->
         (s"WITH $dtk, " +
           s"hs AS (SELECT doc_id, ${hash("s")} AS h FROM " +
