@@ -279,7 +279,13 @@ object LlmPipeline {
     */
   def dedupIncremental(s: SparkSession, d: String): DataFrame = {
     val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
-    val banded = minhashBanded(s, d).join(src, "doc_id")
+    // Pin the banded signatures once: hist, okBuckets and batch all
+    // derive from this frame, and without the checkpoint each branch
+    // re-runs the full explode→md5→16-min signature subtree over the
+    // corpus (the executed plan showed THREE parallel scan+agg towers).
+    // 40 B × |bands| of pinned state — linear, and exactly what the
+    // persisted historical band index holds in the production shape.
+    val banded = minhashBanded(s, d).join(src, "doc_id").localCheckpoint()
     val hist = banded.where(col("source") =!= "src0")
       .select(col("doc_id").as("hist_id"), col("band"), col("band_key"))
     val okBuckets = hist.groupBy("band", "band_key")
