@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1073,6 +1073,159 @@ object LlmPipeline {
           .as("dup_ratio"))
       .orderBy("doc_id")
 
+  /** q_text_tfidf — top-3 characteristic terms per document by an
+    * engine-exact tf-idf variant: score_micros = tf · 10⁶ · N DIV df
+    * (linear idf N/df instead of log(N/df): same descending direction
+    * in df, exactly representable in integer arithmetic — the log
+    * form's IEEE rounding would make near-tie rankings engine-dependent
+    * and break the oracle hash). Plan: explode → per-(doc, term) count
+    * (one shuffle, map-side combinable) → per-term document frequency
+    * computed FROM THE tf ROWS (posting-list-sized input, not the raw
+    * token stream) → tf ⋈ df equi join on term → per-doc top-3 window.
+    * Every stage is linear in postings at 100 TB; the DECIMAL(38,0)
+    * cross-multiply keeps tf·N·10⁶ exact at any corpus size, the DIV
+    * brings the score back to BIGINT range (score ≤ tf·N·10⁶ only when
+    * df = 1 — beyond ~10⁹ docs emit the decimal instead of casting).
+    */
+  def textTfidf(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val tf = docs.select(col("doc_id"), explode(expr(toks)).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score_micros").desc, col("term").asc)
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score_micros",
+        expr("CAST(CAST(tf AS DECIMAL(38,0)) * 1000000 * n_docs DIV df AS BIGINT)"))
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= 3)
+      .select("doc_id", "rn", "term", "tf", "df", "score_micros")
+      .orderBy("doc_id", "rn")
+  }
+
+  /** Quality-filter thresholds (q_quality_filter), all integer
+    * cross-multiplied so the rule boundary is exact on both engines:
+    * MinTokens — Gopher-style length gate; stop_ratio < 1/StopDivisor —
+    * C4-style natural-language gate (near-zero stopwords = code/tables/
+    * gibberish); avg token length > LongTokTenths/10 — tokenizer-hostile
+    * text (URLs, base64); dup_ratio > 1/RepDivisor — boilerplate/spam
+    * (the q_text_repetition metric as a gate).
+    */
+  private[graft] val QfMinTokens = 20L
+  private[graft] val QfStopDivisor = 50L
+  private[graft] val QfLongTokTenths = 48L
+  private[graft] val QfRepDivisor = 50L
+
+  /** q_quality_filter — the composed C4/Gopher-style keep/drop verdict:
+    * every document gets `keep` plus the FIRST failing rule as a reason
+    * code (fixed rule order: too_short → low_stopword → long_tokens →
+    * repetitive → ok). This is the decision step that turns the metric
+    * queries (q_text_quality / q_text_repetition) into an actual
+    * training-set filter, and the reason column is what makes the cull
+    * observable — production pipelines report per-reason drop counts
+    * before committing a filter change. One mapper-only projection (all
+    * four metrics come from the same token/shingle arrays, materialized
+    * once per row); no shuffle before the final order. Thresholds are
+    * integer cross-multiplications — no FP boundary can disagree
+    * between engines.
+    */
+  def qualityFilter(s: SparkSession, d: String): DataFrame = {
+    val stop = profiles.flatMap(_._2).distinct.map(w => s"'$w'").mkString(", ")
+    withTk(Tables.documents(s, d).withColumn("text", coalesce(col("text"), lit(""))))
+      .withColumn("sh", expr(shingles))
+      .withColumn("n_tokens", expr("CAST(size(tk) AS BIGINT)"))
+      .withColumn("n_stop",
+        expr(s"CAST(size(filter(tk, t -> array_contains(array($stop), t))) AS BIGINT)"))
+      .withColumn("n_sh", expr("CAST(size(sh) AS BIGINT)"))
+      .withColumn("n_dup", expr("CAST(size(sh) - size(array_distinct(sh)) AS BIGINT)"))
+      .withColumn("reason", expr(
+        s"""CASE WHEN n_tokens < $QfMinTokens THEN 'too_short'
+           |WHEN n_stop * $QfStopDivisor < n_tokens THEN 'low_stopword'
+           |WHEN (n_chars - (n_tokens - 1)) * 10 > $QfLongTokTenths * n_tokens THEN 'long_tokens'
+           |WHEN n_dup * $QfRepDivisor > n_sh THEN 'repetitive'
+           |ELSE 'ok' END""".stripMargin))
+      .select(col("doc_id"), (col("reason") === "ok").as("keep"), col("reason"))
+      .orderBy("doc_id")
+  }
+
+  /** Packing caps for the keep-best argmin: one BIGINT encodes
+    * (max n_chars, tie-min doc_id) as (KbCharCap−1−n_chars)·KbIdCap +
+    * doc_id — exact while n_chars < KbCharCap (4 Mi chars/doc) and
+    * doc_id < KbIdCap (2⁴⁰ ids); the caps' product stays under 2⁶² so
+    * the packed value cannot overflow. Boundary exactness is pinned by
+    * the packing spec; corpora beyond either cap need the window form.
+    */
+  private[graft] val KbCharCap = 1L << 22
+  private[graft] val KbIdCap = 1L << 40
+
+  /** q_dedup_keep_best — preference-aware exact dedup: per
+    * normalized-text group keep the copy with the MOST characters (tie →
+    * smallest doc_id), not blindly the min id. This is what production
+    * dedup actually does — among near-identical crawls keep the longest/
+    * cleanest capture — and it is deliberately an argmax AGGREGATE, not
+    * a per-group window. A struct min would sort-aggregate (struct
+    * buffers aren't hash-table mutable), so the preference packs into
+    * ONE BIGINT — min((KbCharCap−1−n_chars)·KbIdCap + doc_id) — the
+    * same packed-argmin shape as the IVF centroid assignment: a
+    * codegen'd hash aggregate with map-side partial combine, so the
+    * shuffle carries one candidate per (partition, group) instead of
+    * every copy, and no per-group sort exists anywhere in the plan.
+    */
+  def dedupKeepBest(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(md5(lower(trim(col("text")))).as("norm_md5"))
+      .agg(min((lit(KbCharCap - 1) - col("n_chars")) * KbIdCap + col("doc_id"))
+        .as("k"),
+        count(lit(1)).as("n_copies"))
+      .select((col("k") % KbIdCap).as("keep_id"),
+        (lit(KbCharCap - 1) - expr(s"k DIV ${KbIdCap}L")).as("best_chars"),
+        col("n_copies"), col("norm_md5"))
+      .orderBy("keep_id")
+
+  /** Bloom bit-space size for q_decontaminate_bloom (2¹⁶ positions per
+    * hash seed; two seeds). The broadcast state is the SET BIT POSITIONS
+    * (≤ 2¹⁶ longs per seed, ~512 KB hard cap each) — bounded by m no
+    * matter how large the benchmark suite grows.
+    */
+  private[graft] val BloomBits = 1 << 16
+
+  /** q_decontaminate_bloom — benchmark decontamination behind a
+    * Bloom-style prefilter, result IDENTICAL to q_decontaminate (Bloom
+    * has no false negatives; the exact confirm join removes the false
+    * positives — so the oracle is the exact SQL). Why it exists: the
+    * exact form broadcasts the full bench shingle-hash set, which works
+    * while the suite is bounded but grows with it; the bloom form
+    * broadcasts two position sets capped at BloomBits rows EACH no
+    * matter the suite size, and the corpus-side probe is two
+    * mapper-only broadcast semi joins (xxhash64 → pmod → probe) that
+    * cull ~(1 − fill)² of all postings before anything shuffles toward
+    * the confirm join. At 100 TB: shuffled bytes drop from |postings|
+    * to |true hits| + fp·|postings|, with fp = fill₁·fill₂ observable
+    * from the two set sizes.
+    */
+  def decontaminateBloom(s: SparkSession, d: String): DataFrame = {
+    val m = BloomBits.toLong
+    def pos(seed: Int, c: Column) = pmod(xxhash64(lit(seed), c), lit(m))
+    val postings = ngramPostings(s, d)
+    val bench = postings.where(col("doc_id") % 20 === 0).select(col("sh")).distinct()
+    val bits1 = bench.select(pos(1, col("sh")).as("p1")).distinct()
+    val bits2 = bench.select(pos(2, col("sh")).as("p2")).distinct()
+    val train = postings.where(col("doc_id") % 20 =!= 0)
+    val cand = train
+      .withColumn("p1", pos(1, col("sh")))
+      .join(broadcast(bits1), Seq("p1"), "left_semi")
+      .withColumn("p2", pos(2, col("sh")))
+      .join(broadcast(bits2), Seq("p2"), "left_semi")
+    val hits = cand.join(bench, "sh")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+    Tables.documents(s, d).where(col("doc_id") % 20 =!= 0)
+      .select("doc_id")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .orderBy("doc_id")
+  }
+
   /** q_sample_stratified — per-language Bernoulli sampling with
     * per-stratum rates (the language-rebalancing step every multilingual
     * training mix runs: downsample the dominant language, keep the
@@ -1243,8 +1396,12 @@ object LlmPipeline {
     "q_text_fingerprint"    -> (textFingerprint _),
     "q_text_clean"          -> (textClean _),
     "q_text_repetition"     -> (textRepetition _),
+    "q_text_tfidf"          -> (textTfidf _),
+    "q_quality_filter"      -> (qualityFilter _),
+    "q_dedup_keep_best"     -> (dedupKeepBest _),
     "q_sample_stratified"   -> (sampleStratified _),
     "q_decontaminate"       -> (decontaminate _),
+    "q_decontaminate_bloom" -> (decontaminateBloom _),
     "q_corpus_shuffle"      -> (corpusShuffle _),
     "q_pack_sequences"      -> (packSequences _),
     "q_mix_weights"         -> (mixWeights _),
@@ -1562,6 +1719,56 @@ object LlmPipeline {
           "SELECT d.doc_id, COALESCE(hits.n_hits, 0) AS n_hits " +
           "FROM documents d LEFT JOIN hits ON hits.doc_id = d.doc_id " +
           "WHERE d.doc_id % 20 <> 0 ORDER BY d.doc_id"),
+      // identical-by-construction to q_decontaminate: the bloom stages
+      // only PREFILTER (no false negatives) and the confirm join removes
+      // false positives, so the exact SQL is the oracle
+      "q_decontaminate_bloom" ->
+        (s"WITH ds AS (SELECT doc_id, " +
+          s"CAST(concat('0x', substring(md5(unnest(list_distinct($shinglesDuck))), 1, 15)) AS BIGINT) AS sh " +
+          "FROM documents), " +
+          "bench AS (SELECT DISTINCT sh FROM ds WHERE doc_id % 20 = 0), " +
+          "hits AS (SELECT doc_id, count(*) AS n_hits FROM ds " +
+          "JOIN bench USING (sh) WHERE doc_id % 20 <> 0 GROUP BY doc_id) " +
+          "SELECT d.doc_id, COALESCE(hits.n_hits, 0) AS n_hits " +
+          "FROM documents d LEFT JOIN hits ON hits.doc_id = d.doc_id " +
+          "WHERE d.doc_id % 20 <> 0 ORDER BY d.doc_id"),
+      "q_text_tfidf" ->
+        ("WITH tf0 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents), " +
+          "tfc AS (SELECT doc_id, term, count(*) AS tf FROM tf0 GROUP BY doc_id, term), " +
+          "dfc AS (SELECT term, count(*) AS df FROM tfc GROUP BY term), " +
+          "n AS (SELECT count(*) AS n_docs FROM documents), " +
+          "sc AS (SELECT doc_id, term, tf, df, " +
+          "CAST(CAST(tf AS HUGEINT) * 1000000 * n_docs // df AS BIGINT) AS score_micros " +
+          "FROM tfc JOIN dfc USING (term), n), " +
+          "r AS (SELECT *, row_number() OVER (PARTITION BY doc_id " +
+          "ORDER BY score_micros DESC, term ASC) AS rn FROM sc) " +
+          "SELECT doc_id, rn, term, tf, df, score_micros FROM r WHERE rn <= 3 " +
+          "ORDER BY doc_id, rn"),
+      "q_quality_filter" -> {
+        val stop = profiles.flatMap(_._2).distinct.map(w => s"'$w'").mkString(", ")
+        "WITH d0 AS (SELECT doc_id, n_chars, coalesce(text, '') AS text FROM documents), " +
+          "t AS (SELECT doc_id, n_chars, " +
+          "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, " +
+          s"CAST(len(list_filter(string_split(text, ' '), t -> list_contains([$stop], t))) AS BIGINT) AS n_stop, " +
+          s"$shinglesDuck AS sh FROM d0), " +
+          "m AS (SELECT doc_id, n_chars, n_tokens, n_stop, " +
+          "CAST(len(sh) AS BIGINT) AS n_sh, " +
+          "CAST(len(sh) - len(list_distinct(sh)) AS BIGINT) AS n_dup FROM t), " +
+          "v AS (SELECT doc_id, CASE " +
+          s"WHEN n_tokens < ${LlmPipeline.QfMinTokens} THEN 'too_short' " +
+          s"WHEN n_stop * ${LlmPipeline.QfStopDivisor} < n_tokens THEN 'low_stopword' " +
+          s"WHEN (n_chars - (n_tokens - 1)) * 10 > ${LlmPipeline.QfLongTokTenths} * n_tokens THEN 'long_tokens' " +
+          s"WHEN n_dup * ${LlmPipeline.QfRepDivisor} > n_sh THEN 'repetitive' " +
+          "ELSE 'ok' END AS reason FROM m) " +
+          "SELECT doc_id, reason = 'ok' AS keep, reason FROM v ORDER BY doc_id"
+      },
+      "q_dedup_keep_best" ->
+        ("WITH g AS (SELECT md5(lower(trim(text))) AS norm_md5, doc_id, n_chars FROM documents), " +
+          "r AS (SELECT norm_md5, doc_id AS keep_id, n_chars AS best_chars, " +
+          "row_number() OVER (PARTITION BY norm_md5 ORDER BY n_chars DESC, doc_id ASC) AS rn, " +
+          "count(*) OVER (PARTITION BY norm_md5) AS n_copies FROM g) " +
+          "SELECT keep_id, best_chars, n_copies, norm_md5 FROM r WHERE rn = 1 " +
+          "ORDER BY keep_id"),
       "q_corpus_shuffle" ->
         ("SELECT doc_id, md5(concat('shuf|42|', CAST(doc_id AS VARCHAR))) AS shuffle_key " +
           "FROM documents ORDER BY shuffle_key, doc_id"),
@@ -1754,6 +1961,45 @@ object LlmPipeline {
           "SELECT d.doc_id, COALESCE(hits.n_hits, CAST(0 AS BIGINT)) AS n_hits " +
           "FROM documents d LEFT JOIN hits ON hits.doc_id = d.doc_id " +
           "WHERE d.doc_id % 20 <> 0 ORDER BY d.doc_id"),
+      // the bloom stages are result-neutral, so the SQL text surface is
+      // the exact decontaminate query (the DataFrame form is the
+      // physical-plan optimization)
+      "q_decontaminate_bloom" ->
+        (s"$dsCte, " +
+          "bench AS (SELECT DISTINCT sh FROM ds WHERE doc_id % 20 = 0), " +
+          "hits AS (SELECT doc_id, count(*) AS n_hits FROM ds JOIN bench USING (sh) " +
+          "WHERE doc_id % 20 <> 0 GROUP BY doc_id) " +
+          "SELECT d.doc_id, COALESCE(hits.n_hits, CAST(0 AS BIGINT)) AS n_hits " +
+          "FROM documents d LEFT JOIN hits ON hits.doc_id = d.doc_id " +
+          "WHERE d.doc_id % 20 <> 0 ORDER BY d.doc_id"),
+      "q_text_tfidf" ->
+        ("WITH tf0 AS (SELECT doc_id, explode(split(text, ' ')) AS term FROM documents), " +
+          "tfc AS (SELECT doc_id, term, count(*) AS tf FROM tf0 GROUP BY doc_id, term), " +
+          "dfc AS (SELECT term, count(*) AS df FROM tfc GROUP BY term), " +
+          "n AS (SELECT count(*) AS n_docs FROM documents), " +
+          "sc AS (SELECT doc_id, term, tf, df, " +
+          "CAST(CAST(tf AS DECIMAL(38,0)) * 1000000 * n_docs DIV df AS BIGINT) AS score_micros " +
+          "FROM tfc JOIN dfc USING (term) CROSS JOIN n), " +
+          "r AS (SELECT *, row_number() OVER (PARTITION BY doc_id " +
+          "ORDER BY score_micros DESC, term ASC) AS rn FROM sc) " +
+          "SELECT doc_id, rn, term, tf, df, score_micros FROM r WHERE rn <= 3 " +
+          "ORDER BY doc_id, rn"),
+      "q_quality_filter" ->
+        ("WITH d0 AS (SELECT doc_id, n_chars, coalesce(text, '') AS text FROM documents), " +
+          "dtk AS (SELECT doc_id, n_chars, text, split(text, ' ') AS tk FROM d0), " +
+          "t AS (SELECT doc_id, n_chars, CAST(size(tk) AS BIGINT) AS n_tokens, " +
+          s"CAST(size(filter(tk, t -> array_contains(array($stop), t))) AS BIGINT) AS n_stop, " +
+          s"$shS AS sh FROM dtk), " +
+          "m AS (SELECT doc_id, n_chars, n_tokens, n_stop, " +
+          "CAST(size(sh) AS BIGINT) AS n_sh, " +
+          "CAST(size(sh) - size(array_distinct(sh)) AS BIGINT) AS n_dup FROM t), " +
+          "v AS (SELECT doc_id, CASE " +
+          s"WHEN n_tokens < $QfMinTokens THEN 'too_short' " +
+          s"WHEN n_stop * $QfStopDivisor < n_tokens THEN 'low_stopword' " +
+          s"WHEN (n_chars - (n_tokens - 1)) * 10 > $QfLongTokTenths * n_tokens THEN 'long_tokens' " +
+          s"WHEN n_dup * $QfRepDivisor > n_sh THEN 'repetitive' " +
+          "ELSE 'ok' END AS reason FROM m) " +
+          "SELECT doc_id, reason = 'ok' AS keep, reason FROM v ORDER BY doc_id"),
       "q_dedup_ngram" ->
         (s"$dsCte, " +
           "sizes AS (SELECT doc_id, count(*) AS n_sh FROM ds GROUP BY doc_id), " +

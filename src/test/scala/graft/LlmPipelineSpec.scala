@@ -449,6 +449,92 @@ class LlmPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("q_text_tfidf ranks a document's burst term over corpus-wide terms") {
+    import spark.implicits._
+    val dir = s"/tmp/graft-test-tfidf-${java.util.UUID.randomUUID()}"
+    Seq(
+      (1L, "apple apple apple common common", "en", "s0", 31L),
+      (2L, "banana common common common extra", "en", "s0", 33L),
+      (3L, "common extra extra plain words here", "en", "s0", 35L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = ops.LlmPipeline.textTfidf(spark, dir)
+      .as[(Long, Int, String, Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    // doc 1: apple tf=3 df=1 → 3·10⁶·3/1 = 9e6, beats common tf=2 df=3 → 2e6
+    assert(got(1L).head._3 == "apple" && got(1L).head._6 == 9000000L)
+    assert(got(2L).head._3 == "banana")
+    // score is exactly tf·10⁶·N DIV df for every emitted row
+    got.values.flatten.foreach { case (_, _, _, tf, df, score) =>
+      assert(score == tf * 1000000L * 3L / df)
+    }
+  }
+
+  test("q_quality_filter: each rule fires on its crafted document, in rule order") {
+    import spark.implicits._
+    val longToks = (Seq.fill(23)("abcdefghij") ++ Seq("the", "the")).mkString(" ")
+    val docs = Seq(
+      (1L, "a b c", "short doc"),                                // too_short
+      (2L, (1 to 30).map(i => s"tok$i").mkString(" "), "no stopwords"), // low_stopword
+      (3L, longToks, "huge tokens"),                             // long_tokens
+      (4L, Seq.fill(30)("the cat sat").mkString(" "), "loops"),  // repetitive
+      (5L, "the quick brown fox is a lazy dog of note and we ran far " +
+        "too fast over old red hill near my home today", "fine")
+    ).map { case (id, text, _) => (id, text, "en", "s0", text.length.toLong) }
+    val dir = s"/tmp/graft-test-qf-${java.util.UUID.randomUUID()}"
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = ops.LlmPipeline.qualityFilter(spark, dir)
+      .as[(Long, Boolean, String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == ((false, "too_short")))
+    assert(got(2L) == ((false, "low_stopword")))
+    assert(got(3L) == ((false, "long_tokens")))
+    assert(got(4L) == ((false, "repetitive")))
+    assert(got(5L) == ((true, "ok")))
+  }
+
+  test("q_dedup_keep_best keeps the longest copy, min id on ties") {
+    import spark.implicits._
+    val dir = s"/tmp/graft-test-kb-${java.util.UUID.randomUUID()}"
+    Seq(
+      (1L, "hello world"),    // 11 chars
+      (2L, " hello world "),  // 13 chars, same normalized text → wins
+      (3L, "abc"), (4L, "abc"), // tie → min id 3
+      (5L, "unique text")
+    ).map { case (id, t) => (id, t, "en", "s0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = ops.LlmPipeline.dedupKeepBest(spark, dir)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map(2L -> ((13L, 2L)), 3L -> ((3L, 2L)), 5L -> ((11L, 1L))))
+  }
+
+  test("keep-best packing: exact at the caps' boundary") {
+    import spark.implicits._
+    val charMax = ops.LlmPipeline.KbCharCap - 1  // largest encodable n_chars
+    val idMax = ops.LlmPipeline.KbIdCap - 1      // largest encodable doc_id
+    val dir = s"/tmp/graft-test-kbb-${java.util.UUID.randomUUID()}"
+    // same normalized text; the boundary-sized copy must win, and the
+    // boundary doc_id must decode intact from the packed minimum
+    Seq((idMax, "dup text", charMax), (7L, "dup text", 10L),
+      (idMax - 1, "other", 0L))
+      .map { case (id, t, n) => (id, t, "en", "s0", n) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = ops.LlmPipeline.dedupKeepBest(spark, dir)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map(idMax -> ((charMax, 2L)), (idMax - 1) -> ((0L, 1L))))
+  }
+
+  test("q_decontaminate_bloom ≡ q_decontaminate (prefilter is result-neutral)") {
+    val d = SparkTestSession.sf0001
+    val exact = SqlSurface.canon(ops.LlmPipeline.decontaminate(spark, d))
+    val bloom = SqlSurface.canon(ops.LlmPipeline.decontaminateBloom(spark, d))
+    assert(exact == bloom)
+  }
+
   test("quantized cosine tracks float cosine (sim search sanity)") {
     import spark.implicits._
     val top = ops.LlmPipeline.simSearch(spark, SparkTestSession.sf0001)

@@ -105,6 +105,27 @@ class PlanShapeSpec extends AnyFunSuite {
       s"IVF assignment regressed to a window:\n$plan")
   }
 
+  test("keep-best dedup is a packed-argmin hash aggregate, no window, no sort-agg") {
+    // the (max n_chars, min doc_id) preference must ride ONE BIGINT min
+    // (map-side combining); a struct min would fall back to
+    // SortAggregate and a row_number would shuffle+sort every copy
+    val plan = physical(ops.LlmPipeline.dedupKeepBest(spark, d))
+    assert(plan.contains("HashAggregate") && plan.contains("partial_min"),
+      s"expected map-side partial packed argmin in:\n$plan")
+    assert(!plan.contains("SortAggregate"),
+      s"keep-best regressed to sort aggregation:\n$plan")
+    assert(!plan.contains("Window"),
+      s"keep-best regressed to a window:\n$plan")
+  }
+
+  test("bloom decontamination prefilters via broadcast semi joins before the confirm join") {
+    val plan = physical(ops.LlmPipeline.decontaminateBloom(spark, d))
+    assert(!plan.contains("CartesianProduct"),
+      s"bloom decontamination degenerated to a cartesian:\n$plan")
+    assert("BroadcastHashJoin.*LeftSemi".r.findAllIn(plan).size >= 2,
+      s"expected two broadcast left-semi position probes in:\n$plan")
+  }
+
   test("decontamination joins hash-probe the bounded benchmark side, no cartesian") {
     val plan = physical(ops.LlmPipeline.decontaminate(spark, d))
     assert(!plan.contains("CartesianProduct"),
