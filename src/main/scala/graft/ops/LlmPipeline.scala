@@ -261,6 +261,26 @@ object LlmPipeline {
     labels
   }
 
+  /** q_dedup_cluster_stats — the observability rollup over the
+    * connected-component labels: per cluster (rep_id) its size, how
+    * many docs a dedup would drop (size − 1) and the characters those
+    * drops reclaim. These are the numbers a production dedup REPORTS
+    * before committing a cull — per-cluster drop counts make a
+    * mis-banded hash (one giant bogus cluster) visible immediately,
+    * where a bare pair count would not. One equi join of the label
+    * table to documents(n_chars) + one combining hash aggregate, both
+    * over |labeled docs| rows — the duplicate set, not the corpus.
+    */
+  def dedupClusterStats(s: SparkSession, d: String): DataFrame =
+    ccLabels(minhashPairsFromBanded(minhashBanded(s, d)))
+      .join(Tables.documents(s, d).select(col("doc_id"), col("n_chars")), "doc_id")
+      .groupBy("rep_id")
+      .agg(count(lit(1)).as("n_docs"),
+        (count(lit(1)) - 1).as("n_dropped"),
+        sum(when(col("doc_id") =!= col("rep_id"), col("n_chars"))
+          .otherwise(0L)).as("chars_dropped"))
+      .orderBy("rep_id")
+
   /** q_dedup_incremental — incremental dedup of a NEW batch against the
     * HISTORICAL corpus: which incoming docs (source = 'src0', standing in
     * for today's crawl) MinHash-collide with any already-ingested doc
@@ -1375,6 +1395,7 @@ object LlmPipeline {
     "q_dedup_minhash_sig"   -> (dedupMinhashSig _),
     "q_dedup_minhash_pairs" -> (dedupMinhashPairs _),
     "q_dedup_cc"            -> (dedupCc _),
+    "q_dedup_cluster_stats" -> (dedupClusterStats _),
     "q_dedup_incremental"   -> (dedupIncremental _),
     "q_dedup_simhash"       -> (dedupSimhash _),
     "q_dedup_near"          -> (dedupNear _),
@@ -1474,6 +1495,23 @@ object LlmPipeline {
           "UNION SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.doc_id) " +
           "SELECT doc_id, min(lbl) AS rep_id FROM reach GROUP BY doc_id " +
           "ORDER BY doc_id"),
+      "q_dedup_cluster_stats" ->
+        (s"${minhashBandsDuck.replaceFirst("WITH ", "WITH RECURSIVE ")}, " +
+          "ok AS (SELECT band, band_key FROM bands GROUP BY band, band_key " +
+          s"HAVING count(*) <= ${LlmPipeline.HotBucketCap}), " +
+          "pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b " +
+          "FROM bands a JOIN ok ON ok.band = a.band AND ok.band_key = a.band_key " +
+          "JOIN bands b ON a.band = b.band AND a.band_key = b.band_key " +
+          "AND a.doc_id < b.doc_id), " +
+          "edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs " +
+          "UNION ALL SELECT doc_b, doc_a FROM pairs), " +
+          "reach(doc_id, lbl) AS (SELECT u, u FROM edges " +
+          "UNION SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.doc_id), " +
+          "lab AS (SELECT doc_id, min(lbl) AS rep_id FROM reach GROUP BY doc_id) " +
+          "SELECT l.rep_id, count(*) AS n_docs, count(*) - 1 AS n_dropped, " +
+          "CAST(sum(CASE WHEN d.doc_id <> l.rep_id THEN d.n_chars ELSE 0 END) AS BIGINT) AS chars_dropped " +
+          "FROM lab l JOIN documents d ON d.doc_id = l.doc_id " +
+          "GROUP BY l.rep_id ORDER BY l.rep_id"),
       "q_dedup_incremental" ->
         (s"$minhashBandsDuck, " +
           "src AS (SELECT doc_id, source FROM documents), " +
@@ -1859,6 +1897,29 @@ object LlmPipeline {
       s"(CASE WHEN v$b > 0 THEN CAST(pow(2, ${32 - b}) AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
     }.mkString(" + ")
     def plane(p: Int) = s"array(${LshPlanes(p).map(w => s"${w}L").mkString(", ")})"
+    // Unrolled min-label propagation for the cc-family text surface
+    // (CcSqlRounds rounds — see that constant's scaladoc for why not
+    // WITH RECURSIVE). Self-loops fold each node's own label into the
+    // neighbor min, so every round is ONE equi join + ONE combining min
+    // aggregate — label tables stay |nodes|-sized (no recursive path
+    // explosion). Shared by q_dedup_cc and q_dedup_cluster_stats.
+    val ccUnrolled = {
+      val ccPairs = s"$minhashCtes, ok AS (SELECT band, band_key FROM bands " +
+        s"GROUP BY band, band_key HAVING count(*) <= $HotBucketCap), " +
+        "pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a " +
+        "JOIN ok ON ok.band = a.band AND ok.band_key = a.band_key " +
+        "JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id), " +
+        "edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs " +
+        "UNION ALL SELECT doc_b, doc_a FROM pairs " +
+        "UNION ALL SELECT doc_a, doc_a FROM pairs " +
+        "UNION ALL SELECT doc_b, doc_b FROM pairs), " +
+        "l0 AS (SELECT v AS doc_id, min(u) AS rep_id FROM edges GROUP BY v)"
+      val rounds = (1 to CcSqlRounds).map { k =>
+        s"l$k AS (SELECT e.v AS doc_id, min(l.rep_id) AS rep_id " +
+          s"FROM edges e JOIN l${k - 1} l ON l.doc_id = e.u GROUP BY e.v)"
+      }.mkString(", ")
+      s"$ccPairs, $rounds"
+    }
     val ivfSql = (nprobe: Int) =>
       s"WITH q AS (SELECT vec_id, $quantS AS q FROM embeddings), " +
         "cents AS (SELECT vec_id AS cent_id, q AS qc FROM q WHERE vec_id < 8), " +
@@ -2020,28 +2081,14 @@ object LlmPipeline {
           "JOIN ok ON ok.band = a.band AND ok.band_key = a.band_key " +
           "JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id " +
           "ORDER BY doc_a, doc_b"),
-      "q_dedup_cc" -> {
-        // Unrolled min-label propagation (CcSqlRounds rounds — see the
-        // constant's scaladoc for why not WITH RECURSIVE). Self-loops
-        // fold each node's own label into the neighbor min, so every
-        // round is ONE equi join + ONE combining min aggregate — label
-        // tables stay |nodes|-sized (no recursive path explosion).
-        val ccPairs = s"$minhashCtes, ok AS (SELECT band, band_key FROM bands " +
-          s"GROUP BY band, band_key HAVING count(*) <= $HotBucketCap), " +
-          "pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a " +
-          "JOIN ok ON ok.band = a.band AND ok.band_key = a.band_key " +
-          "JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id), " +
-          "edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs " +
-          "UNION ALL SELECT doc_b, doc_a FROM pairs " +
-          "UNION ALL SELECT doc_a, doc_a FROM pairs " +
-          "UNION ALL SELECT doc_b, doc_b FROM pairs), " +
-          "l0 AS (SELECT v AS doc_id, min(u) AS rep_id FROM edges GROUP BY v)"
-        val rounds = (1 to CcSqlRounds).map { k =>
-          s"l$k AS (SELECT e.v AS doc_id, min(l.rep_id) AS rep_id " +
-            s"FROM edges e JOIN l${k - 1} l ON l.doc_id = e.u GROUP BY e.v)"
-        }.mkString(", ")
-        s"$ccPairs, $rounds SELECT doc_id, rep_id FROM l$CcSqlRounds ORDER BY doc_id"
-      },
+      "q_dedup_cc" ->
+        (s"$ccUnrolled SELECT doc_id, rep_id FROM l$CcSqlRounds ORDER BY doc_id"),
+      "q_dedup_cluster_stats" ->
+        (s"$ccUnrolled, lab AS (SELECT doc_id, rep_id FROM l$CcSqlRounds) " +
+          "SELECT l.rep_id, count(*) AS n_docs, count(*) - 1 AS n_dropped, " +
+          "CAST(sum(CASE WHEN d.doc_id <> l.rep_id THEN d.n_chars ELSE 0 END) AS BIGINT) AS chars_dropped " +
+          "FROM lab l JOIN documents d ON d.doc_id = l.doc_id " +
+          "GROUP BY l.rep_id ORDER BY l.rep_id"),
       "q_dedup_incremental" ->
         (s"$minhashCtes, " +
           "sb AS (SELECT b.doc_id, b.band, b.band_key, s.source " +

@@ -510,6 +510,24 @@ class LlmPipelineSpec extends AnyFunSuite {
     assert(got == Map(2L -> ((13L, 2L)), 3L -> ((3L, 2L)), 5L -> ((11L, 1L))))
   }
 
+  test("q_dedup_cluster_stats agrees with the cc labels and reclaims the dropped chars") {
+    import spark.implicits._
+    val labels = ops.LlmPipeline.dedupCc(spark, plantedDir)
+      .as[(Long, Long)].collect().toSeq
+    val chars = spark.read.parquet(s"$plantedDir/documents.parquet")
+      .select($"doc_id", $"n_chars").as[(Long, Long)].collect().toMap
+    val expected = labels.groupBy(_._2).map { case (rep, members) =>
+      rep -> ((members.size.toLong, members.size.toLong - 1,
+        members.collect { case (id, _) if id != rep => chars(id) }.sum))
+    }
+    val got = ops.LlmPipeline.dedupClusterStats(spark, plantedDir)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == expected)
+    // the planted cluster {0, 100, 200} rolls up under rep 0
+    assert(got(0L)._1 >= 3L)
+  }
+
   test("keep-best packing: exact at the caps' boundary") {
     import spark.implicits._
     val charMax = ops.LlmPipeline.KbCharCap - 1  // largest encodable n_chars
