@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -134,6 +135,43 @@ object Streaming {
       .select(unix_micros(col("hour")).as("hour_us"), col("event_type"),
         coalesce(col("n_events"), lit(0L)).as("n_events"))
       .orderBy("hour_us", "event_type")
+  }
+
+  /** Session gap for batch sessionization (micros): two events of one
+    * user more than 30 minutes apart belong to different sessions —
+    * the same gap semantics the true-streaming session_window uses.
+    */
+  private[graft] val SessionGapUs = 30L * 60 * 1000000
+
+  /** q_sessionize — BATCH sessionization of the whole event log (the
+    * gaps-and-islands problem): a session starts at any event whose gap
+    * from the user's previous event exceeds SessionGapUs; session_seq
+    * is the per-user running count of such starts. Output is the
+    * PER-EVENT session assignment (event_id → session_seq) — the join
+    * key downstream enrichment attaches to raw events; the per-session
+    * SUMMARY shape is q_stream_session's. This is the offline
+    * backfill/reprocessing complement of the streaming session window,
+    * with stable per-user sequence numbers session_window cannot give.
+    * Plan: lag and the running sum share one Window spec, so the whole
+    * query is ONE user_id hash exchange + one in-partition sort feeding
+    * two window functions and a projection. At 100 TB the only axis
+    * that matters is events-per-user (one user's history sorts in one
+    * partition — the bound the stateful streaming form carries too); a
+    * pathological robot user is q_skew_diagnose / salting territory.
+    */
+  def sessionize(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, d)
+      .withColumn("prev_us", unix_micros(lag(col("ts"), 1).over(w)))
+      .withColumn("is_new",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > SessionGapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq", sum(col("is_new"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("session_seq"))
+      .orderBy("user_id", "ts_us", "event_id")
   }
 
   /** q_replay_ordered — ordered per-key event-log replay: the reference's
@@ -329,6 +367,7 @@ object Streaming {
     "q_stream_session"    -> (session _),
     "q_replay_ordered"    -> (replayOrdered _),
     "q_gap_fill"          -> (gapFill _),
+    "q_sessionize"        -> (sessionize _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -386,6 +425,15 @@ object Streaming {
         "FROM (spine CROSS JOIN types) LEFT JOIN hourly " +
         "ON hourly.hour = spine.hour AND hourly.event_type = types.event_type " +
         "ORDER BY hour_us, types.event_type"),
+    "q_sessionize" ->
+      (s"WITH e AS (SELECT user_id, event_id, ts, " +
+        "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events), " +
+        "n AS (SELECT user_id, event_id, ts, CASE WHEN prev IS NULL " +
+        s"OR epoch_us(ts) - epoch_us(prev) > ${Streaming.SessionGapUs} THEN 1 ELSE 0 END AS is_new FROM e) " +
+        "SELECT event_id, user_id, epoch_us(ts) AS ts_us, " +
+        "CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq " +
+        "FROM n ORDER BY user_id, ts_us, event_id"),
   )
 
   /** Spark-dialect SQL surface overrides (SqlSurface). time_bucket →
@@ -437,5 +485,14 @@ object Streaming {
         "x -> x.event_type), ',')) AS replay_fp, " +
         "count(*) AS n_events " +
         "FROM events GROUP BY user_id ORDER BY user_id"),
+    "q_sessionize" ->
+      (s"WITH e AS (SELECT user_id, event_id, ts, " +
+        "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events), " +
+        "n AS (SELECT user_id, event_id, ts, CASE WHEN prev IS NULL " +
+        s"OR unix_micros(ts) - unix_micros(prev) > ${Streaming.SessionGapUs} THEN 1 ELSE 0 END AS is_new FROM e) " +
+        "SELECT event_id, user_id, unix_micros(ts) AS ts_us, " +
+        "sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq " +
+        "FROM n ORDER BY user_id, ts_us, event_id"),
   )
 }

@@ -245,4 +245,29 @@ class StreamingSpec extends AnyFunSuite {
       }
     } finally q.stop()
   }
+
+  test("q_sessionize matches an independent per-user fold of the event log") {
+    import spark.implicits._
+    val d = SparkTestSession.sf0001
+    val got = ops.Streaming.sessionize(spark, d)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    // recompute sessions with a plain Scala fold per user
+    val raw = graft.Tables.events(spark, d)
+      .select($"event_id", $"user_id",
+        org.apache.spark.sql.functions.unix_micros($"ts").as("us"))
+      .as[(Long, Long, Long)].collect()
+    val expected = raw.groupBy(_._2).toSeq.flatMap { case (user, evs) =>
+      var seq = 0L
+      var prev = Long.MinValue
+      evs.sortBy(e => (e._3, e._1)).toSeq.map { case (id, _, us) =>
+        if (prev == Long.MinValue || us - prev > ops.Streaming.SessionGapUs) seq += 1
+        prev = us
+        (id, user) -> ((us, seq))
+      }
+    }.toMap
+    assert(got == expected)
+    // sanity: the log actually sessionizes (some user has > 1 session)
+    assert(got.values.map(_._2).max > 1L, "fixture produced no multi-session user")
+  }
 }
