@@ -435,6 +435,34 @@ object Relational {
       .orderBy("user_id", "ts_us", "event_id")
   }
 
+  /** q_scd2_intervals — build the SCD2 (type-2 slowly-changing
+    * dimension) history table from an append log: each customer's
+    * orders become versioned rows with [valid_from, valid_to) validity
+    * intervals in (date, key) order; the open interval (valid_to NULL)
+    * is the current version. This is the standard warehouse
+    * temporal-versioning build — the log-to-history step behind every
+    * "as of" query — and its output contract is exactly what
+    * q_join_asof probes (the version covering a timestamp). One lead
+    * window per customer partition: a single hash exchange + one
+    * in-partition sort, linear at any scale; per-key history length is
+    * the only skew axis (same bound as q_sessionize).
+    */
+  def scd2Intervals(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderstatus"),
+        col("o_orderdate"))
+      .withColumn("valid_to", lead(col("o_orderdate"), 1).over(w))
+      // o_orderdate is TIMESTAMP_NTZ; session TZ is pinned UTC, so the
+      // cast to instant semantics is wall-clock-identical and the micros
+      // match DuckDB's epoch_us over the naive source timestamps
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderstatus"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("valid_from_us"),
+        unix_micros(col("valid_to").cast("timestamp")).as("valid_to_us"),
+        col("valid_to").isNull.as("is_current"))
+      .orderBy("o_custkey", "valid_from_us", "o_orderkey")
+  }
+
   /** q_agg_percentile — exact interpolated quartiles of quantity per
     * return flag (Spark `percentile` ≡ DuckDB `quantile_cont`). Exact
     * percentile buffers the group's values — fine for bounded groups;
@@ -514,6 +542,7 @@ object Relational {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_window_distribution" -> (windowDistribution _),
     "q_window_first_last"   -> (windowFirstLast _),
+    "q_scd2_intervals"      -> (scd2Intervals _),
     "q_subquery_corr"       -> (subqueryCorr _),
     "q_join_full_outer"     -> (joinFullOuter _),
     "q_join_part_promo"     -> (joinPartPromo _),
@@ -560,6 +589,14 @@ object Relational {
         "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) " +
         "ORDER BY user_id, ts_us, event_id"),
+    "q_scd2_intervals" ->
+      ("WITH v AS (SELECT o_custkey, o_orderkey, o_orderstatus, o_orderdate, " +
+        "lead(o_orderdate) OVER (PARTITION BY o_custkey " +
+        "ORDER BY o_orderdate, o_orderkey) AS valid_to FROM orders) " +
+        "SELECT o_custkey, o_orderkey, o_orderstatus, " +
+        "epoch_us(o_orderdate) AS valid_from_us, epoch_us(valid_to) AS valid_to_us, " +
+        "valid_to IS NULL AS is_current FROM v " +
+        "ORDER BY o_custkey, valid_from_us, o_orderkey"),
     "q_subquery_corr" ->
       ("WITH o AS (SELECT o_orderkey, o_custkey, " +
         "CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM orders), " +
@@ -729,6 +766,15 @@ object Relational {
         "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) " +
         "ORDER BY user_id, ts_us, event_id"),
+    "q_scd2_intervals" ->
+      ("WITH v AS (SELECT o_custkey, o_orderkey, o_orderstatus, o_orderdate, " +
+        "lead(o_orderdate) OVER (PARTITION BY o_custkey " +
+        "ORDER BY o_orderdate, o_orderkey) AS valid_to FROM orders) " +
+        "SELECT o_custkey, o_orderkey, o_orderstatus, " +
+        "unix_micros(CAST(o_orderdate AS TIMESTAMP)) AS valid_from_us, " +
+        "unix_micros(CAST(valid_to AS TIMESTAMP)) AS valid_to_us, " +
+        "valid_to IS NULL AS is_current FROM v " +
+        "ORDER BY o_custkey, valid_from_us, o_orderkey"),
     "q_window_lag_lead" ->
       ("SELECT user_id, event_id, unix_micros(ts) AS ts_us, value, " +
         "lag(value) OVER w AS prev_value, lead(value) OVER w AS next_value, " +
