@@ -463,6 +463,32 @@ object Relational {
       .orderBy("o_custkey", "valid_from_us", "o_orderkey")
   }
 
+  /** Probe instant for q_scd2_asof (fixed literal — SURVEY §7.4 rule 4;
+    * mid-1996 so roughly half the fixture customers have a closed
+    * version covering it and half are probed before/after history).
+    */
+  private[graft] val Scd2AsofUtc = "1996-06-01 00:00:00"
+
+  /** q_scd2_asof — the point-in-time probe INTO the SCD2 history
+    * q_scd2_intervals builds: each customer's version valid AT the probe
+    * instant (valid_from ≤ t < valid_to, open interval = current). This
+    * closes the temporal-versioning loop — build the history, then
+    * answer "what was X's state on date D" with a FILTER, not a window:
+    * interval containment is a mapper-only predicate over the versioned
+    * table, so at 100 TB the probe is a scan (partition-prunable on
+    * valid_from) rather than a per-key sort. Customers whose first
+    * version starts after the probe instant are correctly absent.
+    */
+  def scd2Asof(s: SparkSession, d: String): DataFrame = {
+    val t = unix_micros(lit(Scd2AsofUtc).cast("timestamp"))
+    scd2Intervals(s, d)
+      .where(col("valid_from_us") <= t &&
+        (col("valid_to_us").isNull || col("valid_to_us") > t))
+      .select("o_custkey", "o_orderkey", "o_orderstatus",
+        "valid_from_us", "is_current")
+      .orderBy("o_custkey")
+  }
+
   /** q_agg_percentile — exact interpolated quartiles of quantity per
     * return flag (Spark `percentile` ≡ DuckDB `quantile_cont`). Exact
     * percentile buffers the group's values — fine for bounded groups;
@@ -543,6 +569,7 @@ object Relational {
     "q_window_distribution" -> (windowDistribution _),
     "q_window_first_last"   -> (windowFirstLast _),
     "q_scd2_intervals"      -> (scd2Intervals _),
+    "q_scd2_asof"           -> (scd2Asof _),
     "q_subquery_corr"       -> (subqueryCorr _),
     "q_join_full_outer"     -> (joinFullOuter _),
     "q_join_part_promo"     -> (joinPartPromo _),
@@ -597,6 +624,17 @@ object Relational {
         "epoch_us(o_orderdate) AS valid_from_us, epoch_us(valid_to) AS valid_to_us, " +
         "valid_to IS NULL AS is_current FROM v " +
         "ORDER BY o_custkey, valid_from_us, o_orderkey"),
+    "q_scd2_asof" ->
+      ("WITH v AS (SELECT o_custkey, o_orderkey, o_orderstatus, o_orderdate, " +
+        "lead(o_orderdate) OVER (PARTITION BY o_custkey " +
+        "ORDER BY o_orderdate, o_orderkey) AS valid_to FROM orders), " +
+        "iv AS (SELECT o_custkey, o_orderkey, o_orderstatus, " +
+        "epoch_us(o_orderdate) AS valid_from_us, epoch_us(valid_to) AS valid_to_us, " +
+        "valid_to IS NULL AS is_current FROM v) " +
+        "SELECT o_custkey, o_orderkey, o_orderstatus, valid_from_us, is_current " +
+        "FROM iv WHERE valid_from_us <= epoch_us(TIMESTAMP '1996-06-01 00:00:00') " +
+        "AND (valid_to_us IS NULL OR valid_to_us > epoch_us(TIMESTAMP '1996-06-01 00:00:00')) " +
+        "ORDER BY o_custkey"),
     "q_subquery_corr" ->
       ("WITH o AS (SELECT o_orderkey, o_custkey, " +
         "CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM orders), " +
@@ -775,6 +813,18 @@ object Relational {
         "unix_micros(CAST(valid_to AS TIMESTAMP)) AS valid_to_us, " +
         "valid_to IS NULL AS is_current FROM v " +
         "ORDER BY o_custkey, valid_from_us, o_orderkey"),
+    "q_scd2_asof" ->
+      ("WITH v AS (SELECT o_custkey, o_orderkey, o_orderstatus, o_orderdate, " +
+        "lead(o_orderdate) OVER (PARTITION BY o_custkey " +
+        "ORDER BY o_orderdate, o_orderkey) AS valid_to FROM orders), " +
+        "iv AS (SELECT o_custkey, o_orderkey, o_orderstatus, " +
+        "unix_micros(CAST(o_orderdate AS TIMESTAMP)) AS valid_from_us, " +
+        "unix_micros(CAST(valid_to AS TIMESTAMP)) AS valid_to_us, " +
+        "valid_to IS NULL AS is_current FROM v) " +
+        "SELECT o_custkey, o_orderkey, o_orderstatus, valid_from_us, is_current " +
+        "FROM iv WHERE valid_from_us <= unix_micros(TIMESTAMP '1996-06-01 00:00:00') " +
+        "AND (valid_to_us IS NULL OR valid_to_us > unix_micros(TIMESTAMP '1996-06-01 00:00:00')) " +
+        "ORDER BY o_custkey"),
     "q_window_lag_lead" ->
       ("SELECT user_id, event_id, unix_micros(ts) AS ts_us, value, " +
         "lag(value) OVER w AS prev_value, lead(value) OVER w AS next_value, " +
