@@ -29,4 +29,22 @@ class RelationalSpec extends AnyFunSuite {
     }
     assert(rows.nonEmpty)
   }
+
+  test("q_scd2_asof returns exactly the version covering the probe instant") {
+    val d = SparkTestSession.sf0001
+    val t = org.apache.spark.sql.functions.unix_micros(
+      org.apache.spark.sql.functions.lit(ops.Relational.Scd2AsofUtc).cast("timestamp"))
+    val iv = ops.Relational.scd2Intervals(spark, d)
+    val expected = iv
+      .where(org.apache.spark.sql.functions.col("valid_from_us") <= t &&
+        (org.apache.spark.sql.functions.col("valid_to_us").isNull ||
+          org.apache.spark.sql.functions.col("valid_to_us") > t))
+      .select("o_custkey", "o_orderkey").as[(Long, Long)].collect().toSet
+    val got = ops.Relational.scd2Asof(spark, d)
+      .select("o_custkey", "o_orderkey").as[(Long, Long)].collect().toSeq
+    // one version per covered customer, and exactly the covering one
+    assert(got.size == got.map(_._1).distinct.size, "a customer matched two versions")
+    assert(got.toSet == expected)
+    assert(got.nonEmpty)
+  }
 }
