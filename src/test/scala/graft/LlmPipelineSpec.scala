@@ -510,6 +510,34 @@ class LlmPipelineSpec extends AnyFunSuite {
     assert(got == Map(2L -> ((13L, 2L)), 3L -> ((3L, 2L)), 5L -> ((11L, 1L))))
   }
 
+  test("ccLabels ≡ union-find on random graphs (chains, cycles, stars, forests)") {
+    import spark.implicits._
+    // deterministic seed: the point is diverse shapes, not fresh ones
+    val rnd = new scala.util.Random(4242)
+    (0 until 5).foreach { trial =>
+      val n = 12 + rnd.nextInt(20)
+      val pairs = (0 until n).map { _ =>
+        val a = rnd.nextInt(40).toLong
+        val b = a + 1 + rnd.nextInt(5) // a < b always; gaps leave forests
+        (a, b)
+      }.distinct
+      // reference: plain union-find over the same edges
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = parent.keys.map(v => v -> find(v)).toMap
+      val got = ops.LlmPipeline.ccLabels(pairs.toDF("doc_a", "doc_b"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == expected, s"trial $trial: $pairs")
+    }
+  }
+
   test("q_dedup_cluster_stats agrees with the cc labels and reclaims the dropped chars") {
     import spark.implicits._
     val labels = ops.LlmPipeline.dedupCc(spark, plantedDir)
