@@ -1150,7 +1150,12 @@ object LlmPipeline {
     * integer cross-multiplications — no FP boundary can disagree
     * between engines.
     */
-  def qualityFilter(s: SparkSession, d: String): DataFrame = {
+  /** All-columns quality verdict frame (metrics + first-failing reason),
+    * shared by q_quality_filter and the composed q_pipeline_curate —
+    * one definition so the filter a user audits and the filter the
+    * pipeline applies cannot drift.
+    */
+  private def qualityVerdict(s: SparkSession, d: String): DataFrame = {
     val stop = profiles.flatMap(_._2).distinct.map(w => s"'$w'").mkString(", ")
     withTk(Tables.documents(s, d).withColumn("text", coalesce(col("text"), lit(""))))
       .withColumn("sh", expr(shingles))
@@ -1165,8 +1170,45 @@ object LlmPipeline {
            |WHEN (n_chars - (n_tokens - 1)) * 10 > $QfLongTokTenths * n_tokens THEN 'long_tokens'
            |WHEN n_dup * $QfRepDivisor > n_sh THEN 'repetitive'
            |ELSE 'ok' END""".stripMargin))
+  }
+
+  def qualityFilter(s: SparkSession, d: String): DataFrame =
+    qualityVerdict(s, d)
       .select(col("doc_id"), (col("reason") === "ok").as("keep"), col("reason"))
       .orderBy("doc_id")
+
+  /** q_pipeline_curate — the END-TO-END curation pipeline as ONE
+    * Catalyst plan: quality-filter the corpus (the q_quality_filter
+    * rules), keep the best copy of each duplicate group among the
+    * survivors (the q_dedup_keep_best packed argmin, preference most
+    * chars / tie min id), then pack what remains into token-budget
+    * training sequences (the q_pack_sequences prefix-sum DIV). This is
+    * the query a user actually ships — the single-op entries exist so
+    * each stage is auditable in isolation — and composing them in one
+    * DataFrame lets Catalyst prune/pipe the whole chain: the verdict
+    * metrics are a mapper-only pass fused into the scan, the dedup is
+    * one combining hash aggregate + a semi join, the packing is one
+    * window per source shard. Stage order matters and is pinned by the
+    * oracle: filter BEFORE dedup (a dropped doc must not steal
+    * keep-best), dedup BEFORE packing (bins must not count culled
+    * tokens).
+    */
+  def pipelineCurate(s: SparkSession, d: String): DataFrame = {
+    val kept = qualityVerdict(s, d).where(col("reason") === "ok")
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("n_chars"),
+        md5(lower(trim(col("text")))).as("norm_md5"))
+    val keepIds = kept
+      .groupBy("norm_md5")
+      .agg(min((lit(KbCharCap - 1) - col("n_chars")) * KbIdCap + col("doc_id"))
+        .as("k"))
+      .select((col("k") % KbIdCap).as("doc_id"))
+    val w = Window.partitionBy("source").orderBy("doc_id")
+    kept.join(keepIds, Seq("doc_id"), "left_semi")
+      .withColumn("cum_excl",
+        sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        expr(s"cum_excl DIV $PackBudget").as("bin"))
+      .orderBy("source", "doc_id")
   }
 
   /** Packing caps for the keep-best argmin: one BIGINT encodes
@@ -1425,6 +1467,7 @@ object LlmPipeline {
     "q_decontaminate_bloom" -> (decontaminateBloom _),
     "q_corpus_shuffle"      -> (corpusShuffle _),
     "q_pack_sequences"      -> (packSequences _),
+    "q_pipeline_curate"     -> (pipelineCurate _),
     "q_mix_weights"         -> (mixWeights _),
     "q_mix_temperature"     -> (mixTemperature _),
   )
@@ -1807,6 +1850,28 @@ object LlmPipeline {
           "count(*) OVER (PARTITION BY norm_md5) AS n_copies FROM g) " +
           "SELECT keep_id, best_chars, n_copies, norm_md5 FROM r WHERE rn = 1 " +
           "ORDER BY keep_id"),
+      "q_pipeline_curate" -> {
+        val stop = profiles.flatMap(_._2).distinct.map(w => s"'$w'").mkString(", ")
+        "WITH d0 AS (SELECT doc_id, n_chars, source, coalesce(text, '') AS text FROM documents), " +
+          "t AS (SELECT doc_id, n_chars, source, text, " +
+          "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, " +
+          s"CAST(len(list_filter(string_split(text, ' '), t -> list_contains([$stop], t))) AS BIGINT) AS n_stop, " +
+          s"$shinglesDuck AS sh FROM d0), " +
+          "m AS (SELECT *, CAST(len(sh) AS BIGINT) AS n_sh, " +
+          "CAST(len(sh) - len(list_distinct(sh)) AS BIGINT) AS n_dup FROM t), " +
+          s"ok AS (SELECT doc_id, source, n_tokens, n_chars, md5(lower(trim(text))) AS nm FROM m " +
+          s"WHERE NOT (n_tokens < ${LlmPipeline.QfMinTokens}) " +
+          s"AND NOT (n_stop * ${LlmPipeline.QfStopDivisor} < n_tokens) " +
+          s"AND NOT ((n_chars - (n_tokens - 1)) * 10 > ${LlmPipeline.QfLongTokTenths} * n_tokens) " +
+          s"AND NOT (n_dup * ${LlmPipeline.QfRepDivisor} > n_sh)), " +
+          "keep AS (SELECT doc_id FROM (SELECT doc_id, row_number() OVER " +
+          "(PARTITION BY nm ORDER BY n_chars DESC, doc_id ASC) AS rn FROM ok) WHERE rn = 1), " +
+          "dd AS (SELECT o.doc_id, o.source, o.n_tokens FROM ok o JOIN keep k ON k.doc_id = o.doc_id), " +
+          "c AS (SELECT doc_id, source, n_tokens, " +
+          "sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) - n_tokens AS cum_excl FROM dd) " +
+          s"SELECT doc_id, source, n_tokens, CAST(cum_excl // ${LlmPipeline.PackBudget} AS BIGINT) AS bin " +
+          "FROM c ORDER BY source, doc_id"
+      },
       "q_corpus_shuffle" ->
         ("SELECT doc_id, md5(concat('shuf|42|', CAST(doc_id AS VARCHAR))) AS shuffle_key " +
           "FROM documents ORDER BY shuffle_key, doc_id"),
@@ -2061,6 +2126,26 @@ object LlmPipeline {
           s"WHEN n_dup * $QfRepDivisor > n_sh THEN 'repetitive' " +
           "ELSE 'ok' END AS reason FROM m) " +
           "SELECT doc_id, reason = 'ok' AS keep, reason FROM v ORDER BY doc_id"),
+      "q_pipeline_curate" ->
+        ("WITH d0 AS (SELECT doc_id, n_chars, source, coalesce(text, '') AS text FROM documents), " +
+          "dtk AS (SELECT doc_id, n_chars, source, text, split(text, ' ') AS tk FROM d0), " +
+          "t AS (SELECT doc_id, n_chars, source, text, CAST(size(tk) AS BIGINT) AS n_tokens, " +
+          s"CAST(size(filter(tk, t -> array_contains(array($stop), t))) AS BIGINT) AS n_stop, " +
+          s"$shS AS sh FROM dtk), " +
+          "m AS (SELECT *, CAST(size(sh) AS BIGINT) AS n_sh, " +
+          "CAST(size(sh) - size(array_distinct(sh)) AS BIGINT) AS n_dup FROM t), " +
+          "ok AS (SELECT doc_id, source, n_tokens, n_chars, md5(lower(trim(text))) AS nm FROM m " +
+          s"WHERE NOT (n_tokens < $QfMinTokens) " +
+          s"AND NOT (n_stop * $QfStopDivisor < n_tokens) " +
+          s"AND NOT ((n_chars - (n_tokens - 1)) * 10 > $QfLongTokTenths * n_tokens) " +
+          s"AND NOT (n_dup * $QfRepDivisor > n_sh)), " +
+          "keep AS (SELECT doc_id FROM (SELECT doc_id, row_number() OVER " +
+          "(PARTITION BY nm ORDER BY n_chars DESC, doc_id ASC) AS rn FROM ok) WHERE rn = 1), " +
+          "dd AS (SELECT o.doc_id, o.source, o.n_tokens FROM ok o JOIN keep k ON k.doc_id = o.doc_id), " +
+          "c AS (SELECT doc_id, source, n_tokens, " +
+          "sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) - n_tokens AS cum_excl FROM dd) " +
+          s"SELECT doc_id, source, n_tokens, cum_excl DIV $PackBudget AS bin " +
+          "FROM c ORDER BY source, doc_id"),
       "q_dedup_ngram" ->
         (s"$dsCte, " +
           "sizes AS (SELECT doc_id, count(*) AS n_sh FROM ds GROUP BY doc_id), " +

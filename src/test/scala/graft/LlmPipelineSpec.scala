@@ -581,6 +581,43 @@ class LlmPipelineSpec extends AnyFunSuite {
     assert(exact == bloom)
   }
 
+  test("q_pipeline_curate ≡ filter → keep-best → pack composed from the single ops") {
+    import spark.implicits._
+    val d = SparkTestSession.sf0001
+    // stage 1: quality-ok ids from the registered filter
+    val okIds = ops.LlmPipeline.qualityFilter(spark, d)
+      .where($"keep").select("doc_id").as[Long].collect().toSet
+    // stage 2: keep-best over ONLY the survivors (recomputed independently)
+    val kept = spark.read.parquet(s"$d/documents.parquet")
+      .select($"doc_id", $"source", $"n_chars",
+        org.apache.spark.sql.functions.md5(
+          org.apache.spark.sql.functions.lower(org.apache.spark.sql.functions.trim(
+            org.apache.spark.sql.functions.coalesce($"text",
+              org.apache.spark.sql.functions.lit(""))))).as("nm"),
+        org.apache.spark.sql.functions.expr(
+          "CAST(size(split(coalesce(text, ''), ' ')) AS BIGINT)").as("n_tokens"))
+      .as[(Long, String, Long, String, Long)].collect()
+      .filter(r => okIds.contains(r._1))
+    val keepIds = kept.groupBy(_._4).values
+      .map(g => g.minBy(r => (-r._3, r._1))._1).toSet
+    // stage 3: pack per source in doc_id order
+    val expected = kept.filter(r => keepIds.contains(r._1))
+      .groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+        var cum = 0L
+        rows.sortBy(_._1).map { r =>
+          val bin = cum / ops.LlmPipeline.PackBudget
+          cum += r._5
+          r._1 -> ((r._2, r._5, bin))
+        }
+      }.toMap
+    val got = ops.LlmPipeline.pipelineCurate(spark, d)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == expected)
+    assert(got.nonEmpty && got.size < okIds.size + 1,
+      "pipeline neither filtered nor deduped anything")
+  }
+
   test("quantized cosine tracks float cosine (sim search sanity)") {
     import spark.implicits._
     val top = ops.LlmPipeline.simSearch(spark, SparkTestSession.sf0001)
