@@ -507,7 +507,8 @@ private class ProtoChunkMicroBatchStream(path: String, message: String,
       fs.mkdirs(logDir)
       val before = discovered.length
       val slice = writeOrAdopt(
-        new org.apache.hadoop.fs.Path(logDir, f"$before%020d"), fresh)
+        new org.apache.hadoop.fs.Path(logDir, f"$before%020d"),
+        fresh.toIndexedSeq)
       adopt(slice)
       // an adopted crashed-attempt slice always advances the log (its
       // names were fresh when written and never reached memory); one
