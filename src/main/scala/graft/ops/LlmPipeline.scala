@@ -577,6 +577,32 @@ object LlmPipeline {
       .limit(100)
   }
 
+  /** q_embed_centroids — per-label class prototype: the mean embedding
+    * of each label, in exact integer micros (per-dim Σ of the
+    * milli-quantized values, then ·1000 DIV n — no IEEE accumulation
+    * order anywhere, so fully oracle-checked where a float mean would
+    * depend on reduction order). The op behind label-quality auditing
+    * and warm-starting IVF/KMeans with class centers. Plan: posexplode
+    * to (label, dim, q) rows — 64× row inflation but 24 B rows — one
+    * combining hash aggregate per (label, dim), then one
+    * collect-and-sort per label (64 fixed-size entries, bounded state).
+    * Shuffled bytes ≈ |labels|·dims·24 B after the map-side combine:
+    * label-count-sized, not corpus-sized. Negative sums are fine: Spark
+    * DIV and DuckDB // both truncate toward zero (verified -7÷2 = -3 on
+    * both), so the micros division cannot diverge on sign.
+    */
+  def embedCentroids(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("label"), posexplode(expr(quant)).as(Seq("dim", "q")))
+      .groupBy("label", "dim")
+      .agg(sum(col("q")).as("qsum"), count(lit(1)).as("n"))
+      .groupBy("label")
+      .agg(max(col("n")).as("n_vecs"),
+        array_sort(collect_list(struct(col("dim"), col("qsum")))).as("sorted"))
+      .select(col("label"), col("n_vecs"),
+        expr("transform(sorted, x -> x.qsum * 1000 DIV n_vecs)").as("centroid_micros"))
+      .orderBy("label")
+
   /** #45 q_sim_search — brute-force cosine top-k against the probe
     * vector (vec_id = 0). The probe is a 1-row broadcast (crossJoin with
     * a broadcast side = BroadcastNestedLoopJoin over one row — a map-side
@@ -1443,6 +1469,7 @@ object LlmPipeline {
     "q_dedup_near"          -> (dedupNear _),
     "q_dedup_ngram"         -> (dedupNgram _),
     "q_dedup_embed"         -> (dedupEmbed _),
+    "q_embed_centroids"     -> (embedCentroids _),
     "q_sim_search"          -> (simSearch _),
     "q_sim_search_ivf"      -> (simSearchIvf _),
     "q_sim_search_ivf2"     -> (simSearchIvf2 _),
@@ -1624,6 +1651,15 @@ object LlmPipeline {
           "/ sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE)) AS cos " +
           "FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id " +
           "ORDER BY cos DESC, vec_a, vec_b LIMIT 100"),
+      "q_embed_centroids" ->
+        (s"WITH q AS (SELECT label, $quantDuck AS q FROM embeddings), " +
+          "e AS (SELECT label, u - 1 AS dim, q[u] AS qv FROM " +
+          "(SELECT label, q, unnest(generate_series(1, len(q))) AS u FROM q)), " +
+          "g AS (SELECT label, dim, CAST(sum(qv) AS BIGINT) AS qsum, " +
+          "count(*) AS n FROM e GROUP BY label, dim) " +
+          "SELECT label, CAST(max(n) AS BIGINT) AS n_vecs, " +
+          "list(CAST(qsum * 1000 // n AS BIGINT) ORDER BY dim) AS centroid_micros " +
+          "FROM g GROUP BY label ORDER BY label"),
       "q_sim_search" ->
         (s"WITH q AS (SELECT vec_id, $quantDuck AS q FROM embeddings), " +
           "n AS (SELECT vec_id, q, " +
@@ -2211,6 +2247,16 @@ object LlmPipeline {
           "sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE)) AS cos " +
           "FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id " +
           "ORDER BY cos DESC, vec_a, vec_b LIMIT 100"),
+      "q_embed_centroids" ->
+        (s"WITH q AS (SELECT label, $quantS AS q FROM embeddings), " +
+          "e AS (SELECT label, posexplode(q) AS (dim, qv) FROM q), " +
+          "g AS (SELECT label, dim, sum(qv) AS qsum, count(*) AS n " +
+          "FROM e GROUP BY label, dim), " +
+          "c AS (SELECT label, max(n) AS n_vecs, " +
+          "array_sort(collect_list(struct(dim, qsum))) AS sorted FROM g GROUP BY label) " +
+          "SELECT label, n_vecs, " +
+          "transform(sorted, x -> x.qsum * 1000 DIV n_vecs) AS centroid_micros " +
+          "FROM c ORDER BY label"),
       "q_sim_search" ->
         (s"WITH q AS (SELECT vec_id, $quantS AS q FROM embeddings), " +
           s"n AS (SELECT vec_id, q, ${dot("q", "q")} AS n2 FROM q) " +

@@ -581,6 +581,24 @@ class LlmPipelineSpec extends AnyFunSuite {
     assert(exact == bloom)
   }
 
+  test("q_embed_centroids: exact integer mean, recomputed per label from raw vectors") {
+    import spark.implicits._
+    val d = SparkTestSession.sf0001
+    val raw = spark.read.parquet(s"$d/embeddings.parquet")
+      .select($"label".cast("long"), $"embedding")
+      .as[(Long, Seq[Float])].collect()
+    val expected = raw.groupBy(_._1).map { case (label, vs) =>
+      val qs = vs.map(_._2.map(x => math.round(x.toDouble * 1000)))
+      val dims = qs.head.length
+      val sums = (0 until dims).map(i => qs.map(_(i)).sum)
+      label -> ((qs.size.toLong, sums.map(s => s * 1000 / qs.size).toSeq))
+    }
+    val got = ops.LlmPipeline.embedCentroids(spark, d)
+      .as[(Long, Long, Seq[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == expected)
+  }
+
   test("q_pipeline_curate ≡ filter → keep-best → pack composed from the single ops") {
     import spark.implicits._
     val d = SparkTestSession.sf0001
