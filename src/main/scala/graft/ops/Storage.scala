@@ -135,11 +135,47 @@ object Storage {
       .limit(SkewTopN)
   }
 
+  /** Column list profiled by q_profile_columns (documents table). */
+  private val ProfileCols = Seq("doc_id", "text", "lang", "source", "n_chars")
+
+  /** q_profile_columns — the data-quality profile every ingest runs
+    * before promoting a batch: per column, null count, exact distinct
+    * count, and min/max compared on the NATIVE type then rendered to
+    * string (so doc_id profiles numerically, not lexicographically).
+    * ONE scan: every metric lands in a single aggregate row (the
+    * multiple exact count-distincts cost one Expand — the documented
+    * trade; at 100 TB swap approx_count_distinct if ~2% error is
+    * acceptable), then stack() unpivots to a row per column. Output is
+    * column-count-sized — the profile of a 100 TB table is five rows.
+    * Plan notes: the string min/max buffers force SortAggregate, but
+    * with NO grouping keys no sort is inserted — it is a plain
+    * partial+final accumulation pass; the SinglePartition exchange is
+    * the inherent 1-row global aggregate (both are the documented
+    * benign cases in graft.Explain's red-flag list).
+    */
+  def profileColumns(s: SparkSession, d: String): DataFrame = {
+    val aggs = ProfileCols.flatMap { c => Seq(
+      count(col(c)).as(s"cnt_$c"),
+      countDistinct(col(c)).as(s"nd_$c"),
+      min(col(c)).cast("string").as(s"min_$c"),
+      max(col(c)).cast("string").as(s"max_$c")) }
+    val stackArgs = ProfileCols.map(c =>
+      s"'$c', n_rows - cnt_$c, nd_$c, min_$c, max_$c").mkString(", ")
+    Tables.documents(s, d)
+      .agg(count(lit(1)).as("n_rows"), aggs: _*)
+      .select(col("n_rows"), expr(s"stack(${ProfileCols.length}, $stackArgs) " +
+        "AS (column_name, n_nulls, n_distinct, min_val, max_val)"))
+      .select("column_name", "n_rows", "n_nulls", "n_distinct",
+        "min_val", "max_val")
+      .orderBy("column_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_zonemap_build" -> (zonemapBuild _),
-    "q_zonemap_prune" -> (zonemapPrune _),
-    "q_compact_plan"  -> (compactPlan _),
-    "q_skew_diagnose" -> (skewDiagnose _))
+    "q_zonemap_build"   -> (zonemapBuild _),
+    "q_zonemap_prune"   -> (zonemapPrune _),
+    "q_compact_plan"    -> (compactPlan _),
+    "q_skew_diagnose"   -> (skewDiagnose _),
+    "q_profile_columns" -> (profileColumns _))
 
   /** Shared zone-map CTE (both dialects agree on this text). */
   private val zmCte =
@@ -183,7 +219,19 @@ object Storage {
         "CAST(n_chunks * n_keys * 1000000 // total_chunks AS BIGINT) " +
         "AS skew_micros " +
         "FROM pk, g " +
-        s"ORDER BY n_chunks DESC, part_key LIMIT $SkewTopN"))
+        s"ORDER BY n_chunks DESC, part_key LIMIT $SkewTopN"),
+    "q_profile_columns" -> {
+      val aggSelects = ProfileCols.map(c =>
+        s"count($c) AS cnt_$c, count(DISTINCT $c) AS nd_$c, " +
+          s"CAST(min($c) AS VARCHAR) AS min_$c, CAST(max($c) AS VARCHAR) AS max_$c")
+        .mkString(", ")
+      val branches = ProfileCols.map(c =>
+        s"SELECT '$c' AS column_name, n_rows, n_rows - cnt_$c AS n_nulls, " +
+          s"nd_$c AS n_distinct, min_$c AS min_val, max_$c AS max_val FROM a")
+        .mkString(" UNION ALL ")
+      s"WITH a AS (SELECT count(*) AS n_rows, $aggSelects FROM documents) " +
+        s"$branches ORDER BY column_name"
+    })
 
   /** Spark-dialect overrides — the zone-map texts run verbatim in both
     * dialects; these two differ only in integer division (Spark `DIV` vs
@@ -204,5 +252,9 @@ object Storage {
         "CAST(CAST(n_chunks AS DECIMAL(38,0)) * n_keys * 1000000 DIV " +
         "total_chunks AS BIGINT) AS skew_micros " +
         "FROM pk CROSS JOIN g " +
-        s"ORDER BY n_chunks DESC, part_key LIMIT $SkewTopN"))
+        s"ORDER BY n_chunks DESC, part_key LIMIT $SkewTopN"),
+    "q_profile_columns" ->
+      oracle("q_profile_columns").replace(" AS VARCHAR)", " AS STRING)")
+        .replace("FROM a UNION ALL", "FROM a UNION ALL ")
+        .replace("FROM pk, g", "FROM pk CROSS JOIN g"))
 }
