@@ -1181,9 +1181,18 @@ object LlmPipeline {
     * one definition so the filter a user audits and the filter the
     * pipeline applies cannot drift.
     */
-  private def qualityVerdict(s: SparkSession, d: String): DataFrame = {
+  private def qualityVerdict(s: SparkSession, d: String): DataFrame =
+    qualityVerdictCols(Tables.documents(s, d))
+
+  /** The verdict transform itself, applicable to ANY frame carrying
+    * (doc_id, text, n_chars) — including a STREAMING one: every rule is
+    * a stateless per-row projection, so the same code is the batch
+    * audit query and the live ingest filter (StreamingSpec pins the
+    * batch≡stream equivalence over a MemoryStream).
+    */
+  private[graft] def qualityVerdictCols(docs: DataFrame): DataFrame = {
     val stop = profiles.flatMap(_._2).distinct.map(w => s"'$w'").mkString(", ")
-    withTk(Tables.documents(s, d).withColumn("text", coalesce(col("text"), lit(""))))
+    withTk(docs.withColumn("text", coalesce(col("text"), lit(""))))
       .withColumn("sh", expr(shingles))
       .withColumn("n_tokens", expr("CAST(size(tk) AS BIGINT)"))
       .withColumn("n_stop",

@@ -246,6 +246,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("quality filter is batch≡stream: same verdicts over a MemoryStream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (1L, "a b c", 5L),
+      (2L, (1 to 30).map(i => s"tok$i").mkString(" "), 200L),
+      (3L, "the quick brown fox is a lazy dog of note and we ran far " +
+        "too fast over old red hill near my home today", 103L))
+    val batch = ops.LlmPipeline.qualityVerdictCols(
+      docs.toDF("doc_id", "text", "n_chars"))
+      .select($"doc_id", $"reason").as[(Long, String)].collect().toSet
+    val ms = MemoryStream[(Long, String, Long)]
+    val q = ops.LlmPipeline.qualityVerdictCols(
+      ms.toDF().toDF("doc_id", "text", "n_chars"))
+      .select($"doc_id", $"reason")
+      .writeStream.format("memory").queryName("qf_stream")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
+    try {
+      ms.addData(docs: _*)
+      awaitRows("stream never produced 3 verdicts") {
+        spark.sql("SELECT * FROM qf_stream").count() == 3
+      }
+      val streamed = spark.sql("SELECT doc_id, reason FROM qf_stream")
+        .as[(Long, String)].collect().toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("q_sessionize matches an independent per-user fold of the event log") {
     import spark.implicits._
     val d = SparkTestSession.sf0001
