@@ -1119,6 +1119,48 @@ object LlmPipeline {
           .as("dup_ratio"))
       .orderBy("doc_id")
 
+  /** Source-count cap for q_source_overlap's pair generation (a shingle
+    * present in more sources than this is boilerplate/stopword noise
+    * and would fan out C(df,2) pairs; at 20 fixture sources the bound
+    * is cosmetic, at 10³ production sources it is the scale guard —
+    * same discipline as NgramDfCap).
+    */
+  private[graft] val SourceDfCap = 10L
+
+  /** q_source_overlap — the cross-source contamination matrix: for
+    * every source pair, the count of distinct shingle hashes both
+    * contain, plus that count as ppm of the SMALLER side's shingle set.
+    * This is the corpus-level view the per-document dedup family feeds:
+    * a high-overlap pair means one source mirrors/re-crawls the other
+    * and should be culled or down-mixed BEFORE paying per-document
+    * dedup across them. Plan: distinct (source, sh) projection of the
+    * hashed inverted index, per-source sizes (hash agg), df-capped
+    * shingle filter, then one equi self-join on sh + a combining count
+    * per pair — never a source × source scan; pair fan-out per shingle
+    * is bounded by C(SourceDfCap, 2). All-integer ppm (truncating DIV,
+    * identical on both engines).
+    */
+  def sourceOverlap(s: SparkSession, d: String): DataFrame = {
+    val ss = ngramPostings(s, d)
+      .join(Tables.documents(s, d).select("doc_id", "source"), "doc_id")
+      .select(col("source"), col("sh")).distinct()
+    val sizes = ss.groupBy("source").agg(count(lit(1)).as("n_sh"))
+    val ok = ss.groupBy("sh").agg(count(lit(1)).as("df"))
+      .where(col("df") >= 2 && col("df") <= SourceDfCap)
+      .select("sh")
+    val a = ss.select(col("source").as("src_a"), col("sh"))
+    val b = ss.select(col("source").as("src_b"), col("sh"))
+    a.join(ok, "sh").join(b, "sh")
+      .where(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .join(sizes.select(col("source").as("src_a"), col("n_sh").as("n_a")), "src_a")
+      .join(sizes.select(col("source").as("src_b"), col("n_sh").as("n_b")), "src_b")
+      .select(col("src_a"), col("src_b"), col("n_shared"),
+        expr("n_shared * 1000000 DIV least(n_a, n_b)").as("overlap_ppm"))
+      .orderBy("src_a", "src_b")
+  }
+
   /** q_text_tfidf — top-3 characteristic terms per document by an
     * engine-exact tf-idf variant: score_micros = tf · 10⁶ · N DIV df
     * (linear idf N/df instead of log(N/df): same descending direction
@@ -1501,6 +1543,7 @@ object LlmPipeline {
     "q_sample_stratified"   -> (sampleStratified _),
     "q_decontaminate"       -> (decontaminate _),
     "q_decontaminate_bloom" -> (decontaminateBloom _),
+    "q_source_overlap"      -> (sourceOverlap _),
     "q_corpus_shuffle"      -> (corpusShuffle _),
     "q_pack_sequences"      -> (packSequences _),
     "q_pipeline_curate"     -> (pipelineCurate _),
@@ -1858,6 +1901,22 @@ object LlmPipeline {
           "SELECT d.doc_id, COALESCE(hits.n_hits, 0) AS n_hits " +
           "FROM documents d LEFT JOIN hits ON hits.doc_id = d.doc_id " +
           "WHERE d.doc_id % 20 <> 0 ORDER BY d.doc_id"),
+      "q_source_overlap" ->
+        (s"WITH ds AS (SELECT doc_id, " +
+          s"CAST(concat('0x', substring(md5(unnest(list_distinct($shinglesDuck))), 1, 15)) AS BIGINT) AS sh " +
+          "FROM documents), " +
+          "ss AS (SELECT DISTINCT d.source, ds.sh FROM ds " +
+          "JOIN documents d ON d.doc_id = ds.doc_id), " +
+          "sizes AS (SELECT source, count(*) AS n_sh FROM ss GROUP BY source), " +
+          "ok AS (SELECT sh FROM ss GROUP BY sh " +
+          s"HAVING count(*) >= 2 AND count(*) <= ${LlmPipeline.SourceDfCap}), " +
+          "p AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared " +
+          "FROM ss a JOIN ok ON ok.sh = a.sh JOIN ss b ON a.sh = b.sh " +
+          "AND a.source < b.source GROUP BY 1, 2) " +
+          "SELECT src_a, src_b, n_shared, " +
+          "CAST(n_shared * 1000000 // least(sa.n_sh, sb.n_sh) AS BIGINT) AS overlap_ppm " +
+          "FROM p JOIN sizes sa ON sa.source = src_a " +
+          "JOIN sizes sb ON sb.source = src_b ORDER BY src_a, src_b"),
       "q_text_tfidf" ->
         ("WITH tf0 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents), " +
           "tfc AS (SELECT doc_id, term, count(*) AS tf FROM tf0 GROUP BY doc_id, term), " +
@@ -2143,6 +2202,20 @@ object LlmPipeline {
           "SELECT d.doc_id, COALESCE(hits.n_hits, CAST(0 AS BIGINT)) AS n_hits " +
           "FROM documents d LEFT JOIN hits ON hits.doc_id = d.doc_id " +
           "WHERE d.doc_id % 20 <> 0 ORDER BY d.doc_id"),
+      "q_source_overlap" ->
+        (s"$dsCte, " +
+          "ss AS (SELECT DISTINCT d.source, ds.sh FROM ds " +
+          "JOIN documents d ON d.doc_id = ds.doc_id), " +
+          "sizes AS (SELECT source, count(*) AS n_sh FROM ss GROUP BY source), " +
+          "ok AS (SELECT sh FROM ss GROUP BY sh " +
+          s"HAVING count(*) >= 2 AND count(*) <= $SourceDfCap), " +
+          "p AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared " +
+          "FROM ss a JOIN ok ON ok.sh = a.sh JOIN ss b ON a.sh = b.sh " +
+          "AND a.source < b.source GROUP BY 1, 2) " +
+          "SELECT src_a, src_b, n_shared, " +
+          "n_shared * 1000000 DIV least(sa.n_sh, sb.n_sh) AS overlap_ppm " +
+          "FROM p JOIN sizes sa ON sa.source = src_a " +
+          "JOIN sizes sb ON sb.source = src_b ORDER BY src_a, src_b"),
       "q_text_tfidf" ->
         ("WITH tf0 AS (SELECT doc_id, explode(split(text, ' ')) AS term FROM documents), " +
           "tfc AS (SELECT doc_id, term, count(*) AS tf FROM tf0 GROUP BY doc_id, term), " +

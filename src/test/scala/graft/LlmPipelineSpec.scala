@@ -581,6 +581,20 @@ class LlmPipelineSpec extends AnyFunSuite {
     assert(exact == bloom)
   }
 
+  test("q_source_overlap: bounded ratios, ordered pairs, single-source corpus is empty") {
+    import spark.implicits._
+    val rows = ops.LlmPipeline.sourceOverlap(spark, SparkTestSession.sf0001)
+      .as[(String, String, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (a, b, shared, ppm) =>
+      assert(a < b, s"unordered pair ($a, $b)")
+      assert(shared >= 1 && ppm >= 0 && ppm <= 1000000L,
+        s"($a, $b): n_shared=$shared ppm=$ppm out of range")
+    }
+    // the planted corpus is all src0 → no cross-source pairs at all
+    assert(ops.LlmPipeline.sourceOverlap(spark, plantedDir).isEmpty)
+  }
+
   test("q_embed_centroids: exact integer mean, recomputed per label from raw vectors") {
     import spark.implicits._
     val d = SparkTestSession.sf0001
