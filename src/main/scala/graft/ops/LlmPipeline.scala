@@ -1141,9 +1141,16 @@ object LlmPipeline {
     * identical on both engines).
     */
   def sourceOverlap(s: SparkSession, d: String): DataFrame = {
+    // Pin the distinct (source, shingle) projection once: sizes, the
+    // df-cap filter and BOTH self-join sides derive from it, and
+    // without the checkpoint each of the four branches re-runs the
+    // explode→md5 inverted-index pass over the corpus (the
+    // dedupIncremental lesson). Pinned state is 16 B × |distinct
+    // (source, sh)| — vocabulary-sized, not corpus-sized.
     val ss = ngramPostings(s, d)
       .join(Tables.documents(s, d).select("doc_id", "source"), "doc_id")
       .select(col("source"), col("sh")).distinct()
+      .localCheckpoint()
     val sizes = ss.groupBy("source").agg(count(lit(1)).as("n_sh"))
     val ok = ss.groupBy("sh").agg(count(lit(1)).as("df"))
       .where(col("df") >= 2 && col("df") <= SourceDfCap)
