@@ -109,7 +109,7 @@ object LlmPipeline {
     * variable-length string agg buffers can't hash-aggregate; BIGINT
     * mins can, and shuffle 8 B per (doc, permutation) instead of 32.
     */
-  private def minhashBanded(s: SparkSession, d: String): DataFrame = {
+  private[graft] def minhashBanded(s: SparkSession, d: String): DataFrame = {
     // array_distinct before the explode: the 16 mins are unaffected by
     // duplicate shingles, and each dropped duplicate saves the hash work.
     val sh = withTk(Tables.documents(s, d))
@@ -280,6 +280,41 @@ object LlmPipeline {
         sum(when(col("doc_id") =!= col("rep_id"), col("n_chars"))
           .otherwise(0L)).as("chars_dropped"))
       .orderBy("rep_id")
+
+  /** Streaming incremental dedup — the q_dedup_incremental shape as a
+    * CONTINUOUS query: each arriving document's banded MinHash
+    * signature is computed as a STATELESS per-row projection
+    * (higher-order array ops over the shingle array; the batch path's
+    * explode→hash-agg form is faster per byte but needs a blocking
+    * aggregate a stream cannot run — per-row HOFs evaluate interpreted,
+    * the price of streamability), then probed against the STATIC
+    * historical band index via a stream-static inner join: no streaming
+    * state at all — matches emit in Append mode as they arrive, and the
+    * historical side is exactly the persisted band table the batch
+    * ingest maintains. Same hash math as minhashBanded to the bit
+    * (spec-pinned), so batch backfill and live stream agree on every
+    * collision. MemoryStream-verified; not in `queries` (streaming
+    * runtime, SURVEY §7.4 rule 7).
+    */
+  def incrementalDedupStream(docs: DataFrame, histBands: DataFrame): DataFrame = {
+    val withHs = docs
+      .withColumn("tk", split(coalesce(col("text"), lit("")), " "))
+      .withColumn("hs", expr(s"transform(array_distinct($shingles), " +
+        "s -> CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT))"))
+    val sigs = (0 until 16).map(i =>
+      expr(s"array_min(transform(hs, h -> h ^ ${MinhashSalts(i)}L))").as(s"sig$i"))
+    val bandArr = (0 until 4).map { b =>
+      val cols = (0 until 4).map(i => s"CAST(sig${4 * b + i} AS STRING)").mkString(", ")
+      s"struct($b AS band, md5(concat_ws('|', $cols)) AS band_key)"
+    }.mkString(", ")
+    withHs.select(col("doc_id") +: sigs: _*)
+      .select(col("doc_id"), explode(expr(s"array($bandArr)")).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"),
+        col("bk.band_key").as("band_key"))
+      .join(histBands.select(col("doc_id").as("hist_id"),
+        col("band"), col("band_key")), Seq("band", "band_key"))
+      .select("doc_id", "band", "hist_id")
+  }
 
   /** q_dedup_incremental — incremental dedup of a NEW batch against the
     * HISTORICAL corpus: which incoming docs (source = 'src0', standing in

@@ -274,6 +274,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming incremental dedup: live docs collide with the static band index") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // static history: the planted corpus's base docs (< 100)
+    val dir = LlmFixtures.plantedDir(spark)
+    val hist = ops.LlmPipeline.minhashBanded(spark, dir)
+      .where($"doc_id" < 100).localCheckpoint()
+    // batch≡stream signature math: the stateless per-row form must band
+    // identically to the explode+agg batch form over the same docs
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val perRow = ops.LlmPipeline.incrementalDedupStream(docs, hist)
+    val batchBands = ops.LlmPipeline.minhashBanded(spark, dir)
+    val viaBatch = batchBands
+      .join(hist.select($"doc_id".as("hist_id"), $"band", $"band_key"),
+        Seq("band", "band_key"))
+      .select("doc_id", "band", "hist_id")
+    assert(SqlSurface.canon(perRow) == SqlSurface.canon(viaBatch))
+    // live: stream the near-dup docs (100+i edits doc i); each must
+    // collide with its base in at least one band
+    val ms = MemoryStream[(Long, String)]
+    val q = ops.LlmPipeline.incrementalDedupStream(
+      ms.toDF().toDF("doc_id", "text"), hist)
+      .writeStream.format("memory").queryName("inc_dedup")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
+    try {
+      val nearDups = docs.where($"doc_id" >= 100 && $"doc_id" < 200)
+        .select($"doc_id", $"text").as[(Long, String)].collect()
+      ms.addData(nearDups.toIndexedSeq: _*)
+      awaitRows("no streamed near-dup collided with its base doc") {
+        val hits = spark.sql(
+          "SELECT DISTINCT doc_id, hist_id FROM inc_dedup")
+          .as[(Long, Long)].collect().toSet
+        (0 until 5).forall(i => hits.contains((100L + i, i.toLong)))
+      }
+    } finally q.stop()
+  }
+
   test("q_sessionize matches an independent per-user fold of the event log") {
     import spark.implicits._
     val d = SparkTestSession.sf0001
