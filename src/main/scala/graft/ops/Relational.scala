@@ -435,6 +435,26 @@ object Relational {
       .orderBy("user_id", "ts_us", "event_id")
   }
 
+  /** q_window_trailing — BOUNDED time-RANGE window frame: per user, how
+    * many events fall in the trailing hour ending at each event (RANGE
+    * BETWEEN 3600·10⁶ PRECEDING AND CURRENT ROW over the epoch-micros
+    * order column). The rate-limiter / rolling-health shape, and the
+    * one window-frame type the rest of the registry doesn't exercise:
+    * peers enter and leave the frame by event-TIME distance, not row
+    * count (ROWS frames) and not unbounded prefix (the running sums).
+    * Exact-count only — a double sum over a sliding frame would depend
+    * on accumulation order. One user_id exchange + one sort, same
+    * skew axis as q_sessionize.
+    */
+  def windowTrailing(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"))
+      .rangeBetween(-3600000000L, 0)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+      .withColumn("n_trailing_1h", count(lit(1)).over(w))
+      .orderBy("user_id", "ts_us", "event_id")
+  }
+
   /** q_scd2_intervals — build the SCD2 (type-2 slowly-changing
     * dimension) history table from an append log: each customer's
     * orders become versioned rows with [valid_from, valid_to) validity
@@ -569,6 +589,7 @@ object Relational {
     "q_window_distribution" -> (windowDistribution _),
     "q_window_first_last"   -> (windowFirstLast _),
     "q_scd2_intervals"      -> (scd2Intervals _),
+    "q_window_trailing"     -> (windowTrailing _),
     "q_scd2_asof"           -> (scd2Asof _),
     "q_subquery_corr"       -> (subqueryCorr _),
     "q_join_full_outer"     -> (joinFullOuter _),
@@ -624,6 +645,11 @@ object Relational {
         "epoch_us(o_orderdate) AS valid_from_us, epoch_us(valid_to) AS valid_to_us, " +
         "valid_to IS NULL AS is_current FROM v " +
         "ORDER BY o_custkey, valid_from_us, o_orderkey"),
+    "q_window_trailing" ->
+      ("SELECT user_id, event_id, epoch_us(ts) AS ts_us, " +
+        "count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts) " +
+        "RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS n_trailing_1h " +
+        "FROM events ORDER BY user_id, ts_us, event_id"),
     "q_scd2_asof" ->
       ("WITH v AS (SELECT o_custkey, o_orderkey, o_orderstatus, o_orderdate, " +
         "lead(o_orderdate) OVER (PARTITION BY o_custkey " +
@@ -813,6 +839,11 @@ object Relational {
         "unix_micros(CAST(valid_to AS TIMESTAMP)) AS valid_to_us, " +
         "valid_to IS NULL AS is_current FROM v " +
         "ORDER BY o_custkey, valid_from_us, o_orderkey"),
+    "q_window_trailing" ->
+      ("SELECT user_id, event_id, unix_micros(ts) AS ts_us, " +
+        "count(*) OVER (PARTITION BY user_id ORDER BY unix_micros(ts) " +
+        "RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS n_trailing_1h " +
+        "FROM events ORDER BY user_id, ts_us, event_id"),
     "q_scd2_asof" ->
       ("WITH v AS (SELECT o_custkey, o_orderkey, o_orderstatus, o_orderdate, " +
         "lead(o_orderdate) OVER (PARTITION BY o_custkey " +
