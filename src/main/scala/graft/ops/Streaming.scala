@@ -404,7 +404,12 @@ object Streaming {
         "FROM ordered GROUP BY user_id ORDER BY user_id"),
     "q_stream_session" ->
       ("WITH flagged AS (SELECT user_id, ts, CASE WHEN " +
-        "date_diff('second', lag(ts) OVER (PARTITION BY user_id ORDER BY ts), ts) >= 1800 " +
+        // exact-micros gap, NOT date_diff('second', …): date_diff counts
+        // second-BOUNDARY crossings, so a 1799.x-second real gap that
+        // straddles a boundary reads as 1800 and splits where Spark's
+        // session_window (exact event-time arithmetic) merges — caught
+        // by the round-8 sf0.1 sweep, invisible at the sf0.01 gate
+        "epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) >= 1800000000 " +
         "OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL THEN 1 ELSE 0 END AS new_s " +
         "FROM events), numbered AS (SELECT user_id, ts, " +
         "sum(new_s) OVER (PARTITION BY user_id ORDER BY ts " +
