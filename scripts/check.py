@@ -16,6 +16,28 @@ import os
 import sys
 
 import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def driver_sortable(files):
+    """Guard against output shapes the driver harness cannot hash.
+
+    The driver canonicalizes via a pandas sort, and a FLAT list column
+    (list<primitive>) reaches that sort as numpy arrays → `TypeError:
+    unhashable type: 'numpy.ndarray'` → the gate records `err` no matter
+    how correct the values are (the q_embed_centroids r8 lesson).
+    Empirically list<struct> survives (q_nested_catalog has passed every
+    round), so the rule is schema-based: reject list-of-primitive and
+    list-of-list output columns; allow list<struct> and scalars.
+    """
+    for field in pq.read_schema(files[0]):
+        t = field.type
+        if pa.types.is_list(t) or pa.types.is_large_list(t):
+            if not pa.types.is_struct(t.value_type):
+                return (f"column '{field.name}' is flat {t} — the driver's "
+                        "pandas sort cannot hash it; unpivot to rows or to_json")
+    return None
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -77,6 +99,12 @@ def main():
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
             print(f"FAIL {name}: no parquet output")
+            n_fail += 1
+            continue
+        unsortable = driver_sortable(files)
+        if unsortable is not None:
+            print(f"FAIL {name}: driver-unhashable output "
+                  f"(pandas sort_values: {unsortable})")
             n_fail += 1
             continue
         mine = con.sql(f"SELECT * FROM '{files[0]}'")

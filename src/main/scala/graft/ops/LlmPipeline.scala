@@ -614,29 +614,31 @@ object LlmPipeline {
 
   /** q_embed_centroids — per-label class prototype: the mean embedding
     * of each label, in exact integer micros (per-dim Σ of the
-    * milli-quantized values, then ·1000 DIV n — no IEEE accumulation
-    * order anywhere, so fully oracle-checked where a float mean would
-    * depend on reduction order). The op behind label-quality auditing
-    * and warm-starting IVF/KMeans with class centers. Plan: posexplode
-    * to (label, dim, q) rows — 64× row inflation but 24 B rows — one
-    * combining hash aggregate per (label, dim), then one
-    * collect-and-sort per label (64 fixed-size entries, bounded state).
+    * milli-quantized values, then ·1000 DIV the per-dim count — no IEEE
+    * accumulation order anywhere, so fully oracle-checked where a float
+    * mean would depend on reduction order). The op behind label-quality
+    * auditing and warm-starting IVF/KMeans with class centers. Output
+    * is unpivoted (label, dim, centroid_micros) rows — |labels|·dims
+    * rows, each scalar, so every downstream consumer (including a
+    * pandas-style sort/hash harness) can key on plain values; the
+    * per-label array form is one `collect_list` away when needed.
+    * Plan: posexplode to (label, dim, q) rows — 64× row inflation but
+    * 24 B rows — then one combining hash aggregate per (label, dim).
     * Shuffled bytes ≈ |labels|·dims·24 B after the map-side combine:
-    * label-count-sized, not corpus-sized. Negative sums are fine: Spark
-    * DIV and DuckDB // both truncate toward zero (verified -7÷2 = -3 on
-    * both), so the micros division cannot diverge on sign.
+    * label-count-sized, not corpus-sized. Dividing by the per-dim
+    * count n (not a label-wide max) keeps the mean exact even for
+    * ragged/short vectors. Negative sums are fine: Spark DIV and
+    * DuckDB // both truncate toward zero (verified -7÷2 = -3 on both),
+    * so the micros division cannot diverge on sign.
     */
   def embedCentroids(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
       .select(col("label"), posexplode(expr(quant)).as(Seq("dim", "q")))
       .groupBy("label", "dim")
       .agg(sum(col("q")).as("qsum"), count(lit(1)).as("n"))
-      .groupBy("label")
-      .agg(max(col("n")).as("n_vecs"),
-        array_sort(collect_list(struct(col("dim"), col("qsum")))).as("sorted"))
-      .select(col("label"), col("n_vecs"),
-        expr("transform(sorted, x -> x.qsum * 1000 DIV n_vecs)").as("centroid_micros"))
-      .orderBy("label")
+      .select(col("label"), col("dim").cast("long").as("dim"),
+        expr("qsum * 1000 DIV n").as("centroid_micros"))
+      .orderBy("label", "dim")
 
   /** #45 q_sim_search — brute-force cosine top-k against the probe
     * vector (vec_id = 0). The probe is a 1-row broadcast (crossJoin with
@@ -1751,9 +1753,9 @@ object LlmPipeline {
           "(SELECT label, q, unnest(generate_series(1, len(q))) AS u FROM q)), " +
           "g AS (SELECT label, dim, CAST(sum(qv) AS BIGINT) AS qsum, " +
           "count(*) AS n FROM e GROUP BY label, dim) " +
-          "SELECT label, CAST(max(n) AS BIGINT) AS n_vecs, " +
-          "list(CAST(qsum * 1000 // n AS BIGINT) ORDER BY dim) AS centroid_micros " +
-          "FROM g GROUP BY label ORDER BY label"),
+          "SELECT label, CAST(dim AS BIGINT) AS dim, " +
+          "CAST(qsum * 1000 // n AS BIGINT) AS centroid_micros " +
+          "FROM g ORDER BY label, dim"),
       "q_sim_search" ->
         (s"WITH q AS (SELECT vec_id, $quantDuck AS q FROM embeddings), " +
           "n AS (SELECT vec_id, q, " +
@@ -2129,7 +2131,15 @@ object LlmPipeline {
         s"l$k AS (SELECT e.v AS doc_id, min(l.rep_id) AS rep_id " +
           s"FROM edges e JOIN l${k - 1} l ON l.doc_id = e.u GROUP BY e.v)"
       }.mkString(", ")
-      s"$ccPairs, $rounds"
+      // Convergence guard: a component whose propagation radius exceeds
+      // CcSqlRounds would silently return non-converged rep_ids; instead
+      // assert the last round was a fixpoint (l_N ≡ l_{N-1} — EXCEPT over
+      // two |nodes|-sized label tables, cheap) and fail loudly if not.
+      val chk = s"chk AS (SELECT assert_true((SELECT count(*) FROM " +
+        s"(SELECT * FROM l$CcSqlRounds EXCEPT SELECT * FROM l${CcSqlRounds - 1})) = 0, " +
+        s"'q_dedup_cc SQL surface: min-label propagation not converged after $CcSqlRounds rounds') AS ok)"
+      s"$ccPairs, $rounds, $chk, " +
+        s"lconv AS (SELECT l.doc_id, l.rep_id FROM l$CcSqlRounds l CROSS JOIN chk)"
     }
     val ivfSql = (nprobe: Int) =>
       s"WITH q AS (SELECT vec_id, $quantS AS q FROM embeddings), " +
@@ -2327,9 +2337,9 @@ object LlmPipeline {
           "JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id " +
           "ORDER BY doc_a, doc_b"),
       "q_dedup_cc" ->
-        (s"$ccUnrolled SELECT doc_id, rep_id FROM l$CcSqlRounds ORDER BY doc_id"),
+        (s"$ccUnrolled SELECT doc_id, rep_id FROM lconv ORDER BY doc_id"),
       "q_dedup_cluster_stats" ->
-        (s"$ccUnrolled, lab AS (SELECT doc_id, rep_id FROM l$CcSqlRounds) " +
+        (s"$ccUnrolled, lab AS (SELECT doc_id, rep_id FROM lconv) " +
           "SELECT l.rep_id, count(*) AS n_docs, count(*) - 1 AS n_dropped, " +
           "CAST(sum(CASE WHEN d.doc_id <> l.rep_id THEN d.n_chars ELSE 0 END) AS BIGINT) AS chars_dropped " +
           "FROM lab l JOIN documents d ON d.doc_id = l.doc_id " +
@@ -2375,12 +2385,10 @@ object LlmPipeline {
         (s"WITH q AS (SELECT label, $quantS AS q FROM embeddings), " +
           "e AS (SELECT label, posexplode(q) AS (dim, qv) FROM q), " +
           "g AS (SELECT label, dim, sum(qv) AS qsum, count(*) AS n " +
-          "FROM e GROUP BY label, dim), " +
-          "c AS (SELECT label, max(n) AS n_vecs, " +
-          "array_sort(collect_list(struct(dim, qsum))) AS sorted FROM g GROUP BY label) " +
-          "SELECT label, n_vecs, " +
-          "transform(sorted, x -> x.qsum * 1000 DIV n_vecs) AS centroid_micros " +
-          "FROM c ORDER BY label"),
+          "FROM e GROUP BY label, dim) " +
+          "SELECT label, CAST(dim AS BIGINT) AS dim, " +
+          "qsum * 1000 DIV n AS centroid_micros " +
+          "FROM g ORDER BY label, dim"),
       "q_sim_search" ->
         (s"WITH q AS (SELECT vec_id, $quantS AS q FROM embeddings), " +
           s"n AS (SELECT vec_id, q, ${dot("q", "q")} AS n2 FROM q) " +

@@ -254,7 +254,5 @@ object Storage {
         "FROM pk CROSS JOIN g " +
         s"ORDER BY n_chunks DESC, part_key LIMIT $SkewTopN"),
     "q_profile_columns" ->
-      oracle("q_profile_columns").replace(" AS VARCHAR)", " AS STRING)")
-        .replace("FROM a UNION ALL", "FROM a UNION ALL ")
-        .replace("FROM pk, g", "FROM pk CROSS JOIN g"))
+      oracle("q_profile_columns").replace(" AS VARCHAR)", " AS STRING)"))
 }

@@ -138,14 +138,18 @@ object Streaming {
   }
 
   /** Session gap for batch sessionization (micros): two events of one
-    * user more than 30 minutes apart belong to different sessions —
-    * the same gap semantics the true-streaming session_window uses.
+    * user 30+ minutes apart (gap >= this value) belong to different
+    * sessions — the same half-open boundary the true-streaming
+    * session_window uses (a session covers [start, last + gap), so an
+    * event at exactly last + gap opens a new session).
     */
   private[graft] val SessionGapUs = 30L * 60 * 1000000
 
   /** q_sessionize — BATCH sessionization of the whole event log (the
     * gaps-and-islands problem): a session starts at any event whose gap
-    * from the user's previous event exceeds SessionGapUs; session_seq
+    * from the user's previous event reaches SessionGapUs (gap >= 30 min
+    * starts a new session — the same half-open-window boundary Spark's
+    * session_window and q_stream_session's oracle use); session_seq
     * is the per-user running count of such starts. Output is the
     * PER-EVENT session assignment (event_id → session_seq) — the join
     * key downstream enrichment attaches to raw events; the per-session
@@ -165,7 +169,7 @@ object Streaming {
       .withColumn("prev_us", unix_micros(lag(col("ts"), 1).over(w)))
       .withColumn("is_new",
         when(col("prev_us").isNull ||
-          unix_micros(col("ts")) - col("prev_us") > SessionGapUs, 1L)
+          unix_micros(col("ts")) - col("prev_us") >= SessionGapUs, 1L)
           .otherwise(0L))
       .withColumn("session_seq", sum(col("is_new"))
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -434,7 +438,7 @@ object Streaming {
       (s"WITH e AS (SELECT user_id, event_id, ts, " +
         "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events), " +
         "n AS (SELECT user_id, event_id, ts, CASE WHEN prev IS NULL " +
-        s"OR epoch_us(ts) - epoch_us(prev) > ${Streaming.SessionGapUs} THEN 1 ELSE 0 END AS is_new FROM e) " +
+        s"OR epoch_us(ts) - epoch_us(prev) >= ${Streaming.SessionGapUs} THEN 1 ELSE 0 END AS is_new FROM e) " +
         "SELECT event_id, user_id, epoch_us(ts) AS ts_us, " +
         "CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq " +
@@ -494,7 +498,7 @@ object Streaming {
       (s"WITH e AS (SELECT user_id, event_id, ts, " +
         "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events), " +
         "n AS (SELECT user_id, event_id, ts, CASE WHEN prev IS NULL " +
-        s"OR unix_micros(ts) - unix_micros(prev) > ${Streaming.SessionGapUs} THEN 1 ELSE 0 END AS is_new FROM e) " +
+        s"OR unix_micros(ts) - unix_micros(prev) >= ${Streaming.SessionGapUs} THEN 1 ELSE 0 END AS is_new FROM e) " +
         "SELECT event_id, user_id, unix_micros(ts) AS ts_us, " +
         "sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq " +

@@ -601,15 +601,17 @@ class LlmPipelineSpec extends AnyFunSuite {
     val raw = spark.read.parquet(s"$d/embeddings.parquet")
       .select($"label".cast("long"), $"embedding")
       .as[(Long, Seq[Float])].collect()
-    val expected = raw.groupBy(_._1).map { case (label, vs) =>
+    val expected = raw.groupBy(_._1).flatMap { case (label, vs) =>
       val qs = vs.map(_._2.map(x => math.round(x.toDouble * 1000)))
-      val dims = qs.head.length
-      val sums = (0 until dims).map(i => qs.map(_(i)).sum)
-      label -> ((qs.size.toLong, sums.map(s => s * 1000 / qs.size).toSeq))
+      // per-dim count: exact even if vectors were ragged
+      qs.flatMap(_.zipWithIndex).groupBy(_._2).map { case (dim, cells) =>
+        val n = cells.size
+        (label, dim.toLong) -> cells.map(_._1).sum * 1000 / n
+      }
     }
     val got = ops.LlmPipeline.embedCentroids(spark, d)
-      .as[(Long, Long, Seq[Long])].collect()
-      .map(r => r._1 -> ((r._2, r._3))).toMap
+      .as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
     assert(got == expected)
   }
 

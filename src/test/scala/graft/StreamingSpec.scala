@@ -326,7 +326,7 @@ class StreamingSpec extends AnyFunSuite {
       var seq = 0L
       var prev = Long.MinValue
       evs.sortBy(e => (e._3, e._1)).toSeq.map { case (id, _, us) =>
-        if (prev == Long.MinValue || us - prev > ops.Streaming.SessionGapUs) seq += 1
+        if (prev == Long.MinValue || us - prev >= ops.Streaming.SessionGapUs) seq += 1
         prev = us
         (id, user) -> ((us, seq))
       }
@@ -334,5 +334,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == expected)
     // sanity: the log actually sessionizes (some user has > 1 session)
     assert(got.values.map(_._2).max > 1L, "fixture produced no multi-session user")
+  }
+
+  test("q_sessionize boundary: a gap of EXACTLY 30 min starts a new session (>= semantics)") {
+    import spark.implicits._
+    // three events: t0, t0 + gap - 1µs (same session), then + exactly gap
+    // from the second (new session) — pins the session_window half-open
+    // boundary the batch backfill must share with q_stream_session.
+    val t0 = 1704067200000000L // 2024-01-01 00:00:00 UTC in micros
+    val gap = ops.Streaming.SessionGapUs
+    val dir = java.nio.file.Files.createTempDirectory("sess_boundary").toString
+    Seq(
+      (1L, 7L, t0),
+      (2L, 7L, t0 + gap - 1),
+      (3L, 7L, t0 + gap - 1 + gap)
+    ).toDF("event_id", "user_id", "us")
+      .select($"event_id", $"user_id",
+        org.apache.spark.sql.functions.expr("timestamp_micros(us)").as("ts"),
+        org.apache.spark.sql.functions.lit("hb").as("event_type"),
+        org.apache.spark.sql.functions.lit(0L).as("value"))
+      .write.parquet(s"$dir/events.parquet")
+    val seqs = ops.Streaming.sessionize(spark, dir)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(seqs == Map(1L -> 1L, 2L -> 1L, 3L -> 2L))
   }
 }
