@@ -1,0 +1,18 @@
+#!/usr/bin/env bash
+# Cross-SF oracle sweep — the standing round-close gate (SURVEY §7.4
+# rule 13). Runs the full Verify dump + DuckDB oracle compare at every
+# generated scale factor; a query whose mirror diverges only at one SF
+# (the r8 session-window date_diff bug) fails here before the driver
+# sees it. Exits non-zero on the first red SF.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+for sf in sf0.001 sf0.01 sf0.1; do
+  dir="/root/testdata/$sf"
+  [ -d "$dir" ] || { echo "sweep: skipping $sf (no testdata)"; continue; }
+  out="/tmp/sweep_$sf"
+  rm -rf "$out"
+  echo "=== sweep $sf ==="
+  sbt -batch "runMain graft.Verify $dir $out" 2>&1 | tail -2
+  python3 scripts/check.py "$dir" "$out" | tail -3
+done
+echo "sweep: all SFs green"

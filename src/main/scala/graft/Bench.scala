@@ -31,6 +31,15 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // The harness records only the LAST ~2000 bytes of stdout; the full
+    // per-query line above is bigger than that, so its head (with the
+    // headline total) has been truncated out of the record every round.
+    // Re-emit a compact summary LAST — short enough to always survive the
+    // tail window — carrying the total and the slowest queries.
+    val top = results.toSeq.sortBy(-_._2).take(8)
+      .map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$top,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
