@@ -1,17 +1,21 @@
 package graft.ops
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing for a training-data pipeline: media
   * treated as opaque `binary` columns plus typed metadata, with
   * decode / feature-extract / resize / frame-sample stages.
   *
-  * The container has no image/audio codecs, so the DECODE step is a
-  * >>> STUB <<< — a deterministic fake that derives pixel metadata from
-  * the content md5 (clearly marked below). Everything around it is the
-  * real Spark plumbing this pipeline needs at 100 TB:
+  * The DECODE step is REAL for the common headerable formats — PNG
+  * (IHDR), BMP (DIB header) and PPM/PGM (P2/P3/P5/P6) dimensions are
+  * parsed from the payload bytes in pure JVM, no codec libs (the same
+  * way the reference validates real file bytes,
+  * structures/Chunk.java:166-189). Payloads with unknown magic fall
+  * back to a clearly-labeled deterministic md5-derived STUB (the
+  * container has no codecs for jpeg/webp/video). Around it is the real
+  * Spark plumbing this pipeline needs at 100 TB:
   *  - the binary payload travels as `BinaryType` (parquet BYTE_ARRAY),
   *    never stringified;
   *  - decode runs in `mapPartitions` over a typed Dataset — one
@@ -19,13 +23,80 @@ import org.apache.spark.sql.functions._
   *    would amortize), preserving partitioning, batch-shaped;
   *  - downstream stages (resize math, frame sampling) are codegen'd
   *    projections/generators over the decoded metadata;
-  *  - the fake decode is md5-derived so every stage stays DuckDB
-  *    oracle-checkable end-to-end.
+  *  - the stub path is md5-derived so every stage stays DuckDB
+  *    oracle-checkable end-to-end on a text-only corpus (the fixture
+  *    corpus has no image-magic payloads — asserted per-SF).
   *
-  * In production the stub body is replaced by the real codec call (e.g.
-  * javax.imageio / ffmpeg JNI) with the same row shape — no plan change.
+  * Swapping in a full codec (javax.imageio / ffmpeg JNI) replaces only
+  * the unknown-magic fallback with the same row shape — no plan change.
   */
 object Multimodal {
+
+  /** Parse (width, height, channels, format) from a media payload's
+    * header bytes — pure JVM, no codec libraries. Returns None for
+    * unknown/truncated headers (caller falls back to the labeled stub).
+    *
+    *  - PNG: 8-byte signature then the IHDR chunk — width/height are
+    *    big-endian u32 at offsets 16/20, color type at 25 maps to
+    *    channel count (grayscale 1, gray+alpha 2, RGB 3, RGBA 4,
+    *    palette 1).
+    *  - BMP: "BM" then a DIB header at offset 14 — width/height are
+    *    little-endian i32 at 18/22 (height may be negative =
+    *    top-down), bits-per-pixel at 28 → channels = bpp/8 (min 1).
+    *    The DIB size field is required to be a known variant so text
+    *    starting with "BM" cannot false-positive.
+    *  - PPM/PGM (netpbm): "P2"/"P3" (ascii) or "P5"/"P6" (binary)
+    *    magic, then whitespace-separated width/height tokens with
+    *    '#' comment lines allowed; P2/P5 are 1-channel, P3/P6 are 3.
+    */
+  private[graft] def parseImageHeader(p: Array[Byte]): Option[(Int, Int, Int, String)] = {
+    def u8(i: Int) = p(i) & 0xFF
+    def be32(i: Int) = (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    def le32(i: Int) = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+
+    if (p.length >= 26 && be32(0) == 0x89504E47 && be32(4) == 0x0D0A1A0A &&
+        be32(12) == 0x49484452) { // "IHDR"
+      val (w, h) = (be32(16), be32(20))
+      val channels = u8(25) match {
+        case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+        case _ => return None
+      }
+      if (w > 0 && h > 0) Some((w, h, channels, "png")) else None
+    } else if (p.length >= 30 && u8(0) == 'B' && u8(1) == 'M' &&
+               Set(12, 40, 52, 56, 108, 124).contains(le32(14))) {
+      if (le32(14) == 12) { // BITMAPCOREHEADER: u16 dims, bpp at 24
+        val (w, h, bpp) = (le16(18), le16(20), le16(24))
+        if (w > 0 && h > 0) Some((w, h, math.max(1, bpp / 8), "bmp")) else None
+      } else {
+        val (w, h, bpp) = (le32(18), le32(22), le16(28))
+        if (w > 0 && h != 0) Some((w, math.abs(h), math.max(1, bpp / 8), "bmp"))
+        else None
+      }
+    } else if (p.length >= 3 && u8(0) == 'P' && "2356".contains(p(1).toChar) &&
+               Character.isWhitespace(p(2).toChar)) {
+      // netpbm: scan whitespace-separated tokens, skipping '#' comments
+      var i = 2
+      val dims = new Array[Int](2)
+      var found = 0
+      while (found < 2 && i < p.length) {
+        val c = p(i).toChar
+        if (c == '#') { while (i < p.length && p(i) != '\n') i += 1 }
+        else if (Character.isDigit(c)) {
+          var v = 0L
+          while (i < p.length && Character.isDigit(p(i).toChar)) {
+            v = v * 10 + (p(i) - '0'); i += 1
+          }
+          if (v <= 0 || v > Int.MaxValue) return None
+          dims(found) = v.toInt; found += 1
+        } else if (Character.isWhitespace(c)) i += 1
+        else return None
+      }
+      if (found == 2)
+        Some((dims(0), dims(1), if (p(1) == '3' || p(1) == '6') 3 else 1, "ppm"))
+      else None
+    } else None
+  }
 
   /** Decoded media metadata — the typed row shape the decode stage
     * emits. Mirrors (file:line) the reference's chunk sidecar metadata
@@ -33,37 +104,57 @@ object Multimodal {
     * typed facts about it.
     */
   case class MediaMeta(doc_id: Long, n_bytes: Long, content_md5: String,
-                       width: Int, height: Int, channels: Int)
+                       width: Int, height: Int, channels: Int, decoder: String)
 
   private def hexVal(c: Char): Int = java.lang.Character.digit(c, 16)
 
-  /** q_mm_decode — binary payload → typed metadata via per-partition
-    * "decode". The md5 and byte length are real; width/height/channels
-    * are the DETERMINISTIC FAKE standing in for the codec:
+  /** Decode core over an already-extracted (id, payload) Dataset —
+    * factored out so specs can drive it with real PNG/BMP/PPM byte
+    * literals (the table form below reads the text corpus, which never
+    * hits the image paths). Header parse first (real); unknown magic
+    * falls back to the md5-derived STUB dims:
     *   width    = 320 + hex[0..1] of md5   (320..575)
     *   height   = 240 + hex[2..3] of md5   (240..495)
     *   channels = 1 + hex[4] % 3           (1..3)
+    * The `decoder` column says which path produced each row
+    * (png/bmp/ppm vs stub-md5) — a real pipeline filters or routes on
+    * it.
+    */
+  private[graft] def decodeCore(ds: Dataset[(Long, Array[Byte])]): Dataset[MediaMeta] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      // one digest instance per partition — where a real codec handle
+      // (ffmpeg context, ImageIO reader) would be allocated once
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { case (id, payload) =>
+        md.reset()
+        val hex = md.digest(payload).map("%02x".format(_)).mkString
+        parseImageHeader(payload) match {
+          case Some((w, h, c, fmt)) =>
+            MediaMeta(id, payload.length.toLong, hex, w, h, c, fmt)
+          case None =>
+            // --- STUB: non-headerable formats (jpeg/webp/video) would
+            // need a real codec; derive deterministic fake dims instead
+            val width = 320 + 16 * hexVal(hex(0)) + hexVal(hex(1))
+            val height = 240 + 16 * hexVal(hex(2)) + hexVal(hex(3))
+            val channels = 1 + hexVal(hex(4)) % 3
+            // ---------------------------------------------------------
+            MediaMeta(id, payload.length.toLong, hex, width, height, channels, "stub-md5")
+        }
+      }
+    }
+  }
+
+  /** q_mm_decode — binary payload → typed metadata via per-partition
+    * decode (real header parse for PNG/BMP/PPM, labeled stub
+    * otherwise; see decodeCore).
     */
   def decode(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    Tables.documents(s, d)
-      .select(col("doc_id"), col("text").cast("binary").as("payload"))
-      .as[(Long, Array[Byte])]
-      .mapPartitions { it =>
-        // one digest instance per partition — where a real codec handle
-        // (ffmpeg context, ImageIO reader) would be allocated once
-        val md = java.security.MessageDigest.getInstance("MD5")
-        it.map { case (id, payload) =>
-          md.reset()
-          val hex = md.digest(payload).map("%02x".format(_)).mkString
-          // --- STUB: real image decode goes here ----------------------
-          val width = 320 + 16 * hexVal(hex(0)) + hexVal(hex(1))
-          val height = 240 + 16 * hexVal(hex(2)) + hexVal(hex(3))
-          val channels = 1 + hexVal(hex(4)) % 3
-          // -------------------------------------------------------------
-          MediaMeta(id, payload.length.toLong, hex, width, height, channels)
-        }
-      }
+    decodeCore(
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .as[(Long, Array[Byte])])
       .toDF()
       .orderBy("doc_id")
   }
@@ -149,11 +240,15 @@ object Multimodal {
   private val heightSql = s"CAST(240 + 16 * (${hx.format(3)}) + (${hx.format(4)}) AS INTEGER)"
 
   val oracle: Map[String, String] = Map(
+    // decoder is constant 'stub-md5' in the mirror: the text corpus has
+    // no image-magic payloads (asserted per-SF by MultimodalSpec), so
+    // the real header-parse path never fires on the fixture tables
     "q_mm_decode" ->
       ("SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, " +
         "md5(text) AS content_md5, " +
         s"$widthSql AS width, $heightSql AS height, " +
-        s"CAST(1 + (${hx.format(5)}) % 3 AS INTEGER) AS channels " +
+        s"CAST(1 + (${hx.format(5)}) % 3 AS INTEGER) AS channels, " +
+        "'stub-md5' AS decoder " +
         "FROM documents ORDER BY doc_id"),
     "q_mm_resize" ->
       (s"WITH dims AS (SELECT doc_id, $widthSql AS width, $heightSql AS height FROM documents), " +
@@ -195,7 +290,8 @@ object Multimodal {
       ("SELECT doc_id, CAST(octet_length(CAST(text AS BINARY)) AS BIGINT) AS n_bytes, " +
         "md5(text) AS content_md5, " +
         s"$widthSql AS width, $heightSql AS height, " +
-        s"CAST(1 + (${hx.format(5)}) % 3 AS INTEGER) AS channels " +
+        s"CAST(1 + (${hx.format(5)}) % 3 AS INTEGER) AS channels, " +
+        "'stub-md5' AS decoder " +
         "FROM documents ORDER BY doc_id"),
     "q_mm_frame_sample" ->
       ("WITH f AS (SELECT doc_id, " +

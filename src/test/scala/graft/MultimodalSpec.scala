@@ -1,0 +1,101 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The decode stage's REAL path: PNG/BMP/PPM header dimensions parsed
+  * from actual file bytes (no codec libs), with the md5 stub only for
+  * unknown magic — plus the corpus assumption the DuckDB mirror rests
+  * on (no image-magic payloads in the text fixtures).
+  */
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def be32(v: Int) =
+    Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+  private def le32(v: Int) =
+    Array(v.toByte, (v >>> 8).toByte, (v >>> 16).toByte, (v >>> 24).toByte)
+  private def le16(v: Int) = Array(v.toByte, (v >>> 8).toByte)
+
+  /** Minimal real PNG prefix: 8-byte signature + IHDR chunk. */
+  private def png(w: Int, h: Int, colorType: Int): Array[Byte] =
+    Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte) ++
+      be32(13) ++ "IHDR".getBytes ++ be32(w) ++ be32(h) ++
+      Array(8.toByte, colorType.toByte, 0.toByte, 0.toByte, 0.toByte) ++
+      be32(0) // CRC placeholder — the parser reads only through the header
+
+  /** Minimal BMP: 14-byte file header + BITMAPINFOHEADER. */
+  private def bmp(w: Int, h: Int, bpp: Int): Array[Byte] =
+    "BM".getBytes ++ le32(54) ++ le32(0) ++ le32(54) ++
+      le32(40) ++ le32(w) ++ le32(h) ++ le16(1) ++ le16(bpp) ++ le32(0)
+
+  test("parseImageHeader: PNG IHDR dims + channel map from color type") {
+    assert(ops.Multimodal.parseImageHeader(png(640, 360, 6)) ===
+      Some((640, 360, 4, "png")))     // RGBA
+    assert(ops.Multimodal.parseImageHeader(png(1, 1, 0)) ===
+      Some((1, 1, 1, "png")))         // grayscale
+    assert(ops.Multimodal.parseImageHeader(png(320, 200, 2)) ===
+      Some((320, 200, 3, "png")))     // RGB
+    assert(ops.Multimodal.parseImageHeader(png(16, 16, 3)) ===
+      Some((16, 16, 1, "png")))       // palette
+    // truncated (signature only) and bad color type → stub path
+    assert(ops.Multimodal.parseImageHeader(png(640, 360, 6).take(20)).isEmpty)
+    assert(ops.Multimodal.parseImageHeader(png(640, 360, 9)).isEmpty)
+  }
+
+  test("parseImageHeader: BMP dims (incl. top-down negative height) and bpp") {
+    assert(ops.Multimodal.parseImageHeader(bmp(800, 600, 24)) ===
+      Some((800, 600, 3, "bmp")))
+    assert(ops.Multimodal.parseImageHeader(bmp(800, -600, 32)) ===
+      Some((800, 600, 4, "bmp")))     // top-down rows, abs height
+    assert(ops.Multimodal.parseImageHeader(bmp(64, 64, 8)) ===
+      Some((64, 64, 1, "bmp")))
+    // "BM" text with a bogus DIB size must NOT parse as an image
+    assert(ops.Multimodal.parseImageHeader(
+      "BMW dealers reported record sales this quarter in every region".getBytes).isEmpty)
+  }
+
+  test("parseImageHeader: netpbm P6/P5 with comments; P3 ascii") {
+    assert(ops.Multimodal.parseImageHeader("P6\n# tiny test\n123 45\n255\n".getBytes) ===
+      Some((123, 45, 3, "ppm")))
+    assert(ops.Multimodal.parseImageHeader("P5 7 9 255 ".getBytes) ===
+      Some((7, 9, 1, "ppm")))
+    assert(ops.Multimodal.parseImageHeader("P3\n2 2\n255\n".getBytes) ===
+      Some((2, 2, 3, "ppm")))
+    // "P3 " inside prose does not have digit tokens next → rejected
+    assert(ops.Multimodal.parseImageHeader("P3 players won the match".getBytes).isEmpty)
+  }
+
+  test("decodeCore end-to-end: real bytes → real dims, unknown magic → labeled stub") {
+    import spark.implicits._
+    val payloads = Seq(
+      1L -> png(640, 360, 6),
+      2L -> bmp(800, 600, 24),
+      3L -> "P6\n640 480\n255\n".getBytes,
+      4L -> "just some text payload".getBytes)
+    val rows = ops.Multimodal.decodeCore(payloads.toDS())
+      .collect().map(m => m.doc_id -> m).toMap
+    assert(rows(1L).copy(content_md5 = "") ===
+      ops.Multimodal.MediaMeta(1L, png(640, 360, 6).length.toLong, "", 640, 360, 4, "png"))
+    assert((rows(2L).width, rows(2L).height, rows(2L).channels, rows(2L).decoder) ===
+      ((800, 600, 3, "bmp")))
+    assert((rows(3L).width, rows(3L).height, rows(3L).channels, rows(3L).decoder) ===
+      ((640, 480, 3, "ppm")))
+    val stub = rows(4L)
+    assert(stub.decoder === "stub-md5")
+    // stub dims stay inside their documented ranges (oracle mirror's domain)
+    assert(stub.width >= 320 && stub.width <= 575)
+    assert(stub.height >= 240 && stub.height <= 495)
+    assert(stub.channels >= 1 && stub.channels <= 3)
+  }
+
+  test("fixture corpus has no image-magic payloads (the mirror's constant-decoder premise)") {
+    import spark.implicits._
+    val d = SparkTestSession.sf0001
+    val n = Tables.documents(spark, d)
+      .select($"text".cast("binary").as("payload"))
+      .as[Array[Byte]]
+      .filter((p: Array[Byte]) => ops.Multimodal.parseImageHeader(p).nonEmpty)
+      .count()
+    assert(n === 0L, "a fixture document parses as an image — q_mm_decode's DuckDB mirror would diverge")
+  }
+}
