@@ -249,6 +249,61 @@ object Chunks {
       .agg(min("l_suppkey").as("chosen_node"))
       .orderBy("l_orderkey")
 
+  /** Per-node heartbeat payload as a FIRST-CLASS MapType column:
+    * Map[filename → sorted seq-number list] — the reference's heartbeat
+    * message body (proto/messages.proto:38-43, a map of fileName →
+    * sequence numbers held), which SURVEY §1.2 maps to
+    * MapType(String, ArrayType(Int)). Built bottom-up: one combining
+    * aggregate per (node, file) collects the sorted seq list, then one
+    * per node assembles the map with map_from_entries (keys unique by
+    * construction — the file level was grouped first). Per-node state
+    * is that node's own catalog — the same bound the reference's
+    * in-memory heartbeat holds; the map is |nodes| rows regardless of
+    * corpus size.
+    */
+  private[graft] def heartbeatPayload(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_suppkey").as("node_id"),
+        concat(lit("f_"), lpad(col("l_orderkey").cast("string"), 12, "0")).as("filename"),
+        col("l_linenumber").cast("int").as("seq"))
+      .groupBy("node_id", "filename")
+      .agg(sort_array(collect_list(col("seq"))).as("seqs"))
+      .groupBy("node_id")
+      .agg(map_from_entries(collect_list(struct(col("filename"), col("seqs")))).as("payload"))
+
+  /** q_heartbeat_map — controller-side questions answered FROM THE MAP
+    * (not from the flat rows): file count via map_keys, chunk total via
+    * a map_values fold, first-file probe via element_at — so both
+    * construction and lookup of the MapType surface are oracle-checked
+    * (the DuckDB mirror computes the same facts relationally). Output
+    * is scalar columns only (driver-hashable).
+    */
+  def heartbeatMap(s: SparkSession, d: String): DataFrame =
+    heartbeatPayload(s, d).select(col("node_id"),
+      expr("CAST(size(map_keys(payload)) AS BIGINT)").as("n_files"),
+      expr("aggregate(map_values(payload), CAST(0 AS BIGINT), (acc, x) -> acc + size(x))").as("n_chunks"),
+      array_min(map_keys(col("payload"))).as("first_file"),
+      expr("CAST(size(element_at(payload, array_min(map_keys(payload)))) AS BIGINT)").as("first_file_n_seqs"),
+      expr("CAST(array_min(element_at(payload, array_min(map_keys(payload)))) AS BIGINT)").as("first_file_min_seq"))
+      .orderBy("node_id")
+
+  /** q_heartbeat_map_explode — the map unnested BACK to rows
+    * (explode(map) → key/value columns) with per-file facts computed
+    * from the carried seq array; proves the map round-trip loses
+    * nothing vs the direct relational aggregation the oracle runs.
+    * is_contiguous relies on per-(node,file) seq uniqueness (lineitem's
+    * (orderkey, linenumber) key).
+    */
+  def heartbeatMapExplode(s: SparkSession, d: String): DataFrame =
+    heartbeatPayload(s, d)
+      .select(col("node_id"), explode(col("payload")).as(Seq("filename", "seqs")))
+      .select(col("node_id"), col("filename"),
+        expr("CAST(size(seqs) AS BIGINT)").as("n_seqs"),
+        expr("CAST(array_min(seqs) AS BIGINT)").as("seq_min"),
+        expr("CAST(array_max(seqs) AS BIGINT)").as("seq_max"),
+        expr("size(seqs) = array_max(seqs) - array_min(seqs) + 1").as("is_contiguous"))
+      .orderBy("node_id", "filename")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_chunk_split"              -> (chunkSplit _),
     "q_window_contiguity"        -> (windowContiguity _),
@@ -263,6 +318,8 @@ object Chunks {
     "q_join_placement_mod"       -> (placementMod _),
     "q_set_diff_candidates"      -> (setDiffCandidates _),
     "q_failover_coalesce"        -> (failoverCoalesce _),
+    "q_heartbeat_map"            -> (heartbeatMap _),
+    "q_heartbeat_map_explode"    -> (heartbeatMapExplode _),
   )
 
   private val checksumOracle =
@@ -331,7 +388,35 @@ object Chunks {
       ("SELECT l_orderkey, min(l_suppkey) AS chosen_node FROM lineitem " +
         "WHERE l_suppkey NOT IN (1, 2) " +
         "GROUP BY l_orderkey ORDER BY l_orderkey"),
+    // the map mirrors are RELATIONAL — DuckDB recomputes the same facts
+    // from flat rows, proving the Spark MapType pipeline invents/loses
+    // nothing (arg_min = value at the lexicographically first filename)
+    "q_heartbeat_map" ->
+      ("WITH pf AS (SELECT l_suppkey AS node_id, " +
+        "'f_' || lpad(CAST(l_orderkey AS VARCHAR), 12, '0') AS filename, " +
+        "count(*) AS n_seqs, min(l_linenumber) AS min_seq " +
+        "FROM lineitem GROUP BY 1, 2) " +
+        "SELECT node_id, count(*) AS n_files, CAST(sum(n_seqs) AS BIGINT) AS n_chunks, " +
+        "min(filename) AS first_file, " +
+        "CAST(arg_min(n_seqs, filename) AS BIGINT) AS first_file_n_seqs, " +
+        "CAST(arg_min(min_seq, filename) AS BIGINT) AS first_file_min_seq " +
+        "FROM pf GROUP BY node_id ORDER BY node_id"),
+    "q_heartbeat_map_explode" ->
+      ("SELECT l_suppkey AS node_id, " +
+        "'f_' || lpad(CAST(l_orderkey AS VARCHAR), 12, '0') AS filename, " +
+        "count(*) AS n_seqs, CAST(min(l_linenumber) AS BIGINT) AS seq_min, " +
+        "CAST(max(l_linenumber) AS BIGINT) AS seq_max, " +
+        "count(*) = max(l_linenumber) - min(l_linenumber) + 1 AS is_contiguous " +
+        "FROM lineitem GROUP BY 1, 2 ORDER BY node_id, filename"),
   )
+
+  private val heartbeatCtes =
+    "WITH pf AS (SELECT l_suppkey AS node_id, " +
+      "concat('f_', lpad(CAST(l_orderkey AS STRING), 12, '0')) AS filename, " +
+      "sort_array(collect_list(CAST(l_linenumber AS INT))) AS seqs " +
+      "FROM lineitem GROUP BY 1, 2), " +
+      "hb AS (SELECT node_id, map_from_entries(collect_list(struct(filename, seqs))) AS payload " +
+      "FROM pf GROUP BY node_id)"
 
   /** Spark-dialect SQL surface overrides (SqlSurface) — DuckDB-only
     * constructs rewritten: unnest(generate_series) → explode(sequence),
@@ -372,6 +457,26 @@ object Chunks {
           "WHERE NOT EXISTS (SELECT 1 FROM repl r WHERE r.l_orderkey = u.l_orderkey AND r.node = n.node)) " +
           "SELECT l_orderkey, max(have) AS have, 3 - max(have) AS need, count(*) AS n_candidates " +
           "FROM cand GROUP BY l_orderkey ORDER BY l_orderkey"),
+      // the Spark texts go THROUGH the MapType column (map_from_entries
+      // → map_keys/map_values/element_at/explode), unlike the flat
+      // relational DuckDB mirrors — the SQL front door exercises the
+      // same map surface the DataFrame builders do
+      "q_heartbeat_map" ->
+        (s"$heartbeatCtes " +
+          "SELECT node_id, CAST(size(map_keys(payload)) AS BIGINT) AS n_files, " +
+          "aggregate(map_values(payload), CAST(0 AS BIGINT), (acc, x) -> acc + size(x)) AS n_chunks, " +
+          "array_min(map_keys(payload)) AS first_file, " +
+          "CAST(size(element_at(payload, array_min(map_keys(payload)))) AS BIGINT) AS first_file_n_seqs, " +
+          "CAST(array_min(element_at(payload, array_min(map_keys(payload)))) AS BIGINT) AS first_file_min_seq " +
+          "FROM hb ORDER BY node_id"),
+      "q_heartbeat_map_explode" ->
+        (s"$heartbeatCtes, " +
+          "ex AS (SELECT node_id, explode(payload) AS (filename, seqs) FROM hb) " +
+          "SELECT node_id, filename, CAST(size(seqs) AS BIGINT) AS n_seqs, " +
+          "CAST(array_min(seqs) AS BIGINT) AS seq_min, " +
+          "CAST(array_max(seqs) AS BIGINT) AS seq_max, " +
+          "size(seqs) = array_max(seqs) - array_min(seqs) + 1 AS is_contiguous " +
+          "FROM ex ORDER BY node_id, filename"),
     )
   }
 }

@@ -35,4 +35,31 @@ class ChunksSpec extends AnyFunSuite {
     assert(out.filter(col("o_orderkey") === 1).count() == 0)
     assert(out.filter(col("o_orderkey") === 2).count() == 1)
   }
+
+  test("heartbeat payload is a real MapType(String, Array[Int]) and element_at probes it") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val d = SparkTestSession.sf0001
+    val hb = ops.Chunks.heartbeatPayload(spark, d)
+    assert(hb.schema("payload").dataType ===
+      MapType(StringType, ArrayType(IntegerType, containsNull = false), valueContainsNull = false))
+    // probe one concrete (node, file): the map lookup must return exactly
+    // the seq list the flat rows hold
+    val (node, okey) = Tables.lineitem(spark, d)
+      .select($"l_suppkey", $"l_orderkey").as[(Long, Long)].head()
+    val expected = Tables.lineitem(spark, d)
+      .filter($"l_suppkey" === node && $"l_orderkey" === okey)
+      .select($"l_linenumber".cast("int")).as[Int].collect().sorted.toSeq
+    val fname = f"f_$okey%012d"
+    val got = hb.filter($"node_id" === node)
+      .select(element_at($"payload", fname)).as[Seq[Int]].head()
+    assert(got === expected)
+    // exploding the map restores exactly the (node, file) set
+    val viaMap = ops.Chunks.heartbeatMapExplode(spark, d)
+      .select($"node_id", $"filename").as[(Long, String)].collect().toSet
+    val direct = Tables.lineitem(spark, d)
+      .select($"l_suppkey", $"l_orderkey").as[(Long, Long)].collect()
+      .map { case (n, k) => (n, f"f_$k%012d") }.toSet
+    assert(viaMap === direct)
+  }
 }
