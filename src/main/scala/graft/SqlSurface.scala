@@ -27,6 +27,11 @@ object SqlSurface {
       Tables(spark, sfDir, t).createOrReplaceTempView(t)
     }
     Tables.events(spark, sfDir).createOrReplaceTempView("events")
+    // the persisted trained-ANN index (built once per dataset dir if
+    // absent) — the SQL spelling of q_sim_search_ivf_kmeans* probes it
+    val ivfDir = ops.LlmPipeline.ensureIvfIndex(spark, sfDir)
+    spark.read.parquet(s"$ivfDir/assignments")
+      .createOrReplaceTempView("ivf_assignments")
   }
 
   /** Spark SQL text for `name`: the oracle text unless overridden. */

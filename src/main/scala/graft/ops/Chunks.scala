@@ -433,6 +433,11 @@ object Chunks {
         "named_struct('seq', l_linenumber, 'hash', chunk_md5))), x -> x.hash), '')) AS file_md5 " +
         "FROM chunks GROUP BY l_orderkey ORDER BY l_orderkey")
     Map(
+      // non-oracle (seeded-random sample — rows-only-compared in
+      // SqlSurfaceSpec): same rand(42) + tie-break the DataFrame uses
+      "q_choose_random_n" ->
+        ("SELECT s_suppkey, s_name FROM supplier " +
+          "ORDER BY rand(42) ASC, s_suppkey ASC LIMIT 10"),
       "q_chunk_split" ->
         (s"WITH sized AS (SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS size FROM orders), " +
           s"n AS (SELECT o_orderkey, size, (size + ${ChunkSize - 1}) DIV $ChunkSize AS n_chunks FROM sized), " +

@@ -992,12 +992,20 @@ object LlmPipeline {
     * form (KMeans state isn't SQL-mirrorable); LlmPipelineSpec pins
     * probe ≡ per-run result and fit-once/probe-twice identity.
     */
-  def simSearchIvfKmeansProbe(s: SparkSession, d: String): DataFrame = {
+  def simSearchIvfKmeansProbe(s: SparkSession, d: String): DataFrame =
+    ivfKmeansProbe(s.read.parquet(s"${ensureIvfIndex(s, d)}/assignments"))
+
+  /** Build the persisted IVF index for `d` if absent; returns its dir.
+    * Also the hook SqlSurface.registerViews uses to expose the
+    * assignments as a view — the SQL front door to the trained-ANN
+    * queries (training is an ETL job; querying is SQL).
+    */
+  private[graft] def ensureIvfIndex(s: SparkSession, d: String): String = {
     val dir = ivfIndexDir(d)
     val success = new org.apache.hadoop.fs.Path(s"$dir/assignments/_SUCCESS")
     val fs = success.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(success)) buildIvfIndex(s, d, dir)
-    ivfKmeansProbe(s.read.parquet(s"$dir/assignments"))
+    dir
   }
 
   // ------------------------------------------------------- text analysis
@@ -2453,6 +2461,53 @@ object LlmPipeline {
           "WHERE codes.vec_id <> 0 " +
           "GROUP BY codes.vec_id ORDER BY adist2 ASC, vec_id ASC LIMIT 5"
       },
+      // ---- non-oracle queries: Spark-dialect texts, rows-only-compared
+      // in SqlSurfaceSpec (no DuckDB mirror exists for these by design)
+      //
+      // q_dedup_near's text is the EXACT shingle-Jaccard pair join at the
+      // same strict <0.5 distance threshold approxSimilarityJoin applies;
+      // it equals the LSH output whenever recall is 100% (pinned on the
+      // fixture by the planted-dup spec) and no HashingTF bucket
+      // collision crosses the threshold.
+      "q_dedup_near" ->
+        (s"$dsCte, " +
+          "sizes AS (SELECT doc_id, count(*) AS n_sh FROM ds GROUP BY doc_id), " +
+          "ok AS (SELECT sh FROM ds GROUP BY sh HAVING count(DISTINCT doc_id) > 1), " +
+          "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(DISTINCT a.sh) AS n_inter " +
+          "FROM ds a JOIN ok ON ok.sh = a.sh JOIN ds b ON a.sh = b.sh AND a.doc_id < b.doc_id " +
+          "GROUP BY 1, 2), " +
+          "j AS (SELECT doc_a, doc_b, " +
+          "1.0D - CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) AS jaccard_dist " +
+          "FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b) " +
+          "SELECT doc_a, doc_b, jaccard_dist FROM j WHERE jaccard_dist < 0.5D " +
+          "ORDER BY doc_a, doc_b"),
+      // the same rand(seed)-filter sampleBy compiles to, spelled as text
+      "q_sample_stratified" -> {
+        val cases = SampleFractions.toSeq.sorted
+          .map { case (l, f) => s"WHEN '$l' THEN ${f}D" }.mkString(" ")
+        "SELECT doc_id, lang, source FROM " +
+          "(SELECT doc_id, lang, source, rand(42) AS r FROM documents) " +
+          s"WHERE r < CASE lang $cases ELSE 0.0D END ORDER BY doc_id"
+      },
+      // trained-ANN queries through SQL: the KMeans fit is an ETL job
+      // (buildIvfIndex) whose output registerViews exposes as the
+      // ivf_assignments view; the probe itself is plain SQL. Identical
+      // text for the per-run and persisted forms — the probe≡per-run
+      // identity is spec-pinned.
+      "q_sim_search_ivf_kmeans" -> ivfKmeansProbeSql,
+      "q_sim_search_ivf_kmeans_probe" -> ivfKmeansProbeSql,
     )
   }
+
+  /** Bucket-pruned cosine top-5 over the persisted-index view (the SQL
+    * spelling of ivfKmeansProbe). Requires `ivf_assignments` registered
+    * by SqlSurface.registerViews.
+    */
+  private def ivfKmeansProbeSql: String =
+    s"WITH probe AS (SELECT q AS qa, ${dotL("q", "q")} AS n2a, bucket AS probe_bucket " +
+      "FROM ivf_assignments WHERE vec_id = 0) " +
+      s"SELECT a.vec_id, a.bucket, CAST(${dotL("qa", "a.q")} AS DOUBLE) / " +
+      s"sqrt(CAST(n2a AS DOUBLE) * CAST(${dotL("a.q", "a.q")} AS DOUBLE)) AS cos " +
+      "FROM ivf_assignments a JOIN probe ON a.bucket = probe.probe_bucket " +
+      "WHERE a.vec_id <> 0 ORDER BY cos DESC, vec_id LIMIT 5"
 }

@@ -803,6 +803,18 @@ object Relational {
     * QUALIFY → ranked subquery.
     */
   val sparkSql: Map[String, String] = Map(
+    // non-oracle (sketch outputs — rows-only-compared in SqlSurfaceSpec):
+    // identical function calls to the DataFrame forms, so the sketches
+    // are bit-identical, not just approximately equal
+    "q_agg_approx_distinct" ->
+      ("SELECT l_returnflag, approx_count_distinct(l_partkey, 0.02) AS approx_parts " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "q_agg_approx_quantile" ->
+      ("WITH a AS (SELECT l_returnflag, " +
+        "approx_percentile(CAST(l_quantity AS DOUBLE), array(0.25D, 0.5D, 0.75D), 10000) AS q " +
+        "FROM lineitem GROUP BY l_returnflag) " +
+        "SELECT l_returnflag, q[0] AS p25, q[1] AS p50, q[2] AS p75 " +
+        "FROM a ORDER BY l_returnflag"),
     "q_agg_percentile" ->
       ("SELECT l_returnflag, percentile(CAST(l_quantity AS DOUBLE), 0.25D) AS p25, " +
         "percentile(CAST(l_quantity AS DOUBLE), 0.5D) AS p50, " +

@@ -42,6 +42,26 @@ class SqlSurfaceSpec extends AnyFunSuite {
     }
   }
 
+  // ------------------------------------------------------------------
+  // Non-oracle queries (seeded-random / sketch / trained-ANN forms):
+  // EVERY registered query must still be reachable as spark.sql text.
+  // These have no DuckDB mirror by design, so the check is weaker —
+  // column set + row count — matching the driver's rows-only gate for
+  // the same queries.
+  // ------------------------------------------------------------------
+  (SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet).toSeq.sorted.foreach { name =>
+    test(s"SQL surface (rows-only, no oracle by design): $name") {
+      viewsReady
+      val sql = SqlSurface.sqlFor(name)
+        .getOrElse(fail(s"no SQL surface text for $name"))
+      val viaSql = spark.sql(sql)
+      val viaApi = SparkEntry.queries(name)(spark, d)
+      assert(viaSql.columns.sorted.toSeq == viaApi.columns.sorted.toSeq,
+        "column sets differ")
+      assert(viaSql.count() == viaApi.count(), "row counts differ")
+    }
+  }
+
   test("spark.sql text runs the flagship under-replication query identically (#3)") {
     Tables.lineitem(spark, d).createOrReplaceTempView("lineitem_v")
     val sql = spark.sql(
