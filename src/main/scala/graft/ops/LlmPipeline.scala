@@ -220,7 +220,25 @@ object LlmPipeline {
     * O(1).
     */
   def dedupCc(s: SparkSession, d: String): DataFrame =
-    ccLabels(minhashPairsFromBanded(minhashBanded(s, d))).orderBy("doc_id")
+    ccLabelsFor(s, d).orderBy("doc_id")
+
+  /** Converged component labels, memoized per (session, dataset dir):
+    * q_dedup_cc and q_dedup_cluster_stats both consume the SAME
+    * label table, and each independent rebuild re-runs the whole
+    * signature→banding→pairs→propagation pipeline (~2.5 s combined in
+    * the clean bench, most of it the shared shingle pass). The labels
+    * are already localCheckpoint-pinned (materialized, O(1) lineage),
+    * so the memo holds only a handle to executor-resident blocks sized
+    * by the duplicate set — the persisted-index discipline
+    * (ensureIvfIndex) applied to the cc stage. Keyed by session so a
+    * stopped session's pinned blocks are never handed to a new one.
+    */
+  private val ccLabelsMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def ccLabelsFor(s: SparkSession, d: String): DataFrame =
+    ccLabelsMemo.computeIfAbsent((s, d), _ =>
+      ccLabels(minhashPairsFromBanded(minhashBanded(s, d))))
 
   /** Min-label-propagation core over an undirected pair list (doc_a,
     * doc_b) — factored out so specs can drive it with synthetic graphs
@@ -272,7 +290,7 @@ object LlmPipeline {
     * over |labeled docs| rows — the duplicate set, not the corpus.
     */
   def dedupClusterStats(s: SparkSession, d: String): DataFrame =
-    ccLabels(minhashPairsFromBanded(minhashBanded(s, d)))
+    ccLabelsFor(s, d)
       .join(Tables.documents(s, d).select(col("doc_id"), col("n_chars")), "doc_id")
       .groupBy("rep_id")
       .agg(count(lit(1)).as("n_docs"),
