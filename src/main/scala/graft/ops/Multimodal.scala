@@ -8,13 +8,14 @@ import org.apache.spark.sql.functions._
   * treated as opaque `binary` columns plus typed metadata, with
   * decode / feature-extract / resize / frame-sample stages.
   *
-  * The DECODE step is REAL for the common headerable formats — PNG
-  * (IHDR), BMP (DIB header) and PPM/PGM (P2/P3/P5/P6) dimensions are
-  * parsed from the payload bytes in pure JVM, no codec libs (the same
-  * way the reference validates real file bytes,
+  * The DECODE step is REAL for the common image formats — JPEG (SOF
+  * marker walk), PNG (IHDR), GIF (logical screen descriptor), BMP
+  * (DIB header) and PPM/PGM (P2/P3/P5/P6) dimensions are parsed from
+  * the payload bytes in pure JVM, no codec libs (the same way the
+  * reference validates real file bytes,
   * structures/Chunk.java:166-189). Payloads with unknown magic fall
   * back to a clearly-labeled deterministic md5-derived STUB (the
-  * container has no codecs for jpeg/webp/video). Around it is the real
+  * container has no codecs for webp/avif/video). Around it is the real
   * Spark plumbing this pipeline needs at 100 TB:
   *  - the binary payload travels as `BinaryType` (parquet BYTE_ARRAY),
   *    never stringified;
@@ -48,6 +49,14 @@ object Multimodal {
     *  - PPM/PGM (netpbm): "P2"/"P3" (ascii) or "P5"/"P6" (binary)
     *    magic, then whitespace-separated width/height tokens with
     *    '#' comment lines allowed; P2/P5 are 1-channel, P3/P6 are 3.
+    *  - GIF: "GIF87a"/"GIF89a" then the logical-screen descriptor —
+    *    width/height are little-endian u16 at offsets 6/8; palette
+    *    color, so 3 channels.
+    *  - JPEG: FF D8 then a marker walk — each segment is FF <marker>
+    *    <u16 BE length incl. itself>; the frame header (SOF0/1/2,
+    *    progressive included) carries precision, height, width and
+    *    the component count (1 = grayscale, 3 = YCbCr). Stops at SOS
+    *    (entropy-coded data) or on a malformed length.
     */
   private[graft] def parseImageHeader(p: Array[Byte]): Option[(Int, Int, Int, String)] = {
     def u8(i: Int) = p(i) & 0xFF
@@ -73,6 +82,35 @@ object Multimodal {
         if (w > 0 && h != 0) Some((w, math.abs(h), math.max(1, bpp / 8), "bmp"))
         else None
       }
+    } else if (p.length >= 10 && u8(0) == 'G' && u8(1) == 'I' && u8(2) == 'F' &&
+               u8(3) == '8' && (u8(4) == '7' || u8(4) == '9') && u8(5) == 'a') {
+      val (w, h) = (le16(6), le16(8))
+      if (w > 0 && h > 0) Some((w, h, 3, "gif")) else None
+    } else if (p.length >= 4 && u8(0) == 0xFF && u8(1) == 0xD8) {
+      // JPEG marker walk to the first frame header
+      var i = 2
+      while (i + 3 < p.length) {
+        if (u8(i) != 0xFF) return None
+        var m = u8(i + 1)
+        var j = i + 1
+        while (m == 0xFF && j + 1 < p.length) { j += 1; m = u8(j) } // fill bytes
+        i = j - 1
+        if (m == 0xD8 || (m >= 0xD0 && m <= 0xD7)) i += 2 // standalone markers
+        else if (m == 0xD9 || m == 0xDA) return None      // EOI / SOS before SOF
+        else {
+          if (i + 3 >= p.length) return None
+          val len = (u8(i + 2) << 8) | u8(i + 3)
+          if (len < 2) return None
+          if ((m == 0xC0 || m == 0xC1 || m == 0xC2) && i + 9 < p.length) {
+            val (h, w, nc) = ((u8(i + 5) << 8) | u8(i + 6),
+              (u8(i + 7) << 8) | u8(i + 8), u8(i + 9))
+            return if (w > 0 && h > 0 && (nc == 1 || nc == 3 || nc == 4))
+              Some((w, h, nc, "jpeg")) else None
+          }
+          i += 2 + len
+        }
+      }
+      None
     } else if (p.length >= 3 && u8(0) == 'P' && "2356".contains(p(1).toChar) &&
                Character.isWhitespace(p(2).toChar)) {
       // netpbm: scan whitespace-separated tokens, skipping '#' comments
@@ -133,7 +171,7 @@ object Multimodal {
           case Some((w, h, c, fmt)) =>
             MediaMeta(id, payload.length.toLong, hex, w, h, c, fmt)
           case None =>
-            // --- STUB: non-headerable formats (jpeg/webp/video) would
+            // --- STUB: non-headerable formats (webp/avif/video) would
             // need a real codec; derive deterministic fake dims instead
             val width = 320 + 16 * hexVal(hex(0)) + hexVal(hex(1))
             val height = 240 + 16 * hexVal(hex(2)) + hexVal(hex(3))

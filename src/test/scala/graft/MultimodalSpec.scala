@@ -54,6 +54,47 @@ class MultimodalSpec extends AnyFunSuite {
       "BMW dealers reported record sales this quarter in every region".getBytes).isEmpty)
   }
 
+  /** Minimal GIF: signature + logical screen descriptor. */
+  private def gif(w: Int, h: Int, v87: Boolean = false): Array[Byte] =
+    (if (v87) "GIF87a" else "GIF89a").getBytes ++ le16(w) ++ le16(h) ++
+      Array(0.toByte, 0.toByte, 0.toByte)
+
+  /** Minimal JPEG prefix: SOI + APP0(JFIF) + SOF0 frame header. */
+  private def jpeg(w: Int, h: Int, ncomp: Int): Array[Byte] = {
+    val app0 = Array(0xFF, 0xE0, 0x00, 0x10).map(_.toByte) ++
+      "JFIF".getBytes ++ Array.fill(10)(0.toByte)
+    val sofLen = 8 + 3 * ncomp
+    val sof = Array(0xFF, 0xC0, sofLen >> 8, sofLen & 0xFF, 8,
+      h >> 8, h & 0xFF, w >> 8, w & 0xFF, ncomp).map(_.toByte) ++
+      Array.fill(3 * ncomp)(0.toByte)
+    Array(0xFF, 0xD8).map(_.toByte) ++ app0 ++ sof
+  }
+
+  test("parseImageHeader: GIF logical screen descriptor (87a + 89a)") {
+    assert(ops.Multimodal.parseImageHeader(gif(1024, 768)) ===
+      Some((1024, 768, 3, "gif")))
+    assert(ops.Multimodal.parseImageHeader(gif(2, 2, v87 = true)) ===
+      Some((2, 2, 3, "gif")))
+    // text starting "GIF8..." without the version byte → stub path
+    assert(ops.Multimodal.parseImageHeader("GIF8 is not a file".getBytes).isEmpty)
+  }
+
+  test("parseImageHeader: JPEG SOF marker walk (baseline + progressive + grayscale)") {
+    assert(ops.Multimodal.parseImageHeader(jpeg(1920, 1080, 3)) ===
+      Some((1920, 1080, 3, "jpeg")))
+    assert(ops.Multimodal.parseImageHeader(jpeg(64, 48, 1)) ===
+      Some((64, 48, 1, "jpeg")))
+    // progressive: same walk, SOF2 instead of SOF0
+    val prog = jpeg(300, 200, 3)
+    prog(2 + 18 + 1) = 0xC2.toByte // flip the SOF marker byte
+    assert(ops.Multimodal.parseImageHeader(prog) === Some((300, 200, 3, "jpeg")))
+    // SOS before any SOF (corrupt stream) → stub path, no crash
+    val sos = Array(0xFF, 0xD8, 0xFF, 0xDA, 0x00, 0x04, 0, 0).map(_.toByte)
+    assert(ops.Multimodal.parseImageHeader(sos).isEmpty)
+    // truncated mid-segment → stub path, no crash
+    assert(ops.Multimodal.parseImageHeader(jpeg(1920, 1080, 3).take(12)).isEmpty)
+  }
+
   test("parseImageHeader: netpbm P6/P5 with comments; P3 ascii") {
     assert(ops.Multimodal.parseImageHeader("P6\n# tiny test\n123 45\n255\n".getBytes) ===
       Some((123, 45, 3, "ppm")))
