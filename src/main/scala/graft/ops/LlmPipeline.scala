@@ -583,6 +583,66 @@ object LlmPipeline {
       .agg(countDistinct(col("doc_id")).as("df"))
       .where(col("df") > cap)
 
+  /** A shingle present in more than this many documents counts as
+    * boilerplate for q_boilerplate_score (template headers, navigation
+    * chrome, license blurbs — the C4/RefinedWeb line-dedup target,
+    * expressed over shingles because the synthetic corpus has no line
+    * structure).
+    */
+  private[graft] val BoilerplateDfCap = 20
+
+  /** q_boilerplate_score — per-document boilerplate share: the ppm of a
+    * doc's shingle rows whose corpus-wide document frequency exceeds
+    * BoilerplateDfCap. The pre-filter signal for template/chrome removal
+    * (a doc that is mostly high-df shingles is navigation or a license
+    * page, not content) — the corpus-level complement of the intra-doc
+    * q_text_repetition score. Plan: the inverted index is built once and
+    * localCheckpoint-pinned (consumed by the df aggregate AND the
+    * join-back — the dedupIncremental branch-reuse lesson), df is one
+    * combining aggregate, the join-back shuffles 16 B rows on the
+    * shingle hash. Exact integer ppm — fully oracle-checked.
+    */
+  def boilerplateScore(s: SparkSession, d: String): DataFrame = {
+    val postings = ngramPostings(s, d).localCheckpoint()
+    val dfs = postings.groupBy("sh")
+      .agg(countDistinct(col("doc_id")).as("df"))
+    postings.join(dfs, "sh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sh"),
+        sum(when(col("df") > BoilerplateDfCap, 1L).otherwise(0L)).as("n_common"))
+      .select(col("doc_id"), col("n_sh"), col("n_common"),
+        expr("n_common * 1000000 DIV n_sh").as("common_ppm"))
+      .orderBy("doc_id")
+  }
+
+  /** PII detector patterns for q_pii_scan — deliberately engine-neutral
+    * regex (character classes only, `[.]` instead of an escaped dot, no
+    * lookaround) so the Java regex the Spark form runs and the RE2 the
+    * DuckDB mirror runs cannot disagree; both count non-overlapping
+    * matches.
+    */
+  private[graft] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+  private[graft] val LongNumberRe = "[0-9]{6,}"
+
+  /** q_pii_scan — per-document PII screen: counts of email addresses
+    * and long digit runs (phone/account/SSN shapes) plus the has_pii
+    * flag a privacy filter drops on. Every serious public-web training
+    * pipeline runs this pass (C4 strips lines by such patterns). Pure
+    * per-row projection — mapper-only, no shuffle except the output
+    * sort; at 100 TB this pass is scan-bound, exactly as it should be.
+    * The synthetic corpus contains no PII (the spec plants fixtures to
+    * prove the counting), so the oracle gate here certifies engine
+    * regex parity at corpus scale.
+    */
+  def piiScan(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("t"))
+      .select(col("doc_id"),
+        expr(s"CAST(regexp_count(t, '$EmailRe') AS BIGINT)").as("n_emails"),
+        expr(s"CAST(regexp_count(t, '$LongNumberRe') AS BIGINT)").as("n_long_numbers"))
+      .withColumn("has_pii", col("n_emails") + col("n_long_numbers") > 0)
+      .orderBy("doc_id")
+
   // ----------------------------------------------------------- embeddings
   /** Fixed-point quantization of the FLOAT[64] embedding: q = round(x *
     * 1000) as long. Dot/norm sums are then exact integers.
@@ -1619,6 +1679,8 @@ object LlmPipeline {
     "q_pipeline_curate"     -> (pipelineCurate _),
     "q_mix_weights"         -> (mixWeights _),
     "q_mix_temperature"     -> (mixTemperature _),
+    "q_boilerplate_score"   -> (boilerplateScore _),
+    "q_pii_scan"            -> (piiScan _),
   )
 
   val oracle: Map[String, String] = {
@@ -2086,6 +2148,23 @@ object LlmPipeline {
           "SELECT source, source_tokens, " +
           "CAST(s_scaled * 1000000 // z AS BIGINT) AS share_ppm " +
           "FROM sc, g ORDER BY source"),
+      "q_boilerplate_score" ->
+        (s"WITH ds AS (SELECT doc_id, " +
+          s"CAST(concat('0x', substring(md5(unnest(list_distinct($shinglesDuck))), 1, 15)) AS BIGINT) AS sh " +
+          "FROM documents), " +
+          "dfs AS (SELECT sh, count(DISTINCT doc_id) AS df FROM ds GROUP BY sh) " +
+          "SELECT d.doc_id, count(*) AS n_sh, " +
+          s"CAST(sum(CASE WHEN dfs.df > $BoilerplateDfCap THEN 1 ELSE 0 END) AS BIGINT) AS n_common, " +
+          s"CAST(sum(CASE WHEN dfs.df > $BoilerplateDfCap THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS common_ppm " +
+          "FROM ds d JOIN dfs ON dfs.sh = d.sh " +
+          "GROUP BY d.doc_id ORDER BY d.doc_id"),
+      "q_pii_scan" ->
+        (s"SELECT doc_id, " +
+          s"CAST(len(regexp_extract_all(coalesce(text, ''), '$EmailRe')) AS BIGINT) AS n_emails, " +
+          s"CAST(len(regexp_extract_all(coalesce(text, ''), '$LongNumberRe')) AS BIGINT) AS n_long_numbers, " +
+          s"len(regexp_extract_all(coalesce(text, ''), '$EmailRe')) + " +
+          s"len(regexp_extract_all(coalesce(text, ''), '$LongNumberRe')) > 0 AS has_pii " +
+          "FROM documents ORDER BY doc_id"),
     )
   }
 
@@ -2479,6 +2558,21 @@ object LlmPipeline {
           "WHERE codes.vec_id <> 0 " +
           "GROUP BY codes.vec_id ORDER BY adist2 ASC, vec_id ASC LIMIT 5"
       },
+      "q_boilerplate_score" ->
+        (s"$dsCte, " +
+          "dfs AS (SELECT sh, count(DISTINCT doc_id) AS df FROM ds GROUP BY sh) " +
+          "SELECT ds.doc_id, count(*) AS n_sh, " +
+          s"sum(CASE WHEN dfs.df > $BoilerplateDfCap THEN 1 ELSE 0 END) AS n_common, " +
+          s"sum(CASE WHEN dfs.df > $BoilerplateDfCap THEN 1 ELSE 0 END) * 1000000 DIV count(*) AS common_ppm " +
+          "FROM ds JOIN dfs ON dfs.sh = ds.sh " +
+          "GROUP BY ds.doc_id ORDER BY doc_id"),
+      "q_pii_scan" ->
+        (s"SELECT doc_id, " +
+          s"CAST(regexp_count(coalesce(text, ''), '$EmailRe') AS BIGINT) AS n_emails, " +
+          s"CAST(regexp_count(coalesce(text, ''), '$LongNumberRe') AS BIGINT) AS n_long_numbers, " +
+          s"regexp_count(coalesce(text, ''), '$EmailRe') + " +
+          s"regexp_count(coalesce(text, ''), '$LongNumberRe') > 0 AS has_pii " +
+          "FROM documents ORDER BY doc_id"),
       // ---- non-oracle queries: Spark-dialect texts, rows-only-compared
       // in SqlSurfaceSpec (no DuckDB mirror exists for these by design)
       //

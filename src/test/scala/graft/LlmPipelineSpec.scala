@@ -615,6 +615,53 @@ class LlmPipelineSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("q_boilerplate_score: planted shared phrase across >cap docs scores exactly") {
+    import spark.implicits._
+    // 25 docs share the shingle "the quick fox" (df = 25 > cap = 20);
+    // each doc's other 3 shingles are unique → n_common = 1, n_sh = 4,
+    // ppm = 250000 exactly
+    val dir = s"/tmp/graft-test-boiler-${java.util.UUID.randomUUID()}"
+    (0 until 25).map { i =>
+      (i.toLong, s"the quick fox u$i v$i w$i", "en", "src0", 20L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = ops.LlmPipeline.boilerplateScore(spark, dir)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.length === 25)
+    got.foreach { case (id, nSh, nCommon, ppm) =>
+      assert(nSh === 4L, s"doc $id shingle count")
+      assert(nCommon === 1L, s"doc $id common count")
+      assert(ppm === 250000L, s"doc $id ppm")
+    }
+    // control: a corpus with no shared shingles scores 0 everywhere
+    val dir2 = s"/tmp/graft-test-boiler-${java.util.UUID.randomUUID()}"
+    (0 until 5).map(i => (i.toLong, s"a$i b$i c$i d$i", "en", "src0", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir2/documents.parquet")
+    assert(ops.LlmPipeline.boilerplateScore(spark, dir2)
+      .as[(Long, Long, Long, Long)].collect().forall(r => r._3 == 0L && r._4 == 0L))
+  }
+
+  test("q_pii_scan: planted emails and long digit runs are counted exactly") {
+    import spark.implicits._
+    val dir = s"/tmp/graft-test-pii-${java.util.UUID.randomUUID()}"
+    Seq(
+      (1L, "contact me at jane.doe@example.com or j+tag@sub.domain.org thanks"),
+      (2L, "my card 4111111111111111 and pin 123456 and short 12345"),
+      (3L, "clean text with no sensitive content at all"),
+      (4L, null.asInstanceOf[String]))
+      .map { case (id, t) => (id, t, "en", "src0", 10L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = ops.LlmPipeline.piiScan(spark, dir)
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) === ((2L, 0L, true)))
+    assert(got(2L) === ((0L, 2L, true)), "16-digit card + 6-digit pin; 5-digit ignored")
+    assert(got(3L) === ((0L, 0L, false)))
+    assert(got(4L) === ((0L, 0L, false)), "null text is clean, not an error")
+  }
+
   test("q_pipeline_curate ≡ filter → keep-best → pack composed from the single ops") {
     import spark.implicits._
     val d = SparkTestSession.sf0001
