@@ -643,6 +643,25 @@ object LlmPipeline {
       .withColumn("has_pii", col("n_emails") + col("n_long_numbers") > 0)
       .orderBy("doc_id")
 
+  /** q_pii_redact — the ACTION the scan gates: emails and long digit
+    * runs replaced with typed placeholders (emails first, so digits
+    * inside an address are consumed by <EMAIL> and never double-masked).
+    * Output carries the redacted text itself plus the replacement count
+    * — the form a privacy-compliant export writes. Same engine-neutral
+    * patterns as q_pii_scan; mapper-only. DuckDB's regexp_replace is
+    * first-match-only by default, so the mirror passes the 'g' flag to
+    * match Spark's replace-all semantics.
+    */
+  def piiRedact(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("t"))
+      .select(col("doc_id"),
+        expr(s"regexp_replace(regexp_replace(t, '$EmailRe', '<EMAIL>'), " +
+          s"'$LongNumberRe', '<NUMBER>')").as("redacted"),
+        expr(s"CAST(regexp_count(t, '$EmailRe') + regexp_count(t, '$LongNumberRe') AS BIGINT)")
+          .as("n_redactions"))
+      .orderBy("doc_id")
+
   // ----------------------------------------------------------- embeddings
   /** Fixed-point quantization of the FLOAT[64] embedding: q = round(x *
     * 1000) as long. Dot/norm sums are then exact integers.
@@ -1681,6 +1700,7 @@ object LlmPipeline {
     "q_mix_temperature"     -> (mixTemperature _),
     "q_boilerplate_score"   -> (boilerplateScore _),
     "q_pii_scan"            -> (piiScan _),
+    "q_pii_redact"          -> (piiRedact _),
   )
 
   val oracle: Map[String, String] = {
@@ -2165,6 +2185,13 @@ object LlmPipeline {
           s"len(regexp_extract_all(coalesce(text, ''), '$EmailRe')) + " +
           s"len(regexp_extract_all(coalesce(text, ''), '$LongNumberRe')) > 0 AS has_pii " +
           "FROM documents ORDER BY doc_id"),
+      "q_pii_redact" ->
+        (s"SELECT doc_id, " +
+          s"regexp_replace(regexp_replace(coalesce(text, ''), '$EmailRe', '<EMAIL>', 'g'), " +
+          s"'$LongNumberRe', '<NUMBER>', 'g') AS redacted, " +
+          s"CAST(len(regexp_extract_all(coalesce(text, ''), '$EmailRe')) + " +
+          s"len(regexp_extract_all(coalesce(text, ''), '$LongNumberRe')) AS BIGINT) AS n_redactions " +
+          "FROM documents ORDER BY doc_id"),
     )
   }
 
@@ -2572,6 +2599,13 @@ object LlmPipeline {
           s"CAST(regexp_count(coalesce(text, ''), '$LongNumberRe') AS BIGINT) AS n_long_numbers, " +
           s"regexp_count(coalesce(text, ''), '$EmailRe') + " +
           s"regexp_count(coalesce(text, ''), '$LongNumberRe') > 0 AS has_pii " +
+          "FROM documents ORDER BY doc_id"),
+      "q_pii_redact" ->
+        (s"SELECT doc_id, " +
+          s"regexp_replace(regexp_replace(coalesce(text, ''), '$EmailRe', '<EMAIL>'), " +
+          s"'$LongNumberRe', '<NUMBER>') AS redacted, " +
+          s"CAST(regexp_count(coalesce(text, ''), '$EmailRe') + " +
+          s"regexp_count(coalesce(text, ''), '$LongNumberRe') AS BIGINT) AS n_redactions " +
           "FROM documents ORDER BY doc_id"),
       // ---- non-oracle queries: Spark-dialect texts, rows-only-compared
       // in SqlSurfaceSpec (no DuckDB mirror exists for these by design)

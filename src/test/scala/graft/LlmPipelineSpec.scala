@@ -660,6 +660,15 @@ class LlmPipelineSpec extends AnyFunSuite {
     assert(got(2L) === ((0L, 2L, true)), "16-digit card + 6-digit pin; 5-digit ignored")
     assert(got(3L) === ((0L, 0L, false)))
     assert(got(4L) === ((0L, 0L, false)), "null text is clean, not an error")
+    // redaction: same fixtures, placeholders in place, counts match scan
+    val red = ops.LlmPipeline.piiRedact(spark, dir)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(red(1L)._1 === "contact me at <EMAIL> or <EMAIL> thanks")
+    assert(red(1L)._2 === 2L)
+    assert(red(2L)._1 === "my card <NUMBER> and pin <NUMBER> and short 12345")
+    assert(red(2L)._2 === 2L)
+    assert(red(3L) === (("clean text with no sensitive content at all", 0L)))
+    assert(red(4L) === (("", 0L)))
   }
 
   test("q_pipeline_curate ≡ filter → keep-best → pack composed from the single ops") {
