@@ -737,6 +737,49 @@ object LlmPipeline {
         expr("qsum * 1000 DIV n").as("centroid_micros"))
       .orderBy("label", "dim")
 
+  private[graft] val OutlierTopK = 5
+
+  /** q_embed_outliers — per-label distance-to-centroid outlier report:
+    * the OutlierTopK vectors of each label farthest from their label's
+    * centroid — the audit behind mislabel detection and embedding-space
+    * quality gates (a vector far from its own class prototype is the
+    * first candidate for re-annotation or exclusion). Exact integer
+    * score: with S_d, n_d the per-(label, dim) quantized sum and count,
+    * score = Σ_d (n_d·q_d − S_d)². For fixed-dimensionality vectors
+    * n_d ≡ n, so score = n²·‖q − centroid‖² — monotone in the true
+    * distance WITHIN a label (the only scope it is ranked in), with no
+    * IEEE accumulation anywhere, so fully oracle-checked. BIGINT head-
+    * room: |n·q − S| ≤ 2n·q_max, so score ≤ dims·4n²·q_max² ≈ 2.6e8·n²
+    * — exact to n ≈ 5.9e⁴ vectors per label; past that, cast the
+    * squared term to DECIMAL(38,0) (the q_skew_diagnose guard).
+    * Plan: posexplode → per-(label, dim) combining agg (a labels×dims
+    * moment table, broadcast back onto the exploded rows — no shuffle
+    * of the corpus-sized side) → per-(label, vec) combining agg →
+    * row_number ≤ K over a label-partitioned window. The low-
+    * cardinality window partition key is safe here because Spark 4
+    * rewrites rank-limit filters into WindowGroupLimit with a PARTIAL
+    * pass before the exchange (plan-asserted in the spec): each map
+    * task forwards at most K rows per label, so the label-keyed
+    * shuffle carries ≤ tasks·labels·K rows — never the corpus.
+    */
+  def embedOutliers(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("label"), col("vec_id"),
+        posexplode(expr(quant)).as(Seq("dim", "q")))
+    val moments = e.groupBy("label", "dim")
+      .agg(sum(col("q")).as("sd"), count(lit(1)).as("nd"))
+    val w = Window.partitionBy("label")
+      .orderBy(col("score").desc, col("vec_id"))
+    e.join(broadcast(moments), Seq("label", "dim"))
+      .select(col("label"), col("vec_id"),
+        (col("nd") * col("q") - col("sd")).as("dev"))
+      .groupBy("label", "vec_id")
+      .agg(sum(col("dev") * col("dev")).as("score"))
+      .withColumn("rk", row_number().over(w)).where(col("rk") <= OutlierTopK)
+      .select(col("label"), col("vec_id"), col("score"))
+      .orderBy(col("label"), col("score").desc, col("vec_id"))
+  }
+
   /** #45 q_sim_search — brute-force cosine top-k against the probe
     * vector (vec_id = 0). The probe is a 1-row broadcast (crossJoin with
     * a broadcast side = BroadcastNestedLoopJoin over one row — a map-side
@@ -1606,6 +1649,43 @@ object LlmPipeline {
       .orderBy("source", "doc_id")
   }
 
+  private[graft] val NShards = 32L
+
+  /** q_shard_manifest — deterministic export-shard assignment plus the
+    * audit manifest a 100 TB corpus export publishes for its readers.
+    * Shard = (doc_id · 2654435761) mod 2³² mod NShards — Knuth's
+    * multiplicative hash in plain BIGINT arithmetic, chosen over
+    * murmur/xxhash because it is engine-neutral (Spark's `hash` and
+    * DuckDB's `hash` disagree, so a mirror would be impossible) while
+    * still scattering sequential doc_ids across shards (a naive
+    * doc_id mod N sends contiguous crawl ranges to one shard). The
+    * manifest rows are what the writer commits next to the data:
+    * per-shard doc count, char volume, and id range — enough for a
+    * reader to size splits and verify completeness without listing
+    * files. The reference's analogue is round-robin chunk→node
+    * placement (client/Client.java:342-355); a content-keyed mod hash
+    * is the same idea made stateless and reproducible.
+    * Plan: mapper-side shard expr → ONE combining hash agg keyed by
+    * the NShards-value shard id (map-side partials reduce each task's
+    * output to ≤ NShards rows; the shuffle is manifest-sized, not
+    * corpus-sized). doc_id·2654435761 ≤ 2.4e16 for doc_id ≤ 10⁷ — and
+    * the mod-2³² wrap is taken BEFORE any further arithmetic, so the
+    * product is the only width-sensitive term (exact to doc_id ≈
+    * 3.4e9; beyond that the DECIMAL(38,0) guard applies). The physical
+    * write itself — partitionBy("shard") so each shard lands in its
+    * own directory, readable with partition pruning — is spec-pinned
+    * in LlmPipelineSpec (a sink returns no DataFrame to hash).
+    */
+  def shardManifest(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"),
+        expr(s"CAST(doc_id * 2654435761 % 4294967296 % $NShards AS BIGINT)")
+          .as("shard"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .orderBy("shard")
+
   /** q_mix_weights — source-mixing weights: the per-source resampling
     * factor that equalizes token share across sources (the data-mixing
     * step of a training run: weight > 1 upsamples an under-represented
@@ -1670,6 +1750,7 @@ object LlmPipeline {
     "q_dedup_ngram"         -> (dedupNgram _),
     "q_dedup_embed"         -> (dedupEmbed _),
     "q_embed_centroids"     -> (embedCentroids _),
+    "q_embed_outliers"      -> (embedOutliers _),
     "q_sim_search"          -> (simSearch _),
     "q_sim_search_ivf"      -> (simSearchIvf _),
     "q_sim_search_ivf2"     -> (simSearchIvf2 _),
@@ -1701,6 +1782,7 @@ object LlmPipeline {
     "q_boilerplate_score"   -> (boilerplateScore _),
     "q_pii_scan"            -> (piiScan _),
     "q_pii_redact"          -> (piiRedact _),
+    "q_shard_manifest"      -> (shardManifest _),
   )
 
   val oracle: Map[String, String] = {
@@ -1864,6 +1946,20 @@ object LlmPipeline {
           "SELECT label, CAST(dim AS BIGINT) AS dim, " +
           "CAST(qsum * 1000 // n AS BIGINT) AS centroid_micros " +
           "FROM g ORDER BY label, dim"),
+      "q_embed_outliers" ->
+        (s"WITH q AS (SELECT vec_id, label, $quantDuck AS q FROM embeddings), " +
+          "e AS (SELECT vec_id, label, u - 1 AS dim, q[u] AS qv FROM " +
+          "(SELECT vec_id, label, q, unnest(generate_series(1, len(q))) AS u FROM q)), " +
+          "g AS (SELECT label, dim, CAST(sum(qv) AS BIGINT) AS sd, " +
+          "count(*) AS nd FROM e GROUP BY label, dim), " +
+          "s AS (SELECT e.label, e.vec_id, " +
+          "CAST(sum((g.nd * e.qv - g.sd) * (g.nd * e.qv - g.sd)) AS BIGINT) AS score " +
+          "FROM e JOIN g ON g.label = e.label AND g.dim = e.dim " +
+          "GROUP BY e.label, e.vec_id), " +
+          "r AS (SELECT label, vec_id, score, row_number() OVER " +
+          "(PARTITION BY label ORDER BY score DESC, vec_id) AS rn FROM s) " +
+          s"SELECT label, vec_id, score FROM r WHERE rn <= $OutlierTopK " +
+          "ORDER BY label, score DESC, vec_id"),
       "q_sim_search" ->
         (s"WITH q AS (SELECT vec_id, $quantDuck AS q FROM embeddings), " +
           "n AS (SELECT vec_id, q, " +
@@ -2192,6 +2288,15 @@ object LlmPipeline {
           s"CAST(len(regexp_extract_all(coalesce(text, ''), '$EmailRe')) + " +
           s"len(regexp_extract_all(coalesce(text, ''), '$LongNumberRe')) AS BIGINT) AS n_redactions " +
           "FROM documents ORDER BY doc_id"),
+      // dialect-neutral text (plain BIGINT % arithmetic): runs verbatim
+      // in DuckDB (oracle) and Spark (SQL front door)
+      "q_shard_manifest" ->
+        (s"WITH s AS (SELECT doc_id, n_chars, " +
+          s"CAST(doc_id * 2654435761 % 4294967296 % $NShards AS BIGINT) AS shard " +
+          "FROM documents) " +
+          "SELECT shard, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars, " +
+          "min(doc_id) AS min_doc, max(doc_id) AS max_doc " +
+          "FROM s GROUP BY shard ORDER BY shard"),
     )
   }
 
@@ -2521,6 +2626,19 @@ object LlmPipeline {
           "SELECT label, CAST(dim AS BIGINT) AS dim, " +
           "qsum * 1000 DIV n AS centroid_micros " +
           "FROM g ORDER BY label, dim"),
+      "q_embed_outliers" ->
+        (s"WITH q AS (SELECT vec_id, label, $quantS AS q FROM embeddings), " +
+          "e AS (SELECT vec_id, label, posexplode(q) AS (dim, qv) FROM q), " +
+          "g AS (SELECT label, dim, sum(qv) AS sd, count(*) AS nd " +
+          "FROM e GROUP BY label, dim), " +
+          "s AS (SELECT e.label, e.vec_id, " +
+          "sum((g.nd * e.qv - g.sd) * (g.nd * e.qv - g.sd)) AS score " +
+          "FROM e JOIN g ON g.label = e.label AND g.dim = e.dim " +
+          "GROUP BY e.label, e.vec_id), " +
+          "r AS (SELECT label, vec_id, score, row_number() OVER " +
+          "(PARTITION BY label ORDER BY score DESC, vec_id) AS rn FROM s) " +
+          s"SELECT label, vec_id, score FROM r WHERE rn <= $OutlierTopK " +
+          "ORDER BY label, score DESC, vec_id"),
       "q_sim_search" ->
         (s"WITH q AS (SELECT vec_id, $quantS AS q FROM embeddings), " +
           s"n AS (SELECT vec_id, q, ${dot("q", "q")} AS n2 FROM q) " +

@@ -671,6 +671,67 @@ class LlmPipelineSpec extends AnyFunSuite {
     assert(red(4L) === (("", 0L)))
   }
 
+  test("q_embed_outliers: planted far vector wins; K caps per label; partial group-limit pre-shuffle") {
+    import spark.implicits._
+    val dir = s"/tmp/graft-test-outlier-${java.util.UUID.randomUUID()}"
+    // label 0: four vectors at (1,0), one planted at (-1,0).
+    // q = (±1000, 0); per-dim S = (3000, 0), n = 5.
+    // dev(dim0) = 5q − 3000 → ±2000 for the cluster, −8000 for the
+    // plant: scores 4e6 vs 64e6 — the plant ranks first.
+    // label 1: seven identical vectors → all scores 0; top-K keeps the
+    // five lowest vec_ids (tie → vec_id asc).
+    val rows =
+      (1 to 4).map(i => (i.toLong, Seq(1.0f, 0.0f), 0)) ++
+        Seq((5L, Seq(-1.0f, 0.0f), 0)) ++
+        (10 to 16).map(i => (i.toLong, Seq(0.5f, 0.5f), 1))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val got = ops.LlmPipeline.embedOutliers(spark, dir)
+      .as[(Int, Long, Long)].collect().toSeq
+    assert(got.filter(_._1 == 0) === Seq(
+      (0, 5L, 64000000L), (0, 1L, 4000000L), (0, 2L, 4000000L),
+      (0, 3L, 4000000L), (0, 4L, 4000000L)))
+    assert(got.filter(_._1 == 1) ===
+      (10 to 14).map(i => (1, i.toLong, 0L)),
+      "K must cap at 5 per label with ties broken by vec_id")
+    // the label window is scale-safe only because the rank filter runs
+    // as a PARTIAL WindowGroupLimit before the label-keyed exchange
+    // (≤ K rows per label leave each map task) — pin that plan shape
+    val plan = ops.LlmPipeline.embedOutliers(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"),
+      s"expected a partial pre-shuffle group limit:\n$plan")
+  }
+
+  test("q_shard_manifest: exact vs recomputed assignment; partitionBy(shard) write prunes") {
+    import spark.implicits._
+    val d = SparkTestSession.sf0001
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+      .select($"doc_id", $"n_chars").as[(Long, Long)].collect()
+    val expected = docs
+      .groupBy { case (id, _) => id * 2654435761L % 4294967296L % 32L }
+      .map { case (sh, rs) =>
+        sh -> ((rs.length.toLong, rs.map(_._2).sum, rs.map(_._1).min, rs.map(_._1).max))
+      }
+    val got = ops.LlmPipeline.shardManifest(spark, d)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(got.map(_._1).toSeq == got.map(_._1).toSeq.sorted, "manifest ordered by shard")
+    assert(got.map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap == expected)
+    assert(got.map(_._2).sum === docs.length.toLong, "every doc in exactly one shard")
+    // the physical export: one directory per shard, prunable at the scan
+    val out = java.nio.file.Files.createTempDirectory("graft-shard").toString + "/docs_by_shard"
+    Tables.documents(spark, d)
+      .withColumn("shard",
+        expr(s"CAST(doc_id * 2654435761 % 4294967296 % 32 AS BIGINT)"))
+      .write.mode("overwrite").partitionBy("shard").parquet(out)
+    val probe = expected.keys.head
+    val pruned = spark.read.parquet(out).where(col("shard") === probe)
+    val pf = pruned.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("(shard"), "shard predicate must prune at the scan")
+    assert(pruned.count() === expected(probe)._1)
+  }
+
   test("q_pipeline_curate ≡ filter → keep-best → pack composed from the single ops") {
     import spark.implicits._
     val d = SparkTestSession.sf0001
