@@ -136,6 +136,64 @@ object Multimodal {
     } else None
   }
 
+  /** Parse (channels, sample_rate_hz, bits_per_sample, n_frames,
+    * format) from an audio payload's header bytes — pure JVM, no codec
+    * libraries (the audio sibling of parseImageHeader). Returns None
+    * for unknown/truncated headers.
+    *
+    *  - WAV: "RIFF" <u32> "WAVE" then a chunk walk — each chunk is a
+    *    4-byte id + LE u32 size, even-padded per the RIFF spec. The
+    *    "fmt " chunk carries channels (LE u16 at +10), sample rate
+    *    (LE u32 at +12) and bits/sample (LE u16 at +22); the "data"
+    *    chunk's size (clamped to the bytes actually present, so a
+    *    truncated capture still decodes) gives
+    *    frames = data_size / (channels · bits/8).
+    *  - AU (Sun/NeXT): ".snd" magic then a big-endian header — data
+    *    offset at 4, data size at 8 (-1 = unknown → use what's
+    *    present), encoding at 12 (1 µ-law → 8-bit, 2/3/4/5 = linear
+    *    PCM 8/16/24/32), sample rate at 16, channels at 20.
+    */
+  private[graft] def parseAudioHeader(p: Array[Byte]): Option[(Int, Int, Int, Long, String)] = {
+    def u8(i: Int) = p(i) & 0xFF
+    def be32(i: Int) = (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    def le32(i: Int) = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def tag(i: Int): String =
+      new String(p, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    if (p.length >= 36 && tag(0) == "RIFF" && tag(8) == "WAVE") {
+      var i = 12L
+      var ch = 0; var rate = 0; var bits = 0; var dataSize = -1L
+      while (i + 8 <= p.length && (ch == 0 || dataSize < 0)) {
+        val at = i.toInt
+        val id = tag(at)
+        val sz = le32(at + 4).toLong & 0xFFFFFFFFL
+        if (id == "fmt " && i + 24 <= p.length) {
+          ch = le16(at + 10); rate = le32(at + 12); bits = le16(at + 22)
+        } else if (id == "data") {
+          dataSize = math.min(sz, p.length - i - 8)
+        }
+        i += 8 + sz + (sz & 1) // even-padded; Long cursor — no overflow
+      }
+      if (ch > 0 && rate > 0 && bits >= 8 && bits % 8 == 0 && dataSize >= 0)
+        Some((ch, rate, bits, dataSize / (ch.toLong * (bits / 8)), "wav"))
+      else None
+    } else if (p.length >= 24 && tag(0) == ".snd") {
+      val dataOff = be32(4); val dataSize = be32(8); val enc = be32(12)
+      val rate = be32(16); val ch = be32(20)
+      val bits = enc match {
+        case 1 | 2 => 8; case 3 => 16; case 4 => 24; case 5 => 32
+        case _ => return None
+      }
+      if (ch <= 0 || rate <= 0 || dataOff < 24 || dataOff > p.length) None
+      else {
+        val avail = (p.length - dataOff).toLong
+        val sz = if (dataSize >= 0) math.min(dataSize.toLong, avail) else avail
+        Some((ch, rate, bits, sz / (ch.toLong * (bits / 8)), "au"))
+      }
+    } else None
+  }
+
   /** Decoded media metadata — the typed row shape the decode stage
     * emits. Mirrors (file:line) the reference's chunk sidecar metadata
     * idea (storageNode/StorageNode.java:90 checksum sidecars): payload +
@@ -190,6 +248,62 @@ object Multimodal {
   def decode(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     decodeCore(
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .as[(Long, Array[Byte])])
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  /** Decoded audio metadata — the audio sibling of MediaMeta. */
+  case class AudioMeta(doc_id: Long, n_bytes: Long, content_md5: String,
+                       n_channels: Int, sample_rate_hz: Int, bits_per_sample: Int,
+                       n_frames: Long, duration_ms: Long, decoder: String)
+
+  /** Audio-decode core over an (id, payload) Dataset — real WAV/AU
+    * header parse (parseAudioHeader), md5-derived STUB for unknown
+    * magic so the table form stays oracle-checkable on the text-only
+    * corpus. Stub facts (all hex digits of the payload md5):
+    *   sample_rate_hz  = 8000 · (1 + hex[0..1] mod 6)   (8k..48k)
+    *   n_channels      = 1 + hex[2] mod 2               (mono/stereo)
+    *   bits_per_sample = 8 · (1 + hex[3] mod 2)         (8/16)
+    *   n_frames        = n_bytes (1 byte ≙ 1 frame)
+    * duration_ms = n_frames · 1000 / rate in integer division on both
+    * paths — exact, engine-neutral (all terms non-negative).
+    */
+  private[graft] def audioCore(ds: Dataset[(Long, Array[Byte])]): Dataset[AudioMeta] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { case (id, payload) =>
+        md.reset()
+        val hex = md.digest(payload).map("%02x".format(_)).mkString
+        val n = payload.length.toLong
+        parseAudioHeader(payload) match {
+          case Some((ch, rate, bits, frames, fmt)) =>
+            AudioMeta(id, n, hex, ch, rate, bits, frames,
+              frames * 1000L / rate, fmt)
+          case None =>
+            // --- STUB: real compressed audio (mp3/flac/ogg) needs a
+            // codec the container lacks; deterministic md5-derived facts
+            val rate = 8000 * (1 + (16 * hexVal(hex(0)) + hexVal(hex(1))) % 6)
+            val ch = 1 + hexVal(hex(2)) % 2
+            val bits = 8 * (1 + hexVal(hex(3)) % 2)
+            // -----------------------------------------------------------
+            AudioMeta(id, n, hex, ch, rate, bits, n, n * 1000L / rate, "stub-md5")
+        }
+      }
+    }
+  }
+
+  /** q_mm_audio — binary payload → typed audio metadata (channels,
+    * rate, bit depth, frame count, duration): the audio leg of the
+    * multimodal decode tier, same per-partition batch shape and stub
+    * discipline as q_mm_decode.
+    */
+  def audio(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    audioCore(
       Tables.documents(s, d)
         .select(col("doc_id"), col("text").cast("binary").as("payload"))
         .as[(Long, Array[Byte])])
@@ -268,6 +382,7 @@ object Multimodal {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mm_decode"       -> (decode _),
+    "q_mm_audio"        -> (audio _),
     "q_mm_resize"       -> (resize _),
     "q_mm_frame_sample" -> (frameSample _),
     "q_mm_feature"      -> (features _),
@@ -286,6 +401,19 @@ object Multimodal {
         "md5(text) AS content_md5, " +
         s"$widthSql AS width, $heightSql AS height, " +
         s"CAST(1 + (${hx.format(5)}) % 3 AS INTEGER) AS channels, " +
+        "'stub-md5' AS decoder " +
+        "FROM documents ORDER BY doc_id"),
+    // constant-decoder premise as q_mm_decode: the text corpus has no
+    // RIFF/".snd" payloads (asserted per-SF), so only the stub fires
+    "q_mm_audio" ->
+      ("SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, " +
+        "md5(text) AS content_md5, " +
+        s"CAST(1 + (${hx.format(3)}) % 2 AS INTEGER) AS n_channels, " +
+        s"CAST(8000 * (1 + (16 * (${hx.format(1)}) + (${hx.format(2)})) % 6) AS INTEGER) AS sample_rate_hz, " +
+        s"CAST(8 * (1 + (${hx.format(4)}) % 2) AS INTEGER) AS bits_per_sample, " +
+        "CAST(octet_length(encode(text)) AS BIGINT) AS n_frames, " +
+        "CAST(CAST(octet_length(encode(text)) AS BIGINT) * 1000 // " +
+        s"(8000 * (1 + (16 * (${hx.format(1)}) + (${hx.format(2)})) % 6)) AS BIGINT) AS duration_ms, " +
         "'stub-md5' AS decoder " +
         "FROM documents ORDER BY doc_id"),
     "q_mm_resize" ->
@@ -329,6 +457,17 @@ object Multimodal {
         "md5(text) AS content_md5, " +
         s"$widthSql AS width, $heightSql AS height, " +
         s"CAST(1 + (${hx.format(5)}) % 3 AS INTEGER) AS channels, " +
+        "'stub-md5' AS decoder " +
+        "FROM documents ORDER BY doc_id"),
+    "q_mm_audio" ->
+      ("SELECT doc_id, CAST(octet_length(CAST(text AS BINARY)) AS BIGINT) AS n_bytes, " +
+        "md5(text) AS content_md5, " +
+        s"CAST(1 + (${hx.format(3)}) % 2 AS INTEGER) AS n_channels, " +
+        s"CAST(8000 * (1 + (16 * (${hx.format(1)}) + (${hx.format(2)})) % 6) AS INTEGER) AS sample_rate_hz, " +
+        s"CAST(8 * (1 + (${hx.format(4)}) % 2) AS INTEGER) AS bits_per_sample, " +
+        "CAST(octet_length(CAST(text AS BINARY)) AS BIGINT) AS n_frames, " +
+        "CAST(CAST(octet_length(CAST(text AS BINARY)) AS BIGINT) * 1000 DIV " +
+        s"(8000 * (1 + (16 * (${hx.format(1)}) + (${hx.format(2)})) % 6)) AS BIGINT) AS duration_ms, " +
         "'stub-md5' AS decoder " +
         "FROM documents ORDER BY doc_id"),
     "q_mm_frame_sample" ->

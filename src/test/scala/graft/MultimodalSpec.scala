@@ -129,14 +129,78 @@ class MultimodalSpec extends AnyFunSuite {
     assert(stub.channels >= 1 && stub.channels <= 3)
   }
 
-  test("fixture corpus has no image-magic payloads (the mirror's constant-decoder premise)") {
+  test("fixture corpus has no image- or audio-magic payloads (the mirrors' constant-decoder premise)") {
     import spark.implicits._
     val d = SparkTestSession.sf0001
     val n = Tables.documents(spark, d)
       .select($"text".cast("binary").as("payload"))
       .as[Array[Byte]]
-      .filter((p: Array[Byte]) => ops.Multimodal.parseImageHeader(p).nonEmpty)
+      .filter((p: Array[Byte]) => ops.Multimodal.parseImageHeader(p).nonEmpty ||
+        ops.Multimodal.parseAudioHeader(p).nonEmpty)
       .count()
-    assert(n === 0L, "a fixture document parses as an image — q_mm_decode's DuckDB mirror would diverge")
+    assert(n === 0L, "a fixture document parses as media — a q_mm_* DuckDB mirror would diverge")
+  }
+
+  /** Canonical 44-byte WAV header + payload (PCM fmt chunk then data). */
+  private def wav(ch: Int, rate: Int, bits: Int, dataBytes: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(44 + dataBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes).putInt(36 + dataBytes).put("WAVE".getBytes)
+    bb.put("fmt ".getBytes).putInt(16).putShort(1.toShort)
+      .putShort(ch.toShort).putInt(rate).putInt(rate * ch * bits / 8)
+      .putShort((ch * bits / 8).toShort).putShort(bits.toShort)
+    bb.put("data".getBytes).putInt(dataBytes)
+    bb.array()
+  }
+
+  /** 24-byte big-endian Sun AU header + payload. */
+  private def au(enc: Int, rate: Int, ch: Int, dataBytes: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(24 + dataBytes)
+    bb.put(".snd".getBytes).putInt(24).putInt(dataBytes).putInt(enc)
+      .putInt(rate).putInt(ch)
+    bb.array()
+  }
+
+  test("parseAudioHeader: WAV chunk walk and AU big-endian header; prose rejected") {
+    // 16 data bytes, mono 16-bit @8kHz → 8 frames, 1 ms
+    assert(ops.Multimodal.parseAudioHeader(wav(1, 8000, 16, 16)) ===
+      Some((1, 8000, 16, 8L, "wav")))
+    // stereo 8-bit: frames = bytes / 2
+    assert(ops.Multimodal.parseAudioHeader(wav(2, 44100, 8, 10)) ===
+      Some((2, 44100, 8, 5L, "wav")))
+    // data chunk size clamped to bytes actually present (truncated file)
+    assert(ops.Multimodal.parseAudioHeader(wav(1, 8000, 16, 16).dropRight(4)) ===
+      Some((1, 8000, 16, 6L, "wav")))
+    // AU: 16-bit PCM stereo → 4-byte frames
+    assert(ops.Multimodal.parseAudioHeader(au(3, 8000, 2, 16)) ===
+      Some((2, 8000, 16, 4L, "au")))
+    // µ-law is 8-bit
+    assert(ops.Multimodal.parseAudioHeader(au(1, 8000, 1, 5)) ===
+      Some((1, 8000, 8, 5L, "au")))
+    assert(ops.Multimodal.parseAudioHeader("RIFF through the text".getBytes).isEmpty)
+    assert(ops.Multimodal.parseAudioHeader(".snd is not audio here".getBytes).isEmpty)
+    assert(ops.Multimodal.parseAudioHeader(Array[Byte]()).isEmpty)
+  }
+
+  test("audioCore end-to-end: real WAV/AU bytes → real facts, unknown magic → labeled stub") {
+    import spark.implicits._
+    val payloads = Seq(
+      1L -> wav(2, 48000, 16, 96000 * 4), // 2 s stereo 16-bit @48k
+      2L -> au(1, 8000, 1, 4000),         // 0.5 s µ-law mono
+      3L -> "just some text payload".getBytes)
+    val rows = ops.Multimodal.audioCore(payloads.toDS())
+      .collect().map(m => m.doc_id -> m).toMap
+    assert(rows(1L).copy(content_md5 = "") === ops.Multimodal.AudioMeta(
+      1L, (44 + 96000 * 4).toLong, "", 2, 48000, 16, 96000L, 2000L, "wav"))
+    assert(rows(2L).copy(content_md5 = "") === ops.Multimodal.AudioMeta(
+      2L, 4024L, "", 1, 8000, 8, 4000L, 500L, "au"))
+    val stub = rows(3L)
+    assert(stub.decoder === "stub-md5")
+    assert(stub.sample_rate_hz % 8000 === 0 &&
+      stub.sample_rate_hz >= 8000 && stub.sample_rate_hz <= 48000)
+    assert(stub.n_channels >= 1 && stub.n_channels <= 2)
+    assert(stub.bits_per_sample === 8 || stub.bits_per_sample === 16)
+    assert(stub.n_frames === stub.n_bytes)
+    assert(stub.duration_ms === stub.n_frames * 1000L / stub.sample_rate_hz)
   }
 }
