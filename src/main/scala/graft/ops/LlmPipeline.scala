@@ -1649,6 +1649,41 @@ object LlmPipeline {
       .orderBy("source", "doc_id")
   }
 
+  private[graft] val WindowTokens = 128L
+  private[graft] val WindowStride = 96L
+
+  /** q_doc_windows — context-window chunking with stride: each document
+    * splits into token windows of WindowTokens, stepping by
+    * WindowStride (consecutive windows overlap by WindowTokens −
+    * WindowStride = 32 tokens, so no training example loses the
+    * context that straddles a boundary). Start positions are 0,
+    * stride, 2·stride, … BOUNDED at n − overlap − 1: a start past that
+    * would open a window wholly contained in its predecessor (both
+    * would end at the document's last token), which duplicates
+    * training data. Coverage is still total — the last admitted start
+    * is ≥ n − WindowTokens, so its window reaches the final token.
+    * The shape every LLM pipeline runs between curation and packing
+    * (HF `return_overflowing_tokens`-style). Plan: mapper-only
+    * generator projection — sequence + explode inflates each doc row
+    * into ceil-ish n/stride window rows with NO shuffle; the final
+    * sort exists only for the determinism gate.
+    */
+  def docWindows(s: SparkSession, d: String): DataFrame = {
+    val overlap = WindowTokens - WindowStride
+    Tables.documents(s, d)
+      .select(col("doc_id"), expr(s"CAST(size($toks) AS BIGINT)").as("n"))
+      .where(col("n") > 0)
+      .select(col("doc_id"), col("n"),
+        explode(expr(s"sequence(CAST(0 AS BIGINT), " +
+          s"greatest(n - ${overlap + 1}, CAST(0 AS BIGINT)), " +
+          s"CAST($WindowStride AS BIGINT))")).as("tok_start"))
+      .select(col("doc_id"),
+        expr(s"tok_start DIV $WindowStride").as("window_no"),
+        col("tok_start"),
+        least(lit(WindowTokens), col("n") - col("tok_start")).as("n_win_tokens"))
+      .orderBy("doc_id", "window_no")
+  }
+
   private[graft] val NShards = 32L
 
   /** q_shard_manifest — deterministic export-shard assignment plus the
@@ -1783,6 +1818,7 @@ object LlmPipeline {
     "q_pii_scan"            -> (piiScan _),
     "q_pii_redact"          -> (piiRedact _),
     "q_shard_manifest"      -> (shardManifest _),
+    "q_doc_windows"         -> (docWindows _),
   )
 
   val oracle: Map[String, String] = {
@@ -2288,6 +2324,15 @@ object LlmPipeline {
           s"CAST(len(regexp_extract_all(coalesce(text, ''), '$EmailRe')) + " +
           s"len(regexp_extract_all(coalesce(text, ''), '$LongNumberRe')) AS BIGINT) AS n_redactions " +
           "FROM documents ORDER BY doc_id"),
+      "q_doc_windows" ->
+        (s"WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n " +
+          "FROM documents), " +
+          "w AS (SELECT doc_id, n, CAST(unnest(generate_series(0, " +
+          s"greatest(n - ${WindowTokens - WindowStride + 1}, 0), $WindowStride)) AS BIGINT) AS tok_start " +
+          "FROM t WHERE n > 0) " +
+          s"SELECT doc_id, tok_start // $WindowStride AS window_no, tok_start, " +
+          s"least($WindowTokens, n - tok_start) AS n_win_tokens " +
+          "FROM w ORDER BY doc_id, window_no"),
       // dialect-neutral text (plain BIGINT % arithmetic): runs verbatim
       // in DuckDB (oracle) and Spark (SQL front door)
       "q_shard_manifest" ->
@@ -2725,6 +2770,16 @@ object LlmPipeline {
           s"CAST(regexp_count(coalesce(text, ''), '$EmailRe') + " +
           s"regexp_count(coalesce(text, ''), '$LongNumberRe') AS BIGINT) AS n_redactions " +
           "FROM documents ORDER BY doc_id"),
+      "q_doc_windows" ->
+        (s"WITH t AS (SELECT doc_id, CAST(size(split(text, ' ')) AS BIGINT) AS n " +
+          "FROM documents), " +
+          "w AS (SELECT doc_id, n, explode(sequence(CAST(0 AS BIGINT), " +
+          s"greatest(n - ${WindowTokens - WindowStride + 1}, CAST(0 AS BIGINT)), " +
+          s"CAST($WindowStride AS BIGINT))) AS tok_start " +
+          "FROM t WHERE n > 0) " +
+          s"SELECT doc_id, tok_start DIV $WindowStride AS window_no, tok_start, " +
+          s"least($WindowTokens, n - tok_start) AS n_win_tokens " +
+          "FROM w ORDER BY doc_id, window_no"),
       // ---- non-oracle queries: Spark-dialect texts, rows-only-compared
       // in SqlSurfaceSpec (no DuckDB mirror exists for these by design)
       //

@@ -732,6 +732,39 @@ class LlmPipelineSpec extends AnyFunSuite {
     assert(pruned.count() === expected(probe)._1)
   }
 
+  test("q_doc_windows: stride chunking covers every token, never emits a contained window") {
+    import spark.implicits._
+    val dir = s"/tmp/graft-test-docwin-${java.util.UUID.randomUUID()}"
+    val mk = (n: Int) => (1 to n).map(i => s"t$i").mkString(" ")
+    // doc_id == its token count, by construction
+    Seq(1, 96, 97, 129, 300)
+      .map(n => (n.toLong, mk(n), "en", "src0", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = ops.LlmPipeline.docWindows(spark, dir)
+      .as[(Long, Long, Long, Long)].collect()
+      .groupBy(_._1).map { case (k, v) =>
+        k -> v.sortBy(_._2).map(r => (r._3, r._4)).toSeq }
+    assert(got(1L) === Seq((0L, 1L)))
+    assert(got(96L) === Seq((0L, 96L)))
+    // 97 tokens still fit one 128-token window — a second window would
+    // end at the same final token, pure duplication
+    assert(got(97L) === Seq((0L, 97L)))
+    // 129 tokens: token 128 lies outside window 0 → second window due
+    assert(got(129L) === Seq((0L, 128L), (96L, 33L)))
+    assert(got(300L) === Seq((0L, 128L), (96L, 128L), (192L, 108L)))
+    got.foreach { case (n, ws) =>
+      assert(ws.head._1 === 0L)
+      assert(ws.last._1 + ws.last._2 === n, s"doc $n never reaches its last token")
+      ws.sliding(2).foreach {
+        case Seq((s1, l1), (s2, l2)) =>
+          assert(s2 - s1 === 96L, s"doc $n stride broken")
+          assert(s2 + l2 > s1 + l1, s"doc $n window at $s2 adds no new token")
+        case _ =>
+      }
+    }
+  }
+
   test("q_pipeline_curate ≡ filter → keep-best → pack composed from the single ops") {
     import spark.implicits._
     val d = SparkTestSession.sf0001
