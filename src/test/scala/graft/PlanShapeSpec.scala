@@ -187,4 +187,44 @@ class PlanShapeSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS lineitem_bkt")
     }
   }
+
+  test("shard manifest is one combining hash aggregate: a single hash shuffle, no sort-agg") {
+    val plan = physical(ops.LlmPipeline.shardManifest(spark, d))
+    assert(plan.contains("HashAggregate") && plan.contains("partial"),
+      s"expected partial HashAggregate in:\n$plan")
+    assert(!plan.contains("SortAggregate"), s"sort-agg crept in:\n$plan")
+    val hashShuffles = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashShuffles === 1,
+      s"manifest should shuffle exactly once (got $hashShuffles):\n$plan")
+  }
+
+  test("doc windows is a pure generator projection: no hash shuffle anywhere") {
+    val plan = physical(ops.LlmPipeline.docWindows(spark, d))
+    assert(plan.contains("Generate"), s"expected a Generate (explode) node in:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"chunking must not shuffle (only the gate's final sort may range-exchange):\n$plan")
+  }
+
+  test("embed outliers broadcasts the moment table and partial-limits before the label window") {
+    val plan = physical(ops.LlmPipeline.embedOutliers(spark, d))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"moment table must broadcast, not shuffle the exploded corpus:\n$plan")
+    assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"),
+      s"rank filter must group-limit before the exchange:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in outliers:\n$plan")
+  }
+
+  test("pii redact is mapper-only: no hash shuffle") {
+    val plan = physical(ops.LlmPipeline.piiRedact(spark, d))
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"redaction is a projection; it must not shuffle:\n$plan")
+  }
+
+  test("audio decode preserves the per-partition batch shape: no hash shuffle") {
+    val plan = physical(ops.Multimodal.audio(spark, d))
+    assert(plan.contains("MapPartitions"),
+      s"expected the mapPartitions decode stage in:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"decode must not shuffle:\n$plan")
+  }
 }
