@@ -107,6 +107,7 @@ object GraftFunctions {
     reg.registerFunction(ArrayDotLong.identifier, ArrayDotLong.info,
       ArrayDotLong.builder)
     reg.registerFunction(Shingle3.identifier, Shingle3.info, Shingle3.builder)
+    reg.registerFunction(GzipSize.identifier, GzipSize.info, GzipSize.builder)
     // A session built with spark.sql.extensions=GraftExtensions already
     // runs FoldChainedXor in its injected-rule batch; appending it to
     // extraOptimizations too would run it in a second batch. The rule IS

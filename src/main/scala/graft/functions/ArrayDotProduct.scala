@@ -98,6 +98,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (ArrayDotLong.identifier, ArrayDotLong.info, ArrayDotLong.builder))
     ext.injectFunction(
       (Shingle3.identifier, Shingle3.info, Shingle3.builder))
+    ext.injectFunction(
+      (GzipSize.identifier, GzipSize.info, GzipSize.builder))
     ext.injectOptimizerRule(_ => graft.plans.FoldChainedXor)
   }
 }

@@ -662,6 +662,29 @@ object LlmPipeline {
           .as("n_redactions"))
       .orderBy("doc_id")
 
+  /** q_compression_ratio — DEFLATE compressibility as a curation
+    * signal: ratio_ppm = compressed bytes · 10⁶ DIV raw bytes.
+    * Template/boilerplate spam deflates to a small fraction of its raw
+    * size, healthy prose sits in a mid band, and binary noise doesn't
+    * deflate at all — gating on this band is a standard move in public
+    * web-corpus curation recipes. Runs on the native `gzip_size`
+    * expression (functions/GzipSize: codegen'd static call, O(8 KiB)
+    * memory regardless of document size — the deflate dominates, not
+    * dispatch). Mapper-only, no shuffle. No DuckDB oracle — the
+    * engine has no deflate surface — so this joins the rows-only set:
+    * determinism and monotonicity are spec-pinned, and the SQL front
+    * door resolves the same registered function.
+    */
+  def compressionRatio(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        expr("CAST(octet_length(CAST(coalesce(text, '') AS BINARY)) AS BIGINT)")
+          .as("n_bytes"),
+        expr("gzip_size(CAST(coalesce(text, '') AS BINARY))").as("gzip_bytes"))
+      .select(col("doc_id"), col("n_bytes"), col("gzip_bytes"),
+        expr("gzip_bytes * 1000000 DIV greatest(n_bytes, 1)").as("ratio_ppm"))
+      .orderBy("doc_id")
+
   // ----------------------------------------------------------- embeddings
   /** Fixed-point quantization of the FLOAT[64] embedding: q = round(x *
     * 1000) as long. Dot/norm sums are then exact integers.
@@ -1819,6 +1842,7 @@ object LlmPipeline {
     "q_pii_redact"          -> (piiRedact _),
     "q_shard_manifest"      -> (shardManifest _),
     "q_doc_windows"         -> (docWindows _),
+    "q_compression_ratio"   -> (compressionRatio _),
   )
 
   val oracle: Map[String, String] = {
@@ -2783,6 +2807,16 @@ object LlmPipeline {
       // ---- non-oracle queries: Spark-dialect texts, rows-only-compared
       // in SqlSurfaceSpec (no DuckDB mirror exists for these by design)
       //
+      // deflate has no DuckDB surface; the text resolves the native
+      // gzip_size expression GraftExtensions/ensureRegistered installs
+      "q_compression_ratio" ->
+        ("WITH b AS (SELECT doc_id, " +
+          "CAST(octet_length(CAST(coalesce(text, '') AS BINARY)) AS BIGINT) AS n_bytes, " +
+          "gzip_size(CAST(coalesce(text, '') AS BINARY)) AS gzip_bytes " +
+          "FROM documents) " +
+          "SELECT doc_id, n_bytes, gzip_bytes, " +
+          "gzip_bytes * 1000000 DIV greatest(n_bytes, 1) AS ratio_ppm " +
+          "FROM b ORDER BY doc_id"),
       // q_dedup_near's text is the EXACT shingle-Jaccard pair join at the
       // same strict <0.5 distance threshold approxSimilarityJoin applies;
       // it equals the LSH output whenever recall is 100% (pinned on the
