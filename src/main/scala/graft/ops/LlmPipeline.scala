@@ -803,6 +803,32 @@ object LlmPipeline {
       .orderBy(col("label"), col("score").desc, col("vec_id"))
   }
 
+  /** q_embed_quantize — SQ8 scalar quantization of the embedding corpus:
+    * per-dimension min/max train the codebook, every value maps to an
+    * 8-bit code `(v − min_d) · 255 DIV (max_d − min_d)` — the
+    * scalar-quantized index form FAISS calls SQ8, cutting a float32
+    * vector store 4× before any ANN structure is layered on. All
+    * arithmetic runs on the shared milli-quantized integers (`quant`),
+    * so codes are exact and fully oracle-checked — no IEEE rounding
+    * disagreement can reach the gate. Plan: posexplode → a dims-sized
+    * combining min/max aggregate → broadcast the codebook back onto the
+    * exploded rows (dims rows — never a corpus shuffle) → mapper-only
+    * code projection. At 100 TB the only shuffle is the dims-cardinality
+    * stats aggregate; the code emission is embarrassingly parallel.
+    * Degenerate dimension (max = min) → code 0, pinned in both engines.
+    */
+  def embedQuantize(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), posexplode(expr(quant)).as(Seq("dim", "v")))
+    val codebook = e.groupBy("dim")
+      .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+    e.join(broadcast(codebook), Seq("dim"))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"),
+        expr("CASE WHEN mx = mn THEN 0L ELSE (v - mn) * 255 DIV (mx - mn) END")
+          .as("code"))
+      .orderBy("vec_id", "dim")
+  }
+
   /** #45 q_sim_search — brute-force cosine top-k against the probe
     * vector (vec_id = 0). The probe is a 1-row broadcast (crossJoin with
     * a broadcast side = BroadcastNestedLoopJoin over one row — a map-side
@@ -1270,6 +1296,34 @@ object LlmPipeline {
         expr("CAST(regexp_count(text, '[a-z]{1,4}') AS BIGINT)").as("bpe_ish_tokens"),
         col("n_chars"))
       .orderBy("doc_id")
+
+  /** Result width of the q_ngram_counts frequency table. */
+  private[graft] val NgramTopK = 50
+
+  /** q_ngram_counts — corpus-level token-bigram frequency table, top-50
+    * by (count desc, bigram asc): the statistics pass every LM-based
+    * quality filter starts from (KenLM-style perplexity filters score
+    * against exactly these corpus n-gram counts, and the CCNet/Gopher
+    * pipelines publish them as corpus diagnostics). Bigrams come from a
+    * zip_with over the token array with itself shifted by one — a
+    * mapper-only projection, no self-join — then ONE combining hash
+    * aggregate (map-side partial, so the shuffle carries per-partition
+    * distinct bigrams, not corpus token count) and a
+    * TakeOrderedAndProject top-k (per-partition heads only — the global
+    * sort never materializes). At 100 TB this is the word-count shape:
+    * scan + combine + k-row result. Vocabulary growth is sublinear
+    * (Heaps' law), and the df-style long tail stays distributed in the
+    * aggregate — no driver-side frequency table anywhere.
+    */
+  def ngramCounts(s: SparkSession, d: String): DataFrame =
+    withTk(Tables.documents(s, d)
+      .select(coalesce(col("text"), lit("")).as("text")))
+      .select(explode(expr(
+        "zip_with(slice(tk, 1, size(tk) - 1), slice(tk, 2, size(tk) - 1), " +
+          "(a, b) -> concat(a, ' ', b))")).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram").asc)
+      .limit(NgramTopK)
 
   /** q_text_fingerprint — two content fingerprints: fp_sorted = md5 of
     * the sorted distinct token set (OpenRefine-style key collision) and
@@ -1796,6 +1850,48 @@ object LlmPipeline {
       .orderBy("source")
   }
 
+  /** Global token budget for q_budget_select (tokens the selection may
+    * keep) and the quality-score bucket width in ppm.
+    */
+  private[graft] val SelectTokenBudget = 20000L
+  private[graft] val SelectBucketPpm = 50000L
+
+  /** q_budget_select — quality-thresholded data selection under a global
+    * token budget: "take the best documents until N tokens" — the
+    * selection step of every curated-pretraining recipe (the
+    * data-selection literature phrases it exactly as score-rank, then
+    * cut at the budget). A naive exact form is a corpus-wide
+    * single-partition running sum — a non-starter at 100 TB — so this is
+    * the distributed production shape: score every document (stopword
+    * density in exact ppm, the q_text_quality signal), HISTOGRAM the
+    * corpus into fixed-width score buckets (one combining aggregate,
+    * ~21-row output), run the budget prefix-sum over the bucket
+    * histogram (metadata-sized window — SinglePartition over ≤21 rows,
+    * the q_compact_plan discipline), and select whole buckets best-first
+    * while the running total before the bucket is under budget (overflow
+    * by at most one bucket — the q_pack_sequences trade: the threshold
+    * is bucket-granular because the per-document exact cut is the
+    * sequential part). The selected flag IS the score threshold: docs
+    * with score_ppm ≥ min(selected bucket)·width are in.
+    */
+  def budgetSelect(s: SparkSession, d: String): DataFrame = {
+    val stop = profiles.flatMap(_._2).distinct.map(w => s"'$w'").mkString(", ")
+    val w = Window.orderBy(col("bucket").desc)
+    Tables.documents(s, d)
+      .select(coalesce(col("text"), lit("")).as("text"))
+      .withColumn("n_tokens", expr(s"CAST(size($toks) AS BIGINT)"))
+      .withColumn("n_stop",
+        expr(s"CAST(size(filter($toks, t -> array_contains(array($stop), t))) AS BIGINT)"))
+      .withColumn("bucket",
+        expr(s"n_stop * 1000000 DIV n_tokens DIV $SelectBucketPpm"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bucket_tokens"))
+      .withColumn("cum_tokens", sum(col("bucket_tokens")).over(w))
+      .withColumn("selected",
+        col("cum_tokens") - col("bucket_tokens") < SelectTokenBudget)
+      .orderBy(col("bucket").desc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact"         -> (dedupExact _),
     "q_dedup_minhash_sig"   -> (dedupMinhashSig _),
@@ -1809,6 +1905,7 @@ object LlmPipeline {
     "q_dedup_embed"         -> (dedupEmbed _),
     "q_embed_centroids"     -> (embedCentroids _),
     "q_embed_outliers"      -> (embedOutliers _),
+    "q_embed_quantize"      -> (embedQuantize _),
     "q_sim_search"          -> (simSearch _),
     "q_sim_search_ivf"      -> (simSearchIvf _),
     "q_sim_search_ivf2"     -> (simSearchIvf2 _),
@@ -1843,6 +1940,8 @@ object LlmPipeline {
     "q_shard_manifest"      -> (shardManifest _),
     "q_doc_windows"         -> (docWindows _),
     "q_compression_ratio"   -> (compressionRatio _),
+    "q_ngram_counts"        -> (ngramCounts _),
+    "q_budget_select"       -> (budgetSelect _),
   )
 
   val oracle: Map[String, String] = {
@@ -2006,6 +2105,15 @@ object LlmPipeline {
           "SELECT label, CAST(dim AS BIGINT) AS dim, " +
           "CAST(qsum * 1000 // n AS BIGINT) AS centroid_micros " +
           "FROM g ORDER BY label, dim"),
+      "q_embed_quantize" ->
+        (s"WITH q AS (SELECT vec_id, $quantDuck AS q FROM embeddings), " +
+          "e AS (SELECT vec_id, u - 1 AS dim, q[u] AS v FROM " +
+          "(SELECT vec_id, q, unnest(generate_series(1, len(q))) AS u FROM q)), " +
+          "cb AS (SELECT dim, min(v) AS mn, max(v) AS mx FROM e GROUP BY dim) " +
+          "SELECT vec_id, CAST(e.dim AS BIGINT) AS dim, " +
+          "CAST(CASE WHEN mx = mn THEN 0 ELSE (v - mn) * 255 // (mx - mn) END " +
+          "AS BIGINT) AS code " +
+          "FROM e JOIN cb ON cb.dim = e.dim ORDER BY vec_id, dim"),
       "q_embed_outliers" ->
         (s"WITH q AS (SELECT vec_id, label, $quantDuck AS q FROM embeddings), " +
           "e AS (SELECT vec_id, label, u - 1 AS dim, q[u] AS qv FROM " +
@@ -2186,6 +2294,25 @@ object LlmPipeline {
           "CAST(len(list_distinct(sh)) AS BIGINT) AS n_distinct, " +
           "CAST(len(sh) - len(list_distinct(sh)) AS DOUBLE) / len(sh) AS dup_ratio " +
           "FROM t ORDER BY doc_id"),
+      "q_ngram_counts" ->
+        ("WITH d0 AS (SELECT coalesce(text, '') AS text FROM documents), " +
+          "tk AS (SELECT string_split(text, ' ') AS t FROM d0), " +
+          "b AS (SELECT concat(t[u], ' ', t[u + 1]) AS bigram FROM " +
+          "(SELECT t, unnest(generate_series(1, len(t) - 1)) AS u FROM tk)) " +
+          "SELECT bigram, count(*) AS n FROM b GROUP BY bigram " +
+          s"ORDER BY n DESC, bigram LIMIT $NgramTopK"),
+      "q_budget_select" ->
+        (s"WITH d0 AS (SELECT coalesce(text, '') AS text FROM documents), " +
+          "t AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, " +
+          s"CAST(len(list_filter(string_split(text, ' '), t -> list_contains([$stop], t))) AS BIGINT) AS n_stop " +
+          "FROM d0), " +
+          s"sc AS (SELECT n_tokens, n_stop * 1000000 // n_tokens // $SelectBucketPpm AS bucket FROM t), " +
+          "b AS (SELECT bucket, count(*) AS n_docs, " +
+          "CAST(sum(n_tokens) AS BIGINT) AS bucket_tokens FROM sc GROUP BY bucket), " +
+          "c AS (SELECT *, CAST(sum(bucket_tokens) OVER (ORDER BY bucket DESC) AS BIGINT) AS cum_tokens FROM b) " +
+          "SELECT bucket, n_docs, bucket_tokens, cum_tokens, " +
+          s"cum_tokens - bucket_tokens < $SelectTokenBudget AS selected " +
+          "FROM c ORDER BY bucket DESC"),
       "q_decontaminate" ->
         (s"WITH ds AS (SELECT doc_id, " +
           s"CAST(concat('0x', substring(md5(unnest(list_distinct($shinglesDuck))), 1, 15)) AS BIGINT) AS sh " +
@@ -2695,6 +2822,14 @@ object LlmPipeline {
           "SELECT label, CAST(dim AS BIGINT) AS dim, " +
           "qsum * 1000 DIV n AS centroid_micros " +
           "FROM g ORDER BY label, dim"),
+      "q_embed_quantize" ->
+        (s"WITH q AS (SELECT vec_id, $quantS AS q FROM embeddings), " +
+          "e AS (SELECT vec_id, posexplode(q) AS (dim, v) FROM q), " +
+          "cb AS (SELECT dim, min(v) AS mn, max(v) AS mx FROM e GROUP BY dim) " +
+          "SELECT vec_id, CAST(e.dim AS BIGINT) AS dim, " +
+          "CASE WHEN mx = mn THEN CAST(0 AS BIGINT) " +
+          "ELSE (v - mn) * 255 DIV (mx - mn) END AS code " +
+          "FROM e JOIN cb ON cb.dim = e.dim ORDER BY vec_id, dim"),
       "q_embed_outliers" ->
         (s"WITH q AS (SELECT vec_id, label, $quantS AS q FROM embeddings), " +
           "e AS (SELECT vec_id, label, posexplode(q) AS (dim, qv) FROM q), " +
@@ -2804,6 +2939,25 @@ object LlmPipeline {
           s"SELECT doc_id, tok_start DIV $WindowStride AS window_no, tok_start, " +
           s"least($WindowTokens, n - tok_start) AS n_win_tokens " +
           "FROM w ORDER BY doc_id, window_no"),
+      "q_ngram_counts" ->
+        ("WITH d0 AS (SELECT coalesce(text, '') AS text FROM documents), " +
+          "tk AS (SELECT split(text, ' ') AS t FROM d0), " +
+          "b AS (SELECT explode(zip_with(slice(t, 1, size(t) - 1), " +
+          "slice(t, 2, size(t) - 1), (a, b) -> concat(a, ' ', b))) AS bigram FROM tk) " +
+          "SELECT bigram, count(*) AS n FROM b GROUP BY bigram " +
+          s"ORDER BY n DESC, bigram LIMIT $NgramTopK"),
+      "q_budget_select" ->
+        (s"WITH d0 AS (SELECT coalesce(text, '') AS text FROM documents), " +
+          "t AS (SELECT CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens, " +
+          s"CAST(size(filter(split(text, ' '), t -> array_contains(array($stop), t))) AS BIGINT) AS n_stop " +
+          "FROM d0), " +
+          s"sc AS (SELECT n_tokens, n_stop * 1000000 DIV n_tokens DIV $SelectBucketPpm AS bucket FROM t), " +
+          "b AS (SELECT bucket, count(*) AS n_docs, sum(n_tokens) AS bucket_tokens " +
+          "FROM sc GROUP BY bucket), " +
+          "c AS (SELECT *, sum(bucket_tokens) OVER (ORDER BY bucket DESC) AS cum_tokens FROM b) " +
+          "SELECT bucket, n_docs, bucket_tokens, cum_tokens, " +
+          s"cum_tokens - bucket_tokens < $SelectTokenBudget AS selected " +
+          "FROM c ORDER BY bucket DESC"),
       // ---- non-oracle queries: Spark-dialect texts, rows-only-compared
       // in SqlSurfaceSpec (no DuckDB mirror exists for these by design)
       //

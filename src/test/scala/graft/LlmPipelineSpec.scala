@@ -703,6 +703,75 @@ class LlmPipelineSpec extends AnyFunSuite {
       s"expected a partial pre-shuffle group limit:\n$plan")
   }
 
+  test("q_embed_quantize: codes hit min/max/mid exactly; degenerate dim → 0; codebook broadcast") {
+    import spark.implicits._
+    val dir = s"/tmp/graft-test-sq8-${java.util.UUID.randomUUID()}"
+    // dim0 milli range [0, 1000], dim1 [-1000, 1000], dim2 constant
+    Seq(
+      (1L, Seq(0.0f, -1.0f, 0.7f), 0),
+      (2L, Seq(1.0f, 1.0f, 0.7f), 0),
+      (3L, Seq(0.5f, 0.0f, 0.7f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val got = ops.LlmPipeline.embedQuantize(spark, dir)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (1L, 0L, 0L), (1L, 1L, 0L), (1L, 2L, 0L),
+      (2L, 0L, 255L), (2L, 1L, 255L), (2L, 2L, 0L),
+      (3L, 0L, 127L), (3L, 1L, 127L), (3L, 2L, 0L)),
+      "min→0, max→255, mid→127 (integer DIV), constant dim→0")
+    // the dims-sized codebook must come back as a broadcast, never a
+    // corpus-side shuffle join
+    val plan = ops.LlmPipeline.embedQuantize(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected the codebook joined via broadcast:\n$plan")
+  }
+
+  test("q_ngram_counts: bigram multiplicities exact; 1-token and null docs contribute none; top-k plan") {
+    import spark.implicits._
+    val dir = s"/tmp/graft-test-ngc-${java.util.UUID.randomUUID()}"
+    Seq(
+      (1L, "a b a b"), (2L, "a b c"), (3L, "x"),
+      (4L, null.asInstanceOf[String]))
+      .map { case (id, t) => (id, t, "en", "src0", 10L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = ops.LlmPipeline.ngramCounts(spark, dir)
+      .as[(String, Long)].collect().toSeq
+    assert(got === Seq(("a b", 3L), ("b a", 1L), ("b c", 1L)),
+      "doc1 yields 'a b','b a','a b'; doc2 'a b','b c'; doc3/doc4 nothing")
+    // the global sort must never materialize: order+limit fuse into a
+    // per-partition-heads TakeOrderedAndProject
+    val plan = ops.LlmPipeline.ngramCounts(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected top-k via TakeOrderedAndProject:\n$plan")
+  }
+
+  test("q_budget_select: whole-bucket greedy selection cuts after the budget-crossing bucket") {
+    import spark.implicits._
+    val dir = s"/tmp/graft-test-budget-${java.util.UUID.randomUUID()}"
+    // bucket 20: 10 pure-stopword tokens; bucket 10: 30k half-stopword
+    // tokens (crosses the 20k budget); bucket 0: no stopwords + a null
+    // doc ('' → 1 token, 0 stopwords)
+    Seq(
+      (1L, Seq.fill(10)("the").mkString(" ")),
+      (2L, Seq.fill(15000)("the x").mkString(" ")),
+      (3L, "x z"),
+      (4L, null.asInstanceOf[String]))
+      .map { case (id, t) => (id, t, "en", "src0", 10L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = ops.LlmPipeline.budgetSelect(spark, dir)
+      .as[(Long, Long, Long, Long, Boolean)].collect().toSeq
+    assert(got === Seq(
+      (20L, 1L, 10L, 10L, true),
+      (10L, 1L, 30000L, 30010L, true),
+      (0L, 2L, 3L, 30013L, false)),
+      "best bucket in, budget-crossing bucket in (overflow-by-one), rest out")
+  }
+
   test("q_shard_manifest: exact vs recomputed assignment; partitionBy(shard) write prunes") {
     import spark.implicits._
     val d = SparkTestSession.sf0001
