@@ -311,6 +311,154 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Parse (width, height, duration_ms, format) from a video
+    * container's header bytes — pure JVM, no codec libraries (the video
+    * sibling of parseImageHeader/parseAudioHeader). Container-level
+    * facts only: duration comes from the movie header, dimensions from
+    * the track/stream header; frame-accurate counts would need the
+    * codec, which is exactly the part that stays behind the stub.
+    *
+    *  - MP4/MOV (ISO-BMFF): every box is u32-BE size + 4cc type
+    *    (size 1 → u64 largesize follows; size 0 → to-end); the file
+    *    starts with `ftyp`. Walk top-level boxes to `moov`, then its
+    *    children: `mvhd` (FullBox — v0: u32 timescale/duration at
+    *    +12/+16 past the version byte; v1: u32 timescale at +20,
+    *    u64 duration at +24) gives duration_ms = duration·1000/timescale;
+    *    the first `trak`→`tkhd` with nonzero dimensions (16.16 fixed
+    *    point at +76/+80 for v0, +88/+92 for v1) gives width/height
+    *    (0×0 for audio-only files — valid).
+    *  - AVI (RIFF): "RIFF" <size> "AVI " then an even-padded chunk walk;
+    *    `LIST` chunks nest. The `avih` chunk inside LIST `hdrl` carries
+    *    dwMicroSecPerFrame (+0), dwTotalFrames (+16), dwWidth (+32),
+    *    dwHeight (+36) — all LE u32; duration_ms = frames·µspf/1000.
+    */
+  private[graft] def parseVideoHeader(p: Array[Byte]): Option[(Int, Int, Long, String)] = {
+    def u8(i: Int) = p(i) & 0xFF
+    def be32(i: Int): Long =
+      ((u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)) & 0xFFFFFFFFL
+    def be64(i: Int): Long = (be32(i) << 32) | be32(i + 4)
+    def le32(i: Int): Long =
+      (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3).toLong << 24)) & 0xFFFFFFFFL
+    def tag(i: Int): String =
+      new String(p, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    if (p.length >= 12 && tag(4) == "ftyp") {
+      var dur = -1L; var w = 0; var h = 0
+      def walk(from: Long, to: Long, depth: Int): Unit = {
+        var i = from
+        var ok = true
+        while (ok && i + 8 <= to) {
+          val at = i.toInt
+          var sz = be32(at)
+          var hdr = 8L
+          val tp = tag(at + 4)
+          if (sz == 1 && i + 16 <= to) { sz = be64(at + 8); hdr = 16 }
+          else if (sz == 0) sz = to - i
+          if (sz < hdr) ok = false
+          else {
+            val end = math.min(i + sz, to)
+            tp match {
+              case "moov" | "trak" if depth < 3 => walk(i + hdr, end, depth + 1)
+              case "mvhd" if i + hdr + 20 <= end =>
+                val v = u8((i + hdr).toInt)
+                if (v == 0) {
+                  val ts = be32((i + hdr + 12).toInt); val du = be32((i + hdr + 16).toInt)
+                  if (ts > 0) dur = du * 1000L / ts
+                } else if (v == 1 && i + hdr + 32 <= end) {
+                  val ts = be32((i + hdr + 20).toInt); val du = be64((i + hdr + 24).toInt)
+                  if (ts > 0 && du >= 0) dur = du * 1000L / ts
+                }
+              case "tkhd" =>
+                val off = if (u8((i + hdr).toInt) == 1) 88 else 76
+                if (w == 0 && i + hdr + off + 8 <= end) {
+                  val tw = (be32((i + hdr + off).toInt) >> 16).toInt
+                  val th = (be32((i + hdr + off + 4).toInt) >> 16).toInt
+                  if (tw > 0 && th > 0) { w = tw; h = th }
+                }
+              case _ =>
+            }
+            i += sz
+          }
+        }
+      }
+      walk(0, p.length.toLong, 0)
+      if (dur >= 0) Some((w, h, dur, "mp4")) else None
+    } else if (p.length >= 12 && tag(0) == "RIFF" && tag(8) == "AVI ") {
+      var res: Option[(Int, Int, Long, String)] = None
+      def walk(from: Long, to: Long, depth: Int): Unit = {
+        var i = from
+        while (res.isEmpty && i + 8 <= to) {
+          val at = i.toInt
+          val id = tag(at)
+          val sz = le32(at + 4)
+          val end = math.min(i + 8 + sz, to)
+          if (id == "LIST" && depth < 3 && i + 12 <= end) walk(i + 12, end, depth + 1)
+          else if (id == "avih" && i + 8 + 40 <= end) {
+            val uspf = le32(at + 8); val frames = le32(at + 24)
+            val vw = le32(at + 40).toInt; val vh = le32(at + 44).toInt
+            if (vw >= 0 && vh >= 0)
+              res = Some((vw, vh, frames * uspf / 1000L, "avi"))
+          }
+          i += 8 + sz + (sz & 1) // even-padded per RIFF, same as WAV
+        }
+      }
+      walk(12, p.length.toLong, 0)
+      res
+    } else None
+  }
+
+  /** Decoded video metadata — the video sibling of MediaMeta/AudioMeta. */
+  case class VideoMeta(doc_id: Long, n_bytes: Long, content_md5: String,
+                       width: Int, height: Int, duration_ms: Long, decoder: String)
+
+  /** Video-decode core over an (id, payload) Dataset — real MP4/AVI
+    * container-header parse (parseVideoHeader), md5-derived STUB for
+    * unknown magic so the table form stays oracle-checkable on the
+    * text-only corpus. Stub facts:
+    *   width       = 320 + hex[0..1] of md5     (the image-stub formula)
+    *   height      = 240 + hex[2..3] of md5
+    *   duration_ms = 40 · ceil(n_bytes / 100)   (the q_mm_frame_sample
+    *                 frame count at a 25 fps stand-in rate)
+    * Integer division everywhere on both paths — engine-neutral.
+    */
+  private[graft] def videoCore(ds: Dataset[(Long, Array[Byte])]): Dataset[VideoMeta] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { case (id, payload) =>
+        md.reset()
+        val hex = md.digest(payload).map("%02x".format(_)).mkString
+        val n = payload.length.toLong
+        parseVideoHeader(payload) match {
+          case Some((w, h, dur, fmt)) =>
+            VideoMeta(id, n, hex, w, h, dur, fmt)
+          case None =>
+            // --- STUB: real video needs a demuxer+codec the container
+            // lacks; deterministic md5-derived facts instead
+            val width = 320 + 16 * hexVal(hex(0)) + hexVal(hex(1))
+            val height = 240 + 16 * hexVal(hex(2)) + hexVal(hex(3))
+            // -----------------------------------------------------------
+            VideoMeta(id, n, hex, width, height, 40L * ((n + 99) / 100), "stub-md5")
+        }
+      }
+    }
+  }
+
+  /** q_mm_video — binary payload → typed video-container metadata
+    * (dimensions + duration): the video leg of the multimodal decode
+    * tier, same per-partition batch shape and stub discipline as
+    * q_mm_decode / q_mm_audio.
+    */
+  def video(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    videoCore(
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .as[(Long, Array[Byte])])
+      .toDF()
+      .orderBy("doc_id")
+  }
+
   /** q_mm_resize — fit-into-224×224 resize math over the decoded dims
     * (aspect-preserving, scale = min(224/w, 224/h)). Pure codegen'd
     * projection; identical IEEE double steps on both engines.
@@ -383,6 +531,7 @@ object Multimodal {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mm_decode"       -> (decode _),
     "q_mm_audio"        -> (audio _),
+    "q_mm_video"        -> (video _),
     "q_mm_resize"       -> (resize _),
     "q_mm_frame_sample" -> (frameSample _),
     "q_mm_feature"      -> (features _),
@@ -414,6 +563,15 @@ object Multimodal {
         "CAST(octet_length(encode(text)) AS BIGINT) AS n_frames, " +
         "CAST(CAST(octet_length(encode(text)) AS BIGINT) * 1000 // " +
         s"(8000 * (1 + (16 * (${hx.format(1)}) + (${hx.format(2)})) % 6)) AS BIGINT) AS duration_ms, " +
+        "'stub-md5' AS decoder " +
+        "FROM documents ORDER BY doc_id"),
+    // same constant-decoder premise: no ftyp/RIFF-AVI payloads in the
+    // text corpus (asserted per-SF), so only the stub fires
+    "q_mm_video" ->
+      ("SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, " +
+        "md5(text) AS content_md5, " +
+        s"$widthSql AS width, $heightSql AS height, " +
+        "CAST(40 * ((octet_length(encode(text)) + 99) // 100) AS BIGINT) AS duration_ms, " +
         "'stub-md5' AS decoder " +
         "FROM documents ORDER BY doc_id"),
     "q_mm_resize" ->
@@ -468,6 +626,13 @@ object Multimodal {
         "CAST(octet_length(CAST(text AS BINARY)) AS BIGINT) AS n_frames, " +
         "CAST(CAST(octet_length(CAST(text AS BINARY)) AS BIGINT) * 1000 DIV " +
         s"(8000 * (1 + (16 * (${hx.format(1)}) + (${hx.format(2)})) % 6)) AS BIGINT) AS duration_ms, " +
+        "'stub-md5' AS decoder " +
+        "FROM documents ORDER BY doc_id"),
+    "q_mm_video" ->
+      ("SELECT doc_id, CAST(octet_length(CAST(text AS BINARY)) AS BIGINT) AS n_bytes, " +
+        "md5(text) AS content_md5, " +
+        s"$widthSql AS width, $heightSql AS height, " +
+        "CAST(40 * ((octet_length(CAST(text AS BINARY)) + 99) DIV 100) AS BIGINT) AS duration_ms, " +
         "'stub-md5' AS decoder " +
         "FROM documents ORDER BY doc_id"),
     "q_mm_frame_sample" ->

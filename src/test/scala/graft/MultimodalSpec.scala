@@ -136,9 +136,73 @@ class MultimodalSpec extends AnyFunSuite {
       .select($"text".cast("binary").as("payload"))
       .as[Array[Byte]]
       .filter((p: Array[Byte]) => ops.Multimodal.parseImageHeader(p).nonEmpty ||
-        ops.Multimodal.parseAudioHeader(p).nonEmpty)
+        ops.Multimodal.parseAudioHeader(p).nonEmpty ||
+        ops.Multimodal.parseVideoHeader(p).nonEmpty)
       .count()
     assert(n === 0L, "a fixture document parses as media — a q_mm_* DuckDB mirror would diverge")
+  }
+
+  /** Minimal ISO-BMFF file: ftyp + moov(mvhd v0 + trak(tkhd v0)). */
+  private def mp4(timescale: Int, duration: Int, w: Int, h: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(232) // big-endian by default
+    bb.putInt(16).put("ftyp".getBytes).put("isom".getBytes).putInt(0)
+    bb.putInt(216).put("moov".getBytes)
+    bb.putInt(108).put("mvhd".getBytes).putInt(0) // version 0 + flags
+      .putInt(0).putInt(0).putInt(timescale).putInt(duration)
+    bb.position(bb.position() + 80) // rate..next_track_id, zeros
+    bb.putInt(100).put("trak".getBytes)
+    bb.putInt(92).put("tkhd".getBytes).putInt(0)
+    bb.position(bb.position() + 72) // ids/matrix, zeros; dims at +84
+    bb.putInt(w << 16).putInt(h << 16) // 16.16 fixed point
+    bb.array()
+  }
+
+  /** Minimal RIFF-AVI file: LIST hdrl containing one avih chunk. */
+  private def avi(uspf: Int, frames: Int, w: Int, h: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(88)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes).putInt(80).put("AVI ".getBytes)
+    bb.put("LIST".getBytes).putInt(68).put("hdrl".getBytes)
+    bb.put("avih".getBytes).putInt(56)
+    bb.putInt(uspf).putInt(0).putInt(0).putInt(0).putInt(frames).putInt(0)
+      .putInt(0).putInt(0).putInt(w).putInt(h)
+    bb.array()
+  }
+
+  test("parseVideoHeader: MP4 box walk and AVI LIST walk; prose and headerless files rejected") {
+    // 5 s at timescale 1000, 720p track
+    assert(ops.Multimodal.parseVideoHeader(mp4(1000, 5000, 1280, 720)) ===
+      Some((1280, 720, 5000L, "mp4")))
+    // 90kHz timescale (the MPEG clock): 450000 ticks = 5000 ms
+    assert(ops.Multimodal.parseVideoHeader(mp4(90000, 450000, 640, 360)) ===
+      Some((640, 360, 5000L, "mp4")))
+    // 250 frames at 40000 µs/frame = 10000 ms
+    assert(ops.Multimodal.parseVideoHeader(avi(40000, 250, 640, 480)) ===
+      Some((640, 480, 10000L, "avi")))
+    // ftyp alone (no moov/mvhd) is not decodable
+    assert(ops.Multimodal.parseVideoHeader(
+      mp4(1000, 5000, 1280, 720).take(16)).isEmpty)
+    assert(ops.Multimodal.parseVideoHeader("RIFF through the text".getBytes).isEmpty)
+    assert(ops.Multimodal.parseVideoHeader(Array[Byte]()).isEmpty)
+  }
+
+  test("videoCore end-to-end: real MP4/AVI bytes → real facts, unknown magic → labeled stub") {
+    import spark.implicits._
+    val payloads = Seq(
+      1L -> mp4(1000, 5000, 1280, 720),
+      2L -> avi(40000, 250, 640, 480),
+      3L -> "just some text payload".getBytes)
+    val rows = ops.Multimodal.videoCore(payloads.toDS())
+      .collect().map(m => m.doc_id -> m).toMap
+    assert(rows(1L).copy(content_md5 = "") === ops.Multimodal.VideoMeta(
+      1L, 232L, "", 1280, 720, 5000L, "mp4"))
+    assert(rows(2L).copy(content_md5 = "") === ops.Multimodal.VideoMeta(
+      2L, 88L, "", 640, 480, 10000L, "avi"))
+    val stub = rows(3L)
+    assert(stub.decoder === "stub-md5")
+    assert(stub.width >= 320 && stub.width <= 575)
+    assert(stub.height >= 240 && stub.height <= 495)
+    assert(stub.duration_ms === 40L * ((stub.n_bytes + 99) / 100))
   }
 
   /** Canonical 44-byte WAV header + payload (PCM fmt chunk then data). */
