@@ -1892,6 +1892,56 @@ object LlmPipeline {
       .orderBy(col("bucket").desc)
   }
 
+  /** Histogram bucket width (ppm of the quality score) for
+    * q_quality_drift.
+    */
+  private[graft] val DriftBucketPpm = 100000L
+
+  /** q_quality_drift — pairwise source-distribution drift: the
+    * total-variation distance between every two sources' quality-score
+    * histograms, in exact integer ppm (TVD = ½·Σ|p_a − p_b| — the
+    * ln-free drift metric; PSI/KL need logarithms whose engine rounding
+    * would poison the hash gate, and TVD is the standard bounded
+    * alternative). This is the monitor a production pipeline runs per
+    * ingest batch: a source whose score distribution shifts against its
+    * peers (a crawler gone wrong, a spam flood) shows as a TVD spike
+    * before any absolute threshold trips. Plan: one mapper-only score
+    * pass → one combining (source, bucket) count aggregate (histogram:
+    * |sources|·11 rows) → densify over the bounded source×bucket grid
+    * (missing buckets are real zeros — a one-sided bucket must count
+    * toward the distance) → pair join on bucket over the tiny grid →
+    * one combining sum per pair. Everything after the first aggregate
+    * is metadata-sized; the corpus is scanned exactly once.
+    */
+  def qualityDrift(s: SparkSession, d: String): DataFrame = {
+    val stop = profiles.flatMap(_._2).distinct.map(w => s"'$w'").mkString(", ")
+    val hist = Tables.documents(s, d)
+      .select(col("source"), coalesce(col("text"), lit("")).as("text"))
+      .withColumn("n_tokens", expr(s"CAST(size($toks) AS BIGINT)"))
+      .withColumn("n_stop",
+        expr(s"CAST(size(filter($toks, t -> array_contains(array($stop), t))) AS BIGINT)"))
+      .withColumn("bucket",
+        expr(s"n_stop * 1000000 DIV n_tokens DIV $DriftBucketPpm"))
+      .groupBy("source", "bucket").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // 3 consumers below — pin the corpus scan once
+    val grid = hist.select("source").distinct()
+      .crossJoin(hist.select("bucket").distinct())
+    val totals = hist.groupBy("source").agg(sum(col("cnt")).as("n_docs"))
+    val dense = grid
+      .join(hist, Seq("source", "bucket"), "left")
+      .join(totals, Seq("source"))
+      .select(col("source"), col("bucket"),
+        expr("coalesce(cnt, CAST(0 AS BIGINT)) * 1000000 DIV n_docs").as("share_ppm"))
+    val a = dense.select(col("source").as("src_a"), col("bucket"),
+      col("share_ppm").as("pa"))
+    val b = dense.select(col("source").as("src_b"), col("bucket"),
+      col("share_ppm").as("pb"))
+    a.join(b, Seq("bucket")).where(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(expr("sum(abs(pa - pb)) DIV 2").as("tvd_ppm"))
+      .orderBy("src_a", "src_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact"         -> (dedupExact _),
     "q_dedup_minhash_sig"   -> (dedupMinhashSig _),
@@ -1942,6 +1992,7 @@ object LlmPipeline {
     "q_compression_ratio"   -> (compressionRatio _),
     "q_ngram_counts"        -> (ngramCounts _),
     "q_budget_select"       -> (budgetSelect _),
+    "q_quality_drift"       -> (qualityDrift _),
   )
 
   val oracle: Map[String, String] = {
@@ -2313,6 +2364,24 @@ object LlmPipeline {
           "SELECT bucket, n_docs, bucket_tokens, cum_tokens, " +
           s"cum_tokens - bucket_tokens < $SelectTokenBudget AS selected " +
           "FROM c ORDER BY bucket DESC"),
+      "q_quality_drift" ->
+        (s"WITH d0 AS (SELECT source, coalesce(text, '') AS text FROM documents), " +
+          "t AS (SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, " +
+          s"CAST(len(list_filter(string_split(text, ' '), t -> list_contains([$stop], t))) AS BIGINT) AS n_stop " +
+          "FROM d0), " +
+          s"sc AS (SELECT source, n_stop * 1000000 // n_tokens // $DriftBucketPpm AS bucket FROM t), " +
+          "hist AS (SELECT source, bucket, count(*) AS cnt FROM sc GROUP BY source, bucket), " +
+          "grid AS (SELECT s.source, b.bucket FROM " +
+          "(SELECT DISTINCT source FROM hist) s, (SELECT DISTINCT bucket FROM hist) b), " +
+          "tot AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n_docs FROM hist GROUP BY source), " +
+          "dense AS (SELECT g.source, g.bucket, " +
+          "coalesce(h.cnt, 0) * 1000000 // t.n_docs AS share_ppm " +
+          "FROM grid g LEFT JOIN hist h ON h.source = g.source AND h.bucket = g.bucket " +
+          "JOIN tot t ON t.source = g.source) " +
+          "SELECT a.source AS src_a, b.source AS src_b, " +
+          "CAST(sum(abs(a.share_ppm - b.share_ppm)) // 2 AS BIGINT) AS tvd_ppm " +
+          "FROM dense a JOIN dense b ON a.bucket = b.bucket AND a.source < b.source " +
+          "GROUP BY 1, 2 ORDER BY src_a, src_b"),
       "q_decontaminate" ->
         (s"WITH ds AS (SELECT doc_id, " +
           s"CAST(concat('0x', substring(md5(unnest(list_distinct($shinglesDuck))), 1, 15)) AS BIGINT) AS sh " +
@@ -2958,6 +3027,24 @@ object LlmPipeline {
           "SELECT bucket, n_docs, bucket_tokens, cum_tokens, " +
           s"cum_tokens - bucket_tokens < $SelectTokenBudget AS selected " +
           "FROM c ORDER BY bucket DESC"),
+      "q_quality_drift" ->
+        (s"WITH d0 AS (SELECT source, coalesce(text, '') AS text FROM documents), " +
+          "t AS (SELECT source, CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens, " +
+          s"CAST(size(filter(split(text, ' '), t -> array_contains(array($stop), t))) AS BIGINT) AS n_stop " +
+          "FROM d0), " +
+          s"sc AS (SELECT source, n_stop * 1000000 DIV n_tokens DIV $DriftBucketPpm AS bucket FROM t), " +
+          "hist AS (SELECT source, bucket, count(*) AS cnt FROM sc GROUP BY source, bucket), " +
+          "grid AS (SELECT s.source, b.bucket FROM " +
+          "(SELECT DISTINCT source FROM hist) s CROSS JOIN (SELECT DISTINCT bucket FROM hist) b), " +
+          "tot AS (SELECT source, sum(cnt) AS n_docs FROM hist GROUP BY source), " +
+          "dense AS (SELECT g.source, g.bucket, " +
+          "coalesce(h.cnt, CAST(0 AS BIGINT)) * 1000000 DIV t.n_docs AS share_ppm " +
+          "FROM grid g LEFT JOIN hist h ON h.source = g.source AND h.bucket = g.bucket " +
+          "JOIN tot t ON t.source = g.source) " +
+          "SELECT a.source AS src_a, b.source AS src_b, " +
+          "sum(abs(a.share_ppm - b.share_ppm)) DIV 2 AS tvd_ppm " +
+          "FROM dense a JOIN dense b ON a.bucket = b.bucket AND a.source < b.source " +
+          "GROUP BY a.source, b.source ORDER BY src_a, src_b"),
       // ---- non-oracle queries: Spark-dialect texts, rows-only-compared
       // in SqlSurfaceSpec (no DuckDB mirror exists for these by design)
       //

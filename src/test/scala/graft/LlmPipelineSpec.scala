@@ -772,6 +772,30 @@ class LlmPipelineSpec extends AnyFunSuite {
       "best bucket in, budget-crossing bucket in (overflow-by-one), rest out")
   }
 
+  test("q_quality_drift: identical distributions → 0; disjoint → 1e6 ppm; one-sided buckets count") {
+    import spark.implicits._
+    val dir = s"/tmp/graft-test-drift-${java.util.UUID.randomUUID()}"
+    // srcA and srcB: identical histograms (2 docs at bucket 10, 2 at 0)
+    // srcC: all 3 docs at bucket 10 — vs A/B: |1e6−500000|+|0−500000| = 1e6 → TVD 500000
+    val half = "the x"   // 500000 ppm → bucket 5... (1 stop of 2) → bucket 10
+    val none = "x z"     // bucket 0
+    val rows =
+      Seq((1L, half, "srcA"), (2L, half, "srcA"), (3L, none, "srcA"), (4L, none, "srcA"),
+        (5L, half, "srcB"), (6L, half, "srcB"), (7L, none, "srcB"), (8L, none, "srcB"),
+        (9L, half, "srcC"), (10L, half, "srcC"), (11L, half, "srcC"))
+    rows.map { case (id, t, src) => (id, t, "en", src, 10L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = ops.LlmPipeline.qualityDrift(spark, dir)
+      .as[(String, String, Long)].collect().toSeq
+    assert(got === Seq(
+      ("srcA", "srcB", 0L),
+      ("srcA", "srcC", 500000L),
+      ("srcB", "srcC", 500000L)),
+      "TVD: identical → 0; half-vs-all mass shifted → 500000 ppm " +
+        "(srcC's empty bucket-0 row must still count via the densified grid)")
+  }
+
   test("q_shard_manifest: exact vs recomputed assignment; partitionBy(shard) write prunes") {
     import spark.implicits._
     val d = SparkTestSession.sf0001
