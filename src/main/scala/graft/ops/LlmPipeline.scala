@@ -1942,6 +1942,131 @@ object LlmPipeline {
       .orderBy("src_a", "src_b")
   }
 
+  /** Exact-Jaccard threshold (ppm) above which a verified candidate
+    * pair is confirmed a near-duplicate by q_dedup_verify.
+    */
+  private[graft] val VerifyDupPpm = 800000L
+
+  /** q_dedup_verify — the exact-verification stage that completes the
+    * industrial LSH dedup chain (signatures → bands → candidate pairs →
+    * VERIFY → clusters): every MinHash candidate pair gets its true
+    * shingle-set Jaccard (in exact integer ppm) and a confirmed/rejected
+    * flag at [[VerifyDupPpm]]. Banding alone over-merges — two docs can
+    * share one band by hash luck — so production dedup always confirms
+    * candidates against the real sets before clustering.
+    *
+    * Scale shape: the shingle re-read is SEMI-JOINED down to docs that
+    * appear in ≥1 candidate pair before the explode, so the verify cost
+    * is bounded by the candidate set (dup-set-sized), never the corpus.
+    * Intersections come from a bucket-local equi join on the 60-bit
+    * shingle hash — |A∩B| = matching hash rows, |A∪B| = nA + nB − |A∩B|
+    * — all integer counts, no floats. (Set sizes count DISTINCT
+    * SHINGLE HASHES, not shingles: a 60-bit collision inside one doc
+    * would undercount by one on both engines identically, the same
+    * collision budget minhashBanded already accepts.) The pair list and
+    * the pruned hash table are localCheckpoint-pinned (2 and 3 consumers
+    * below).
+    */
+  def dedupVerify(s: SparkSession, d: String): DataFrame = {
+    val pairs = minhashPairsFromBanded(minhashBanded(s, d)).localCheckpoint()
+    val docsInPairs = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    val sh = verifyShingleHashes(s, d, docsInPairs).localCheckpoint()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = pairs
+      .join(sh.select(col("doc_id").as("doc_a"), col("h")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("h")), Seq("doc_b", "h"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+    pairs
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("coalesce(n_inter, CAST(0 AS BIGINT)) * 1000000 DIV " +
+          "(n_a + n_b - coalesce(n_inter, CAST(0 AS BIGINT)))").as("jaccard_ppm"))
+      .withColumn("is_dup", col("jaccard_ppm") >= VerifyDupPpm)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** The verify stage's pruned shingle re-read: semi-join the corpus
+    * down to `docsInPairs` BEFORE the shingle explode, so re-shingling
+    * cost is bounded by the candidate set. Factored out (pre-checkpoint)
+    * so PlanShapeSpec can pin the semi-below-Generate shape that the
+    * pinned blocks hide from dedupVerify's own plan.
+    */
+  private[graft] def verifyShingleHashes(
+      s: SparkSession, d: String, docsInPairs: DataFrame): DataFrame =
+    withTk(Tables.documents(s, d))
+      .join(docsInPairs, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), explode(expr(s"array_distinct($shingles)")).as("s"))
+      .select(col("doc_id"),
+        expr("CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)").as("h"))
+
+  /** Percent boundaries of the deterministic corpus split assigned by
+    * q_split_assign: [0,98) train, [98,99) val, [99,100) test.
+    */
+  private[graft] val SplitTrainPct = 98L
+  private[graft] val SplitValPct = 99L
+
+  /** q_split_assign — deterministic train/val/test split with a
+    * stratification audit: every doc lands in a split by hashing its
+    * doc_id (md5 → 60-bit integer → mod 100 → percent bucket), and the
+    * output is the per-(source, split) doc and token census a pipeline
+    * reviews before training. Hash-of-id splitting is the production
+    * idiom because it is STABLE — re-runs, backfills, and incremental
+    * batches assign every doc the same split with no coordination, and
+    * no shuffle is needed for the assignment itself (mapper-only); the
+    * census is one combining aggregate over ≤ |sources|·3 groups.
+    */
+  def splitAssign(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("source"), coalesce(col("text"), lit("")).as("text"),
+        expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT) % 100")
+          .as("b"))
+      .withColumn("split", expr(
+        s"CASE WHEN b < $SplitTrainPct THEN 'train' " +
+          s"WHEN b < $SplitValPct THEN 'val' ELSE 'test' END"))
+      .withColumn("n_tokens", expr(s"CAST(size($toks) AS BIGINT)"))
+      .groupBy("source", "split")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      .orderBy("source", "split")
+
+  /** Vocabulary size for q_vocab_coverage (top-K corpus unigrams). */
+  private[graft] val VocabK = 100
+
+  /** q_vocab_coverage — tokenizer-vocabulary coverage: build the top-K
+    * corpus unigram vocabulary (count desc, token asc tie-break — fully
+    * deterministic), then report each source's token coverage under it
+    * in exact integer ppm. This is the audit run before committing to a
+    * tokenizer: a source whose coverage is low will fragment into
+    * byte-fallback tokens and silently eat the token budget.
+    *
+    * Scale shape: ONE corpus-sized shuffle — the (source, token) count
+    * aggregate (map-side combining; output is vocab-per-source-sized,
+    * localCheckpoint-pinned for its two consumers). The global vocab is
+    * a second aggregate OVER THE PINNED COUNTS (never the corpus) +
+    * TakeOrdered top-K, and the coverage pass joins the counts against
+    * the 100-row vocab broadcast — bounded by construction, so the hint
+    * is size-provable, not speculative.
+    */
+  def vocabCoverage(s: SparkSession, d: String): DataFrame = {
+    val st = Tables.documents(s, d)
+      .select(col("source"), coalesce(col("text"), lit("")).as("text"))
+      .select(col("source"), explode(expr(toks)).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val vocab = st.groupBy("tok").agg(sum(col("cnt")).as("gcnt"))
+      .orderBy(col("gcnt").desc, col("tok")).limit(VocabK)
+    st.join(broadcast(vocab.select(col("tok"), lit(1L).as("in_v"))), Seq("tok"), "left")
+      .groupBy("source")
+      .agg(sum(col("cnt")).as("total_tokens"),
+        sum(expr("CASE WHEN in_v IS NULL THEN CAST(0 AS BIGINT) ELSE cnt END"))
+          .as("vocab_tokens"))
+      .select(col("source"), col("total_tokens"), col("vocab_tokens"),
+        expr("vocab_tokens * 1000000 DIV total_tokens").as("coverage_ppm"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact"         -> (dedupExact _),
     "q_dedup_minhash_sig"   -> (dedupMinhashSig _),
@@ -1993,6 +2118,9 @@ object LlmPipeline {
     "q_ngram_counts"        -> (ngramCounts _),
     "q_budget_select"       -> (budgetSelect _),
     "q_quality_drift"       -> (qualityDrift _),
+    "q_dedup_verify"        -> (dedupVerify _),
+    "q_split_assign"        -> (splitAssign _),
+    "q_vocab_coverage"      -> (vocabCoverage _),
   )
 
   val oracle: Map[String, String] = {
@@ -2382,6 +2510,56 @@ object LlmPipeline {
           "CAST(sum(abs(a.share_ppm - b.share_ppm)) // 2 AS BIGINT) AS tvd_ppm " +
           "FROM dense a JOIN dense b ON a.bucket = b.bucket AND a.source < b.source " +
           "GROUP BY 1, 2 ORDER BY src_a, src_b"),
+      "q_dedup_verify" ->
+        (s"$minhashBandsDuck, " +
+          "ok AS (SELECT band, band_key FROM bands GROUP BY band, band_key " +
+          s"HAVING count(*) <= ${LlmPipeline.HotBucketCap}), " +
+          "pr AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b " +
+          "FROM bands a JOIN ok ON ok.band = a.band AND ok.band_key = a.band_key " +
+          "JOIN bands b ON a.band = b.band AND a.band_key = b.band_key " +
+          "AND a.doc_id < b.doc_id), " +
+          "din AS (SELECT doc_a AS doc_id FROM pr UNION SELECT doc_b FROM pr), " +
+          s"shv AS (SELECT doc_id, unnest(list_distinct($shinglesDuck)) AS s " +
+          "FROM documents WHERE doc_id IN (SELECT doc_id FROM din)), " +
+          "hv AS (SELECT doc_id, " +
+          "CAST(concat('0x', substring(md5(s), 1, 15)) AS BIGINT) AS h FROM shv), " +
+          "sz AS (SELECT doc_id, count(*) AS n FROM hv GROUP BY doc_id), " +
+          "iv AS (SELECT p.doc_a, p.doc_b, count(*) AS n_inter FROM pr p " +
+          "JOIN hv a ON a.doc_id = p.doc_a " +
+          "JOIN hv b ON b.doc_id = p.doc_b AND b.h = a.h " +
+          "GROUP BY p.doc_a, p.doc_b), " +
+          "jv AS (SELECT p.doc_a, p.doc_b, " +
+          "CAST(coalesce(iv.n_inter, 0) * 1000000 // " +
+          "(sa.n + sb.n - coalesce(iv.n_inter, 0)) AS BIGINT) AS jaccard_ppm " +
+          "FROM pr p LEFT JOIN iv ON iv.doc_a = p.doc_a AND iv.doc_b = p.doc_b " +
+          "JOIN sz sa ON sa.doc_id = p.doc_a JOIN sz sb ON sb.doc_id = p.doc_b) " +
+          "SELECT doc_a, doc_b, jaccard_ppm, " +
+          s"jaccard_ppm >= ${LlmPipeline.VerifyDupPpm} AS is_dup " +
+          "FROM jv ORDER BY doc_a, doc_b"),
+      "q_split_assign" ->
+        ("WITH d0 AS (SELECT source, coalesce(text, '') AS text, " +
+          "CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS b " +
+          "FROM documents), " +
+          s"a AS (SELECT source, CASE WHEN b < ${LlmPipeline.SplitTrainPct} THEN 'train' " +
+          s"WHEN b < ${LlmPipeline.SplitValPct} THEN 'val' ELSE 'test' END AS split, " +
+          "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM d0) " +
+          "SELECT source, split, count(*) AS n_docs, " +
+          "CAST(sum(n_tokens) AS BIGINT) AS n_tokens " +
+          "FROM a GROUP BY source, split ORDER BY source, split"),
+      "q_vocab_coverage" ->
+        ("WITH st AS (SELECT source, t AS tok, count(*) AS cnt FROM " +
+          "(SELECT source, unnest(string_split(coalesce(text, ''), ' ')) AS t FROM documents) " +
+          "GROUP BY source, t), " +
+          "g AS (SELECT tok, CAST(sum(cnt) AS BIGINT) AS gcnt FROM st GROUP BY tok), " +
+          s"v AS (SELECT tok FROM g ORDER BY gcnt DESC, tok LIMIT ${LlmPipeline.VocabK}), " +
+          "j AS (SELECT st.source, st.cnt, v.tok AS vtok FROM st " +
+          "LEFT JOIN v ON v.tok = st.tok), " +
+          "cv AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS total_tokens, " +
+          "CAST(sum(CASE WHEN vtok IS NULL THEN 0 ELSE cnt END) AS BIGINT) AS vocab_tokens " +
+          "FROM j GROUP BY source) " +
+          "SELECT source, total_tokens, vocab_tokens, " +
+          "vocab_tokens * 1000000 // total_tokens AS coverage_ppm " +
+          "FROM cv ORDER BY source"),
       "q_decontaminate" ->
         (s"WITH ds AS (SELECT doc_id, " +
           s"CAST(concat('0x', substring(md5(unnest(list_distinct($shinglesDuck))), 1, 15)) AS BIGINT) AS sh " +
@@ -3045,6 +3223,54 @@ object LlmPipeline {
           "sum(abs(a.share_ppm - b.share_ppm)) DIV 2 AS tvd_ppm " +
           "FROM dense a JOIN dense b ON a.bucket = b.bucket AND a.source < b.source " +
           "GROUP BY a.source, b.source ORDER BY src_a, src_b"),
+      "q_dedup_verify" ->
+        (s"$minhashCtes, ok AS (SELECT band, band_key FROM bands " +
+          s"GROUP BY band, band_key HAVING count(*) <= $HotBucketCap), " +
+          "pr AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a " +
+          "JOIN ok ON ok.band = a.band AND ok.band_key = a.band_key " +
+          "JOIN bands b ON a.band = b.band AND a.band_key = b.band_key " +
+          "AND a.doc_id < b.doc_id), " +
+          "din AS (SELECT doc_a AS doc_id FROM pr UNION SELECT doc_b AS doc_id FROM pr), " +
+          s"shv AS (SELECT doc_id, explode(array_distinct($shS)) AS s FROM dtk " +
+          "WHERE doc_id IN (SELECT doc_id FROM din)), " +
+          s"hv AS (SELECT doc_id, ${hash("s")} AS h FROM shv), " +
+          "sz AS (SELECT doc_id, count(*) AS n FROM hv GROUP BY doc_id), " +
+          "iv AS (SELECT p.doc_a, p.doc_b, count(*) AS n_inter FROM pr p " +
+          "JOIN hv a ON a.doc_id = p.doc_a " +
+          "JOIN hv b ON b.doc_id = p.doc_b AND b.h = a.h " +
+          "GROUP BY p.doc_a, p.doc_b), " +
+          "jv AS (SELECT p.doc_a, p.doc_b, " +
+          "coalesce(iv.n_inter, CAST(0 AS BIGINT)) * 1000000 DIV " +
+          "(sa.n + sb.n - coalesce(iv.n_inter, CAST(0 AS BIGINT))) AS jaccard_ppm " +
+          "FROM pr p LEFT JOIN iv ON iv.doc_a = p.doc_a AND iv.doc_b = p.doc_b " +
+          "JOIN sz sa ON sa.doc_id = p.doc_a JOIN sz sb ON sb.doc_id = p.doc_b) " +
+          "SELECT doc_a, doc_b, jaccard_ppm, " +
+          s"jaccard_ppm >= $VerifyDupPpm AS is_dup " +
+          "FROM jv ORDER BY doc_a, doc_b"),
+      "q_split_assign" ->
+        ("WITH d0 AS (SELECT source, coalesce(text, '') AS text, " +
+          "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT) % 100 AS b " +
+          "FROM documents), " +
+          s"a AS (SELECT source, CASE WHEN b < $SplitTrainPct THEN 'train' " +
+          s"WHEN b < $SplitValPct THEN 'val' ELSE 'test' END AS split, " +
+          "CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens FROM d0) " +
+          "SELECT source, split, count(*) AS n_docs, " +
+          "sum(n_tokens) AS n_tokens " +
+          "FROM a GROUP BY source, split ORDER BY source, split"),
+      "q_vocab_coverage" ->
+        ("WITH st AS (SELECT source, t AS tok, count(*) AS cnt FROM " +
+          "(SELECT source, explode(split(coalesce(text, ''), ' ')) AS t FROM documents) " +
+          "GROUP BY source, t), " +
+          "g AS (SELECT tok, sum(cnt) AS gcnt FROM st GROUP BY tok), " +
+          s"v AS (SELECT tok FROM g ORDER BY gcnt DESC, tok LIMIT $VocabK), " +
+          "j AS (SELECT st.source, st.cnt, v.tok AS vtok FROM st " +
+          "LEFT JOIN v ON v.tok = st.tok), " +
+          "cv AS (SELECT source, sum(cnt) AS total_tokens, " +
+          "sum(CASE WHEN vtok IS NULL THEN CAST(0 AS BIGINT) ELSE cnt END) AS vocab_tokens " +
+          "FROM j GROUP BY source) " +
+          "SELECT source, total_tokens, vocab_tokens, " +
+          "vocab_tokens * 1000000 DIV total_tokens AS coverage_ppm " +
+          "FROM cv ORDER BY source"),
       // ---- non-oracle queries: Spark-dialect texts, rows-only-compared
       // in SqlSurfaceSpec (no DuckDB mirror exists for these by design)
       //

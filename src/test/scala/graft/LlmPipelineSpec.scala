@@ -796,6 +796,74 @@ class LlmPipelineSpec extends AnyFunSuite {
         "(srcC's empty bucket-0 row must still count via the densified grid)")
   }
 
+  test("q_dedup_verify: every candidate pair carries its TRUE shingle-set Jaccard") {
+    import spark.implicits._
+    val got = ops.LlmPipeline.dedupVerify(spark, plantedDir)
+      .select(col("doc_a"), col("doc_b"), col("jaccard_ppm"), col("is_dup"))
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    // Independent ground truth: true shingle sets from the same corpus.
+    val texts = spark.read.parquet(s"$plantedDir/documents.parquet")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toMap
+    def shingleSet(t: String): Set[String] = {
+      val tk = t.split(' ')
+      if (tk.length >= 3) tk.sliding(3).map(_.mkString(" ")).toSet else Set(t)
+    }
+    assert(got.map(p => (p._1, p._2)).contains((0L, 200L)),
+      "the exact-dup candidate pair must survive verification")
+    got.foreach { case (a, b, jac, dup) =>
+      val (sa, sb) = (shingleSet(texts(a)), shingleSet(texts(b)))
+      val inter = (sa & sb).size.toLong
+      val expected = inter * 1000000L / (sa.size + sb.size - inter)
+      assert(jac === expected, s"pair ($a,$b): engine ppm $jac != true set ppm $expected")
+      assert(dup === (expected >= ops.LlmPipeline.VerifyDupPpm), s"pair ($a,$b) flag")
+    }
+    assert(got.filter(p => p._1 == 0L && p._2 == 200L).head._3 === 1000000L,
+      "exact dup verifies at exactly 1e6 ppm")
+  }
+
+  test("q_split_assign: hash-stable assignment matches an independent md5 recompute") {
+    import spark.implicits._
+    val dir = s"/tmp/graft-test-split-${java.util.UUID.randomUUID()}"
+    val rows = (1L to 400L).map(i => (i, s"tok a b c d$i", "en", s"src${i % 3}", 10L))
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = ops.LlmPipeline.splitAssign(spark, dir)
+      .as[(String, String, Long, Long)].collect().toSeq
+    def bucket(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16) % 100
+    }
+    val expected = rows.groupBy { case (id, _, _, src, _) =>
+      val b = bucket(id)
+      (src, if (b < 98) "train" else if (b < 99) "val" else "test")
+    }.map { case ((src, split), g) => (src, split, g.size.toLong, g.size.toLong * 5) }
+      .toSeq.sortBy(t => (t._1, t._2))
+    assert(got === expected,
+      "per-(source, split) census must match the driver-side md5-mod-100 recompute")
+    assert(got.map(_._3).sum === 400L, "every doc lands in exactly one split")
+  }
+
+  test("q_vocab_coverage: top-K tie-break and OOV accounting are exact") {
+    import spark.implicits._
+    val dir = s"/tmp/graft-test-vocab-${java.util.UUID.randomUUID()}"
+    // srcA: "a" x10 (all in vocab). srcB: 150 distinct singletons t001..t150
+    // → vocab = {a} + 99 smallest-by-name singletons = t001..t099
+    // → srcB coverage = 99/150 = 660000 ppm exactly.
+    val rows = Seq(
+      (1L, Seq.fill(10)("a").mkString(" "), "en", "srcA", 10L),
+      (2L, (1 to 150).map(i => f"t$i%03d").mkString(" "), "en", "srcB", 10L))
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = ops.LlmPipeline.vocabCoverage(spark, dir)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      ("srcA", 10L, 10L, 1000000L),
+      ("srcB", 150L, 99L, 660000L)),
+      "count-desc token-asc tie-break must admit exactly t001..t099 beside 'a'")
+  }
+
   test("q_shard_manifest: exact vs recomputed assignment; partitionBy(shard) write prunes") {
     import spark.implicits._
     val d = SparkTestSession.sf0001

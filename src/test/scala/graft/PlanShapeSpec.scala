@@ -227,4 +227,41 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange hashpartitioning"),
       s"decode must not shuffle:\n$plan")
   }
+
+  test("dedup verify prunes the shingle re-read to docs-in-pairs before the explode") {
+    import spark.implicits._
+    // Pin the pre-checkpoint subtree directly: in dedupVerify's own plan
+    // the pinned blocks print as Scan ExistingRDD and hide this shape.
+    val docsInPairs = Seq(1L, 2L).toDF("doc_id")
+    val plan = physical(ops.LlmPipeline.verifyShingleHashes(spark, d, docsInPairs))
+    // The semi join against the candidate-doc set must sit BELOW the
+    // Generate (shingle explode): verifying must never re-shingle the
+    // whole corpus, only the dup-set-sized slice that appears in pairs.
+    val lines = plan.linesIterator.toVector
+    val semiIdx = lines.indexWhere(_.contains("LeftSemi"))
+    val genIdx = lines.indexWhere(_.contains("Generate"))
+    assert(semiIdx >= 0, s"expected a left-semi prune in:\n$plan")
+    assert(genIdx >= 0 && genIdx < semiIdx,
+      s"shingle Generate must consume the semi-pruned side (generate line $genIdx, semi line $semiIdx):\n$plan")
+    assert(!physical(ops.LlmPipeline.dedupVerify(spark, d)).contains("CartesianProduct"))
+  }
+
+  test("split assignment is mapper-only up to one combining census aggregate") {
+    val plan = physical(ops.LlmPipeline.splitAssign(spark, d))
+    assert(plan.contains("HashAggregate") && plan.contains("partial"),
+      s"expected a partial (map-side-combining) census agg in:\n$plan")
+    assert(!plan.contains("SortAggregate"), s"sort-agg crept in:\n$plan")
+    val hashShuffles = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashShuffles === 1,
+      s"split census should shuffle exactly once (got $hashShuffles):\n$plan")
+  }
+
+  test("vocab coverage broadcasts the bounded top-K vocab, never a second corpus shuffle") {
+    val plan = physical(ops.LlmPipeline.vocabCoverage(spark, d))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the ${ops.LlmPipeline.VocabK}-row vocab must broadcast:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-K vocab must TakeOrdered, not globally sort:\n$plan")
+    assert(!plan.contains("SortAggregate"), s"sort-agg crept in:\n$plan")
+  }
 }
