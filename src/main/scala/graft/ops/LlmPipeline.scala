@@ -2067,6 +2067,88 @@ object LlmPipeline {
       .orderBy("source")
   }
 
+  /** Overlap fraction (ppm) at or above which q_contamination_frac
+    * recommends dropping a train doc.
+    */
+  private[graft] val ContamDropPpm = 100000L
+
+  /** q_contamination_frac — graded decontamination: for every train doc
+    * the FRACTION of its distinct shingle hashes that appear anywhere in
+    * the benchmark set (exact integer ppm), plus the drop recommendation
+    * at [[ContamDropPpm]]. q_decontaminate's any-hit count answers "is
+    * this doc touched at all"; real filters grade the touch — a quoted
+    * benchmark question (high fraction) is a drop, one shared idiomatic
+    * 3-gram (tiny fraction) is noise. Same scale shape as
+    * q_decontaminate: the benchmark side is bounded by construction so
+    * its distinct hash set broadcasts; sizes and hits are each one
+    * combining per-doc count.
+    */
+  def contaminationFrac(s: SparkSession, d: String): DataFrame = {
+    val postings = ngramPostings(s, d)
+    val benchSh = postings.where(col("doc_id") % 20 === 0)
+      .select(col("sh")).distinct()
+    val train = postings.where(col("doc_id") % 20 =!= 0)
+    val sizes = train.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val hits = train.join(benchSh, "sh")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+    sizes.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_sh"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("frac_ppm", expr("n_hits * 1000000 DIV n_sh"))
+      .withColumn("drop", col("frac_ppm") >= ContamDropPpm)
+      .orderBy("doc_id")
+  }
+
+  /** Winsorize cut ranks, in ppm of each source's doc count: drop below
+    * the 5th and above the 95th token-length percentile.
+    */
+  private[graft] val TrimLoPpm = 50000L
+  private[graft] val TrimHiPpm = 950000L
+
+  /** q_length_trim — per-source length winsorization audit: exact
+    * discrete 5th/95th token-length percentiles and the keep/drop census
+    * under them. Truncated docs and concatenation accidents live in the
+    * length tails, and the trim bounds must be PER SOURCE — a p95 cut
+    * computed corpus-wide would gut the long-form source.
+    *
+    * Percentile-by-sort does not scale (a per-source window ranks the
+    * corpus in ≤|sources| partitions — corpus-sized sort, catastrophic
+    * skew), so this computes EXACT percentiles from the (source, length)
+    * HISTOGRAM instead: one combining corpus aggregate, then a
+    * metadata-sized cumulative window over histogram rows (the
+    * q_compact_plan / q_budget_select discipline), then cut values as
+    * p = min length whose cumulative count reaches the ppm rank
+    * (percentile_disc semantics, all-integer compare). Even the census
+    * is answered FROM the histogram — the corpus is scanned exactly
+    * once.
+    */
+  def lengthTrim(s: SparkSession, d: String): DataFrame = {
+    val byLen = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("n_tokens")
+    val all = org.apache.spark.sql.expressions.Window.partitionBy("source")
+    val cum = Tables.documents(s, d)
+      .select(col("source"), coalesce(col("text"), lit("")).as("text"))
+      .withColumn("n_tokens", expr(s"CAST(size($toks) AS BIGINT)"))
+      .groupBy("source", "n_tokens").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(byLen))
+      .withColumn("n", sum(col("cnt")).over(all))
+    val cuts = cum.groupBy("source").agg(
+      min(when(col("cum") * 1000000 >= col("n") * TrimLoPpm, col("n_tokens")))
+        .as("p_lo_tokens"),
+      min(when(col("cum") * 1000000 >= col("n") * TrimHiPpm, col("n_tokens")))
+        .as("p_hi_tokens"))
+    cum.join(cuts, Seq("source"))
+      .withColumn("keep",
+        col("n_tokens") >= col("p_lo_tokens") && col("n_tokens") <= col("p_hi_tokens"))
+      .groupBy("source").agg(
+        sum(col("cnt")).as("n_docs"),
+        max(col("p_lo_tokens")).as("p_lo_tokens"),
+        max(col("p_hi_tokens")).as("p_hi_tokens"),
+        sum(when(col("keep"), col("cnt")).otherwise(lit(0L))).as("n_kept"),
+        sum(when(!col("keep"), col("cnt")).otherwise(lit(0L))).as("n_dropped"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact"         -> (dedupExact _),
     "q_dedup_minhash_sig"   -> (dedupMinhashSig _),
@@ -2121,6 +2203,8 @@ object LlmPipeline {
     "q_dedup_verify"        -> (dedupVerify _),
     "q_split_assign"        -> (splitAssign _),
     "q_vocab_coverage"      -> (vocabCoverage _),
+    "q_contamination_frac"  -> (contaminationFrac _),
+    "q_length_trim"         -> (lengthTrim _),
   )
 
   val oracle: Map[String, String] = {
@@ -2560,6 +2644,39 @@ object LlmPipeline {
           "SELECT source, total_tokens, vocab_tokens, " +
           "vocab_tokens * 1000000 // total_tokens AS coverage_ppm " +
           "FROM cv ORDER BY source"),
+      "q_contamination_frac" ->
+        (s"WITH ds AS (SELECT doc_id, " +
+          s"CAST(concat('0x', substring(md5(unnest(list_distinct($shinglesDuck))), 1, 15)) AS BIGINT) AS sh " +
+          "FROM documents), " +
+          "bench AS (SELECT DISTINCT sh FROM ds WHERE doc_id % 20 = 0), " +
+          "sz AS (SELECT doc_id, count(*) AS n_sh FROM ds WHERE doc_id % 20 <> 0 GROUP BY doc_id), " +
+          "hits AS (SELECT doc_id, count(*) AS n_hits FROM ds " +
+          "JOIN bench USING (sh) WHERE doc_id % 20 <> 0 GROUP BY doc_id), " +
+          "f AS (SELECT sz.doc_id, sz.n_sh, COALESCE(hits.n_hits, 0) AS n_hits, " +
+          "CAST(COALESCE(hits.n_hits, 0) * 1000000 // sz.n_sh AS BIGINT) AS frac_ppm " +
+          "FROM sz LEFT JOIN hits ON hits.doc_id = sz.doc_id) " +
+          "SELECT doc_id, n_sh, n_hits, frac_ppm, " +
+          s"frac_ppm >= ${LlmPipeline.ContamDropPpm} AS \"drop\" " +
+          "FROM f ORDER BY doc_id"),
+      "q_length_trim" ->
+        ("WITH h AS (SELECT source, " +
+          "CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS n_tokens, " +
+          "count(*) AS cnt FROM documents GROUP BY 1, 2), " +
+          "c AS (SELECT source, n_tokens, cnt, " +
+          "CAST(sum(cnt) OVER (PARTITION BY source ORDER BY n_tokens) AS BIGINT) AS cum, " +
+          "CAST(sum(cnt) OVER (PARTITION BY source) AS BIGINT) AS n FROM h), " +
+          "cuts AS (SELECT source, " +
+          s"min(CASE WHEN cum * 1000000 >= n * ${LlmPipeline.TrimLoPpm} THEN n_tokens END) AS p_lo_tokens, " +
+          s"min(CASE WHEN cum * 1000000 >= n * ${LlmPipeline.TrimHiPpm} THEN n_tokens END) AS p_hi_tokens " +
+          "FROM c GROUP BY source) " +
+          "SELECT c.source, CAST(sum(c.cnt) AS BIGINT) AS n_docs, " +
+          "max(cuts.p_lo_tokens) AS p_lo_tokens, max(cuts.p_hi_tokens) AS p_hi_tokens, " +
+          "CAST(sum(CASE WHEN c.n_tokens >= cuts.p_lo_tokens AND c.n_tokens <= cuts.p_hi_tokens " +
+          "THEN c.cnt ELSE 0 END) AS BIGINT) AS n_kept, " +
+          "CAST(sum(CASE WHEN c.n_tokens >= cuts.p_lo_tokens AND c.n_tokens <= cuts.p_hi_tokens " +
+          "THEN 0 ELSE c.cnt END) AS BIGINT) AS n_dropped " +
+          "FROM c JOIN cuts ON cuts.source = c.source " +
+          "GROUP BY c.source ORDER BY c.source"),
       "q_decontaminate" ->
         (s"WITH ds AS (SELECT doc_id, " +
           s"CAST(concat('0x', substring(md5(unnest(list_distinct($shinglesDuck))), 1, 15)) AS BIGINT) AS sh " +
@@ -3271,6 +3388,38 @@ object LlmPipeline {
           "SELECT source, total_tokens, vocab_tokens, " +
           "vocab_tokens * 1000000 DIV total_tokens AS coverage_ppm " +
           "FROM cv ORDER BY source"),
+      "q_contamination_frac" ->
+        (s"$dsCte, " +
+          "bench AS (SELECT DISTINCT sh FROM ds WHERE doc_id % 20 = 0), " +
+          "sz AS (SELECT doc_id, count(*) AS n_sh FROM ds WHERE doc_id % 20 <> 0 GROUP BY doc_id), " +
+          "hits AS (SELECT doc_id, count(*) AS n_hits FROM ds JOIN bench USING (sh) " +
+          "WHERE doc_id % 20 <> 0 GROUP BY doc_id), " +
+          "f AS (SELECT sz.doc_id, sz.n_sh, " +
+          "COALESCE(hits.n_hits, CAST(0 AS BIGINT)) AS n_hits, " +
+          "COALESCE(hits.n_hits, CAST(0 AS BIGINT)) * 1000000 DIV sz.n_sh AS frac_ppm " +
+          "FROM sz LEFT JOIN hits ON hits.doc_id = sz.doc_id) " +
+          "SELECT doc_id, n_sh, n_hits, frac_ppm, " +
+          s"frac_ppm >= $ContamDropPpm AS `drop` " +
+          "FROM f ORDER BY doc_id"),
+      "q_length_trim" ->
+        ("WITH h AS (SELECT source, " +
+          "CAST(size(split(coalesce(text, ''), ' ')) AS BIGINT) AS n_tokens, " +
+          "count(*) AS cnt FROM documents GROUP BY 1, 2), " +
+          "c AS (SELECT source, n_tokens, cnt, " +
+          "sum(cnt) OVER (PARTITION BY source ORDER BY n_tokens) AS cum, " +
+          "sum(cnt) OVER (PARTITION BY source) AS n FROM h), " +
+          "cuts AS (SELECT source, " +
+          s"min(CASE WHEN cum * 1000000 >= n * $TrimLoPpm THEN n_tokens END) AS p_lo_tokens, " +
+          s"min(CASE WHEN cum * 1000000 >= n * $TrimHiPpm THEN n_tokens END) AS p_hi_tokens " +
+          "FROM c GROUP BY source) " +
+          "SELECT c.source, sum(c.cnt) AS n_docs, " +
+          "max(cuts.p_lo_tokens) AS p_lo_tokens, max(cuts.p_hi_tokens) AS p_hi_tokens, " +
+          "sum(CASE WHEN c.n_tokens >= cuts.p_lo_tokens AND c.n_tokens <= cuts.p_hi_tokens " +
+          "THEN c.cnt ELSE CAST(0 AS BIGINT) END) AS n_kept, " +
+          "sum(CASE WHEN c.n_tokens >= cuts.p_lo_tokens AND c.n_tokens <= cuts.p_hi_tokens " +
+          "THEN CAST(0 AS BIGINT) ELSE c.cnt END) AS n_dropped " +
+          "FROM c JOIN cuts ON cuts.source = c.source " +
+          "GROUP BY c.source ORDER BY c.source"),
       // ---- non-oracle queries: Spark-dialect texts, rows-only-compared
       // in SqlSurfaceSpec (no DuckDB mirror exists for these by design)
       //

@@ -864,6 +864,50 @@ class LlmPipelineSpec extends AnyFunSuite {
       "count-desc token-asc tie-break must admit exactly t001..t099 beside 'a'")
   }
 
+  test("q_contamination_frac: overlap fraction matches an independent shingle-set recompute") {
+    import spark.implicits._
+    val dir = s"/tmp/graft-test-contam-${java.util.UUID.randomUUID()}"
+    val benchTxt = (1 to 20).map(i => s"b$i").mkString(" ")   // doc 20: the benchmark
+    val halfTxt = ((1 to 10).map(i => s"b$i") ++ (1 to 10).map(i => s"x$i")).mkString(" ")
+    val cleanTxt = (1 to 20).map(i => s"c$i").mkString(" ")
+    val rows = Seq((20L, benchTxt), (1L, halfTxt), (2L, cleanTxt), (3L, benchTxt))
+    rows.map { case (id, t) => (id, t, "en", "src0", 10L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = ops.LlmPipeline.contaminationFrac(spark, dir)
+      .as[(Long, Long, Long, Long, Boolean)].collect().toSeq
+    def sh(t: String) = t.split(' ').sliding(3).map(_.mkString(" ")).toSet
+    val bench = sh(benchTxt)
+    val expected = Seq((1L, halfTxt), (2L, cleanTxt), (3L, benchTxt)).map { case (id, t) =>
+      val ss = sh(t)
+      val hits = (ss & bench).size.toLong
+      val frac = hits * 1000000L / ss.size
+      (id, ss.size.toLong, hits, frac, frac >= ops.LlmPipeline.ContamDropPpm)
+    }
+    assert(got === expected,
+      "per-doc (n_sh, n_hits, frac_ppm, drop) must equal the true-set recompute; " +
+        "doc 3 (verbatim benchmark copy) must grade 1e6 and drop, doc 2 must grade 0")
+    assert(got.find(_._1 == 3L).get._4 === 1000000L)
+    assert(!got.find(_._1 == 2L).get._5)
+  }
+
+  test("q_length_trim: histogram percentiles implement exact percentile_disc semantics") {
+    import spark.implicits._
+    val dir = s"/tmp/graft-test-trim-${java.util.UUID.randomUUID()}"
+    // srcA: 40 docs with token lengths 1..40. n=40:
+    //   p_lo = min len with cum*1e6 >= 40*50000  → cum >= 2  → len 2
+    //   p_hi = min len with cum*1e6 >= 40*950000 → cum >= 38 → len 38
+    //   kept = lengths 2..38 → 37 docs; dropped = {1, 39, 40} → 3 docs
+    val rows = (1 to 40).map(i => (i.toLong, (1 to i).map(j => s"w$j").mkString(" "), "en", "srcA", 5L))
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = ops.LlmPipeline.lengthTrim(spark, dir)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(("srcA", 40L, 2L, 38L, 37L, 3L)),
+      "cut at the smallest length whose cumulative count reaches the ppm rank " +
+        "(percentile_disc), census answered from the histogram")
+  }
+
   test("q_shard_manifest: exact vs recomputed assignment; partitionBy(shard) write prunes") {
     import spark.implicits._
     val d = SparkTestSession.sf0001
