@@ -216,21 +216,27 @@ object Chunks {
     * 1000-row supplier table — a |chunks|×|nodes| intermediate that is
     * exactly what dies at 100 TB.)
     */
-  def setDiffCandidates(s: SparkSession, d: String): DataFrame = {
-    val repl = Tables.lineitem(s, d)
-      .select(col("l_orderkey"), pmod(col("l_suppkey"), lit(10L)).as("node"))
-      .distinct()
-    val under = repl.groupBy("l_orderkey")
-      .agg(count(lit(1)).as("have"))
-      .where(col("have") < 3)
-    val nodes = broadcast(s.range(10).select(col("id").as("node")))
-    under.crossJoin(nodes)
-      .join(repl, Seq("l_orderkey", "node"), "left_anti")
+  def setDiffCandidates(s: SparkSession, d: String): DataFrame =
+    // The node universe is bounded (10), so each chunk's replica SET
+    // packs into one BIGINT bitmask: bit_or(1 << node) in a single
+    // codegen'd combining aggregate (idempotent under duplicate
+    // replicas — no distinct pre-pass), and the candidate set is the
+    // mask COMPLEMENT, pure per-row arithmetic. The naive form
+    // (distinct → under-replicated agg → nodes cross join → anti join
+    // against the replica table again) scans and shuffles the corpus
+    // twice to compute what the mask answers in one exchange; the
+    // oracle keeps that formulation, which is exactly what the hash
+    // gate is for.
+    Tables.lineitem(s, d)
       .groupBy("l_orderkey")
-      .agg(max("have").as("have"), (lit(3) - max("have")).as("need"),
-        count(lit(1)).as("n_candidates"))
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(l_suppkey % 10 AS INT)))")
+        .as("mask"))
+      .withColumn("have", expr("CAST(bit_count(mask) AS BIGINT)"))
+      .where(col("have") < 3)
+      .select(col("l_orderkey"), col("have"),
+        (lit(3L) - col("have")).as("need"),
+        (lit(10L) - col("have")).as("n_candidates"))
       .orderBy("l_orderkey")
-  }
 
   /** #23 q_failover_coalesce — first non-failed replica per chunk
     * (download failover client/Client.java:443-454): rank alive replicas
@@ -454,14 +460,13 @@ object Chunks {
           "element_at(split(concat(chunk_file, ' sidecar.md5'), ' '), 1) AS base_token " +
           "FROM cf ORDER BY chunk_file"),
       "q_set_diff_candidates" ->
-        ("WITH repl AS (SELECT DISTINCT l_orderkey, pmod(l_suppkey, 10) AS node FROM lineitem), " +
-          "under AS (SELECT l_orderkey, count(*) AS have FROM repl " +
-          "GROUP BY l_orderkey HAVING count(*) < 3), " +
-          "nodes AS (SELECT explode(sequence(CAST(0 AS BIGINT), 9)) AS node), " +
-          "cand AS (SELECT u.l_orderkey, u.have, n.node FROM under u CROSS JOIN nodes n " +
-          "WHERE NOT EXISTS (SELECT 1 FROM repl r WHERE r.l_orderkey = u.l_orderkey AND r.node = n.node)) " +
-          "SELECT l_orderkey, max(have) AS have, 3 - max(have) AS need, count(*) AS n_candidates " +
-          "FROM cand GROUP BY l_orderkey ORDER BY l_orderkey"),
+        // bitmask form (see setDiffCandidates): one combining aggregate,
+        // set-diff as mask-complement arithmetic
+        ("WITH m AS (SELECT l_orderkey, " +
+          "CAST(bit_count(bit_or(shiftleft(CAST(1 AS BIGINT), CAST(l_suppkey % 10 AS INT)))) AS BIGINT) AS have " +
+          "FROM lineitem GROUP BY l_orderkey) " +
+          "SELECT l_orderkey, have, 3 - have AS need, 10 - have AS n_candidates " +
+          "FROM m WHERE have < 3 ORDER BY l_orderkey"),
       // the Spark texts go THROUGH the MapType column (map_from_entries
       // → map_keys/map_values/element_at/explode), unlike the flat
       // relational DuckDB mirrors — the SQL front door exercises the

@@ -56,12 +56,19 @@ class PlanShapeSpec extends AnyFunSuite {
       s"nanos cutoff not in PushedFilters:\n$plan")
   }
 
-  test("replica-candidate expansion broadcasts the bounded node dim (#20)") {
+  test("replica-candidate set-diff is one bitmask aggregate: single scan, no joins (#20)") {
     val plan = physical(ops.Chunks.setDiffCandidates(spark, d))
-    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
-      s"node dim not broadcast:\n$plan")
-    assert(!plan.contains("CartesianProduct"),
-      s"unbounded cartesian in candidate expansion:\n$plan")
+    // The bounded node universe packs into a BIGINT mask, so the whole
+    // query is scan → combining bit_or agg → arithmetic: any join (or a
+    // second scan) means the two-pass distinct/anti-join form regressed.
+    assert(plan.contains("HashAggregate") && plan.contains("partial"),
+      s"expected a partial (combining) bit_or aggregate in:\n$plan")
+    assert(!plan.contains("Join"), s"mask complement needs no join:\n$plan")
+    val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans === 1, s"lineitem must be scanned exactly once (got $scans):\n$plan")
+    val hashShuffles = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashShuffles === 1,
+      s"one hash exchange only (got $hashShuffles):\n$plan")
   }
 
   test("as-of join aggregates with hash aggregation, no window sort over events (#30)") {
