@@ -1913,9 +1913,15 @@ object LlmPipeline {
     * one combining sum per pair. Everything after the first aggregate
     * is metadata-sized; the corpus is scanned exactly once.
     */
-  def qualityDrift(s: SparkSession, d: String): DataFrame = {
+  /** The drift family's per-(source, bucket) quality-score histogram —
+    * shared by the batch pairwise matrix (qualityDrift) and the
+    * streaming per-ingest-batch monitor (driftMonitorSink), so the two
+    * surfaces can never bucket differently. Mapper-only + one combining
+    * aggregate; output is |sources|·11 rows.
+    */
+  private[graft] def qualityBuckets(docs: DataFrame): DataFrame = {
     val stop = profiles.flatMap(_._2).distinct.map(w => s"'$w'").mkString(", ")
-    val hist = Tables.documents(s, d)
+    docs
       .select(col("source"), coalesce(col("text"), lit("")).as("text"))
       .withColumn("n_tokens", expr(s"CAST(size($toks) AS BIGINT)"))
       .withColumn("n_stop",
@@ -1923,6 +1929,10 @@ object LlmPipeline {
       .withColumn("bucket",
         expr(s"n_stop * 1000000 DIV n_tokens DIV $DriftBucketPpm"))
       .groupBy("source", "bucket").agg(count(lit(1)).as("cnt"))
+  }
+
+  def qualityDrift(s: SparkSession, d: String): DataFrame = {
+    val hist = qualityBuckets(Tables.documents(s, d))
       .localCheckpoint() // 3 consumers below — pin the corpus scan once
     val grid = hist.select("source").distinct()
       .crossJoin(hist.select("bucket").distinct())
@@ -1941,6 +1951,45 @@ object LlmPipeline {
       .agg(expr("sum(abs(pa - pb)) DIV 2").as("tvd_ppm"))
       .orderBy("src_a", "src_b")
   }
+
+  /** Per-source TVD between a batch histogram and a reference histogram
+    * (both in [[qualityBuckets]] shape). A full-outer join on (source,
+    * bucket) densifies — a bucket present on only one side contributes
+    * its whole share to the distance. Everything is histogram-sized.
+    */
+  private[graft] def driftVsReference(batchHist: DataFrame, refHist: DataFrame): DataFrame = {
+    def shares(h: DataFrame, out: String): DataFrame =
+      h.join(h.groupBy("source").agg(sum(col("cnt")).as("n")), Seq("source"))
+        .select(col("source"), col("bucket"),
+          expr("cnt * 1000000 DIV n").as(out))
+    shares(batchHist, "pb")
+      .join(shares(refHist, "pr"), Seq("source", "bucket"), "full_outer")
+      .select(col("source"), col("bucket"),
+        coalesce(col("pb"), lit(0L)).as("pb"),
+        coalesce(col("pr"), lit(0L)).as("pr"))
+      .groupBy("source")
+      .agg(expr("sum(abs(pb - pr)) DIV 2").as("tvd_ppm"))
+  }
+
+  /** The STREAMING drift monitor — [[qualityDrift]]'s production form:
+    * every ingest micro-batch is scored against a static reference
+    * histogram and the per-(batch, source) TVD is appended to a parquet
+    * audit log. foreachBatch is the right streaming shape here (not a
+    * windowed aggregation): the per-batch histogram → full-outer
+    * densify → TVD pipeline is a multi-aggregate batch plan that
+    * streaming aggregation cannot express, and the monitor needs ZERO
+    * cross-batch state — the reference is static and each batch grades
+    * independently, so there is nothing for a watermark to bound.
+    * MemoryStream-verified in StreamingSpec; not in `queries` (the
+    * batch pairwise matrix is the oracle-checked surface).
+    */
+  def driftMonitorSink(docs: DataFrame, refHist: DataFrame, dir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      driftVsReference(qualityBuckets(batch), refHist)
+        .withColumn("batch_id", lit(id))
+        .write.mode("append").parquet(dir)
+    }.start()
 
   /** Exact-Jaccard threshold (ppm) above which a verified candidate
     * pair is confirmed a near-duplicate by q_dedup_verify.
@@ -2149,6 +2198,31 @@ object LlmPipeline {
       .orderBy("source")
   }
 
+  /** q_dedup_cross_source — the duplicate FLOW matrix: for every
+    * confirmed near-duplicate cluster, which source keeps the
+    * representative and which sources lose members to it —
+    * (rep_source, dup_source, n_docs dropped). q_source_overlap
+    * measures shared shingle mass (a symmetric similarity);
+    * this measures the dedup DECISION's direction — who actually
+    * absorbs whom once clustering runs — which is what a curation
+    * review asks when one source is suspected of mirroring another.
+    * Cost: the memoized cc label table (shared with q_dedup_cc /
+    * q_dedup_cluster_stats — no recompute) joined twice against the
+    * (doc_id, source) projection, then one combining aggregate over a
+    * ≤|sources|² result.
+    */
+  def dedupCrossSource(s: SparkSession, d: String): DataFrame = {
+    val labels = ccLabelsFor(s, d)
+    val srcs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    labels.where(col("doc_id") =!= col("rep_id"))
+      .join(srcs.select(col("doc_id"), col("source").as("dup_source")), Seq("doc_id"))
+      .join(srcs.select(col("doc_id").as("rep_id"), col("source").as("rep_source")),
+        Seq("rep_id"))
+      .groupBy("rep_source", "dup_source")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("rep_source", "dup_source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact"         -> (dedupExact _),
     "q_dedup_minhash_sig"   -> (dedupMinhashSig _),
@@ -2205,6 +2279,7 @@ object LlmPipeline {
     "q_vocab_coverage"      -> (vocabCoverage _),
     "q_contamination_frac"  -> (contaminationFrac _),
     "q_length_trim"         -> (lengthTrim _),
+    "q_dedup_cross_source"  -> (dedupCrossSource _),
   )
 
   val oracle: Map[String, String] = {
@@ -2290,6 +2365,24 @@ object LlmPipeline {
           "CAST(sum(CASE WHEN d.doc_id <> l.rep_id THEN d.n_chars ELSE 0 END) AS BIGINT) AS chars_dropped " +
           "FROM lab l JOIN documents d ON d.doc_id = l.doc_id " +
           "GROUP BY l.rep_id ORDER BY l.rep_id"),
+      "q_dedup_cross_source" ->
+        (s"${minhashBandsDuck.replaceFirst("WITH ", "WITH RECURSIVE ")}, " +
+          "ok AS (SELECT band, band_key FROM bands GROUP BY band, band_key " +
+          s"HAVING count(*) <= ${LlmPipeline.HotBucketCap}), " +
+          "pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b " +
+          "FROM bands a JOIN ok ON ok.band = a.band AND ok.band_key = a.band_key " +
+          "JOIN bands b ON a.band = b.band AND a.band_key = b.band_key " +
+          "AND a.doc_id < b.doc_id), " +
+          "edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs " +
+          "UNION ALL SELECT doc_b, doc_a FROM pairs), " +
+          "reach(doc_id, lbl) AS (SELECT u, u FROM edges " +
+          "UNION SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.doc_id), " +
+          "lab AS (SELECT doc_id, min(lbl) AS rep_id FROM reach GROUP BY doc_id) " +
+          "SELECT rs.source AS rep_source, ds.source AS dup_source, count(*) AS n_docs " +
+          "FROM lab l JOIN documents ds ON ds.doc_id = l.doc_id " +
+          "JOIN documents rs ON rs.doc_id = l.rep_id " +
+          "WHERE l.doc_id <> l.rep_id " +
+          "GROUP BY 1, 2 ORDER BY rep_source, dup_source"),
       "q_dedup_incremental" ->
         (s"$minhashBandsDuck, " +
           "src AS (SELECT doc_id, source FROM documents), " +
@@ -3141,6 +3234,13 @@ object LlmPipeline {
           "CAST(sum(CASE WHEN d.doc_id <> l.rep_id THEN d.n_chars ELSE 0 END) AS BIGINT) AS chars_dropped " +
           "FROM lab l JOIN documents d ON d.doc_id = l.doc_id " +
           "GROUP BY l.rep_id ORDER BY l.rep_id"),
+      "q_dedup_cross_source" ->
+        (s"$ccUnrolled, lab AS (SELECT doc_id, rep_id FROM lconv) " +
+          "SELECT rs.source AS rep_source, ds.source AS dup_source, count(*) AS n_docs " +
+          "FROM lab l JOIN documents ds ON ds.doc_id = l.doc_id " +
+          "JOIN documents rs ON rs.doc_id = l.rep_id " +
+          "WHERE l.doc_id <> l.rep_id " +
+          "GROUP BY rs.source, ds.source ORDER BY rep_source, dup_source"),
       "q_dedup_incremental" ->
         (s"$minhashCtes, " +
           "sb AS (SELECT b.doc_id, b.band, b.band_key, s.source " +

@@ -908,6 +908,27 @@ class LlmPipelineSpec extends AnyFunSuite {
         "(percentile_disc), census answered from the histogram")
   }
 
+  test("q_dedup_cross_source: duplicate flow matrix is directional (who absorbs whom)") {
+    import spark.implicits._
+    val dir = s"/tmp/graft-test-xsrc-${java.util.UUID.randomUUID()}"
+    val tA1 = (1 to 30).map(i => s"a$i").mkString(" ")
+    val tA2 = (1 to 30).map(i => s"b$i").mkString(" ")
+    val tB1 = (1 to 30).map(i => s"c$i").mkString(" ")
+    // srcB mirrors srcA's docs 1 and 2 (reps stay in srcA: min doc_id);
+    // srcA doc 22 mirrors srcB doc 21 (rep in srcB) — the matrix must
+    // keep the two directions apart.
+    val rows = Seq(
+      (1L, tA1, "srcA"), (2L, tA2, "srcA"), (22L, tB1, "srcA"),
+      (11L, tA1, "srcB"), (12L, tA1, "srcB"), (13L, tA2, "srcB"), (21L, tB1, "srcB"))
+    rows.map { case (id, t, src) => (id, t, "en", src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = ops.LlmPipeline.dedupCrossSource(spark, dir)
+      .as[(String, String, Long)].collect().toSeq
+    assert(got === Seq(("srcA", "srcB", 3L), ("srcB", "srcA", 1L)),
+      "srcA absorbs 3 srcB mirrors (11,12,13); srcB absorbs 1 srcA mirror (22)")
+  }
+
   test("q_shard_manifest: exact vs recomputed assignment; partitionBy(shard) write prunes") {
     import spark.implicits._
     val d = SparkTestSession.sf0001

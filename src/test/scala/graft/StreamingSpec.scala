@@ -359,4 +359,34 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => r._1 -> r._4).toMap
     assert(seqs == Map(1L -> 1L, 2L -> 1L, 3L -> 2L))
   }
+
+  test("streaming drift monitor grades each ingest batch against the static reference") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-drift").toString + "/log"
+    // reference: srcX half the docs fully stopworded (bucket 10), half
+    // not (bucket 0) — "the the the" vs "x y z"
+    val stopful = "the the the"
+    val stopless = "x y z"
+    val ref = ops.LlmPipeline.qualityBuckets(
+      Seq(("srcX", stopful), ("srcX", stopless)).toDF("source", "text"))
+      .localCheckpoint()
+    val ms = MemoryStream[(Long, String, String)]
+    val q = ops.LlmPipeline.driftMonitorSink(
+      ms.toDF().toDF("doc_id", "text", "source"), ref, dir)
+    try {
+      // batch 0 matches the reference distribution → TVD 0
+      ms.addData((1L, stopful, "srcX"), (2L, stopless, "srcX"))
+      q.processAllAvailable()
+      // batch 1: all mass moved to bucket 10 → TVD = 500000 ppm
+      ms.addData((3L, stopful, "srcX"), (4L, stopful, "srcX"))
+      q.processAllAvailable()
+      val log = spark.read.parquet(dir)
+        .select($"batch_id", $"source", $"tvd_ppm")
+        .as[(Long, String, Long)].collect().toSet
+      assert(log === Set((0L, "srcX", 0L), (1L, "srcX", 500000L)),
+        "matching batch grades 0; fully-shifted batch grades 500000 ppm " +
+          "(the reference's bucket-0 share counts via the full-outer densify)")
+    } finally q.stop()
+  }
 }
