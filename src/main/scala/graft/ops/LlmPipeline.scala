@@ -1448,6 +1448,10 @@ object LlmPipeline {
     val docs = Tables.documents(s, d)
     val tf = docs.select(col("doc_id"), explode(expr(toks)).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      // 2 consumers (the join below + the df pass): without the pin the
+      // scan→explode→agg subtree runs twice — the production idiom is
+      // persisting the TF matrix for the IDF pass, not recomputing it
+      .localCheckpoint()
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy("doc_id")
