@@ -170,12 +170,90 @@ object Storage {
       .orderBy("column_name")
   }
 
+  /** Bloom geometry for the file-membership index (q_fileindex_*): m
+    * bits per file, 2 md5-derived positions per key. md5 (the engine-
+    * neutral hash idiom), NOT xxhash64: here the positions ARE the
+    * output — the index is a persisted table — so both engines must
+    * derive them identically, unlike decontaminateBloom's prefilter
+    * where the bits are result-neutral.
+    */
+  private[graft] val FileBloomBits = 1024L
+
+  /** Probe key for q_fileindex_prune (a supplier id present at every
+    * test SF).
+    */
+  private[graft] val ProbeSuppKey = 7L
+
+  /** Both positions from ONE md5 (Kirsch-Mitzenmacher double hashing:
+    * disjoint 10-bit ranges of the 60-bit hash) — halves the per-row
+    * hash cost vs a seed-per-position md5.
+    */
+  private def bloomPoss(key: String): Seq[String] = {
+    val h = s"CAST(conv(substring(md5($key), 1, 15), 16, 10) AS BIGINT)"
+    Seq(s"$h % $FileBloomBits", s"($h DIV $FileBloomBits) % $FileBloomBits")
+  }
+
+  /** The index rows (file_id, bit_pos), pre-ORDER BY — shared by build
+    * (adds the output order) and prune (consumes unordered).
+    */
+  private[graft] def fileBloomIndex(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("file_id"),
+        expr("CAST(l_suppkey AS STRING)").as("k"))
+      .withColumn("h",
+        expr("CAST(conv(substring(md5(k), 1, 15), 16, 10) AS BIGINT)"))
+      .select(col("file_id"), explode(array(
+        expr(s"h % $FileBloomBits"),
+        expr(s"(h DIV $FileBloomBits) % $FileBloomBits"))).as("bit_pos"))
+      .distinct()
+
+  /** q_fileindex_build — per-file Bloom membership index over the
+    * point-lookup column (supplier id): the pruning axis zone maps
+    * cannot serve. Min/max skips files for RANGE predicates on sorted-ish
+    * columns; a point predicate on a column whose values interleave
+    * across every file (suppkey here — each file holds an arbitrary
+    * handful) gets zero skipping from min/max, but a per-file bit set
+    * answers "might this file contain key X" in O(k) metadata probes
+    * (parquet's own bloom_filter_enabled column indexes are this
+    * structure). One combining distinct over (file, 2 positions per
+    * chunk); output is metadata-sized — ≤ 2·distinct-keys-per-file rows
+    * per file, hard-capped at m per file.
+    */
+  def fileindexBuild(s: SparkSession, d: String): DataFrame =
+    fileBloomIndex(s, d).orderBy("file_id", "bit_pos")
+
+  /** q_fileindex_prune — candidate files for `l_suppkey = ProbeSuppKey`,
+    * answered FROM THE INDEX ALONE: a file qualifies iff its bit set
+    * contains EVERY probe position. Sound (the build derives positions
+    * with the same hashes, so a file truly holding the key always has
+    * both bits — StorageSpec pins this against the raw data) but
+    * inexact (position collisions admit false positives at the standard
+    * Bloom rate). The probe positions are a ≤2-row broadcast; the
+    * qualifying check is one combining count per file.
+    */
+  def fileindexPrune(s: SparkSession, d: String): DataFrame = {
+    val pExprs = bloomPoss(s"'$ProbeSuppKey'")
+    val ppos = s.range(1)
+      .select(explode(expr(s"array_distinct(array(${pExprs.mkString(", ")}))"))
+        .as("bit_pos"))
+    val need = ppos.agg(count(lit(1)).as("n_need"))
+    fileBloomIndex(s, d)
+      .join(broadcast(ppos), Seq("bit_pos"))
+      .groupBy("file_id").agg(count(lit(1)).as("n_hit"))
+      .crossJoin(broadcast(need))
+      .where(col("n_hit") === col("n_need"))
+      .select("file_id")
+      .orderBy("file_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_zonemap_build"   -> (zonemapBuild _),
     "q_zonemap_prune"   -> (zonemapPrune _),
     "q_compact_plan"    -> (compactPlan _),
     "q_skew_diagnose"   -> (skewDiagnose _),
-    "q_profile_columns" -> (profileColumns _))
+    "q_profile_columns" -> (profileColumns _),
+    "q_fileindex_build" -> (fileindexBuild _),
+    "q_fileindex_prune" -> (fileindexPrune _))
 
   /** Shared zone-map CTE (both dialects agree on this text). */
   private val zmCte =
@@ -231,7 +309,34 @@ object Storage {
         .mkString(" UNION ALL ")
       s"WITH a AS (SELECT count(*) AS n_rows, $aggSelects FROM documents) " +
         s"$branches ORDER BY column_name"
-    })
+    },
+    "q_fileindex_build" ->
+      (s"WITH b AS ($fileBloomDuck) " +
+        "SELECT file_id, bit_pos FROM b ORDER BY file_id, bit_pos"),
+    "q_fileindex_prune" ->
+      (s"WITH idx AS ($fileBloomDuck), " +
+        s"p AS (SELECT DISTINCT bit_pos FROM (${probePosDuck(1)} UNION ALL ${probePosDuck(2)})), " +
+        "n AS (SELECT count(*) AS n_need FROM p) " +
+        "SELECT file_id FROM idx JOIN p USING (bit_pos) CROSS JOIN n " +
+        "GROUP BY file_id, n_need HAVING count(*) = n_need " +
+        "ORDER BY file_id"))
+
+  /** DuckDB form of the index rows — the same md5-derived double-hash
+    * positions the Spark builders compute.
+    */
+  private def fileBloomDuck: String =
+    s"SELECT DISTINCT file_id, bit_pos FROM (" +
+      "SELECT l_orderkey AS file_id, " +
+      s"unnest([h % $FileBloomBits, (h // $FileBloomBits) % $FileBloomBits]) AS bit_pos " +
+      "FROM (SELECT l_orderkey, " +
+      "CAST(concat('0x', substring(md5(CAST(l_suppkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h " +
+      "FROM lineitem))"
+
+  private def probePosDuck(i: Int): String = {
+    val h = s"CAST(concat('0x', substring(md5('$ProbeSuppKey'), 1, 15)) AS BIGINT)"
+    val p = if (i == 1) s"$h % $FileBloomBits" else s"($h // $FileBloomBits) % $FileBloomBits"
+    s"SELECT $p AS bit_pos"
+  }
 
   /** Spark-dialect overrides — the zone-map texts run verbatim in both
     * dialects; these two differ only in integer division (Spark `DIV` vs
@@ -254,5 +359,30 @@ object Storage {
         "FROM pk CROSS JOIN g " +
         s"ORDER BY n_chunks DESC, part_key LIMIT $SkewTopN"),
     "q_profile_columns" ->
-      oracle("q_profile_columns").replace(" AS VARCHAR)", " AS STRING)"))
+      oracle("q_profile_columns").replace(" AS VARCHAR)", " AS STRING)"),
+    "q_fileindex_build" ->
+      (s"WITH b AS ($fileBloomSpark) " +
+        "SELECT file_id, bit_pos FROM b ORDER BY file_id, bit_pos"),
+    "q_fileindex_prune" ->
+      (s"WITH idx AS ($fileBloomSpark), " +
+        s"p AS (SELECT DISTINCT bit_pos FROM (${probePosSpark(1)} UNION ALL ${probePosSpark(2)})), " +
+        "n AS (SELECT count(*) AS n_need FROM p) " +
+        "SELECT file_id FROM idx JOIN p USING (bit_pos) CROSS JOIN n " +
+        "GROUP BY file_id, n_need HAVING count(*) = n_need " +
+        "ORDER BY file_id"))
+
+  /** Spark-SQL form of the index rows (conv(), not DuckDB's 0x-cast). */
+  private def fileBloomSpark: String =
+    s"SELECT DISTINCT file_id, bit_pos FROM (" +
+      "SELECT l_orderkey AS file_id, " +
+      s"explode(array(h % $FileBloomBits, (h DIV $FileBloomBits) % $FileBloomBits)) AS bit_pos " +
+      "FROM (SELECT l_orderkey, " +
+      "CAST(conv(substring(md5(CAST(l_suppkey AS STRING)), 1, 15), 16, 10) AS BIGINT) AS h " +
+      "FROM lineitem))"
+
+  private def probePosSpark(i: Int): String = {
+    val h = s"CAST(conv(substring(md5('$ProbeSuppKey'), 1, 15), 16, 10) AS BIGINT)"
+    val p = if (i == 1) s"$h % $FileBloomBits" else s"($h DIV $FileBloomBits) % $FileBloomBits"
+    s"SELECT $p AS bit_pos"
+  }
 }

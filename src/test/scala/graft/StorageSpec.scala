@@ -65,4 +65,24 @@ class StorageSpec extends AnyFunSuite {
     // uniform (1e6 micros) unless the table itself is tiny/degenerate
     assert(top.getLong(top.fieldIndex("skew_micros")) >= 1000000L)
   }
+
+  test("file bloom index: prune is sound (never drops a true file) and actually prunes") {
+    val cand = ops.Storage.fileindexPrune(spark, d)
+      .select("file_id").collect().map(_.getLong(0)).toSet
+    val truth = Tables.lineitem(spark, d)
+      .where(col("l_suppkey") === ops.Storage.ProbeSuppKey)
+      .select(col("l_orderkey")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(truth.subsetOf(cand),
+      s"bloom prune dropped true files: ${(truth -- cand).take(5)}")
+    val allFiles = Tables.lineitem(spark, d)
+      .select("l_orderkey").distinct().count()
+    assert(cand.size < allFiles,
+      s"index admitted every file (${cand.size} of $allFiles) — no pruning value")
+    // index size is bounded: ≤ 2 positions per (file, distinct key)
+    val idx = ops.Storage.fileindexBuild(spark, d)
+    val bound = Tables.lineitem(spark, d)
+      .select("l_orderkey", "l_suppkey").distinct().count() * 2
+    assert(idx.count() <= bound)
+  }
 }
