@@ -363,6 +363,69 @@ object Streaming {
       }
       .start()
 
+  /** Funnel stage order for q_funnel (each stage's first event must
+    * come strictly AFTER the previous stage's).
+    */
+  private[graft] val FunnelStages = Seq("view", "click", "purchase")
+
+  /** q_funnel — ordered conversion funnel over the event stream: how
+    * many users produced a view, then a click strictly after it, then a
+    * purchase strictly after that. The ORDER is the semantics — a
+    * purchase before the click must not count — which is what separates
+    * a funnel from three independent counts. Scale shape: ONE user-keyed
+    * exchange; the three stage timestamps are conditional-min windows
+    * over the same partitioning (Catalyst evaluates the dependent
+    * windows without re-shuffling), then a single global count row
+    * unpivoted to (stage, n_users). No self-joins — the naive
+    * events×events-per-stage formulation (the oracle keeps it) shuffles
+    * the stream once per stage.
+    */
+  def funnel(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+    val staged = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .withColumn("t1",
+        min(when(col("event_type") === FunnelStages(0), col("us"))).over(w))
+      .withColumn("t2",
+        min(when(col("event_type") === FunnelStages(1) && col("us") > col("t1"),
+          col("us"))).over(w))
+      .withColumn("t3",
+        min(when(col("event_type") === FunnelStages(2) && col("us") > col("t2"),
+          col("us"))).over(w))
+    staged.agg(
+      count_distinct(when(col("t1").isNotNull, col("user_id"))).as("n1"),
+      count_distinct(when(col("t2").isNotNull, col("user_id"))).as("n2"),
+      count_distinct(when(col("t3").isNotNull, col("user_id"))).as("n3"))
+      .select(expr("stack(3, " +
+        s"'1_${FunnelStages(0)}', n1, '2_${FunnelStages(1)}', n2, " +
+        s"'3_${FunnelStages(2)}', n3) AS (stage, n_users)"))
+      .orderBy("stage")
+  }
+
+  /** q_retention — cohort retention matrix: users grouped by their
+    * first-activity day, counted on each later active day as an offset
+    * from the cohort day. THE product-health query over an event
+    * stream. Scale shape: the (user, day) distinct activity set is the
+    * only corpus-sized aggregate (one exchange, map-side combining);
+    * it is localCheckpoint-pinned for its two consumers (cohort min +
+    * offset join), and everything after is activity-set-sized. The
+    * count per (cohort, offset) needs no DISTINCT — activity rows are
+    * already unique per (user, day).
+    */
+  def retention(s: SparkSession, d: String): DataFrame = {
+    val act = Tables.events(s, d)
+      .select(col("user_id"), col("ts").cast("date").as("day"))
+      .distinct()
+      .localCheckpoint()
+    val first = act.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+    act.join(first, Seq("user_id"))
+      .select(col("cohort_day"),
+        expr("CAST(datediff(day, cohort_day) AS BIGINT)").as("day_offset"))
+      .groupBy("cohort_day", "day_offset")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_liveness"   -> (liveness _),
     "q_stream_first_seen" -> (firstSeen _),
@@ -372,6 +435,8 @@ object Streaming {
     "q_replay_ordered"    -> (replayOrdered _),
     "q_gap_fill"          -> (gapFill _),
     "q_sessionize"        -> (sessionize _),
+    "q_funnel"            -> (funnel _),
+    "q_retention"         -> (retention _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -443,6 +508,31 @@ object Streaming {
         "CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq " +
         "FROM n ORDER BY user_id, ts_us, event_id"),
+    // per-stage join formulation — independent of the Spark side's
+    // single-shuffle dependent-window form
+    "q_funnel" ->
+      (s"WITH s1 AS (SELECT user_id, min(CASE WHEN event_type = '${FunnelStages(0)}' " +
+        "THEN epoch_us(ts) END) AS t1 FROM events GROUP BY user_id), " +
+        s"s2 AS (SELECT e.user_id, min(CASE WHEN e.event_type = '${FunnelStages(1)}' " +
+        "AND epoch_us(e.ts) > s1.t1 THEN epoch_us(e.ts) END) AS t2 " +
+        "FROM events e JOIN s1 ON s1.user_id = e.user_id GROUP BY e.user_id), " +
+        s"s3 AS (SELECT e.user_id, min(CASE WHEN e.event_type = '${FunnelStages(2)}' " +
+        "AND epoch_us(e.ts) > s2.t2 THEN epoch_us(e.ts) END) AS t3 " +
+        "FROM events e JOIN s2 ON s2.user_id = e.user_id GROUP BY e.user_id), " +
+        "n AS (SELECT (SELECT count(*) FROM s1 WHERE t1 IS NOT NULL) AS n1, " +
+        "(SELECT count(*) FROM s2 WHERE t2 IS NOT NULL) AS n2, " +
+        "(SELECT count(*) FROM s3 WHERE t3 IS NOT NULL) AS n3) " +
+        s"SELECT '1_${FunnelStages(0)}' AS stage, n1 AS n_users FROM n " +
+        s"UNION ALL SELECT '2_${FunnelStages(1)}', n2 FROM n " +
+        s"UNION ALL SELECT '3_${FunnelStages(2)}', n3 FROM n ORDER BY stage"),
+    "q_retention" ->
+      ("WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events), " +
+        "f AS (SELECT user_id, min(day) AS cohort_day FROM act GROUP BY user_id) " +
+        "SELECT f.cohort_day, " +
+        "CAST(date_diff('day', f.cohort_day, a.day) AS BIGINT) AS day_offset, " +
+        "count(*) AS n_users " +
+        "FROM act a JOIN f ON f.user_id = a.user_id " +
+        "GROUP BY 1, 2 ORDER BY cohort_day, day_offset"),
   )
 
   /** Spark-dialect SQL surface overrides (SqlSurface). time_bucket →
@@ -503,5 +593,29 @@ object Streaming {
         "sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq " +
         "FROM n ORDER BY user_id, ts_us, event_id"),
+    "q_funnel" ->
+      (s"WITH s1 AS (SELECT user_id, min(CASE WHEN event_type = '${FunnelStages(0)}' " +
+        "THEN unix_micros(ts) END) AS t1 FROM events GROUP BY user_id), " +
+        s"s2 AS (SELECT e.user_id, min(CASE WHEN e.event_type = '${FunnelStages(1)}' " +
+        "AND unix_micros(e.ts) > s1.t1 THEN unix_micros(e.ts) END) AS t2 " +
+        "FROM events e JOIN s1 ON s1.user_id = e.user_id GROUP BY e.user_id), " +
+        s"s3 AS (SELECT e.user_id, min(CASE WHEN e.event_type = '${FunnelStages(2)}' " +
+        "AND unix_micros(e.ts) > s2.t2 THEN unix_micros(e.ts) END) AS t3 " +
+        "FROM events e JOIN s2 ON s2.user_id = e.user_id GROUP BY e.user_id), " +
+        "n AS (SELECT (SELECT count(*) FROM s1 WHERE t1 IS NOT NULL) AS n1, " +
+        "(SELECT count(*) FROM s2 WHERE t2 IS NOT NULL) AS n2, " +
+        "(SELECT count(*) FROM s3 WHERE t3 IS NOT NULL) AS n3) " +
+        s"SELECT '1_${FunnelStages(0)}' AS stage, n1 AS n_users FROM n " +
+        s"UNION ALL SELECT '2_${FunnelStages(1)}', n2 FROM n " +
+        s"UNION ALL SELECT '3_${FunnelStages(2)}', n3 FROM n ORDER BY stage"),
+    "q_retention" ->
+      ("WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events), " +
+        "f AS (SELECT user_id, min(day) AS cohort_day FROM act GROUP BY user_id) " +
+        "SELECT f.cohort_day, " +
+        "CAST(datediff(a.day, f.cohort_day) AS BIGINT) AS day_offset, " +
+        "count(*) AS n_users " +
+        "FROM act a JOIN f ON f.user_id = a.user_id " +
+        "GROUP BY f.cohort_day, CAST(datediff(a.day, f.cohort_day) AS BIGINT) " +
+        "ORDER BY cohort_day, day_offset"),
   )
 }

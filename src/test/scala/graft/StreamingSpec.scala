@@ -360,6 +360,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(seqs == Map(1L -> 1L, 2L -> 1L, 3L -> 2L))
   }
 
+  test("q_funnel: stage order is enforced — out-of-order events never convert") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-funnel").toString
+    def t(sec: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:00:$sec%02d")
+    // u1 converts fully; u2 purchases WITHOUT a click (must stall at view);
+    // u3's click precedes its view (stale click must not count);
+    // u4 is fully reversed (purchase, click, view).
+    val rows = Seq(
+      (1L, t(0), 1L, "view"), (2L, t(1), 1L, "click"), (3L, t(2), 1L, "purchase"),
+      (4L, t(0), 2L, "view"), (5L, t(1), 2L, "purchase"),
+      (6L, t(0), 3L, "click"), (7L, t(1), 3L, "view"), (8L, t(2), 3L, "purchase"),
+      (9L, t(0), 4L, "purchase"), (10L, t(1), 4L, "click"), (11L, t(2), 4L, "view"))
+    rows.toDF("event_id", "ts", "user_id", "event_type")
+      .write.parquet(s"$dir/events.parquet")
+    val got = ops.Streaming.funnel(spark, dir)
+      .as[(String, Long)].collect().toSeq
+    assert(got === Seq(("1_view", 4L), ("2_click", 1L), ("3_purchase", 1L)),
+      "only u1 follows view→click→purchase in order; u2/u3/u4 must stall at stage 1")
+  }
+
+  test("q_retention: cohort = first active day; same-day repeat events collapse") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-retention").toString
+    def d(day: Int, h: Int = 0) = java.sql.Timestamp.valueOf(f"2024-01-$day%02d $h%02d:00:00")
+    val rows = Seq(
+      (1L, d(1), 1L, "view"), (2L, d(1, 5), 1L, "click"), (3L, d(3), 1L, "view"),
+      (4L, d(1), 2L, "view"),
+      (5L, d(2), 3L, "view"), (6L, d(3), 3L, "view"))
+    rows.toDF("event_id", "ts", "user_id", "event_type")
+      .write.parquet(s"$dir/events.parquet")
+    val got = ops.Streaming.retention(spark, dir)
+      .selectExpr("CAST(cohort_day AS STRING)", "day_offset", "n_users")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      ("2024-01-01", 0L, 2L), ("2024-01-01", 2L, 1L),
+      ("2024-01-02", 0L, 1L), ("2024-01-02", 1L, 1L)),
+      "u1's two Jan-1 events count once (distinct activity); offsets are per-cohort")
+  }
+
   test("streaming drift monitor grades each ingest batch against the static reference") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
