@@ -1765,6 +1765,81 @@ object LlmPipeline {
       .orderBy("doc_id", "window_no")
   }
 
+  private[graft] val ParaBlockWords = 10
+  private[graft] val ParaPack = 1048576L // 2^20 ≥ any per-doc block count
+
+  /** q_dedup_paragraph — C4/RefinedWeb-style sub-document dedup: the
+    * corpus-wide pass that drops REPEATED PARAGRAPHS (boilerplate,
+    * navigation chrome, licence headers) while keeping the documents
+    * themselves. The whitespace-soup corpus has no newlines, so a
+    * "paragraph" is a non-overlapping ParaBlockWords-word block — the
+    * unit is a parameter, the algorithm is the real one: block every
+    * document, hash each block, keep only each block's FIRST corpus
+    * occurrence (document order, then block order — the C4 rule), and
+    * reconstruct every document from its surviving blocks. Output per
+    * doc: block census (n_blocks, n_kept) + the rebuilt text (empty
+    * when every block appeared earlier — the full-duplicate case).
+    *
+    * First-occurrence is an integer argmin: packed = doc_id·2^20 + blk
+    * orders (doc_id, blk) lexicographically in ONE BIGINT (blk < 2^20
+    * by construction — docs are ≤ n_chars/2 words), so "first" is
+    * min(packed) OVER (PARTITION BY block-hash) — a single shuffle on
+    * the 60-bit block hash, no self-join back to a keeper table. At
+    * 100 TB: blocking is a mapper-only generator projection (sequence
+    * + explode, no shuffle), the window shuffles block rows once on a
+    * high-cardinality key, and the rebuild is one combining agg keyed
+    * doc_id. Nothing is all-pairs and no corpus-global ordering exists.
+    * Reference analogue: chunk-level checksum dedup is the closest
+    * native shape (structures/Chunk.java:166-189 validates per-chunk
+    * checksums; first-writer-wins is the DFS's implicit store rule).
+    */
+  def dedupParagraph(s: SparkSession, d: String): DataFrame = {
+    val blocks = Tables.documents(s, d)
+      .select(col("doc_id"), expr(toks).as("ws"))
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, CAST((size(ws) + ${ParaBlockWords - 1}) DIV $ParaBlockWords - 1 AS INT)), " +
+          s"i -> struct(CAST(i AS BIGINT) AS blk, " +
+          s"array_join(slice(ws, i * $ParaBlockWords + 1, $ParaBlockWords), ' ') AS blk_text))")).as("b"))
+      .select(col("doc_id"), col("b.blk").as("blk"), col("b.blk_text").as("blk_text"),
+        expr("CAST(conv(substring(md5(b.blk_text), 1, 15), 16, 10) AS BIGINT)").as("bh"),
+        (col("doc_id") * ParaPack + col("b.blk")).as("packed"))
+    blocks
+      .withColumn("keeper", min(col("packed")).over(Window.partitionBy("bh")))
+      .groupBy("doc_id")
+      .agg(
+        expr("CAST(count(*) AS BIGINT)").as("n_blocks"),
+        expr("CAST(sum(CASE WHEN packed = keeper THEN 1 ELSE 0 END) AS BIGINT)").as("n_kept"),
+        expr("array_join(transform(array_sort(collect_list(" +
+          "CASE WHEN packed = keeper THEN struct(blk, blk_text) END)), " +
+          "x -> x.blk_text), ' ')").as("text_dedup"))
+      .orderBy("doc_id")
+  }
+
+  /** q_text_diversity — exact-integer lexical-diversity census per
+    * document: n_tokens, n_distinct, and the Simpson collision mass
+    * Σ c_w² (w a token, c_w its in-doc count). simpson_num/n_tokens²
+    * is the repeat-collision probability (Gini-Simpson complement) —
+    * the "document is the same words over and over" quality-filter
+    * axis, complementary to q_text_repetition's windowed n-gram share.
+    * The division is left to consumers: hashed output stays in the
+    * exact integer sufficient statistics (SURVEY §7.4 rule: no IEEE
+    * sums in gate-hashed columns).
+    *
+    * Plan: explode → TWO stacked combining hash aggs — (doc_id, token)
+    * partials collapse within-doc repeats map-side, then one
+    * doc_id-keyed reduce; no window, no join, shuffle bounded by the
+    * per-doc DISTINCT token count, not token volume.
+    */
+  def textDiversity(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(expr(toks)).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(expr("CAST(sum(c) AS BIGINT)").as("n_tokens"),
+        expr("CAST(count(*) AS BIGINT)").as("n_distinct"),
+        expr("CAST(sum(c * c) AS BIGINT)").as("simpson_num"))
+      .orderBy("doc_id")
+
   private[graft] val NShards = 32L
 
   /** q_shard_manifest — deterministic export-shard assignment plus the
@@ -2284,6 +2359,8 @@ object LlmPipeline {
     "q_contamination_frac"  -> (contaminationFrac _),
     "q_length_trim"         -> (lengthTrim _),
     "q_dedup_cross_source"  -> (dedupCrossSource _),
+    "q_dedup_paragraph"     -> (dedupParagraph _),
+    "q_text_diversity"      -> (textDiversity _),
   )
 
   val oracle: Map[String, String] = {
@@ -2945,6 +3022,31 @@ object LlmPipeline {
           s"SELECT doc_id, tok_start // $WindowStride AS window_no, tok_start, " +
           s"least($WindowTokens, n - tok_start) AS n_win_tokens " +
           "FROM w ORDER BY doc_id, window_no"),
+      // mirror of dedupParagraph: same blocking (1-based inclusive list
+      // slice ws[a:b] ≡ Spark slice(ws, a, 10)), same 60-bit md5 block
+      // hash, same packed argmin; string_agg ORDER BY blk ≡ the Spark
+      // side's array_sort(collect_list(struct(blk, …))) rebuild
+      "q_dedup_paragraph" ->
+        (s"WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), " +
+          "b0 AS (SELECT doc_id, ws, CAST(unnest(generate_series(0, " +
+          s"(len(ws) + ${ParaBlockWords - 1}) // $ParaBlockWords - 1)) AS BIGINT) AS blk FROM w), " +
+          "b AS (SELECT doc_id, blk, array_to_string(" +
+          s"ws[blk * $ParaBlockWords + 1 : blk * $ParaBlockWords + $ParaBlockWords], ' ') AS blk_text FROM b0), " +
+          "h AS (SELECT doc_id, blk, blk_text, " +
+          "CAST(concat('0x', substring(md5(blk_text), 1, 15)) AS BIGINT) AS bh, " +
+          s"doc_id * $ParaPack + blk AS packed FROM b), " +
+          "k AS (SELECT *, min(packed) OVER (PARTITION BY bh) AS keeper FROM h) " +
+          "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_blocks, " +
+          "CAST(sum(CASE WHEN packed = keeper THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, " +
+          "coalesce(string_agg(CASE WHEN packed = keeper THEN blk_text END, ' ' ORDER BY blk), '') AS text_dedup " +
+          "FROM k GROUP BY doc_id ORDER BY doc_id"),
+      "q_text_diversity" ->
+        ("WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents), " +
+          "c AS (SELECT doc_id, w, count(*) AS c FROM t GROUP BY doc_id, w) " +
+          "SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, " +
+          "CAST(count(*) AS BIGINT) AS n_distinct, " +
+          "CAST(sum(c * c) AS BIGINT) AS simpson_num " +
+          "FROM c GROUP BY doc_id ORDER BY doc_id"),
       // dialect-neutral text (plain BIGINT % arithmetic): runs verbatim
       // in DuckDB (oracle) and Spark (SQL front door)
       "q_shard_manifest" ->
@@ -3397,6 +3499,29 @@ object LlmPipeline {
           s"CAST(regexp_count(coalesce(text, ''), '$EmailRe') + " +
           s"regexp_count(coalesce(text, ''), '$LongNumberRe') AS BIGINT) AS n_redactions " +
           "FROM documents ORDER BY doc_id"),
+      "q_dedup_paragraph" ->
+        ("WITH w AS (SELECT doc_id, split(text, ' ') AS ws FROM documents), " +
+          "b AS (SELECT doc_id, explode(transform(sequence(0, " +
+          s"CAST((size(ws) + ${ParaBlockWords - 1}) DIV $ParaBlockWords - 1 AS INT)), " +
+          "i -> struct(CAST(i AS BIGINT) AS blk, " +
+          s"array_join(slice(ws, i * $ParaBlockWords + 1, $ParaBlockWords), ' ') AS blk_text))) AS s FROM w), " +
+          "h AS (SELECT doc_id, s.blk AS blk, s.blk_text AS blk_text, " +
+          "CAST(conv(substring(md5(s.blk_text), 1, 15), 16, 10) AS BIGINT) AS bh, " +
+          s"doc_id * $ParaPack + s.blk AS packed FROM b), " +
+          "k AS (SELECT *, min(packed) OVER (PARTITION BY bh) AS keeper FROM h) " +
+          "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_blocks, " +
+          "CAST(sum(CASE WHEN packed = keeper THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, " +
+          "array_join(transform(array_sort(collect_list(" +
+          "CASE WHEN packed = keeper THEN struct(blk, blk_text) END)), " +
+          "x -> x.blk_text), ' ') AS text_dedup " +
+          "FROM k GROUP BY doc_id ORDER BY doc_id"),
+      "q_text_diversity" ->
+        ("WITH t AS (SELECT doc_id, explode(split(text, ' ')) AS w FROM documents), " +
+          "c AS (SELECT doc_id, w, count(*) AS c FROM t GROUP BY doc_id, w) " +
+          "SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, " +
+          "CAST(count(*) AS BIGINT) AS n_distinct, " +
+          "CAST(sum(c * c) AS BIGINT) AS simpson_num " +
+          "FROM c GROUP BY doc_id ORDER BY doc_id"),
       "q_doc_windows" ->
         (s"WITH t AS (SELECT doc_id, CAST(size(split(text, ' ')) AS BIGINT) AS n " +
           "FROM documents), " +

@@ -1028,6 +1028,45 @@ class LlmPipelineSpec extends AnyFunSuite {
       "pipeline neither filtered nor deduped anything")
   }
 
+  test("q_dedup_paragraph: first occurrence wins corpus-wide AND within-doc; rebuild is order-exact") {
+    import spark.implicits._
+    def words(prefix: String, n: Int): String =
+      (0 until n).map(i => s"$prefix$i").mkString(" ")
+    val blkA = words("a", 10); val blkB = words("b", 10)
+    val blkC = words("c", 10); val blkD = words("d", 10)
+    val docs = Seq(
+      (0L, s"$blkA $blkB"),   // defines A and B
+      (1L, s"$blkB $blkC"),   // B repeats doc 0 → dropped; C survives
+      (2L, s"$blkA $blkB"),   // exact duplicate of doc 0 → nothing survives
+      (3L, words("e", 15)),   // 15 words → 10+5 block split, unique → intact
+      (4L, s"$blkD $blkD"))   // within-doc repeat → second copy dropped
+    val dir = s"/tmp/graft-test-para-${java.util.UUID.randomUUID()}"
+    docs.map { case (id, t) => (id, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = ops.LlmPipeline.dedupParagraph(spark, dir)
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(0L) == ((2L, 2L, s"$blkA $blkB")), "first definer keeps everything")
+    assert(got(1L) == ((2L, 1L, blkC)), "repeated block dropped, unique block kept")
+    assert(got(2L) == ((2L, 0L, "")), "full duplicate reconstructs to empty")
+    assert(got(3L) == ((2L, 2L, words("e", 15))), "partial last block round-trips verbatim")
+    assert(got(4L) == ((2L, 1L, blkD)), "within-doc repeat keeps only the first copy")
+  }
+
+  test("q_text_diversity: exact token census (n, distinct, Simpson collision mass)") {
+    import spark.implicits._
+    val dir = s"/tmp/graft-test-div-${java.util.UUID.randomUUID()}"
+    Seq((0L, "a a b c"), (1L, "x x x x"), (2L, "u v w"))
+      .map { case (id, t) => (id, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = ops.LlmPipeline.textDiversity(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(0L) == ((4L, 3L, 6L)))  // 2²+1+1
+    assert(got(1L) == ((4L, 1L, 16L))) // maximal repetition
+    assert(got(2L) == ((3L, 3L, 3L)))  // all distinct → mass = n
+  }
+
   test("quantized cosine tracks float cosine (sim search sanity)") {
     import spark.implicits._
     val top = ops.LlmPipeline.simSearch(spark, SparkTestSession.sf0001)
