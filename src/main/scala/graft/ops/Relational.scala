@@ -585,7 +585,85 @@ object Relational {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** q_dq_audit — declarative data-quality audit: the constraint sweep
+    * a pipeline runs before publishing a snapshot (the reference's
+    * analogue is per-chunk checksum validation on store,
+    * structures/Chunk.java:166-189 — here lifted to table-level
+    * invariants). Six constraints across three tables: two referential
+    * (lineitem→orders, orders→customer), one uniqueness (o_orderkey),
+    * two range (l_quantity ∈ [1,50], l_discount ∈ [0,1]), one
+    * not-null (c_name). Output is one row per constraint:
+    * (constraint_name, n_checked, violations) — metadata-sized.
+    *
+    * Plan: each referential check is a LEFT join against the DISTINCT
+    * key projection (distinct-guarded so a duplicated right key can
+    * never inflate n_checked) collapsed to a 1-row conditional agg;
+    * in-table checks share ONE scan per table via conditional sums,
+    * unpivoted to rows with stack. The 1-row global aggregates plan
+    * SinglePartition exchanges — the inherent accepted class; every
+    * scan is single-pass and the join keys are the tables' own
+    * shuffle keys. At 100 TB the audit costs one pass per table plus
+    * two key-projection shuffles, and AQE broadcasts the distinct key
+    * sides when they fit.
+    */
+  def dqAudit(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val or = Tables.orders(s, d)
+    val cu = Tables.customer(s, d)
+    val liRange = li.agg(
+      count(lit(1)).as("n"),
+      expr("CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT)").as("v_qty"),
+      expr("CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS BIGINT)").as("v_disc"))
+      .selectExpr("stack(2, 'lineitem_quantity_range', n, v_qty, " +
+        "'lineitem_discount_range', n, v_disc) AS (constraint_name, n_checked, violations)")
+    val orUniq = or.agg(count(lit(1)).as("n"), countDistinct(col("o_orderkey")).as("nd"))
+      .selectExpr("stack(1, 'orders_unique_orderkey', n, n - nd) " +
+        "AS (constraint_name, n_checked, violations)")
+    val cuNull = cu.agg(count(lit(1)).as("n"),
+      expr("CAST(sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS BIGINT)").as("v"))
+      .selectExpr("stack(1, 'customer_name_notnull', n, v) " +
+        "AS (constraint_name, n_checked, violations)")
+    def orphan(name: String, left: DataFrame, lk: String, rightKeys: DataFrame, rk: String) =
+      left.select(lk)
+        .join(rightKeys.select(rk).distinct(), col(lk) === col(rk), "left")
+        .agg(count(lit(1)).as("n"),
+          expr(s"CAST(sum(CASE WHEN $rk IS NULL THEN 1 ELSE 0 END) AS BIGINT)").as("v"))
+        .selectExpr(s"stack(1, '$name', n, v) AS (constraint_name, n_checked, violations)")
+    liRange
+      .unionAll(orUniq)
+      .unionAll(cuNull)
+      .unionAll(orphan("lineitem_orphan_orderkey", li, "l_orderkey", or, "o_orderkey"))
+      .unionAll(orphan("orders_orphan_custkey", or, "o_custkey", cu, "c_custkey"))
+      .orderBy("constraint_name")
+  }
+
+  /** q_unpivot — wide→long reshape (the inverse of q_pivot): the
+    * per-returnflag count matrix (rows / distinct parts / distinct
+    * suppliers) unpivoted to (flag, measure, value) rows with the
+    * stack generator. Values are exact BIGINT counts — never IEEE —
+    * so the long form hashes identically on both engines.
+    *
+    * Plan: the two DISTINCT aggregates compile to ONE Expand (3×
+    * scan rows, the standard multi-distinct plan) and a single
+    * shuffle on l_returnflag; stack is a mapper-only generator over
+    * the |flags|-row matrix, so the reshape itself is free. The
+    * oracle keeps the dialect-neutral UNION ALL unpivot as the
+    * independent witness.
+    */
+  def unpivotFlagMatrix(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"))
+      .selectExpr("l_returnflag",
+        "stack(3, 'n_rows', n_rows, 'n_parts', n_parts, 'n_supps', n_supps) " +
+          "AS (measure, value)")
+      .orderBy("l_returnflag", "measure")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dq_audit"            -> (dqAudit _),
+    "q_unpivot"             -> (unpivotFlagMatrix _),
     "q_window_distribution" -> (windowDistribution _),
     "q_window_first_last"   -> (windowFirstLast _),
     "q_scd2_intervals"      -> (scd2Intervals _),
@@ -622,6 +700,40 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    // dialect-neutral (CASE sums, LEFT JOIN, UNION ALL): runs verbatim
+    // in DuckDB (oracle) and Spark (SQL front door)
+    "q_dq_audit" ->
+      ("SELECT 'lineitem_quantity_range' AS constraint_name, count(*) AS n_checked, " +
+        "CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT) AS violations FROM lineitem " +
+        "UNION ALL " +
+        "SELECT 'lineitem_discount_range', count(*), " +
+        "CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem " +
+        "UNION ALL " +
+        "SELECT 'orders_unique_orderkey', count(*), " +
+        "count(*) - count(DISTINCT o_orderkey) FROM orders " +
+        "UNION ALL " +
+        "SELECT 'customer_name_notnull', count(*), " +
+        "CAST(sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM customer " +
+        "UNION ALL " +
+        "SELECT 'lineitem_orphan_orderkey', count(*), " +
+        "CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) " +
+        "FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o " +
+        "ON l.l_orderkey = o.o_orderkey " +
+        "UNION ALL " +
+        "SELECT 'orders_orphan_custkey', count(*), " +
+        "CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) " +
+        "FROM orders r LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c " +
+        "ON r.o_custkey = c.c_custkey " +
+        "ORDER BY constraint_name"),
+    // dialect-neutral UNION ALL unpivot of the wide count matrix
+    "q_unpivot" ->
+      ("WITH wdt AS (SELECT l_returnflag, count(*) AS n_rows, " +
+        "count(DISTINCT l_partkey) AS n_parts, count(DISTINCT l_suppkey) AS n_supps " +
+        "FROM lineitem GROUP BY l_returnflag) " +
+        "SELECT l_returnflag, 'n_rows' AS measure, CAST(n_rows AS BIGINT) AS value FROM wdt " +
+        "UNION ALL SELECT l_returnflag, 'n_parts', CAST(n_parts AS BIGINT) FROM wdt " +
+        "UNION ALL SELECT l_returnflag, 'n_supps', CAST(n_supps AS BIGINT) FROM wdt " +
+        "ORDER BY l_returnflag, measure"),
     "q_window_distribution" ->
       ("SELECT o_orderkey, o_orderpriority, " +
         "percent_rank() OVER (PARTITION BY o_orderpriority " +
