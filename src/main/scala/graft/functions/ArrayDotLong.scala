@@ -108,6 +108,8 @@ object GraftFunctions {
       ArrayDotLong.builder)
     reg.registerFunction(Shingle3.identifier, Shingle3.info, Shingle3.builder)
     reg.registerFunction(GzipSize.identifier, GzipSize.info, GzipSize.builder)
+    reg.registerFunction(CmsEstimate.identifier, CmsEstimate.info,
+      CmsEstimate.builder)
     // A session built with spark.sql.extensions=GraftExtensions already
     // runs FoldChainedXor in its injected-rule batch; appending it to
     // extraOptimizations too would run it in a second batch. The rule IS

@@ -100,6 +100,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (Shingle3.identifier, Shingle3.info, Shingle3.builder))
     ext.injectFunction(
       (GzipSize.identifier, GzipSize.info, GzipSize.builder))
+    ext.injectFunction(
+      (CmsEstimate.identifier, CmsEstimate.info, CmsEstimate.builder))
     ext.injectOptimizerRule(_ => graft.plans.FoldChainedXor)
   }
 }

@@ -1840,6 +1840,43 @@ object LlmPipeline {
         expr("CAST(sum(c * c) AS BIGINT)").as("simpson_num"))
       .orderBy("doc_id")
 
+  private[graft] val CmsEps = 0.001    // sketch width = ceil(e/eps) ≈ 2719
+  private[graft] val CmsConf = 0.99    // depth = ceil(ln(1/(1-conf))) = 5
+  private[graft] val CmsSeed = 42
+  private[graft] val CmsHeavyMin = 500L
+
+  /** q_heavy_hitters — frequency-sketch heavy-hitter detection: ONE
+    * pass builds a Count-Min sketch over the token stream (Spark's
+    * `count_min_sketch` aggregate — partial sketches merge
+    * associatively map-side, so the shuffled state is the CONSTANT
+    * ~100 KB counter matrix regardless of key domain), the ~1-row
+    * result broadcasts, and every candidate token is scored by the
+    * native `cms_estimate` probe (functions/CmsEstimate — codegen'd,
+    * memoized deserialization). The 100 TB story is the fixed memory:
+    * an exact groupBy's aggregate state is key-domain-sized (URLs,
+    * shingles → unbounded); the sketch is eps-bounded and mergeable,
+    * which is also what makes it the streaming-accumulator form.
+    *
+    * Oracle-checked against EXACT counts: at this operating point
+    * (width 2719 ≫ vocab) the sketch is collision-free, so estimates
+    * EQUAL exact counts — the gate proves it at every SF (hashing is
+    * seed-fixed, so collision-freeness is a static property of the
+    * vocab, not a per-run roll). The overestimate bound on an
+    * adversarial vocab (≫ width, collisions forced) is spec-pinned
+    * instead — est ≥ true always, est − true ≤ eps·N at conf.
+    */
+  def heavyHitters(s: SparkSession, d: String): DataFrame = {
+    val tok = Tables.documents(s, d).select(explode(expr(toks)).as("token"))
+    val sk = tok.agg(expr(
+      s"count_min_sketch(token, CAST($CmsEps AS DOUBLE), " +
+        s"CAST($CmsConf AS DOUBLE), $CmsSeed)").as("sk"))
+    tok.distinct()
+      .crossJoin(broadcast(sk))
+      .select(col("token"), expr("cms_estimate(sk, token)").as("est_count"))
+      .withColumn("is_heavy", col("est_count") >= CmsHeavyMin)
+      .orderBy("token")
+  }
+
   private[graft] val NShards = 32L
 
   /** q_shard_manifest — deterministic export-shard assignment plus the
@@ -2361,6 +2398,7 @@ object LlmPipeline {
     "q_dedup_cross_source"  -> (dedupCrossSource _),
     "q_dedup_paragraph"     -> (dedupParagraph _),
     "q_text_diversity"      -> (textDiversity _),
+    "q_heavy_hitters"       -> (heavyHitters _),
   )
 
   val oracle: Map[String, String] = {
@@ -3040,6 +3078,14 @@ object LlmPipeline {
           "CAST(sum(CASE WHEN packed = keeper THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, " +
           "coalesce(string_agg(CASE WHEN packed = keeper THEN blk_text END, ' ' ORDER BY blk), '') AS text_dedup " +
           "FROM k GROUP BY doc_id ORDER BY doc_id"),
+      // EXACT counts: the Spark side's sketch is collision-free at this
+      // width/vocab operating point, so cms estimates equal these (see
+      // heavyHitters scaladoc; adversarial-vocab bound is spec-pinned)
+      "q_heavy_hitters" ->
+        ("WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents) " +
+          "SELECT token, count(*) AS est_count, " +
+          s"count(*) >= $CmsHeavyMin AS is_heavy " +
+          "FROM t GROUP BY token ORDER BY token"),
       "q_text_diversity" ->
         ("WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents), " +
           "c AS (SELECT doc_id, w, count(*) AS c FROM t GROUP BY doc_id, w) " +
@@ -3515,6 +3561,14 @@ object LlmPipeline {
           "CASE WHEN packed = keeper THEN struct(blk, blk_text) END)), " +
           "x -> x.blk_text), ' ') AS text_dedup " +
           "FROM k GROUP BY doc_id ORDER BY doc_id"),
+      // the registered native cms_estimate is the SQL user's probe path
+      "q_heavy_hitters" ->
+        ("WITH t AS (SELECT explode(split(text, ' ')) AS token FROM documents), " +
+          s"sk AS (SELECT count_min_sketch(token, CAST($CmsEps AS DOUBLE), " +
+          s"CAST($CmsConf AS DOUBLE), $CmsSeed) AS sk FROM t) " +
+          "SELECT token, cms_estimate(sk.sk, token) AS est_count, " +
+          s"cms_estimate(sk.sk, token) >= $CmsHeavyMin AS is_heavy " +
+          "FROM (SELECT DISTINCT token FROM t) CROSS JOIN sk ORDER BY token"),
       "q_text_diversity" ->
         ("WITH t AS (SELECT doc_id, explode(split(text, ' ')) AS w FROM documents), " +
           "c AS (SELECT doc_id, w, count(*) AS c FROM t GROUP BY doc_id, w) " +

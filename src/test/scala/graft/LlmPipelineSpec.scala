@@ -1067,6 +1067,48 @@ class LlmPipelineSpec extends AnyFunSuite {
     assert(got(2L) == ((3L, 3L, 3L)))  // all distinct → mass = n
   }
 
+  test("q_heavy_hitters: sketch estimates EQUAL exact counts at the operating point") {
+    import spark.implicits._
+    val d = SparkTestSession.sf0001
+    val exactCounts = Tables.documents(spark, d)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token").count()
+      .as[(String, Long)].collect().toMap
+    val got = ops.LlmPipeline.heavyHitters(spark, d)
+      .as[(String, Long, Boolean)].collect()
+    assert(got.nonEmpty && got.length == exactCounts.size)
+    got.foreach { case (tok, est, heavy) =>
+      assert(est == exactCounts(tok), s"token $tok: est $est != exact ${exactCounts(tok)}")
+      assert(heavy == (est >= ops.LlmPipeline.CmsHeavyMin))
+    }
+  }
+
+  test("cms_estimate: adversarial vocab (>> width) only OVERestimates, within the eps bound") {
+    import spark.implicits._
+    // 20k distinct tokens vs width 2719 forces collisions
+    val dir = s"/tmp/graft-test-cms-${java.util.UUID.randomUUID()}"
+    val rnd = new scala.util.Random(7)
+    val text = (0 until 20000).map(i => s"tok${rnd.nextInt(10000)}").mkString(" ")
+    Seq((0L, text, "en", "src0", text.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val exactCounts = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token").count().as[(String, Long)].collect().toMap
+    val got = ops.LlmPipeline.heavyHitters(spark, dir)
+      .as[(String, Long, Boolean)].collect()
+    val n = exactCounts.values.sum
+    val epsBound = (ops.LlmPipeline.CmsEps * n).ceil.toLong
+    var overShoots = 0
+    got.foreach { case (tok, est, _) =>
+      assert(est >= exactCounts(tok), s"CMS UNDERestimated $tok") // structural invariant
+      if (est > exactCounts(tok) + epsBound) overShoots += 1
+    }
+    // eps-bound holds with prob >= conf per item; allow the 1% tail
+    assert(overShoots <= (got.length * (1 - ops.LlmPipeline.CmsConf) * 5).toInt + 1,
+      s"$overShoots of ${got.length} estimates exceeded the eps bound")
+  }
+
   test("quantized cosine tracks float cosine (sim search sanity)") {
     import spark.implicits._
     val top = ops.LlmPipeline.simSearch(spark, SparkTestSession.sf0001)
