@@ -246,7 +246,63 @@ object Storage {
       .orderBy("file_id")
   }
 
+  private[graft] val ZBits = 16
+  private[graft] val ZNFiles = 64L
+  private[graft] val ZMask = (1L << ZBits) - 1 // 65535: normalized key range
+  private[graft] val ZFileWidth = (1L << (2 * ZBits)) / ZNFiles
+
+  /** Unrolled bit-interleave of two keys already normalized to
+    * [0, 2^ZBits): a takes the even bits, b the odd. Plain BIGINT
+    * arithmetic — `(k / 2^i) % 2 * 2^j` terms — parameterized only by
+    * the integer-division token (Spark `DIV`, DuckDB `//`), so both
+    * engines run the SAME generated text.
+    */
+  private[graft] def zExpr(a: String, b: String, div: String): String =
+    (0 until ZBits).flatMap { i =>
+      Seq(s"(($a $div ${1L << i}) % 2) * ${1L << (2 * i)}",
+        s"(($b $div ${1L << i}) % 2) * ${1L << (2 * i + 1)}")
+    }.mkString(" + ")
+
+  /** q_zorder_layout — Z-order (Morton-curve) data layout: the
+    * clustering pass a lake runs so that MULTI-dimensional filters
+    * prune files (Delta OPTIMIZE ZORDER, Iceberg sort orders — a
+    * 1-D sort makes zone maps tight on one column and useless on the
+    * second; interleaving both keys' bits makes every file a small
+    * RECTANGLE in (part, supp) space, so either predicate prunes).
+    * Keys are first range-normalized to 16 bits from the table's own
+    * global min/max (the 1-row bounds aggregate broadcasts; width
+    * guarded ≥1 against a constant column), interleaved into a 32-bit
+    * z-value, and rows land in the file whose fixed z-range contains
+    * them — file assignment is PURE ARITHMETIC, no global sort or
+    * rank, so the layout pass is mapper-only + one metadata-sized
+    * aggregate. Output is the resulting per-file zone map (row count
+    * + min/max of both dimensions): the table a planner would prune
+    * against, and the witness that the boxes are tight. StorageSpec
+    * additionally proves the point: a 2-D probe rectangle intersects
+    * strictly fewer z-layout boxes than natural-order boxes.
+    */
+  def zorderLayout(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val bounds = li.agg(
+      min("l_partkey").as("pmin"), max("l_partkey").as("pmax"),
+      min("l_suppkey").as("smin"), max("l_suppkey").as("smax"))
+    li.select("l_partkey", "l_suppkey")
+      .crossJoin(broadcast(bounds))
+      .select(col("l_partkey"), col("l_suppkey"),
+        expr(s"((l_partkey - pmin) * $ZMask) DIV greatest(pmax - pmin, 1)").as("a16"),
+        expr(s"((l_suppkey - smin) * $ZMask) DIV greatest(smax - smin, 1)").as("b16"))
+      .select(col("l_partkey"), col("l_suppkey"),
+        expr(s"CAST((${zExpr("a16", "b16", "DIV")}) DIV $ZFileWidth AS BIGINT)")
+          .as("file_id"))
+      .groupBy("file_id")
+      .agg(count(lit(1)).as("n_rows"),
+        min("l_partkey").as("min_part"), max("l_partkey").as("max_part"),
+        min("l_suppkey").as("min_supp"), max("l_suppkey").as("max_supp"))
+      .orderBy("file_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_zorder_layout"   -> (zorderLayout _),
     "q_zonemap_build"   -> (zonemapBuild _),
     "q_zonemap_prune"   -> (zonemapPrune _),
     "q_compact_plan"    -> (compactPlan _),
@@ -262,7 +318,25 @@ object Storage {
       "min(l_partkey) AS min_part, max(l_partkey) AS max_part, " +
       s"$sizeUnits AS size_units FROM lineitem GROUP BY l_orderkey)"
 
+  /** Both dialect texts of the z-layout query generate from the same
+    * zExpr constants; only the integer-division token differs.
+    */
+  private[graft] def zorderSql(div: String): String =
+    "WITH bounds AS (SELECT min(l_partkey) AS pmin, max(l_partkey) AS pmax, " +
+      "min(l_suppkey) AS smin, max(l_suppkey) AS smax FROM lineitem), " +
+      "n AS (SELECT l_partkey, l_suppkey, " +
+      s"((l_partkey - pmin) * $ZMask) $div greatest(pmax - pmin, 1) AS a16, " +
+      s"((l_suppkey - smin) * $ZMask) $div greatest(smax - smin, 1) AS b16 " +
+      "FROM lineitem CROSS JOIN bounds), " +
+      "z AS (SELECT l_partkey, l_suppkey, " +
+      s"CAST((${zExpr("a16", "b16", div)}) $div $ZFileWidth AS BIGINT) AS file_id FROM n) " +
+      "SELECT file_id, count(*) AS n_rows, " +
+      "min(l_partkey) AS min_part, max(l_partkey) AS max_part, " +
+      "min(l_suppkey) AS min_supp, max(l_suppkey) AS max_supp " +
+      "FROM z GROUP BY file_id ORDER BY file_id"
+
   val oracle: Map[String, String] = Map(
+    "q_zorder_layout" -> zorderSql("//"),
     "q_zonemap_build" ->
       (s"WITH $zmCte SELECT * FROM zm ORDER BY file_id"),
     "q_zonemap_prune" ->
@@ -345,6 +419,7 @@ object Storage {
     * of flooring, so the oracle stays BIGINT at its own scale).
     */
   val sparkSql: Map[String, String] = Map(
+    "q_zorder_layout" -> zorderSql("DIV"),
     "q_compact_plan" -> oracle("q_compact_plan").replace(
       s"cum_excl // $CompactTarget", s"cum_excl DIV $CompactTarget"),
     "q_skew_diagnose" ->

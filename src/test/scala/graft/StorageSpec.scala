@@ -85,4 +85,41 @@ class StorageSpec extends AnyFunSuite {
       .select("l_orderkey", "l_suppkey").distinct().count() * 2
     assert(idx.count() <= bound)
   }
+
+  test("z-order interleave: known bit patterns; layout boxes beat 1-D order on a 2-D probe") {
+    // zExpr(3, 5): a=0b11 → even bits 1+4; b=0b101 → odd bits 2+32 ⇒ 39
+    val z35 = spark.sql(
+      s"SELECT ${ops.Storage.zExpr("3", "5", "DIV")} AS z").head().getLong(0)
+    assert(z35 == 39L)
+    val zMaxed = spark.sql(
+      s"SELECT ${ops.Storage.zExpr("65535", "65535", "DIV")} AS z").head().getLong(0)
+    assert(zMaxed == (1L << 32) - 1, "full-range keys must fill the 32-bit z domain")
+
+    // pruning benefit: a rectangle probe over (part, supp) intersects
+    // strictly fewer z-layout boxes than natural-order (orderkey) boxes
+    val zBoxes = ops.Storage.zorderLayout(spark, d)
+      .select("min_part", "max_part", "min_supp", "max_supp")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val li = Tables.lineitem(spark, d)
+    val Array(pmin, pmax, smin, smax) = li
+      .agg(min("l_partkey"), max("l_partkey"), min("l_suppkey"), max("l_suppkey"))
+      .head().toSeq.map(_.asInstanceOf[Long]).toArray
+    // natural layout: same number of files, contiguous orderkey ranges
+    val natBoxes = li
+      .select(col("l_partkey"), col("l_suppkey"),
+        (col("l_orderkey") % ops.Storage.ZNFiles).as("file_id"))
+      .groupBy("file_id")
+      .agg(min("l_partkey").as("a"), max("l_partkey").as("b"),
+        min("l_suppkey").as("c"), max("l_suppkey").as("d"))
+      .select("a", "b", "c", "d")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // probe: the central ~10% x 10% rectangle of the key space
+    val (pLo, pHi) = (pmin + (pmax - pmin) * 45 / 100, pmin + (pmax - pmin) * 55 / 100)
+    val (sLo, sHi) = (smin + (smax - smin) * 45 / 100, smin + (smax - smin) * 55 / 100)
+    def hits(boxes: Array[(Long, Long, Long, Long)]): Int =
+      boxes.count { case (a, b, c, dd) => b >= pLo && a <= pHi && dd >= sLo && c <= sHi }
+    assert(hits(zBoxes) < hits(natBoxes),
+      s"z-order ${hits(zBoxes)}/${zBoxes.length} boxes vs natural " +
+        s"${hits(natBoxes)}/${natBoxes.length} — no pruning advantage")
+  }
 }
