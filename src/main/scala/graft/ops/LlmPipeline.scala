@@ -1865,13 +1865,62 @@ object LlmPipeline {
     * adversarial vocab (≫ width, collisions forced) is spec-pinned
     * instead — est ≥ true always, est − true ≤ eps·N at conf.
     */
+  private[graft] def cmsAgg(col: String): String =
+    s"count_min_sketch($col, CAST($CmsEps AS DOUBLE), " +
+      s"CAST($CmsConf AS DOUBLE), $CmsSeed)"
+
   def heavyHitters(s: SparkSession, d: String): DataFrame = {
     val tok = Tables.documents(s, d).select(explode(expr(toks)).as("token"))
-    val sk = tok.agg(expr(
-      s"count_min_sketch(token, CAST($CmsEps AS DOUBLE), " +
-        s"CAST($CmsConf AS DOUBLE), $CmsSeed)").as("sk"))
+    val sk = tok.agg(expr(cmsAgg("token")).as("sk"))
     tok.distinct()
       .crossJoin(broadcast(sk))
+      .select(col("token"), expr("cms_estimate(sk, token)").as("est_count"))
+      .withColumn("is_heavy", col("est_count") >= CmsHeavyMin)
+      .orderBy("token")
+  }
+
+  /** Streaming half of the heavy-hitter loop: each micro-batch reduces
+    * to ONE sketch row appended to an immutable parquet log — no
+    * mutable driver state, restart-idempotent per batch_id, and the
+    * log grows by ~100 KB per batch regardless of batch size. The
+    * token stream itself is never retained: this is the fixed-memory
+    * frequency monitor over an unbounded key domain.
+    */
+  def cmsSketchSink(docs: DataFrame, dir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      batch.select(explode(expr(toks)).as("token"))
+        .agg(expr(cmsAgg("token")).as("sk"))
+        .withColumn("batch_id", lit(id))
+        .write.mode("append").parquet(dir)
+    }.start()
+
+  /** Merge-on-read over the sketch log: Count-Min merge is counter-
+    * matrix addition — associative and commutative — so folding the
+    * per-batch sketches yields BIT-IDENTICAL state to one sketch over
+    * the concatenated stream (the spec proves estimate equality
+    * against a batch rebuild). The driver folds one ~100 KB binary per
+    * BATCH (bounded by the log length like the 8-row KMeans index
+    * read, never by data volume), broadcasts the merged bytes as a
+    * literal, and probes with the native cms_estimate.
+    */
+  def cmsMergedEstimates(s: SparkSession, sketchDir: String, d: String): DataFrame = {
+    import org.apache.spark.util.sketch.CountMinSketch
+    val merged = s.read.parquet(sketchDir).select("sk")
+      .collect()
+      .map(r => CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](0))))
+      .reduce { (a, b) => a.mergeInPlace(b); a }
+    val out = new java.io.ByteArrayOutputStream()
+    merged.writeTo(out)
+    val skDf = s.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(out.toByteArray)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("sk",
+          org.apache.spark.sql.types.BinaryType))))
+    Tables.documents(s, d)
+      .select(explode(expr(toks)).as("token")).distinct()
+      .crossJoin(broadcast(skDf))
       .select(col("token"), expr("cms_estimate(sk, token)").as("est_count"))
       .withColumn("is_heavy", col("est_count") >= CmsHeavyMin)
       .orderBy("token")

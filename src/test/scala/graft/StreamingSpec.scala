@@ -428,4 +428,30 @@ class StreamingSpec extends AnyFunSuite {
           "(the reference's bucket-0 share counts via the full-outer densify)")
     } finally q.stop()
   }
+
+  test("cms sketch log: per-batch sketches merge to the exact full-stream counts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val dir = s"/tmp/graft-test-cmslog-${java.util.UUID.randomUUID()}"
+    val q = ops.LlmPipeline.cmsSketchSink(ms.toDF().toDF("doc_id", "text"), dir)
+    try {
+      ms.addData((1L, "apple banana apple"), (2L, "cherry banana"))
+      q.processAllAvailable()
+      ms.addData((3L, "apple apple date"))
+      q.processAllAvailable()
+      // one immutable ~100 KB sketch row per batch
+      assert(spark.read.parquet(dir).count() == 2)
+      // merged estimates == exact counts over BOTH batches (collision-free
+      // operating point ⇒ merge associativity is exactly observable)
+      val probeDir = s"/tmp/graft-test-cmsprobe-${java.util.UUID.randomUUID()}"
+      Seq((0L, "apple banana cherry date", "en", "src0", 24L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(s"$probeDir/documents.parquet")
+      val got = ops.LlmPipeline.cmsMergedEstimates(spark, dir, probeDir)
+        .as[(String, Long, Boolean)].collect()
+        .map(r => r._1 -> r._2).toMap
+      assert(got == Map("apple" -> 4L, "banana" -> 2L, "cherry" -> 1L, "date" -> 1L))
+    } finally q.stop()
+  }
 }
