@@ -1815,6 +1815,39 @@ object LlmPipeline {
       .orderBy("doc_id")
   }
 
+  private[graft] val EditDistMax = 16
+
+  /** q_dedup_editdist — edit-distance near-dup verification: the OCR/
+    * typo-noise dedup axis (MinHash Jaccard sees token SETS — it
+    * misses pairs whose difference is a few characters smeared across
+    * many tokens; Levenshtein sees raw strings). The chain is the
+    * industrial one: LSH-banded candidate pairs (bucket-capped, never
+    * all-pairs) → TWO result-neutral early exits → exact distance.
+    * Exit 1: |len(a) − len(b)| > K proves dist > K without touching
+    * the DP (Levenshtein ≥ length difference — the metric lower
+    * bound). Exit 2: Spark's 3-arg levenshtein(a, b, K) runs the
+    * banded O(K·len) DP instead of the full O(len²) matrix and
+    * returns −1 past K; pairs over threshold emit dist = −1, the same
+    * convention the oracle mirrors with a full-distance CASE. Per-pair
+    * cost is bounded by K·len over a dup-set-sized pair list; the
+    * joins are doc_id equi shuffles.
+    */
+  def dedupEditdist(s: SparkSession, d: String): DataFrame = {
+    val pairs = minhashPairsFromBanded(minhashBanded(s, d))
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+    pairs
+      .join(docs.select(col("doc_id").as("doc_a"), col("text").as("ta"),
+        col("len").as("la")), Seq("doc_a"))
+      .join(docs.select(col("doc_id").as("doc_b"), col("text").as("tb"),
+        col("len").as("lb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr(s"CAST(CASE WHEN abs(la - lb) > $EditDistMax THEN -1 " +
+          s"ELSE levenshtein(ta, tb, $EditDistMax) END AS BIGINT)").as("edit_dist"))
+      .withColumn("is_dup", col("edit_dist") >= 0)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** q_text_diversity — exact-integer lexical-diversity census per
     * document: n_tokens, n_distinct, and the Simpson collision mass
     * Σ c_w² (w a token, c_w its in-doc count). simpson_num/n_tokens²
@@ -2448,6 +2481,7 @@ object LlmPipeline {
     "q_dedup_paragraph"     -> (dedupParagraph _),
     "q_text_diversity"      -> (textDiversity _),
     "q_heavy_hitters"       -> (heavyHitters _),
+    "q_dedup_editdist"      -> (dedupEditdist _),
   )
 
   val oracle: Map[String, String] = {
@@ -2498,6 +2532,23 @@ object LlmPipeline {
           "FROM bands a JOIN ok ON ok.band = a.band AND ok.band_key = a.band_key " +
           "JOIN bands b ON a.band = b.band AND a.band_key = b.band_key " +
           "AND a.doc_id < b.doc_id ORDER BY doc_a, doc_b"),
+      // full-distance CASE mirrors the Spark side's banded
+      // levenshtein(a, b, K) early exit (-1 past the threshold) and the
+      // length lower-bound shortcut, both result-neutral by the metric
+      "q_dedup_editdist" ->
+        (s"$minhashBandsDuck, " +
+          "ok AS (SELECT band, band_key FROM bands GROUP BY band, band_key " +
+          s"HAVING count(*) <= ${LlmPipeline.HotBucketCap}), " +
+          "p AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b " +
+          "FROM bands a JOIN ok ON ok.band = a.band AND ok.band_key = a.band_key " +
+          "JOIN bands b ON a.band = b.band AND a.band_key = b.band_key " +
+          "AND a.doc_id < b.doc_id) " +
+          "SELECT doc_a, doc_b, " +
+          s"CAST(CASE WHEN levenshtein(da.text, db.text) <= $EditDistMax " +
+          s"THEN levenshtein(da.text, db.text) ELSE -1 END AS BIGINT) AS edit_dist, " +
+          s"levenshtein(da.text, db.text) <= $EditDistMax AS is_dup " +
+          "FROM p JOIN documents da ON da.doc_id = p.doc_a " +
+          "JOIN documents db ON db.doc_id = p.doc_b ORDER BY doc_a, doc_b"),
       // Transitive closure of the candidate-pair graph: min reachable
       // doc_id per node via a recursive CTE (UNION dedups, so the
       // frontier is the reachability set and terminates). Mirrors the
@@ -3427,6 +3478,19 @@ object LlmPipeline {
           "JOIN ok ON ok.band = a.band AND ok.band_key = a.band_key " +
           "JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id " +
           "ORDER BY doc_a, doc_b"),
+      "q_dedup_editdist" ->
+        (s"$minhashCtes, ok AS (SELECT band, band_key FROM bands " +
+          s"GROUP BY band, band_key HAVING count(*) <= $HotBucketCap), " +
+          "p AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a " +
+          "JOIN ok ON ok.band = a.band AND ok.band_key = a.band_key " +
+          "JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id) " +
+          "SELECT doc_a, doc_b, " +
+          s"CAST(CASE WHEN abs(length(da.text) - length(db.text)) > $EditDistMax THEN -1 " +
+          s"ELSE levenshtein(da.text, db.text, $EditDistMax) END AS BIGINT) AS edit_dist, " +
+          s"CASE WHEN abs(length(da.text) - length(db.text)) > $EditDistMax THEN false " +
+          s"ELSE levenshtein(da.text, db.text, $EditDistMax) >= 0 END AS is_dup " +
+          "FROM p JOIN documents da ON da.doc_id = p.doc_a " +
+          "JOIN documents db ON db.doc_id = p.doc_b ORDER BY doc_a, doc_b"),
       "q_dedup_cc" ->
         (s"$ccUnrolled SELECT doc_id, rep_id FROM lconv ORDER BY doc_id"),
       "q_dedup_cluster_stats" ->

@@ -1067,6 +1067,45 @@ class LlmPipelineSpec extends AnyFunSuite {
     assert(got(2L) == ((3L, 3L, 3L)))  // all distinct → mass = n
   }
 
+  test("q_dedup_editdist: exact-dup dist 0, one-token plants within K, convention pinned") {
+    import spark.implicits._
+    val got = ops.LlmPipeline.dedupEditdist(spark, plantedDir)
+      .as[(Long, Long, Long, Boolean)].collect()
+    val byPair = got.map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    // the exact duplicate pair is a candidate with distance exactly 0
+    assert(byPair((0L, 200L)) == ((0L, true)))
+    // every recalled one-token plant is within K (a word swap is ≤ ~12 chars)
+    (0 until 5).foreach { i =>
+      byPair.get((i.toLong, 100L + i)).foreach { case (dist, dup) =>
+        assert(dup && dist > 0 && dist <= ops.LlmPipeline.EditDistMax,
+          s"plant ($i,${100 + i}): dist $dist")
+      }
+    }
+    assert((0 until 5).exists(i => byPair.contains((i.toLong, 100L + i))),
+      "no planted near-dup pair was recalled into the candidate set")
+    // -1 is the only out-of-band value; is_dup is exactly dist >= 0
+    got.foreach { case (a, b, dist, dup) =>
+      assert(dist >= -1 && dup == (dist >= 0), s"($a,$b): $dist/$dup")
+    }
+    // independent witness: brute-force DP on one recalled plant
+    def lev(x: String, y: String): Int = {
+      val dp = Array.tabulate(x.length + 1)(i => Array.tabulate(y.length + 1)(j =>
+        if (i == 0) j else if (j == 0) i else 0))
+      for (i <- 1 to x.length; j <- 1 to y.length)
+        dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+          dp(i - 1)(j - 1) + (if (x(i - 1) == y(j - 1)) 0 else 1))
+      dp(x.length)(y.length)
+    }
+    val texts = Tables.documents(spark, plantedDir)
+      .as[(Long, String, String, String, Long)].collect()
+      .map(r => r._1 -> r._2).toMap
+    (0 until 5).flatMap(i => byPair.get((i.toLong, 100L + i)).map(i -> _))
+      .headOption.foreach { case (i, (dist, _)) =>
+        assert(dist == lev(texts(i.toLong), texts(100L + i)).toLong,
+          s"banded levenshtein disagrees with the full DP on plant $i")
+      }
+  }
+
   test("q_heavy_hitters: sketch estimates EQUAL exact counts at the operating point") {
     import spark.implicits._
     val d = SparkTestSession.sf0001
