@@ -1815,6 +1815,40 @@ object LlmPipeline {
       .orderBy("doc_id")
   }
 
+  private[graft] val WSampleK = 200
+  private[graft] val WSamplePrioScale = 1000000000000L // 10^12: keeps w·scale ≤ 10^16 in BIGINT
+  private[graft] val WSampleUBits = 1073741824L // 2^30: the uniform's modulus
+
+  /** q_sample_weighted — deterministic weighted sampling by hash
+    * priority (Duffield-Lund-Thorup priority sampling with the uniform
+    * replaced by a hash of the doc id — the reproducible variant every
+    * rerun-stable data pipeline actually ships): u = (h mod 2³⁰)+1
+    * scaled from the 60-bit md5 (the quotient w·10¹²/u then spans
+    * ~10⁶ distinct values for corpus-scale weights — a 60-bit
+    * denominator would crush it to 0 and erase the bias), priority =
+    * w·10¹² DIV u, take the K largest: inclusion odds are
+    * min(1, w/τ) — proportional to weight below the threshold. The
+    * sample is a pure function of the corpus: no RNG state, no seed
+    * plumbing, identical on any cluster size or partitioning.
+    * All-BIGINT arithmetic (max priority w·10¹² ≤ 10¹⁶; DuckDB `//`
+    * floors BIGINT exactly like Spark DIV — the DECIMAL rounding trap
+    * doesn't apply).
+    *
+    * Plan: priorities are mapper-side projections; ORDER BY + LIMIT
+    * plans TakeOrderedAndProject — per-partition top-K then a K-row
+    * driver merge, NO global sort. At 100 TB the shuffle is K rows.
+    */
+  def sampleWeighted(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars").as("weight"),
+        expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT)")
+          .as("h"))
+      .select(col("doc_id"), col("weight"),
+        expr(s"(weight * $WSamplePrioScale) DIV ((h % $WSampleUBits) + 1)")
+          .as("priority"))
+      .orderBy(desc("priority"), col("doc_id"))
+      .limit(WSampleK)
+
   private[graft] val EditDistMax = 16
 
   /** q_dedup_editdist — edit-distance near-dup verification: the OCR/
@@ -2482,6 +2516,7 @@ object LlmPipeline {
     "q_text_diversity"      -> (textDiversity _),
     "q_heavy_hitters"       -> (heavyHitters _),
     "q_dedup_editdist"      -> (dedupEditdist _),
+    "q_sample_weighted"     -> (sampleWeighted _),
   )
 
   val oracle: Map[String, String] = {
@@ -3186,6 +3221,12 @@ object LlmPipeline {
           "SELECT token, count(*) AS est_count, " +
           s"count(*) >= $CmsHeavyMin AS is_heavy " +
           "FROM t GROUP BY token ORDER BY token"),
+      "q_sample_weighted" ->
+        (s"SELECT doc_id, n_chars AS weight, " +
+          s"(n_chars * $WSamplePrioScale) // ((" +
+          "CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) " +
+          s"% $WSampleUBits) + 1) AS priority " +
+          s"FROM documents ORDER BY priority DESC, doc_id LIMIT $WSampleK"),
       "q_text_diversity" ->
         ("WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents), " +
           "c AS (SELECT doc_id, w, count(*) AS c FROM t GROUP BY doc_id, w) " +
@@ -3682,6 +3723,12 @@ object LlmPipeline {
           "SELECT token, cms_estimate(sk.sk, token) AS est_count, " +
           s"cms_estimate(sk.sk, token) >= $CmsHeavyMin AS is_heavy " +
           "FROM (SELECT DISTINCT token FROM t) CROSS JOIN sk ORDER BY token"),
+      "q_sample_weighted" ->
+        (s"SELECT doc_id, n_chars AS weight, " +
+          s"(n_chars * $WSamplePrioScale) DIV ((" +
+          "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT) " +
+          s"% $WSampleUBits) + 1) AS priority " +
+          s"FROM documents ORDER BY priority DESC, doc_id LIMIT $WSampleK"),
       "q_text_diversity" ->
         ("WITH t AS (SELECT doc_id, explode(split(text, ' ')) AS w FROM documents), " +
           "c AS (SELECT doc_id, w, count(*) AS c FROM t GROUP BY doc_id, w) " +

@@ -1106,6 +1106,29 @@ class LlmPipelineSpec extends AnyFunSuite {
       }
   }
 
+  test("q_sample_weighted: deterministic, K-sized, weight-biased, priority recomputable") {
+    import spark.implicits._
+    val d = SparkTestSession.sf0001
+    val a = ops.LlmPipeline.sampleWeighted(spark, d).as[(Long, Long, Long)].collect()
+    val b = ops.LlmPipeline.sampleWeighted(spark, d).as[(Long, Long, Long)].collect()
+    assert(a.toSeq == b.toSeq, "rerun produced a different sample")
+    assert(a.length == ops.LlmPipeline.WSampleK)
+    // inclusion odds scale with weight: sampled mean weight beats corpus mean
+    val corpusMean = Tables.documents(spark, d)
+      .agg(avg(col("n_chars"))).head().getDouble(0)
+    val sampleMean = a.map(_._2).sum.toDouble / a.length
+    assert(sampleMean > corpusMean,
+      s"sample mean $sampleMean not above corpus mean $corpusMean — no weight bias")
+    // independent witness: recompute one row's priority from first principles
+    val (docId, w, prio) = a.head
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(docId.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val h = java.lang.Long.parseLong(md5.take(15), 16)
+    assert(prio == w * ops.LlmPipeline.WSamplePrioScale /
+      (h % ops.LlmPipeline.WSampleUBits + 1))
+  }
+
   test("q_heavy_hitters: sketch estimates EQUAL exact counts at the operating point") {
     import spark.implicits._
     val d = SparkTestSession.sf0001
