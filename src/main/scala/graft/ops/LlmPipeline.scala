@@ -1849,6 +1849,66 @@ object LlmPipeline {
       .orderBy(desc("priority"), col("doc_id"))
       .limit(WSampleK)
 
+  private[graft] val SubWinW = 32
+  private[graft] val SubDfCap = 64
+  private[graft] val SubMinSpan = 50
+
+  /** q_dedup_substring — exact-substring overlap detection, the
+    * suffix-array dedup method's distributed form (Lee et al. 2021,
+    * "Deduplicating Training Data Makes Language Models Better"):
+    * find document pairs sharing verbatim character spans (quotation,
+    * boilerplate, partial copies — overlap the set-similarity tiers
+    * miss when the rest of the documents differ). Stride-1 windows
+    * make detection EXACT: two documents share a substring of length
+    * ≥ W iff they share a W-char window, so per-pair we recover the
+    * covered-position count and, via gaps-and-islands over covered
+    * positions, the LONGEST shared span (= longest run + W − 1) — the
+    * quantity the paper thresholds on (spans ≥ 50 chars).
+    *
+    * Every window is keyed by its 60-bit md5 prefix (an 8-byte
+    * shuffle key instead of a W-char string; both engines compute the
+    * identical hash so even a collision is mirrored). Window hashes
+    * seen in 2..SubDfCap distinct docs gate the pair join — boilerplate
+    * windows above the cap are excluded (hot-bucket rule), singletons
+    * never shuffle into the join. At 100 TB: window generation is a
+    * mapper-only projection (sequence + explode), the shuffles key on
+    * the 60-bit hash then the (doc_a, doc_b) pair — both
+    * high-cardinality; nothing is all-pairs. The W× blow-up of the
+    * window pass is the method's inherent cost; winnowing the hash
+    * stream (keep per-G-window minima) and a native rolling-hash
+    * Expression are the recognised compression knobs — both change
+    * recall guarantees, so the exact form is the registered one.
+    * Reference analogue: per-chunk checksum comparison
+    * (structures/Chunk.java:166-189) is the closest native shape.
+    */
+  def dedupSubstring(s: SparkSession, d: String): DataFrame = {
+    val wins = Tables.documents(s, d)
+      .where(col("n_chars") >= SubWinW)
+      .select(col("doc_id"),
+        explode(expr(s"sequence(CAST(1 AS BIGINT), n_chars - ${SubWinW - 1})")).as("pos"),
+        col("text"))
+      .select(col("doc_id"), col("pos"),
+        expr(s"CAST(conv(substring(md5(substring(text, CAST(pos AS INT), $SubWinW)), 1, 15), 16, 10) AS BIGINT)")
+          .as("h"))
+      .localCheckpoint()
+    val ds = wins.select("doc_id", "h").distinct().localCheckpoint()
+    val g = ds.groupBy("h").agg(count(lit(1)).as("df"))
+      .where(col("df").between(2, SubDfCap)).select("h")
+    val cov = wins.join(g, "h")
+      .join(ds.select(col("doc_id").as("doc_b"), col("h")), "h")
+      .where(col("doc_id") < col("doc_b"))
+      .select(col("doc_id").as("doc_a"), col("doc_b"), col("pos"))
+    cov
+      .withColumn("grp",
+        col("pos") - row_number().over(Window.partitionBy("doc_a", "doc_b").orderBy("pos")))
+      .groupBy("doc_a", "doc_b", "grp").agg(count(lit(1)).as("run_len"))
+      .groupBy("doc_a", "doc_b")
+      .agg(sum("run_len").cast("long").as("n_cov_pos"),
+        (max("run_len") + (SubWinW - 1)).cast("long").as("longest_span"))
+      .where(col("longest_span") >= SubMinSpan)
+      .orderBy("doc_a", "doc_b")
+  }
+
   private[graft] val EditDistMax = 16
 
   /** q_dedup_editdist — edit-distance near-dup verification: the OCR/
@@ -2517,6 +2577,7 @@ object LlmPipeline {
     "q_heavy_hitters"       -> (heavyHitters _),
     "q_dedup_editdist"      -> (dedupEditdist _),
     "q_sample_weighted"     -> (sampleWeighted _),
+    "q_dedup_substring"     -> (dedupSubstring _),
   )
 
   val oracle: Map[String, String] = {
@@ -3227,6 +3288,23 @@ object LlmPipeline {
           "CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) " +
           s"% $WSampleUBits) + 1) AS priority " +
           s"FROM documents ORDER BY priority DESC, doc_id LIMIT $WSampleK"),
+      "q_dedup_substring" ->
+        (s"WITH w AS (SELECT doc_id, CAST(u AS BIGINT) AS pos, " +
+          "CAST(concat('0x', substring(md5(substring(text, CAST(u AS INT), " +
+          s"$SubWinW)), 1, 15)) AS BIGINT) AS h " +
+          s"FROM documents, unnest(generate_series(1, n_chars - ${SubWinW - 1})) AS t(u) " +
+          s"WHERE n_chars >= $SubWinW), " +
+          "ds AS (SELECT DISTINCT doc_id, h FROM w), " +
+          s"g AS (SELECT h FROM ds GROUP BY h HAVING count(*) BETWEEN 2 AND $SubDfCap), " +
+          "cov AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos " +
+          "FROM w a JOIN g USING (h) JOIN ds b USING (h) WHERE a.doc_id < b.doc_id), " +
+          "r AS (SELECT doc_a, doc_b, pos, pos - row_number() " +
+          "OVER (PARTITION BY doc_a, doc_b ORDER BY pos) AS grp FROM cov), " +
+          "runs AS (SELECT doc_a, doc_b, grp, count(*) AS run_len FROM r GROUP BY 1, 2, 3) " +
+          "SELECT doc_a, doc_b, CAST(sum(run_len) AS BIGINT) AS n_cov_pos, " +
+          s"CAST(max(run_len) + ${SubWinW - 1} AS BIGINT) AS longest_span " +
+          s"FROM runs GROUP BY 1, 2 HAVING max(run_len) + ${SubWinW - 1} >= $SubMinSpan " +
+          "ORDER BY doc_a, doc_b"),
       "q_text_diversity" ->
         ("WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents), " +
           "c AS (SELECT doc_id, w, count(*) AS c FROM t GROUP BY doc_id, w) " +
@@ -3729,6 +3807,24 @@ object LlmPipeline {
           "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT) " +
           s"% $WSampleUBits) + 1) AS priority " +
           s"FROM documents ORDER BY priority DESC, doc_id LIMIT $WSampleK"),
+      "q_dedup_substring" ->
+        (s"WITH w AS (SELECT doc_id, pos, " +
+          "CAST(conv(substring(md5(substring(text, CAST(pos AS INT), " +
+          s"$SubWinW)), 1, 15), 16, 10) AS BIGINT) AS h " +
+          "FROM (SELECT doc_id, text, " +
+          s"explode(sequence(CAST(1 AS BIGINT), n_chars - ${SubWinW - 1})) AS pos " +
+          s"FROM documents WHERE n_chars >= $SubWinW)), " +
+          "ds AS (SELECT DISTINCT doc_id, h FROM w), " +
+          s"g AS (SELECT h FROM ds GROUP BY h HAVING count(*) BETWEEN 2 AND $SubDfCap), " +
+          "cov AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos " +
+          "FROM w a JOIN g USING (h) JOIN ds b USING (h) WHERE a.doc_id < b.doc_id), " +
+          "r AS (SELECT doc_a, doc_b, pos, pos - row_number() " +
+          "OVER (PARTITION BY doc_a, doc_b ORDER BY pos) AS grp FROM cov), " +
+          "runs AS (SELECT doc_a, doc_b, grp, count(*) AS run_len FROM r GROUP BY 1, 2, 3) " +
+          "SELECT doc_a, doc_b, CAST(sum(run_len) AS BIGINT) AS n_cov_pos, " +
+          s"CAST(max(run_len) + ${SubWinW - 1} AS BIGINT) AS longest_span " +
+          s"FROM runs GROUP BY 1, 2 HAVING max(run_len) + ${SubWinW - 1} >= $SubMinSpan " +
+          "ORDER BY doc_a, doc_b"),
       "q_text_diversity" ->
         ("WITH t AS (SELECT doc_id, explode(split(text, ' ')) AS w FROM documents), " +
           "c AS (SELECT doc_id, w, count(*) AS c FROM t GROUP BY doc_id, w) " +

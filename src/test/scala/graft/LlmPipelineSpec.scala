@@ -1129,6 +1129,44 @@ class LlmPipelineSpec extends AnyFunSuite {
       (h % ops.LlmPipeline.WSampleUBits + 1))
   }
 
+  test("q_dedup_substring: coverage and longest span recomputed from first principles") {
+    import spark.implicits._
+    val d = SparkTestSession.sf0001
+    val W = ops.LlmPipeline.SubWinW
+    val out = ops.LlmPipeline.dedupSubstring(spark, d)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.nonEmpty, "no substring-overlap pairs found")
+    assert(out.forall { case (a, b, cov, span) =>
+      a < b && span >= ops.LlmPipeline.SubMinSpan && cov >= span - (W - 1)
+    })
+    // independent witness: recompute the longest-span pair's coverage and
+    // run structure in plain Scala over the raw strings (df cap honored)
+    val docs = Tables.documents(spark, d).select("doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    def wins(t: String): IndexedSeq[String] =
+      if (t.length < W) IndexedSeq.empty
+      else (0 to t.length - W).map(i => t.substring(i, i + W))
+    val df = scala.collection.mutable.Map.empty[String, Int] // window -> distinct-doc count
+    docs.foreach { case (_, t) =>
+      wins(t).toSet.foreach { w: String => df(w) = df.getOrElse(w, 0) + 1 }
+    }
+    def eligible(w: String): Boolean = {
+      val n = df(w); n >= 2 && n <= ops.LlmPipeline.SubDfCap
+    }
+    val (pa, pb, cov, span) = out.maxBy(_._4)
+    val bset = wins(docs(pb)).filter(eligible).toSet
+    val covered = wins(docs(pa)).zipWithIndex
+      .collect { case (w, i) if eligible(w) && bset.contains(w) => i }
+    assert(cov == covered.size,
+      s"n_cov_pos $cov != first-principles ${covered.size} for pair ($pa,$pb)")
+    val longestRun = covered.foldLeft((0, 0, -2)) { case ((best, cur, prev), i) =>
+      val c = if (i == prev + 1) cur + 1 else 1
+      (math.max(best, c), c, i)
+    }._1
+    assert(span == longestRun + W - 1,
+      s"longest_span $span != first-principles ${longestRun + W - 1}")
+  }
+
   test("q_heavy_hitters: sketch estimates EQUAL exact counts at the operating point") {
     import spark.implicits._
     val d = SparkTestSession.sf0001
