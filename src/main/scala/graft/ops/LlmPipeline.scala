@@ -1325,6 +1325,42 @@ object LlmPipeline {
       .orderBy(col("n").desc, col("bigram").asc)
       .limit(NgramTopK)
 
+  /** q_lm_fluency — bigram-LM fluency scoring, the LM-statistics
+    * filter the CCNet pipeline popularised (KenLM perplexity against
+    * corpus n-gram counts): each document is scored by its mean
+    * bigram transition probability under the corpus's own counts,
+    * P(w2|w1) = c(w1 w2)/c(w1 ·) — repetitive/templated text scores
+    * high, token soup low; scoring against a FOREIGN reference model
+    * is the identical plan with the two count tables read from a
+    * static dir instead. Exact integer micros end to end: per pair
+    * p_ppm = nb·10⁶ DIV nu, per doc fluency_ppm = Σp_ppm DIV n_pairs
+    * (both engines truncate alike; nb·10⁶ stays ≤10¹⁸ even at
+    * 10¹²-bigram corpora). Plan: the bigram pass is a mapper-only
+    * zip_with projection pinned ONCE (localCheckpoint — it feeds the
+    * two count tables and the scoring join); counts are combining hash
+    * aggregates (vocab-sized, Heaps-sublinear); scoring is two
+    * equi-shuffle joins on high-cardinality keys plus one per-doc
+    * combining agg. Nothing driver-side, nothing all-pairs.
+    */
+  def lmFluency(s: SparkSession, d: String): DataFrame = {
+    val bg = withTk(Tables.documents(s, d)
+        .select(col("doc_id"), coalesce(col("text"), lit("")).as("text")))
+      .where(size(col("tk")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "zip_with(slice(tk, 1, size(tk) - 1), slice(tk, 2, size(tk) - 1), " +
+          "(a, b) -> struct(a AS w1, concat(a, ' ', b) AS bigram))")).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.bigram").as("bigram"))
+      .localCheckpoint()
+    val cb = bg.groupBy("bigram").agg(count(lit(1)).as("nb"))
+    val cu = bg.groupBy("w1").agg(count(lit(1)).as("nu"))
+    bg.join(cb, "bigram").join(cu, "w1")
+      .groupBy("doc_id")
+      .agg(expr("CAST(count(*) AS BIGINT)").as("n_pairs"),
+        expr("CAST(sum((nb * 1000000) DIV nu) DIV count(*) AS BIGINT)")
+          .as("fluency_ppm"))
+      .orderBy("doc_id")
+  }
+
   /** q_text_fingerprint — two content fingerprints: fp_sorted = md5 of
     * the sorted distinct token set (OpenRefine-style key collision) and
     * fp_min = winnowing-style minimum shingle hash. Both are per-doc
@@ -2578,6 +2614,7 @@ object LlmPipeline {
     "q_dedup_editdist"      -> (dedupEditdist _),
     "q_sample_weighted"     -> (sampleWeighted _),
     "q_dedup_substring"     -> (dedupSubstring _),
+    "q_lm_fluency"          -> (lmFluency _),
   )
 
   val oracle: Map[String, String] = {
@@ -3305,6 +3342,17 @@ object LlmPipeline {
           s"CAST(max(run_len) + ${SubWinW - 1} AS BIGINT) AS longest_span " +
           s"FROM runs GROUP BY 1, 2 HAVING max(run_len) + ${SubWinW - 1} >= $SubMinSpan " +
           "ORDER BY doc_a, doc_b"),
+      "q_lm_fluency" ->
+        ("WITH tk AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS t FROM documents), " +
+          "bg AS (SELECT doc_id, t[CAST(u AS INT)] AS w1, " +
+          "concat(t[CAST(u AS INT)], ' ', t[CAST(u AS INT) + 1]) AS bigram " +
+          "FROM tk, unnest(generate_series(1, len(t) - 1)) AS s(u) WHERE len(t) >= 2), " +
+          "cb AS (SELECT bigram, count(*) AS nb FROM bg GROUP BY bigram), " +
+          "cu AS (SELECT w1, count(*) AS nu FROM bg GROUP BY w1) " +
+          "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs, " +
+          "CAST(sum((nb * 1000000) // nu) // count(*) AS BIGINT) AS fluency_ppm " +
+          "FROM bg JOIN cb USING (bigram) JOIN cu USING (w1) " +
+          "GROUP BY doc_id ORDER BY doc_id"),
       "q_text_diversity" ->
         ("WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents), " +
           "c AS (SELECT doc_id, w, count(*) AS c FROM t GROUP BY doc_id, w) " +
@@ -3825,6 +3873,19 @@ object LlmPipeline {
           s"CAST(max(run_len) + ${SubWinW - 1} AS BIGINT) AS longest_span " +
           s"FROM runs GROUP BY 1, 2 HAVING max(run_len) + ${SubWinW - 1} >= $SubMinSpan " +
           "ORDER BY doc_a, doc_b"),
+      "q_lm_fluency" ->
+        ("WITH tk AS (SELECT doc_id, split(coalesce(text, ''), ' ') AS t FROM documents), " +
+          "bg AS (SELECT doc_id, p.w1 AS w1, p.bigram AS bigram FROM (" +
+          "SELECT doc_id, explode(zip_with(slice(t, 1, size(t) - 1), " +
+          "slice(t, 2, size(t) - 1), " +
+          "(a, b) -> struct(a AS w1, concat(a, ' ', b) AS bigram))) AS p " +
+          "FROM tk WHERE size(t) >= 2)), " +
+          "cb AS (SELECT bigram, count(*) AS nb FROM bg GROUP BY bigram), " +
+          "cu AS (SELECT w1, count(*) AS nu FROM bg GROUP BY w1) " +
+          "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs, " +
+          "CAST(sum((nb * 1000000) DIV nu) DIV count(*) AS BIGINT) AS fluency_ppm " +
+          "FROM bg JOIN cb USING (bigram) JOIN cu USING (w1) " +
+          "GROUP BY doc_id ORDER BY doc_id"),
       "q_text_diversity" ->
         ("WITH t AS (SELECT doc_id, explode(split(text, ' ')) AS w FROM documents), " +
           "c AS (SELECT doc_id, w, count(*) AS c FROM t GROUP BY doc_id, w) " +

@@ -1167,6 +1167,33 @@ class LlmPipelineSpec extends AnyFunSuite {
       s"longest_span $span != first-principles ${longestRun + W - 1}")
   }
 
+  test("q_lm_fluency: score recomputed from corpus bigram counts from first principles") {
+    import spark.implicits._
+    val d = SparkTestSession.sf0001
+    val out = ops.LlmPipeline.lmFluency(spark, d)
+      .as[(Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    assert(out.forall { case (_, np, f) => np >= 1 && f >= 0 && f <= 1000000 },
+      "fluency_ppm out of the [0, 10^6] probability range")
+    // independent witness: rebuild the corpus bigram/context counts in
+    // plain Scala and recompute the highest-scoring doc's score exactly
+    val docs = Tables.documents(spark, d).select("doc_id", "text")
+      .as[(Long, String)].collect()
+    def bigrams(t: String): Seq[(String, String)] = {
+      val w = t.split(" ", -1)
+      if (w.length < 2) Seq.empty
+      else w.init.zip(w.tail).map { case (a, b) => (a, s"$a $b") }.toSeq
+    }
+    val all = docs.flatMap { case (_, t) => bigrams(Option(t).getOrElse("")) }
+    val nb = all.groupBy(_._2).map { case (k, v) => k -> v.size.toLong }
+    val nu = all.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val (docId, nPairs, ppm) = out.maxBy(_._3)
+    val mine = bigrams(docs.toMap.apply(docId))
+    assert(nPairs == mine.size)
+    val expected = mine.map { case (w1, bgm) => nb(bgm) * 1000000L / nu(w1) }.sum / mine.size
+    assert(ppm == expected, s"doc $docId: fluency $ppm != first-principles $expected")
+  }
+
   test("q_heavy_hitters: sketch estimates EQUAL exact counts at the operating point") {
     import spark.implicits._
     val d = SparkTestSession.sf0001
