@@ -258,6 +258,174 @@ object ProtoChunkSource {
     val b = bounds.result()
     b.zip(b.tail :+ Long.MaxValue)
   }
+
+  // ------------------------------------------------- file-stats sidecar
+  /** Per-file zone map + Bloom filter, persisted as a `.{name}.stats`
+    * sidecar at write commit — the q_zonemap_build / q_fileindex_build
+    * structures WIRED INTO the read path: batch planning consults the
+    * sidecar against pushed-down filters (SupportsPushDownFilters) and
+    * skips whole frame files whose stats prove no frame can match.
+    * Min/max serve range predicates on `sequenceNo` and `fileName`; the
+    * 4096-bit Bloom over `fileName` serves point predicates on the
+    * column whose values interleave across files (parquet's row-group
+    * stats + column bloom_filter, re-created for the frame format; the
+    * reference's sidecar-metadata-read-before-serving is
+    * storageNode/MessageProcessor.java:209-211). Skipping is SOUND but
+    * inexact: every pushed filter is also re-evaluated by Spark above
+    * the scan (the residual), so a Bloom false positive costs a read,
+    * never a wrong row. A missing, corrupt, or STALE sidecar (recorded
+    * data length ≠ current file length) degrades to reading the file.
+    */
+  private[sources] val StatsMagic = "GFSTAT1"
+  private[sources] val BloomLongs = 64 // 4096 bits
+  private[sources] val BloomK = 3
+
+  private[sources] case class FileStats(dataLen: Long, count: Long,
+      minSeq: Int, maxSeq: Int, minName: String, maxName: String,
+      bloom: Array[Long])
+
+  private[sources] def statsPathFor(dataFile: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(dataFile.getParent, "." + dataFile.getName + ".stats")
+
+  /** Kirsch-Mitzenmacher double hashing off one md5: positions
+    * h1 + i·h2 (mod m) for i < k. Both the writer and the pruner call
+    * THIS function, so build and probe can never diverge.
+    */
+  private[sources] def bloomPositions(name: String): Array[Int] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest(name.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    def be64(i: Int): Long = {
+      var v = 0L
+      var j = 0
+      while (j < 8) { v = (v << 8) | (d(i + j) & 0xffL); j += 1 }
+      v
+    }
+    val h1 = be64(0)
+    val h2 = be64(8) | 1L // odd stride hits every position
+    val m = BloomLongs * 64L
+    Array.tabulate(BloomK)(i => (((h1 + i * h2) % m + m) % m).toInt)
+  }
+
+  private[sources] def bloomAdd(bits: Array[Long], name: String): Unit =
+    bloomPositions(name).foreach(p => bits(p >> 6) |= 1L << (p & 63))
+
+  private[sources] def bloomMightContain(bits: Array[Long], name: String): Boolean =
+    bloomPositions(name).forall(p => (bits(p >> 6) & (1L << (p & 63))) != 0)
+
+  private val B64 = java.util.Base64.getEncoder
+  private val B64D = java.util.Base64.getDecoder
+  private def b64(s: String): String =
+    B64.encodeToString(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  private def unb64(s: String): String =
+    new String(B64D.decode(s), java.nio.charset.StandardCharsets.UTF_8)
+
+  private[sources] def writeStats(fs: org.apache.hadoop.fs.FileSystem,
+      dataFile: org.apache.hadoop.fs.Path, st: FileStats, attemptId: Long): Unit = {
+    val sp = statsPathFor(dataFile)
+    val tmp = new org.apache.hadoop.fs.Path(sp.getParent, sp.getName + s".$attemptId.inprogress")
+    val body =
+      if (st.count == 0) s"$StatsMagic\nlen=${st.dataLen}\nn=0\n"
+      else s"$StatsMagic\nlen=${st.dataLen}\nn=${st.count}\n" +
+        s"seq=${st.minSeq},${st.maxSeq}\n" +
+        s"name=${b64(st.minName)},${b64(st.maxName)}\n" +
+        st.bloom.map(java.lang.Long.toHexString).mkString("bloom=", ",", "\n")
+    val out = fs.create(tmp, true)
+    try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (fs.exists(sp)) fs.delete(sp, false)
+    if (!fs.rename(tmp, sp)) fs.delete(tmp, false) // stats are best-effort
+  }
+
+  /** Stats from the sidecar, or None when absent/corrupt/STALE (recorded
+    * length ≠ the file's current length — a replaced file can never be
+    * pruned by its predecessor's stats).
+    */
+  private[sources] def readStats(fs: org.apache.hadoop.fs.FileSystem,
+      dataFile: org.apache.hadoop.fs.Path, fileLen: Long): Option[FileStats] =
+    try {
+      val sp = statsPathFor(dataFile)
+      if (!fs.exists(sp)) return None
+      val in = fs.open(sp)
+      val text =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val lines = text.split('\n')
+      if (lines.length < 3 || lines(0) != StatsMagic) return None
+      val kv = lines.drop(1).filter(_.contains('='))
+        .map { l => val i = l.indexOf('='); l.take(i) -> l.drop(i + 1) }.toMap
+      if (kv("len").toLong != fileLen) return None // stale
+      val n = kv("n").toLong
+      if (n == 0) return Some(FileStats(fileLen, 0, 0, 0, "", "", new Array[Long](BloomLongs)))
+      val Array(lo, hi) = kv("seq").split(',')
+      val Array(mn, mx) = kv("name").split(',')
+      val bloom = kv("bloom").split(',').map(java.lang.Long.parseUnsignedLong(_, 16))
+      if (bloom.length != BloomLongs) return None
+      Some(FileStats(fileLen, n, lo.toInt, hi.toInt, unb64(mn), unb64(mx), bloom))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  // --------------------------------------------- stats-driven file skip
+  import org.apache.spark.sql.sources._
+
+  /** Can the pruner USE this filter? (Gates what pushedFilters reports,
+    * so `.explain` never advertises a filter the skip logic ignores.)
+    */
+  private[sources] def usableForSkipping(f: Filter): Boolean = f match {
+    case EqualTo(a, v) => skippableAttr(a) && v != null
+    case EqualNullSafe(a, v) => skippableAttr(a) && v != null
+    case GreaterThan(a, v) => skippableAttr(a) && v != null
+    case GreaterThanOrEqual(a, v) => skippableAttr(a) && v != null
+    case LessThan(a, v) => skippableAttr(a) && v != null
+    case LessThanOrEqual(a, v) => skippableAttr(a) && v != null
+    case In(a, vs) => skippableAttr(a) && vs.nonEmpty && vs.forall(_ != null)
+    case StringStartsWith("fileName", p) => p != null && p.nonEmpty
+    case And(l, r) => usableForSkipping(l) || usableForSkipping(r)
+    case Or(l, r) => usableForSkipping(l) && usableForSkipping(r)
+    case _ => false
+  }
+  private def skippableAttr(a: String): Boolean =
+    a == "fileName" || a == "sequenceNo"
+
+  /** TRUE iff the stats PROVE no frame in the file satisfies `f`.
+    * Conservative everywhere: an unrecognized shape or value type
+    * returns false (cannot prove → read the file). String-range tests
+    * lean on lexicographic truncation monotonicity (s ≤ t ⇒
+    * s.take(k) ≤ t.take(k)) for the prefix case.
+    */
+  private[sources] def provablyEmpty(st: FileStats, f: Filter): Boolean = {
+    def seqV(v: Any): Option[Int] = v match {
+      case i: Int => Some(i)
+      case l: Long if l >= Int.MinValue && l <= Int.MaxValue => Some(l.toInt)
+      case s: Short => Some(s.toInt)
+      case b: Byte => Some(b.toInt)
+      case _ => None
+    }
+    def eqEmpty(a: String, v: Any): Boolean = (a, v) match {
+      case ("fileName", s: String) =>
+        s < st.minName || s > st.maxName || !bloomMightContain(st.bloom, s)
+      case ("sequenceNo", v) =>
+        seqV(v).exists(i => i < st.minSeq || i > st.maxSeq)
+      case _ => false
+    }
+    if (st.count == 0) return true
+    f match {
+      case EqualTo(a, v) => eqEmpty(a, v)
+      case EqualNullSafe(a, v) if v != null => eqEmpty(a, v)
+      case In(a, vs) => vs.nonEmpty && vs.forall(eqEmpty(a, _))
+      case GreaterThan("sequenceNo", v) => seqV(v).exists(st.maxSeq <= _)
+      case GreaterThanOrEqual("sequenceNo", v) => seqV(v).exists(st.maxSeq < _)
+      case LessThan("sequenceNo", v) => seqV(v).exists(st.minSeq >= _)
+      case LessThanOrEqual("sequenceNo", v) => seqV(v).exists(st.minSeq > _)
+      case GreaterThan("fileName", v: String) => st.maxName <= v
+      case GreaterThanOrEqual("fileName", v: String) => st.maxName < v
+      case LessThan("fileName", v: String) => st.minName >= v
+      case LessThanOrEqual("fileName", v: String) => st.minName > v
+      case StringStartsWith("fileName", p) if p.nonEmpty =>
+        st.maxName < p || st.minName.take(p.length) > p
+      case And(l, r) => provablyEmpty(st, l) || provablyEmpty(st, r)
+      case Or(l, r) => provablyEmpty(st, l) && provablyEmpty(st, r)
+      case _ => false
+    }
+  }
 }
 
 private class ProtoChunkTable(path: String, message: String)
@@ -292,20 +460,42 @@ private class ProtoChunkTable(path: String, message: String)
 }
 
 private class ProtoChunkScanBuilder(path: String, message: String, permissive: Boolean,
-    splitSize: Long) extends ScanBuilder with SupportsPushDownRequiredColumns {
+    splitSize: Long) extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = ProtoChunkSource.schemaFor(message)
+  private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
+  /** Accept filters the stats sidecars can skip files with — EVERY
+    * filter is also returned as residual (skipping is file-granular and
+    * Bloom-inexact, so Spark must still evaluate rows; the same
+    * contract parquet row-group stats use). Only the storechunk message
+    * has stats sidecars (its writer records them); the nested message
+    * shapes push nothing.
+    */
+  override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter]):
+      Array[org.apache.spark.sql.sources.Filter] = {
+    if (message == "storechunk")
+      pushed = filters.filter(ProtoChunkSource.usableForSkipping)
+    filters
+  }
+
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
+
   override def build(): Scan =
-    new ProtoChunkScan(path, message, required, permissive, splitSize)
+    new ProtoChunkScan(path, message, required, permissive, splitSize, pushed)
 }
 
 private class ProtoChunkScan(path: String, message: String, required: StructType,
-    permissive: Boolean, splitSize: Long) extends Scan with Batch {
+    permissive: Boolean, splitSize: Long,
+    pushed: Array[org.apache.spark.sql.sources.Filter]) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  override def description(): String =
+    s"ProtoChunkScan $path PushedFilters: ${pushed.mkString("[", ", ", "]")}"
 
   override def planInputPartitions(): Array[InputPartition] = {
     val conf = SparkSession.active.sessionState.newHadoopConf()
@@ -313,15 +503,25 @@ private class ProtoChunkScan(path: String, message: String, required: StructType
       val p = new org.apache.hadoop.fs.Path(f)
       val fs = p.getFileSystem(conf)
       val len = fs.getFileStatus(p).getLen
-      // split only files worth splitting; a missing/invalid sidecar
-      // degrades to the whole-file partition
-      val ranges =
-        if (splitSize > 0 && len > splitSize)
-          ProtoChunkSource.readFrameIndex(fs, p, len)
-            .map(ProtoChunkSource.splitRanges(_, len, splitSize))
-            .getOrElse(Seq((0L, Long.MaxValue)))
-        else Seq((0L, Long.MaxValue))
-      ranges.map { case (s, e) => ProtoChunkPartition(f, s, e): InputPartition }
+      // stats-sidecar file skip: drop the file when its zone map/Bloom
+      // PROVES no frame matches a pushed filter (sound: absent/stale
+      // stats skip nothing, and the filters re-run above the scan)
+      val skip = pushed.nonEmpty && {
+        val st = ProtoChunkSource.readStats(fs, p, len)
+        st.exists(s => pushed.exists(ProtoChunkSource.provablyEmpty(s, _)))
+      }
+      if (skip) Seq.empty[InputPartition]
+      else {
+        // split only files worth splitting; a missing/invalid sidecar
+        // degrades to the whole-file partition
+        val ranges =
+          if (splitSize > 0 && len > splitSize)
+            ProtoChunkSource.readFrameIndex(fs, p, len)
+              .map(ProtoChunkSource.splitRanges(_, len, splitSize))
+              .getOrElse(Seq((0L, Long.MaxValue)))
+          else Seq((0L, Long.MaxValue))
+        ranges.map { case (s, e) => ProtoChunkPartition(f, s, e): InputPartition }
+      }
     }
   }
 
@@ -779,7 +979,8 @@ private class ProtoChunkWrite(path: String, schema: StructType, queryId: String,
         .getFileSystem(ProtoChunkSource.hadoopConf(ProtoChunkSource.sessionConfEntries()))
       toDeleteOnCommit.filterNot(p => fresh.contains(p.toString)).foreach { p =>
         fs.delete(p, false)
-        fs.delete(ProtoChunkSource.indexPathFor(p), false) // sidecar goes with its file
+        fs.delete(ProtoChunkSource.indexPathFor(p), false) // sidecars go with their file
+        fs.delete(ProtoChunkSource.statsPathFor(p), false)
       }
     }
 
@@ -814,7 +1015,8 @@ private object ProtoChunkWrite {
     messages.collect { case ProtoChunkCommit(f) =>
       val p = new org.apache.hadoop.fs.Path(f)
       fs.delete(p, false)
-      fs.delete(ProtoChunkSource.indexPathFor(p), false) // sidecar goes with its file
+      fs.delete(ProtoChunkSource.indexPathFor(p), false) // sidecars go with their file
+      fs.delete(ProtoChunkSource.statsPathFor(p), false)
     }
   }
 }
@@ -885,6 +1087,15 @@ private class ProtoChunkWriter(path: String, names: Array[String], fileStem: Str
   // SPLITTABLE on read (one large frame file → many InputPartitions)
   private val frameOffsets = scala.collection.mutable.ArrayBuffer.empty[Long]
   private var bytesOut = 0L
+  // `.stats` sidecar accumulators — the zone map + fileName Bloom the
+  // scan's pushed-filter file skip consults (built from the WRITTEN
+  // values, post null-default, so stats and frames can never disagree)
+  private var nFrames = 0L
+  private var minSeq = Int.MaxValue
+  private var maxSeq = Int.MinValue
+  private var minName: String = null
+  private var maxName: String = null
+  private val bloom = new Array[Long](ProtoChunkSource.BloomLongs)
 
   override def write(row: InternalRow): Unit = {
     val c = ProtoIngest.StoreChunk(
@@ -898,6 +1109,12 @@ private class ProtoChunkWriter(path: String, names: Array[String], fileStem: Str
     out.write(header)
     out.write(body)
     bytesOut += header.length + body.length
+    nFrames += 1
+    if (c.sequenceNo < minSeq) minSeq = c.sequenceNo
+    if (c.sequenceNo > maxSeq) maxSeq = c.sequenceNo
+    if (minName == null || c.fileName < minName) minName = c.fileName
+    if (maxName == null || c.fileName > maxName) maxName = c.fileName
+    ProtoChunkSource.bloomAdd(bloom, c.fileName)
   }
 
   override def commit(): WriterCommitMessage = {
@@ -907,9 +1124,15 @@ private class ProtoChunkWriter(path: String, names: Array[String], fileStem: Str
     if (fs.exists(finalPath)) fs.delete(finalPath, false)
     if (!fs.rename(tempPath, finalPath))
       throw new java.io.IOException(s"rename $tempPath -> $finalPath failed")
-    // sidecar AFTER the data rename: readers that race see a data file
-    // without an index (unsplit scan), never an index without its file
+    // sidecars AFTER the data rename: readers that race see a data file
+    // without sidecars (unsplit, unskippable scan), never a sidecar
+    // without its file
     ProtoChunkSource.writeFrameIndex(fs, finalPath, frameOffsets.toSeq, attemptId)
+    ProtoChunkSource.writeStats(fs, finalPath,
+      ProtoChunkSource.FileStats(bytesOut, nFrames,
+        if (nFrames == 0) 0 else minSeq, if (nFrames == 0) 0 else maxSeq,
+        Option(minName).getOrElse(""), Option(maxName).getOrElse(""), bloom),
+      attemptId)
     ProtoChunkCommit(finalPath.toString)
   }
 

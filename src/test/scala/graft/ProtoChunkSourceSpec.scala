@@ -515,6 +515,70 @@ class ProtoChunkSourceSpec extends AnyFunSuite {
     assert(df.count() == 2) // the empty catalog row survives intact
   }
 
+  test("stats sidecar: pushed filters skip whole files at planning, rows stay exact") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-proto-skip").toString
+    // 8 logical files × 8 frames, partitioned BY fileName so each frame
+    // file holds a narrow name set — the layout stats-skipping rewards
+    val df = (0 until 64)
+      .map(i => (f"doc-${i % 8}.bin", i / 8, s"c$i", Array.fill(8)((i % 8).toByte)))
+      .toDF("fileName", "sequenceNo", "checksum", "data")
+    df.repartition(8, col("fileName")).write.format(fmt).mode("overwrite").save(out)
+    val nFiles = new java.io.File(out).listFiles()
+      .count(f => !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+    assert(new java.io.File(out).listFiles().exists(_.getName.endsWith(".stats")),
+      "writer did not emit the stats sidecar")
+    val all = spark.read.format(fmt).load(out)
+    assert(all.rdd.getNumPartitions == nFiles) // no filter → no skip
+    // point lookup on fileName: the Bloom + name range prune non-holding
+    // files at PLANNING time — strictly fewer partitions than files
+    val point = all.where(col("fileName") === "doc-3.bin")
+    assert(point.rdd.getNumPartitions < nFiles,
+      s"no files skipped (${point.rdd.getNumPartitions} of $nFiles planned)")
+    assert(point.count() == 8)
+    // the scan advertises what it pushed
+    assert(point.queryExecution.executedPlan.toString.contains("PushedFilters"),
+      "pushed filters absent from the executed plan")
+    // seq range with no qualifying frames anywhere → zero partitions
+    val none = all.where(col("sequenceNo") > 7)
+    assert(none.rdd.getNumPartitions == 0 && none.count() == 0)
+    // SOUNDNESS sweep: every name's filtered read matches the full scan
+    val expect = all.collect()
+      .groupBy(_.getString(0)).view.mapValues(_.length).toMap
+    (0 until 8).foreach { k =>
+      val name = f"doc-$k.bin"
+      assert(all.where(col("fileName") === name).count() == expect(name).toLong)
+    }
+    // IN-list and prefix shapes stay correct (prefix matches everything)
+    assert(all.where(col("fileName").isin("doc-1.bin", "doc-6.bin")).count() == 16)
+    assert(all.where(col("fileName").startsWith("doc-")).count() == 64)
+    assert(all.where(col("fileName").startsWith("zzz")).rdd.getNumPartitions == 0)
+  }
+
+  test("stats sidecar: STALE stats (file appended after commit) never skip the file") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-proto-stale").toString
+    Seq(("base.bin", 0, "c0", Array[Byte](1)))
+      .toDF("fileName", "sequenceNo", "checksum", "data")
+      .repartition(1).write.format(fmt).mode("overwrite").save(out)
+    // append a frame the sidecar knows nothing about, raw (no commit path)
+    val dataFile = new java.io.File(out).listFiles()
+      .find(f => !f.getName.startsWith(".") && !f.getName.startsWith("_")).get
+    java.nio.file.Files.write(dataFile.toPath,
+      ProtoChunkSource.frameBytes(Seq(
+        ProtoIngest.StoreChunk("extra.bin", 99, "cx", Array[Byte](2)))),
+      java.nio.file.StandardOpenOption.APPEND)
+    // the raw append bypassed Hadoop's LocalFileSystem CRC sidecar; drop
+    // it so the read exercises the STATS staleness path, not a checksum
+    // failure (real object stores have no such sidecar)
+    new java.io.File(dataFile.getParentFile, "." + dataFile.getName + ".crc").delete()
+    // the stats record the PRE-append length → stale → skip nothing
+    val hit = spark.read.format(fmt).load(out)
+      .where(col("fileName") === "extra.bin")
+    assert(hit.count() == 1, "stale stats pruned a file holding a matching frame")
+    assert(hit.rdd.getNumPartitions == 1)
+  }
+
   test("decoded frames feed the validate/reassemble path like any source") {
     val dir = writeFixture()
     val chunks = spark.read.format(fmt).load(dir)
