@@ -11,6 +11,7 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       // Write int64 micros (not legacy INT96) so DuckDB reads timestamps
       // back exactly as Spark computed them.
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")

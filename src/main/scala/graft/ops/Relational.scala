@@ -259,6 +259,10 @@ object Relational {
       .rangeBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.lineitem(s, d)
       .select("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber", "l_quantity")
+      // raw timestamp passes through to the output: NTZ so the written
+      // parquet type class matches the oracle's naive TIMESTAMP (session
+      // TZ is UTC, so the wall-clock value is unchanged)
+      .withColumn("l_shipdate", col("l_shipdate").cast("timestamp_ntz"))
       .withColumn("running_qty",
         sum(dec("l_quantity")).over(w).cast(DoubleType))
       .orderBy("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber", "l_quantity")
@@ -915,6 +919,17 @@ object Relational {
     * QUALIFY → ranked subquery.
     */
   val sparkSql: Map[String, String] = Map(
+    // raw l_shipdate in the output: NTZ cast matches the DataFrame form
+    // (and the oracle's naive TIMESTAMP type class) — Spark reads the
+    // naive parquet micros as LTZ, DuckDB as naive
+    "q_window_running" ->
+      ("SELECT l_suppkey, CAST(l_shipdate AS TIMESTAMP_NTZ) AS l_shipdate, " +
+        "l_orderkey, l_linenumber, l_quantity, " +
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER " +
+        "(PARTITION BY l_suppkey ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC " +
+        "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty " +
+        "FROM lineitem " +
+        "ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber, l_quantity"),
     // non-oracle (sketch outputs — rows-only-compared in SqlSurfaceSpec):
     // identical function calls to the DataFrame forms, so the sketches
     // are bit-identical, not just approximately equal

@@ -41,8 +41,11 @@ object Storage {
       .groupBy(col("l_orderkey").as("file_id"))
       .agg(
         count(lit(1)).as("n_chunks"),
-        min(col("l_shipdate")).as("min_ship"),
-        max(col("l_shipdate")).as("max_ship"),
+        // NTZ casts: raw timestamps reach the output, and the written
+        // parquet type class must match the oracle's naive TIMESTAMP
+        // (session TZ is UTC, so the wall-clock value is unchanged)
+        min(col("l_shipdate")).cast("timestamp_ntz").as("min_ship"),
+        max(col("l_shipdate")).cast("timestamp_ntz").as("max_ship"),
         min(col("l_partkey")).as("min_part"),
         max(col("l_partkey")).as("max_part"),
         expr(sizeUnits).as("size_units"))
@@ -420,6 +423,13 @@ object Storage {
     */
   val sparkSql: Map[String, String] = Map(
     "q_zorder_layout" -> zorderSql("DIV"),
+    // NTZ casts on the raw min/max timestamps, matching the DataFrame
+    // form (Spark reads the naive parquet micros as LTZ, DuckDB as naive)
+    "q_zonemap_build" ->
+      (s"WITH $zmCte SELECT file_id, n_chunks, " +
+        "CAST(min_ship AS TIMESTAMP_NTZ) AS min_ship, " +
+        "CAST(max_ship AS TIMESTAMP_NTZ) AS max_ship, " +
+        "min_part, max_part, size_units FROM zm ORDER BY file_id"),
     "q_compact_plan" -> oracle("q_compact_plan").replace(
       s"cum_excl // $CompactTarget", s"cum_excl DIV $CompactTarget"),
     "q_skew_diagnose" ->

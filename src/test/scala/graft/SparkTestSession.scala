@@ -12,6 +12,7 @@ object SparkTestSession {
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.streaming.checkpointLocation",
         s"/tmp/graft-test-ckpt-${java.util.UUID.randomUUID()}")
