@@ -293,6 +293,53 @@ object Chunks {
       expr("CAST(array_min(element_at(payload, array_min(map_keys(payload)))) AS BIGINT)").as("first_file_min_seq"))
       .orderBy("node_id")
 
+  /** Reporting-period start + per-node map entry cap for the DELTA
+    * heartbeat. The full-catalog payload above is the test-scale demo;
+    * at fleet scale a node cannot re-announce its whole catalog every
+    * period, so the wire form is delta-encoded: only files TOUCHED this
+    * period, capped at the K most-recently-touched (reference analog:
+    * the heartbeat sends the current period's holdings, not history —
+    * storageNode/HeartbeatRunnable.java:101-143). Per-row payload is
+    * ≤ K entries by construction regardless of corpus size, which is
+    * what makes the message broadcastable from 10⁴ nodes at 100 TB.
+    */
+  private[graft] val DeltaPeriodLo = "2001-06-01 00:00:00"
+  private[graft] val DeltaTopK = 16
+
+  private[graft] def heartbeatDeltaPayload(s: SparkSession, d: String): DataFrame = {
+    // recency rank per node: window over the PER-FILE aggregate (one
+    // row per (node, file) — small), never over raw chunk rows
+    val w = Window.partitionBy("node_id")
+      .orderBy(col("last_touch").desc, col("filename"))
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit(DeltaPeriodLo).cast("timestamp"))
+      .select(col("l_suppkey").as("node_id"),
+        concat(lit("f_"), lpad(col("l_orderkey").cast("string"), 12, "0")).as("filename"),
+        col("l_linenumber").cast("int").as("seq"),
+        col("l_shipdate"))
+      .groupBy("node_id", "filename")
+      .agg(sort_array(collect_list(col("seq"))).as("seqs"),
+        max(col("l_shipdate")).as("last_touch"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= DeltaTopK)
+      .groupBy("node_id")
+      .agg(map_from_entries(collect_list(struct(col("filename"), col("seqs")))).as("payload"))
+  }
+
+  /** q_heartbeat_map_delta — the delta payload interrogated exactly like
+    * q_heartbeat_map (map_keys / map_values fold / element_at), so the
+    * bounded wire form is oracle-checked end-to-end: the DuckDB mirror
+    * recomputes the period filter + recency-top-K relationally.
+    */
+  def heartbeatMapDelta(s: SparkSession, d: String): DataFrame =
+    heartbeatDeltaPayload(s, d).select(col("node_id"),
+      expr("CAST(size(map_keys(payload)) AS BIGINT)").as("n_files"),
+      expr("aggregate(map_values(payload), CAST(0 AS BIGINT), (acc, x) -> acc + size(x))").as("n_chunks"),
+      array_min(map_keys(col("payload"))).as("first_file"),
+      expr("CAST(size(element_at(payload, array_min(map_keys(payload)))) AS BIGINT)").as("first_file_n_seqs"),
+      expr("CAST(array_min(element_at(payload, array_min(map_keys(payload)))) AS BIGINT)").as("first_file_min_seq"))
+      .orderBy("node_id")
+
   /** q_heartbeat_map_explode — the map unnested BACK to rows
     * (explode(map) → key/value columns) with per-file facts computed
     * from the carried seq array; proves the map round-trip loses
@@ -325,6 +372,7 @@ object Chunks {
     "q_set_diff_candidates"      -> (setDiffCandidates _),
     "q_failover_coalesce"        -> (failoverCoalesce _),
     "q_heartbeat_map"            -> (heartbeatMap _),
+    "q_heartbeat_map_delta"      -> (heartbeatMapDelta _),
     "q_heartbeat_map_explode"    -> (heartbeatMapExplode _),
   )
 
@@ -407,6 +455,18 @@ object Chunks {
         "CAST(arg_min(n_seqs, filename) AS BIGINT) AS first_file_n_seqs, " +
         "CAST(arg_min(min_seq, filename) AS BIGINT) AS first_file_min_seq " +
         "FROM pf GROUP BY node_id ORDER BY node_id"),
+    "q_heartbeat_map_delta" ->
+      (s"WITH pf AS (SELECT l_suppkey AS node_id, " +
+        "'f_' || lpad(CAST(l_orderkey AS VARCHAR), 12, '0') AS filename, " +
+        "count(*) AS n_seqs, min(l_linenumber) AS min_seq, max(l_shipdate) AS last_touch " +
+        s"FROM lineitem WHERE l_shipdate >= TIMESTAMP '${DeltaPeriodLo}' GROUP BY 1, 2), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY node_id " +
+        "ORDER BY last_touch DESC, filename) AS rk FROM pf) " +
+        "SELECT node_id, count(*) AS n_files, CAST(sum(n_seqs) AS BIGINT) AS n_chunks, " +
+        "min(filename) AS first_file, " +
+        "CAST(arg_min(n_seqs, filename) AS BIGINT) AS first_file_n_seqs, " +
+        "CAST(arg_min(min_seq, filename) AS BIGINT) AS first_file_min_seq " +
+        s"FROM r WHERE rk <= ${DeltaTopK} GROUP BY node_id ORDER BY node_id"),
     "q_heartbeat_map_explode" ->
       ("SELECT l_suppkey AS node_id, " +
         "'f_' || lpad(CAST(l_orderkey AS VARCHAR), 12, '0') AS filename, " +
@@ -473,6 +533,22 @@ object Chunks {
       // same map surface the DataFrame builders do
       "q_heartbeat_map" ->
         (s"$heartbeatCtes " +
+          "SELECT node_id, CAST(size(map_keys(payload)) AS BIGINT) AS n_files, " +
+          "aggregate(map_values(payload), CAST(0 AS BIGINT), (acc, x) -> acc + size(x)) AS n_chunks, " +
+          "array_min(map_keys(payload)) AS first_file, " +
+          "CAST(size(element_at(payload, array_min(map_keys(payload)))) AS BIGINT) AS first_file_n_seqs, " +
+          "CAST(array_min(element_at(payload, array_min(map_keys(payload)))) AS BIGINT) AS first_file_min_seq " +
+          "FROM hb ORDER BY node_id"),
+      "q_heartbeat_map_delta" ->
+        ("WITH pf AS (SELECT l_suppkey AS node_id, " +
+          "concat('f_', lpad(CAST(l_orderkey AS STRING), 12, '0')) AS filename, " +
+          "sort_array(collect_list(CAST(l_linenumber AS INT))) AS seqs, " +
+          "max(l_shipdate) AS last_touch " +
+          s"FROM lineitem WHERE l_shipdate >= TIMESTAMP '$DeltaPeriodLo' GROUP BY 1, 2), " +
+          "r AS (SELECT *, row_number() OVER (PARTITION BY node_id " +
+          "ORDER BY last_touch DESC, filename) AS rk FROM pf), " +
+          "hb AS (SELECT node_id, map_from_entries(collect_list(struct(filename, seqs))) AS payload " +
+          s"FROM r WHERE rk <= $DeltaTopK GROUP BY node_id) " +
           "SELECT node_id, CAST(size(map_keys(payload)) AS BIGINT) AS n_files, " +
           "aggregate(map_values(payload), CAST(0 AS BIGINT), (acc, x) -> acc + size(x)) AS n_chunks, " +
           "array_min(map_keys(payload)) AS first_file, " +

