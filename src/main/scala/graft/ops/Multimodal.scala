@@ -528,8 +528,214 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------- perceptual hash
+
+  /** Grayscale pixel decode for the CODEC-FREE image formats the header
+    * parser already locates: uncompressed 24-bpp BMP (BITMAPINFOHEADER,
+    * bottom-up or top-down) and binary netpbm P5 (gray) / P6 (RGB,
+    * maxval < 256). Returns (width, height, row-major gray 0..255).
+    * Anything else — compressed, paletted, deep-color, ascii netpbm —
+    * returns None and the caller falls back to the content-hash stub
+    * (same rule as decodeCore: real where bytes allow, labeled fake
+    * otherwise). Public format specs: BMP file structure (Windows DIB),
+    * netpbm P5/P6; luma weights are ITU-R BT.601 integer form.
+    */
+  private[graft] def grayPixels(p: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    def u8(i: Int) = p(i) & 0xFF
+    def le32(i: Int) = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    try {
+      if (p.length > 54 && p(0) == 'B' && p(1) == 'M') {
+        val dataOff = le32(10)
+        val w = le32(18)
+        val hRaw = le32(22)
+        val bottomUp = hRaw > 0
+        val h = math.abs(hRaw)
+        val bpp = le16(28)
+        val compression = le32(30)
+        if (w <= 0 || h == 0 || bpp != 24 || compression != 0) return None
+        val stride = ((w * 3 + 3) / 4) * 4
+        if (dataOff.toLong + stride.toLong * h > p.length) return None
+        val g = new Array[Int](w * h)
+        var y = 0
+        while (y < h) {
+          val row = if (bottomUp) h - 1 - y else y
+          var x = 0
+          while (x < w) {
+            val i = dataOff + row * stride + x * 3
+            val b = u8(i); val gg = u8(i + 1); val r = u8(i + 2)
+            g(y * w + x) = (299 * r + 587 * gg + 114 * b) / 1000
+            x += 1
+          }
+          y += 1
+        }
+        Some((w, h, g))
+      } else if (p.length > 2 && p(0) == 'P' && (p(1) == '5' || p(1) == '6')) {
+        val rgb = p(1) == '6'
+        // netpbm header: three whitespace-separated ints (w h maxval),
+        // '#' comments run to end-of-line, ONE whitespace then raster
+        var i = 2
+        val vals = new Array[Int](3)
+        var nv = 0
+        while (nv < 3 && i < p.length) {
+          while (i < p.length &&
+            (p(i) == ' ' || p(i) == '\t' || p(i) == '\n' || p(i) == '\r')) i += 1
+          if (i < p.length && p(i) == '#') {
+            while (i < p.length && p(i) != '\n') i += 1
+          } else {
+            var v = 0
+            var any = false
+            while (i < p.length && p(i) >= '0' && p(i) <= '9') {
+              v = v * 10 + (p(i) - '0'); i += 1; any = true
+            }
+            if (!any) return None
+            vals(nv) = v; nv += 1
+          }
+        }
+        if (nv < 3) return None
+        i += 1 // the single whitespace after maxval
+        val w = vals(0); val h = vals(1); val maxv = vals(2)
+        val bpx = if (rgb) 3 else 1
+        if (w <= 0 || h <= 0 || maxv <= 0 || maxv > 255) return None
+        if (i.toLong + w.toLong * h * bpx > p.length) return None
+        val g = new Array[Int](w * h)
+        var k = 0
+        while (k < w * h) {
+          val base = i + k * bpx
+          val v =
+            if (rgb) (299 * u8(base) + 587 * u8(base + 1) + 114 * u8(base + 2)) / 1000
+            else u8(base)
+          g(k) = v * 255 / maxv
+          k += 1
+        }
+        Some((w, h, g))
+      } else None
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** aHash: box-average the grayscale image to 8×8, then one bit per
+    * cell — 1 iff the cell mean exceeds the global 8×8 mean (strict, so
+    * a constant image hashes to all-zeros deterministically). Bit (r,c)
+    * is bit 63-(8r+c) — row-major from the MSB.
+    */
+  private[graft] def aHash64(w: Int, h: Int, gray: Array[Int]): Long = {
+    val cell = new Array[Long](64)
+    var r = 0
+    while (r < 8) {
+      val y0 = r * h / 8
+      val y1 = math.max(y0 + 1, (r + 1) * h / 8)
+      var c = 0
+      while (c < 8) {
+        val x0 = c * w / 8
+        val x1 = math.max(x0 + 1, (c + 1) * w / 8)
+        var sum = 0L
+        var y = y0
+        while (y < math.min(y1, h)) {
+          var x = x0
+          while (x < math.min(x1, w)) { sum += gray(y * w + x); x += 1 }
+          y += 1
+        }
+        val n = (math.min(y1, h) - y0).toLong * (math.min(x1, w) - x0)
+        cell(r * 8 + c) = if (n > 0) sum / n else 0L
+        c += 1
+      }
+      r += 1
+    }
+    val mean = cell.sum / 64
+    var bits = 0L
+    var i = 0
+    while (i < 64) {
+      if (cell(i) > mean) bits |= 1L << (63 - i)
+      i += 1
+    }
+    bits
+  }
+
+  /** LSH band width: 8 bands × 2 hex chars (8 bits). Demo-scale — a
+    * production corpus uses wider bands (16/32 bits) so each bucket
+    * stays small; the plan shape (band explode → bucket self-join →
+    * verify) is identical.
+    */
+  private[graft] val PhashBands = 8
+  /** Accept threshold: ≤ 10 differing bits of 64 ≈ the usual aHash
+    * near-duplicate cut. On a corpus with no decodable images the stub
+    * hashes are md5-uniform and essentially no pair passes — the
+    * planted-image spec drives the accept path.
+    */
+  private[graft] val PhashMaxHamming = 10
+
+  /** Perceptual hash per payload, as 16 hex chars: real aHash where the
+    * pixels are reachable codec-free (grayPixels), else the md5 stub
+    * prefix — the same real-where-possible/stub-otherwise rule as the
+    * header decoders, and the stub is what the DuckDB mirror recomputes
+    * on the text-only fixture corpus.
+    */
+  private[graft] def phashCore(ds: Dataset[(Long, Array[Byte])]): Dataset[(Long, String)] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { case (id, payload) =>
+        val hx = grayPixels(payload) match {
+          case Some((w, h, g)) => f"${aHash64(w, h, g)}%016x"
+          case None =>
+            md.reset()
+            md.digest(payload).map("%02x".format(_)).mkString.take(16)
+        }
+        (id, hx)
+      }
+    }
+  }
+
+  /** q_dedup_phash — perceptual near-duplicate image detection as a
+    * first-class dedup pipeline stage: hash → Hamming-LSH banding
+    * (exact-match buckets on 8-bit hash slices; a ≤10-bit-different
+    * pair must agree on ≥1 of 8 bands... pigeonhole gives ≥1 clean band
+    * only for <8 diffs, so recall for 8..10-bit pairs is probabilistic
+    * — the standard banding trade, tightened in the planted spec) →
+    * exact Hamming verify on candidates. Output: every banded candidate
+    * pair with its distance and the accept verdict. Shuffles once on
+    * (band, value); the within-bucket self-join is the bounded blow-up
+    * banding exists to control.
+    */
+  def dedupPhash(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    dedupPhashCore(
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .as[(Long, Array[Byte])])
+  }
+
+  /** The hash→band→verify pipeline over an (id, payload) Dataset — the
+    * spec drives this with REAL planted images; the registry query
+    * feeds it the fixture corpus (all-stub premise, mirrored exactly by
+    * the DuckDB oracle).
+    */
+  private[graft] def dedupPhashCore(ds: Dataset[(Long, Array[Byte])]): DataFrame = {
+    val h = phashCore(ds).toDF("doc_id", "phash_hex")
+    val bands = h.select(col("doc_id"), col("phash_hex"),
+        explode(expr(s"sequence(0, ${PhashBands - 1})")).as("band"))
+      .withColumn("bv", expr("substring(phash_hex, 1 + 2 * band, 2)"))
+      .select("doc_id", "band", "bv")
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(h.select(col("doc_id").as("doc_a"), col("phash_hex").as("ha")), "doc_a")
+      .join(h.select(col("doc_id").as("doc_b"), col("phash_hex").as("hb")), "doc_b")
+      .withColumn("hamming", expr(
+        "CAST(aggregate(sequence(0, 15), 0, (acc, i) -> acc + bit_count(" +
+          "(instr('0123456789abcdef', substring(ha, i + 1, 1)) - 1) ^ " +
+          "(instr('0123456789abcdef', substring(hb, i + 1, 1)) - 1))) AS BIGINT)"))
+      .select(col("doc_a"), col("doc_b"), col("hamming"),
+        (col("hamming") <= PhashMaxHamming).as("is_dup"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mm_decode"       -> (decode _),
+    "q_dedup_phash"     -> (dedupPhash _),
     "q_mm_audio"        -> (audio _),
     "q_mm_video"        -> (video _),
     "q_mm_resize"       -> (resize _),
@@ -552,6 +758,22 @@ object Multimodal {
         s"CAST(1 + (${hx.format(5)}) % 3 AS INTEGER) AS channels, " +
         "'stub-md5' AS decoder " +
         "FROM documents ORDER BY doc_id"),
+    // same stub premise: no codec-free image payloads in the text
+    // corpus, so every phash is the md5 prefix the mirror recomputes;
+    // the REAL aHash path is pinned by MultimodalSpec's planted images
+    "q_dedup_phash" ->
+      (s"WITH h AS (SELECT doc_id, substr(md5(text), 1, 16) AS ph FROM documents), " +
+        s"b AS (SELECT doc_id, i AS band, substr(ph, 1 + 2 * i, 2) AS bv " +
+        s"FROM h CROSS JOIN range($PhashBands) t(i)), " +
+        "cand AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b " +
+        "FROM b a JOIN b c ON a.band = c.band AND a.bv = c.bv AND a.doc_id < c.doc_id), " +
+        "ham AS (SELECT c.doc_a, c.doc_b, " +
+        "CAST(sum(bit_count(xor(strpos('0123456789abcdef', substr(ha.ph, i + 1, 1)) - 1, " +
+        "strpos('0123456789abcdef', substr(hb.ph, i + 1, 1)) - 1))) AS BIGINT) AS hamming " +
+        "FROM cand c JOIN h ha ON ha.doc_id = c.doc_a JOIN h hb ON hb.doc_id = c.doc_b " +
+        "CROSS JOIN range(16) t(i) GROUP BY c.doc_a, c.doc_b) " +
+        s"SELECT doc_a, doc_b, hamming, hamming <= $PhashMaxHamming AS is_dup " +
+        "FROM ham ORDER BY doc_a, doc_b"),
     // constant-decoder premise as q_mm_decode: the text corpus has no
     // RIFF/".snd" payloads (asserted per-SF), so only the stub fires
     "q_mm_audio" ->
@@ -610,6 +832,21 @@ object Multimodal {
     * instr/substr/md5 agree between the engines.
     */
   val sparkSql: Map[String, String] = Map(
+    "q_dedup_phash" ->
+      ("WITH h AS (SELECT doc_id, substring(md5(text), 1, 16) AS ph FROM documents), " +
+        "b AS (SELECT doc_id, band, substring(ph, 1 + 2 * band, 2) AS bv " +
+        s"FROM h LATERAL VIEW explode(sequence(0, ${PhashBands - 1})) t AS band), " +
+        "cand AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b " +
+        "FROM b a JOIN b c ON a.band = c.band AND a.bv = c.bv AND a.doc_id < c.doc_id), " +
+        "j AS (SELECT c.doc_a, c.doc_b, ha.ph AS pa, hb.ph AS pb " +
+        "FROM cand c JOIN h ha ON ha.doc_id = c.doc_a JOIN h hb ON hb.doc_id = c.doc_b), " +
+        "ham AS (SELECT doc_a, doc_b, " +
+        "CAST(aggregate(sequence(0, 15), 0, (acc, i) -> acc + bit_count(" +
+        "(instr('0123456789abcdef', substring(pa, i + 1, 1)) - 1) ^ " +
+        "(instr('0123456789abcdef', substring(pb, i + 1, 1)) - 1))) AS BIGINT) AS hamming " +
+        "FROM j) " +
+        s"SELECT doc_a, doc_b, hamming, hamming <= $PhashMaxHamming AS is_dup " +
+        "FROM ham ORDER BY doc_a, doc_b"),
     "q_mm_decode" ->
       ("SELECT doc_id, CAST(octet_length(CAST(text AS BINARY)) AS BIGINT) AS n_bytes, " +
         "md5(text) AS content_md5, " +

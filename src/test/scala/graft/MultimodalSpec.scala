@@ -142,6 +142,94 @@ class MultimodalSpec extends AnyFunSuite {
     assert(n === 0L, "a fixture document parses as media — a q_mm_* DuckDB mirror would diverge")
   }
 
+  /** Full 24-bpp bottom-up BMP with real pixel data; `pix(x, y)` gives
+    * (r, g, b) in DISPLAY coordinates (y = 0 is the top row).
+    */
+  private def bmpPixels(w: Int, h: Int, pix: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val stride = ((w * 3 + 3) / 4) * 4
+    val out = new Array[Byte](54 + stride * h)
+    val header = "BM".getBytes ++ le32(out.length) ++ le32(0) ++ le32(54) ++
+      le32(40) ++ le32(w) ++ le32(h) ++ le16(1) ++ le16(24) ++ le32(0)
+    header.copyToArray(out)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = pix(x, y)
+      val off = 54 + (h - 1 - y) * stride + x * 3 // bottom-up rows, BGR
+      out(off) = b.toByte; out(off + 1) = g.toByte; out(off + 2) = r.toByte
+    }
+    out
+  }
+
+  /** Binary netpbm P6 of the same display-coordinate pixel function. */
+  private def ppmPixels(w: Int, h: Int, pix: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val head = s"P6\n$w $h\n255\n".getBytes
+    val body = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = pix(x, y)
+      val off = (y * w + x) * 3
+      body(off) = r.toByte; body(off + 1) = g.toByte; body(off + 2) = b.toByte
+    }
+    head ++ body
+  }
+
+  private def hamming(a: String, b: String): Int =
+    (java.lang.Long.parseUnsignedLong(a, 16) ^ java.lang.Long.parseUnsignedLong(b, 16))
+      .toBinaryString.count(_ == '1')
+
+  test("aHash: format-independent, noise-tolerant, and discriminating on planted images") {
+    import spark.implicits._
+    val gradient = (x: Int, y: Int) => (x * 4 % 256, y * 4 % 256, (x + y) * 2 % 256)
+    // the same scene with mild sensor noise (deterministic, ±6 levels)
+    val noisy = (x: Int, y: Int) => {
+      val (r, g, b) = gradient(x, y)
+      val n = (x * 31 + y * 17) % 13 - 6
+      (math.min(255, math.max(0, r + n)), math.min(255, math.max(0, g + n)),
+        math.min(255, math.max(0, b + n)))
+    }
+    val inverted = (x: Int, y: Int) => {
+      val (r, g, b) = gradient(x, y); (255 - r, 255 - g, 255 - b)
+    }
+    val hashes = ops.Multimodal.phashCore(Seq(
+      1L -> bmpPixels(64, 48, gradient),
+      2L -> ppmPixels(64, 48, gradient),   // same scene, other codec-free format
+      3L -> bmpPixels(64, 48, noisy),      // near-duplicate
+      4L -> bmpPixels(64, 48, inverted),   // opposite scene
+      5L -> "prose, not pixels".getBytes). // stub path
+      toDS()).collect().toMap
+    // real decode fired (not the md5 stub): BMP and P6 of the SAME image
+    // hash IDENTICALLY — pixel-space hashing sees through the container
+    assert(hashes(1L) == hashes(2L))
+    assert(hashes(1L) != "prose hash" && hashes(5L).length == 16)
+    assert(hamming(hashes(1L), hashes(3L)) <= ops.Multimodal.PhashMaxHamming,
+      s"noisy copy too far: ${hamming(hashes(1L), hashes(3L))} bits")
+    assert(hamming(hashes(1L), hashes(4L)) > 20,
+      s"inverted scene too close: ${hamming(hashes(1L), hashes(4L))} bits")
+  }
+
+  test("dedupPhash end-to-end on planted images: near-dup pair accepted, distinct pair not") {
+    import spark.implicits._
+    val gradient = (x: Int, y: Int) => (x * 4 % 256, y * 4 % 256, (x + y) * 2 % 256)
+    val noisy = (x: Int, y: Int) => {
+      val (r, g, b) = gradient(x, y)
+      val n = (x * 31 + y * 17) % 13 - 6
+      (math.min(255, math.max(0, r + n)), math.min(255, math.max(0, g + n)),
+        math.min(255, math.max(0, b + n)))
+    }
+    val blocks = (x: Int, y: Int) =>
+      if ((x / 8 + y / 8) % 2 == 0) (255, 255, 255) else (0, 0, 0)
+    val out = ops.Multimodal.dedupPhashCore(Seq(
+      10L -> bmpPixels(64, 48, gradient),
+      11L -> bmpPixels(64, 48, noisy),
+      12L -> bmpPixels(64, 48, blocks)).toDS())
+      .select($"doc_a", $"doc_b", $"is_dup").as[(Long, Long, Boolean)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    // the planted near-identical pair is surfaced by banding AND accepted
+    assert(out.get((10L, 11L)) === Some(true),
+      s"planted near-dup pair missing or rejected: $out")
+    // the unrelated image is never accepted against either
+    assert(out.getOrElse((10L, 12L), false) == false)
+    assert(out.getOrElse((11L, 12L), false) == false)
+  }
+
   /** Minimal ISO-BMFF file: ftyp + moov(mvhd v0 + trak(tkhd v0)). */
   private def mp4(timescale: Int, duration: Int, w: Int, h: Int): Array[Byte] = {
     val bb = java.nio.ByteBuffer.allocate(232) // big-endian by default
