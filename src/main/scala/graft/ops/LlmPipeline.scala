@@ -334,6 +334,33 @@ object LlmPipeline {
       .select("doc_id", "band", "hist_id")
   }
 
+  /** Streaming decontamination — q_decontaminate as a CONTINUOUS gate,
+    * the last curation stage that had no streaming form: every arriving
+    * document is scored against the held-out benchmark shingle set
+    * BEFORE it reaches the training corpus. Zero streaming state: the
+    * doc's distinct shingle hashes are a stateless per-row projection
+    * (same md5/conv math as ngramPostings, to the bit), and the
+    * benchmark side — bounded by construction, eval suites are a fixed
+    * set — is collapsed to ONE static row holding the full hash set,
+    * broadcast-cross-joined so n_hits is an array_intersect per row.
+    * Per-row verdict ≡ the batch report (spec-pinned): n_hits counts
+    * distinct shared shingles, is_clean = (n_hits = 0) is the gate.
+    * Emits in Append mode with no watermark. MemoryStream-verified; not
+    * in `queries` (streaming runtime, SURVEY §7.4 rule 7).
+    */
+  def decontaminateStream(docs: DataFrame, benchShingles: DataFrame): DataFrame = {
+    val benchArr = broadcast(
+      benchShingles.agg(collect_set(col("sh")).as("bench_sh")))
+    docs
+      .withColumn("tk", split(coalesce(col("text"), lit("")), " "))
+      .withColumn("hs", expr(s"transform(array_distinct($shingles), " +
+        "s -> CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT))"))
+      .crossJoin(benchArr)
+      .select(col("doc_id"),
+        expr("CAST(size(array_intersect(hs, bench_sh)) AS BIGINT)").as("n_hits"),
+        expr("size(array_intersect(hs, bench_sh)) = 0").as("is_clean"))
+  }
+
   /** q_dedup_incremental — incremental dedup of a NEW batch against the
     * HISTORICAL corpus: which incoming docs (source = 'src0', standing in
     * for today's crawl) MinHash-collide with any already-ingested doc

@@ -311,6 +311,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming decontamination: per-row verdicts ≡ the batch report, zero state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val d = SparkTestSession.sf0001
+    // static benchmark side: the same bounded shingle set the batch
+    // query broadcasts (doc_id % 20 == 0 stands in for the eval suites)
+    val postings = ops.LlmPipeline.ngramPostings(spark, d)
+    val benchSh = postings.where($"doc_id" % 20 === 0)
+      .select($"sh").distinct().localCheckpoint()
+    val train = Tables.documents(spark, d).where($"doc_id" % 20 =!= 0)
+    // batch≡per-row: the stateless projection must score every train
+    // doc exactly as q_decontaminate's join+aggregate report does
+    val viaRow = ops.LlmPipeline.decontaminateStream(train, benchSh)
+      .select("doc_id", "n_hits")
+    val viaBatch = ops.LlmPipeline.queries("q_decontaminate")(spark, d)
+    assert(SqlSurface.canon(viaRow) == SqlSurface.canon(viaBatch))
+    // live: stream a contaminated doc (a benchmark doc's own text) and a
+    // clean nonsense doc; verdicts arrive per-row in Append mode
+    val benchText = Tables.documents(spark, d)
+      .where($"doc_id" % 20 === 0).select($"text").as[String].head()
+    val ms = MemoryStream[(Long, String)]
+    val q = ops.LlmPipeline.decontaminateStream(
+      ms.toDF().toDF("doc_id", "text"), benchSh)
+      .writeStream.format("memory").queryName("decontam_stream")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
+    try {
+      ms.addData((900001L, benchText), (900002L, "xqzv wjrk plmt bnda"))
+      awaitRows("streamed decontamination verdicts missing") {
+        val got = spark.sql(
+          "SELECT doc_id, is_clean FROM decontam_stream")
+          .as[(Long, Boolean)].collect().toMap
+        got.get(900001L) == Some(false) && got.get(900002L) == Some(true)
+      }
+    } finally q.stop()
+  }
+
   test("q_sessionize matches an independent per-user fold of the event log") {
     import spark.implicits._
     val d = SparkTestSession.sf0001
