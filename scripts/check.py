@@ -80,6 +80,35 @@ def canon(v):
     return repr(v)
 
 
+def gzip_witness(con, files0):
+    """Independent exact witness for q_compression_ratio.
+
+    DuckDB has no deflate surface, so the query is rows-only at the
+    gate — but Python's zlib IS the same canonical DEFLATE the JVM's
+    Deflater wraps, so recomputing `len(zlib.compress(text, 6))` (zlib
+    wrapper, level 6 — exactly what functions/GzipSize.deflatedSize
+    configures) checks every byte count against a second engine. Also
+    re-derives n_bytes (utf-8 length) and the ratio_ppm integer math.
+    """
+    import zlib
+    rows = con.sql(
+        f"SELECT g.doc_id, d.text, g.n_bytes, g.gzip_bytes, g.ratio_ppm "
+        f"FROM '{files0}' g JOIN documents d USING (doc_id) "
+        f"ORDER BY g.doc_id").fetchall()
+    if not rows:
+        return False, "no rows joined back to documents"
+    for doc_id, text, n_bytes, gzip_bytes, ratio_ppm in rows:
+        raw = (text or "").encode("utf-8")
+        want_gz = len(zlib.compress(raw, 6))
+        want_ppm = want_gz * 1000000 // max(len(raw), 1)
+        if (n_bytes, gzip_bytes, ratio_ppm) != (len(raw), want_gz, want_ppm):
+            return False, (
+                f"doc {doc_id}: spark (n={n_bytes}, gz={gzip_bytes}, "
+                f"ppm={ratio_ppm}) vs zlib (n={len(raw)}, gz={want_gz}, "
+                f"ppm={want_ppm})")
+    return True, f"{len(rows)} rows, every byte count matches python zlib"
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
@@ -115,6 +144,15 @@ def main():
         mine_idx = [mine.columns.index(c) for c in mine_cols]
         mine_canon = [tuple(canon(r[i]) for i in mine_idx) for r in mine_rows]
         if name not in oracles:
+            if name == "q_compression_ratio":
+                ok, msg = gzip_witness(con, files[0])
+                if ok:
+                    print(f"PASS {name} (zlib witness): {msg}")
+                    n_pass += 1
+                else:
+                    print(f"FAIL {name} (zlib witness): {msg}")
+                    n_fail += 1
+                continue
             status = "ROWS-ONLY" if len(mine_rows) >= 0 else "??"
             print(f"{status} {name}: {len(mine_rows)} rows (no oracle)")
             continue
