@@ -6,7 +6,11 @@
 # sees it. Exits non-zero on the first red SF.
 set -euo pipefail
 cd "$(dirname "$0")/.."
-for sf in sf0.001 sf0.01 sf0.1; do
+# sf1 is included ahead of the driver generating it: the loop skips
+# absent dirs, so the first round that ships /root/testdata/sf1 gets
+# the ~6M-row stress (df caps, hot-bucket overflow, substring windows)
+# with no script change.
+for sf in sf0.001 sf0.01 sf0.1 sf1; do
   dir="/root/testdata/$sf"
   [ -d "$dir" ] || { echo "sweep: skipping $sf (no testdata)"; continue; }
   out="/tmp/sweep_$sf"

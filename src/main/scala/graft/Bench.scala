@@ -23,11 +23,26 @@ object Bench {
     // still lands inside its timing.
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).count()
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    // SPARK_GRAFT_ITERS > 1 (opt-in): run the whole registry N times and
+    // report per-query MEDIANS — the single-shot numbers have been
+    // contention-noise across rounds (same code, 2-6x swings), and a
+    // median over 3 runs is stable enough to compare rounds. Default
+    // stays 1: the driver's contract and timing budget are single-shot.
+    val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "1").toInt.max(1)
+    val runs = (1 to iters).map { _ =>
+      SparkEntry.queries.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
     }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      s(s.length / 2)
+    }
+    val results: Map[String, Double] =
+      if (iters == 1) runs.head
+      else runs.head.keys.map(k => k -> median(runs.map(_(k)))).toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
@@ -45,7 +60,8 @@ object Bench {
     val top = results.toSeq.sortBy(-_._2).take(12)
       .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$top,"sf":"$sfDir"}""")
+    val singleShot = runs.head.values.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"iters":$iters,"single_shot":$singleShot,"queries":$top,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
