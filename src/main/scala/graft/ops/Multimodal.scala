@@ -711,7 +711,10 @@ object Multimodal {
     * the DuckDB oracle).
     */
   private[graft] def dedupPhashCore(ds: Dataset[(Long, Array[Byte])]): DataFrame = {
-    val h = phashCore(ds).toDF("doc_id", "phash_hex")
+    // pin the hash table: it feeds FOUR plan legs (both band self-join
+    // sides + both verify back-joins), and without the checkpoint each
+    // leg re-runs the decode+hash MapPartitions — four corpus scans
+    val h = phashCore(ds).toDF("doc_id", "phash_hex").localCheckpoint()
     val bands = h.select(col("doc_id"), col("phash_hex"),
         explode(expr(s"sequence(0, ${PhashBands - 1})")).as("band"))
       .withColumn("bv", expr("substring(phash_hex, 1 + 2 * band, 2)"))
