@@ -1,5 +1,6 @@
 package graft.sources
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.SparkSession
 
 /** Small-file compaction EXECUTOR for proto-frame directories — the job
@@ -8,8 +9,8 @@ import org.apache.spark.sql.SparkSession
   * rewrite each bin as ONE file through the DSv2 writer, retiring the
   * originals. (Reference analog: storage nodes re-persist chunk files
   * they reorganize through the same write path that created them —
-  * storageNode/StorageNode.java:96-118; there is no second serializer
-  * to drift.)
+  * storageNode/MessageProcessor.java:96-118; there is no second
+  * serializer to drift.)
   *
   * Why this matters at 100 TB: an append-heavy frame directory accretes
   * files far smaller than a scan partition, and scan parallelism then
@@ -22,13 +23,17 @@ import org.apache.spark.sql.SparkSession
   *    100 TB — driver-scale). The DATA path is Spark jobs: each bin is
   *    a union of single-file reads coalesced to one writer task, so the
   *    bytes never visit the driver.
-  *  - The rewrite reuses the source's transactional task commit (write
-  *    temp + rename, sidecars after data); originals are deleted only
-  *    AFTER the bin's write job commits. A crash between commit and
-  *    delete can leave a bin duplicated — the same window every
-  *    log-less compactor has (Delta/Iceberg close it with a metadata
-  *    log); callers who need exactly-once fold compaction into their
-  *    own commit protocol.
+  *  - CRASH-SAFE two-phase protocol, no duplicates at any kill point.
+  *    A bin's identity is deterministic (md5 of its sorted original
+  *    names), which fixes its output name `compact-<binId>.frames` and
+  *    its intent file `.compact-<binId>.intent` (atomic temp+rename,
+  *    listing the originals). Order per bin: intent → DSv2 write into a
+  *    dot-prefixed staging dir → rename data+sidecars to the final name
+  *    → delete originals → delete intent. `compact()` begins by
+  *    RECOVERING any intent left by a crash: published output ⇒ finish
+  *    the deletes; no output ⇒ drop the staging dir (originals intact).
+  *    Readers never see a torn state — staging is dot-prefixed
+  *    (listings skip it) and the publish rename is atomic.
   *  - Singleton bins are NOT rewritten (rewriting one small file buys
   *    nothing), which is what makes a second run a no-op: after a
   *    successful pass every surviving small file sits alone in its bin.
@@ -40,10 +45,91 @@ object FrameCompaction {
   /** What a compaction pass did. `candidates` counts sub-threshold
     * files seen; `rewritten` counts files merged away; `binsWritten`
     * counts new files created; `skippedSingletons` counts small files
-    * left in place because they had no bin partner.
+    * left in place because they had no bin partner; `recovered` counts
+    * interrupted bins finished or rolled back before planning.
     */
   case class Report(candidates: Int, binsWritten: Int, rewritten: Int,
-      skippedSingletons: Int)
+      skippedSingletons: Int, recovered: Int = 0)
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+
+  private def deleteAllSidecars(fs: FileSystem, p: Path): Unit = {
+    fs.delete(p, false)
+    fs.delete(ProtoChunkSource.indexPathFor(p), false)
+    fs.delete(ProtoChunkSource.statsPathFor(p), false)
+  }
+
+  private def writeSmall(fs: FileSystem, p: Path, body: String): Unit = {
+    val tmp = new Path(p.getParent, p.getName + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(s"rename $tmp -> $p failed")
+  }
+
+  private def readLines(fs: FileSystem, p: Path): Seq[String] = {
+    val in = fs.open(p)
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    text.split('\n').toSeq.filter(_.nonEmpty)
+  }
+
+  /** Publish the staged bin output: move the one data file written into
+    * `staging` (plus its sidecars) onto the deterministic final name.
+    */
+  private def publish(fs: FileSystem, staging: Path, finalData: Path): Unit = {
+    val produced = fs.listStatus(staging)
+      .map(_.getPath).find(p => p.getName.endsWith(".frames") && !p.getName.startsWith("."))
+      .getOrElse(throw new java.io.IOException(s"no staged output in $staging"))
+    if (fs.exists(finalData)) fs.delete(finalData, false) // replay of this phase
+    if (!fs.rename(produced, finalData))
+      throw new java.io.IOException(s"rename $produced -> $finalData failed")
+    // sidecars after data (readers that race see an unsplit, unskippable
+    // file — same ordering rule as the writer's own commit)
+    Seq(ProtoChunkSource.indexPathFor _, ProtoChunkSource.statsPathFor _).foreach { f =>
+      val from = f(produced)
+      if (fs.exists(from)) {
+        val to = f(finalData)
+        if (fs.exists(to)) fs.delete(to, false)
+        fs.rename(from, to)
+      }
+    }
+  }
+
+  /** Finish (or roll back) bins whose intent file survived a crash.
+    * Published output ⇒ complete the original deletes; nothing
+    * published but staging holds the data ⇒ publish then complete;
+    * neither ⇒ roll back (drop staging; originals are intact).
+    */
+  private def recover(spark: SparkSession, dir: String, fs: FileSystem): Int = {
+    val d = new Path(dir)
+    if (!fs.exists(d)) return 0
+    val intents = fs.listStatus(d).map(_.getPath)
+      .filter(p => p.getName.startsWith(".compact-") && p.getName.endsWith(".intent"))
+    intents.foreach { intent =>
+      val binId = intent.getName.stripPrefix(".compact-").stripSuffix(".intent")
+      val finalData = new Path(d, s"compact-$binId.frames")
+      val staging = new Path(d, s".compact-$binId.staging")
+      val staged = fs.exists(staging) &&
+        fs.listStatus(staging).exists(s =>
+          s.getPath.getName.endsWith(".frames") && !s.getPath.getName.startsWith("."))
+      if (fs.exists(finalData) || staged) {
+        if (!fs.exists(finalData)) publish(fs, staging, finalData)
+        readLines(fs, intent).foreach(n => deleteAllSidecars(fs, new Path(d, n)))
+      }
+      // else: crashed before any output existed — originals intact,
+      // nothing to undo; the bin re-plans naturally on this run
+      fs.delete(staging, true)
+      fs.delete(intent, false)
+    }
+    intents.length
+  }
 
   /** Compact `dir` in place. Files smaller than `smallBytes` are
     * candidates; bins aim for `targetBytes` of input per output file
@@ -55,9 +141,11 @@ object FrameCompaction {
     require(smallBytes > 0 && targetBytes >= smallBytes,
       s"need 0 < smallBytes <= targetBytes, got $smallBytes/$targetBytes")
     val conf = spark.sessionState.newHadoopConf()
-    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    val d = new Path(dir)
+    val fs = d.getFileSystem(conf)
+    val nRecovered = recover(spark, dir, fs)
     val sized = ProtoChunkSource.listFrameFiles(dir, conf).map { f =>
-      val p = new org.apache.hadoop.fs.Path(f)
+      val p = new Path(f)
       (p, fs.getFileStatus(p).getLen)
     }
     val small = sized.filter(_._2 < smallBytes) // name-sorted already
@@ -72,18 +160,26 @@ object FrameCompaction {
 
     val fmt = classOf[ProtoChunkSource].getName
     multi.foreach { bin =>
-      val rows = bin.map(p => spark.read.format(fmt).load(p.toString))
+      val binId = md5hex(bin.map(_.getName).sorted.mkString("\n"))
+      val intent = new Path(d, s".compact-$binId.intent")
+      val staging = new Path(d, s".compact-$binId.staging")
+      // 1. intent first: from here on a crash is recoverable
+      writeSmall(fs, intent, bin.map(_.getName).mkString("\n"))
+      fs.delete(staging, true)
+      // 2. bin rows through the DSv2 writer, into dot-prefixed staging
+      //    (one writer task → one output file; bin size ≈ target, so
+      //    the single task IS the intended output granularity)
+      bin.map(p => spark.read.format(fmt).load(p.toString))
         .reduce(_ union _)
-      // one writer task → one output file per bin (bin size ≈ target,
-      // so the single task is the intended output granularity)
-      rows.coalesce(1).write.format(fmt).mode("append").save(dir)
-      bin.foreach { p => // originals retire only after the bin committed
-        fs.delete(p, false)
-        fs.delete(ProtoChunkSource.indexPathFor(p), false)
-        fs.delete(ProtoChunkSource.statsPathFor(p), false)
-      }
+        .coalesce(1).write.format(fmt).mode("append").save(staging.toString)
+      // 3. publish under the deterministic name, 4. retire originals,
+      // 5. clear the intent — exactly the recovery replay order
+      publish(fs, staging, new Path(d, s"compact-$binId.frames"))
+      bin.foreach(p => deleteAllSidecars(fs, p))
+      fs.delete(staging, true)
+      fs.delete(intent, false)
     }
     Report(small.length, multi.length, multi.map(_.length).sum,
-      singletons.length)
+      singletons.length, nRecovered)
   }
 }
