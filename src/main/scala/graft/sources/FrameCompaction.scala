@@ -39,6 +39,12 @@ import org.apache.spark.sql.SparkSession
   *    successful pass every surviving small file sits alone in its bin.
   *  - Bins are independent; they are submitted sequentially here for
   *    determinism of the report, but nothing shares state between them.
+  *  - NOT for directories serving a LIVE micro-batch readStream: that
+  *    reader's checkpointed discovery log pins exact file assignments,
+  *    so retiring an already-logged original breaks replay, and the
+  *    compacted output would re-arrive as a "new" file (duplicate
+  *    delivery). Compact the batch-owned lake, not an open stream's
+  *    tail — the same rule Delta/Iceberg enforce via snapshot pinning.
   */
 object FrameCompaction {
 
