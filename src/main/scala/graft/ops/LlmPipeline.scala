@@ -900,6 +900,63 @@ object LlmPipeline {
   def simSearchIvf2(s: SparkSession, d: String): DataFrame =
     simSearchIvfProbed(s, d, nprobe = 2)
 
+  /** Probe-set size and cutoff for q_ann_recall. */
+  private[graft] val RecallProbes = 8
+  private[graft] val RecallK = 10
+
+  /** q_ann_recall — retrieval-quality audit: recall@K of the
+    * hyperplane-LSH ANN (q_sim_search_lsh's index, nprobe = 1) against
+    * brute-force ground truth, over a fixed probe panel (vec_id <
+    * RecallProbes). THE metric every ANN deployment monitors — an index
+    * is not "done" until its recall is measured, and a drifting corpus
+    * needs this re-run on every rebuild. Per probe: true top-K by exact
+    * cosine over the whole corpus, ANN top-K within the probe's bucket,
+    * n_hit = |∩|, recall_ppm = n_hit·10⁶ DIV K. Deterministic end to
+    * end (integer dots, fixed literal planes, (cos, vec_id) total
+    * order) — so unlike most ANN evals this one is fully
+    * ORACLE-CHECKED. Scale: the exact leg is probes×corpus — recall is
+    * always evaluated on a bounded probe SAMPLE, never all-pairs; the
+    * per-probe top-K windows hit the WindowGroupLimit partial pass, so
+    * ≤ K rows per probe leave each map task.
+    */
+  def annRecall(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), expr(quant).as("q"))
+    def planeDot(p: Int) =
+      dotL("q", s"array(${LshPlanes(p).map(w => s"${w}L").mkString(", ")})")
+    val bucketExpr = (0 until 4)
+      .map(p => s"(CASE WHEN ${planeDot(p)} >= 0 THEN ${1 << p} ELSE 0 END)")
+      .mkString(" + ")
+    val b = e.withColumn("bucket", expr(s"CAST($bucketExpr AS INT)"))
+    val probes = broadcast(b.where(col("vec_id") < RecallProbes)
+      .select(col("vec_id").as("probe_id"), col("q").as("qa"),
+        expr(dotL("q", "q")).as("n2a"), col("bucket").as("probe_bucket")))
+    val scored = b
+      .withColumnRenamed("vec_id", "cand_id").withColumnRenamed("q", "qb")
+      .crossJoin(probes)
+      .where(col("cand_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("cand_id"), col("bucket"), col("probe_bucket"),
+        (expr(dotL("qa", "qb")).cast("double") /
+          sqrt(col("n2a").cast("double") * expr(dotL("qb", "qb")).cast("double")))
+          .as("cos"))
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("cand_id").asc)
+    val truth = scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= RecallK).select("probe_id", "cand_id")
+    val ann = scored.where(col("bucket") === col("probe_bucket"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= RecallK).select("probe_id", "cand_id")
+    val nAnn = ann.groupBy("probe_id").agg(count(lit(1)).as("n_ann"))
+    val nHit = truth.join(ann, Seq("probe_id", "cand_id"))
+      .groupBy("probe_id").agg(count(lit(1)).as("n_hit"))
+    probes.select("probe_id")
+      .join(nAnn, Seq("probe_id"), "left")
+      .join(nHit, Seq("probe_id"), "left")
+      .select(col("probe_id"),
+        coalesce(col("n_ann"), lit(0L)).as("n_ann"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        expr(s"coalesce(n_hit, 0L) * 1000000 DIV $RecallK").as("recall_ppm"))
+      .orderBy("probe_id")
+  }
+
   /** Centroid count for the deterministic IVF variants (vec_id < nlist
     * are the stand-in centers). The argmin packing below derives its
     * multiplier and modulus from this — one knob, not three magic 8s.
@@ -2596,6 +2653,7 @@ object LlmPipeline {
     "q_sim_search_ivf"      -> (simSearchIvf _),
     "q_sim_search_ivf2"     -> (simSearchIvf2 _),
     "q_sim_search_lsh"      -> (simSearchLsh _),
+    "q_ann_recall"          -> (annRecall _),
     "q_sim_search_lsh_mp"   -> (simSearchLshMp _),
     "q_sim_search_pq"       -> (simSearchPq _),
     "q_sim_search_ivf_kmeans" -> (simSearchIvfKmeans _),
@@ -2908,6 +2966,38 @@ object LlmPipeline {
           "CAST(list_sum(list_transform(list_zip(b.q, b.q), p -> p[1] * p[2])) AS BIGINT) AS DOUBLE)) AS cos " +
           "FROM assigned b JOIN pn ON b.cent_id = pn.probe_cent WHERE b.vec_id <> 0 " +
           "ORDER BY cos DESC, vec_id LIMIT 5"),
+      "q_ann_recall" -> {
+        def planeDotDuck(p: Int) =
+          s"CAST(list_sum(list_transform(list_zip(q, [${LshPlanes(p).mkString(", ")}]), " +
+            "p -> p[1] * p[2])) AS BIGINT)"
+        val bucketDuck = (0 until 4)
+          .map(p => s"(CASE WHEN ${planeDotDuck(p)} >= 0 THEN ${1 << p} ELSE 0 END)")
+          .mkString(" + ")
+        s"WITH q AS (SELECT vec_id, $quantDuck AS q FROM embeddings), " +
+          s"b AS (SELECT vec_id, q, CAST($bucketDuck AS INTEGER) AS bucket FROM q), " +
+          s"pr AS (SELECT vec_id AS probe_id, q AS qa, bucket AS probe_bucket, " +
+          "CAST(list_sum(list_transform(list_zip(q, q), p -> p[1] * p[2])) AS BIGINT) AS n2a " +
+          s"FROM b WHERE vec_id < $RecallProbes), " +
+          "sc AS (SELECT pr.probe_id, v.vec_id AS cand_id, v.bucket, pr.probe_bucket, " +
+          "CAST(list_sum(list_transform(list_zip(pr.qa, v.q), p -> p[1] * p[2])) AS BIGINT) " +
+          "/ sqrt(CAST(pr.n2a AS DOUBLE) * CAST(" +
+          "CAST(list_sum(list_transform(list_zip(v.q, v.q), p -> p[1] * p[2])) AS BIGINT) AS DOUBLE)) AS cos " +
+          "FROM b v, pr WHERE v.vec_id <> pr.probe_id), " +
+          "tr AS (SELECT probe_id, cand_id FROM (SELECT probe_id, cand_id, " +
+          "row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, cand_id) AS rn " +
+          s"FROM sc) WHERE rn <= $RecallK), " +
+          "an AS (SELECT probe_id, cand_id FROM (SELECT probe_id, cand_id, " +
+          "row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, cand_id) AS rn " +
+          s"FROM sc WHERE bucket = probe_bucket) WHERE rn <= $RecallK), " +
+          "ca AS (SELECT probe_id, count(*) AS n_ann FROM an GROUP BY 1), " +
+          "ch AS (SELECT t.probe_id, count(*) AS n_hit FROM tr t " +
+          "JOIN an a ON a.probe_id = t.probe_id AND a.cand_id = t.cand_id GROUP BY 1) " +
+          "SELECT p.probe_id, COALESCE(ca.n_ann, 0) AS n_ann, " +
+          "COALESCE(ch.n_hit, 0) AS n_hit, " +
+          s"COALESCE(ch.n_hit, 0) * 1000000 // $RecallK AS recall_ppm " +
+          "FROM pr p LEFT JOIN ca ON ca.probe_id = p.probe_id " +
+          "LEFT JOIN ch ON ch.probe_id = p.probe_id ORDER BY p.probe_id"
+      },
       "q_sim_search_lsh" -> {
         def planeDotDuck(p: Int) =
           s"CAST(list_sum(list_transform(list_zip(q, [${LshPlanes(p).mkString(", ")}]), " +
@@ -3775,6 +3865,33 @@ object LlmPipeline {
           "ORDER BY cos DESC, vec_id LIMIT 10"),
       "q_sim_search_ivf" -> ivfSql(1),
       "q_sim_search_ivf2" -> ivfSql(2),
+      "q_ann_recall" -> {
+        val bucket = (0 until 4).map { p =>
+          s"(CASE WHEN ${dot("q", plane(p))} >= 0 THEN ${1 << p} ELSE 0 END)"
+        }.mkString(" + ")
+        s"WITH q AS (SELECT vec_id, $quantS AS q FROM embeddings), " +
+          s"b AS (SELECT vec_id, q, CAST($bucket AS INTEGER) AS bucket FROM q), " +
+          s"pr AS (SELECT vec_id AS probe_id, q AS qa, bucket AS probe_bucket, " +
+          s"${dot("q", "q")} AS n2a FROM b WHERE vec_id < $RecallProbes), " +
+          "sc AS (SELECT pr.probe_id, v.vec_id AS cand_id, v.bucket, pr.probe_bucket, " +
+          s"CAST(${dot("pr.qa", "v.q")} AS DOUBLE) / " +
+          s"sqrt(CAST(pr.n2a AS DOUBLE) * CAST(${dot("v.q", "v.q")} AS DOUBLE)) AS cos " +
+          "FROM b v CROSS JOIN pr WHERE v.vec_id <> pr.probe_id), " +
+          "tr AS (SELECT probe_id, cand_id FROM (SELECT probe_id, cand_id, " +
+          "row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, cand_id) AS rn " +
+          s"FROM sc) WHERE rn <= $RecallK), " +
+          "an AS (SELECT probe_id, cand_id FROM (SELECT probe_id, cand_id, " +
+          "row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, cand_id) AS rn " +
+          s"FROM sc WHERE bucket = probe_bucket) WHERE rn <= $RecallK), " +
+          "ca AS (SELECT probe_id, count(*) AS n_ann FROM an GROUP BY 1), " +
+          "ch AS (SELECT t.probe_id, count(*) AS n_hit FROM tr t " +
+          "JOIN an a ON a.probe_id = t.probe_id AND a.cand_id = t.cand_id GROUP BY 1) " +
+          "SELECT p.probe_id, COALESCE(ca.n_ann, 0L) AS n_ann, " +
+          "COALESCE(ch.n_hit, 0L) AS n_hit, " +
+          s"COALESCE(ch.n_hit, 0L) * 1000000 DIV $RecallK AS recall_ppm " +
+          "FROM pr p LEFT JOIN ca ON ca.probe_id = p.probe_id " +
+          "LEFT JOIN ch ON ch.probe_id = p.probe_id ORDER BY p.probe_id"
+      },
       "q_sim_search_lsh" -> {
         val bucket = (0 until 4).map { p =>
           s"(CASE WHEN ${dot("q", plane(p))} >= 0 THEN ${1 << p} ELSE 0 END)"

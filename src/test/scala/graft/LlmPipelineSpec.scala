@@ -1236,6 +1236,38 @@ class LlmPipelineSpec extends AnyFunSuite {
       s"$overShoots of ${got.length} estimates exceeded the eps bound")
   }
 
+  test("q_ann_recall matches an independent plain-Scala recomputation per probe") {
+    import spark.implicits._
+    val d = SparkTestSession.sf0001
+    val vecs = Tables.embeddings(spark, d)
+      .selectExpr("vec_id",
+        "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q")
+      .as[(Long, Seq[Long])].collect()
+    def dot(a: Seq[Long], b: Seq[Long]): Long =
+      a.lazyZip(b).map(_ * _).sum
+    def bucket(v: Seq[Long]): Int = (0 until 4)
+      .map(p => if (dot(v, ops.LlmPipeline.LshPlanes(p)) >= 0) 1 << p else 0).sum
+    val got = ops.LlmPipeline.queries("q_ann_recall")(spark, d)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.length == ops.LlmPipeline.RecallProbes)
+    got.foreach { case (pid, nAnn, nHit, ppm) =>
+      val qa = vecs.find(_._1 == pid).get._2
+      val n2a = dot(qa, qa).toDouble
+      def cos(v: Seq[Long]): Double = dot(qa, v) / math.sqrt(n2a * dot(v, v))
+      val cands = vecs.filter(_._1 != pid)
+      val truth = cands.sortBy { case (id, v) => (-cos(v), id) }
+        .take(ops.LlmPipeline.RecallK).map(_._1).toSet
+      val ann = cands.filter { case (_, v) => bucket(v) == bucket(qa) }
+        .sortBy { case (id, v) => (-cos(v), id) }
+        .take(ops.LlmPipeline.RecallK).map(_._1).toSet
+      val hits = (truth & ann).size.toLong
+      assert((nAnn, nHit, ppm) ===
+        ((ann.size.toLong, hits, hits * 1000000L / ops.LlmPipeline.RecallK)),
+        s"probe $pid")
+      assert(nHit <= nAnn && ppm >= 0 && ppm <= 1000000)
+    }
+  }
+
   test("quantized cosine tracks float cosine (sim search sanity)") {
     import spark.implicits._
     val top = ops.LlmPipeline.simSearch(spark, SparkTestSession.sf0001)
