@@ -1053,6 +1053,37 @@ object LlmPipeline {
       .limit(5)
   }
 
+  /** q_lsh_bucket_stats — LSH index-health audit: per-bucket occupancy,
+    * corpus share (ppm), and load factor vs the uniform ideal (micros;
+    * 1,000,000 = perfectly balanced). A hot bucket IS probe-time scan
+    * skew — the q_skew_diagnose discipline applied to the ANN index
+    * instead of join keys, run after every index build/refresh. Exact
+    * integer arithmetic end to end (DECIMAL(38,0) intermediates, DIV),
+    * one combining hash aggregate + a 1-row broadcast; output is
+    * ≤ 2^planes rows regardless of corpus size. Completes the ANN
+    * lifecycle: build (q_sim_search_lsh), probe (single/multi), recall
+    * (q_ann_recall), balance (this).
+    */
+  def lshBucketStats(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), expr(quant).as("q"))
+    def planeDot(p: Int) =
+      dotL("q", s"array(${LshPlanes(p).map(w => s"${w}L").mkString(", ")})")
+    val bucketExpr = (0 until 4)
+      .map(p => s"(CASE WHEN ${planeDot(p)} >= 0 THEN ${1 << p} ELSE 0 END)")
+      .mkString(" + ")
+    val perBucket = e.withColumn("bucket", expr(bucketExpr).cast("int"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_vecs"))
+    val global = perBucket.agg(
+      sum(col("n_vecs")).as("total_vecs"), count(lit(1)).as("n_buckets"))
+    perBucket.crossJoin(broadcast(global))
+      .select(col("bucket"), col("n_vecs"),
+        expr("CAST(CAST(n_vecs AS DECIMAL(38,0)) * 1000000 DIV " +
+          "total_vecs AS BIGINT)").as("share_ppm"),
+        expr("CAST(CAST(n_vecs AS DECIMAL(38,0)) * n_buckets * 1000000 DIV " +
+          "total_vecs AS BIGINT)").as("load_micros"))
+      .orderBy("bucket")
+  }
+
   /** q_sim_search_lsh_mp — multi-probe sign-LSH: the probe searches its
     * own bucket AND the bucket reached by flipping its LOWEST-MARGIN
     * bit — the plane whose dot product with the probe is smallest in
@@ -2654,6 +2685,7 @@ object LlmPipeline {
     "q_sim_search_ivf2"     -> (simSearchIvf2 _),
     "q_sim_search_lsh"      -> (simSearchLsh _),
     "q_ann_recall"          -> (annRecall _),
+    "q_lsh_bucket_stats"    -> (lshBucketStats _),
     "q_sim_search_lsh_mp"   -> (simSearchLshMp _),
     "q_sim_search_pq"       -> (simSearchPq _),
     "q_sim_search_ivf_kmeans" -> (simSearchIvfKmeans _),
@@ -2966,6 +2998,22 @@ object LlmPipeline {
           "CAST(list_sum(list_transform(list_zip(b.q, b.q), p -> p[1] * p[2])) AS BIGINT) AS DOUBLE)) AS cos " +
           "FROM assigned b JOIN pn ON b.cent_id = pn.probe_cent WHERE b.vec_id <> 0 " +
           "ORDER BY cos DESC, vec_id LIMIT 5"),
+      "q_lsh_bucket_stats" -> {
+        def planeDotDuck(p: Int) =
+          s"CAST(list_sum(list_transform(list_zip(q, [${LshPlanes(p).mkString(", ")}]), " +
+            "p -> p[1] * p[2])) AS BIGINT)"
+        val bucketDuck = (0 until 4)
+          .map(p => s"(CASE WHEN ${planeDotDuck(p)} >= 0 THEN ${1 << p} ELSE 0 END)")
+          .mkString(" + ")
+        s"WITH q AS (SELECT vec_id, $quantDuck AS q FROM embeddings), " +
+          s"b AS (SELECT CAST($bucketDuck AS INTEGER) AS bucket FROM q), " +
+          "pb AS (SELECT bucket, count(*) AS n_vecs FROM b GROUP BY 1), " +
+          "g AS (SELECT sum(n_vecs) AS total_vecs, count(*) AS n_buckets FROM pb) " +
+          "SELECT bucket, n_vecs, " +
+          "CAST(CAST(n_vecs AS DECIMAL(38,0)) * 1000000 // total_vecs AS BIGINT) AS share_ppm, " +
+          "CAST(CAST(n_vecs AS DECIMAL(38,0)) * n_buckets * 1000000 // total_vecs AS BIGINT) AS load_micros " +
+          "FROM pb CROSS JOIN g ORDER BY bucket"
+      },
       "q_ann_recall" -> {
         def planeDotDuck(p: Int) =
           s"CAST(list_sum(list_transform(list_zip(q, [${LshPlanes(p).mkString(", ")}]), " +
@@ -3865,6 +3913,19 @@ object LlmPipeline {
           "ORDER BY cos DESC, vec_id LIMIT 10"),
       "q_sim_search_ivf" -> ivfSql(1),
       "q_sim_search_ivf2" -> ivfSql(2),
+      "q_lsh_bucket_stats" -> {
+        val bucket = (0 until 4).map { p =>
+          s"(CASE WHEN ${dot("q", plane(p))} >= 0 THEN ${1 << p} ELSE 0 END)"
+        }.mkString(" + ")
+        s"WITH q AS (SELECT vec_id, $quantS AS q FROM embeddings), " +
+          s"b AS (SELECT CAST($bucket AS INTEGER) AS bucket FROM q), " +
+          "pb AS (SELECT bucket, count(*) AS n_vecs FROM b GROUP BY 1), " +
+          "g AS (SELECT sum(n_vecs) AS total_vecs, count(*) AS n_buckets FROM pb) " +
+          "SELECT bucket, n_vecs, " +
+          "CAST(CAST(n_vecs AS DECIMAL(38,0)) * 1000000 DIV total_vecs AS BIGINT) AS share_ppm, " +
+          "CAST(CAST(n_vecs AS DECIMAL(38,0)) * n_buckets * 1000000 DIV total_vecs AS BIGINT) AS load_micros " +
+          "FROM pb CROSS JOIN g ORDER BY bucket"
+      },
       "q_ann_recall" -> {
         val bucket = (0 until 4).map { p =>
           s"(CASE WHEN ${dot("q", plane(p))} >= 0 THEN ${1 << p} ELSE 0 END)"

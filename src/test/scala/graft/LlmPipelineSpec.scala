@@ -1268,6 +1268,27 @@ class LlmPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("q_lsh_bucket_stats: occupancies partition the corpus and match a Scala recount") {
+    import spark.implicits._
+    val d = SparkTestSession.sf0001
+    val vecs = Tables.embeddings(spark, d)
+      .selectExpr("vec_id",
+        "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q")
+      .as[(Long, Seq[Long])].collect()
+    def dot(a: Seq[Long], b: Seq[Long]): Long = a.lazyZip(b).map(_ * _).sum
+    def bucket(v: Seq[Long]): Int = (0 until 4)
+      .map(p => if (dot(v, ops.LlmPipeline.LshPlanes(p)) >= 0) 1 << p else 0).sum
+    val want = vecs.groupBy { case (_, v) => bucket(v) }.view.mapValues(_.length.toLong).toMap
+    val got = ops.LlmPipeline.queries("q_lsh_bucket_stats")(spark, d)
+      .as[(Int, Long, Long, Long)].collect()
+    assert(got.map(_._2).sum == vecs.length.toLong, "occupancies must partition the corpus")
+    got.foreach { case (b, n, ppm, load) =>
+      assert(want(b) == n, s"bucket $b recount")
+      assert(ppm == n * 1000000L / vecs.length)
+      assert(load == n * got.length * 1000000L / vecs.length)
+    }
+  }
+
   test("quantized cosine tracks float cosine (sim search sanity)") {
     import spark.implicits._
     val top = ops.LlmPipeline.simSearch(spark, SparkTestSession.sf0001)
