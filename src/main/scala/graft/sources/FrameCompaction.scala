@@ -7,10 +7,11 @@ import org.apache.spark.sql.SparkSession
   * that carries out what `ops.Storage.compactPlan` (q_compact_plan)
   * plans: group sub-threshold frame files into target-size bins and
   * rewrite each bin as ONE file through the DSv2 writer, retiring the
-  * originals. (Reference analog: storage nodes re-persist chunk files
-  * they reorganize through the same write path that created them —
-  * storageNode/MessageProcessor.java:96-118; there is no second
-  * serializer to drift.)
+  * originals. (Reference analog: every chunk file a storage node
+  * persists goes through ONE write path — chunk bytes + checksum
+  * sidecar, storageNode/MessageProcessor.java:181-214 — and compaction
+  * reuses exactly that path here, so there is no second serializer to
+  * drift.)
   *
   * Why this matters at 100 TB: an append-heavy frame directory accretes
   * files far smaller than a scan partition, and scan parallelism then
