@@ -919,29 +919,51 @@ object LlmPipeline {
     * per-probe top-K windows hit the WindowGroupLimit partial pass, so
     * ≤ K rows per probe leave each map task.
     */
-  def annRecall(s: SparkSession, d: String): DataFrame = {
+  def annRecall(s: SparkSession, d: String): DataFrame =
+    annRecallCore(s, d, multiProbe = false)
+
+  /** q_ann_recall_mp — the same audit for the MULTI-probe index form
+    * (own bucket + the lowest-margin flip, q_sim_search_lsh_mp's probe
+    * set): the measurement that justifies nprobe > 1 — recall climbs
+    * while cost stays ~2 buckets. Per-probe recall is provably ≥ the
+    * single-probe figure (candidate superset; spec-pinned), and the
+    * whole thing stays oracle-checked.
+    */
+  def annRecallMp(s: SparkSession, d: String): DataFrame =
+    annRecallCore(s, d, multiProbe = true)
+
+  private def annRecallCore(s: SparkSession, d: String, multiProbe: Boolean): DataFrame = {
     val e = Tables.embeddings(s, d).select(col("vec_id"), expr(quant).as("q"))
     def planeDot(p: Int) =
       dotL("q", s"array(${LshPlanes(p).map(w => s"${w}L").mkString(", ")})")
+    val withDots = e.select(col("vec_id") +: col("q") +:
+      (0 until 4).map(p => expr(planeDot(p)).as(s"d$p")): _*)
     val bucketExpr = (0 until 4)
-      .map(p => s"(CASE WHEN ${planeDot(p)} >= 0 THEN ${1 << p} ELSE 0 END)")
+      .map(p => s"(CASE WHEN d$p >= 0 THEN ${1 << p} ELSE 0 END)")
       .mkString(" + ")
-    val b = e.withColumn("bucket", expr(s"CAST($bucketExpr AS INT)"))
+    val flipExpr =
+      "CASE WHEN abs(d0) <= abs(d1) AND abs(d0) <= abs(d2) AND abs(d0) <= abs(d3) THEN 1 " +
+        "WHEN abs(d1) <= abs(d2) AND abs(d1) <= abs(d3) THEN 2 " +
+        "WHEN abs(d2) <= abs(d3) THEN 4 ELSE 8 END"
+    val b = withDots
+      .withColumn("bucket", expr(bucketExpr).cast("int"))
+      .withColumn("flip", expr(flipExpr).cast("int"))
+    val probeBuckets =
+      if (multiProbe) "array(bucket, CAST(bucket ^ flip AS INT))" else "array(bucket)"
     val probes = broadcast(b.where(col("vec_id") < RecallProbes)
       .select(col("vec_id").as("probe_id"), col("q").as("qa"),
-        expr(dotL("q", "q")).as("n2a"), col("bucket").as("probe_bucket")))
-    val scored = b
-      .withColumnRenamed("vec_id", "cand_id").withColumnRenamed("q", "qb")
+        expr(dotL("q", "q")).as("n2a"), expr(probeBuckets).as("probe_buckets")))
+    val scored = b.select(col("vec_id").as("cand_id"), col("q").as("qb"), col("bucket"))
       .crossJoin(probes)
       .where(col("cand_id") =!= col("probe_id"))
-      .select(col("probe_id"), col("cand_id"), col("bucket"), col("probe_bucket"),
+      .select(col("probe_id"), col("cand_id"), col("bucket"), col("probe_buckets"),
         (expr(dotL("qa", "qb")).cast("double") /
           sqrt(col("n2a").cast("double") * expr(dotL("qb", "qb")).cast("double")))
           .as("cos"))
     val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("cand_id").asc)
     val truth = scored.withColumn("rn", row_number().over(w))
       .where(col("rn") <= RecallK).select("probe_id", "cand_id")
-    val ann = scored.where(col("bucket") === col("probe_bucket"))
+    val ann = scored.where(expr("array_contains(probe_buckets, bucket)"))
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= RecallK).select("probe_id", "cand_id")
     val nAnn = ann.groupBy("probe_id").agg(count(lit(1)).as("n_ann"))
@@ -2685,6 +2707,7 @@ object LlmPipeline {
     "q_sim_search_ivf2"     -> (simSearchIvf2 _),
     "q_sim_search_lsh"      -> (simSearchLsh _),
     "q_ann_recall"          -> (annRecall _),
+    "q_ann_recall_mp"       -> (annRecallMp _),
     "q_lsh_bucket_stats"    -> (lshBucketStats _),
     "q_sim_search_lsh_mp"   -> (simSearchLshMp _),
     "q_sim_search_pq"       -> (simSearchPq _),
@@ -3013,6 +3036,46 @@ object LlmPipeline {
           "CAST(CAST(n_vecs AS DECIMAL(38,0)) * 1000000 // total_vecs AS BIGINT) AS share_ppm, " +
           "CAST(CAST(n_vecs AS DECIMAL(38,0)) * n_buckets * 1000000 // total_vecs AS BIGINT) AS load_micros " +
           "FROM pb CROSS JOIN g ORDER BY bucket"
+      },
+      "q_ann_recall_mp" -> {
+        def planeDotDuck(p: Int) =
+          s"CAST(list_sum(list_transform(list_zip(q, [${LshPlanes(p).mkString(", ")}]), " +
+            "p -> p[1] * p[2])) AS BIGINT)"
+        val ds = (0 until 4).map(p => s"${planeDotDuck(p)} AS d$p").mkString(", ")
+        val bucketDuck = (0 until 4)
+          .map(p => s"(CASE WHEN d$p >= 0 THEN ${1 << p} ELSE 0 END)")
+          .mkString(" + ")
+        val flipDuck =
+          "CASE WHEN abs(d0) <= abs(d1) AND abs(d0) <= abs(d2) AND abs(d0) <= abs(d3) THEN 1 " +
+            "WHEN abs(d1) <= abs(d2) AND abs(d1) <= abs(d3) THEN 2 " +
+            "WHEN abs(d2) <= abs(d3) THEN 4 ELSE 8 END"
+        s"WITH q AS (SELECT vec_id, $quantDuck AS q FROM embeddings), " +
+          s"dd AS (SELECT vec_id, q, $ds FROM q), " +
+          s"b AS (SELECT vec_id, q, CAST($bucketDuck AS INTEGER) AS bucket, " +
+          s"CAST($flipDuck AS INTEGER) AS flip FROM dd), " +
+          s"pr AS (SELECT vec_id AS probe_id, q AS qa, bucket AS b1, " +
+          "CAST(xor(bucket, flip) AS INTEGER) AS b2, " +
+          "CAST(list_sum(list_transform(list_zip(q, q), p -> p[1] * p[2])) AS BIGINT) AS n2a " +
+          s"FROM b WHERE vec_id < $RecallProbes), " +
+          "sc AS (SELECT pr.probe_id, v.vec_id AS cand_id, v.bucket, pr.b1, pr.b2, " +
+          "CAST(list_sum(list_transform(list_zip(pr.qa, v.q), p -> p[1] * p[2])) AS BIGINT) " +
+          "/ sqrt(CAST(pr.n2a AS DOUBLE) * CAST(" +
+          "CAST(list_sum(list_transform(list_zip(v.q, v.q), p -> p[1] * p[2])) AS BIGINT) AS DOUBLE)) AS cos " +
+          "FROM b v, pr WHERE v.vec_id <> pr.probe_id), " +
+          "tr AS (SELECT probe_id, cand_id FROM (SELECT probe_id, cand_id, " +
+          "row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, cand_id) AS rn " +
+          s"FROM sc) WHERE rn <= $RecallK), " +
+          "an AS (SELECT probe_id, cand_id FROM (SELECT probe_id, cand_id, " +
+          "row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, cand_id) AS rn " +
+          s"FROM sc WHERE bucket = b1 OR bucket = b2) WHERE rn <= $RecallK), " +
+          "ca AS (SELECT probe_id, count(*) AS n_ann FROM an GROUP BY 1), " +
+          "ch AS (SELECT t.probe_id, count(*) AS n_hit FROM tr t " +
+          "JOIN an a ON a.probe_id = t.probe_id AND a.cand_id = t.cand_id GROUP BY 1) " +
+          "SELECT p.probe_id, COALESCE(ca.n_ann, 0) AS n_ann, " +
+          "COALESCE(ch.n_hit, 0) AS n_hit, " +
+          s"COALESCE(ch.n_hit, 0) * 1000000 // $RecallK AS recall_ppm " +
+          "FROM pr p LEFT JOIN ca ON ca.probe_id = p.probe_id " +
+          "LEFT JOIN ch ON ch.probe_id = p.probe_id ORDER BY p.probe_id"
       },
       "q_ann_recall" -> {
         def planeDotDuck(p: Int) =
@@ -3925,6 +3988,40 @@ object LlmPipeline {
           "CAST(CAST(n_vecs AS DECIMAL(38,0)) * 1000000 DIV total_vecs AS BIGINT) AS share_ppm, " +
           "CAST(CAST(n_vecs AS DECIMAL(38,0)) * n_buckets * 1000000 DIV total_vecs AS BIGINT) AS load_micros " +
           "FROM pb CROSS JOIN g ORDER BY bucket"
+      },
+      "q_ann_recall_mp" -> {
+        val ds = (0 until 4).map(p => s"${dot("q", plane(p))} AS d$p").mkString(", ")
+        val bucket = (0 until 4).map { p =>
+          s"(CASE WHEN d$p >= 0 THEN ${1 << p} ELSE 0 END)"
+        }.mkString(" + ")
+        val flip = "CASE WHEN abs(d0) <= abs(d1) AND abs(d0) <= abs(d2) AND abs(d0) <= abs(d3) THEN 1 " +
+          "WHEN abs(d1) <= abs(d2) AND abs(d1) <= abs(d3) THEN 2 " +
+          "WHEN abs(d2) <= abs(d3) THEN 4 ELSE 8 END"
+        s"WITH q AS (SELECT vec_id, $quantS AS q FROM embeddings), " +
+          s"dd AS (SELECT vec_id, q, $ds FROM q), " +
+          s"b AS (SELECT vec_id, q, CAST($bucket AS INTEGER) AS bucket, " +
+          s"CAST($flip AS INTEGER) AS flip FROM dd), " +
+          s"pr AS (SELECT vec_id AS probe_id, q AS qa, bucket AS b1, " +
+          "CAST(bucket ^ flip AS INTEGER) AS b2, " +
+          s"${dot("q", "q")} AS n2a FROM b WHERE vec_id < $RecallProbes), " +
+          "sc AS (SELECT pr.probe_id, v.vec_id AS cand_id, v.bucket, pr.b1, pr.b2, " +
+          s"CAST(${dot("pr.qa", "v.q")} AS DOUBLE) / " +
+          s"sqrt(CAST(pr.n2a AS DOUBLE) * CAST(${dot("v.q", "v.q")} AS DOUBLE)) AS cos " +
+          "FROM b v CROSS JOIN pr WHERE v.vec_id <> pr.probe_id), " +
+          "tr AS (SELECT probe_id, cand_id FROM (SELECT probe_id, cand_id, " +
+          "row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, cand_id) AS rn " +
+          s"FROM sc) WHERE rn <= $RecallK), " +
+          "an AS (SELECT probe_id, cand_id FROM (SELECT probe_id, cand_id, " +
+          "row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, cand_id) AS rn " +
+          s"FROM sc WHERE bucket = b1 OR bucket = b2) WHERE rn <= $RecallK), " +
+          "ca AS (SELECT probe_id, count(*) AS n_ann FROM an GROUP BY 1), " +
+          "ch AS (SELECT t.probe_id, count(*) AS n_hit FROM tr t " +
+          "JOIN an a ON a.probe_id = t.probe_id AND a.cand_id = t.cand_id GROUP BY 1) " +
+          "SELECT p.probe_id, COALESCE(ca.n_ann, 0L) AS n_ann, " +
+          "COALESCE(ch.n_hit, 0L) AS n_hit, " +
+          s"COALESCE(ch.n_hit, 0L) * 1000000 DIV $RecallK AS recall_ppm " +
+          "FROM pr p LEFT JOIN ca ON ca.probe_id = p.probe_id " +
+          "LEFT JOIN ch ON ch.probe_id = p.probe_id ORDER BY p.probe_id"
       },
       "q_ann_recall" -> {
         val bucket = (0 until 4).map { p =>

@@ -1268,6 +1268,26 @@ class LlmPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("q_ann_recall_mp: multi-probe recall dominates single-probe on every probe") {
+    import spark.implicits._
+    val d = SparkTestSession.sf0001
+    val single = ops.LlmPipeline.queries("q_ann_recall")(spark, d)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val multi = ops.LlmPipeline.queries("q_ann_recall_mp")(spark, d)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(single.keySet == multi.keySet && single.nonEmpty)
+    single.keySet.foreach { pid =>
+      val (_, nAnn1, _, ppm1) = single(pid)
+      val (_, nAnn2, _, ppm2) = multi(pid)
+      // the flip bucket only ADDS candidates → never fewer, never worse
+      assert(nAnn2 >= nAnn1, s"probe $pid candidate count shrank")
+      assert(ppm2 >= ppm1, s"probe $pid recall dropped with nprobe=2")
+    }
+    // and somewhere the second probe actually helps (planted by the
+    // corpus geometry at every SF we generate)
+    assert(multi.values.map(_._4).sum >= single.values.map(_._4).sum)
+  }
+
   test("q_lsh_bucket_stats: occupancies partition the corpus and match a Scala recount") {
     import spark.implicits._
     val d = SparkTestSession.sf0001
