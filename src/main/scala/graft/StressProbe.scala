@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev tool: scale-stress the heavy operators on an N× replica of the
+  * fixture tables — the local stand-in for the sf1 decade the driver
+  * has not generated yet. Fact tables are unioned `mult` times with
+  * id-space offsets (so keys stay unique and join/group cardinality
+  * really grows); dimension tables are copied once. Then each listed
+  * query runs against the scaled dir with wall timing.
+  *
+  * This is a deliberately ADVERSARIAL corpus for the dedup family:
+  * every document is replicated `mult` times verbatim, so posting
+  * lists, LSH buckets, and window hashes all hit their df/hot-bucket
+  * caps — exactly the boilerplate worst case the caps exist for. The
+  * probe's job is to show runtimes stay bounded (cap discipline holds),
+  * not to produce pretty numbers.
+  *
+  * Usage: runMain graft.StressProbe [baseSfDir] [mult] [query...]
+  * (defaults: sf0.1, 10×, the built-in heavy list). The scaled dir is
+  * cached under /tmp and rebuilt only when absent.
+  */
+object StressProbe {
+
+  private val HeavyDefaults = Seq(
+    "q_dedup_exact", "q_dedup_ngram", "q_dedup_simhash", "q_dedup_near",
+    "q_dedup_substring", "q_dedup_editdist", "q_dedup_paragraph",
+    "q_dedup_phash", "q_source_overlap", "q_text_tfidf", "q_lm_fluency",
+    "q_ann_recall", "q_ann_recall_mp", "q_lsh_bucket_stats",
+    "q_heartbeat_map_explode", "q_heartbeat_map_delta",
+    "q_fileindex_build", "q_fileindex_prune", "q_window_running",
+    "q_agg_having_underreplicated", "q_pipeline_curate")
+
+  /** Per-table id columns to offset per replica; absent table ⇒ copy. */
+  private val IdOffsets: Map[String, Seq[String]] = Map(
+    "documents" -> Seq("doc_id"),
+    "embeddings" -> Seq("vec_id"),
+    "lineitem" -> Seq("l_orderkey"),
+    "orders" -> Seq("o_orderkey"),
+    "events" -> Seq("event_id", "user_id"))
+
+  private val Offset = 10000000L
+
+  private def buildScaled(spark: SparkSession, base: String, mult: Int): String = {
+    val out = s"/tmp/graft_stress_${mult}x"
+    val marker = new java.io.File(out, "_BUILT")
+    if (marker.exists()) return out
+    val tables = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    tables.foreach { t =>
+      val src = spark.read.parquet(s"$base/$t.parquet")
+      val scaled: DataFrame = IdOffsets.get(t) match {
+        case Some(ids) =>
+          (0 until mult).map { i =>
+            ids.foldLeft(src)((df, c) =>
+              df.withColumn(c, col(c) + lit(i * Offset)))
+          }.reduce(_ union _)
+        case None => src
+      }
+      scaled.write.mode("overwrite").parquet(s"$out/$t.parquet")
+    }
+    marker.getParentFile.mkdirs()
+    java.nio.file.Files.write(marker.toPath, Array.emptyByteArray)
+    out
+  }
+
+  def main(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val mult = if (args.length > 1) args(1).toInt else 10
+    val names = if (args.length > 2) args.drop(2).toSeq else HeavyDefaults
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = buildScaled(spark, base, mult)
+    println(s"[stress] scaled dir $dir (${mult}x $base)")
+    names.foreach { name =>
+      val t0 = System.nanoTime()
+      val outcome =
+        try { val n = SparkEntry.queries(name)(spark, dir).count(); s"rows=$n" }
+        catch { case e: Throwable => s"ERR ${e.getClass.getSimpleName}: ${e.getMessage.take(120)}" }
+      println(f"[stress] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.1fs  $outcome")
+    }
+    spark.stop()
+  }
+}

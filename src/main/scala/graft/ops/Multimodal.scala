@@ -663,6 +663,14 @@ object Multimodal {
     * planted-image spec drives the accept path.
     */
   private[graft] val PhashMaxHamming = 10
+  /** Hot-bucket cap: band buckets holding more than this many hashes
+    * are excluded from pair generation — the same df-cap discipline as
+    * the text-LSH generators (a flooded bucket is boilerplate/identical
+    * content, which EXACT dedup handles; pairing it is quadratic). The
+    * 10× stress probe without this cap emitted 38.7M candidate pairs
+    * from 50k docs on 8-bit bands.
+    */
+  private[graft] val PhashBucketCap = 64
 
   /** Perceptual hash per payload, as 16 hex chars: real aHash where the
     * pixels are reachable codec-free (grayPixels), else the md5 stub
@@ -694,8 +702,10 @@ object Multimodal {
     * — the standard banding trade, tightened in the planted spec) →
     * exact Hamming verify on candidates. Output: every banded candidate
     * pair with its distance and the accept verdict. Shuffles once on
-    * (band, value); the within-bucket self-join is the bounded blow-up
-    * banding exists to control.
+    * (band, value); the within-bucket self-join is capped at
+    * PhashBucketCap members per bucket (flooded buckets are identical
+    * content — exact dedup's job — and pairing them is quadratic; the
+    * 10× stress probe is the receipt).
     */
   def dedupPhash(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -715,10 +725,17 @@ object Multimodal {
     // sides + both verify back-joins), and without the checkpoint each
     // leg re-runs the decode+hash MapPartitions — four corpus scans
     val h = phashCore(ds).toDF("doc_id", "phash_hex").localCheckpoint()
-    val bands = h.select(col("doc_id"), col("phash_hex"),
+    val allBands = h.select(col("doc_id"), col("phash_hex"),
         explode(expr(s"sequence(0, ${PhashBands - 1})")).as("band"))
       .withColumn("bv", expr("substring(phash_hex, 1 + 2 * band, 2)"))
       .select("doc_id", "band", "bv")
+    // hot-bucket cap (PhashBucketCap): one combining count per bucket,
+    // flooded buckets never enter the self-join
+    val keep = allBands.groupBy("band", "bv")
+      .agg(count(lit(1)).as("n_in_bucket"))
+      .where(col("n_in_bucket") <= PhashBucketCap)
+      .select("band", "bv")
+    val bands = allBands.join(keep, Seq("band", "bv"))
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -766,8 +783,11 @@ object Multimodal {
     // the REAL aHash path is pinned by MultimodalSpec's planted images
     "q_dedup_phash" ->
       (s"WITH h AS (SELECT doc_id, substr(md5(text), 1, 16) AS ph FROM documents), " +
-        s"b AS (SELECT doc_id, i AS band, substr(ph, 1 + 2 * i, 2) AS bv " +
+        s"ab AS (SELECT doc_id, i AS band, substr(ph, 1 + 2 * i, 2) AS bv " +
         s"FROM h CROSS JOIN range($PhashBands) t(i)), " +
+        "keep AS (SELECT band, bv FROM ab GROUP BY band, bv " +
+        s"HAVING count(*) <= $PhashBucketCap), " +
+        "b AS (SELECT ab.* FROM ab JOIN keep ON ab.band = keep.band AND ab.bv = keep.bv), " +
         "cand AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b " +
         "FROM b a JOIN b c ON a.band = c.band AND a.bv = c.bv AND a.doc_id < c.doc_id), " +
         "ham AS (SELECT c.doc_a, c.doc_b, " +
@@ -837,8 +857,11 @@ object Multimodal {
   val sparkSql: Map[String, String] = Map(
     "q_dedup_phash" ->
       ("WITH h AS (SELECT doc_id, substring(md5(text), 1, 16) AS ph FROM documents), " +
-        "b AS (SELECT doc_id, band, substring(ph, 1 + 2 * band, 2) AS bv " +
+        "ab AS (SELECT doc_id, band, substring(ph, 1 + 2 * band, 2) AS bv " +
         s"FROM h LATERAL VIEW explode(sequence(0, ${PhashBands - 1})) t AS band), " +
+        "keep AS (SELECT band, bv FROM ab GROUP BY band, bv " +
+        s"HAVING count(*) <= $PhashBucketCap), " +
+        "b AS (SELECT ab.* FROM ab JOIN keep ON ab.band = keep.band AND ab.bv = keep.bv), " +
         "cand AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b " +
         "FROM b a JOIN b c ON a.band = c.band AND a.bv = c.bv AND a.doc_id < c.doc_id), " +
         "j AS (SELECT c.doc_a, c.doc_b, ha.ph AS pa, hb.ph AS pb " +
