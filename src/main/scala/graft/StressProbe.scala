@@ -68,7 +68,10 @@ object StressProbe {
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
     val mult = if (args.length > 1) args(1).toInt else 10
-    val names = if (args.length > 2) args.drop(2).toSeq else HeavyDefaults
+    val names =
+      if (args.length > 2 && args(2) == "ALL") SparkEntry.queries.keys.toSeq.sorted
+      else if (args.length > 2) args.drop(2).toSeq
+      else HeavyDefaults
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
