@@ -271,4 +271,38 @@ class PlanShapeSpec extends AnyFunSuite {
       s"top-K vocab must TakeOrdered, not globally sort:\n$plan")
     assert(!plan.contains("SortAggregate"), s"sort-agg crept in:\n$plan")
   }
+
+  test("phash dedup pins its hash table: the decode MapPartitions runs once, not per plan leg") {
+    val df = ops.Multimodal.queries("q_dedup_phash")(spark, d)
+    val plan = physical(df)
+    // four consumers (two self-join sides + two verify back-joins) must
+    // read the checkpointed table — zero MapPartitions in the final plan
+    assert(!plan.contains("MapPartitions"),
+      s"hash pass must be materialized once, not recomputed per leg:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in phash:\n$plan")
+  }
+
+  test("delta heartbeat partial-limits per node before the shuffle (recency top-K)") {
+    val plan = physical(ops.Chunks.heartbeatMapDelta(spark, d))
+    assert(plan.contains("WindowGroupLimit"),
+      s"top-K per node must group-limit map-side:\n$plan")
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThanOrEqual"),
+      s"the period filter must reach the parquet scan:\n$plan")
+  }
+
+  test("ann recall: probe panel broadcasts; per-probe top-K partial-limits map-side") {
+    val plan = physical(ops.LlmPipeline.annRecall(spark, d))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"the 8-probe panel must broadcast, never shuffle the corpus by probe:\n$plan")
+    assert(plan.contains("WindowGroupLimit"),
+      s"per-probe top-K must partial-limit before the exchange:\n$plan")
+  }
+
+  test("lsh bucket stats is a combining aggregate plus a one-row broadcast") {
+    val plan = physical(ops.LlmPipeline.queries("q_lsh_bucket_stats")(spark, d))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"the 1-row global must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in bucket stats:\n$plan")
+    assert(!plan.contains("SortAggregate"), s"sort-agg crept in:\n$plan")
+  }
 }
