@@ -73,9 +73,15 @@ object StressProbe {
       else if (args.length > 2) args.drop(2).toSeq
       else HeavyDefaults
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // SURVEY §4.3 sizing rule, applied literally: shuffle partitions
+    // scale with data volume so per-partition aggregation state stays
+    // constant as the corpus grows (32 at 1×/10× keeps the bench
+    // config; 100× gets 320). Without this the 100× window-hash
+    // aggregate holds 100× state per task and dies in a 4 GB heap.
+    val shufflePartitions = math.max(cpus.toInt, 32 * mult / 10)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
