@@ -492,15 +492,42 @@ object LlmPipeline {
   private val lastNearHashed =
     new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
 
-  def dedupNear(s: SparkSession, d: String): DataFrame = {
+  def dedupNear(s: SparkSession, d: String): DataFrame =
+    nearLshJoin(withTk(Tables.documents(s, d))
+      .select(col("doc_id"), expr(s"array_distinct($shingles)").as("tokens")))
+
+  /** q_dedup_near_collapsed — the production composition that makes the
+    * library LSH variant survive duplicate-heavy corpora: EXACT dedup
+    * first (verbatim copies collapse to their min-id representative via
+    * the q_dedup_exact hash-groupBy, which scales linearly), THEN the
+    * MinHashLSH join over representatives only. The 100× stress probe
+    * is the motivation: spark.ml's approxSimilarityJoin has no
+    * within-bucket cap, so 100 verbatim copies of each doc explode the
+    * join quadratically until the stage OOMs — collapsed first, the
+    * duplicate mass never reaches the join. Same output shape as
+    * q_dedup_near, restricted to representatives (identical on a
+    * corpus with no verbatim duplicates — spec-pinned on the planted
+    * fixture).
+    */
+  def dedupNearCollapsed(s: SparkSession, d: String): DataFrame = {
+    val reps = Tables.documents(s, d)
+      .groupBy(md5(lower(trim(col("text")))).as("norm_key"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    nearLshJoin(withTk(Tables.documents(s, d).join(reps, "doc_id"))
+      .select(col("doc_id"), expr(s"array_distinct($shingles)").as("tokens")))
+  }
+
+  /** The MinHashLSH near-dup join over a (doc_id, tokens) frame —
+    * shared by the full-corpus and collapse-first forms above.
+    * Shingle sets, not raw token sets: the synthetic corpus has a tiny
+    * vocabulary, so every long doc contains nearly every token and
+    * token-set Jaccard degenerates to ~1 for all pairs. 3-word shingles
+    * (~|V|^3 space) keep the LSH join selective — the same choice real
+    * web-dedup pipelines make.
+    */
+  private def nearLshJoin(docs: DataFrame): DataFrame = {
     import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
-    // Shingle sets, not raw token sets: the synthetic corpus has a tiny
-    // vocabulary, so every long doc contains nearly every token and
-    // token-set Jaccard degenerates to ~1 for all pairs. 3-word shingles
-    // (~|V|^3 space) keep the LSH join selective — the same choice real
-    // web-dedup pipelines make.
-    val docs = withTk(Tables.documents(s, d))
-      .select(col("doc_id"), expr(s"array_distinct($shingles)").as("tokens"))
     val tf = new HashingTF().setInputCol("tokens").setOutputCol("features")
       .setNumFeatures(1 << 18)
     val feats = tf.transform(docs)
@@ -2697,6 +2724,7 @@ object LlmPipeline {
     "q_dedup_incremental"   -> (dedupIncremental _),
     "q_dedup_simhash"       -> (dedupSimhash _),
     "q_dedup_near"          -> (dedupNear _),
+    "q_dedup_near_collapsed" -> (dedupNearCollapsed _),
     "q_dedup_ngram"         -> (dedupNgram _),
     "q_dedup_embed"         -> (dedupEmbed _),
     "q_embed_centroids"     -> (embedCentroids _),
@@ -4340,6 +4368,23 @@ object LlmPipeline {
       // it equals the LSH output whenever recall is 100% (pinned on the
       // fixture by the planted-dup spec) and no HashingTF bucket
       // collision crosses the threshold.
+      "q_dedup_near_collapsed" ->
+        (s"WITH $dtk, " +
+          "reps AS (SELECT min(doc_id) AS doc_id FROM documents " +
+          "GROUP BY md5(lower(trim(text)))), " +
+          s"ds AS (SELECT doc_id, ${hash("s")} AS sh FROM " +
+          s"(SELECT t.doc_id, explode(array_distinct($shS)) AS s " +
+          "FROM dtk t JOIN reps USING (doc_id))), " +
+          "sizes AS (SELECT doc_id, count(*) AS n_sh FROM ds GROUP BY doc_id), " +
+          "ok AS (SELECT sh FROM ds GROUP BY sh HAVING count(DISTINCT doc_id) > 1), " +
+          "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(DISTINCT a.sh) AS n_inter " +
+          "FROM ds a JOIN ok ON ok.sh = a.sh JOIN ds b ON a.sh = b.sh AND a.doc_id < b.doc_id " +
+          "GROUP BY 1, 2), " +
+          "j AS (SELECT doc_a, doc_b, " +
+          "1.0D - CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) AS jaccard_dist " +
+          "FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b) " +
+          "SELECT doc_a, doc_b, jaccard_dist FROM j WHERE jaccard_dist < 0.5D " +
+          "ORDER BY doc_a, doc_b"),
       "q_dedup_near" ->
         (s"$dsCte, " +
           "sizes AS (SELECT doc_id, count(*) AS n_sh FROM ds GROUP BY doc_id), " +

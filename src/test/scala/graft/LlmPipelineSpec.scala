@@ -1268,6 +1268,26 @@ class LlmPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("q_dedup_near_collapsed: verbatim copies collapse before the LSH join, recall intact") {
+    import spark.implicits._
+    val dir = LlmFixtures.plantedDir(spark) // doc 200 is a verbatim copy of doc 0
+    val full = ops.LlmPipeline.dedupNear(spark, dir)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    val collapsed = ops.LlmPipeline.dedupNearCollapsed(spark, dir)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    // the uncollapsed join pays for the verbatim copy; the collapsed one
+    // never lets it reach the join at all
+    assert(full.contains((0L, 200L)), "planted exact pair missing from the baseline")
+    assert(!collapsed.exists(p => p._1 == 200L || p._2 == 200L),
+      s"a verbatim copy reached the collapsed join: $collapsed")
+    // near-dup recall on representatives is untouched: every planted
+    // edit still pairs with its base
+    (0 until 5).foreach(i =>
+      assert(collapsed.contains((i.toLong, 100L + i)), s"lost planted pair $i"))
+    // and away from the copy the two forms agree exactly
+    assert(collapsed == full.filterNot(p => p._1 == 200L || p._2 == 200L))
+  }
+
   test("q_ann_recall_mp: multi-probe recall dominates single-probe on every probe") {
     import spark.implicits._
     val d = SparkTestSession.sf0001
