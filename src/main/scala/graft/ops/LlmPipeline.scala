@@ -2081,8 +2081,12 @@ object LlmPipeline {
     * Reference analogue: per-chunk checksum comparison
     * (structures/Chunk.java:166-189) is the closest native shape.
     */
-  def dedupSubstring(s: SparkSession, d: String): DataFrame = {
-    val wins = Tables.documents(s, d)
+  /** Stride-1 window hashes (doc_id, pos, h) — the shared substrate of
+    * the exact and winnowed substring-dedup forms below; checkpointed
+    * because every consumer fans out over it.
+    */
+  private def substringWindows(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
       .where(col("n_chars") >= SubWinW)
       .select(col("doc_id"),
         explode(expr(s"sequence(CAST(1 AS BIGINT), n_chars - ${SubWinW - 1})")).as("pos"),
@@ -2091,6 +2095,9 @@ object LlmPipeline {
         expr(s"CAST(conv(substring(md5(substring(text, CAST(pos AS INT), $SubWinW)), 1, 15), 16, 10) AS BIGINT)")
           .as("h"))
       .localCheckpoint()
+
+  def dedupSubstring(s: SparkSession, d: String): DataFrame = {
+    val wins = substringWindows(s, d)
     val ds = wins.select("doc_id", "h").distinct().localCheckpoint()
     val g = ds.groupBy("h").agg(count(lit(1)).as("df"))
       .where(col("df").between(2, SubDfCap)).select("h")
@@ -2106,6 +2113,46 @@ object LlmPipeline {
       .agg(sum("run_len").cast("long").as("n_cov_pos"),
         (max("run_len") + (SubWinW - 1)).cast("long").as("longest_span"))
       .where(col("longest_span") >= SubMinSpan)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Winnowing window: k consecutive window-hashes per fingerprint
+    * choice. Guarantee (Schleimer–Wilkerson–Aiken, "Winnowing: Local
+    * Algorithms for Document Fingerprinting", SIGMOD 2003 — the MOSS
+    * scheme): any shared substring of length ≥ SubWinW + WinnowK − 1
+    * yields at least one shared fingerprint, at ~2/(k+1) of the
+    * stride-1 index volume.
+    */
+  private[graft] val WinnowK = 8
+
+  /** q_dedup_substring_winnow — the SCALE form of exact-substring
+    * overlap: instead of joining every stride-1 window (q_dedup_
+    * substring's inherent W× volume — its 46 s at the 10× stress is
+    * the join over ~100M window rows), each doc keeps only its
+    * winnowing fingerprints — the minimum hash of every k consecutive
+    * windows. Detection stays EXACT for spans ≥ SubWinW + WinnowK − 1
+    * (39 chars here; the two docs' aligned k-window over a shared span
+    * selects the same minimum on both sides), while the joined index
+    * shrinks ~4×; the trade is losing sub-39-char spans and the exact
+    * per-position coverage accounting (the stride-1 form keeps both).
+    * Output: candidate pairs with their shared-fingerprint count.
+    * Same df-cap gate as the stride-1 form.
+    */
+  def dedupSubstringWinnow(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.currentRow, WinnowK - 1)
+    val fp = substringWindows(s, d)
+      .withColumn("fpv", min(col("h")).over(w))
+      .select(col("doc_id"), col("fpv").as("h"))
+      .distinct()
+      .localCheckpoint()
+    val g = fp.groupBy("h").agg(count(lit(1)).as("df"))
+      .where(col("df").between(2, SubDfCap)).select("h")
+    fp.join(g, "h")
+      .join(fp.select(col("doc_id").as("doc_b"), col("h")), "h")
+      .where(col("doc_id") < col("doc_b"))
+      .groupBy(col("doc_id").as("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared_fps"))
       .orderBy("doc_a", "doc_b")
   }
 
@@ -2782,6 +2829,7 @@ object LlmPipeline {
     "q_dedup_editdist"      -> (dedupEditdist _),
     "q_sample_weighted"     -> (sampleWeighted _),
     "q_dedup_substring"     -> (dedupSubstring _),
+    "q_dedup_substring_winnow" -> (dedupSubstringWinnow _),
     "q_lm_fluency"          -> (lmFluency _),
   )
 
@@ -3581,6 +3629,20 @@ object LlmPipeline {
           "CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) " +
           s"% $WSampleUBits) + 1) AS priority " +
           s"FROM documents ORDER BY priority DESC, doc_id LIMIT $WSampleK"),
+      "q_dedup_substring_winnow" ->
+        (s"WITH w AS (SELECT doc_id, CAST(u AS BIGINT) AS pos, " +
+          "CAST(concat('0x', substring(md5(substring(text, CAST(u AS INT), " +
+          s"$SubWinW)), 1, 15)) AS BIGINT) AS h " +
+          s"FROM documents, unnest(generate_series(1, n_chars - ${SubWinW - 1})) AS t(u) " +
+          s"WHERE n_chars >= $SubWinW), " +
+          "fp AS (SELECT DISTINCT doc_id, h FROM (SELECT doc_id, " +
+          "min(h) OVER (PARTITION BY doc_id ORDER BY pos " +
+          s"ROWS BETWEEN CURRENT ROW AND ${WinnowK - 1} FOLLOWING) AS h FROM w)), " +
+          s"g AS (SELECT h FROM fp GROUP BY h HAVING count(*) BETWEEN 2 AND $SubDfCap) " +
+          "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+          "CAST(count(*) AS BIGINT) AS n_shared_fps " +
+          "FROM fp a JOIN g USING (h) JOIN fp b USING (h) WHERE a.doc_id < b.doc_id " +
+          "GROUP BY 1, 2 ORDER BY doc_a, doc_b"),
       "q_dedup_substring" ->
         (s"WITH w AS (SELECT doc_id, CAST(u AS BIGINT) AS pos, " +
           "CAST(concat('0x', substring(md5(substring(text, CAST(u AS INT), " +
@@ -4185,6 +4247,21 @@ object LlmPipeline {
           "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT) " +
           s"% $WSampleUBits) + 1) AS priority " +
           s"FROM documents ORDER BY priority DESC, doc_id LIMIT $WSampleK"),
+      "q_dedup_substring_winnow" ->
+        (s"WITH w AS (SELECT doc_id, pos, " +
+          "CAST(conv(substring(md5(substring(text, CAST(pos AS INT), " +
+          s"$SubWinW)), 1, 15), 16, 10) AS BIGINT) AS h " +
+          "FROM (SELECT doc_id, text, " +
+          s"explode(sequence(CAST(1 AS BIGINT), n_chars - ${SubWinW - 1})) AS pos " +
+          s"FROM documents WHERE n_chars >= $SubWinW)), " +
+          "fp AS (SELECT DISTINCT doc_id, h FROM (SELECT doc_id, " +
+          "min(h) OVER (PARTITION BY doc_id ORDER BY pos " +
+          s"ROWS BETWEEN CURRENT ROW AND ${WinnowK - 1} FOLLOWING) AS h FROM w)), " +
+          s"g AS (SELECT h FROM fp GROUP BY h HAVING count(*) BETWEEN 2 AND $SubDfCap) " +
+          "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+          "CAST(count(*) AS BIGINT) AS n_shared_fps " +
+          "FROM fp a JOIN g USING (h) JOIN fp b USING (h) WHERE a.doc_id < b.doc_id " +
+          "GROUP BY 1, 2 ORDER BY doc_a, doc_b"),
       "q_dedup_substring" ->
         (s"WITH w AS (SELECT doc_id, pos, " +
           "CAST(conv(substring(md5(substring(text, CAST(pos AS INT), " +

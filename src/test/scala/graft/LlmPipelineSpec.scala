@@ -1268,6 +1268,36 @@ class LlmPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("q_dedup_substring_winnow: planted span above the W+k-1 guarantee is always found") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def soup(n: Int, alphabet: String): String =
+      (0 until n).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    // 80-char planted span (≥ 32 + 8 − 1 = 39 ⇒ detection GUARANTEED),
+    // embedded in unrelated prefixes/suffixes; doc 3 shares nothing
+    // (disjoint alphabet, so no accidental 32-char window collides)
+    val span = soup(80, "abcdefgh")
+    val docs = Seq(
+      (1L, soup(60, "abcdefgh") + span + soup(60, "abcdefgh")),
+      (2L, soup(100, "abcdefgh") + span + soup(20, "abcdefgh")),
+      (3L, soup(240, "0123456789")))
+    val dir = s"/tmp/graft-test-winnow-${java.util.UUID.randomUUID()}"
+    docs.map { case (id, t) => (id, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = ops.LlmPipeline.dedupSubstringWinnow(spark, dir)
+      .as[(Long, Long, Long)].collect()
+    val pairs = got.map(r => (r._1, r._2)).toSet
+    assert(pairs.contains((1L, 2L)), s"guaranteed planted pair missing: ${got.toSeq}")
+    assert(got.find(r => (r._1, r._2) == ((1L, 2L))).get._3 >= 1L)
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      s"unrelated doc paired: ${got.toSeq}")
+    // the stride-1 form agrees on the same corpus (span ≥ SubMinSpan)
+    val exact = ops.LlmPipeline.dedupSubstring(spark, dir)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(exact == Set((1L, 2L)))
+  }
+
   test("q_dedup_near_collapsed: verbatim copies collapse before the LSH join, recall intact") {
     import spark.implicits._
     val dir = LlmFixtures.plantedDir(spark) // doc 200 is a verbatim copy of doc 0
