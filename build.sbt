@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The round driver shells `sbt -batch "runMain graft.Bench"` and parses
+// the LAST stdout line as the metric JSON. Two sbt behaviors defeated
+// that for 11 rounds (BENCH_r01..r11 all `parsed: null`): the forked
+// JVM's stdout is re-logged with an `[info] ` prefix, and sbt appends a
+// final `[success] Total time: ...` line. StdoutOutput passes the forked
+// process's stdout through verbatim; showSuccess drops the trailer — the
+// bare JSON line printed by Bench/Verify is then genuinely last.
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -61,7 +61,14 @@ object Bench {
       .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val singleShot = runs.head.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"iters":$iters,"single_shot":$singleShot,"queries":$top,"sf":"$sfDir"}""")
+    // Print the metric line AFTER spark.stop(): executor/BlockManager
+    // shutdown logs (stderr) can interleave past a pre-stop println when
+    // the driver captures stdout+stderr merged, leaving a log line as the
+    // recorded tail's last line. Quiet the logger first so stop() itself
+    // emits nothing above ERROR, then emit the one JSON line and flush.
+    spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"iters":$iters,"single_shot":$singleShot,"queries":$top,"sf":"$sfDir"}""")
+    System.out.flush()
   }
 }
