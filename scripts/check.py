@@ -97,6 +97,14 @@ def gzip_witness(con, files0):
         f"ORDER BY g.doc_id").fetchall()
     if not rows:
         return False, "no rows joined back to documents"
+    # The join validates emitted rows; it cannot see silently DROPPED
+    # documents (and a duplicated doc_id would inflate it). Pin the
+    # cardinality: exactly one output row per document.
+    n_docs = con.sql("SELECT count(*) FROM documents").fetchone()[0]
+    if len(rows) != n_docs:
+        return False, (
+            f"query emitted {len(rows)} joined rows but documents has "
+            f"{n_docs} - rows dropped or duplicated")
     for doc_id, text, n_bytes, gzip_bytes, ratio_ppm in rows:
         raw = (text or "").encode("utf-8")
         want_gz = len(zlib.compress(raw, 6))

@@ -43,7 +43,19 @@ object StressProbe {
   private val Offset = 10000000L
 
   private def buildScaled(spark: SparkSession, base: String, mult: Int): String = {
-    val out = s"/tmp/graft_stress_${mult}x"
+    // Cache key must identify the SOURCE corpus, not just the multiplier:
+    // keyed on mult alone, a probe against sf0.01 after one against sf0.1
+    // would silently reuse the wrong prebuilt corpus via the _BUILT
+    // marker. Digest the base path plus each table file's mtime so a
+    // driver-regenerated fixture (same path, new bytes) also misses.
+    val stamp = Option(new java.io.File(base).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      .map(f => s"${f.getName}:${f.lastModified}").mkString(",")
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$base|$stamp".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(8)
+    val out = s"/tmp/graft_stress_${mult}x_$key"
     val marker = new java.io.File(out, "_BUILT")
     if (marker.exists()) return out
     val tables = Seq("region", "nation", "customer", "supplier", "part",

@@ -682,7 +682,10 @@ object Multimodal {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
       val md = java.security.MessageDigest.getInstance("MD5")
-      it.map { case (id, payload) =>
+      it.map { case (id, rawPayload) =>
+        // null payload ⇒ empty bytes, matching the md5(coalesce(x, ''))
+        // the SQL mirrors compute (md.digest(null) would NPE the task)
+        val payload = if (rawPayload == null) Array.emptyByteArray else rawPayload
         val hx = grayPixels(payload) match {
           case Some((w, h, g)) => f"${aHash64(w, h, g)}%016x"
           case None =>
@@ -711,7 +714,11 @@ object Multimodal {
     import s.implicits._
     dedupPhashCore(
       Tables.documents(s, d)
-        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        // coalesce: a null text would reach phashCore as a null payload
+        // and NPE md.digest; empty bytes = md5('') stub, mirrored by the
+        // oracle's coalesce so both engines hash the same value
+        .select(col("doc_id"),
+          coalesce(col("text"), lit("")).cast("binary").as("payload"))
         .as[(Long, Array[Byte])])
   }
 
@@ -782,7 +789,7 @@ object Multimodal {
     // corpus, so every phash is the md5 prefix the mirror recomputes;
     // the REAL aHash path is pinned by MultimodalSpec's planted images
     "q_dedup_phash" ->
-      (s"WITH h AS (SELECT doc_id, substr(md5(text), 1, 16) AS ph FROM documents), " +
+      (s"WITH h AS (SELECT doc_id, substr(md5(coalesce(text, '')), 1, 16) AS ph FROM documents), " +
         s"ab AS (SELECT doc_id, i AS band, substr(ph, 1 + 2 * i, 2) AS bv " +
         s"FROM h CROSS JOIN range($PhashBands) t(i)), " +
         "keep AS (SELECT band, bv FROM ab GROUP BY band, bv " +
@@ -856,7 +863,7 @@ object Multimodal {
     */
   val sparkSql: Map[String, String] = Map(
     "q_dedup_phash" ->
-      ("WITH h AS (SELECT doc_id, substring(md5(text), 1, 16) AS ph FROM documents), " +
+      ("WITH h AS (SELECT doc_id, substring(md5(coalesce(text, '')), 1, 16) AS ph FROM documents), " +
         "ab AS (SELECT doc_id, band, substring(ph, 1 + 2 * band, 2) AS bv " +
         s"FROM h LATERAL VIEW explode(sequence(0, ${PhashBands - 1})) t AS band), " +
         "keep AS (SELECT band, bv FROM ab GROUP BY band, bv " +

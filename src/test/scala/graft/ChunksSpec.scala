@@ -80,12 +80,30 @@ class ChunksSpec extends AnyFunSuite {
       .select($"l_suppkey", $"l_orderkey").as[(Long, Long)].collect()
       .map { case (n, k) => (n, f"f_$k%012d") }.toSet
     assert(announced.subsetOf(touched))
-    // and the K cap binds to the MOST RECENT files: if a node held back
-    // a file, everything it announced is at least as recently touched
     val full = ops.Chunks.heartbeatPayload(spark, d)
       .select($"node_id", explode(map_keys($"payload")).as("filename"))
       .as[(Long, String)].collect().toSet
     assert(announced.subsetOf(full)) // delta ⊆ full catalog
+    // and the K cap binds to the MOST RECENTLY touched files, asserted
+    // directly: per node, no held-back in-period file may be strictly
+    // more recent than the least-recent announced file (a regression
+    // that kept the K OLDEST would pass the subset checks above).
+    val lastTouch = Tables.lineitem(spark, d)
+      .filter($"l_shipdate" >= lit(ops.Chunks.DeltaPeriodLo).cast("timestamp"))
+      .groupBy($"l_suppkey".as("node_id"),
+        concat(lit("f_"), lpad($"l_orderkey".cast("string"), 12, "0")).as("filename"))
+      .agg(max($"l_shipdate").as("last_touch"))
+      .as[(Long, String, java.sql.Timestamp)].collect()
+      .map { case (n, f, t) => (n, f) -> t.getTime }.toMap
+    lastTouch.keys.map(_._1).toSeq.distinct.foreach { node =>
+      val (ann, held) = lastTouch.keys.filter(_._1 == node).partition(announced)
+      if (ann.nonEmpty && held.nonEmpty) {
+        val minAnn = ann.map(lastTouch).min
+        val maxHeld = held.map(lastTouch).max
+        assert(maxHeld <= minAnn,
+          s"node $node announced a file touched at $minAnn while holding back one touched at $maxHeld")
+      }
+    }
     delta.unpersist()
   }
 }
