@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.Tables
+import graft.ops.Pin.PinOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -252,11 +253,11 @@ object LlmPipeline {
     // minhash signature subtree feeding `pairs`.
     val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
-      .localCheckpoint()
+      .pinned()
     var labels = edges.groupBy(col("u").as("doc_id"))
       .agg(min(col("v")).as("nmin"))
       .select(col("doc_id"), least(col("doc_id"), col("nmin")).as("rep_id"))
-      .localCheckpoint()
+      .pinned()
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
@@ -268,7 +269,7 @@ object LlmPipeline {
         .join(prop, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("rep_id"), coalesce(col("nmin"), col("rep_id"))).as("rep_id"))
-        .localCheckpoint()
+        .pinned()
       converged = next
         .join(labels.withColumnRenamed("rep_id", "prev"), "doc_id")
         .where(col("rep_id") < col("prev"))
@@ -385,7 +386,7 @@ object LlmPipeline {
     // corpus (the executed plan showed THREE parallel scan+agg towers).
     // 40 B × |bands| of pinned state — linear, and exactly what the
     // persisted historical band index holds in the production shape.
-    val banded = minhashBanded(s, d).join(src, "doc_id").localCheckpoint()
+    val banded = minhashBanded(s, d).join(src, "doc_id").pinned()
     val hist = banded.where(col("source") =!= "src0")
       .select(col("doc_id").as("hist_id"), col("band"), col("band_key"))
     val okBuckets = hist.groupBy("band", "band_key")
@@ -481,18 +482,63 @@ object LlmPipeline {
       .agg(count(lit(1)).as("n_docs"))
       .where(col("n_docs") > cap)
 
-  /** #44 q_dedup_near — spark.ml MinHashLSH near-dup join: HashingTF
-    * token vectors → MinHash signatures → approxSimilarityJoin at
-    * Jaccard distance ≤ 0.5. Approximate (hash-seed-dependent), so no
-    * DuckDB oracle — the driver records rows-only and LlmPipelineSpec
-    * asserts 100% recall on planted near-duplicates (SURVEY §5.2 item
-    * 4). This is the library-grade scale path: OR-amplified band joins,
-    * state linear in docs, never all-pairs.
+  /** #44 q_dedup_near — near-duplicate pairs at Jaccard distance ≤ 0.5
+    * (spark.ml MinHashLSH semantics), computed the scale-safe way:
+    * EXACT-collapse verbatim copies to their min-id representative
+    * (hash-groupBy, linear), run the LSH join over REPRESENTATIVES
+    * only, then re-expand pairs through the copy groups. Identical
+    * text ⇒ identical shingle set ⇒ identical MinHash signature, so a
+    * copy's join partners are exactly its representative's at the same
+    * distance, and intra-group pairs are distance 0 — the expansion
+    * reconstructs the whole-corpus join result DETERMINISTICALLY while
+    * the duplicate mass never reaches approxSimilarityJoin (which has
+    * no within-bucket cap: the r11 whole-corpus form of this query
+    * OOM'd a 48 GB heap at the 100× adversarial corpus, BENCHNOTES
+    * r11 — that form survives only as the spec-only witness
+    * dedupNearUncollapsed). Approximate (hash-seed-dependent) at the
+    * rep level, so no DuckDB oracle — rows-only + planted-recall spec;
+    * the collapse stage gets its hash-gate anchor from
+    * q_dedup_collapsed_jaccard.
     */
   private val lastNearHashed =
     new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
 
-  def dedupNear(s: SparkSession, d: String): DataFrame =
+  def dedupNear(s: SparkSession, d: String): DataFrame = {
+    // one tokens pass; copies of one text produce identical rows, so
+    // group membership is uniform w.r.t. the empty-shingle filter
+    val toks = withTk(Tables.documents(s, d))
+      .select(col("doc_id"),
+        md5(lower(trim(col("text")))).as("norm_key"),
+        expr(s"array_distinct($shingles)").as("tokens"))
+      .where(expr("size(tokens) > 0"))
+      .pinned() // feeds the collapse, the LSH side, and the expansion
+    val members = toks.select(col("doc_id"), col("norm_key"))
+    val reps = members.groupBy("norm_key").agg(min("doc_id").as("rep"))
+    val docRep = members.join(reps, "norm_key")
+      .select(col("doc_id"), col("rep")).pinned()
+    val repPairs = nearLshJoin(
+      toks.join(docRep.where(col("doc_id") === col("rep")).select("doc_id"), "doc_id")
+        .select(col("doc_id"), col("tokens")))
+    // expansion: linear equi-joins on the rep key; intra-group pairs are
+    // output-inherent (the whole-corpus join emits them too)
+    val cross = repPairs
+      .join(docRep.select(col("rep").as("doc_a"), col("doc_id").as("xa")), "doc_a")
+      .join(docRep.select(col("rep").as("doc_b"), col("doc_id").as("xb")), "doc_b")
+      .select(least(col("xa"), col("xb")).as("doc_a"),
+        greatest(col("xa"), col("xb")).as("doc_b"), col("jaccard_dist"))
+    val intra = docRep.as("m1").join(docRep.as("m2"),
+        col("m1.rep") === col("m2.rep") && col("m1.doc_id") < col("m2.doc_id"))
+      .select(col("m1.doc_id").as("doc_a"), col("m2.doc_id").as("doc_b"),
+        lit(0.0).as("jaccard_dist"))
+    cross.unionByName(intra).orderBy("doc_a", "doc_b")
+  }
+
+  /** The r11 whole-corpus MinHashLSH join — retained ONLY as the spec
+    * witness that the collapsed+expanded registry form reproduces it
+    * (LlmPipelineSpec); never registered: approxSimilarityJoin with no
+    * within-bucket cap is the documented 100×-corpus OOM casualty.
+    */
+  private[graft] def dedupNearUncollapsed(s: SparkSession, d: String): DataFrame =
     nearLshJoin(withTk(Tables.documents(s, d))
       .select(col("doc_id"), expr(s"array_distinct($shingles)").as("tokens")))
 
@@ -657,7 +703,7 @@ object LlmPipeline {
     * shingle hash. Exact integer ppm — fully oracle-checked.
     */
   def boilerplateScore(s: SparkSession, d: String): DataFrame = {
-    val postings = ngramPostings(s, d).localCheckpoint()
+    val postings = ngramPostings(s, d).pinned()
     val dfs = postings.groupBy("sh")
       .agg(countDistinct(col("doc_id")).as("df"))
     postings.join(dfs, "sh")
@@ -1514,7 +1560,7 @@ object LlmPipeline {
         "zip_with(slice(tk, 1, size(tk) - 1), slice(tk, 2, size(tk) - 1), " +
           "(a, b) -> struct(a AS w1, concat(a, ' ', b) AS bigram))")).as("p"))
       .select(col("doc_id"), col("p.w1").as("w1"), col("p.bigram").as("bigram"))
-      .localCheckpoint()
+      .pinned()
     val cb = bg.groupBy("bigram").agg(count(lit(1)).as("nb"))
     val cu = bg.groupBy("w1").agg(count(lit(1)).as("nu"))
     bg.join(cb, "bigram").join(cu, "w1")
@@ -1612,7 +1658,7 @@ object LlmPipeline {
     val ss = ngramPostings(s, d)
       .join(Tables.documents(s, d).select("doc_id", "source"), "doc_id")
       .select(col("source"), col("sh")).distinct()
-      .localCheckpoint()
+      .pinned()
     val sizes = ss.groupBy("source").agg(count(lit(1)).as("n_sh"))
     val ok = ss.groupBy("sh").agg(count(lit(1)).as("df"))
       .where(col("df") >= 2 && col("df") <= SourceDfCap)
@@ -1651,7 +1697,7 @@ object LlmPipeline {
       // 2 consumers (the join below + the df pass): without the pin the
       // scan→explode→agg subtree runs twice — the production idiom is
       // persisting the TF matrix for the IDF pass, not recomputing it
-      .localCheckpoint()
+      .pinned()
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy("doc_id")
@@ -2094,11 +2140,11 @@ object LlmPipeline {
       .select(col("doc_id"), col("pos"),
         expr(s"CAST(conv(substring(md5(substring(text, CAST(pos AS INT), $SubWinW)), 1, 15), 16, 10) AS BIGINT)")
           .as("h"))
-      .localCheckpoint()
+      .pinned()
 
   def dedupSubstring(s: SparkSession, d: String): DataFrame = {
     val wins = substringWindows(s, d)
-    val ds = wins.select("doc_id", "h").distinct().localCheckpoint()
+    val ds = wins.select("doc_id", "h").distinct().pinned()
     val g = ds.groupBy("h").agg(count(lit(1)).as("df"))
       .where(col("df").between(2, SubDfCap)).select("h")
     val cov = wins.join(g, "h")
@@ -2145,7 +2191,7 @@ object LlmPipeline {
       .withColumn("fpv", min(col("h")).over(w))
       .select(col("doc_id"), col("fpv").as("h"))
       .distinct()
-      .localCheckpoint()
+      .pinned()
     val g = fp.groupBy("h").agg(count(lit(1)).as("df"))
       .where(col("df").between(2, SubDfCap)).select("h")
     fp.join(g, "h")
@@ -2154,6 +2200,55 @@ object LlmPipeline {
       .groupBy(col("doc_id").as("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_shared_fps"))
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** Corpus-volume threshold (total text chars) for the auto form:
+    * below it the stride-1 exact-accounting index is affordable; above
+    * it the W× window volume is the documented scale killer (345 s at
+    * the 100× ≈ 150M-char stress, BENCHNOTES r11) and winnowing's ~4×
+    * smaller index with the ≥ SubWinW+WinnowK−1 span guarantee is the
+    * right default. 10M chars ≈ the 10× stress tier where stride-1
+    * first went quadratic-shaped; gate fixtures (≤ 1.5M) stay stride-1.
+    */
+  private[graft] val SubAutoVolCap = 10000000L
+
+  /** q_dedup_substring_auto — the PRODUCTION default for substring
+    * overlap: selects stride-1 (exact per-position coverage) vs winnow
+    * (fingerprint index, exact for spans ≥ 39 chars) by corpus volume.
+    * The selector is one metadata-sized aggregate (sum of the already-
+    * stored n_chars — the same table-stats consultation a planner
+    * does); both branches project the unified (doc_a, doc_b, n_matches,
+    * mode) schema, and the oracle mirrors the SAME volume branch in
+    * SQL, so the query stays hash-gate-checked on whichever side the
+    * corpus lands.
+    */
+  def dedupSubstringAuto(s: SparkSession, d: String): DataFrame = {
+    val vol = Tables.documents(s, d)
+      .agg(coalesce(sum(col("n_chars")), lit(0L)).as("v")).head.getLong(0)
+    if (vol <= SubAutoVolCap)
+      dedupSubstring(s, d).select(col("doc_a"), col("doc_b"),
+        col("n_cov_pos").as("n_matches"), lit("stride1").as("mode"))
+    else
+      dedupSubstringWinnow(s, d).select(col("doc_a"), col("doc_b"),
+        col("n_shared_fps").as("n_matches"), lit("winnow").as("mode"))
+  }
+
+  /** q_dedup_collapsed_jaccard — the hash-gate anchor for the collapse
+    * stage the scale-safe near-dedup forms share (q_dedup_near,
+    * q_dedup_near_collapsed): exact-collapse to min-doc_id
+    * representatives, then EXACT shingle-Jaccard pairs over
+    * representatives only (the q_dedup_ngram inverted-index core,
+    * df-capped, top-100 total order). Fully deterministic — unlike the
+    * MinHash forms, every stage here is SQL-mirrorable, so the oracle
+    * checks the collapse semantics + representative pair list
+    * byte-for-byte.
+    */
+  def dedupCollapsedJaccard(s: SparkSession, d: String): DataFrame = {
+    val reps = Tables.documents(s, d)
+      .groupBy(md5(lower(trim(col("text")))).as("norm_key"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    ngramPairsFromPostings(ngramPostings(s, d).join(reps, "doc_id"))
   }
 
   private[graft] val EditDistMax = 16
@@ -2472,7 +2567,7 @@ object LlmPipeline {
 
   def qualityDrift(s: SparkSession, d: String): DataFrame = {
     val hist = qualityBuckets(Tables.documents(s, d))
-      .localCheckpoint() // 3 consumers below — pin the corpus scan once
+      .pinned() // 3 consumers below — pin the corpus scan once
     val grid = hist.select("source").distinct()
       .crossJoin(hist.select("bucket").distinct())
     val totals = hist.groupBy("source").agg(sum(col("cnt")).as("n_docs"))
@@ -2556,10 +2651,10 @@ object LlmPipeline {
     * below).
     */
   def dedupVerify(s: SparkSession, d: String): DataFrame = {
-    val pairs = minhashPairsFromBanded(minhashBanded(s, d)).localCheckpoint()
+    val pairs = minhashPairsFromBanded(minhashBanded(s, d)).pinned()
     val docsInPairs = pairs.select(col("doc_a").as("doc_id"))
       .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
-    val sh = verifyShingleHashes(s, d, docsInPairs).localCheckpoint()
+    val sh = verifyShingleHashes(s, d, docsInPairs).pinned()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = pairs
       .join(sh.select(col("doc_id").as("doc_a"), col("h")), Seq("doc_a"))
@@ -2642,7 +2737,7 @@ object LlmPipeline {
       .select(col("source"), coalesce(col("text"), lit("")).as("text"))
       .select(col("source"), explode(expr(toks)).as("tok"))
       .groupBy("source", "tok").agg(count(lit(1)).as("cnt"))
-      .localCheckpoint()
+      .pinned()
     val vocab = st.groupBy("tok").agg(sum(col("cnt")).as("gcnt"))
       .orderBy(col("gcnt").desc, col("tok")).limit(VocabK)
     st.join(broadcast(vocab.select(col("tok"), lit(1L).as("in_v"))), Seq("tok"), "left")
@@ -2830,6 +2925,8 @@ object LlmPipeline {
     "q_sample_weighted"     -> (sampleWeighted _),
     "q_dedup_substring"     -> (dedupSubstring _),
     "q_dedup_substring_winnow" -> (dedupSubstringWinnow _),
+    "q_dedup_substring_auto" -> (dedupSubstringAuto _),
+    "q_dedup_collapsed_jaccard" -> (dedupCollapsedJaccard _),
     "q_lm_fluency"          -> (lmFluency _),
   )
 
@@ -3660,6 +3757,55 @@ object LlmPipeline {
           s"CAST(max(run_len) + ${SubWinW - 1} AS BIGINT) AS longest_span " +
           s"FROM runs GROUP BY 1, 2 HAVING max(run_len) + ${SubWinW - 1} >= $SubMinSpan " +
           "ORDER BY doc_a, doc_b"),
+      // mirrors dedupSubstringAuto's volume branch IN SQL (scalar
+      // subquery gates on sum(n_chars)), so the auto form stays
+      // hash-checked on whichever side the corpus lands
+      "q_dedup_substring_auto" ->
+        ("WITH vol AS (SELECT coalesce(sum(n_chars), 0) AS v FROM documents), " +
+          "w AS (SELECT doc_id, CAST(u AS BIGINT) AS pos, " +
+          "CAST(concat('0x', substring(md5(substring(text, CAST(u AS INT), " +
+          s"$SubWinW)), 1, 15)) AS BIGINT) AS h " +
+          s"FROM documents, unnest(generate_series(1, n_chars - ${SubWinW - 1})) AS t(u) " +
+          s"WHERE n_chars >= $SubWinW), " +
+          "ds AS (SELECT DISTINCT doc_id, h FROM w), " +
+          s"g1 AS (SELECT h FROM ds GROUP BY h HAVING count(*) BETWEEN 2 AND $SubDfCap), " +
+          "cov AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos " +
+          "FROM w a JOIN g1 USING (h) JOIN ds b USING (h) WHERE a.doc_id < b.doc_id), " +
+          "r AS (SELECT doc_a, doc_b, pos, pos - row_number() " +
+          "OVER (PARTITION BY doc_a, doc_b ORDER BY pos) AS grp FROM cov), " +
+          "runs AS (SELECT doc_a, doc_b, grp, count(*) AS run_len FROM r GROUP BY 1, 2, 3), " +
+          "s1 AS (SELECT doc_a, doc_b, CAST(sum(run_len) AS BIGINT) AS n_matches, " +
+          "'stride1' AS mode FROM runs GROUP BY 1, 2 " +
+          s"HAVING max(run_len) + ${SubWinW - 1} >= $SubMinSpan), " +
+          "fp AS (SELECT DISTINCT doc_id, h FROM (SELECT doc_id, " +
+          "min(h) OVER (PARTITION BY doc_id ORDER BY pos " +
+          s"ROWS BETWEEN CURRENT ROW AND ${WinnowK - 1} FOLLOWING) AS h FROM w)), " +
+          s"g2 AS (SELECT h FROM fp GROUP BY h HAVING count(*) BETWEEN 2 AND $SubDfCap), " +
+          "wn AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+          "CAST(count(*) AS BIGINT) AS n_matches, 'winnow' AS mode " +
+          "FROM fp a JOIN g2 USING (h) JOIN fp b USING (h) WHERE a.doc_id < b.doc_id " +
+          "GROUP BY 1, 2) " +
+          s"SELECT * FROM s1 WHERE (SELECT v FROM vol) <= $SubAutoVolCap " +
+          s"UNION ALL SELECT * FROM wn WHERE (SELECT v FROM vol) > $SubAutoVolCap " +
+          "ORDER BY doc_a, doc_b"),
+      // collapse-stage hash anchor: exact-collapse to min-id reps, then
+      // the q_dedup_ngram exact-Jaccard core restricted to reps
+      "q_dedup_collapsed_jaccard" ->
+        ("WITH reps AS (SELECT min(doc_id) AS doc_id FROM documents " +
+          "GROUP BY md5(lower(trim(text)))), " +
+          "ds AS (SELECT doc_id, " +
+          s"CAST(concat('0x', substring(md5(unnest(list_distinct($shinglesDuck))), 1, 15)) AS BIGINT) AS sh " +
+          "FROM documents JOIN reps USING (doc_id)), " +
+          "sizes AS (SELECT doc_id, count(*) AS n_sh FROM ds GROUP BY doc_id), " +
+          "ok AS (SELECT sh FROM ds GROUP BY sh " +
+          s"HAVING count(DISTINCT doc_id) > 1 AND count(DISTINCT doc_id) <= ${LlmPipeline.NgramDfCap}), " +
+          "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(DISTINCT a.sh) AS n_inter " +
+          "FROM ds a JOIN ok ON ok.sh = a.sh " +
+          "JOIN ds b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+          "SELECT doc_a, doc_b, " +
+          "CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) AS jaccard " +
+          "FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b " +
+          "ORDER BY jaccard DESC, doc_a, doc_b LIMIT 100"),
       "q_lm_fluency" ->
         ("WITH tk AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS t FROM documents), " +
           "bg AS (SELECT doc_id, t[CAST(u AS INT)] AS w1, " +
@@ -4280,6 +4426,50 @@ object LlmPipeline {
           s"CAST(max(run_len) + ${SubWinW - 1} AS BIGINT) AS longest_span " +
           s"FROM runs GROUP BY 1, 2 HAVING max(run_len) + ${SubWinW - 1} >= $SubMinSpan " +
           "ORDER BY doc_a, doc_b"),
+      "q_dedup_substring_auto" ->
+        ("WITH vol AS (SELECT coalesce(sum(n_chars), CAST(0 AS BIGINT)) AS v FROM documents), " +
+          "w AS (SELECT doc_id, pos, " +
+          "CAST(conv(substring(md5(substring(text, CAST(pos AS INT), " +
+          s"$SubWinW)), 1, 15), 16, 10) AS BIGINT) AS h " +
+          "FROM (SELECT doc_id, text, " +
+          s"explode(sequence(CAST(1 AS BIGINT), n_chars - ${SubWinW - 1})) AS pos " +
+          s"FROM documents WHERE n_chars >= $SubWinW)), " +
+          "ds AS (SELECT DISTINCT doc_id, h FROM w), " +
+          s"g1 AS (SELECT h FROM ds GROUP BY h HAVING count(*) BETWEEN 2 AND $SubDfCap), " +
+          "cov AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos " +
+          "FROM w a JOIN g1 USING (h) JOIN ds b USING (h) WHERE a.doc_id < b.doc_id), " +
+          "r AS (SELECT doc_a, doc_b, pos, pos - row_number() " +
+          "OVER (PARTITION BY doc_a, doc_b ORDER BY pos) AS grp FROM cov), " +
+          "runs AS (SELECT doc_a, doc_b, grp, count(*) AS run_len FROM r GROUP BY 1, 2, 3), " +
+          "s1 AS (SELECT doc_a, doc_b, CAST(sum(run_len) AS BIGINT) AS n_matches, " +
+          "'stride1' AS mode FROM runs GROUP BY 1, 2 " +
+          s"HAVING max(run_len) + ${SubWinW - 1} >= $SubMinSpan), " +
+          "fp AS (SELECT DISTINCT doc_id, h FROM (SELECT doc_id, " +
+          "min(h) OVER (PARTITION BY doc_id ORDER BY pos " +
+          s"ROWS BETWEEN CURRENT ROW AND ${WinnowK - 1} FOLLOWING) AS h FROM w)), " +
+          s"g2 AS (SELECT h FROM fp GROUP BY h HAVING count(*) BETWEEN 2 AND $SubDfCap), " +
+          "wn AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+          "CAST(count(*) AS BIGINT) AS n_matches, 'winnow' AS mode " +
+          "FROM fp a JOIN g2 USING (h) JOIN fp b USING (h) WHERE a.doc_id < b.doc_id " +
+          "GROUP BY 1, 2) " +
+          s"SELECT * FROM s1 WHERE (SELECT v FROM vol) <= $SubAutoVolCap " +
+          s"UNION ALL SELECT * FROM wn WHERE (SELECT v FROM vol) > $SubAutoVolCap " +
+          "ORDER BY doc_a, doc_b"),
+      "q_dedup_collapsed_jaccard" ->
+        (s"WITH $dtk, reps AS (SELECT min(doc_id) AS doc_id FROM documents " +
+          "GROUP BY md5(lower(trim(text)))), " +
+          s"ds AS (SELECT doc_id, ${hash("s")} AS sh FROM " +
+          s"(SELECT doc_id, explode(array_distinct($shS)) AS s " +
+          "FROM dtk JOIN reps USING (doc_id))), " +
+          "sizes AS (SELECT doc_id, count(*) AS n_sh FROM ds GROUP BY doc_id), " +
+          s"ok AS (SELECT sh FROM ds GROUP BY sh HAVING count(DISTINCT doc_id) > 1 " +
+          s"AND count(DISTINCT doc_id) <= $NgramDfCap), " +
+          "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(DISTINCT a.sh) AS n_inter " +
+          "FROM ds a JOIN ok ON ok.sh = a.sh JOIN ds b ON a.sh = b.sh AND a.doc_id < b.doc_id " +
+          "GROUP BY 1, 2) " +
+          "SELECT doc_a, doc_b, CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) AS jaccard " +
+          "FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b " +
+          "ORDER BY jaccard DESC, doc_a, doc_b LIMIT 100"),
       "q_lm_fluency" ->
         ("WITH tk AS (SELECT doc_id, split(coalesce(text, ''), ' ') AS t FROM documents), " +
           "bg AS (SELECT doc_id, p.w1 AS w1, p.bigram AS bigram FROM (" +

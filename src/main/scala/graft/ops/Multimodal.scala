@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.Tables
+import graft.ops.Pin.PinOps
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -731,7 +732,7 @@ object Multimodal {
     // pin the hash table: it feeds FOUR plan legs (both band self-join
     // sides + both verify back-joins), and without the checkpoint each
     // leg re-runs the decode+hash MapPartitions — four corpus scans
-    val h = phashCore(ds).toDF("doc_id", "phash_hex").localCheckpoint()
+    val h = phashCore(ds).toDF("doc_id", "phash_hex").pinned()
     val allBands = h.select(col("doc_id"), col("phash_hex"),
         explode(expr(s"sequence(0, ${PhashBands - 1})")).as("band"))
       .withColumn("bv", expr("substring(phash_hex, 1 + 2 * band, 2)"))

@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.Tables
+import graft.ops.Pin.PinOps
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -416,7 +417,7 @@ object Streaming {
     val act = Tables.events(s, d)
       .select(col("user_id"), col("ts").cast("date").as("day"))
       .distinct()
-      .localCheckpoint()
+      .pinned()
     val first = act.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
     act.join(first, Seq("user_id"))
       .select(col("cohort_day"),
