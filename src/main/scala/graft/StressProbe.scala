@@ -25,7 +25,8 @@ object StressProbe {
 
   private val HeavyDefaults = Seq(
     "q_dedup_exact", "q_dedup_ngram", "q_dedup_simhash", "q_dedup_near",
-    "q_dedup_substring", "q_dedup_editdist", "q_dedup_paragraph",
+    "q_dedup_substring", "q_dedup_substring_auto", "q_dedup_collapsed_jaccard",
+    "q_dedup_editdist", "q_dedup_paragraph",
     "q_dedup_phash", "q_source_overlap", "q_text_tfidf", "q_lm_fluency",
     "q_ann_recall", "q_ann_recall_mp", "q_lsh_bucket_stats",
     "q_heartbeat_map_explode", "q_heartbeat_map_delta",

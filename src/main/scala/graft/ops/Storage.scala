@@ -191,7 +191,7 @@ object Storage {
     * disjoint 10-bit ranges of the 60-bit hash) — halves the per-row
     * hash cost vs a seed-per-position md5.
     */
-  private def bloomPoss(key: String): Seq[String] = {
+  private[graft] def bloomPoss(key: String): Seq[String] = {
     val h = s"CAST(conv(substring(md5($key), 1, 15), 16, 10) AS BIGINT)"
     Seq(s"$h % $FileBloomBits", s"($h DIV $FileBloomBits) % $FileBloomBits")
   }
@@ -225,6 +225,29 @@ object Storage {
   def fileindexBuild(s: SparkSession, d: String): DataFrame =
     fileBloomIndex(s, d).orderBy("file_id", "bit_pos")
 
+  /** Persisted form of the Bloom index, keyed by dataset dir + source
+    * mtime (a driver-regenerated fixture must miss, or a stale index
+    * would serve wrong prune sets to the oracle gate). Same
+    * build-once/probe-many lifecycle as the IVF index
+    * (LlmPipeline.ensureIvfIndex): at 100 TB the index build is one
+    * corpus pass run by the ingest job; every point-lookup probe after
+    * it reads only this metadata-sized table.
+    */
+  private[graft] def bloomIndexDir(d: String): String = {
+    val mtime = new java.io.File(s"$d/lineitem.parquet").lastModified()
+    s"${sys.props("java.io.tmpdir")}/graft-bloom-index/" +
+      d.replaceAll("[^A-Za-z0-9._-]", "_") + s"_$mtime"
+  }
+
+  private[graft] def ensureBloomIndex(s: SparkSession, d: String): String = {
+    val dir = bloomIndexDir(d)
+    val success = new org.apache.hadoop.fs.Path(s"$dir/_SUCCESS")
+    val fs = success.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(success))
+      fileBloomIndex(s, d).write.mode("overwrite").parquet(dir)
+    dir
+  }
+
   /** q_fileindex_prune — candidate files for `l_suppkey = ProbeSuppKey`,
     * answered FROM THE INDEX ALONE: a file qualifies iff its bit set
     * contains EVERY probe position. Sound (the build derives positions
@@ -233,6 +256,11 @@ object Storage {
     * inexact (position collisions admit false positives at the standard
     * Bloom rate). The probe positions are a ≤2-row broadcast; the
     * qualifying check is one combining count per file.
+    *
+    * Answers from the PERSISTED index (ensureBloomIndex): the first
+    * call per dataset builds it; every later call — and later session —
+    * reads the metadata-sized parquet, never the chunk table. Rebuilding
+    * inline per probe re-scanned the corpus on every point lookup.
     */
   def fileindexPrune(s: SparkSession, d: String): DataFrame = {
     val pExprs = bloomPoss(s"'$ProbeSuppKey'")
@@ -240,7 +268,7 @@ object Storage {
       .select(explode(expr(s"array_distinct(array(${pExprs.mkString(", ")}))"))
         .as("bit_pos"))
     val need = ppos.agg(count(lit(1)).as("n_need"))
-    fileBloomIndex(s, d)
+    s.read.parquet(ensureBloomIndex(s, d))
       .join(broadcast(ppos), Seq("bit_pos"))
       .groupBy("file_id").agg(count(lit(1)).as("n_hit"))
       .crossJoin(broadcast(need))

@@ -1298,6 +1298,24 @@ class LlmPipelineSpec extends AnyFunSuite {
     assert(exact == Set((1L, 2L)))
   }
 
+  test("q_dedup_near (collapse+expand) reproduces the whole-corpus LSH join exactly") {
+    import spark.implicits._
+    val dir = LlmFixtures.plantedDir(spark) // doc 200 is a verbatim copy of doc 0
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select($"doc_a", $"doc_b", $"jaccard_dist".cast("double"))
+      .as[(Long, Long, Double)].collect().toSet
+    // identical text ⇒ identical signature, so expanding rep-level pairs
+    // through the copy groups must equal the uncollapsed join, pair for
+    // pair AND distance for distance — including the (0, 200) intra-group
+    // pair at distance 0
+    val expanded = rows(ops.LlmPipeline.dedupNear(spark, dir))
+    val wholeCorpus = rows(ops.LlmPipeline.dedupNearUncollapsed(spark, dir))
+    assert(expanded == wholeCorpus,
+      s"only-expanded: ${(expanded -- wholeCorpus).take(5)}; " +
+        s"only-whole: ${(wholeCorpus -- expanded).take(5)}")
+    assert(expanded.exists(p => p._1 == 0L && p._2 == 200L && p._3 == 0.0))
+  }
+
   test("q_dedup_near_collapsed: verbatim copies collapse before the LSH join, recall intact") {
     import spark.implicits._
     val dir = LlmFixtures.plantedDir(spark) // doc 200 is a verbatim copy of doc 0

@@ -86,6 +86,34 @@ class StorageSpec extends AnyFunSuite {
     assert(idx.count() <= bound)
   }
 
+  test("bloom prune answers from the persisted index: no chunk-table scan in the plan") {
+    // force the index to exist, then plan the probe
+    ops.Storage.ensureBloomIndex(spark, d)
+    val probe = ops.Storage.fileindexPrune(spark, d)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(!plan.contains("lineitem"),
+      s"prune plan still scans the chunk table:\n$plan")
+    assert(plan.contains("graft-bloom-index"),
+      "prune plan does not read the persisted index")
+    // persisted-index answer ≡ inline-rebuild answer
+    val fromIndex = probe.collect().map(_.getLong(0)).toSeq
+    val inline = {
+      import org.apache.spark.sql.functions.{broadcast => bcast}
+      val pExprs = ops.Storage.bloomPoss(s"'${ops.Storage.ProbeSuppKey}'")
+      val ppos = spark.range(1).select(
+        explode(expr(s"array_distinct(array(${pExprs.mkString(", ")}))")).as("bit_pos"))
+      val need = ppos.agg(count(lit(1)).as("n_need"))
+      ops.Storage.fileBloomIndex(spark, d)
+        .join(bcast(ppos), Seq("bit_pos"))
+        .groupBy("file_id").agg(count(lit(1)).as("n_hit"))
+        .crossJoin(bcast(need))
+        .where(col("n_hit") === col("n_need"))
+        .select("file_id").orderBy("file_id")
+        .collect().map(_.getLong(0)).toSeq
+    }
+    assert(fromIndex == inline, "persisted index diverges from inline rebuild")
+  }
+
   test("z-order interleave: known bit patterns; layout boxes beat 1-D order on a 2-D probe") {
     // zExpr(3, 5): a=0b11 → even bits 1+4; b=0b101 → odd bits 2+32 ⇒ 39
     val z35 = spark.sql(
