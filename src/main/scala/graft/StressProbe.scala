@@ -104,7 +104,11 @@ object StressProbe {
     spark.sparkContext.setLogLevel("WARN")
     val dir = buildScaled(spark, base, mult)
     println(s"[stress] scaled dir $dir (${mult}x $base)")
-    names.foreach { name =>
+    // BUILD_ONLY: construct (or reuse) the scaled corpus and print its
+    // path, running nothing — sweep.sh uses this to stand in the sf1
+    // decade for the full Verify + DuckDB hash gate.
+    val runNames = if (names == Seq("BUILD_ONLY")) Nil else names
+    runNames.foreach { name =>
       val t0 = System.nanoTime()
       val outcome =
         try { val n = SparkEntry.queries(name)(spark, dir).count(); s"rows=$n" }

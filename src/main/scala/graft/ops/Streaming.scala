@@ -332,6 +332,15 @@ object Streaming {
       : org.apache.spark.sql.streaming.StreamingQuery =
     hb.writeStream.outputMode(OutputMode.Update())
       .foreachBatch { (batch: Dataset[Heartbeat], batchId: Long) =>
+        mergeLatestSnapshot(batch, dir, batchId)
+      }
+      .start()
+
+  /** The sink's per-batch merge, callable from any foreachBatch wiring
+    * (LiveIngest's file-tail pipeline reuses it verbatim — same
+    * idempotent restatement, same backup-rename swap).
+    */
+  def mergeLatestSnapshot(batch: Dataset[Heartbeat], dir: String, batchId: Long): Unit = {
         val s = batch.sparkSession
         val incoming = batch.groupBy(col("node")).agg(max(col("ts")).as("ts"))
         // existence probed through the Hadoop FS API, not java.io.File: the
@@ -361,8 +370,7 @@ object Streaming {
           throw new java.io.IOException(s"snapshot swap $tmpPath -> $snapPath failed")
         fs.delete(bakPath, true)
         ()
-      }
-      .start()
+  }
 
   /** Funnel stage order for q_funnel (each stage's first event must
     * come strictly AFTER the previous stage's).
