@@ -362,6 +362,78 @@ object Relational {
         count(lit(1)).as("n_lines"))
       .orderBy("p_brand")
 
+  /** q_join_star_revenue — TPC-H Q5's local-supplier-revenue shape: the
+    * canonical 6-table star join (lineitem ⋈ supplier ⋈ orders ⋈
+    * customer ⋈ nation ⋈ region) with the correlation predicate that
+    * makes Q5 hard — the customer's nation must EQUAL the supplier's
+    * nation, so the last join carries a second equi-condition, not just
+    * the key chain. Revenue per ASIA nation over one order-date year.
+    *
+    * Scale shape: region→nation is broadcast (bounded dims); supplier
+    * and customer joins carry NO hint — locally they'd broadcast, but
+    * both are unbounded at corpus scale, so AQE's runtime size check
+    * picks the strategy (the q_join_asof rule). The date filter sits
+    * directly on the orders scan (pushed to parquet), so the fact-fact
+    * shuffle moves one filtered year, not the table. Aggregate keys are
+    * nation-bounded — the final exchange is dimension-sized.
+    */
+  def joinStarRevenue(s: SparkSession, d: String): DataFrame = {
+    val asiaNations = Tables.nation(s, d)
+      .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val sup = Tables.supplier(s, d)
+      .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_nationkey", "n_name")
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+    Tables.lineitem(s, d)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d).select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .groupBy("n_name")
+      // sum the scale-4 product directly (dsum's DECIMAL(18,2) re-cast
+      // would round each line's revenue before summing — the oracle sums
+      // exact and diverges in the cents)
+      .agg(sum(discRevenue).cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("n_name")
+  }
+
+  /** q_join_shipping_priority — TPC-H Q3: top-10 highest-revenue
+    * unshipped orders for one market segment (ordered before the
+    * cutoff, shipped after it). The LIMIT is the semantics: the plan
+    * must be a TakeOrderedAndProject over the aggregate (per-partition
+    * top-10 → merge — plan-asserted in PlanShapeSpec), never a global
+    * sort; at 100 TB that is the difference between shipping 10 rows
+    * per partition and sorting the whole aggregate. Ordering is
+    * total (revenue DESC, then orderkey) — Q3's bare revenue sort
+    * would let engines disagree on equal-revenue ties.
+    */
+  def joinShippingPriority(s: SparkSession, d: String): DataFrame = {
+    val cutoff = lit("1998-06-01").cast("timestamp")
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") > cutoff)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+      .join(Tables.orders(s, d).filter(col("o_orderdate") < cutoff)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(sum(discRevenue).cast(DoubleType).as("revenue"))
+      .select(col("l_orderkey"), unix_micros(col("o_orderdate")).as("od_us"),
+        col("o_orderpriority"), col("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
   /** q_pivot — status-by-priority order counts as a wide table
     * (groupBy + pivot with an EXPLICIT value list: without it Spark runs
     * an extra distinct pass over the pivot column AND the output schema
@@ -676,6 +748,8 @@ object Relational {
     "q_subquery_corr"       -> (subqueryCorr _),
     "q_join_full_outer"     -> (joinFullOuter _),
     "q_join_part_promo"     -> (joinPartPromo _),
+    "q_join_star_revenue"   -> (joinStarRevenue _),
+    "q_join_shipping_priority" -> (joinShippingPriority _),
     "q_pivot"               -> (pivotStatus _),
     "q_window_lag_lead"     -> (windowLagLead _),
     "q_window_ntile"        -> (windowNtile _),
@@ -793,6 +867,29 @@ object Relational {
         "(SELECT o_custkey, count(*) AS n_big FROM orders " +
         "WHERE o_totalprice > 150000 GROUP BY o_custkey) o " +
         "ON c_custkey = o_custkey ORDER BY custkey"),
+    "q_join_star_revenue" ->
+      ("SELECT n_name, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue, " +
+        "count(*) AS n_lines " +
+        "FROM lineitem " +
+        "JOIN supplier ON l_suppkey = s_suppkey " +
+        "JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey " +
+        "JOIN nation ON s_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey " +
+        "WHERE r_name = 'ASIA' " +
+        "AND o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01' " +
+        "GROUP BY n_name ORDER BY n_name"),
+    "q_join_shipping_priority" ->
+      ("SELECT l_orderkey, epoch_us(o_orderdate) AS od_us, o_orderpriority, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue " +
+        "FROM customer " +
+        "JOIN orders ON c_custkey = o_custkey " +
+        "JOIN lineitem ON l_orderkey = o_orderkey " +
+        "WHERE c_mktsegment = 'BUILDING' " +
+        "AND o_orderdate < TIMESTAMP '1998-06-01' AND l_shipdate > TIMESTAMP '1998-06-01' " +
+        "GROUP BY l_orderkey, o_orderdate, o_orderpriority " +
+        "ORDER BY revenue DESC, l_orderkey LIMIT 10"),
     "q_join_part_promo" ->
       ("SELECT p_brand, " +
         "CAST(SUM(CASE WHEN p_type = 'PROMO' " +
@@ -919,6 +1016,17 @@ object Relational {
     * QUALIFY → ranked subquery.
     */
   val sparkSql: Map[String, String] = Map(
+    // epoch_us → unix_micros is the only dialect delta
+    "q_join_shipping_priority" ->
+      ("SELECT l_orderkey, unix_micros(o_orderdate) AS od_us, o_orderpriority, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue " +
+        "FROM customer " +
+        "JOIN orders ON c_custkey = o_custkey " +
+        "JOIN lineitem ON l_orderkey = o_orderkey " +
+        "WHERE c_mktsegment = 'BUILDING' " +
+        "AND o_orderdate < TIMESTAMP '1998-06-01' AND l_shipdate > TIMESTAMP '1998-06-01' " +
+        "GROUP BY l_orderkey, o_orderdate, o_orderpriority " +
+        "ORDER BY revenue DESC, l_orderkey LIMIT 10"),
     // raw l_shipdate in the output: NTZ cast matches the DataFrame form
     // (and the oracle's naive TIMESTAMP type class) — Spark reads the
     // naive parquet micros as LTZ, DuckDB as naive

@@ -305,4 +305,25 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), s"cartesian in bucket stats:\n$plan")
     assert(!plan.contains("SortAggregate"), s"sort-agg crept in:\n$plan")
   }
+
+  test("star revenue broadcasts the bounded dims and pushes the date filter to the orders scan") {
+    val plan = physical(ops.Relational.joinStarRevenue(spark, d))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"region/nation chain should broadcast:\n$plan")
+    // the one-year order window must reach the parquet scan, not sit in
+    // a post-scan Filter only: at 100 TB this is the partition-pruning
+    // difference between reading one year and the whole table
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderdate)") ||
+      plan.matches("(?s).*PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(o_orderdate.*"),
+      s"o_orderdate range not pushed to the orders scan:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"star join degenerated:\n$plan")
+  }
+
+  test("shipping priority's top-10 is TakeOrderedAndProject over the aggregate, no global sort") {
+    val plan = physical(ops.Relational.joinShippingPriority(spark, d))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"LIMIT 10 must compile to top-k, not Sort+Limit:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian crept in:\n$plan")
+  }
 }
