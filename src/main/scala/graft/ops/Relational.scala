@@ -434,6 +434,127 @@ object Relational {
       .limit(10)
   }
 
+  /** q_join_large_orders — TPC-H Q18's large-volume-order shape: orders
+    * whose total line quantity exceeds a threshold, with customer
+    * attribution and a top-100 by order value. The interesting part is
+    * the aggregated semi-join: the HAVING subquery is ONE combining
+    * hash-agg over lineitem (map-side partials shrink the shuffle to a
+    * row per order) and its output — already threshold-filtered to ~1%
+    * of orders — both drives the join AND carries the quantity total,
+    * so lineitem is scanned once, not twice as in the literal Q18 text.
+    * The top-100 must compile to TakeOrderedAndProject (plan-asserted).
+    */
+  def joinLargeOrders(s: SparkSession, d: String): DataFrame = {
+    val bigOrders = Tables.lineitem(s, d)
+      .select("l_orderkey", "l_quantity")
+      .groupBy("l_orderkey")
+      .agg(sum(dec("l_quantity")).as("sum_qty_d"))
+      .filter(col("sum_qty_d") > 250)
+    Tables.orders(s, d)
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      .join(bigOrders, col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(s, d).select("c_custkey", "c_name"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        unix_micros(col("o_orderdate")).as("od_us"),
+        dec("o_totalprice").cast(DoubleType).as("totalprice"),
+        col("sum_qty_d").cast(DoubleType).as("sum_qty"))
+      .orderBy(col("totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  /** q_join_returned_revenue — TPC-H Q10: revenue lost to returned items
+    * per customer over one quarter, top-20. Quarter filter sits on the
+    * orders scan and the R-flag filter on the lineitem scan (both
+    * pushed), so the fact-fact join moves a quarter of returns, not the
+    * tables; nation is broadcast; top-20 is TakeOrderedAndProject with
+    * the tie made total by c_custkey.
+    */
+  def joinReturnedRevenue(s: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+    Tables.lineitem(s, d)
+      .filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d).select("c_custkey", "c_name", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d).select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "n_name")
+      .agg(sum(discRevenue).cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** q_join_nation_volume — TPC-H Q7's bilateral shipping volume: line
+    * revenue flowing between two specific nations (either direction) by
+    * ship year. The scale move is pushing the nation pair INTO the
+    * supplier and customer dims before any fact join — each side of the
+    * fact chain joins a ~2/25 slice of its dim, so the nation predicate
+    * prunes at the first join instead of after the 4-table chain (the
+    * literal Q7 text filters last). Both directed pairs survive; the
+    * (A,A)/(B,B) diagonals drop via one inequality since both ends are
+    * restricted to the same 2-nation set.
+    */
+  def joinNationVolume(s: SparkSession, d: String): DataFrame = {
+    val pair = Tables.nation(s, d)
+      .filter(col("n_name").isin("NATION_3", "NATION_8"))
+    val sup = Tables.supplier(s, d)
+      .join(broadcast(pair.select(col("n_nationkey"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "supp_nation")
+    val cust = Tables.customer(s, d)
+      .join(broadcast(pair.select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))),
+        col("c_nationkey") === col("cn_key"))
+      .select("c_custkey", "cust_nation")
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate")
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast(IntegerType).as("l_year"))
+      .agg(sum(discRevenue).cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** q_subquery_anti_agg — TPC-H Q22's dormant-high-balance shape: per
+    * market segment, customers whose balance beats the positive-balance
+    * mean and who placed no order in the final window. Two decorrelation
+    * patterns in one plan: the scalar AVG subquery becomes a 1-row
+    * broadcast (cross join of a 2-column aggregate — never a driver
+    * collect), and NOT EXISTS becomes a LEFT ANTI hash join on the
+    * date-filtered orders slice. The mean test is algebraic — bal·n >
+    * Σbal in exact DECIMAL — so no engine ever divides and the boundary
+    * cannot drift between DECIMAL and IEEE rounding (the q_subquery_corr
+    * rule).
+    */
+  def subqueryAntiAgg(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment"), dec("c_acctbal").as("bal"))
+    val stats = cust.filter(col("bal") > 0)
+      .agg(sum(col("bal")).as("sum_pos"), count(lit(1)).as("n_pos"))
+    val recent = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("2001-01-01").cast("timestamp"))
+      .select("o_custkey")
+    cust.crossJoin(broadcast(stats))
+      .filter(col("bal") * col("n_pos") > col("sum_pos"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_cust"),
+        sum(col("bal")).cast(DoubleType).as("total_bal"))
+      .orderBy("c_mktsegment")
+  }
+
   /** q_pivot — status-by-priority order counts as a wide table
     * (groupBy + pivot with an EXPLICIT value list: without it Spark runs
     * an extra distinct pass over the pivot column AND the output schema
@@ -750,6 +871,10 @@ object Relational {
     "q_join_part_promo"     -> (joinPartPromo _),
     "q_join_star_revenue"   -> (joinStarRevenue _),
     "q_join_shipping_priority" -> (joinShippingPriority _),
+    "q_join_large_orders"   -> (joinLargeOrders _),
+    "q_join_returned_revenue" -> (joinReturnedRevenue _),
+    "q_join_nation_volume"  -> (joinNationVolume _),
+    "q_subquery_anti_agg"   -> (subqueryAntiAgg _),
     "q_pivot"               -> (pivotStatus _),
     "q_window_lag_lead"     -> (windowLagLead _),
     "q_window_ntile"        -> (windowNtile _),
@@ -890,6 +1015,54 @@ object Relational {
         "AND o_orderdate < TIMESTAMP '1998-06-01' AND l_shipdate > TIMESTAMP '1998-06-01' " +
         "GROUP BY l_orderkey, o_orderdate, o_orderpriority " +
         "ORDER BY revenue DESC, l_orderkey LIMIT 10"),
+    "q_join_large_orders" ->
+      ("SELECT c_name, c_custkey, o_orderkey, epoch_us(o_orderdate) AS od_us, " +
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice, " +
+        "CAST(sum_qty_d AS DOUBLE) AS sum_qty " +
+        "FROM orders " +
+        "JOIN (SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty_d " +
+        "FROM lineitem GROUP BY l_orderkey " +
+        "HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250) b ON o_orderkey = b.l_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "ORDER BY totalprice DESC, o_orderkey LIMIT 100"),
+    "q_join_returned_revenue" ->
+      ("SELECT c_custkey, c_name, n_name, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue, " +
+        "count(*) AS n_lines " +
+        "FROM lineitem " +
+        "JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation ON c_nationkey = n_nationkey " +
+        "WHERE l_returnflag = 'R' " +
+        "AND o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-04-01' " +
+        "GROUP BY c_custkey, c_name, n_name " +
+        "ORDER BY revenue DESC, c_custkey LIMIT 20"),
+    "q_join_nation_volume" ->
+      ("SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, " +
+        "CAST(year(l_shipdate) AS INTEGER) AS l_year, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue, " +
+        "count(*) AS n_lines " +
+        "FROM lineitem " +
+        "JOIN supplier ON l_suppkey = s_suppkey " +
+        "JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation n1 ON s_nationkey = n1.n_nationkey " +
+        "JOIN nation n2 ON c_nationkey = n2.n_nationkey " +
+        "WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8') " +
+        "OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3')) " +
+        "AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01' " +
+        "GROUP BY supp_nation, cust_nation, l_year " +
+        "ORDER BY supp_nation, cust_nation, l_year"),
+    "q_subquery_anti_agg" ->
+      ("WITH st AS (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_pos, " +
+        "count(*) AS n_pos FROM customer WHERE CAST(c_acctbal AS DECIMAL(18,2)) > 0) " +
+        "SELECT c_mktsegment, count(*) AS n_cust, " +
+        "CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal " +
+        "FROM customer, st " +
+        "WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n_pos > sum_pos " +
+        "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey " +
+        "AND o_orderdate >= TIMESTAMP '2001-01-01') " +
+        "GROUP BY c_mktsegment ORDER BY c_mktsegment"),
     "q_join_part_promo" ->
       ("SELECT p_brand, " +
         "CAST(SUM(CASE WHEN p_type = 'PROMO' " +
@@ -1017,6 +1190,16 @@ object Relational {
     */
   val sparkSql: Map[String, String] = Map(
     // epoch_us → unix_micros is the only dialect delta
+    "q_join_large_orders" ->
+      ("SELECT c_name, c_custkey, o_orderkey, unix_micros(o_orderdate) AS od_us, " +
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice, " +
+        "CAST(sum_qty_d AS DOUBLE) AS sum_qty " +
+        "FROM orders " +
+        "JOIN (SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty_d " +
+        "FROM lineitem GROUP BY l_orderkey " +
+        "HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250) b ON o_orderkey = b.l_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "ORDER BY totalprice DESC, o_orderkey LIMIT 100"),
     "q_join_shipping_priority" ->
       ("SELECT l_orderkey, unix_micros(o_orderdate) AS od_us, o_orderpriority, " +
         "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue " +

@@ -326,4 +326,40 @@ class PlanShapeSpec extends AnyFunSuite {
       s"LIMIT 10 must compile to top-k, not Sort+Limit:\n$plan")
     assert(!plan.contains("CartesianProduct"), s"cartesian crept in:\n$plan")
   }
+
+  test("large orders: lineitem aggregates partially before its join, top-100 is top-k") {
+    val plan = physical(ops.Relational.joinLargeOrders(spark, d))
+    // the HAVING subquery must shrink lineitem to one row per order
+    // BEFORE the join: partial agg on the scan side, no second lineitem scan
+    assert(plan.contains("HashAggregate") && plan.contains("partial"),
+      s"expected a combining hash-agg feeding the join:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"LIMIT 100 must compile to top-k:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"large-orders join degenerated:\n$plan")
+  }
+
+  test("returned revenue: R-flag reaches the lineitem scan, quarter reaches the orders scan") {
+    val plan = physical(ops.Relational.joinReturnedRevenue(spark, d))
+    assert(plan.contains("EqualTo(l_returnflag,R)"),
+      s"l_returnflag filter not pushed to the lineitem scan:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-20 must compile to top-k:\n$plan")
+  }
+
+  test("nation volume: the nation pair prunes the dims via broadcast before the fact chain") {
+    val plan = physical(ops.Relational.joinNationVolume(spark, d))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"nation pair should broadcast into supplier/customer:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"nation-volume join degenerated:\n$plan")
+  }
+
+  test("anti-agg subquery: NOT EXISTS compiles to a LEFT ANTI hash join") {
+    val plan = physical(ops.Relational.subqueryAntiAgg(spark, d))
+    assert(plan.contains("LeftAnti"), s"expected LEFT ANTI join:\n$plan")
+    // the 1-row stats side is the only nested-loop allowed (scalar-subquery
+    // broadcast); the anti join itself must be hash-based
+    assert(!plan.contains("CartesianProduct"), s"cartesian crept in:\n$plan")
+  }
 }
