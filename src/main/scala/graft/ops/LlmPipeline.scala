@@ -2526,6 +2526,31 @@ object LlmPipeline {
       .orderBy(col("bucket").desc)
   }
 
+  /** Per-source document cap for q_source_cap. */
+  private[graft] val SourceCapK = 10
+
+  /** q_source_cap — per-source document budget: keep at most K documents
+    * per source, best-first (longest by n_chars, doc_id tiebreak). This
+    * is the domain-cap gate every web-corpus recipe applies so one
+    * over-crawled domain cannot dominate the mixture — the complement of
+    * q_mix_weights (which reweights what survives) and distinct from
+    * q_dedup_keep_best (which picks ONE winner per duplicate group; this
+    * caps a COUNT per origin). Plan: rank-filter over a per-source
+    * window; Spark rewrites rn ≤ K into WindowGroupLimit (plan-asserted)
+    * — each map task truncates its partial groups to K rows BEFORE the
+    * exchange, so the shuffle carries at most K·sources·tasks rows, not
+    * the corpus, and the full sort of an over-crawled source never
+    * happens anywhere.
+    */
+  def sourceCap(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("source").orderBy(col("n_chars").desc, col("doc_id"))
+    Tables.documents(s, d)
+      .select("doc_id", "source", "n_chars")
+      .withColumn("rn", row_number().over(w).cast("int"))
+      .filter(col("rn") <= SourceCapK)
+      .orderBy("source", "rn", "doc_id")
+  }
+
   /** Histogram bucket width (ppm of the quality score) for
     * q_quality_drift.
     */
@@ -2911,6 +2936,7 @@ object LlmPipeline {
     "q_compression_ratio"   -> (compressionRatio _),
     "q_ngram_counts"        -> (ngramCounts _),
     "q_budget_select"       -> (budgetSelect _),
+    "q_source_cap"          -> (sourceCap _),
     "q_quality_drift"       -> (qualityDrift _),
     "q_dedup_verify"        -> (dedupVerify _),
     "q_split_assign"        -> (splitAssign _),
@@ -3422,6 +3448,12 @@ object LlmPipeline {
           "SELECT bucket, n_docs, bucket_tokens, cum_tokens, " +
           s"cum_tokens - bucket_tokens < $SelectTokenBudget AS selected " +
           "FROM c ORDER BY bucket DESC"),
+      // dialect-neutral: runs verbatim in DuckDB and Spark
+      "q_source_cap" ->
+        ("SELECT doc_id, source, n_chars, CAST(rn AS INTEGER) AS rn FROM " +
+          "(SELECT doc_id, source, n_chars, " +
+          "row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn " +
+          s"FROM documents) t WHERE rn <= $SourceCapK ORDER BY source, rn, doc_id"),
       "q_quality_drift" ->
         (s"WITH d0 AS (SELECT source, coalesce(text, '') AS text FROM documents), " +
           "t AS (SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, " +

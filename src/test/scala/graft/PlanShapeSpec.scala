@@ -355,6 +355,15 @@ class PlanShapeSpec extends AnyFunSuite {
       s"nation-volume join degenerated:\n$plan")
   }
 
+  test("source cap: rank filter compiles to WindowGroupLimit, truncating before the shuffle") {
+    val plan = physical(ops.LlmPipeline.sourceCap(spark, d))
+    // rn <= K must rewrite to a group-limit so each map task keeps at
+    // most K rows per source before the exchange — the difference
+    // between shuffling K·sources·tasks rows and the whole corpus
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected WindowGroupLimit rewrite for the rank filter:\n$plan")
+  }
+
   test("anti-agg subquery: NOT EXISTS compiles to a LEFT ANTI hash join") {
     val plan = physical(ops.Relational.subqueryAntiAgg(spark, d))
     assert(plan.contains("LeftAnti"), s"expected LEFT ANTI join:\n$plan")
