@@ -35,5 +35,13 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default: the box has 128 GiB and the full 164-query registry on
+  // 32 threads sustained GC pressure inside an 8 GiB heap — isolated
+  // queries ran 1.5x faster than in-registry until the ceiling was
+  // lifted. SPARK_DRIVER_MEM still overrides for constrained dev runs.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // one whole-stage-codegen class per query stage x 164 queries x N
+  // bench iterations overflows the default 240 MiB JIT code cache and
+  // silently degrades late queries to interpreted generated code
+  "-XX:ReservedCodeCacheSize=512m",
 )

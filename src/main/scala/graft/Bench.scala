@@ -29,12 +29,24 @@ object Bench {
     // median over 3 runs is stable enough to compare rounds. Default
     // stays 1: the driver's contract and timing budget are single-shot.
     val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "1").toInt.max(1)
+    // Deterministic name-sorted order: Map iteration is hash-ordered and
+    // RESHUFFLES whenever a query is added, so every query's timing
+    // absorbed a different predecessor GC/cache state each round — the
+    // documented 2-6x "contention noise" class. Sorted order pins each
+    // query's environment round-over-round (and keeps the beneficial
+    // pairs adjacent: build before prune, cc before cluster_stats).
+    // SPARK_GRAFT_BENCH_ONLY (dev-only, comma-separated) times a subset
+    // in isolation; the driver sets nothing and runs the full registry.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet).filter(_.nonEmpty)
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
     val runs = (1 to iters).map { _ =>
-      SparkEntry.queries.map { case (name, fn) =>
+      ordered.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         name -> (System.nanoTime() - t0) / 1e9
-      }
+      }.toMap
     }
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
