@@ -1,0 +1,94 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.sources.JsonlCorpus
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** JSONL interchange: the encode/decode identity the registry's
+  * q_jsonl_roundtrip asserts statistically is pinned here on the
+  * adversarial cases — raw newlines, quotes, backslashes, non-BMP
+  * unicode, nulls — plus the PERMISSIVE corrupt-line quarantine and
+  * the gzip shard path that the fixture corpus never exercises.
+  */
+class JsonlCorpusSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def hostileDocs = Seq(
+    (1L, "plain text", "en", "srcA", 10L),
+    (2L, "line one\nline two\r\nline three", "en", "srcA", 29L),
+    (3L, "quote \" backslash \\ tab \t done", "en", "srcB", 30L),
+    (4L, "emoji 😀 and CJK 文字 and null-char-free", "zh", "srcB", 28L),
+    (5L, null.asInstanceOf[String], "en", "srcC", 0L),
+    (6L, "{\"looks\":\"like json\"}", "en", "srcC", 21L)
+  ).toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("roundtrip is field-identical through newlines, quotes, unicode, and nulls") {
+    val dir = Files.createTempDirectory("jsonl_rt").toString
+    JsonlCorpus.write(hostileDocs, dir)
+    val back = JsonlCorpus.read(spark, dir)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val orig = hostileDocs.collect().map(r => r.getLong(0) -> r).toMap
+    assert(back.keySet == orig.keySet, s"doc ids diverged: ${back.keySet}")
+    orig.foreach { case (id, o) =>
+      val b = back(id)
+      (1 to 4).foreach { i =>
+        assert(b.isNullAt(i) == o.isNullAt(i) &&
+          (o.isNullAt(i) || b.get(i) == o.get(i)),
+          s"doc $id field $i: ${b.get(i)} != ${o.get(i)}")
+      }
+    }
+  }
+
+  test("shard assignment is a pure function of doc_id: two writes, identical layout") {
+    val d1 = Files.createTempDirectory("jsonl_s1").toString
+    val d2 = Files.createTempDirectory("jsonl_s2").toString
+    JsonlCorpus.write(hostileDocs, d1)
+    JsonlCorpus.write(hostileDocs.orderBy(col("doc_id").desc), d2)
+    def layout(dir: String) = JsonlCorpus.read(spark, dir)
+      .select("doc_id", "shard").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(layout(d1) == layout(d2), "shard assignment depended on input order")
+  }
+
+  test("PERMISSIVE quarantine: corrupt lines counted per file, clean rows flow on") {
+    val dir = Files.createTempDirectory("jsonl_bad").toString
+    Files.writeString(Paths.get(s"$dir/part-0.json"),
+      """{"doc_id":1,"text":"ok","lang":"en","source":"s","n_chars":2,"shard":0}
+        |this is not json at all
+        |{"doc_id":2,"text":"also ok","lang":"en","source":"s","n_chars":7,"shard":1}
+        |{"truncated":
+        |""".stripMargin)
+    val report = JsonlCorpus.corruptReport(spark, dir).collect()
+    assert(report.length == 1)
+    assert(report.head.getAs[Long]("n_rows") == 4, report.head.toString)
+    assert(report.head.getAs[Long]("n_corrupt") == 2, report.head.toString)
+    // clean rows are not casualties of their neighbors
+    val clean = JsonlCorpus.read(spark, dir).where(col("doc_id").isNotNull)
+    assert(clean.count() == 2)
+  }
+
+  test("gzip shards write .gz and read back identically (the non-splittable trade)") {
+    val dir = Files.createTempDirectory("jsonl_gz").toString
+    JsonlCorpus.write(hostileDocs, dir, codec = Some("gzip"))
+    val gzFiles = new java.io.File(dir).listFiles().count(_.getName.endsWith(".json.gz"))
+    assert(gzFiles > 0, "expected gzip-compressed shards")
+    assert(JsonlCorpus.read(spark, dir).count() == 6)
+  }
+
+  test("registry roundtrip and audit agree with their oracles' shape at sf0.001") {
+    val d = SparkTestSession.sf0001
+    val rt = ops.LlmPipeline.jsonlRoundtrip(spark, d).collect()
+    assert(rt.nonEmpty)
+    rt.foreach(r => assert(r.getAs[Long]("n_intact") == r.getAs[Long]("n_docs"),
+      s"roundtrip lost documents: $r"))
+    val audit = ops.LlmPipeline.jsonlAudit(spark, d).collect()
+    assert(audit.map(_.getAs[Long]("n_lines")).sum ==
+      Tables.documents(spark, d).count())
+    audit.foreach(r => assert(r.getAs[Long]("n_corrupt") == 0L, s"corruption: $r"))
+    assert(audit.forall(!_.isNullAt(0)), "corrupt line surfaced as NULL shard")
+  }
+}
