@@ -85,6 +85,20 @@ object JsonlCorpus {
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .json(dir)
 
+  /** Streaming ingest of a JSONL spool directory — the arrival pattern
+    * of a continuously-published corpus (new shard files land, the
+    * pipeline folds them in; the LiveIngest file-tail shape applied to
+    * the interchange format). Same explicit schema and PERMISSIVE
+    * posture as the batch read; `maxFilesPerTrigger` bounds catch-up
+    * bursts after downtime so one micro-batch never swallows a backlog
+    * of shards.
+    */
+  def readStream(s: SparkSession, dir: String, maxFilesPerTrigger: Int = 16): DataFrame =
+    s.readStream.schema(documentsSchema)
+      .option("mode", "PERMISSIVE")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(dir)
+
   /** Per-file corrupt-line report over a JSONL dir: (file, n_rows,
     * n_parsed, n_corrupt, first_corrupt). The count is a plain
     * combining aggregate — the quarantine column rides the normal

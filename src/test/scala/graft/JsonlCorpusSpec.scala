@@ -79,6 +79,33 @@ class JsonlCorpusSpec extends AnyFunSuite {
     assert(JsonlCorpus.read(spark, dir).count() == 6)
   }
 
+  test("streaming ingest: shard files arriving mid-stream fold into the running counts") {
+    val dir = Files.createTempDirectory("jsonl_stream").toString
+    def shard(name: String, lines: String*): Unit = {
+      val tmp = Paths.get(dir, s".$name.tmp")
+      Files.writeString(tmp, lines.mkString("", "\n", "\n"))
+      // write-then-rename: the source must never see a half-written file
+      Files.move(tmp, Paths.get(dir, name), java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    shard("s0.json",
+      """{"doc_id":1,"text":"a","lang":"en","source":"s1","n_chars":1,"shard":0}""",
+      """{"doc_id":2,"text":"b","lang":"en","source":"s2","n_chars":1,"shard":1}""")
+    val q = JsonlCorpus.readStream(spark, dir)
+      .groupBy("source").count()
+      .writeStream.format("memory").queryName("jsonl_counts")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      def counts = spark.table("jsonl_counts").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(counts == Map("s1" -> 1L, "s2" -> 1L))
+      shard("s1.json",
+        """{"doc_id":3,"text":"c","lang":"en","source":"s1","n_chars":1,"shard":2}""")
+      q.processAllAvailable()
+      assert(counts == Map("s1" -> 2L, "s2" -> 1L))
+    } finally q.stop()
+  }
+
   test("registry roundtrip and audit agree with their oracles' shape at sf0.001") {
     val d = SparkTestSession.sf0001
     val rt = ops.LlmPipeline.jsonlRoundtrip(spark, d).collect()
