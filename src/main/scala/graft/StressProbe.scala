@@ -31,7 +31,14 @@ object StressProbe {
     "q_ann_recall", "q_ann_recall_mp", "q_lsh_bucket_stats",
     "q_heartbeat_map_explode", "q_heartbeat_map_delta",
     "q_fileindex_build", "q_fileindex_prune", "q_window_running",
-    "q_agg_having_underreplicated", "q_pipeline_curate")
+    "q_agg_having_underreplicated", "q_pipeline_curate",
+    // r12 additions: the TPC-H star/semi/anti shapes (fact-fact joins
+    // are exactly what the scaled corpus stresses), the corpus-sized
+    // JSONL export+reingest, and the windowed source cap
+    "q_join_star_revenue", "q_join_shipping_priority",
+    "q_join_large_orders", "q_join_returned_revenue",
+    "q_join_nation_volume", "q_subquery_anti_agg",
+    "q_jsonl_roundtrip", "q_jsonl_audit", "q_source_cap")
 
   /** Per-table id columns to offset per replica; absent table ⇒ copy. */
   private val IdOffsets: Map[String, Seq[String]] = Map(
