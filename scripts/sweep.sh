@@ -13,7 +13,7 @@ cd "$(dirname "$0")/.."
 for sf in sf0.001 sf0.01 sf0.1 sf1; do
   dir="/root/testdata/$sf"
   if [ ! -d "$dir" ]; then
-    if [ "$sf" = "sf1" ]; then
+    if [ "$sf" = "sf1" ] && [ -d /root/testdata/sf0.1 ]; then
       # The driver has not generated sf1; stand the decade in with the
       # StressProbe 10×-sf0.1 corpus (id-offset replicas — ADVERSARIAL
       # for dedup: every doc ×10 verbatim, so df caps / hot buckets /

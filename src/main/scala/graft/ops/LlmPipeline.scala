@@ -505,10 +505,15 @@ object LlmPipeline {
 
   def dedupNear(s: SparkSession, d: String): DataFrame = {
     // one tokens pass; copies of one text produce identical rows, so
-    // group membership is uniform w.r.t. the empty-shingle filter
+    // group membership is uniform w.r.t. the empty-shingle filter.
+    // RAW-text collapse key, NOT lower(trim(...)): shingles are computed
+    // case/whitespace-sensitively, so only byte-identical texts are
+    // guaranteed identical signatures — a case-variant copy collapsed
+    // into the group would inherit its representative's pairs at the
+    // wrong distances (and distance-0 intra pairs it doesn't have).
     val toks = withTk(Tables.documents(s, d))
       .select(col("doc_id"),
-        md5(lower(trim(col("text")))).as("norm_key"),
+        md5(coalesce(col("text"), lit(""))).as("norm_key"),
         expr(s"array_distinct($shingles)").as("tokens"))
       .where(expr("size(tokens) > 0"))
       .pinned() // feeds the collapse, the LSH side, and the expansion
@@ -556,8 +561,10 @@ object LlmPipeline {
     * fixture).
     */
   def dedupNearCollapsed(s: SparkSession, d: String): DataFrame = {
+    // raw-text collapse (the dedupNear rule): only byte-identical texts
+    // have provably identical shingle sets/signatures
     val reps = Tables.documents(s, d)
-      .groupBy(md5(lower(trim(col("text")))).as("norm_key"))
+      .groupBy(md5(coalesce(col("text"), lit(""))).as("norm_key"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id")
     nearLshJoin(withTk(Tables.documents(s, d).join(reps, "doc_id"))
@@ -2136,10 +2143,24 @@ object LlmPipeline {
     * build the index once, run every analysis against it.
     */
   private val substringWindowsMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Long), DataFrame]()
 
-  private def substringWindows(s: SparkSession, d: String): DataFrame =
-    substringWindowsMemo.computeIfAbsent((s, d), _ =>
+  private def substringWindows(s: SparkSession, d: String): DataFrame = {
+    // mtime in the key (the ensureBloomIndex staleness rule): a fixture
+    // regenerated at the same path must miss. The memo is also bounded:
+    // unlike the metadata-sized cc labels, the window table is the
+    // largest intermediate in the system, and a strong static ref would
+    // pin its checkpoint blocks for the JVM's life — evicting on a new
+    // corpus drops the old ref so ContextCleaner can reclaim the blocks.
+    val key = (s, d, new java.io.File(s"$d/documents.parquet").lastModified())
+    if (!substringWindowsMemo.containsKey(key)) {
+      val it = substringWindowsMemo.keys()
+      while (it.hasMoreElements) {
+        val k = it.nextElement()
+        if (k._1 == s && k._2 == d) substringWindowsMemo.remove(k)
+      }
+    }
+    substringWindowsMemo.computeIfAbsent(key, _ =>
       Tables.documents(s, d)
         .where(col("n_chars") >= SubWinW)
         .select(col("doc_id"),
@@ -2149,6 +2170,7 @@ object LlmPipeline {
           expr(s"CAST(conv(substring(md5(substring(text, CAST(pos AS INT), $SubWinW)), 1, 15), 16, 10) AS BIGINT)")
             .as("h"))
         .pinned())
+  }
 
   def dedupSubstring(s: SparkSession, d: String): DataFrame = {
     val wins = substringWindows(s, d)
@@ -2252,8 +2274,11 @@ object LlmPipeline {
     * byte-for-byte.
     */
   def dedupCollapsedJaccard(s: SparkSession, d: String): DataFrame = {
+    // raw-text collapse (the dedupNear rule): shingles are case/
+    // whitespace-sensitive, so only byte-identical texts provably share
+    // a shingle set — both oracle dialects mirror the same raw key
     val reps = Tables.documents(s, d)
-      .groupBy(md5(lower(trim(col("text")))).as("norm_key"))
+      .groupBy(md5(coalesce(col("text"), lit(""))).as("norm_key"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id")
     ngramPairsFromPostings(ngramPostings(s, d).join(reps, "doc_id"))
@@ -2445,16 +2470,12 @@ object LlmPipeline {
     * the export is one corpus pass run by the publishing job; every
     * re-ingest after it reads the shards, never the source table).
     */
-  private[graft] def ensureJsonlExport(s: SparkSession, d: String): String = {
-    val mtime = new java.io.File(s"$d/documents.parquet").lastModified()
-    val dir = s"${sys.props("java.io.tmpdir")}/graft-jsonl-export/" +
-      d.replaceAll("[^A-Za-z0-9._-]", "_") + s"_$mtime"
-    val success = new org.apache.hadoop.fs.Path(s"$dir/_SUCCESS")
-    val fs = success.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(success))
+  private[graft] def ensureJsonlExport(s: SparkSession, d: String): String =
+    // v2: the writer moved to hive-partitioned shard dirs — the version
+    // bump invalidates flat-layout exports from the older builder
+    Derived.ensure(s, "graft-jsonl-export", s"$d/documents.parquet", "v2") { dir =>
       graft.sources.JsonlCorpus.write(Tables.documents(s, d), dir)
-    dir
-  }
+    }
 
   /** q_jsonl_roundtrip — the corpus interchange leg, oracle-checked
     * end-to-end: documents → sharded JSONL export → explicit-schema
@@ -2496,7 +2517,12 @@ object LlmPipeline {
   def jsonlAudit(s: SparkSession, d: String): DataFrame =
     graft.sources.JsonlCorpus.readAudit(s, ensureJsonlExport(s, d))
       .groupBy("shard")
+      // n_parsed references doc_id deliberately: shard is a PARTITION
+      // column in the hive layout, and a scan whose only referenced
+      // DATA column is the internal corrupt column is refused
+      // (QUERY_ONLY_CORRUPT_RECORD_COLUMN — the corruptReport rule)
       .agg(count(lit(1)).as("n_lines"),
+        count(col("doc_id")).as("n_parsed"),
         count(col("_corrupt_record")).as("n_corrupt"))
       .orderBy("shard")
 
@@ -3527,7 +3553,8 @@ object LlmPipeline {
       "q_jsonl_audit" ->
         (s"SELECT CAST(doc_id * 2654435761 % 4294967296 % " +
           s"${graft.sources.JsonlCorpus.NShards} AS BIGINT) AS shard, " +
-          "count(*) AS n_lines, CAST(0 AS BIGINT) AS n_corrupt " +
+          "count(*) AS n_lines, count(*) AS n_parsed, " +
+          "CAST(0 AS BIGINT) AS n_corrupt " +
           "FROM documents GROUP BY shard ORDER BY shard"),
       // dialect-neutral: runs verbatim in DuckDB and Spark
       "q_source_cap" ->
@@ -3905,7 +3932,7 @@ object LlmPipeline {
       // the q_dedup_ngram exact-Jaccard core restricted to reps
       "q_dedup_collapsed_jaccard" ->
         ("WITH reps AS (SELECT min(doc_id) AS doc_id FROM documents " +
-          "GROUP BY md5(lower(trim(text)))), " +
+          "GROUP BY md5(coalesce(text, ''))), " +
           "ds AS (SELECT doc_id, " +
           s"CAST(concat('0x', substring(md5(unnest(list_distinct($shinglesDuck))), 1, 15)) AS BIGINT) AS sh " +
           "FROM documents JOIN reps USING (doc_id)), " +
@@ -4570,7 +4597,7 @@ object LlmPipeline {
           "ORDER BY doc_a, doc_b"),
       "q_dedup_collapsed_jaccard" ->
         (s"WITH $dtk, reps AS (SELECT min(doc_id) AS doc_id FROM documents " +
-          "GROUP BY md5(lower(trim(text)))), " +
+          "GROUP BY md5(coalesce(text, ''))), " +
           s"ds AS (SELECT doc_id, ${hash("s")} AS sh FROM " +
           s"(SELECT doc_id, explode(array_distinct($shS)) AS s " +
           "FROM dtk JOIN reps USING (doc_id))), " +

@@ -31,7 +31,15 @@ object Pin {
       if (sc.getCheckpointDir.isEmpty)
         sc.setCheckpointDir(s.conf.getOption("spark.graft.pinDir")
           .getOrElse(s"${sys.props("java.io.tmpdir")}/graft-pin"))
-      df.checkpoint()
+      // persist first: Dataset.checkpoint(eager) materializes with one
+      // job and then ReliableRDDCheckpointData RE-EXECUTES the lineage
+      // to write the checkpoint files — uncached, every reliable pin
+      // would compute its expensive subtree twice (Spark's documented
+      // recompute-unless-persisted checkpoint behavior). The cache is
+      // dropped once the checkpoint files are the source of truth.
+      val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try cached.checkpoint()
+      finally cached.unpersist(blocking = false)
     }
   }
 

@@ -233,20 +233,10 @@ object Storage {
     * corpus pass run by the ingest job; every point-lookup probe after
     * it reads only this metadata-sized table.
     */
-  private[graft] def bloomIndexDir(d: String): String = {
-    val mtime = new java.io.File(s"$d/lineitem.parquet").lastModified()
-    s"${sys.props("java.io.tmpdir")}/graft-bloom-index/" +
-      d.replaceAll("[^A-Za-z0-9._-]", "_") + s"_$mtime"
-  }
-
-  private[graft] def ensureBloomIndex(s: SparkSession, d: String): String = {
-    val dir = bloomIndexDir(d)
-    val success = new org.apache.hadoop.fs.Path(s"$dir/_SUCCESS")
-    val fs = success.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(success))
+  private[graft] def ensureBloomIndex(s: SparkSession, d: String): String =
+    Derived.ensure(s, "graft-bloom-index", s"$d/lineitem.parquet") { dir =>
       fileBloomIndex(s, d).write.mode("overwrite").parquet(dir)
-    dir
-  }
+    }
 
   /** q_fileindex_prune — candidate files for `l_suppkey = ProbeSuppKey`,
     * answered FROM THE INDEX ALONE: a file qualifies iff its bit set

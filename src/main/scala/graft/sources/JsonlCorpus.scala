@@ -53,15 +53,21 @@ object JsonlCorpus {
   def shardExpr: String =
     s"CAST(doc_id * 2654435761 % 4294967296 % $NShards AS BIGINT)"
 
-  /** Export `docs` (documents-table shape) as JSONL, one file per
-    * shard. `codec` "gzip" produces .json.gz shards (smaller, but each
-    * is one read task); default uncompressed (line-splittable).
+  /** Export `docs` (documents-table shape) as JSONL, one FILE per
+    * shard under hive-style `shard=K/` dirs. The repartition clusters
+    * each shard's rows into one task (hash collisions between the 8
+    * shard values merely co-locate two shards in one task — partitionBy
+    * still splits them into their own dirs, one file each; a bare
+    * repartition WITHOUT partitionBy would leave mixed-shard and empty
+    * files, breaking the one-file-per-shard contract). `codec` "gzip"
+    * produces .json.gz shards (smaller, but each is one read task);
+    * default uncompressed (line-splittable).
     */
   def write(docs: DataFrame, dir: String, codec: Option[String] = None): Unit = {
     val w = docs
       .withColumn("shard", expr(shardExpr))
       .repartition(NShards, col("shard"))
-      .write.mode("overwrite")
+      .write.mode("overwrite").partitionBy("shard")
     codec.fold(w)(c => w.option("compression", c)).json(dir)
   }
 

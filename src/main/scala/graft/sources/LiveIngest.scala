@@ -50,12 +50,18 @@ object LiveIngest {
     var ok = true
     while (ok && pos < b.length) {
       var len = 0L; var shift = 0; var p = pos; var more = true
-      while (more && p < b.length) {
+      // shift capped at 63: Scala's << wraps mod 64, so an unbounded
+      // continuation run (a corrupt file of 0x80|x bytes) would wrap
+      // into a bogus — possibly negative — length instead of stopping
+      while (more && p < b.length && shift < 64) {
         val x = b(p); p += 1
         len |= (x & 0x7fL) << shift; shift += 7
         more = (x & 0x80) != 0
       }
-      if (more || p + len > b.length) ok = false // truncated varint/frame
+      // corrupt (overlong varint / negative length) and truncated tails
+      // are both dropped, never thrown: a bad spool file must not wedge
+      // the stream on an eternally-retried batch
+      if (more || len < 0 || p + len > b.length) ok = false
       else {
         out += java.util.Arrays.copyOfRange(b, p, p + len.toInt)
         pos = p + len.toInt

@@ -74,9 +74,30 @@ class JsonlCorpusSpec extends AnyFunSuite {
   test("gzip shards write .gz and read back identically (the non-splittable trade)") {
     val dir = Files.createTempDirectory("jsonl_gz").toString
     JsonlCorpus.write(hostileDocs, dir, codec = Some("gzip"))
-    val gzFiles = new java.io.File(dir).listFiles().count(_.getName.endsWith(".json.gz"))
-    assert(gzFiles > 0, "expected gzip-compressed shards")
+    val gzFiles = Files.walk(Paths.get(dir)).iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+    var n = 0
+    while (gzFiles.hasNext) if (gzFiles.next().toString.endsWith(".json.gz")) n += 1
+    assert(n > 0, "expected gzip-compressed shards")
     assert(JsonlCorpus.read(spark, dir).count() == 6)
+  }
+
+  test("layout contract: one data file per shard=K dir, every shard dir pure") {
+    val dir = Files.createTempDirectory("jsonl_layout").toString
+    // enough docs that every one of the 8 shards is hit
+    val docs = spark.range(0, 64).selectExpr("id AS doc_id", "CAST(id AS STRING) AS text",
+      "'en' AS lang", "'s' AS source", "CAST(2 AS BIGINT) AS n_chars")
+    JsonlCorpus.write(docs, dir)
+    val shardDirs = new java.io.File(dir).listFiles().filter(_.getName.startsWith("shard="))
+    assert(shardDirs.length == JsonlCorpus.NShards, shardDirs.map(_.getName).mkString(","))
+    shardDirs.foreach { sd =>
+      val dataFiles = sd.listFiles().filter(_.getName.endsWith(".json"))
+      assert(dataFiles.length == 1,
+        s"${sd.getName} has ${dataFiles.length} data files — one file per shard broken")
+    }
+    // dir name IS the shard value: read restores it and it matches the hash
+    val back = JsonlCorpus.read(spark, dir)
+      .selectExpr("doc_id", "shard", s"${JsonlCorpus.shardExpr} AS expect")
+    assert(back.where(col("shard") =!= col("expect")).count() == 0)
   }
 
   test("streaming ingest: shard files arriving mid-stream fold into the running counts") {

@@ -1316,6 +1316,25 @@ class LlmPipelineSpec extends AnyFunSuite {
     assert(expanded.exists(p => p._1 == 0L && p._2 == 200L && p._3 == 0.0))
   }
 
+  test("collapse key is RAW text: a case-variant copy never collapses or gains distance-0 pairs") {
+    import spark.implicits._
+    val dir = LlmFixtures.plantedDir(spark) // doc 201 = doc 0 capitalized
+    val pairs = ops.LlmPipeline.dedupNear(spark, dir)
+      .select($"doc_a", $"doc_b", $"jaccard_dist".cast("double"))
+      .as[(Long, Long, Double)].collect().toSet
+    // the old lower(trim) collapse key put 201 in doc 0's copy group:
+    // it emitted (0, 201) as an intra pair at distance 0 and handed 201
+    // every partner of 0 at 0's distances — shingles are case-sensitive,
+    // so both were fabrications
+    assert(!pairs.contains((0L, 201L, 0.0)),
+      "case-variant doc collapsed into the verbatim group")
+    // it IS a near-dup (only the first-token shingles differ) — found by
+    // the LSH join itself at a real, nonzero distance
+    val found = pairs.filter(p => p._1 == 0L && p._2 == 201L)
+    assert(found.nonEmpty && found.forall(_._3 > 0.0),
+      s"expected (0,201) at nonzero distance, got $found")
+  }
+
   test("q_dedup_near_collapsed: verbatim copies collapse before the LSH join, recall intact") {
     import spark.implicits._
     val dir = LlmFixtures.plantedDir(spark) // doc 200 is a verbatim copy of doc 0
