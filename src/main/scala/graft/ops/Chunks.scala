@@ -64,6 +64,10 @@ object Chunks {
     val w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
     Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_linenumber"))
+      // one row per CHUNK, not per replica: the fixture replicates
+      // (orderkey, linenumber) across suppkeys, and a replicated seq
+      // would read as 1,1,2 → a phantom gap in a contiguous file
+      .distinct()
       .withColumn("prev", lag("l_linenumber", 1).over(w))
       .groupBy("l_orderkey")
       .agg(
@@ -86,6 +90,12 @@ object Chunks {
   def fileChecksum(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_linenumber"), chunkMd5.as("chunk_md5"))
+      // one checksum per CHUNK (the reference md5s each chunk once,
+      // Chunk.java:100-126): the fixture replicates (orderkey,
+      // linenumber) rows, and divergent-replica rows can even carry
+      // different quantities — min() is the deterministic replica pick
+      .groupBy("l_orderkey", "l_linenumber")
+      .agg(min(col("chunk_md5")).as("chunk_md5"))
       .groupBy("l_orderkey")
       .agg(md5(array_join(transform(
         sort_array(collect_list(struct(col("l_linenumber").as("seq"), col("chunk_md5").as("hash")))),
@@ -100,6 +110,9 @@ object Chunks {
     val checksum = udaf(new FileChecksum(), org.apache.spark.sql.Encoders.product[ChunkHash])
     Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_linenumber"), chunkMd5.as("chunk_md5"))
+      // same per-chunk replica dedup as fileChecksum (shared oracle)
+      .groupBy("l_orderkey", "l_linenumber")
+      .agg(min(col("chunk_md5")).as("chunk_md5"))
       .groupBy("l_orderkey")
       .agg(checksum(col("l_linenumber"), col("chunk_md5")).as("file_md5"))
       .orderBy("l_orderkey")
@@ -273,7 +286,10 @@ object Chunks {
         concat(lit("f_"), lpad(col("l_orderkey").cast("string"), 12, "0")).as("filename"),
         col("l_linenumber").cast("int").as("seq"))
       .groupBy("node_id", "filename")
-      .agg(sort_array(collect_list(col("seq"))).as("seqs"))
+      // a node holds a chunk ONCE: the fixture duplicates (suppkey,
+      // orderkey, linenumber) rows, and collect_list would announce
+      // [1,1,2] — inflating n_chunks and faking non-contiguity
+      .agg(sort_array(collect_set(col("seq"))).as("seqs"))
       .groupBy("node_id")
       .agg(map_from_entries(collect_list(struct(col("filename"), col("seqs")))).as("payload"))
 
@@ -318,7 +334,9 @@ object Chunks {
         col("l_linenumber").cast("int").as("seq"),
         col("l_shipdate"))
       .groupBy("node_id", "filename")
-      .agg(sort_array(collect_list(col("seq"))).as("seqs"),
+      // collect_set: replica-duplicated (node, file, seq) rows announce
+      // the chunk once (the heartbeatPayload rule)
+      .agg(sort_array(collect_set(col("seq"))).as("seqs"),
         max(col("l_shipdate")).as("last_touch"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= DeltaTopK)
@@ -344,8 +362,9 @@ object Chunks {
     * (explode(map) → key/value columns) with per-file facts computed
     * from the carried seq array; proves the map round-trip loses
     * nothing vs the direct relational aggregation the oracle runs.
-    * is_contiguous relies on per-(node,file) seq uniqueness (lineitem's
-    * (orderkey, linenumber) key).
+    * is_contiguous relies on per-(node,file) seq uniqueness, which
+    * heartbeatPayload's collect_set establishes (the fixture itself
+    * duplicates (orderkey, linenumber) across replica rows).
     */
   def heartbeatMapExplode(s: SparkSession, d: String): DataFrame =
     heartbeatPayload(s, d)
@@ -378,9 +397,9 @@ object Chunks {
 
   private val checksumOracle =
     "WITH chunks AS (SELECT l_orderkey, l_linenumber, " +
-      "md5(l_orderkey || '|' || l_linenumber || '|' || CAST(l_quantity AS BIGINT)) AS chunk_md5 " +
-      "FROM lineitem) " +
-      "SELECT l_orderkey, md5(string_agg(chunk_md5, '' ORDER BY l_linenumber, chunk_md5)) AS file_md5 " +
+      "min(md5(l_orderkey || '|' || l_linenumber || '|' || CAST(l_quantity AS BIGINT))) AS chunk_md5 " +
+      "FROM lineitem GROUP BY l_orderkey, l_linenumber) " +
+      "SELECT l_orderkey, md5(string_agg(chunk_md5, '' ORDER BY l_linenumber)) AS file_md5 " +
       "FROM chunks GROUP BY l_orderkey ORDER BY l_orderkey"
 
   val oracle: Map[String, String] = Map(
@@ -398,7 +417,8 @@ object Chunks {
         "(min(l_linenumber) = 1 AND " +
         "sum(CASE WHEN prev IS NOT NULL AND l_linenumber <> prev + 1 THEN 1 ELSE 0 END) = 0) AS is_contiguous " +
         "FROM (SELECT l_orderkey, l_linenumber, " +
-        "lag(l_linenumber) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS prev FROM lineitem) " +
+        "lag(l_linenumber) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS prev " +
+        "FROM (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem)) " +
         "GROUP BY l_orderkey ORDER BY l_orderkey"),
     "q_udaf_file_checksum" -> checksumOracle,
     "q_file_checksum_aggregator" -> checksumOracle,
@@ -448,7 +468,7 @@ object Chunks {
     "q_heartbeat_map" ->
       ("WITH pf AS (SELECT l_suppkey AS node_id, " +
         "'f_' || lpad(CAST(l_orderkey AS VARCHAR), 12, '0') AS filename, " +
-        "count(*) AS n_seqs, min(l_linenumber) AS min_seq " +
+        "count(DISTINCT l_linenumber) AS n_seqs, min(l_linenumber) AS min_seq " +
         "FROM lineitem GROUP BY 1, 2) " +
         "SELECT node_id, count(*) AS n_files, CAST(sum(n_seqs) AS BIGINT) AS n_chunks, " +
         "min(filename) AS first_file, " +
@@ -458,7 +478,7 @@ object Chunks {
     "q_heartbeat_map_delta" ->
       (s"WITH pf AS (SELECT l_suppkey AS node_id, " +
         "'f_' || lpad(CAST(l_orderkey AS VARCHAR), 12, '0') AS filename, " +
-        "count(*) AS n_seqs, min(l_linenumber) AS min_seq, max(l_shipdate) AS last_touch " +
+        "count(DISTINCT l_linenumber) AS n_seqs, min(l_linenumber) AS min_seq, max(l_shipdate) AS last_touch " +
         s"FROM lineitem WHERE l_shipdate >= TIMESTAMP '${DeltaPeriodLo}' GROUP BY 1, 2), " +
         "r AS (SELECT *, row_number() OVER (PARTITION BY node_id " +
         "ORDER BY last_touch DESC, filename) AS rk FROM pf) " +
@@ -470,16 +490,16 @@ object Chunks {
     "q_heartbeat_map_explode" ->
       ("SELECT l_suppkey AS node_id, " +
         "'f_' || lpad(CAST(l_orderkey AS VARCHAR), 12, '0') AS filename, " +
-        "count(*) AS n_seqs, CAST(min(l_linenumber) AS BIGINT) AS seq_min, " +
+        "count(DISTINCT l_linenumber) AS n_seqs, CAST(min(l_linenumber) AS BIGINT) AS seq_min, " +
         "CAST(max(l_linenumber) AS BIGINT) AS seq_max, " +
-        "count(*) = max(l_linenumber) - min(l_linenumber) + 1 AS is_contiguous " +
+        "count(DISTINCT l_linenumber) = max(l_linenumber) - min(l_linenumber) + 1 AS is_contiguous " +
         "FROM lineitem GROUP BY 1, 2 ORDER BY node_id, filename"),
   )
 
   private val heartbeatCtes =
     "WITH pf AS (SELECT l_suppkey AS node_id, " +
       "concat('f_', lpad(CAST(l_orderkey AS STRING), 12, '0')) AS filename, " +
-      "sort_array(collect_list(CAST(l_linenumber AS INT))) AS seqs " +
+      "sort_array(collect_set(CAST(l_linenumber AS INT))) AS seqs " +
       "FROM lineitem GROUP BY 1, 2), " +
       "hb AS (SELECT node_id, map_from_entries(collect_list(struct(filename, seqs))) AS payload " +
       "FROM pf GROUP BY node_id)"
@@ -493,8 +513,8 @@ object Chunks {
   val sparkSql: Map[String, String] = {
     val checksumSql =
       ("WITH chunks AS (SELECT l_orderkey, l_linenumber, " +
-        "md5(concat_ws('|', l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT))) AS chunk_md5 " +
-        "FROM lineitem) " +
+        "min(md5(concat_ws('|', l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT)))) AS chunk_md5 " +
+        "FROM lineitem GROUP BY l_orderkey, l_linenumber) " +
         "SELECT l_orderkey, md5(array_join(transform(sort_array(collect_list(" +
         "named_struct('seq', l_linenumber, 'hash', chunk_md5))), x -> x.hash), '')) AS file_md5 " +
         "FROM chunks GROUP BY l_orderkey ORDER BY l_orderkey")
@@ -542,7 +562,7 @@ object Chunks {
       "q_heartbeat_map_delta" ->
         ("WITH pf AS (SELECT l_suppkey AS node_id, " +
           "concat('f_', lpad(CAST(l_orderkey AS STRING), 12, '0')) AS filename, " +
-          "sort_array(collect_list(CAST(l_linenumber AS INT))) AS seqs, " +
+          "sort_array(collect_set(CAST(l_linenumber AS INT))) AS seqs, " +
           "max(l_shipdate) AS last_touch " +
           s"FROM lineitem WHERE l_shipdate >= TIMESTAMP '$DeltaPeriodLo' GROUP BY 1, 2), " +
           "r AS (SELECT *, row_number() OVER (PARTITION BY node_id " +

@@ -21,14 +21,21 @@ object Derived {
     */
   def ensure(s: SparkSession, family: String, sourceFile: String,
              version: String = "")(build: String => Unit): String = {
-    val src = new java.io.File(sourceFile)
-    // label by the DATASET dir, stamp by the source file: plan-shape
-    // specs assert artifact scans by path, and a table filename in the
-    // artifact dir ("…_lineitem.parquet_…") would false-positive a
-    // "does not scan the source table" check
-    val mtime = src.lastModified()
+    // mtime through the Hadoop FS API, not java.io.File: the source may
+    // be hdfs://…/s3a://… where a local File always reports 0 and the
+    // artifact key would never change — a regenerated source would then
+    // serve a stale (for the Bloom index: unsound) artifact forever
+    // (the mergeLatestSnapshot existence-probe rule). Label by the
+    // DATASET dir, stamp by the source file: plan-shape specs assert
+    // artifact scans by path, and a table filename in the artifact dir
+    // ("…_lineitem.parquet_…") would false-positive a "does not scan
+    // the source table" check.
+    val srcPath = new org.apache.hadoop.fs.Path(sourceFile)
+    val fsrc = srcPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val mtime =
+      if (fsrc.exists(srcPath)) fsrc.getFileStatus(srcPath).getModificationTime else 0L
     val dir = s"${sys.props("java.io.tmpdir")}/$family/" +
-      src.getParentFile.getPath.replaceAll("[^A-Za-z0-9._-]", "_") +
+      srcPath.getParent.toString.replaceAll("[^A-Za-z0-9._-]", "_") +
       s"_$mtime${if (version.isEmpty) "" else s"_$version"}"
     val success = new org.apache.hadoop.fs.Path(s"$dir/_SUCCESS")
     val fs = success.getFileSystem(s.sparkContext.hadoopConfiguration)

@@ -190,11 +190,25 @@ object Storage {
   /** Both positions from ONE md5 (Kirsch-Mitzenmacher double hashing:
     * disjoint 10-bit ranges of the 60-bit hash) — halves the per-row
     * hash cost vs a seed-per-position md5.
+    *
+    * SINGLE SOURCE for the position formula, instantiated per dialect
+    * (the zExpr/zorderSql template rule): the positions ARE the index's
+    * contract, and build/probe/oracle sites deriving them independently
+    * is how a future formula change silently splits them — a build/probe
+    * disagreement produces false NEGATIVES, i.e. the prune drops files
+    * that contain the key.
     */
-  private[graft] def bloomPoss(key: String): Seq[String] = {
-    val h = s"CAST(conv(substring(md5($key), 1, 15), 16, 10) AS BIGINT)"
-    Seq(s"$h % $FileBloomBits", s"($h DIV $FileBloomBits) % $FileBloomBits")
+  private def bloomHash(key: String, duck: Boolean): String =
+    if (duck) s"CAST(concat('0x', substring(md5($key), 1, 15)) AS BIGINT)"
+    else s"CAST(conv(substring(md5($key), 1, 15), 16, 10) AS BIGINT)"
+
+  private def bloomPosPair(h: String, duck: Boolean): Seq[String] = {
+    val div = if (duck) "//" else "DIV"
+    Seq(s"$h % $FileBloomBits", s"($h $div $FileBloomBits) % $FileBloomBits")
   }
+
+  private[graft] def bloomPoss(key: String): Seq[String] =
+    bloomPosPair(bloomHash(key, duck = false), duck = false)
 
   /** The index rows (file_id, bit_pos), pre-ORDER BY — shared by build
     * (adds the output order) and prune (consumes unordered).
@@ -203,11 +217,9 @@ object Storage {
     Tables.lineitem(s, d)
       .select(col("l_orderkey").as("file_id"),
         expr("CAST(l_suppkey AS STRING)").as("k"))
-      .withColumn("h",
-        expr("CAST(conv(substring(md5(k), 1, 15), 16, 10) AS BIGINT)"))
+      .withColumn("h", expr(bloomHash("k", duck = false)))
       .select(col("file_id"), explode(array(
-        expr(s"h % $FileBloomBits"),
-        expr(s"(h DIV $FileBloomBits) % $FileBloomBits"))).as("bit_pos"))
+        bloomPosPair("h", duck = false).map(expr): _*)).as("bit_pos"))
       .distinct()
 
   /** q_fileindex_build — per-file Bloom membership index over the
@@ -416,20 +428,19 @@ object Storage {
         "GROUP BY file_id, n_need HAVING count(*) = n_need " +
         "ORDER BY file_id"))
 
-  /** DuckDB form of the index rows — the same md5-derived double-hash
-    * positions the Spark builders compute.
+  /** DuckDB form of the index rows — generated from the SAME position
+    * template as the Spark builders (bloomHash/bloomPosPair).
     */
   private def fileBloomDuck: String =
     s"SELECT DISTINCT file_id, bit_pos FROM (" +
       "SELECT l_orderkey AS file_id, " +
-      s"unnest([h % $FileBloomBits, (h // $FileBloomBits) % $FileBloomBits]) AS bit_pos " +
+      s"unnest([${bloomPosPair("h", duck = true).mkString(", ")}]) AS bit_pos " +
       "FROM (SELECT l_orderkey, " +
-      "CAST(concat('0x', substring(md5(CAST(l_suppkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h " +
+      s"${bloomHash("CAST(l_suppkey AS VARCHAR)", duck = true)} AS h " +
       "FROM lineitem))"
 
   private def probePosDuck(i: Int): String = {
-    val h = s"CAST(concat('0x', substring(md5('$ProbeSuppKey'), 1, 15)) AS BIGINT)"
-    val p = if (i == 1) s"$h % $FileBloomBits" else s"($h // $FileBloomBits) % $FileBloomBits"
+    val p = bloomPosPair(bloomHash(s"'$ProbeSuppKey'", duck = true), duck = true)(i - 1)
     s"SELECT $p AS bit_pos"
   }
 
@@ -474,18 +485,17 @@ object Storage {
         "GROUP BY file_id, n_need HAVING count(*) = n_need " +
         "ORDER BY file_id"))
 
-  /** Spark-SQL form of the index rows (conv(), not DuckDB's 0x-cast). */
+  /** Spark-SQL form of the index rows — same template, spark dialect. */
   private def fileBloomSpark: String =
     s"SELECT DISTINCT file_id, bit_pos FROM (" +
       "SELECT l_orderkey AS file_id, " +
-      s"explode(array(h % $FileBloomBits, (h DIV $FileBloomBits) % $FileBloomBits)) AS bit_pos " +
+      s"explode(array(${bloomPosPair("h", duck = false).mkString(", ")})) AS bit_pos " +
       "FROM (SELECT l_orderkey, " +
-      "CAST(conv(substring(md5(CAST(l_suppkey AS STRING)), 1, 15), 16, 10) AS BIGINT) AS h " +
+      s"${bloomHash("CAST(l_suppkey AS STRING)", duck = false)} AS h " +
       "FROM lineitem))"
 
   private def probePosSpark(i: Int): String = {
-    val h = s"CAST(conv(substring(md5('$ProbeSuppKey'), 1, 15), 16, 10) AS BIGINT)"
-    val p = if (i == 1) s"$h % $FileBloomBits" else s"($h DIV $FileBloomBits) % $FileBloomBits"
+    val p = bloomPosPair(bloomHash(s"'$ProbeSuppKey'", duck = false), duck = false)(i - 1)
     s"SELECT $p AS bit_pos"
   }
 }

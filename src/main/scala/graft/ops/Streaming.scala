@@ -122,15 +122,19 @@ object Streaming {
     * dense frame is output-sized, never corpus-sized.
     */
   def gapFill(s: SparkSession, d: String): DataFrame = {
-    val ev = Tables.events(s, d)
-    val hourly = ev
+    // ONE corpus pass: the spine bounds (min/max hour) and the type dim
+    // both derive from the already-aggregated hourly table — pinned
+    // because three legs consume it. Deriving them from raw events
+    // (the original shape) re-scanned the corpus twice more for facts
+    // the metadata-sized aggregate already holds.
+    val hourly = Tables.events(s, d)
       .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"))
-    val spine = ev
-      .agg(date_trunc("hour", min(col("ts"))).as("h0"),
-        date_trunc("hour", max(col("ts"))).as("h1"))
+      .pinned()
+    val spine = hourly
+      .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
       .select(explode(expr("sequence(h0, h1, interval 1 hour)")).as("hour"))
-    val types = ev.select("event_type").distinct()
+    val types = hourly.select("event_type").distinct()
     spine.crossJoin(types)
       .join(hourly, Seq("hour", "event_type"), "left")
       .select(unix_micros(col("hour")).as("hour_us"), col("event_type"),
@@ -359,13 +363,27 @@ object Streaming {
           .getOrElse(incoming.limit(0))
         val merged = prev.unionByName(incoming)
           .groupBy("node").agg(max(col("ts")).as("ts"))
+        // orphan sweep: a crash between tmp-write and swap leaves
+        // .tmp-<id> dirs that nothing ever reads (recovery only considers
+        // snap/.bak), and a restarted query's batch ids reset to 0 so a
+        // prior run's higher-id tmp would never be overwritten — without
+        // this they accumulate snapshot-sized, unbounded
+        fs.globStatus(new org.apache.hadoop.fs.Path(dir + ".tmp-*"))
+          .foreach(st => fs.delete(st.getPath, true))
         // write reads old dir, writes temp — no self-overwrite, no barrier
         val tmpPath = new org.apache.hadoop.fs.Path(dir + s".tmp-$batchId")
         merged.write.mode("overwrite").parquet(tmpPath.toString)
-        // swap: old -> .bak (keep), tmp -> snapshot, then drop .bak
-        if (fs.exists(bakPath)) fs.delete(bakPath, true)
-        if (fs.exists(snapPath) && !fs.rename(snapPath, bakPath))
-          throw new java.io.IOException(s"snapshot backup $snapPath -> $bakPath failed")
+        // swap: old -> .bak (keep), tmp -> snapshot, then drop .bak.
+        // The stale-bak pre-delete happens ONLY under a live snapshot:
+        // when this batch is itself recovering from .bak (snap absent),
+        // the bak IS the state — deleting it before tmp becomes the
+        // snapshot would leave a crash window with no durable copy at
+        // all (crash here = every node's heartbeat silently gone).
+        if (fs.exists(snapPath)) {
+          if (fs.exists(bakPath)) fs.delete(bakPath, true)
+          if (!fs.rename(snapPath, bakPath))
+            throw new java.io.IOException(s"snapshot backup $snapPath -> $bakPath failed")
+        }
         if (!fs.rename(tmpPath, snapPath))
           throw new java.io.IOException(s"snapshot swap $tmpPath -> $snapPath failed")
         fs.delete(bakPath, true)

@@ -215,6 +215,26 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("snapshot merge sweeps orphan tmp dirs and keeps the backup until the swap lands") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-snaptmp").toString + "/latest"
+    // crashed-run residue: state only in .bak, plus an orphan tmp from a
+    // HIGHER batch id than the restarted query will ever reuse
+    Seq(("n0", ts("2024-01-01 09:00:00"))).toDF("node", "ts")
+      .write.parquet(dir + ".bak")
+    Seq(("junk", ts("2024-01-01 00:00:00"))).toDF("node", "ts")
+      .write.parquet(dir + ".tmp-99")
+    val batch = Seq(ops.Streaming.Heartbeat(ts("2024-01-01 10:00:00"), "n1")).toDS()
+    ops.Streaming.mergeLatestSnapshot(batch, dir, batchId = 0L)
+    val snap = spark.read.parquet(dir).selectExpr("node", "CAST(ts AS STRING)")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(snap == Map("n0" -> "2024-01-01 09:00:00", "n1" -> "2024-01-01 10:00:00"),
+      s"backup state lost through the tmp-recovery merge: $snap")
+    val siblings = new java.io.File(dir).getParentFile.listFiles().map(_.getName).toSet
+    assert(!siblings.exists(_.contains(".tmp-")), s"orphan tmp survived: $siblings")
+    assert(!siblings.contains("latest.bak"), s"bak not retired after swap: $siblings")
+  }
+
   test("stateful liveness emits dead-node record on timeout (#51)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
