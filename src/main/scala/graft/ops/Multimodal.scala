@@ -246,15 +246,22 @@ object Multimodal {
     * decode (real header parse for PNG/BMP/PPM, labeled stub
     * otherwise; see decodeCore).
     */
-  def decode(s: SparkSession, d: String): DataFrame = {
+  /** Decoded metadata, UNSORTED — the composition surface: resize and
+    * frameSample build on this so the deterministic output sort is
+    * paid once at each query's tail, not as a wasted global exchange
+    * in the middle of their plans.
+    */
+  private def decodeTable(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     decodeCore(
       Tables.documents(s, d)
-        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .select(col("doc_id"), coalesce(col("text"), lit("")).cast("binary").as("payload"))
         .as[(Long, Array[Byte])])
       .toDF()
-      .orderBy("doc_id")
   }
+
+  def decode(s: SparkSession, d: String): DataFrame =
+    decodeTable(s, d).orderBy("doc_id")
 
   /** Decoded audio metadata — the audio sibling of MediaMeta. */
   case class AudioMeta(doc_id: Long, n_bytes: Long, content_md5: String,
@@ -306,7 +313,7 @@ object Multimodal {
     import s.implicits._
     audioCore(
       Tables.documents(s, d)
-        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .select(col("doc_id"), coalesce(col("text"), lit("")).cast("binary").as("payload"))
         .as[(Long, Array[Byte])])
       .toDF()
       .orderBy("doc_id")
@@ -333,7 +340,16 @@ object Multimodal {
     *    dwMicroSecPerFrame (+0), dwTotalFrames (+16), dwWidth (+32),
     *    dwHeight (+36) — all LE u32; duration_ms = frames·µspf/1000.
     */
-  private[graft] def parseVideoHeader(p: Array[Byte]): Option[(Int, Int, Long, String)] = {
+  /** Defensive wrapper: the walkers below bounds-check the shapes real
+    * encoders emit, but a CRAFTED box layout can still index past the
+    * buffer — the contract is "None for unknown/truncated", never a
+    * task-killing throw (the grayPixels rule).
+    */
+  private[graft] def parseVideoHeader(p: Array[Byte]): Option[(Int, Int, Long, String)] =
+    try parseVideoHeaderImpl(p)
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  private def parseVideoHeaderImpl(p: Array[Byte]): Option[(Int, Int, Long, String)] = {
     def u8(i: Int) = p(i) & 0xFF
     def be32(i: Int): Long =
       ((u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)) & 0xFFFFFFFFL
@@ -369,7 +385,10 @@ object Multimodal {
                   val ts = be32((i + hdr + 20).toInt); val du = be64((i + hdr + 24).toInt)
                   if (ts > 0 && du >= 0) dur = du * 1000L / ts
                 }
-              case "tkhd" =>
+              case "tkhd" if i + hdr < end =>
+                // the `if` guards the version-byte read: an 8-byte tkhd
+                // flush with the buffer end passes `i + 8 <= to` but has
+                // no body byte to read (AIOOBE on a truncated file)
                 val off = if (u8((i + hdr).toInt) == 1) 88 else 76
                 if (w == 0 && i + hdr + off + 8 <= end) {
                   val tw = (be32((i + hdr + off).toInt) >> 16).toInt
@@ -454,7 +473,7 @@ object Multimodal {
     import s.implicits._
     videoCore(
       Tables.documents(s, d)
-        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .select(col("doc_id"), coalesce(col("text"), lit("")).cast("binary").as("payload"))
         .as[(Long, Array[Byte])])
       .toDF()
       .orderBy("doc_id")
@@ -465,7 +484,7 @@ object Multimodal {
     * projection; identical IEEE double steps on both engines.
     */
   def resize(s: SparkSession, d: String): DataFrame =
-    decode(s, d)
+    decodeTable(s, d)
       .withColumn("scale",
         least(lit(224.0) / col("width"), lit(224.0) / col("height")))
       .select(col("doc_id"), col("width"), col("height"),
@@ -479,9 +498,14 @@ object Multimodal {
     * shape as chunk split, SURVEY §2A #9), shuffle-free.
     */
   def frameSample(s: SparkSession, d: String): DataFrame =
-    decode(s, d)
+    decodeTable(s, d)
       .select(col("doc_id"), col("content_md5"),
         expr("(n_bytes + 99) DIV 100").as("n_frames"))
+      // zero-byte doc ⇒ zero frames ⇒ no rows: without the guard the
+      // generator becomes sequence(0, -1, 10), which Spark rejects
+      // (step-sign mismatch) while DuckDB's generate_series returns
+      // empty — the engines would crash vs drop (the chunkSplit rule)
+      .where(col("n_frames") > 0)
       .select(col("doc_id"), col("n_frames"),
         explode(expr("sequence(CAST(0 AS BIGINT), n_frames - 1, CAST(10 AS BIGINT))")).as("frame_no"))
       .select(col("doc_id"), col("n_frames"), col("frame_no"))
@@ -508,7 +532,7 @@ object Multimodal {
   def features(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, d)
-      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .select(col("doc_id"), coalesce(col("text"), lit("")).cast("binary").as("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, p) =>
@@ -555,8 +579,13 @@ object Multimodal {
         val bpp = le16(28)
         val compression = le32(30)
         if (w <= 0 || h == 0 || bpp != 24 || compression != 0) return None
-        val stride = ((w * 3 + 3) / 4) * 4
-        if (dataOff.toLong + stride.toLong * h > p.length) return None
+        // stride in LONG: a crafted header claiming w ≈ 2^31/3 wraps an
+        // Int stride negative, slips past the size check, and the w*h
+        // allocation OOMs the executor (OutOfMemoryError is not
+        // NonFatal — the catch below would not contain it)
+        val strideL = ((w.toLong * 3 + 3) / 4) * 4
+        if (dataOff.toLong + strideL * h > p.length) return None
+        val stride = strideL.toInt
         val g = new Array[Int](w * h)
         var y = 0
         while (y < h) {
@@ -771,7 +800,7 @@ object Multimodal {
     "q_mm_feature"      -> (features _),
   )
 
-  private val hx = "instr('0123456789abcdef', substr(md5(text), %d, 1)) - 1"
+  private val hx = "instr('0123456789abcdef', substr(md5(coalesce(text, '')), %d, 1)) - 1"
   private val widthSql = s"CAST(320 + 16 * (${hx.format(1)}) + (${hx.format(2)}) AS INTEGER)"
   private val heightSql = s"CAST(240 + 16 * (${hx.format(3)}) + (${hx.format(4)}) AS INTEGER)"
 
@@ -780,8 +809,8 @@ object Multimodal {
     // no image-magic payloads (asserted per-SF by MultimodalSpec), so
     // the real header-parse path never fires on the fixture tables
     "q_mm_decode" ->
-      ("SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, " +
-        "md5(text) AS content_md5, " +
+      ("SELECT doc_id, CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS n_bytes, " +
+        "md5(coalesce(text, '')) AS content_md5, " +
         s"$widthSql AS width, $heightSql AS height, " +
         s"CAST(1 + (${hx.format(5)}) % 3 AS INTEGER) AS channels, " +
         "'stub-md5' AS decoder " +
@@ -808,23 +837,23 @@ object Multimodal {
     // constant-decoder premise as q_mm_decode: the text corpus has no
     // RIFF/".snd" payloads (asserted per-SF), so only the stub fires
     "q_mm_audio" ->
-      ("SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, " +
-        "md5(text) AS content_md5, " +
+      ("SELECT doc_id, CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS n_bytes, " +
+        "md5(coalesce(text, '')) AS content_md5, " +
         s"CAST(1 + (${hx.format(3)}) % 2 AS INTEGER) AS n_channels, " +
         s"CAST(8000 * (1 + (16 * (${hx.format(1)}) + (${hx.format(2)})) % 6) AS INTEGER) AS sample_rate_hz, " +
         s"CAST(8 * (1 + (${hx.format(4)}) % 2) AS INTEGER) AS bits_per_sample, " +
-        "CAST(octet_length(encode(text)) AS BIGINT) AS n_frames, " +
-        "CAST(CAST(octet_length(encode(text)) AS BIGINT) * 1000 // " +
+        "CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS n_frames, " +
+        "CAST(CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) * 1000 // " +
         s"(8000 * (1 + (16 * (${hx.format(1)}) + (${hx.format(2)})) % 6)) AS BIGINT) AS duration_ms, " +
         "'stub-md5' AS decoder " +
         "FROM documents ORDER BY doc_id"),
     // same constant-decoder premise: no ftyp/RIFF-AVI payloads in the
     // text corpus (asserted per-SF), so only the stub fires
     "q_mm_video" ->
-      ("SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, " +
-        "md5(text) AS content_md5, " +
+      ("SELECT doc_id, CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS n_bytes, " +
+        "md5(coalesce(text, '')) AS content_md5, " +
         s"$widthSql AS width, $heightSql AS height, " +
-        "CAST(40 * ((octet_length(encode(text)) + 99) // 100) AS BIGINT) AS duration_ms, " +
+        "CAST(40 * ((octet_length(encode(coalesce(text, ''))) + 99) // 100) AS BIGINT) AS duration_ms, " +
         "'stub-md5' AS decoder " +
         "FROM documents ORDER BY doc_id"),
     "q_mm_resize" ->
@@ -836,7 +865,7 @@ object Multimodal {
         "FROM sc ORDER BY doc_id"),
     "q_mm_frame_sample" ->
       ("WITH f AS (SELECT doc_id, " +
-        "CAST((octet_length(encode(text)) + 99) // 100 AS BIGINT) AS n_frames FROM documents) " +
+        "CAST((octet_length(encode(coalesce(text, ''))) + 99) // 100 AS BIGINT) AS n_frames FROM documents) " +
         "SELECT doc_id, n_frames, CAST(unnest(generate_series(0, n_frames - 1, 10)) AS BIGINT) AS frame_no " +
         "FROM f ORDER BY doc_id, frame_no"),
     // byte ≡ char here: the corpus is pure ASCII (verified: octet_length
@@ -849,7 +878,7 @@ object Multimodal {
         "FROM documents), " +
         s"b AS (SELECT doc_id, CAST(count(DISTINCT code) AS BIGINT) AS nd, $bins " +
         "FROM ch GROUP BY doc_id) " +
-        "SELECT d.doc_id, CAST(octet_length(encode(d.text)) AS BIGINT) AS n_bytes, " +
+        "SELECT d.doc_id, CAST(octet_length(encode(coalesce(d.text, ''))) AS BIGINT) AS n_bytes, " +
         "coalesce(b.nd, 0) AS n_distinct_bytes, " +
         (0 until 8).map(i => s"coalesce(b.h$i, 0) AS h$i").mkString(", ") + " " +
         "FROM documents d LEFT JOIN b ON b.doc_id = d.doc_id ORDER BY d.doc_id"
@@ -857,7 +886,7 @@ object Multimodal {
   )
 
   /** Spark-dialect SQL surface overrides (SqlSurface). DuckDB's 1-arg
-    * encode(text) (string → UTF-8 blob) → CAST(text AS BINARY);
+    * encode(coalesce(text, '')) (string → UTF-8 blob) → CAST(coalesce(text, '') AS BINARY);
     * ord(unnest(...)) → ascii over an exploded char array; `//` → DIV.
     * The hex-digit width/height/channels formulas run unchanged —
     * instr/substr/md5 agree between the engines.
@@ -882,33 +911,33 @@ object Multimodal {
         s"SELECT doc_a, doc_b, hamming, hamming <= $PhashMaxHamming AS is_dup " +
         "FROM ham ORDER BY doc_a, doc_b"),
     "q_mm_decode" ->
-      ("SELECT doc_id, CAST(octet_length(CAST(text AS BINARY)) AS BIGINT) AS n_bytes, " +
-        "md5(text) AS content_md5, " +
+      ("SELECT doc_id, CAST(octet_length(CAST(coalesce(text, '') AS BINARY)) AS BIGINT) AS n_bytes, " +
+        "md5(coalesce(text, '')) AS content_md5, " +
         s"$widthSql AS width, $heightSql AS height, " +
         s"CAST(1 + (${hx.format(5)}) % 3 AS INTEGER) AS channels, " +
         "'stub-md5' AS decoder " +
         "FROM documents ORDER BY doc_id"),
     "q_mm_audio" ->
-      ("SELECT doc_id, CAST(octet_length(CAST(text AS BINARY)) AS BIGINT) AS n_bytes, " +
-        "md5(text) AS content_md5, " +
+      ("SELECT doc_id, CAST(octet_length(CAST(coalesce(text, '') AS BINARY)) AS BIGINT) AS n_bytes, " +
+        "md5(coalesce(text, '')) AS content_md5, " +
         s"CAST(1 + (${hx.format(3)}) % 2 AS INTEGER) AS n_channels, " +
         s"CAST(8000 * (1 + (16 * (${hx.format(1)}) + (${hx.format(2)})) % 6) AS INTEGER) AS sample_rate_hz, " +
         s"CAST(8 * (1 + (${hx.format(4)}) % 2) AS INTEGER) AS bits_per_sample, " +
-        "CAST(octet_length(CAST(text AS BINARY)) AS BIGINT) AS n_frames, " +
-        "CAST(CAST(octet_length(CAST(text AS BINARY)) AS BIGINT) * 1000 DIV " +
+        "CAST(octet_length(CAST(coalesce(text, '') AS BINARY)) AS BIGINT) AS n_frames, " +
+        "CAST(CAST(octet_length(CAST(coalesce(text, '') AS BINARY)) AS BIGINT) * 1000 DIV " +
         s"(8000 * (1 + (16 * (${hx.format(1)}) + (${hx.format(2)})) % 6)) AS BIGINT) AS duration_ms, " +
         "'stub-md5' AS decoder " +
         "FROM documents ORDER BY doc_id"),
     "q_mm_video" ->
-      ("SELECT doc_id, CAST(octet_length(CAST(text AS BINARY)) AS BIGINT) AS n_bytes, " +
-        "md5(text) AS content_md5, " +
+      ("SELECT doc_id, CAST(octet_length(CAST(coalesce(text, '') AS BINARY)) AS BIGINT) AS n_bytes, " +
+        "md5(coalesce(text, '')) AS content_md5, " +
         s"$widthSql AS width, $heightSql AS height, " +
-        "CAST(40 * ((octet_length(CAST(text AS BINARY)) + 99) DIV 100) AS BIGINT) AS duration_ms, " +
+        "CAST(40 * ((octet_length(CAST(coalesce(text, '') AS BINARY)) + 99) DIV 100) AS BIGINT) AS duration_ms, " +
         "'stub-md5' AS decoder " +
         "FROM documents ORDER BY doc_id"),
     "q_mm_frame_sample" ->
       ("WITH f AS (SELECT doc_id, " +
-        "CAST((octet_length(CAST(text AS BINARY)) + 99) DIV 100 AS BIGINT) AS n_frames FROM documents) " +
+        "CAST((octet_length(CAST(coalesce(text, '') AS BINARY)) + 99) DIV 100 AS BIGINT) AS n_frames FROM documents) " +
         "SELECT doc_id, n_frames, " +
         "explode(sequence(CAST(0 AS BIGINT), n_frames - 1, CAST(10 AS BIGINT))) AS frame_no " +
         "FROM f ORDER BY doc_id, frame_no"),
@@ -919,7 +948,7 @@ object Multimodal {
         "(SELECT doc_id, explode(regexp_extract_all(text, '[\\\\s\\\\S]', 0)) AS c FROM documents)), " +
         s"b AS (SELECT doc_id, CAST(count(DISTINCT code) AS BIGINT) AS nd, $bins " +
         "FROM ch GROUP BY doc_id) " +
-        "SELECT d.doc_id, CAST(octet_length(CAST(d.text AS BINARY)) AS BIGINT) AS n_bytes, " +
+        "SELECT d.doc_id, CAST(octet_length(CAST(coalesce(d.text, '') AS BINARY)) AS BIGINT) AS n_bytes, " +
         "coalesce(b.nd, CAST(0 AS BIGINT)) AS n_distinct_bytes, " +
         (0 until 8).map(i => s"coalesce(b.h$i, CAST(0 AS BIGINT)) AS h$i").mkString(", ") + " " +
         "FROM documents d LEFT JOIN b ON b.doc_id = d.doc_id ORDER BY d.doc_id"

@@ -73,17 +73,29 @@ object ChunkIngest {
     * Returns one row per file with ok flag — the Spark form of the
     * reference's throw-on-invalid.
     */
-  def validate(chunks: DataFrame): DataFrame =
+  def validate(chunks: DataFrame,
+               chunkSize: Long = DefaultChunkSize): DataFrame =
     chunks.groupBy("filename")
       .agg(count(lit(1)).as("n_chunks"),
         min(col("seq")).as("min_seq"),
         max(col("seq")).as("max_seq"),
         countDistinct(col("seq")).as("n_distinct"),
-        sum(col("size")).as("total_size"))
+        sum(col("size")).as("total_size"),
+        max(col("size")).as("max_size"),
+        expr("max_by(size, seq)").as("last_size"))
       .withColumn("ok",
         col("min_seq") === 0 &&
           col("max_seq") === col("n_chunks") - 1 &&
-          col("n_distinct") === col("n_chunks"))
+          col("n_distinct") === col("n_chunks") &&
+          // sizes consistent (the documented half the old flag skipped):
+          // no chunk exceeds the chunk size, the tail chunk is non-empty,
+          // and the total forces every NON-tail chunk to exactly
+          // chunkSize (all ≤ chunkSize + the sum identity ⇒ equality) —
+          // a truncated middle chunk now fails validation instead of
+          // reassembling into a silently corrupt file
+          col("max_size") <= chunkSize && col("last_size") > 0 &&
+          col("total_size") ===
+            (col("n_chunks") - 1) * chunkSize + col("last_size"))
 
   /** Ordered reassembly (Chunk.createFileFromChunks:113-122): per file,
     * concat chunk bytes in sequence order; file_md5 is the integrity

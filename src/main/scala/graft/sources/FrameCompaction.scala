@@ -151,10 +151,8 @@ object FrameCompaction {
     val d = new Path(dir)
     val fs = d.getFileSystem(conf)
     val nRecovered = recover(spark, dir, fs)
-    val sized = ProtoChunkSource.listFrameFiles(dir, conf).map { f =>
-      val p = new Path(f)
-      (p, fs.getFileStatus(p).getLen)
-    }
+    val sized = ProtoChunkSource.listFrameFiles(dir, conf)
+      .map { case (f, len) => (new Path(f), len) }
     val small = sized.filter(_._2 < smallBytes) // name-sorted already
     // greedy cumulative binning: bin = floor(cumulative-size-before / target)
     var cum = 0L

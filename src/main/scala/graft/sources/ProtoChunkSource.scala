@@ -132,18 +132,12 @@ object ProtoChunkSource {
       varint(body.length) ++ body
     }
 
-  private[sources] def varint(v0: Int): Array[Byte] = {
-    var v = v0
-    val out = Array.newBuilder[Byte]
-    var more = true
-    while (more) {
-      val x = (v & 0x7f).toByte
-      v >>>= 7
-      more = v != 0
-      out += (if (more) (x | 0x80).toByte else x)
-    }
-    out.result()
-  }
+  /** ONE varint encoder in the package: frame headers written here are
+    * re-decoded against bodies ProtoIngest encodes, and two hand-copies
+    * of the LEB128 loop could silently diverge under a future edit.
+    */
+  private[sources] def varint(v0: Int): Array[Byte] =
+    ProtoIngest.varintBytes(v0.toLong)
 
   /** The session Hadoop conf flattened for executor-side reconstruction
     * (spark.hadoop.* — s3a credentials, endpoints, …) — a bare
@@ -172,17 +166,23 @@ object ProtoChunkSource {
     !n.startsWith(".") && !n.startsWith("_")
   }
 
+  /** (path, length) pairs: the listing RPC already carries every
+    * FileStatus, and returning bare names forced planners to re-fetch
+    * one status per file — doubling namenode/HEAD traffic on a
+    * thousand-file dir for a length the listing had in hand.
+    */
   private[sources] def listFrameFiles(path: String,
-      conf: org.apache.hadoop.conf.Configuration): Array[String] = {
+      conf: org.apache.hadoop.conf.Configuration): Array[(String, Long)] = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(conf)
     if (!fs.exists(p)) return Array.empty
     val stat = fs.getFileStatus(p)
     val files =
       if (stat.isDirectory)
-        fs.listStatus(p).filter(s => s.isFile && isDataFile(s.getPath)).map(_.getPath)
-      else Array(p)
-    files.map(_.toString).sorted
+        fs.listStatus(p).filter(s => s.isFile && isDataFile(s.getPath))
+          .map(s => (s.getPath.toString, s.getLen))
+      else Array((p.toString, stat.getLen))
+    files.sortBy(_._1)
   }
 
   // ------------------------------------------------- frame-index sidecar
@@ -197,17 +197,30 @@ object ProtoChunkSource {
     * sidecar (offsets not matching the current file length) silently
     * degrades to the one-partition-per-file plan, never to wrong rows.
     */
-  private[sources] val IndexMagic = "GFIDX1"
+  /** v2: line 2 records the data file's byte length. Ascending-offsets
+    * validation alone cannot catch the one dangerous staleness case —
+    * a crashed streaming epoch replay that replaced the file with a
+    * LONGER one before its new index was written: every old offset is
+    * still ascending-from-0 and under the new length, so the scan
+    * would split mid-frame (FAILFAST throws; PERMISSIVE silently drops
+    * the rest of each range). The recorded length pins the index to
+    * the exact bytes it was built from (the stats sidecar's len= rule);
+    * the magic bump invalidates all v1 sidecars to the safe
+    * one-partition-per-file fallback.
+    */
+  private[sources] val IndexMagic = "GFIDX2"
 
   private[sources] def indexPathFor(dataFile: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.Path =
     new org.apache.hadoop.fs.Path(dataFile.getParent, "." + dataFile.getName + ".idx")
 
   private[sources] def writeFrameIndex(fs: org.apache.hadoop.fs.FileSystem,
-      dataFile: org.apache.hadoop.fs.Path, offsets: Seq[Long], attemptId: Long): Unit = {
+      dataFile: org.apache.hadoop.fs.Path, offsets: Seq[Long], attemptId: Long,
+      fileLen: Long): Unit = {
     val ip = indexPathFor(dataFile)
     val tmp = new org.apache.hadoop.fs.Path(ip.getParent, ip.getName + s".$attemptId.inprogress")
     val out = fs.create(tmp, true)
-    try out.write((IndexMagic +: offsets.map(_.toString)).mkString("", "\n", "\n")
+    try out.write((IndexMagic +: s"len=$fileLen" +: offsets.map(_.toString))
+      .mkString("", "\n", "\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     if (fs.exists(ip)) fs.delete(ip, false)
@@ -228,6 +241,11 @@ object ProtoChunkSource {
         fs.open(ip), java.nio.charset.StandardCharsets.UTF_8))
       try {
         if (in.readLine() != IndexMagic) return None
+        // the length line: an index built against different bytes —
+        // even a longer file all old offsets still fit inside — is stale
+        val lenLine = in.readLine()
+        if (lenLine == null || !lenLine.startsWith("len=") ||
+          lenLine.stripPrefix("len=").toLong != fileLen) return None
         val b = Array.newBuilder[Long]
         var line = in.readLine()
         var prev = -1L
@@ -499,10 +517,9 @@ private class ProtoChunkScan(path: String, message: String, required: StructType
 
   override def planInputPartitions(): Array[InputPartition] = {
     val conf = SparkSession.active.sessionState.newHadoopConf()
-    ProtoChunkSource.listFrameFiles(path, conf).flatMap { f =>
+    ProtoChunkSource.listFrameFiles(path, conf).flatMap { case (f, len) =>
       val p = new org.apache.hadoop.fs.Path(f)
       val fs = p.getFileSystem(conf)
-      val len = fs.getFileStatus(p).getLen
       // stats-sidecar file skip: drop the file when its zone map/Bloom
       // PROVES no frame matches a pushed filter (sound: absent/stale
       // stats skip nothing, and the filters re-run above the scan)
@@ -698,7 +715,7 @@ private class ProtoChunkMicroBatchStream(path: String, message: String,
     */
   private def discover(): Unit = {
     ensureLoaded()
-    val files = ProtoChunkSource.listFrameFiles(path, hconf)
+    val files = ProtoChunkSource.listFrameFiles(path, hconf).map(_._1)
     val fresh = files.filterNot(seen.contains)
     if (fresh.nonEmpty) {
       require(fresh.forall(n => !n.contains('\n')),
@@ -740,6 +757,15 @@ private class ProtoChunkMicroBatchStream(path: String, message: String,
     // hand us a replayed offset anyway).
     ensureLoaded()
     if (discovered.length < e) discover()
+    // loud, not lossy: if a damaged checkpoint (lost frame-log slice)
+    // leaves the rebuilt assignment shorter than the replayed offset
+    // range, slice(s, e) would return a TRUNCATED batch that commits
+    // cleanly — permanently skipping the missing files. Refusing to
+    // plan forces the operator to fix/reset the checkpoint instead.
+    require(discovered.length >= e,
+      s"frame log covers ${discovered.length} files but the replayed batch " +
+        s"ends at $e — checkpoint frame-log slice missing; refusing to " +
+        "plan a truncated batch")
     discovered.slice(s, e)
       .map(f => ProtoChunkPartition(f, 0L, Long.MaxValue): InputPartition).toArray
   }
@@ -1127,7 +1153,8 @@ private class ProtoChunkWriter(path: String, names: Array[String], fileStem: Str
     // sidecars AFTER the data rename: readers that race see a data file
     // without sidecars (unsplit, unskippable scan), never a sidecar
     // without its file
-    ProtoChunkSource.writeFrameIndex(fs, finalPath, frameOffsets.toSeq, attemptId)
+    ProtoChunkSource.writeFrameIndex(fs, finalPath, frameOffsets.toSeq, attemptId,
+      fileLen = bytesOut)
     ProtoChunkSource.writeStats(fs, finalPath,
       ProtoChunkSource.FileStats(bytesOut, nFrames,
         if (nFrames == 0) 0 else minSeq, if (nFrames == 0) 0 else maxSeq,

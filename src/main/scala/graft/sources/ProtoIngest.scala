@@ -230,7 +230,7 @@ object ProtoIngest {
   // Write path (the reference also SENDS these frames); used by the
   // round-trip specs. Scalars always emitted (proto3 writers may omit
   // defaults — decoders above handle that); repeated int32 packed.
-  private def varintBytes(v0: Long): Array[Byte] = {
+  private[sources] def varintBytes(v0: Long): Array[Byte] = {
     var v = v0
     val out = Array.newBuilder[Byte]
     var more = true

@@ -52,13 +52,26 @@ class ChunkIngestSpec extends AnyFunSuite {
   }
 
   test("validation accepts contiguous chunks and flags a gap") {
-    val ok = sources.ChunkIngest.validate(chunks)
-      .collect().map(r => r.getString(0) -> r.getBoolean(6)).toMap
+    def okMap(df: org.apache.spark.sql.DataFrame) =
+      sources.ChunkIngest.validate(df, chunkSize = 1000L)
+        .collect().map(r => r.getString(0) -> r.getAs[Boolean]("ok")).toMap
+    val ok = okMap(chunks)
     assert(ok.values.forall(identity))
-    val gapped = sources.ChunkIngest.validate(chunks.filter(
+    val gapped = okMap(chunks.filter(
       !(col("filename") === "aligned.bin" && col("seq") === 2)))
-      .collect().map(r => r.getString(0) -> r.getBoolean(6)).toMap
     assert(!gapped("aligned.bin") && gapped("ragged.bin") && gapped("tiny.bin"))
+  }
+
+  test("validation flags a truncated middle chunk (sizes consistent, not just seqs)") {
+    // seqs stay contiguous; only the byte count of a NON-tail chunk
+    // shrinks — the reference rejects this (createFileFromChunks:80-98)
+    // and the old seq-only flag silently passed it through to reassembly
+    val truncated = chunks.withColumn("size",
+      when(col("filename") === "aligned.bin" && col("seq") === 1, lit(999L))
+        .otherwise(col("size")))
+    val ok = sources.ChunkIngest.validate(truncated, chunkSize = 1000L)
+      .collect().map(r => r.getString(0) -> r.getAs[Boolean]("ok")).toMap
+    assert(!ok("aligned.bin") && ok("ragged.bin") && ok("tiny.bin"))
   }
 
   test("reassembled bytes hash-match the original files (round trip)") {

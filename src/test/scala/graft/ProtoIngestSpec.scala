@@ -135,8 +135,8 @@ class ProtoIngestSpec extends AnyFunSuite {
       .withColumnRenamed("sequenceNo", "seq")
       .withColumn("size", org.apache.spark.sql.functions.length(
         org.apache.spark.sql.functions.col("data")).cast("long"))
-    val ok = sources.ChunkIngest.validate(chunks).collect()
-    assert(ok.length == 1 && ok.head.getBoolean(6))
+    val ok = sources.ChunkIngest.validate(chunks, chunkSize = 1000L).collect()
+    assert(ok.length == 1 && ok.head.getAs[Boolean]("ok"))
     val re = sources.ChunkIngest.reassemble(chunks).head()
     val md = java.security.MessageDigest.getInstance("MD5").digest(content)
       .map("%02x".format(_)).mkString
