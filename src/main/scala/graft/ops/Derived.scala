@@ -4,40 +4,58 @@ import org.apache.spark.sql.SparkSession
 
 /** Build-once derived artifacts (persisted indexes, corpus exports)
   * keyed by source file + mtime — the shared lifecycle behind the
-  * Bloom file index, the JSONL export, and any future persisted
-  * artifact: at 100 TB the build is one corpus pass run by the
-  * ingest/publishing job, and every later probe reads the artifact,
-  * never the corpus. The mtime in the key makes a regenerated source
-  * (same path, new bytes) miss rather than serve stale answers; the
-  * `version` component lets a changed builder invalidate artifacts
-  * written by its older self.
+  * Bloom file index, the IVF index, the JSONL export, and any future
+  * persisted artifact: at 100 TB the build is one corpus pass run by
+  * the ingest/publishing job, and every later probe reads the
+  * artifact, never the corpus. The mtime in the key makes a
+  * regenerated source (same path, new bytes) miss rather than serve
+  * stale answers; the `version` component lets a changed builder
+  * invalidate artifacts written by its older self.
   */
 object Derived {
 
-  /** Returns the artifact dir for (`family`, `sourceFile`), invoking
-    * `build(dir)` first iff the dir has no `_SUCCESS` marker (i.e. the
-    * builder must write through a Spark writer or leave its own
-    * `_SUCCESS`).
+  /** The artifact dir for (`family`, `sourceFile`) — computed, never
+    * built. mtime is read through the Hadoop FS API, not java.io.File:
+    * the source may be hdfs://…/s3a://… where a local File always
+    * reports 0 and the key would never change — a regenerated source
+    * would then serve a stale (for the Bloom index: unsound) artifact
+    * forever (the mergeLatestSnapshot existence-probe rule). The label
+    * is the DATASET dir, the stamp the source file: plan-shape specs
+    * assert artifact scans by path, and a table filename in the
+    * artifact dir ("…_lineitem.parquet_…") would false-positive a
+    * "does not scan the source table" check.
     */
-  def ensure(s: SparkSession, family: String, sourceFile: String,
-             version: String = "")(build: String => Unit): String = {
-    // mtime through the Hadoop FS API, not java.io.File: the source may
-    // be hdfs://…/s3a://… where a local File always reports 0 and the
-    // artifact key would never change — a regenerated source would then
-    // serve a stale (for the Bloom index: unsound) artifact forever
-    // (the mergeLatestSnapshot existence-probe rule). Label by the
-    // DATASET dir, stamp by the source file: plan-shape specs assert
-    // artifact scans by path, and a table filename in the artifact dir
-    // ("…_lineitem.parquet_…") would false-positive a "does not scan
-    // the source table" check.
+  def dirFor(s: SparkSession, family: String, sourceFile: String,
+             version: String = ""): String = {
     val srcPath = new org.apache.hadoop.fs.Path(sourceFile)
-    val fsrc = srcPath.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val mtime =
-      if (fsrc.exists(srcPath)) fsrc.getFileStatus(srcPath).getModificationTime else 0L
-    val dir = s"${sys.props("java.io.tmpdir")}/$family/" +
+    val mtime = sourceMtime(s, sourceFile)
+    s"${sys.props("java.io.tmpdir")}/$family/" +
       srcPath.getParent.toString.replaceAll("[^A-Za-z0-9._-]", "_") +
       s"_$mtime${if (version.isEmpty) "" else s"_$version"}"
-    val success = new org.apache.hadoop.fs.Path(s"$dir/_SUCCESS")
+  }
+
+  /** Hadoop-FS mtime of a source file (0 when absent) — the staleness
+    * stamp session memos key on (substring windows, cc labels), shared
+    * so no memo re-grows the java.io.File-on-remote-path trap.
+    */
+  def sourceMtime(s: SparkSession, sourceFile: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(sourceFile)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.getFileStatus(p).getModificationTime else 0L
+  }
+
+  /** Returns the artifact dir, invoking `build(dir)` first iff the dir
+    * has no completion marker (the builder must write through a Spark
+    * writer or leave its own `_SUCCESS`). `marker` is the dir-relative
+    * completion file for multi-table artifacts whose LAST-written table
+    * is the real commit point (e.g. the IVF index's
+    * assignments/_SUCCESS).
+    */
+  def ensure(s: SparkSession, family: String, sourceFile: String,
+             version: String = "", marker: String = "_SUCCESS")
+            (build: String => Unit): String = {
+    val dir = dirFor(s, family, sourceFile, version)
+    val success = new org.apache.hadoop.fs.Path(s"$dir/$marker")
     val fs = success.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(success)) build(dir)
     dir

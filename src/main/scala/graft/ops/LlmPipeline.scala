@@ -52,18 +52,23 @@ object LlmPipeline {
     * materialized, re-ran split(text) per shingle index — O(tokens²)
     * per doc, measured 3x slower).
     */
+  // null text ⇒ '' EVERYWHERE shingles are made (batch here, stream in
+  // incrementalDedupStream/decontaminateStream, both oracle dialects):
+  // a one-sided coalesce made a NULL-text doc hash differently on the
+  // batch and stream paths, so the stream could never collide with its
+  // batch-ingested twin — breaking the bit-identical contract
   private val shingles =
-    "CASE WHEN size(tk) >= 3 THEN shingle3(tk) ELSE array(text) END"
+    "CASE WHEN size(tk) >= 3 THEN shingle3(tk) ELSE array(coalesce(text, '')) END"
 
   /** documents with the token array materialized once per row. */
   private def withTk(df: DataFrame): DataFrame =
-    df.withColumn("tk", split(col("text"), " "))
+    df.withColumn("tk", split(coalesce(col("text"), lit("")), " "))
 
   private val shinglesDuck =
-    "CASE WHEN len(string_split(text,' ')) >= 3 THEN " +
-      "list_transform(generate_series(1, len(string_split(text,' ')) - 2), " +
-      "i -> array_to_string(list_slice(string_split(text,' '), i, i + 2), ' ')) " +
-      "ELSE [text] END"
+    "CASE WHEN len(string_split(coalesce(text, ''),' ')) >= 3 THEN " +
+      "list_transform(generate_series(1, len(string_split(coalesce(text, ''),' ')) - 2), " +
+      "i -> array_to_string(list_slice(string_split(coalesce(text, ''),' '), i, i + 2), ' ')) " +
+      "ELSE [coalesce(text, '')] END"
 
   /** #43 q_dedup_exact — exact dedup: keep the min doc_id per normalized
     * text; n_copies counts the group. Hash-groupBy — but the grouping key
@@ -234,11 +239,32 @@ object LlmPipeline {
     * (ensureIvfIndex) applied to the cc stage. Keyed by session so a
     * stopped session's pinned blocks are never handed to a new one.
     */
+  /** Session memo keyed by (session, dir, documents mtime), evicting a
+    * superseded same-corpus entry so its pinned blocks become
+    * reclaimable — the shared discipline of the cc-label and
+    * substring-window memos (a fixture regenerated at the same path
+    * must miss: the ensureBloomIndex staleness rule; Derived.sourceMtime
+    * reads through the Hadoop FS so remote paths stamp correctly too).
+    */
+  private def corpusMemo(
+      memo: java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Long), DataFrame],
+      s: SparkSession, d: String)(build: => DataFrame): DataFrame = {
+    val key = (s, d, Derived.sourceMtime(s, s"$d/documents.parquet"))
+    if (!memo.containsKey(key)) {
+      val it = memo.keys()
+      while (it.hasMoreElements) {
+        val k = it.nextElement()
+        if (k._1 == s && k._2 == d) memo.remove(k)
+      }
+    }
+    memo.computeIfAbsent(key, _ => build)
+  }
+
   private val ccLabelsMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Long), DataFrame]()
 
   private def ccLabelsFor(s: SparkSession, d: String): DataFrame =
-    ccLabelsMemo.computeIfAbsent((s, d), _ =>
+    corpusMemo(ccLabelsMemo, s, d)(
       ccLabels(minhashPairsFromBanded(minhashBanded(s, d))))
 
   /** Min-label-propagation core over an undirected pair list (doc_a,
@@ -277,6 +303,16 @@ object LlmPipeline {
       labels = next
       round += 1
     }
+    // loud, not silent: exhausting maxRounds on a deep duplicate chain
+    // (component diameter > maxRounds) would return labels where one
+    // component still carries multiple rep_ids — downstream keep-the-rep
+    // dedup then silently RETAINS duplicates. The SQL surface asserts
+    // the same fixpoint (assert_true in ccUnrolled); the production path
+    // must not be quieter than its mirror.
+    require(converged,
+      s"component labels did not converge within $maxRounds rounds — " +
+        "duplicate-chain diameter exceeds the propagation budget; raise " +
+        "maxRounds (cost is one pair-table scan per round)")
     labels
   }
 
@@ -1014,20 +1050,11 @@ object LlmPipeline {
 
   private def annRecallCore(s: SparkSession, d: String, multiProbe: Boolean): DataFrame = {
     val e = Tables.embeddings(s, d).select(col("vec_id"), expr(quant).as("q"))
-    def planeDot(p: Int) =
-      dotL("q", s"array(${LshPlanes(p).map(w => s"${w}L").mkString(", ")})")
     val withDots = e.select(col("vec_id") +: col("q") +:
-      (0 until 4).map(p => expr(planeDot(p)).as(s"d$p")): _*)
-    val bucketExpr = (0 until 4)
-      .map(p => s"(CASE WHEN d$p >= 0 THEN ${1 << p} ELSE 0 END)")
-      .mkString(" + ")
-    val flipExpr =
-      "CASE WHEN abs(d0) <= abs(d1) AND abs(d0) <= abs(d2) AND abs(d0) <= abs(d3) THEN 1 " +
-        "WHEN abs(d1) <= abs(d2) AND abs(d1) <= abs(d3) THEN 2 " +
-        "WHEN abs(d2) <= abs(d3) THEN 4 ELSE 8 END"
+      (0 until 4).map(p => expr(lshPlaneDot(p)).as(s"d$p")): _*)
     val b = withDots
-      .withColumn("bucket", expr(bucketExpr).cast("int"))
-      .withColumn("flip", expr(flipExpr).cast("int"))
+      .withColumn("bucket", expr(lshBucketExpr(p => s"d$p")).cast("int"))
+      .withColumn("flip", expr(lshFlipExpr).cast("int"))
     val probeBuckets =
       if (multiProbe) "array(bucket, CAST(bucket ^ flip AS INT))" else "array(bucket)"
     val probes = broadcast(b.where(col("vec_id") < RecallProbes)
@@ -1122,6 +1149,33 @@ object LlmPipeline {
     })
   }
 
+  // ---- hyperplane-LSH signature builders: ONE source per dialect.
+  // Four Scala query builders and five oracle entries derive bucket /
+  // flip from these; hand-copies could silently desynchronize bucket
+  // assignment between a query, its recall audit, and its oracle (the
+  // collapse-key drift class). `dot` is injected so callers choose
+  // between inlining the dot per plane and referencing precomputed
+  // d0..d3 columns.
+  private def lshPlaneDot(p: Int): String =
+    dotL("q", s"array(${LshPlanes(p).map(w => s"${w}L").mkString(", ")})")
+
+  private def lshPlaneDotDuck(p: Int): String =
+    s"CAST(list_sum(list_transform(list_zip(q, [${LshPlanes(p).mkString(", ")}]), " +
+      "p -> p[1] * p[2])) AS BIGINT)"
+
+  private def lshBucketExpr(dot: Int => String): String =
+    (0 until 4).map(p => s"(CASE WHEN ${dot(p)} >= 0 THEN ${1 << p} ELSE 0 END)")
+      .mkString(" + ")
+
+  /** Lowest-index minimal-|margin| plane over precomputed d0..d3 —
+    * flipping that bit names the multi-probe's second bucket. Shared
+    * verbatim by both dialects (pure CASE/abs).
+    */
+  private val lshFlipExpr: String =
+    "CASE WHEN abs(d0) <= abs(d1) AND abs(d0) <= abs(d2) AND abs(d0) <= abs(d3) THEN 1 " +
+      "WHEN abs(d1) <= abs(d2) AND abs(d1) <= abs(d3) THEN 2 " +
+      "WHEN abs(d2) <= abs(d3) THEN 4 ELSE 8 END"
+
   /** q_sim_search_lsh — random-hyperplane (sign) LSH ANN: bucket =
     * 4-bit signature of sign(plane_p · q); the probe (vec_id = 0)
     * searches only its own bucket. The SimHash-for-cosine complement to
@@ -1136,12 +1190,7 @@ object LlmPipeline {
     */
   def simSearchLsh(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d).select(col("vec_id"), expr(quant).as("q"))
-    def planeDot(p: Int) =
-      dotL("q", s"array(${LshPlanes(p).map(w => s"${w}L").mkString(", ")})")
-    val bucketExpr = (0 until 4)
-      .map(p => s"(CASE WHEN ${planeDot(p)} >= 0 THEN ${1 << p} ELSE 0 END)")
-      .mkString(" + ")
-    val b = e.withColumn("bucket", expr(bucketExpr).cast("int"))
+    val b = e.withColumn("bucket", expr(lshBucketExpr(lshPlaneDot)).cast("int"))
     val probe = broadcast(b.where(col("vec_id") === 0)
       .select(col("q").as("qa"), expr(dotL("q", "q")).as("n2a"),
         col("bucket").as("probe_bucket")))
@@ -1168,12 +1217,7 @@ object LlmPipeline {
     */
   def lshBucketStats(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d).select(col("vec_id"), expr(quant).as("q"))
-    def planeDot(p: Int) =
-      dotL("q", s"array(${LshPlanes(p).map(w => s"${w}L").mkString(", ")})")
-    val bucketExpr = (0 until 4)
-      .map(p => s"(CASE WHEN ${planeDot(p)} >= 0 THEN ${1 << p} ELSE 0 END)")
-      .mkString(" + ")
-    val perBucket = e.withColumn("bucket", expr(bucketExpr).cast("int"))
+    val perBucket = e.withColumn("bucket", expr(lshBucketExpr(lshPlaneDot)).cast("int"))
       .groupBy("bucket").agg(count(lit(1)).as("n_vecs"))
     val global = perBucket.agg(
       sum(col("n_vecs")).as("total_vecs"), count(lit(1)).as("n_buckets"))
@@ -1200,22 +1244,11 @@ object LlmPipeline {
     */
   def simSearchLshMp(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d).select(col("vec_id"), expr(quant).as("q"))
-    def planeDot(p: Int) =
-      dotL("q", s"array(${LshPlanes(p).map(w => s"${w}L").mkString(", ")})")
     val withDots = e.select(col("vec_id") +: col("q") +:
-      (0 until 4).map(p => expr(planeDot(p)).as(s"d$p")): _*)
-    val bucketExpr = (0 until 4)
-      .map(p => s"(CASE WHEN d$p >= 0 THEN ${1 << p} ELSE 0 END)")
-      .mkString(" + ")
-    // first plane whose |dot| is <= every later plane's = lowest-index
-    // minimum margin; flipping that bit names the second probe bucket
-    val flipExpr =
-      "CASE WHEN abs(d0) <= abs(d1) AND abs(d0) <= abs(d2) AND abs(d0) <= abs(d3) THEN 1 " +
-        "WHEN abs(d1) <= abs(d2) AND abs(d1) <= abs(d3) THEN 2 " +
-        "WHEN abs(d2) <= abs(d3) THEN 4 ELSE 8 END"
+      (0 until 4).map(p => expr(lshPlaneDot(p)).as(s"d$p")): _*)
     val b = withDots
-      .withColumn("bucket", expr(bucketExpr).cast("int"))
-      .withColumn("flip", expr(flipExpr).cast("int"))
+      .withColumn("bucket", expr(lshBucketExpr(p => s"d$p")).cast("int"))
+      .withColumn("flip", expr(lshFlipExpr).cast("int"))
     val probe = broadcast(b.where(col("vec_id") === 0)
       .select(col("q").as("qa"), expr(dotL("q", "q")).as("n2a"),
         explode(array(col("bucket"),
@@ -1359,9 +1392,8 @@ object LlmPipeline {
     * dataset dir (test/bench scale). A production deployment passes an
     * explicit lake path to [[buildIvfIndex]] instead.
     */
-  private[graft] def ivfIndexDir(d: String): String =
-    s"${sys.props("java.io.tmpdir")}/graft-ivf-index/" +
-      d.replaceAll("[^A-Za-z0-9._-]", "_")
+  private[graft] def ivfIndexDir(s: SparkSession, d: String): String =
+    Derived.dirFor(s, "graft-ivf-index", s"$d/embeddings.parquet")
 
   /** The INDEX-BUILD job: fit the coarse quantizer once and persist the
     * searchable state — bucket assignments (vec_id, q, bucket) and the
@@ -1406,13 +1438,15 @@ object LlmPipeline {
     * assignments as a view — the SQL front door to the trained-ANN
     * queries (training is an ETL job; querying is SQL).
     */
-  private[graft] def ensureIvfIndex(s: SparkSession, d: String): String = {
-    val dir = ivfIndexDir(d)
-    val success = new org.apache.hadoop.fs.Path(s"$dir/assignments/_SUCCESS")
-    val fs = success.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(success)) buildIvfIndex(s, d, dir)
-    dir
-  }
+  /** Derived.ensure lifecycle (mtime-keyed — a regenerated embeddings
+    * table must miss, or probes would serve bucket assignments for the
+    * OLD corpus while the per-run form reflects the new one). Marker is
+    * centroids/_SUCCESS because centroids are written LAST: a crash
+    * between the two writes leaves a half-index that must rebuild.
+    */
+  private[graft] def ensureIvfIndex(s: SparkSession, d: String): String =
+    Derived.ensure(s, "graft-ivf-index", s"$d/embeddings.parquet",
+      marker = "centroids/_SUCCESS")(dir => buildIvfIndex(s, d, dir))
 
   // ------------------------------------------------------- text analysis
   /** #46 q_text_tokens — top-5 tokens per lang by (count desc, token
@@ -2069,8 +2103,21 @@ object LlmPipeline {
   }
 
   private[graft] val WSampleK = 200
-  private[graft] val WSamplePrioScale = 1000000000000L // 10^12: keeps w·scale ≤ 10^16 in BIGINT
+  private[graft] val WSamplePrioScale = 1000000000000L // 10^12
   private[graft] val WSampleUBits = 1073741824L // 2^30: the uniform's modulus
+
+  /** Weight saturation for q_sample_weighted: w·scale must stay inside
+    * BIGINT even when the divisor is 1, and a ~10 MB crawl document
+    * would push 10^7·10^12 past 2^63 — Spark then WRAPS silently
+    * (negative priority: the heaviest doc excluded, inverted bias)
+    * while DuckDB raises, failing the gate with a crash. 9·10^6 chars
+    * caps w·scale at 9·10^18 < 2^63; documents above it saturate to
+    * equal top weight (ties broken by the hash uniform as usual) —
+    * the standard bounded-weight trade, mirrored in both dialects.
+    * (DECIMAL(38,0) was rejected: DuckDB's decimal `//` rounds where
+    * Spark's DIV floors — the q_skew_diagnose divergence trap.)
+    */
+  private[graft] val WSampleWeightCap = 9000000L
 
   /** q_sample_weighted — deterministic weighted sampling by hash
     * priority (Duffield-Lund-Thorup priority sampling with the uniform
@@ -2097,8 +2144,8 @@ object LlmPipeline {
         expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT)")
           .as("h"))
       .select(col("doc_id"), col("weight"),
-        expr(s"(weight * $WSamplePrioScale) DIV ((h % $WSampleUBits) + 1)")
-          .as("priority"))
+        expr(s"(least(weight, $WSampleWeightCap) * $WSamplePrioScale) " +
+          s"DIV ((h % $WSampleUBits) + 1)").as("priority"))
       .orderBy(desc("priority"), col("doc_id"))
       .limit(WSampleK)
 
@@ -2145,22 +2192,8 @@ object LlmPipeline {
   private val substringWindowsMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Long), DataFrame]()
 
-  private def substringWindows(s: SparkSession, d: String): DataFrame = {
-    // mtime in the key (the ensureBloomIndex staleness rule): a fixture
-    // regenerated at the same path must miss. The memo is also bounded:
-    // unlike the metadata-sized cc labels, the window table is the
-    // largest intermediate in the system, and a strong static ref would
-    // pin its checkpoint blocks for the JVM's life — evicting on a new
-    // corpus drops the old ref so ContextCleaner can reclaim the blocks.
-    val key = (s, d, new java.io.File(s"$d/documents.parquet").lastModified())
-    if (!substringWindowsMemo.containsKey(key)) {
-      val it = substringWindowsMemo.keys()
-      while (it.hasMoreElements) {
-        val k = it.nextElement()
-        if (k._1 == s && k._2 == d) substringWindowsMemo.remove(k)
-      }
-    }
-    substringWindowsMemo.computeIfAbsent(key, _ =>
+  private def substringWindows(s: SparkSession, d: String): DataFrame =
+    corpusMemo(substringWindowsMemo, s, d)(
       Tables.documents(s, d)
         .where(col("n_chars") >= SubWinW)
         .select(col("doc_id"),
@@ -2170,7 +2203,6 @@ object LlmPipeline {
           expr(s"CAST(conv(substring(md5(substring(text, CAST(pos AS INT), $SubWinW)), 1, 15), 16, 10) AS BIGINT)")
             .as("h"))
         .pinned())
-  }
 
   def dedupSubstring(s: SparkSession, d: String): DataFrame = {
     val wins = substringWindows(s, d)
@@ -3084,6 +3116,23 @@ object LlmPipeline {
         s"bands AS (${(0 until 4).map(bandSel).mkString(" UNION ALL ")})"
     }
 
+    // ONE copy of the cc family's capped-pairs → symmetric-edges →
+    // reachability CTE chain (q_dedup_cc / _cluster_stats /
+    // _cross_source): three hand-copies edited out of lockstep would
+    // make the family's oracles disagree with each other and with the
+    // shared ccLabelsFor (the sparkSql map's ccUnrolled rule).
+    val ccReachDuck =
+      "ok AS (SELECT band, band_key FROM bands GROUP BY band, band_key " +
+        s"HAVING count(*) <= ${LlmPipeline.HotBucketCap}), " +
+        "pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b " +
+        "FROM bands a JOIN ok ON ok.band = a.band AND ok.band_key = a.band_key " +
+        "JOIN bands b ON a.band = b.band AND a.band_key = b.band_key " +
+        "AND a.doc_id < b.doc_id), " +
+        "edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs " +
+        "UNION ALL SELECT doc_b, doc_a FROM pairs), " +
+        "reach(doc_id, lbl) AS (SELECT u, u FROM edges " +
+        "UNION SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.doc_id)"
+
     Map(
       "q_dedup_exact" ->
         ("SELECT min(doc_id) AS keep_id, count(*) AS n_copies, " +
@@ -3123,30 +3172,12 @@ object LlmPipeline {
       // Spark side's min-label-propagation fixpoint exactly.
       "q_dedup_cc" ->
         (s"${minhashBandsDuck.replaceFirst("WITH ", "WITH RECURSIVE ")}, " +
-          "ok AS (SELECT band, band_key FROM bands GROUP BY band, band_key " +
-          s"HAVING count(*) <= ${LlmPipeline.HotBucketCap}), " +
-          "pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b " +
-          "FROM bands a JOIN ok ON ok.band = a.band AND ok.band_key = a.band_key " +
-          "JOIN bands b ON a.band = b.band AND a.band_key = b.band_key " +
-          "AND a.doc_id < b.doc_id), " +
-          "edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs " +
-          "UNION ALL SELECT doc_b, doc_a FROM pairs), " +
-          "reach(doc_id, lbl) AS (SELECT u, u FROM edges " +
-          "UNION SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.doc_id) " +
+          ccReachDuck + " " +
           "SELECT doc_id, min(lbl) AS rep_id FROM reach GROUP BY doc_id " +
           "ORDER BY doc_id"),
       "q_dedup_cluster_stats" ->
         (s"${minhashBandsDuck.replaceFirst("WITH ", "WITH RECURSIVE ")}, " +
-          "ok AS (SELECT band, band_key FROM bands GROUP BY band, band_key " +
-          s"HAVING count(*) <= ${LlmPipeline.HotBucketCap}), " +
-          "pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b " +
-          "FROM bands a JOIN ok ON ok.band = a.band AND ok.band_key = a.band_key " +
-          "JOIN bands b ON a.band = b.band AND a.band_key = b.band_key " +
-          "AND a.doc_id < b.doc_id), " +
-          "edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs " +
-          "UNION ALL SELECT doc_b, doc_a FROM pairs), " +
-          "reach(doc_id, lbl) AS (SELECT u, u FROM edges " +
-          "UNION SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.doc_id), " +
+          ccReachDuck + ", " +
           "lab AS (SELECT doc_id, min(lbl) AS rep_id FROM reach GROUP BY doc_id) " +
           "SELECT l.rep_id, count(*) AS n_docs, count(*) - 1 AS n_dropped, " +
           "CAST(sum(CASE WHEN d.doc_id <> l.rep_id THEN d.n_chars ELSE 0 END) AS BIGINT) AS chars_dropped " +
@@ -3154,16 +3185,7 @@ object LlmPipeline {
           "GROUP BY l.rep_id ORDER BY l.rep_id"),
       "q_dedup_cross_source" ->
         (s"${minhashBandsDuck.replaceFirst("WITH ", "WITH RECURSIVE ")}, " +
-          "ok AS (SELECT band, band_key FROM bands GROUP BY band, band_key " +
-          s"HAVING count(*) <= ${LlmPipeline.HotBucketCap}), " +
-          "pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b " +
-          "FROM bands a JOIN ok ON ok.band = a.band AND ok.band_key = a.band_key " +
-          "JOIN bands b ON a.band = b.band AND a.band_key = b.band_key " +
-          "AND a.doc_id < b.doc_id), " +
-          "edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs " +
-          "UNION ALL SELECT doc_b, doc_a FROM pairs), " +
-          "reach(doc_id, lbl) AS (SELECT u, u FROM edges " +
-          "UNION SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.doc_id), " +
+          ccReachDuck + ", " +
           "lab AS (SELECT doc_id, min(lbl) AS rep_id FROM reach GROUP BY doc_id) " +
           "SELECT rs.source AS rep_source, ds.source AS dup_source, count(*) AS n_docs " +
           "FROM lab l JOIN documents ds ON ds.doc_id = l.doc_id " +
@@ -3317,12 +3339,7 @@ object LlmPipeline {
           "FROM assigned b JOIN pn ON b.cent_id = pn.probe_cent WHERE b.vec_id <> 0 " +
           "ORDER BY cos DESC, vec_id LIMIT 5"),
       "q_lsh_bucket_stats" -> {
-        def planeDotDuck(p: Int) =
-          s"CAST(list_sum(list_transform(list_zip(q, [${LshPlanes(p).mkString(", ")}]), " +
-            "p -> p[1] * p[2])) AS BIGINT)"
-        val bucketDuck = (0 until 4)
-          .map(p => s"(CASE WHEN ${planeDotDuck(p)} >= 0 THEN ${1 << p} ELSE 0 END)")
-          .mkString(" + ")
+        val bucketDuck = lshBucketExpr(lshPlaneDotDuck)
         s"WITH q AS (SELECT vec_id, $quantDuck AS q FROM embeddings), " +
           s"b AS (SELECT CAST($bucketDuck AS INTEGER) AS bucket FROM q), " +
           "pb AS (SELECT bucket, count(*) AS n_vecs FROM b GROUP BY 1), " +
@@ -3333,17 +3350,9 @@ object LlmPipeline {
           "FROM pb CROSS JOIN g ORDER BY bucket"
       },
       "q_ann_recall_mp" -> {
-        def planeDotDuck(p: Int) =
-          s"CAST(list_sum(list_transform(list_zip(q, [${LshPlanes(p).mkString(", ")}]), " +
-            "p -> p[1] * p[2])) AS BIGINT)"
-        val ds = (0 until 4).map(p => s"${planeDotDuck(p)} AS d$p").mkString(", ")
-        val bucketDuck = (0 until 4)
-          .map(p => s"(CASE WHEN d$p >= 0 THEN ${1 << p} ELSE 0 END)")
-          .mkString(" + ")
-        val flipDuck =
-          "CASE WHEN abs(d0) <= abs(d1) AND abs(d0) <= abs(d2) AND abs(d0) <= abs(d3) THEN 1 " +
-            "WHEN abs(d1) <= abs(d2) AND abs(d1) <= abs(d3) THEN 2 " +
-            "WHEN abs(d2) <= abs(d3) THEN 4 ELSE 8 END"
+        val ds = (0 until 4).map(p => s"${lshPlaneDotDuck(p)} AS d$p").mkString(", ")
+        val bucketDuck = lshBucketExpr(p => s"d$p")
+        val flipDuck = lshFlipExpr
         s"WITH q AS (SELECT vec_id, $quantDuck AS q FROM embeddings), " +
           s"dd AS (SELECT vec_id, q, $ds FROM q), " +
           s"b AS (SELECT vec_id, q, CAST($bucketDuck AS INTEGER) AS bucket, " +
@@ -3373,12 +3382,7 @@ object LlmPipeline {
           "LEFT JOIN ch ON ch.probe_id = p.probe_id ORDER BY p.probe_id"
       },
       "q_ann_recall" -> {
-        def planeDotDuck(p: Int) =
-          s"CAST(list_sum(list_transform(list_zip(q, [${LshPlanes(p).mkString(", ")}]), " +
-            "p -> p[1] * p[2])) AS BIGINT)"
-        val bucketDuck = (0 until 4)
-          .map(p => s"(CASE WHEN ${planeDotDuck(p)} >= 0 THEN ${1 << p} ELSE 0 END)")
-          .mkString(" + ")
+        val bucketDuck = lshBucketExpr(lshPlaneDotDuck)
         s"WITH q AS (SELECT vec_id, $quantDuck AS q FROM embeddings), " +
           s"b AS (SELECT vec_id, q, CAST($bucketDuck AS INTEGER) AS bucket FROM q), " +
           s"pr AS (SELECT vec_id AS probe_id, q AS qa, bucket AS probe_bucket, " +
@@ -3405,12 +3409,7 @@ object LlmPipeline {
           "LEFT JOIN ch ON ch.probe_id = p.probe_id ORDER BY p.probe_id"
       },
       "q_sim_search_lsh" -> {
-        def planeDotDuck(p: Int) =
-          s"CAST(list_sum(list_transform(list_zip(q, [${LshPlanes(p).mkString(", ")}]), " +
-            "p -> p[1] * p[2])) AS BIGINT)"
-        val bucketDuck = (0 until 4)
-          .map(p => s"(CASE WHEN ${planeDotDuck(p)} >= 0 THEN ${1 << p} ELSE 0 END)")
-          .mkString(" + ")
+        val bucketDuck = lshBucketExpr(lshPlaneDotDuck)
         s"WITH q AS (SELECT vec_id, $quantDuck AS q FROM embeddings), " +
           s"b AS (SELECT vec_id, q, CAST($bucketDuck AS INTEGER) AS bucket FROM q), " +
           "pn AS (SELECT q AS qa, bucket AS probe_bucket, " +
@@ -3424,18 +3423,10 @@ object LlmPipeline {
           "ORDER BY cos DESC, vec_id LIMIT 5"
       },
       "q_sim_search_lsh_mp" -> {
-        def planeDotDuck(p: Int) =
-          s"CAST(list_sum(list_transform(list_zip(q, [${LshPlanes(p).mkString(", ")}]), " +
-            "p -> p[1] * p[2])) AS BIGINT)"
-        val dotsDuck = (0 until 4).map(p => s"${planeDotDuck(p)} AS d$p").mkString(", ")
-        val bucketDuck = (0 until 4)
-          .map(p => s"(CASE WHEN d$p >= 0 THEN ${1 << p} ELSE 0 END)")
-          .mkString(" + ")
+        val dotsDuck = (0 until 4).map(p => s"${lshPlaneDotDuck(p)} AS d$p").mkString(", ")
+        val bucketDuck = lshBucketExpr(p => s"d$p")
         // lowest-index minimal |margin| plane, mirroring flipExpr exactly
-        val flipDuck =
-          "CASE WHEN abs(d0) <= abs(d1) AND abs(d0) <= abs(d2) AND abs(d0) <= abs(d3) THEN 1 " +
-            "WHEN abs(d1) <= abs(d2) AND abs(d1) <= abs(d3) THEN 2 " +
-            "WHEN abs(d2) <= abs(d3) THEN 4 ELSE 8 END"
+        val flipDuck = lshFlipExpr
         s"WITH q AS (SELECT vec_id, $quantDuck AS q FROM embeddings), " +
           s"dd AS (SELECT vec_id, q, $dotsDuck FROM q), " +
           s"b AS (SELECT vec_id, q, CAST($bucketDuck AS INTEGER) AS bucket, " +
@@ -3862,7 +3853,7 @@ object LlmPipeline {
           "FROM t GROUP BY token ORDER BY token"),
       "q_sample_weighted" ->
         (s"SELECT doc_id, n_chars AS weight, " +
-          s"(n_chars * $WSamplePrioScale) // ((" +
+          s"(least(n_chars, $WSampleWeightCap) * $WSamplePrioScale) // ((" +
           "CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) " +
           s"% $WSampleUBits) + 1) AS priority " +
           s"FROM documents ORDER BY priority DESC, doc_id LIMIT $WSampleK"),
@@ -3986,8 +3977,9 @@ object LlmPipeline {
     * oracle, Spark SQL) can never drift apart silently.
     */
   val sparkSql: Map[String, String] = {
-    val dtk = "dtk AS (SELECT *, split(text, ' ') AS tk FROM documents)"
-    val shS = "CASE WHEN size(tk) >= 3 THEN shingle3(tk) ELSE array(text) END"
+    // same null⇒'' rule as the DataFrame shingle substrate
+    val dtk = "dtk AS (SELECT *, split(coalesce(text, ''), ' ') AS tk FROM documents)"
+    val shS = "CASE WHEN size(tk) >= 3 THEN shingle3(tk) ELSE array(coalesce(text, '')) END"
     def hash(c: String) = s"CAST(conv(substring(md5($c), 1, 15), 16, 10) AS BIGINT)"
     val quantS = "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
     def dot(a: String, b: String) = s"array_dot_l($a, $b)"
@@ -4529,7 +4521,7 @@ object LlmPipeline {
           "FROM (SELECT DISTINCT token FROM t) CROSS JOIN sk ORDER BY token"),
       "q_sample_weighted" ->
         (s"SELECT doc_id, n_chars AS weight, " +
-          s"(n_chars * $WSamplePrioScale) DIV ((" +
+          s"(least(n_chars, $WSampleWeightCap) * $WSamplePrioScale) DIV ((" +
           "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT) " +
           s"% $WSampleUBits) + 1) AS priority " +
           s"FROM documents ORDER BY priority DESC, doc_id LIMIT $WSampleK"),
@@ -4777,8 +4769,11 @@ object LlmPipeline {
       // collision crosses the threshold.
       "q_dedup_near_collapsed" ->
         (s"WITH $dtk, " +
+          // raw-text collapse key matching dedupNearCollapsed (the
+          // 0d1da8f rule): lower(trim) here would collapse case
+          // variants whose shingle sets differ
           "reps AS (SELECT min(doc_id) AS doc_id FROM documents " +
-          "GROUP BY md5(lower(trim(text)))), " +
+          "GROUP BY md5(coalesce(text, ''))), " +
           s"ds AS (SELECT doc_id, ${hash("s")} AS sh FROM " +
           s"(SELECT t.doc_id, explode(array_distinct($shS)) AS s " +
           "FROM dtk t JOIN reps USING (doc_id))), " +

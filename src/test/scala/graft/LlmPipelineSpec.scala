@@ -256,7 +256,7 @@ class LlmPipelineSpec extends AnyFunSuite {
     import spark.implicits._
     import org.apache.hadoop.fs.Path
     val d = SparkTestSession.sf0001
-    val dir = ops.LlmPipeline.ivfIndexDir(d)
+    val dir = ops.LlmPipeline.ivfIndexDir(spark, d)
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new Path(dir), true) // force a fresh build
     val p1 = ops.LlmPipeline.simSearchIvfKmeansProbe(spark, d)
