@@ -46,11 +46,18 @@ object Tables {
     */
   def eventsBefore(s: SparkSession, d: String, cutoffUtc: String): DataFrame = {
     val raw = apply(s, d, "events")
-    val nanos = java.time.LocalDateTime
-      .parse(cutoffUtc.replace(' ', 'T'))
-      .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000000L
+    // The comparison semantic is MICROS ≤ cutoff (the type every other
+    // path sees: ts is truncated via DIV 1000, and DuckDB truncates
+    // TIMESTAMP_NS the same way), so the pushed raw-nanos bound must
+    // admit the cutoff micro's full nanosecond range: ts DIV 1000 ≤ cut
+    // ⇔ ts ≤ cut·1000 + 999. A bare cutoff·10⁹ bound excluded events
+    // 1..999 ns past the cutoff that the oracle (and the TimestampType
+    // branch) include. Fractional-second cutoffs keep their micros too.
+    val ldt = java.time.LocalDateTime.parse(cutoffUtc.replace(' ', 'T'))
+    val cutMicros =
+      ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + ldt.getNano / 1000L
     if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.where(col("ts") <= lit(nanos))
+      raw.where(col("ts") <= lit(cutMicros * 1000L + 999L))
         .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
     else raw.where(col("ts") <= lit(cutoffUtc).cast("timestamp"))
   }

@@ -49,8 +49,15 @@ case class CmsEstimate(left: Expression, right: Expression)
 
   def estimate(sketchBytes: Array[Byte], item: UTF8String): Long = {
     val m = memo
+    // `eq` then CONTENT equality: UnsafeRow.getBinary hands each row a
+    // FRESH byte-array copy, so in the real probe path (crossJoin of a
+    // broadcast sketch) the reference check never hits and the ~100 KB
+    // sketch would be re-parsed per row — the exact cost the memo
+    // exists to remove. Arrays.equals on ~100 KB is ~1000x cheaper than
+    // readFrom, and only runs on a reference miss.
     val sk =
-      if (m != null && (m._1 eq sketchBytes)) m._2
+      if (m != null && ((m._1 eq sketchBytes) ||
+        java.util.Arrays.equals(m._1, sketchBytes))) m._2
       else {
         val s = CountMinSketch.readFrom(
           new java.io.ByteArrayInputStream(sketchBytes))

@@ -32,14 +32,24 @@ object Skew {
     * nSalts ≈ hot-key rows / target partition rows.
     */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, nSalts: Int): DataFrame = {
+    // an nSalts of 0 would explode(array()) the dim side into NOTHING —
+    // a silent empty result rather than a loud sizing bug
+    require(nSalts >= 1, s"nSalts must be >= 1, got $nSalts")
     // withColumn silently REPLACES an existing column of the same name —
     // a user `_salt` column would be corrupted in the output (drop
     // removes it) or make the join key ambiguous, so refuse loudly
     val clash = (fact.columns ++ dim.columns).find(_ == SaltCol)
     require(clash.isEmpty,
       s"input already has a '$SaltCol' column — rename it before saltedJoin")
+    // salt from ROW CONTENT, never monotonically_increasing_id: mid is
+    // partition/attempt-dependent, so a map-stage re-execution after a
+    // shuffle-fetch failure re-salts rows already fetched by other
+    // reducers — duplicating or dropping fact rows exactly in the
+    // failure scenario salting exists for. Content-hash salting is
+    // retry-stable; fully identical duplicate rows share a salt (they
+    // clump only in the degenerate all-identical-rows case).
     val saltedFact = fact.withColumn(SaltCol,
-      pmod(hash(monotonically_increasing_id()), lit(nSalts)))
+      pmod(hash(fact.columns.map(col): _*), lit(nSalts)))
     val saltedDim = dim.withColumn(SaltCol,
       explode(array((0 until nSalts).map(lit(_)): _*)))
     saltedFact.join(saltedDim, Seq(key, SaltCol)).drop(SaltCol)
@@ -53,9 +63,9 @@ object Skew {
   /** q_join_salted — the salted join as a first-class registered query:
     * lineitem ⋈ supplier on the supplier key with the fact side spread
     * over 8 salts, aggregated to per-supplier line counts and exact
-    * decimal revenue. The salt assignment is run-dependent
-    * (monotonically_increasing_id) but provably result-neutral — the
-    * join produces exactly the unsalted rows (SkewSpec parity test), so
+    * decimal revenue. The salt assignment is a deterministic row-content
+    * hash (retry-stable) and provably result-neutral — the join
+    * produces exactly the unsalted rows (SkewSpec parity test), so
     * the oracle is the PLAIN join SQL: the mitigation must be invisible
     * in the result to be correct.
     */

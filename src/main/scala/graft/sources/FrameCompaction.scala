@@ -25,8 +25,12 @@ import org.apache.spark.sql.SparkSession
   *    a union of single-file reads coalesced to one writer task, so the
   *    bytes never visit the driver.
   *  - CRASH-SAFE two-phase protocol, no duplicates at any kill point.
-  *    A bin's identity is deterministic (md5 of its sorted original
-  *    names), which fixes its output name `compact-<binId>.frames` and
+  *    A bin's identity is deterministic (md5 of its sorted originals'
+  *    name:length:mtime triples — CONTENT-stamped, so files later
+  *    re-created under retired names form a NEW bin instead of
+  *    silently overwriting the previous compaction output, which was
+  *    the sole copy of the old rows), which fixes its output name
+  *    `compact-<binId>.frames` and
   *    its intent file `.compact-<binId>.intent` (atomic temp+rename,
   *    listing the originals). Order per bin: intent → DSv2 write into a
   *    dot-prefixed staging dir → rename data+sidecars to the final name
@@ -36,8 +40,11 @@ import org.apache.spark.sql.SparkSession
   *    Readers never see a torn state — staging is dot-prefixed
   *    (listings skip it) and the publish rename is atomic.
   *  - Singleton bins are NOT rewritten (rewriting one small file buys
-  *    nothing), which is what makes a second run a no-op: after a
-  *    successful pass every surviving small file sits alone in its bin.
+  *    nothing). Repeated passes CONVERGE rather than strictly no-op: a
+  *    pass with no new small files rewrites nothing, but surviving
+  *    singletons (and a sub-threshold compact output) will merge with
+  *    small files that arrive LATER — deliberate consolidation, or
+  *    tiny files would accumulate across passes forever.
   *  - Bins are independent; they are submitted sequentially here for
   *    determinism of the report, but nothing shares state between them.
   *  - NOT for directories serving a LIVE micro-batch readStream: that
@@ -109,6 +116,24 @@ object FrameCompaction {
     }
   }
 
+  /** Move orphaned staged sidecars next to an already-published data
+    * file — the recovery path for a crash INSIDE publish() after its
+    * data rename. The staged index recorded the staged file's length,
+    * which equals the published file's (same bytes), so it stays valid.
+    */
+  private def adoptStagedSidecars(fs: FileSystem, staging: Path, finalData: Path): Unit = {
+    if (!fs.exists(staging)) return
+    fs.listStatus(staging).map(_.getPath).foreach { p =>
+      val dest =
+        if (p.getName.endsWith(".idx")) Some(ProtoChunkSource.indexPathFor(finalData))
+        else if (p.getName.endsWith(".stats")) Some(ProtoChunkSource.statsPathFor(finalData))
+        else None
+      dest.foreach { to =>
+        if (!fs.exists(to)) { fs.rename(p, to); () }
+      }
+    }
+  }
+
   /** Finish (or roll back) bins whose intent file survived a crash.
     * Published output ⇒ complete the original deletes; nothing
     * published but staging holds the data ⇒ publish then complete;
@@ -128,6 +153,11 @@ object FrameCompaction {
           s.getPath.getName.endsWith(".frames") && !s.getPath.getName.startsWith("."))
       if (fs.exists(finalData) || staged) {
         if (!fs.exists(finalData)) publish(fs, staging, finalData)
+        // the data may have published while its SIDECARS did not (a
+        // crash inside publish between the data rename and the sidecar
+        // renames): adopt any staged sidecars before staging is dropped,
+        // or the compacted file is permanently unsplittable/unprunable
+        else adoptStagedSidecars(fs, staging, finalData)
         readLines(fs, intent).foreach(n => deleteAllSidecars(fs, new Path(d, n)))
       }
       // else: crashed before any output existed — originals intact,
@@ -154,6 +184,13 @@ object FrameCompaction {
     val sized = ProtoChunkSource.listFrameFiles(dir, conf)
       .map { case (f, len) => (new Path(f), len) }
     val small = sized.filter(_._2 < smallBytes) // name-sorted already
+    // content stamp per candidate: the bin id must change when a
+    // retired name is later RE-CREATED with new bytes, or the replay
+    // check in publish() would delete the previous compaction output
+    // (the only copy of the old rows) believing it replays itself
+    val stamp = small.map { case (p, len) =>
+      p -> s"${p.getName}:$len:${fs.getFileStatus(p).getModificationTime}"
+    }.toMap
     // greedy cumulative binning: bin = floor(cumulative-size-before / target)
     var cum = 0L
     val binned = small.map { case (p, len) =>
@@ -165,7 +202,7 @@ object FrameCompaction {
 
     val fmt = classOf[ProtoChunkSource].getName
     multi.foreach { bin =>
-      val binId = md5hex(bin.map(_.getName).sorted.mkString("\n"))
+      val binId = md5hex(bin.map(stamp).sorted.mkString("\n"))
       val intent = new Path(d, s".compact-$binId.intent")
       val staging = new Path(d, s".compact-$binId.staging")
       // 1. intent first: from here on a crash is recoverable

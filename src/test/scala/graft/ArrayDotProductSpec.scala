@@ -31,12 +31,20 @@ class ArrayDotProductSpec extends AnyFunSuite {
     both.foreach { case (n, h) => assert(math.abs(n - h) < 1e-9, s"$n vs $h") }
   }
 
-  test("golden value, ragged lengths, and null propagation") {
+  test("golden value; ragged and null inputs yield NULL like the lambda form") {
     import spark.implicits._
-    val got = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f, 99.0f)))
+    val got = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)))
       .toDF("a", "b")
       .select(expr("array_dot_f(a, b)")).as[Double].head()
-    assert(got == 32.0) // ragged: extra element ignored
+    assert(got == 32.0)
+    // ragged lengths: NULL, not a min-length partial sum — a truncated
+    // embedding must not receive a plausible-looking similarity (the
+    // array_dot_l rule, and what zip_with's implicit null padding +
+    // aggregate yields)
+    val ragged = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f, 99.0f)))
+      .toDF("a", "b")
+      .select(expr("array_dot_f(a, b)")).collect()
+    assert(ragged.head.isNullAt(0), s"ragged arrays must dot to NULL: ${ragged.head}")
     val nulls = Seq((Some(Array(1.0f)), Option.empty[Array[Float]]))
       .toDF("a", "b")
       .select(expr("array_dot_f(a, b)")).collect()

@@ -142,6 +142,38 @@ class FrameCompactionSpec extends AnyFunSuite {
     assert(!staging.exists())
   }
 
+  test("crash recovery: data published but sidecars still staged -> sidecars adopted, not lost") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact-crash4").toString
+    writeDocs(dir, 64, 2)
+    val before = frameFiles(dir)
+    val rows = decodedRows(dir)
+    // simulate the kill point INSIDE publish(): data renamed to its
+    // final name, the staged .idx/.stats not yet moved
+    val binId = binIdOf(before)
+    val concat = before.flatMap(n =>
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(dir, n)).toSeq).toArray
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, s"compact-$binId.frames"), concat)
+    val staging = new java.io.File(dir, s".compact-$binId.staging")
+    staging.mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(staging.getPath, ".part-00000-staged.frames.stats"),
+      "orphaned-stats-body")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, s".compact-$binId.intent"),
+      before.mkString("\n").getBytes("UTF-8"))
+    val r = FrameCompaction.compact(spark, dir, smallBytes = 1, targetBytes = 1)
+    assert(r.recovered == 1)
+    assert(frameFiles(dir) == Seq(s"compact-$binId.frames"))
+    assert(decodedRows(dir) == rows)
+    // the orphaned sidecar was moved next to the published file, not
+    // destroyed with the staging dir (the old recovery deleted it)
+    val adopted = new java.io.File(dir, s".compact-$binId.frames.stats")
+    assert(adopted.exists(), "staged sidecar lost during recovery")
+    assert(java.nio.file.Files.readString(adopted.toPath) == "orphaned-stats-body")
+    assert(!staging.exists())
+  }
+
   test("compaction skips a lone small file and leaves big files alone") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-compact-1").toString
