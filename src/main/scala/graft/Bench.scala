@@ -41,10 +41,19 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet).filter(_.nonEmpty)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
+    // A bench-only crash (OOM, codegen failure) must surface as an
+    // ERROR, not read as a fast query: CORRECTNESS is the wrong-answer
+    // gate, but a swallowed throw here would report a wall-time for a
+    // query that never ran (VERDICT r12 #2). Collected across all
+    // iterations and emitted as "errors":[names] in the metric line.
+    val errored = scala.collection.mutable.SortedSet[String]()
     val runs = (1 to iters).map { _ =>
       ordered.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count() } catch { case e: Throwable =>
+          errored += name
+          System.err.println(s"[bench] $name failed: ${e.getClass.getSimpleName}: ${e.getMessage}")
+        }
         name -> (System.nanoTime() - t0) / 1e9
       }.toMap
     }
@@ -65,7 +74,8 @@ object Bench {
     // parsed:null for exactly this reason). Print ONE compact line —
     // total + the slowest queries, always well under the tail window —
     // and park the full per-query breakdown in a file for BENCHNOTES.
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val errs = errored.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","errors":$errs,"queries":$qs,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/graft_bench_full.json"),
       full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case scala.util.control.NonFatal(_) => () }
@@ -80,7 +90,7 @@ object Bench {
     // emits nothing above ERROR, then emit the one JSON line and flush.
     spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"iters":$iters,"single_shot":$singleShot,"queries":$top,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"iters":$iters,"single_shot":$singleShot,"errors":$errs,"queries":$top,"sf":"$sfDir"}""")
     System.out.flush()
   }
 }

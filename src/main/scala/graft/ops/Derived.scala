@@ -44,20 +44,64 @@ object Derived {
     if (fs.exists(p)) fs.getFileStatus(p).getModificationTime else 0L
   }
 
-  /** Returns the artifact dir, invoking `build(dir)` first iff the dir
+  /** Per-artifact-dir build locks: two registry queries sharing one
+    * artifact (q_jsonl_roundtrip / q_jsonl_audit) may race ensure() in
+    * one JVM; the lock single-flights the build so the loser waits and
+    * then sees the winner's marker on the post-lock recheck.
+    */
+  private val buildLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Returns the artifact dir, invoking the builder first iff the dir
     * has no completion marker (the builder must write through a Spark
     * writer or leave its own `_SUCCESS`). `marker` is the dir-relative
     * completion file for multi-table artifacts whose LAST-written table
     * is the real commit point (e.g. the IVF index's
     * assignments/_SUCCESS).
+    *
+    * Publish is ATOMIC: the builder runs into a unique temp dir which is
+    * renamed into place only once its marker exists — a concurrent
+    * reader never observes a half-built artifact (the old check-then-
+    * build form could overwrite-delete under a reader mid-rebuild), and
+    * two racing JVMs resolve via the rename: the loser's rename fails
+    * against the winner's published dir and its temp dir is discarded.
+    * In-JVM races are single-flighted through a per-dir lock with a
+    * post-lock marker recheck.
     */
   def ensure(s: SparkSession, family: String, sourceFile: String,
              version: String = "", marker: String = "_SUCCESS")
             (build: String => Unit): String = {
     val dir = dirFor(s, family, sourceFile, version)
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
     val success = new org.apache.hadoop.fs.Path(s"$dir/$marker")
     val fs = success.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(success)) build(dir)
+    if (fs.exists(success)) return dir
+    val lock = buildLocks.computeIfAbsent(dir, _ => new Object)
+    lock.synchronized {
+      if (!fs.exists(success)) { // post-lock recheck: the winner built it
+        val tmp = new org.apache.hadoop.fs.Path(
+          dir + ".build-" + java.util.UUID.randomUUID().toString.take(8))
+        build(tmp.toString)
+        val tmpMarker = new org.apache.hadoop.fs.Path(s"$tmp/$marker")
+        if (!fs.exists(tmpMarker)) {
+          fs.delete(tmp, true)
+          throw new IllegalStateException(
+            s"Derived.ensure($family): builder left no $marker under $tmp — refusing to publish")
+        }
+        // a marker-less leftover (crashed older build) blocks the rename
+        // (HDFS rename into an existing dir NESTS the source); it is
+        // incomplete by definition, so clear it inside the lock
+        if (fs.exists(dirPath)) fs.delete(dirPath, true)
+        fs.mkdirs(dirPath.getParent)
+        if (!fs.rename(tmp, dirPath)) {
+          // cross-JVM race: keep the winner's artifact iff complete
+          fs.delete(tmp, true)
+          if (!fs.exists(success))
+            throw new IllegalStateException(
+              s"Derived.ensure($family): publish rename to $dir failed and no complete artifact exists")
+        }
+      }
+    }
     dir
   }
 }

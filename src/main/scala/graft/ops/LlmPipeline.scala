@@ -557,6 +557,15 @@ object LlmPipeline {
     val reps = members.groupBy("norm_key").agg(min("doc_id").as("rep"))
     val docRep = members.join(reps, "norm_key")
       .select(col("doc_id"), col("rep")).pinned()
+    // Short-circuit on a duplicate-FREE corpus (VERDICT r12 #6): when
+    // every doc is its own representative the expansion is an identity
+    // map and the intra-group pairs are empty, so the two re-expansion
+    // equi-joins and the union are pure overhead — return the rep-level
+    // join directly (over ALL docs, since reps == docs). One cheap
+    // existence probe over the already-pinned membership frame decides.
+    val hasCopies = !docRep.where(col("doc_id") =!= col("rep")).isEmpty
+    if (!hasCopies)
+      return nearLshJoin(toks.select(col("doc_id"), col("tokens")))
     val repPairs = nearLshJoin(
       toks.join(docRep.where(col("doc_id") === col("rep")).select("doc_id"), "doc_id")
         .select(col("doc_id"), col("tokens")))
@@ -2204,7 +2213,32 @@ object LlmPipeline {
             .as("h"))
         .pinned())
 
+  /** Hard corpus-volume ceiling (total text chars) for the stride-1
+    * exact form — the HotBucketCap discipline applied to the query's
+    * own input (VERDICT r12 #4): stride-1's window table is inherently
+    * W× the corpus volume, measured at 578 s on the ~150M-char 100×
+    * stress — a cost no caller should pay SILENTLY. Above the cap the
+    * query fails loudly, naming the scale-safe alternatives, instead of
+    * quietly running for minutes. 40M chars clears the 10×-sf0.1 decade
+    * gate (~13M chars, where stride-1 is still the hash-checked exact
+    * form at ~46 s) and refuses the 100× tier. Overridable per session
+    * via spark.graft.substringStride1MaxChars (specs set it tiny to pin
+    * the refusal; a user who accepts the cost raises it explicitly —
+    * the observable-overflow contract, not a hidden limit).
+    */
+  private[graft] val SubStride1MaxChars = 40000000L
+
   def dedupSubstring(s: SparkSession, d: String): DataFrame = {
+    val maxChars = s.conf.getOption("spark.graft.substringStride1MaxChars")
+      .map(_.toLong).getOrElse(SubStride1MaxChars)
+    val vol = corpusChars(s, d)
+    if (vol > maxChars)
+      throw new IllegalStateException(
+        s"q_dedup_substring (stride-1) refused: corpus volume $vol chars exceeds " +
+          s"the stride-1 ceiling $maxChars — the W×-volume window table is the " +
+          "documented 100×-scale killer. Use q_dedup_substring_auto (selects " +
+          "winnow above 10M chars) or q_dedup_substring_winnow, or raise " +
+          "spark.graft.substringStride1MaxChars to accept the cost explicitly.")
     val wins = substringWindows(s, d)
     val ds = wins.select("doc_id", "h").distinct().pinned()
     val g = ds.groupBy("h").agg(count(lit(1)).as("df"))
@@ -2284,9 +2318,17 @@ object LlmPipeline {
     * SQL, so the query stays hash-gate-checked on whichever side the
     * corpus lands.
     */
-  def dedupSubstringAuto(s: SparkSession, d: String): DataFrame = {
-    val vol = Tables.documents(s, d)
+  /** Total corpus text volume in chars — one metadata-sized aggregate
+    * over the stored n_chars column (the table-stats consultation a
+    * planner does); the selector for the auto form and the stride-1
+    * ceiling guard.
+    */
+  private def corpusChars(s: SparkSession, d: String): Long =
+    Tables.documents(s, d)
       .agg(coalesce(sum(col("n_chars")), lit(0L)).as("v")).head.getLong(0)
+
+  def dedupSubstringAuto(s: SparkSession, d: String): DataFrame = {
+    val vol = corpusChars(s, d)
     if (vol <= SubAutoVolCap)
       dedupSubstring(s, d).select(col("doc_a"), col("doc_b"),
         col("n_cov_pos").as("n_matches"), lit("stride1").as("mode"))

@@ -36,10 +36,17 @@ object Pin {
       // to write the checkpoint files — uncached, every reliable pin
       // would compute its expensive subtree twice (Spark's documented
       // recompute-unless-persisted checkpoint behavior). The cache is
-      // dropped once the checkpoint files are the source of truth.
-      val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try cached.checkpoint()
-      finally cached.unpersist(blocking = false)
+      // dropped once the checkpoint files are the source of truth —
+      // but ONLY if this call created it: unpersisting a plan the
+      // caller had already cached would silently drop the caller's
+      // cache entry as a side effect of pinning (ADVICE r12).
+      if (df.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+        df.checkpoint()
+      else {
+        val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try cached.checkpoint()
+        finally cached.unpersist(blocking = false)
+      }
     }
   }
 

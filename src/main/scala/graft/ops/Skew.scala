@@ -25,11 +25,22 @@ object Skew {
 
   /** Equi join `fact ⋈ dim` on `key`, with the fact side's hot keys
     * spread over `nSalts` shuffle partitions: each fact row gets a salt
-    * from a hash of a row-unique id (which salt a row gets is
+    * from a hash of its row content (which salt a row gets is
     * irrelevant — only the spread matters), and the dim side is
     * replicated once per salt so every (key, salt) pair still meets its
     * match. Cost: dim shuffle volume × nSalts — the standard trade; size
     * nSalts ≈ hot-key rows / target partition rows.
+    *
+    * LIMITATION (content-hash salting): rows that are fully identical
+    * across every hashable column share a salt and therefore still
+    * clump on one partition — in the degenerate corpus where the hot
+    * key's rows are verbatim duplicates, salting does not spread them
+    * (collapse duplicates first, the q_dedup_exact stage, or add a
+    * distinguishing column before joining). Chosen anyway because the
+    * alternative, monotonically_increasing_id, is retry-UNSTABLE: a
+    * re-executed map stage re-salts rows already fetched by other
+    * reducers, duplicating or dropping fact rows exactly in the failure
+    * scenario salting exists for.
     */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, nSalts: Int): DataFrame = {
     // an nSalts of 0 would explode(array()) the dim side into NOTHING —
@@ -46,10 +57,22 @@ object Skew {
     // shuffle-fetch failure re-salts rows already fetched by other
     // reducers — duplicating or dropping fact rows exactly in the
     // failure scenario salting exists for. Content-hash salting is
-    // retry-stable; fully identical duplicate rows share a salt (they
-    // clump only in the degenerate all-identical-rows case).
+    // retry-stable (identical-row clumping limitation in the scaladoc).
+    // Hash only the HASHABLE columns: Spark's hash() rejects MapType
+    // (HASH_MAP_TYPE AnalysisException), so a map-typed fact column
+    // would fail the whole join; maps are dropped from the salt input,
+    // which only narrows the spread, never the result.
+    def hashable(t: org.apache.spark.sql.types.DataType): Boolean = t match {
+      case _: org.apache.spark.sql.types.MapType => false
+      case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => hashable(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => hashable(a.elementType)
+      case _ => true
+    }
+    val saltCols = fact.schema.fields.filter(f => hashable(f.dataType)).map(f => col(f.name))
+    require(saltCols.nonEmpty,
+      "saltedJoin: no hashable fact columns to derive a salt from")
     val saltedFact = fact.withColumn(SaltCol,
-      pmod(hash(fact.columns.map(col): _*), lit(nSalts)))
+      pmod(hash(saltCols: _*), lit(nSalts)))
     val saltedDim = dim.withColumn(SaltCol,
       explode(array((0 until nSalts).map(lit(_)): _*)))
     saltedFact.join(saltedDim, Seq(key, SaltCol)).drop(SaltCol)

@@ -72,6 +72,16 @@ object ChunkIngest {
     * file, chunk 0 present, no gaps/duplicates, sizes consistent.
     * Returns one row per file with ok flag — the Spark form of the
     * reference's throw-on-invalid.
+    *
+    * `last_size > 0` is intentional: a zero-byte file is ILLEGAL in the
+    * reference — upload rejects it before any chunk exists
+    * (Chunk.checkFileNotEmpty, structures/Chunk.java:144-150), so a
+    * single empty chunk can only be corruption, never a valid file.
+    * last_size is the size at the MAX (seq, size) pair — deterministic
+    * even when duplicate seqs carry different sizes (a bare
+    * max_by(size, seq) is tie-nondeterministic; such a file is already
+    * not-ok via n_distinct, but the reported column must not flap
+    * between runs).
     */
   def validate(chunks: DataFrame,
                chunkSize: Long = DefaultChunkSize): DataFrame =
@@ -82,7 +92,7 @@ object ChunkIngest {
         countDistinct(col("seq")).as("n_distinct"),
         sum(col("size")).as("total_size"),
         max(col("size")).as("max_size"),
-        expr("max_by(size, seq)").as("last_size"))
+        max(struct(col("seq"), col("size"))).getField("size").as("last_size"))
       .withColumn("ok",
         col("min_seq") === 0 &&
           col("max_seq") === col("n_chunks") - 1 &&

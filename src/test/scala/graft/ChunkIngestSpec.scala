@@ -91,6 +91,21 @@ class ChunkIngestSpec extends AnyFunSuite {
     assert(ch.filter(col("filename") === "one.bin").count() == 1)
   }
 
+  test("last_size is deterministic when duplicate seqs carry different sizes") {
+    import spark.implicits._
+    // duplicate tail seq with two sizes: already not-ok via n_distinct,
+    // but the REPORTED last_size must not flap between runs — it is the
+    // size at the lexicographic max (seq, size) pair
+    val rows = Seq(("dup.bin", 0L, 1000L), ("dup.bin", 1L, 400L), ("dup.bin", 1L, 700L))
+      .toDF("filename", "seq", "size")
+    val got = (1 to 5).map { _ =>
+      sources.ChunkIngest.validate(rows.repartition(3), chunkSize = 1000L)
+        .select("last_size").head().getLong(0)
+    }
+    assert(got.distinct == Seq(700L), s"nondeterministic last_size: $got")
+    assert(!sources.ChunkIngest.validate(rows, 1000L).head().getAs[Boolean]("ok"))
+  }
+
   test("write/read round trip through the partitioned parquet sink") {
     val dest = Files.createTempDirectory("graft-ingest-out").toString + "/chunks"
     sources.ChunkIngest.write(chunks, dest)

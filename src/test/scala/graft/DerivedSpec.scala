@@ -60,4 +60,54 @@ class DerivedSpec extends AnyFunSuite {
     assert(!d1.contains("lineitem") && !d2.contains("lineitem"),
       s"table filename leaked into artifact path: $d1")
   }
+
+  test("ensure refuses to publish a build that left no marker (atomic publish)") {
+    val src = tempSource()
+    val e = intercept[IllegalStateException] {
+      ops.Derived.ensure(spark, "graft-derived-spec", src, "nomark") { dir =>
+        Files.createDirectories(Paths.get(dir))
+        Files.writeString(Paths.get(dir, "data"), "half-built")
+      }
+    }
+    assert(e.getMessage.contains("refusing to publish"), e.getMessage)
+    // nothing observable at the artifact path — readers never see the half-build
+    val dir = ops.Derived.dirFor(spark, "graft-derived-spec", src, "nomark")
+    assert(!Files.exists(Paths.get(dir)), "half-built artifact became visible")
+    // a later good build publishes normally
+    val d2 = ops.Derived.ensure(spark, "graft-derived-spec", src, "nomark") { b =>
+      Files.createDirectories(Paths.get(b))
+      Files.writeString(Paths.get(b, "_SUCCESS"), "")
+    }
+    assert(Files.exists(Paths.get(d2, "_SUCCESS")))
+  }
+
+  test("concurrent ensure single-flights: exactly one build, every caller gets the artifact") {
+    val src = tempSource()
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    def go() = ops.Derived.ensure(spark, "graft-derived-spec", src, "conc") { dir =>
+      builds.incrementAndGet()
+      Thread.sleep(150) // widen the race window the old check-then-build lost
+      Files.createDirectories(Paths.get(dir))
+      Files.writeString(Paths.get(dir, "_SUCCESS"), "")
+    }
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dirs = Await.result(Future.sequence((1 to 4).map(_ => Future(go()))), 60.seconds)
+    assert(builds.get == 1, s"raced: ${builds.get} builds ran")
+    assert(dirs.distinct.size == 1 && Files.exists(Paths.get(dirs.head, "_SUCCESS")))
+  }
+
+  test("a marker-less leftover from a crashed build is cleared and rebuilt") {
+    val src = tempSource()
+    val dir = ops.Derived.dirFor(spark, "graft-derived-spec", src, "crashed")
+    Files.createDirectories(Paths.get(dir))
+    Files.writeString(Paths.get(dir, "partial"), "junk from a crashed run")
+    val d = ops.Derived.ensure(spark, "graft-derived-spec", src, "crashed") { b =>
+      Files.createDirectories(Paths.get(b))
+      Files.writeString(Paths.get(b, "_SUCCESS"), "")
+    }
+    assert(Files.exists(Paths.get(d, "_SUCCESS")))
+    assert(!Files.exists(Paths.get(d, "partial")), "crashed leftovers survived the rebuild")
+  }
 }

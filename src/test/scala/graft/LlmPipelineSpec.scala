@@ -1335,6 +1335,48 @@ class LlmPipelineSpec extends AnyFunSuite {
       s"expected (0,201) at nonzero distance, got $found")
   }
 
+  test("q_dedup_near short-circuits on a duplicate-free corpus and equals the whole-corpus join") {
+    import spark.implicits._
+    // no verbatim copies anywhere: the collapse is an identity map, so
+    // dedupNear skips the two re-expansion joins (VERDICT r12 #6) and
+    // must STILL produce exactly the whole-corpus LSH join result
+    val rnd = new scala.util.Random(41)
+    val vocab = Vector("alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+      "golf", "hotel", "india", "juliet")
+    def soup(n: Int): String = Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val base = (0 until 15).map(i => (i.toLong, soup(50)))
+    val nearDup = { // near (one token edited), NOT verbatim
+      val t = base(0)._2.split(' '); t(25) = "zulu"; (300L, t.mkString(" "))
+    }
+    val dir = s"/tmp/graft-test-nodup-${java.util.UUID.randomUUID()}"
+    (base :+ nearDup)
+      .map { case (id, text) => (id, text, "en", "src0", text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select($"doc_a", $"doc_b", $"jaccard_dist".cast("double"))
+      .as[(Long, Long, Double)].collect().toSet
+    val short = rows(ops.LlmPipeline.dedupNear(spark, dir))
+    val whole = rows(ops.LlmPipeline.dedupNearUncollapsed(spark, dir))
+    assert(short == whole,
+      s"only-short: ${(short -- whole).take(5)}; only-whole: ${(whole -- short).take(5)}")
+    assert(short.exists(p => p._1 == 0L && p._2 == 300L && p._3 > 0.0),
+      "planted near-dup lost by the short-circuit path")
+  }
+
+  test("q_dedup_substring refuses above the stride-1 volume ceiling, naming the scale-safe forms") {
+    spark.conf.set("spark.graft.substringStride1MaxChars", "10")
+    try {
+      val e = intercept[IllegalStateException] {
+        ops.LlmPipeline.dedupSubstring(spark, plantedDir)
+      }
+      assert(e.getMessage.contains("q_dedup_substring_auto") &&
+        e.getMessage.contains("substringStride1MaxChars"), e.getMessage)
+    } finally spark.conf.unset("spark.graft.substringStride1MaxChars")
+    // with the conf cleared the default ceiling admits the tiny corpus
+    assert(ops.LlmPipeline.dedupSubstring(spark, plantedDir).columns.contains("longest_span"))
+  }
+
   test("q_dedup_near_collapsed: verbatim copies collapse before the LSH join, recall intact") {
     import spark.implicits._
     val dir = LlmFixtures.plantedDir(spark) // doc 200 is a verbatim copy of doc 0

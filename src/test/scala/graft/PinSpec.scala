@@ -41,6 +41,20 @@ class PinSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.reliablePin")
   }
 
+  test("pin (reliable) leaves a caller-created cache in place") {
+    spark.conf.set("spark.graft.reliablePin", "true")
+    try {
+      val cached = spark.range(500).select(col("id"), (col("id") * 3).as("v")).persist()
+      cached.count()
+      assert(Pin.pin(cached).count() == 500)
+      // the old form persist()ed then finally-unpersist()ed the SAME plan,
+      // dropping the caller's cache as a side effect (ADVICE r12)
+      assert(cached.storageLevel != org.apache.spark.storage.StorageLevel.NONE,
+        "pin unpersisted the caller's cache")
+      cached.unpersist()
+    } finally spark.conf.unset("spark.graft.reliablePin")
+  }
+
   test("q_dedup_substring_auto: below the volume cap it is the stride-1 result") {
     val auto = ops.LlmPipeline.dedupSubstringAuto(spark, d)
     val modes = auto.select("mode").distinct().as[String].collect().toSeq

@@ -42,6 +42,19 @@ class SkewSpec extends AnyFunSuite {
     assert(e.getMessage.contains(ops.Skew.SaltCol))
   }
 
+  test("salted join tolerates map-typed fact columns (salt input skips unhashable types)") {
+    // Spark's hash() rejects MapType; the salt must be derived from the
+    // hashable columns only, not fail the whole join (ADVICE r12)
+    val factWithMap = skewedFact.withColumn("attrs",
+      map(lit("v2"), col("v") * 2))
+    val salted = ops.Skew.saltedJoin(factWithMap, dim, "k", nSalts = 4)
+    assert(salted.count() == skewedFact.join(dim, Seq("k")).count())
+    // the map column itself survives intact through the salted join
+    val attrs = salted.where(col("v") === 9500L)
+      .select(element_at(col("attrs"), "v2")).head().getLong(0)
+    assert(attrs == 19000L)
+  }
+
   test("salting spreads the hot key across shuffle partitions") {
     import spark.implicits._
     def maxPartitionRows(df: org.apache.spark.sql.DataFrame): Long =
