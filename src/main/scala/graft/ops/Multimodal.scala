@@ -790,6 +790,97 @@ object Multimodal {
       .orderBy("doc_a", "doc_b")
   }
 
+  // ------------------------------------------------- real-media fixture tier
+
+  /** Expected decode facts for the MediaFixtures catalog — transcribed
+    * from the GENERATOR'S parameters (sources/MediaFixtures.scala
+    * assets()), not from running the decoder: width/height/channels/
+    * rate/bits/frames/duration are the numbers the parser must RECOVER
+    * from the bytes; n_bytes is format-spec size math (e.g. BMP 54 +
+    * 4-aligned-stride × height). These rows feed both the DuckDB oracle
+    * (as VALUES literals) and MultimodalSpec's real-branch assertions,
+    * closing the r12 gap where every green q_mm_* row validated only
+    * the md5-stub path.
+    */
+  private[graft] val mediaImageExpected: Seq[(Long, Long, Int, Int, Int, String)] = Seq(
+    (1L, 16114L, 97, 55, 3, "bmp"),   // 54 + ((97·3+3)/4·4=292)·55
+    (2L, 12342L, 64, 64, 3, "bmp"),
+    (3L, 1590L, 32, 16, 3, "bmp"),    // top-down (negative biHeight)
+    (4L, 626L, 20, 10, 3, "bmp"),     // BITMAPCOREHEADER: 26 + 60·10
+    (5L, 16018L, 97, 55, 3, "ppm"),   // 13-byte header + 97·55·3
+    (6L, 706L, 33, 21, 1, "ppm"),     // P5
+    (7L, 190L, 5, 4, 3, "ppm"),       // P3 ascii raster
+    (8L, 74L, 7, 3, 1, "ppm"),        // P2 ascii raster
+    (9L, 4708L, 48, 32, 3, "png"),
+    (10L, 987L, 16, 16, 4, "png"),    // RGBA
+    (11L, 128L, 8, 8, 1, "png"),      // grayscale
+    (12L, 20L, 120, 80, 3, "gif"),    // 89a
+    (13L, 20L, 40, 30, 3, "gif"),     // 87a
+    (14L, 41L, 200, 150, 3, "jpeg"),  // SOF0 baseline
+    (15L, 35L, 32, 24, 1, "jpeg"))    // SOF2 progressive, grayscale
+
+  private[graft] val mediaAudioExpected: Seq[(Long, Long, Int, Int, Int, Long, Long, String)] = Seq(
+    // (id, n_bytes, channels, rate, bits, frames, duration_ms, decoder)
+    (20L, 6444L, 2, 8000, 16, 1600L, 200L, "wav"),  // 44 + 1600·2·2
+    (21L, 4454L, 1, 44100, 8, 4410L, 100L, "wav"),
+    (22L, 1624L, 1, 16000, 16, 800L, 50L, "au"),    // linear PCM
+    (23L, 824L, 2, 8000, 8, 400L, 50L, "au"))       // µ-law
+
+  private[graft] val mediaVideoExpected: Seq[(Long, Long, Int, Int, Long, String)] = Seq(
+    // (id, n_bytes, width, height, duration_ms, decoder)
+    (30L, 312L, 320, 240, 5000L, "mp4"),   // v0 boxes: 5000/1000 ts
+    (31L, 336L, 640, 360, 5000L, "mp4"),   // v1 (64-bit) boxes: 450000/90000 ts
+    (32L, 212L, 0, 0, 2056L, "mp4"),       // audio-only: no tkhd, 1234·1000/600
+    (33L, 124L, 720, 480, 9999L, "avi"),   // 300 frames · 33333 µs/frame
+    (34L, 124L, 160, 120, 10000L, "avi"))
+
+  /** q_mm_decode_media — image decode over the persisted REAL-media
+    * fixture table: every row takes the actual header-parse branch
+    * (decoder ∈ bmp/ppm/png/gif/jpeg, never 'stub-md5'), checked against
+    * the generator's parameters by the DuckDB literal mirror. The plan
+    * is the production one: binary column scanned from parquet →
+    * per-partition mapPartitions decode.
+    */
+  def decodeMedia(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    decodeCore(graft.sources.MediaFixtures.table(s, d)
+        .where(col("kind") === "image")
+        .select(col("media_id"), col("payload")).as[(Long, Array[Byte])])
+      .toDF()
+      .select(col("doc_id").as("media_id"), col("n_bytes"), col("width"),
+        col("height"), col("channels"), col("decoder"))
+      .orderBy("media_id")
+  }
+
+  /** q_mm_audio_media — WAV/AU decode over the real-media fixture table
+    * (the audio leg of the real-branch evidence).
+    */
+  def audioMedia(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    audioCore(graft.sources.MediaFixtures.table(s, d)
+        .where(col("kind") === "audio")
+        .select(col("media_id"), col("payload")).as[(Long, Array[Byte])])
+      .toDF()
+      .select(col("doc_id").as("media_id"), col("n_bytes"), col("n_channels"),
+        col("sample_rate_hz"), col("bits_per_sample"), col("n_frames"),
+        col("duration_ms"), col("decoder"))
+      .orderBy("media_id")
+  }
+
+  /** q_mm_video_media — MP4/AVI container decode over the real-media
+    * fixture table (v0 + v1 ISO-BMFF boxes, audio-only, RIFF AVI).
+    */
+  def videoMedia(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    videoCore(graft.sources.MediaFixtures.table(s, d)
+        .where(col("kind") === "video")
+        .select(col("media_id"), col("payload")).as[(Long, Array[Byte])])
+      .toDF()
+      .select(col("doc_id").as("media_id"), col("n_bytes"), col("width"),
+        col("height"), col("duration_ms"), col("decoder"))
+      .orderBy("media_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mm_decode"       -> (decode _),
     "q_dedup_phash"     -> (dedupPhash _),
@@ -798,7 +889,23 @@ object Multimodal {
     "q_mm_resize"       -> (resize _),
     "q_mm_frame_sample" -> (frameSample _),
     "q_mm_feature"      -> (features _),
+    "q_mm_decode_media" -> (decodeMedia _),
+    "q_mm_audio_media"  -> (audioMedia _),
+    "q_mm_video_media"  -> (videoMedia _),
   )
+
+  // VALUES bodies for the real-media literal mirrors — one shared row
+  // rendering per tier, wrapped in each engine's inline-table syntax
+  private def imageValues: String = mediaImageExpected
+    .map { case (id, nb, w, h, c, dec) => s"($id, $nb, $w, $h, $c, '$dec')" }
+    .mkString(", ")
+  private def audioValues: String = mediaAudioExpected
+    .map { case (id, nb, ch, r, b, f, dur, dec) =>
+      s"($id, $nb, $ch, $r, $b, $f, $dur, '$dec')" }
+    .mkString(", ")
+  private def videoValues: String = mediaVideoExpected
+    .map { case (id, nb, w, h, dur, dec) => s"($id, $nb, $w, $h, $dur, '$dec')" }
+    .mkString(", ")
 
   private val hx = "instr('0123456789abcdef', substr(md5(coalesce(text, '')), %d, 1)) - 1"
   private val widthSql = s"CAST(320 + 16 * (${hx.format(1)}) + (${hx.format(2)}) AS INTEGER)"
@@ -868,6 +975,20 @@ object Multimodal {
         "CAST((octet_length(encode(coalesce(text, ''))) + 99) // 100 AS BIGINT) AS n_frames FROM documents) " +
         "SELECT doc_id, n_frames, CAST(unnest(generate_series(0, n_frames - 1, 10)) AS BIGINT) AS frame_no " +
         "FROM f ORDER BY doc_id, frame_no"),
+    // Real-media tier: the mirror is the GENERATOR's parameter table as
+    // literals — the decode branch must recover exactly these numbers
+    // from the persisted bytes, and a stub fallthrough ('stub-md5' in
+    // the decoder column, or md5-derived dims) hash-mismatches the row.
+    "q_mm_decode_media" ->
+      (s"SELECT * FROM (VALUES $imageValues) AS " +
+        "t(media_id, n_bytes, width, height, channels, decoder) ORDER BY media_id"),
+    "q_mm_audio_media" ->
+      (s"SELECT * FROM (VALUES $audioValues) AS " +
+        "t(media_id, n_bytes, n_channels, sample_rate_hz, bits_per_sample, " +
+        "n_frames, duration_ms, decoder) ORDER BY media_id"),
+    "q_mm_video_media" ->
+      (s"SELECT * FROM (VALUES $videoValues) AS " +
+        "t(media_id, n_bytes, width, height, duration_ms, decoder) ORDER BY media_id"),
     // byte ≡ char here: the corpus is pure ASCII (verified: octet_length
     // = length for every doc), so ord(char)//32 mirrors (byte & 0xFF)>>5;
     // left join keeps zero-byte docs with all-zero features
@@ -941,6 +1062,17 @@ object Multimodal {
         "SELECT doc_id, n_frames, " +
         "explode(sequence(CAST(0 AS BIGINT), n_frames - 1, CAST(10 AS BIGINT))) AS frame_no " +
         "FROM f ORDER BY doc_id, frame_no"),
+    // Spark's inline-table syntax: FROM VALUES ... AS t(...), no parens
+    "q_mm_decode_media" ->
+      (s"SELECT * FROM VALUES $imageValues AS " +
+        "t(media_id, n_bytes, width, height, channels, decoder) ORDER BY media_id"),
+    "q_mm_audio_media" ->
+      (s"SELECT * FROM VALUES $audioValues AS " +
+        "t(media_id, n_bytes, n_channels, sample_rate_hz, bits_per_sample, " +
+        "n_frames, duration_ms, decoder) ORDER BY media_id"),
+    "q_mm_video_media" ->
+      (s"SELECT * FROM VALUES $videoValues AS " +
+        "t(media_id, n_bytes, width, height, duration_ms, decoder) ORDER BY media_id"),
     "q_mm_feature" -> {
       val bins = (0 until 8)
         .map(b => s"count(*) FILTER (WHERE code DIV 32 = $b) AS h$b").mkString(", ")

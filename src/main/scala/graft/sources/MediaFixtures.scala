@@ -1,0 +1,347 @@
+package graft.sources
+
+import java.io.ByteArrayOutputStream
+import java.nio.charset.StandardCharsets.US_ASCII
+
+import graft.ops.Derived
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Deterministic REAL-media fixture generation — the oracle evidence
+  * the multimodal decode tier was missing (VERDICT r12 #1): the text
+  * fixture corpus carries no image/audio/video magic, so the six green
+  * q_mm_* rows only ever exercised the md5-stub branch. This module
+  * writes honest-to-spec BMP / netpbm / PNG / GIF / JPEG-header / WAV /
+  * AU / MP4 / AVI payloads (public format specs: Windows DIB, netpbm,
+  * PNG RFC 2083, GIF89a, JPEG ISO/IEC 10918 marker structure, RIFF/WAVE,
+  * Sun .au, ISO-BMFF 14496-12, AVI RIFF) into a `documents_media`
+  * parquet table, so q_mm_*_media decode through the REAL parser
+  * branches and the DuckDB mirror checks the output against the
+  * GENERATOR'S parameters as literals — dimensions the parser must
+  * recover, not values it produced.
+  *
+  * Everything is parameter-determined (no RNG): the same catalog of 24
+  * assets is produced on every build, so the oracle VALUES literals are
+  * stable across SFs and rounds. Reference analogue: the reference
+  * stores and validates REAL file bytes (structures/Chunk.java:36-76);
+  * this is the same rule applied to the media tier.
+  */
+object MediaFixtures {
+
+  // ------------------------------------------------------------ byte utils
+  private def le16(v: Int): Array[Byte] =
+    Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+  private def le32(v: Long): Array[Byte] =
+    Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+  private def be16(v: Int): Array[Byte] =
+    Array(((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+  private def be32(v: Long): Array[Byte] =
+    Array(((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+      ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+  private def be64(v: Long): Array[Byte] = be32(v >>> 32) ++ be32(v & 0xFFFFFFFFL)
+  private def ascii(s: String): Array[Byte] = s.getBytes(US_ASCII)
+
+  /** Deterministic per-asset pixel scene (x, y) → (r, g, b). */
+  private def scene(seed: Int)(x: Int, y: Int): (Int, Int, Int) =
+    ((x * 7 + y * 13 + seed) % 256,
+      (x * 3 + y * 5 + 2 * seed) % 256,
+      (x * 11 + y + 3 * seed) % 256)
+
+  // ------------------------------------------------------------- images
+
+  /** 24-bpp uncompressed BMP, BITMAPINFOHEADER; bottom-up unless
+    * `topDown` (negative biHeight). Rows 4-byte padded per the DIB spec.
+    */
+  private[graft] def bmp24(w: Int, h: Int, seed: Int, topDown: Boolean = false): Array[Byte] = {
+    val stride = ((w * 3 + 3) / 4) * 4
+    val dataSize = stride * h
+    val out = new ByteArrayOutputStream()
+    out.write(ascii("BM")); out.write(le32(54L + dataSize))
+    out.write(le32(0)); out.write(le32(54)) // reserved, pixel-data offset
+    out.write(le32(40)); out.write(le32(w.toLong))
+    out.write(le32(if (topDown) -h.toLong else h.toLong))
+    out.write(le16(1)); out.write(le16(24)) // planes, bpp
+    out.write(le32(0)); out.write(le32(dataSize.toLong)) // BI_RGB, image size
+    out.write(le32(2835)); out.write(le32(2835)) // 72 dpi
+    out.write(le32(0)); out.write(le32(0)) // palette counts
+    val px = scene(seed) _
+    val row = new Array[Byte](stride)
+    // file rows run bottom-up for positive height, top-down for negative
+    val ys = if (topDown) 0 until h else (h - 1) to 0 by -1
+    ys.foreach { y =>
+      java.util.Arrays.fill(row, 0.toByte)
+      var x = 0
+      while (x < w) {
+        val (r, g, b) = px(x, y)
+        row(x * 3) = b.toByte; row(x * 3 + 1) = g.toByte; row(x * 3 + 2) = r.toByte
+        x += 1
+      }
+      out.write(row)
+    }
+    out.toByteArray
+  }
+
+  /** 24-bpp BMP with the ancient 12-byte BITMAPCOREHEADER (u16 dims). */
+  private[graft] def bmpCore(w: Int, h: Int, seed: Int): Array[Byte] = {
+    val stride = ((w * 3 + 3) / 4) * 4
+    val out = new ByteArrayOutputStream()
+    out.write(ascii("BM")); out.write(le32(26L + stride * h))
+    out.write(le32(0)); out.write(le32(26))
+    out.write(le32(12)); out.write(le16(w)); out.write(le16(h))
+    out.write(le16(1)); out.write(le16(24))
+    val px = scene(seed) _
+    ((h - 1) to 0 by -1).foreach { y =>
+      val row = new Array[Byte](stride)
+      var x = 0
+      while (x < w) {
+        val (r, g, b) = px(x, y)
+        row(x * 3) = b.toByte; row(x * 3 + 1) = g.toByte; row(x * 3 + 2) = r.toByte
+        x += 1
+      }
+      out.write(row)
+    }
+    out.toByteArray
+  }
+
+  /** netpbm: P6/P5 binary or P3/P2 ascii, full raster, maxval 255. */
+  private[graft] def netpbm(magic: String, w: Int, h: Int, seed: Int): Array[Byte] = {
+    val px = scene(seed) _
+    def gray(x: Int, y: Int): Int = { val (r, g, b) = px(x, y); (299 * r + 587 * g + 114 * b) / 1000 }
+    val out = new ByteArrayOutputStream()
+    out.write(ascii(s"$magic\n$w $h\n255\n"))
+    magic match {
+      case "P6" =>
+        for (y <- 0 until h; x <- 0 until w) {
+          val (r, g, b) = px(x, y); out.write(r); out.write(g); out.write(b)
+        }
+      case "P5" =>
+        for (y <- 0 until h; x <- 0 until w) out.write(gray(x, y))
+      case "P3" =>
+        val body = (for (y <- 0 until h; x <- 0 until w) yield {
+          val (r, g, b) = px(x, y); s"$r $g $b"
+        }).mkString("\n")
+        out.write(ascii(body + "\n"))
+      case "P2" =>
+        val body = (for (y <- 0 until h) yield
+          (0 until w).map(x => gray(x, y)).mkString(" ")).mkString("\n")
+        out.write(ascii(body + "\n"))
+    }
+    out.toByteArray
+  }
+
+  /** Complete valid PNG: signature + IHDR + one deflate-compressed IDAT
+    * (filter-0 scanlines) + IEND, CRC32 per chunk. colorType 0 = gray,
+    * 2 = RGB, 6 = RGBA (bit depth 8).
+    */
+  private[graft] def png(w: Int, h: Int, colorType: Int, seed: Int): Array[Byte] = {
+    val channels = colorType match { case 0 => 1; case 2 => 3; case 6 => 4 }
+    def chunk(tp: String, data: Array[Byte]): Array[Byte] = {
+      val crc = new java.util.zip.CRC32()
+      val t = ascii(tp)
+      crc.update(t); crc.update(data)
+      be32(data.length.toLong) ++ t ++ data ++ be32(crc.getValue)
+    }
+    val ihdr = be32(w.toLong) ++ be32(h.toLong) ++
+      Array[Byte](8, colorType.toByte, 0, 0, 0)
+    val px = scene(seed) _
+    val raw = new ByteArrayOutputStream()
+    for (y <- 0 until h) {
+      raw.write(0) // filter: None
+      for (x <- 0 until w) {
+        val (r, g, b) = px(x, y)
+        colorType match {
+          case 0 => raw.write((299 * r + 587 * g + 114 * b) / 1000)
+          case 2 => raw.write(r); raw.write(g); raw.write(b)
+          case 6 => raw.write(r); raw.write(g); raw.write(b); raw.write(255)
+        }
+      }
+    }
+    val deflater = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION)
+    deflater.setInput(raw.toByteArray); deflater.finish()
+    val buf = new Array[Byte](raw.size() + 64)
+    val n = deflater.deflate(buf)
+    deflater.end()
+    Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A) ++
+      chunk("IHDR", ihdr) ++ chunk("IDAT", buf.take(n)) ++ chunk("IEND", Array.emptyByteArray)
+  }
+
+  /** GIF87a/89a header + logical screen descriptor + 2-entry global
+    * color table + trailer — a structurally valid zero-image GIF (the
+    * dimensions live in the LSD; image blocks are optional for the
+    * container-metadata contract this tier decodes).
+    */
+  private[graft] def gif(w: Int, h: Int, v89: Boolean): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    out.write(ascii(if (v89) "GIF89a" else "GIF87a"))
+    out.write(le16(w)); out.write(le16(h))
+    out.write(0xF0) // GCT present, color res 8, GCT size 2^(0+1)=2
+    out.write(0); out.write(0) // background index, aspect
+    out.write(Array[Byte](0, 0, 0, 0xFF.toByte, 0xFF.toByte, 0xFF.toByte)) // GCT
+    out.write(0x3B) // trailer
+    out.toByteArray
+  }
+
+  /** JPEG marker stream: SOI + JFIF APP0 + SOF0/SOF2 frame header with
+    * the real dimensions + EOI — the marker walk a header decoder runs;
+    * entropy-coded data needs the codec and stays out (the q_mm_*
+    * decode contract is container/header metadata).
+    */
+  private[graft] def jpegHeader(w: Int, h: Int, nc: Int, progressive: Boolean): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    out.write(Array[Byte](0xFF.toByte, 0xD8.toByte)) // SOI
+    out.write(Array[Byte](0xFF.toByte, 0xE0.toByte)) // APP0
+    out.write(be16(16))
+    out.write(ascii("JFIF")); out.write(0)
+    out.write(Array[Byte](1, 1, 0)); out.write(be16(1)); out.write(be16(1))
+    out.write(0); out.write(0) // no thumbnail
+    out.write(Array[Byte](0xFF.toByte, (if (progressive) 0xC2 else 0xC0).toByte))
+    out.write(be16(8 + 3 * nc))
+    out.write(8) // precision
+    out.write(be16(h)); out.write(be16(w)); out.write(nc)
+    (1 to nc).foreach { c => out.write(c); out.write(0x11); out.write(0) }
+    out.write(Array[Byte](0xFF.toByte, 0xD9.toByte)) // EOI
+    out.toByteArray
+  }
+
+  // -------------------------------------------------------------- audio
+
+  /** Canonical RIFF/WAVE PCM: fmt + data with a deterministic sawtooth
+    * payload of `frames` sample frames.
+    */
+  private[graft] def wav(ch: Int, rate: Int, bits: Int, frames: Int): Array[Byte] = {
+    val bytesPerFrame = ch * bits / 8
+    val dataSize = frames * bytesPerFrame
+    val out = new ByteArrayOutputStream()
+    out.write(ascii("RIFF")); out.write(le32(36L + dataSize)); out.write(ascii("WAVE"))
+    out.write(ascii("fmt ")); out.write(le32(16))
+    out.write(le16(1)); out.write(le16(ch)) // PCM, channels
+    out.write(le32(rate.toLong)); out.write(le32(rate.toLong * bytesPerFrame))
+    out.write(le16(bytesPerFrame)); out.write(le16(bits))
+    out.write(ascii("data")); out.write(le32(dataSize.toLong))
+    var i = 0
+    while (i < dataSize) { out.write((i * 31) % 256); i += 1 } // sawtooth-ish PCM
+    out.toByteArray
+  }
+
+  /** Sun/NeXT .au: ".snd" big-endian header + data. enc 1 = µ-law
+    * (8-bit), 3 = 16-bit linear PCM.
+    */
+  private[graft] def au(ch: Int, rate: Int, enc: Int, frames: Int): Array[Byte] = {
+    val bytesPerSample = enc match { case 1 | 2 => 1; case 3 => 2; case 4 => 3; case 5 => 4 }
+    val dataSize = frames * ch * bytesPerSample
+    val out = new ByteArrayOutputStream()
+    out.write(ascii(".snd"))
+    out.write(be32(24)); out.write(be32(dataSize.toLong))
+    out.write(be32(enc.toLong)); out.write(be32(rate.toLong)); out.write(be32(ch.toLong))
+    var i = 0
+    while (i < dataSize) { out.write((i * 17) % 256); i += 1 }
+    out.toByteArray
+  }
+
+  // -------------------------------------------------------------- video
+
+  private def box(tp: String, body: Array[Byte]): Array[Byte] =
+    be32(8L + body.length) ++ ascii(tp) ++ body
+
+  /** ISO-BMFF (MP4): ftyp + moov{mvhd, trak{tkhd}} + mdat. `v1` uses
+    * version-1 (64-bit) mvhd/tkhd; `audioOnly` omits the trak so the
+    * decoder reports 0×0 with a real duration.
+    */
+  private[graft] def mp4(w: Int, h: Int, timescale: Long, duration: Long,
+                         v1: Boolean = false, audioOnly: Boolean = false): Array[Byte] = {
+    val ftyp = box("ftyp", ascii("isom") ++ be32(0) ++ ascii("isom") ++ ascii("mp41"))
+    val mvhd =
+      if (!v1) box("mvhd", Array[Byte](0, 0, 0, 0) ++ // version 0 + flags
+        be32(0) ++ be32(0) ++ be32(timescale) ++ be32(duration) ++
+        be32(0x00010000L) ++ be16(0x0100) ++ be16(0) ++ be32(0) ++ be32(0) ++
+        identityMatrix ++ new Array[Byte](24) ++ be32(2))
+      else box("mvhd", Array[Byte](1, 0, 0, 0) ++
+        be64(0) ++ be64(0) ++ be32(timescale) ++ be64(duration) ++
+        be32(0x00010000L) ++ be16(0x0100) ++ be16(0) ++ be32(0) ++ be32(0) ++
+        identityMatrix ++ new Array[Byte](24) ++ be32(2))
+    val tkhd =
+      if (!v1) box("tkhd", Array[Byte](0, 0, 0, 7) ++ // enabled|in-movie|in-preview
+        be32(0) ++ be32(0) ++ be32(1) ++ be32(0) ++ be32(duration) ++
+        new Array[Byte](8) ++ be16(0) ++ be16(0) ++ be16(0) ++ be16(0) ++
+        identityMatrix ++ be32(w.toLong << 16) ++ be32(h.toLong << 16))
+      else box("tkhd", Array[Byte](1, 0, 0, 7) ++
+        be64(0) ++ be64(0) ++ be32(1) ++ be32(0) ++ be64(duration) ++
+        new Array[Byte](8) ++ be16(0) ++ be16(0) ++ be16(0) ++ be16(0) ++
+        identityMatrix ++ be32(w.toLong << 16) ++ be32(h.toLong << 16))
+    val moov = box("moov", if (audioOnly) mvhd else mvhd ++ box("trak", tkhd))
+    val mdat = box("mdat", Array.tabulate(64)(i => ((i * 23) % 256).toByte))
+    ftyp ++ moov ++ mdat
+  }
+
+  private val identityMatrix: Array[Byte] =
+    be32(0x00010000L) ++ be32(0) ++ be32(0) ++
+      be32(0) ++ be32(0x00010000L) ++ be32(0) ++
+      be32(0) ++ be32(0) ++ be32(0x40000000L)
+
+  /** AVI RIFF: LIST hdrl { avih } + LIST movi {} — the main header
+    * carries µs/frame, total frames and dimensions (all LE u32).
+    */
+  private[graft] def avi(w: Int, h: Int, usPerFrame: Long, frames: Long): Array[Byte] = {
+    val avihBody = le32(usPerFrame) ++ le32(0) ++ le32(0) ++ le32(0x10) ++
+      le32(frames) ++ le32(0) ++ le32(1) ++ le32(0) ++
+      le32(w.toLong) ++ le32(h.toLong) ++ new Array[Byte](16)
+    val avih = ascii("avih") ++ le32(avihBody.length.toLong) ++ avihBody
+    val hdrl = ascii("LIST") ++ le32(4L + avih.length) ++ ascii("hdrl") ++ avih
+    val moviBody = ascii("movi") ++ ascii("00dc") ++ le32(16) ++
+      Array.tabulate(16)(i => ((i * 29) % 256).toByte)
+    val movi = ascii("LIST") ++ le32(moviBody.length.toLong - 4 + 4) ++ moviBody
+    val body = ascii("AVI ") ++ hdrl ++ movi
+    ascii("RIFF") ++ le32(body.length.toLong) ++ body
+  }
+
+  // ------------------------------------------------------------ catalog
+
+  /** The fixture catalog: (media_id, kind, payload). Every parameter
+    * below is what the oracle VALUES literals assert — the decode path
+    * must RECOVER these numbers from the bytes.
+    */
+  private[graft] def assets(): Seq[(Long, String, Array[Byte])] = Seq(
+    (1L, "image", bmp24(97, 55, seed = 1)),          // odd width → padded stride
+    (2L, "image", bmp24(64, 64, seed = 2)),
+    (3L, "image", bmp24(32, 16, seed = 3, topDown = true)), // negative biHeight
+    (4L, "image", bmpCore(20, 10, seed = 4)),        // BITMAPCOREHEADER
+    (5L, "image", netpbm("P6", 97, 55, seed = 1)),   // same scene as asset 1
+    (6L, "image", netpbm("P5", 33, 21, seed = 6)),
+    (7L, "image", netpbm("P3", 5, 4, seed = 7)),
+    (8L, "image", netpbm("P2", 7, 3, seed = 8)),
+    (9L, "image", png(48, 32, colorType = 2, seed = 9)),
+    (10L, "image", png(16, 16, colorType = 6, seed = 10)),
+    (11L, "image", png(8, 8, colorType = 0, seed = 11)),
+    (12L, "image", gif(120, 80, v89 = true)),
+    (13L, "image", gif(40, 30, v89 = false)),
+    (14L, "image", jpegHeader(200, 150, nc = 3, progressive = false)),
+    (15L, "image", jpegHeader(32, 24, nc = 1, progressive = true)),
+    (20L, "audio", wav(ch = 2, rate = 8000, bits = 16, frames = 1600)),
+    (21L, "audio", wav(ch = 1, rate = 44100, bits = 8, frames = 4410)),
+    (22L, "audio", au(ch = 1, rate = 16000, enc = 3, frames = 800)),
+    (23L, "audio", au(ch = 2, rate = 8000, enc = 1, frames = 400)),
+    (30L, "video", mp4(320, 240, timescale = 1000, duration = 5000)),
+    (31L, "video", mp4(640, 360, timescale = 90000, duration = 450000, v1 = true)),
+    (32L, "video", mp4(0, 0, timescale = 600, duration = 1234, audioOnly = true)),
+    (33L, "video", avi(720, 480, usPerFrame = 33333, frames = 300)),
+    (34L, "video", avi(160, 120, usPerFrame = 40000, frames = 250)))
+
+  /** Build-once parquet table (media_id, kind, payload BINARY) under the
+    * Derived lifecycle — the binary column round-trips through real
+    * parquet storage exactly like a 100 TB media corpus would, so the
+    * decode queries read persisted bytes, not in-memory literals.
+    */
+  def tablePath(s: SparkSession, d: String): String = {
+    val dir = Derived.ensure(s, "graft_media_fixture", s"$d/documents.parquet",
+      version = "v1", marker = "documents_media/_SUCCESS") { tmp =>
+      import s.implicits._
+      assets().toDF("media_id", "kind", "payload")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$tmp/documents_media")
+    }
+    s"$dir/documents_media"
+  }
+
+  def table(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(tablePath(s, d))
+}

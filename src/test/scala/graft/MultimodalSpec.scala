@@ -355,4 +355,39 @@ class MultimodalSpec extends AnyFunSuite {
     assert(stub.n_frames === stub.n_bytes)
     assert(stub.duration_ms === stub.n_frames * 1000L / stub.sample_rate_hz)
   }
+
+  test("real-media fixture tier: every asset decodes through the REAL branch with generator params") {
+    import spark.implicits._
+    val d = SparkTestSession.sf0001
+    // images: whole result equals the generator-parameter table, no stub rows
+    val img = ops.Multimodal.decodeMedia(spark, d)
+      .as[(Long, Long, Int, Int, Int, String)].collect().toSeq
+    assert(img == ops.Multimodal.mediaImageExpected,
+      s"image decode drifted from the catalog: $img")
+    assert(img.forall(_._6 != "stub-md5"), "an image asset fell through to the stub")
+    val aud = ops.Multimodal.audioMedia(spark, d)
+      .as[(Long, Long, Int, Int, Int, Long, Long, String)].collect().toSeq
+    assert(aud == ops.Multimodal.mediaAudioExpected,
+      s"audio decode drifted from the catalog: $aud")
+    assert(aud.forall(_._8 != "stub-md5"), "an audio asset fell through to the stub")
+    val vid = ops.Multimodal.videoMedia(spark, d)
+      .as[(Long, Long, Int, Int, Long, String)].collect().toSeq
+    assert(vid == ops.Multimodal.mediaVideoExpected,
+      s"video decode drifted from the catalog: $vid")
+    assert(vid.forall(_._6 != "stub-md5"), "a video asset fell through to the stub")
+  }
+
+  test("real-media fixtures: same scene in BMP and P6 is pixel- and aHash-identical across containers") {
+    val byId = sources.MediaFixtures.assets().map { case (id, _, b) => id -> b }.toMap
+    // assets 1 (BMP) and 5 (P6) render the SAME deterministic scene —
+    // the container changes, the decoded pixels must not
+    val Some((w1, h1, g1)) = ops.Multimodal.grayPixels(byId(1L))
+    val Some((w5, h5, g5)) = ops.Multimodal.grayPixels(byId(5L))
+    assert((w1, h1) == (97, 55) && (w5, h5) == (97, 55))
+    assert(g1.sameElements(g5), "cross-container pixel decode diverged")
+    assert(ops.Multimodal.aHash64(w1, h1, g1) == ops.Multimodal.aHash64(w5, h5, g5))
+    // and a different scene does NOT collide
+    val Some((w2, h2, g2)) = ops.Multimodal.grayPixels(byId(2L))
+    assert(ops.Multimodal.aHash64(w1, h1, g1) != ops.Multimodal.aHash64(w2, h2, g2))
+  }
 }
