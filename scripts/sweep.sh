@@ -10,9 +10,22 @@ cd "$(dirname "$0")/.."
 # absent dirs, so the first round that ships /root/testdata/sf1 gets
 # the ~6M-row stress (df caps, hot-bucket overflow, substring windows)
 # with no script change.
-for sf in sf0.001 sf0.01 sf0.1 sf1; do
+for sf in sf0.001 sf0.01 sf0.1 sf1 sf1gen; do
   dir="/root/testdata/$sf"
-  if [ ! -d "$dir" ]; then
+  if [ "$sf" = "sf1gen" ]; then
+    # GENUINE sf1 (realistic distributions, graft.SfGen — VERDICT r12
+    # #3): complements the 10× replica decade below, which is ideal for
+    # the cap/dedup paths but artificially uniform for joins/windows/
+    # percentiles. Built once; rebuild by removing /tmp/graft_sf1.
+    dir=/tmp/graft_sf1
+    if [ ! -f "$dir/_BUILT" ]; then
+      echo "=== sweep sf1gen: generating genuine sf1 fixtures ==="
+      sbt -batch "runMain graft.SfGen $dir 1" 2>&1 | grep '\[sfgen\]' || \
+        { echo "sweep: sf1 generation failed"; exit 1; }
+      touch "$dir/_BUILT"
+    fi
+    echo "=== sweep sf1gen (genuine distributions, $dir) ==="
+  elif [ ! -d "$dir" ]; then
     if [ "$sf" = "sf1" ] && [ -d /root/testdata/sf0.1 ]; then
       # The driver has not generated sf1; stand the decade in with the
       # StressProbe 10×-sf0.1 corpus (id-offset replicas — ADVERSARIAL

@@ -7,8 +7,17 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER=local-cluster[2,4,8192] runs the whole dump
+    // against REAL executor JVMs (Sessions.tuneForMaster wires their
+    // classpath); SPARK_GRAFT_RELIABLE_PIN=true forces every pin()
+    // through the reliable-checkpoint path — together the multi-JVM
+    // gate VERDICT r12 #2 asked for. Driver default unchanged.
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val builder = Sessions.tuneForMaster(
+      SparkSession.builder().master(master), master)
+    sys.env.get("SPARK_GRAFT_RELIABLE_PIN")
+      .foreach(v => builder.config("spark.graft.reliablePin", v))
+    val spark = builder
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")

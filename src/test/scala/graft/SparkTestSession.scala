@@ -8,8 +8,16 @@ import org.apache.spark.sql.SparkSession
   */
 object SparkTestSession {
   lazy val spark: SparkSession = {
-    val s = SparkSession.builder()
-      .master("local[4]")
+    // GRAFT_TEST_MASTER=local-cluster[2,4,8192] runs the whole suite
+    // against real executor JVMs (multi-JVM gate, VERDICT r12 #2);
+    // GRAFT_TEST_RELIABLE_PIN=true additionally forces every pin()
+    // through the reliable-checkpoint path. Defaults unchanged.
+    val master = sys.env.getOrElse("GRAFT_TEST_MASTER", "local[4]")
+    val builder = graft.Sessions.tuneForMaster(
+      SparkSession.builder().master(master), master)
+    sys.env.get("GRAFT_TEST_RELIABLE_PIN")
+      .foreach(v => builder.config("spark.graft.reliablePin", v))
+    val s = builder
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
