@@ -141,9 +141,12 @@ object SfGen {
           .as("o_custkey"),
         pick(col("o_orderkey"), "ostat", Seq("F", "O", "P")).as("o_orderstatus"),
         money(col("o_orderkey"), "oprice", 1000, 500000).as("o_totalprice"),
-        // uniform midnight-aligned days over [1995-01-01, 2001-08-01]
+        // uniform midnight-aligned days over [1995-01-01, 2001-08-01];
+        // NTZ so the parquet logical type is NAIVE micros like the
+        // driver fixtures (adjusted-to-UTC reads back TIMESTAMPTZ in
+        // DuckDB — a type-class mismatch in the hash gate)
         to_timestamp(date_add(lit("1995-01-01").cast("date"),
-          ui(col("o_orderkey"), "odate", 2405))).as("o_orderdate"),
+          ui(col("o_orderkey"), "odate", 2405))).cast("timestamp_ntz").as("o_orderdate"),
         pick(col("o_orderkey"), "oprio", Priorities).as("o_orderpriority"))
     orders.write.mode("overwrite").parquet(s"$outDir/orders.parquet")
 
@@ -171,15 +174,15 @@ object SfGen {
           .as("l_linestatus"),
         to_timestamp(date_add(col("o_orderdate").cast("date"),
           ui(xxhash64(col("o_orderkey"), col("l_linenumber")), "lship", 95) + 1))
-          .as("l_shipdate"))
+          .cast("timestamp_ntz").as("l_shipdate"))
       .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
 
     // events: one month of uniform arrivals, user population = nCust/10
     val monthMicros = 30L * 24 * 3600 * 1000000
     rangeDf(nEvents, "event_id")
       .select(col("event_id"),
-        expr(s"timestamp_micros(CAST(unix_micros(TIMESTAMP'2024-01-01 00:00:00') + " +
-          s"pmod(xxhash64(event_id, 'ets'), ${monthMicros}L) AS BIGINT))").as("ts"),
+        expr(s"CAST(timestamp_micros(CAST(unix_micros(TIMESTAMP'2024-01-01 00:00:00') + " +
+          s"pmod(xxhash64(event_id, 'ets'), ${monthMicros}L) AS BIGINT)) AS TIMESTAMP_NTZ)").as("ts"),
         pmod(xxhash64(col("event_id"), lit("euser")), lit((nCust / 10).max(1))).as("user_id"),
         pick(col("event_id"), "etype", EventTypes).as("event_type"),
         money(col("event_id"), "evalue", 0, 560).as("value"),
@@ -222,8 +225,19 @@ object SfGen {
         col("label"))
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
 
+    // Make the output byte-flavor-identical to the driver fixtures:
+    // drop Spark's embedded-schema footer keys so the NTZ columns
+    // read back TIMESTAMP_LTZ via inference (see ParquetMeta scaladoc) —
+    // otherwise the embedded schema resurrects TIMESTAMP_NTZ past
+    // inferTimestampNTZ=false and 15 registry queries fail to resolve.
+    val tables = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    val stripped = tables
+      .map(t => ParquetMeta.stripSparkSchema(s"$outDir/$t.parquet")).sum
+
     println(s"[sfgen] wrote sf=$sf fixtures to $outDir " +
-      s"(cust=$nCust supp=$nSupp part=$nPart orders=$nOrders events=$nEvents docs=$nDocs vecs=$nVecs)")
+      s"(cust=$nCust supp=$nSupp part=$nPart orders=$nOrders events=$nEvents " +
+      s"docs=$nDocs vecs=$nVecs; $stripped footers normalized)")
     spark.stop()
   }
 }

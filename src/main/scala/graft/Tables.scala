@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, TimestampNTZType}
 
 /** Table access + determinism helpers shared by every operator.
   *
@@ -15,7 +15,27 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   */
 object Tables {
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    normNtz(spark.read.parquet(s"$sfDir/$name.parquet"))
+
+  /** Normalize TIMESTAMP_NTZ columns to TIMESTAMP (LTZ). The fixture
+    * contract is naive-UTC micros read as LTZ (every session builder
+    * pins session.timeZone=UTC and inferTimestampNTZ=false), but
+    * parquet written BY Spark carries an embedded Catalyst schema that
+    * overrides inference — a Spark-written NTZ fixture would otherwise
+    * surface NTZ here and break unix_micros()/window() call sites.
+    * Under a UTC session the cast is value-identical. No-op (no extra
+    * Project, no pushdown impact) for the driver fixtures; SfGen also
+    * strips its embedded schemas (ParquetMeta) so gate runs never take
+    * this branch — it exists so a USER pointing the library at
+    * Spark-written data gets the contracted semantics, not a resolve
+    * error. Pushdown caveat when it does fire: predicates land on
+    * cast(col) and stay above the scan.
+    */
+  private def normNtz(df: DataFrame): DataFrame = {
+    val ntz = df.schema.fields.filter(_.dataType == TimestampNTZType).map(_.name)
+    if (ntz.isEmpty) df
+    else ntz.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast("timestamp")))
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = apply(s, d, "nation")

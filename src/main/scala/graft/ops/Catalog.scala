@@ -100,14 +100,27 @@ object Catalog {
       .agg(dsum(col("s_acctbal")).as("total_space"), count(lit(1)).as("n_nodes"))
 
   /** #7 q_scalar_math_units — GiB conversion + 2-decimal rounding
-    * (client/Client.java:73-89). ×2^20 then ÷2^30 are exact double ops
-    * (exponent shifts), so the rounded value is engine-independent.
+    * (client/Client.java:73-89). ×2^20/÷2^30 = ÷1024, an exact exponent
+    * shift — but `round(double, 2)` on the quotient is NOT engine-safe:
+    * the genuine-sf1 gate caught two divergences the driver fixtures
+    * never triggered. (1) A balance whose cents ≡ 512 (mod 1024) lands
+    * the quotient EXACTLY on a half-cent: Spark rounds the shortest
+    * decimal repr (HALF_UP → .67) while DuckDB rounds the binary value
+    * (→ .66). (2) A balance in (−5.12, 0) rounds to −0.0, which DuckDB
+    * keeps signed and Spark canonicalizes. Fix = the SURVEY §7.4 rule
+    * applied properly: do the rounding in EXACT integer space —
+    * cents·100 DIV 1024 with half-away-from-zero bias — and divide by
+    * 100 at the very end (identical IEEE op both sides; integer 0 can't
+    * be −0.0). Values are unchanged everywhere off the boundary.
     */
   def mathUnits(s: SparkSession, d: String): DataFrame =
     Tables.supplier(s, d)
+      .withColumn("cents", expr("CAST(round(s_acctbal * 100, 0) AS BIGINT)"))
       .select(
         col("s_suppkey"),
-        round(col("s_acctbal") * lit(1048576L) / lit(1073741824L), 2).as("space_gib"))
+        expr("CAST(CASE WHEN cents >= 0 THEN (cents * 100 + 512) DIV 1024 " +
+          "ELSE -(((-cents) * 100 + 512) DIV 1024) END AS DOUBLE) / 100")
+          .as("space_gib"))
       .orderBy("s_suppkey")
 
   /** #8 q_nested_catalog — nested file → [(seq, [nodes])] listing
@@ -185,8 +198,11 @@ object Catalog {
       ("SELECT CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_space, " +
         "count(*) AS n_nodes FROM supplier"),
     "q_scalar_math_units" ->
-      ("SELECT s_suppkey, round(s_acctbal * 1048576 / 1073741824, 2) AS space_gib " +
-        "FROM supplier ORDER BY s_suppkey"),
+      // exact-integer half-away rounding — see mathUnits scaladoc
+      ("WITH c AS (SELECT s_suppkey, CAST(round(s_acctbal * 100, 0) AS BIGINT) AS cents FROM supplier) " +
+        "SELECT s_suppkey, CAST(CASE WHEN cents >= 0 THEN (cents * 100 + 512) // 1024 " +
+        "ELSE -(((-cents) * 100 + 512) // 1024) END AS DOUBLE) / 100 AS space_gib " +
+        "FROM c ORDER BY s_suppkey"),
     "q_nested_catalog" ->
       ("WITH r AS (SELECT DISTINCT l_orderkey, l_linenumber, l_suppkey FROM lineitem), " +
         "c AS (SELECT l_orderkey, l_linenumber, list_sort(list(l_suppkey)) AS nodes " +
@@ -217,5 +233,11 @@ object Catalog {
         "FROM r GROUP BY l_orderkey, l_linenumber) " +
         "SELECT l_orderkey, to_json(sort_array(collect_list(named_struct('seq', l_linenumber, " +
         "'nodes', nodes)))) AS chunks_json FROM c GROUP BY l_orderkey ORDER BY l_orderkey"),
+    // `//` → DIV
+    "q_scalar_math_units" ->
+      ("WITH c AS (SELECT s_suppkey, CAST(round(s_acctbal * 100, 0) AS BIGINT) AS cents FROM supplier) " +
+        "SELECT s_suppkey, CAST(CASE WHEN cents >= 0 THEN (cents * 100 + 512) DIV 1024 " +
+        "ELSE -(((-cents) * 100 + 512) DIV 1024) END AS DOUBLE) / 100 AS space_gib " +
+        "FROM c ORDER BY s_suppkey"),
   )
 }
