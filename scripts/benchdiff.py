@@ -1,0 +1,82 @@
+#!/usr/bin/env python3
+"""Per-query timing diff between two bench records — the regression
+radar behind BENCHNOTES' round-over-round tables (VERDICT r12 #8:
+"caught by diff, not anecdote").
+
+Accepts, for each side, either
+  - a BENCH_r{N}.json / graft_bench_full.json file (the {"queries":{...}}
+    line, raw or under a "parsed" key), or
+  - a stress-table text file / BENCHNOTES code block with lines like
+    `q_name   12.3s  rows=42`.
+
+Usage: benchdiff.py OLD NEW [--threshold 1.3]
+Prints regressions (new/old >= threshold) and improvements (<= 1/th),
+then totals. Exit 1 if any regression (so sweeps can gate on it).
+
+The ±5-10 % box-noise band means sub-1.3× deltas are not signal here
+(BENCHNOTES r11 heartbeat lesson); the default threshold reflects that.
+"""
+import json
+import re
+import sys
+
+
+def load(path):
+    text = open(path).read()
+    try:
+        d = json.loads(text)
+        if isinstance(d, dict):
+            p = d.get("parsed") or d
+            qs = p.get("queries")
+            if isinstance(qs, dict):
+                return {k: float(v) for k, v in qs.items()}
+    except (json.JSONDecodeError, AttributeError):
+        pass
+    qs = {}
+    for m in re.finditer(r"^\s*(q_[a-z0-9_]+)\s+([0-9.]+)s\b", text, re.M):
+        qs[m.group(1)] = float(m.group(2))
+    if not qs:
+        sys.exit(f"benchdiff: no per-query timings found in {path}")
+    return qs
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    th = 1.3
+    for a in sys.argv[1:]:
+        if a.startswith("--threshold"):
+            th = float(a.split("=", 1)[1] if "=" in a else sys.argv[sys.argv.index(a) + 1])
+    if len(args) != 2:
+        sys.exit(__doc__)
+    old, new = load(args[0]), load(args[1])
+    shared = sorted(set(old) & set(new))
+    gone, added = sorted(set(old) - set(new)), sorted(set(new) - set(old))
+    regress, improve = [], []
+    for q in shared:
+        o, n = old[q], new[q]
+        if o <= 0 or n <= 0:
+            continue
+        r = n / o
+        # sub-100ms pairs are pure noise at any ratio
+        if r >= th and n >= 0.1:
+            regress.append((r, q, o, n))
+        elif r <= 1 / th and o >= 0.1:
+            improve.append((r, q, o, n))
+    for r, q, o, n in sorted(regress, reverse=True):
+        print(f"REGRESS  {q:36s} {o:8.2f}s -> {n:8.2f}s  ({r:.2f}x)")
+    for r, q, o, n in sorted(improve):
+        print(f"improve  {q:36s} {o:8.2f}s -> {n:8.2f}s  ({r:.2f}x)")
+    if gone:
+        print(f"removed: {', '.join(gone)}")
+    if added:
+        print(f"added:   {', '.join(added)}")
+    to, tn = sum(old[q] for q in shared), sum(new[q] for q in shared)
+    ratio = f"{tn / to:.2f}x" if to > 0 else "n/a"
+    print(f"totals over {len(shared)} shared queries: "
+          f"{to:.1f}s -> {tn:.1f}s ({ratio}); "
+          f"{len(regress)} regressions >= {th}x, {len(improve)} improvements")
+    sys.exit(1 if regress else 0)
+
+
+if __name__ == "__main__":
+    main()
