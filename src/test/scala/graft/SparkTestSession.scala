@@ -12,7 +12,14 @@ object SparkTestSession {
     // against real executor JVMs (multi-JVM gate, VERDICT r12 #2);
     // GRAFT_TEST_RELIABLE_PIN=true additionally forces every pin()
     // through the reliable-checkpoint path. Defaults unchanged.
-    val master = sys.env.getOrElse("GRAFT_TEST_MASTER", "local[4]")
+    // Default master is local[4,2] — 4 threads with spark.task.maxFailures=2
+    // (local[n] alone is RETRYLESS, maxFailures=1, unlike any real cluster
+    // where the default is 4). Retry-capable matters twice: it lets
+    // RetryStabilitySpec inject genuine first-attempt task failures and
+    // assert byte-identical recovery, and it runs every other spec under
+    // the cluster failure model (a deterministically-failing task still
+    // fails its job — just after one retry — so no failure is masked).
+    val master = sys.env.getOrElse("GRAFT_TEST_MASTER", "local[4,2]")
     val builder = graft.Sessions.tuneForMaster(
       SparkSession.builder().master(master), master)
     sys.env.get("GRAFT_TEST_RELIABLE_PIN")
