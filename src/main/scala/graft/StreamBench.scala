@@ -1,0 +1,138 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.ops.Streaming
+import graft.ops.Streaming.Heartbeat
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Dev tool: steady-state THROUGHPUT of the true-streaming surface —
+  * the evidence class the batch bench cannot produce. Bench.scala times
+  * the oracle-checked batch forms; the streaming tier's runtime
+  * behavior (watermark eviction, stateful timeouts, stream-stream join
+  * state) is correctness-pinned by MemoryStream specs but had no
+  * recorded events/sec numbers. This drives each pipeline from a
+  * deterministic `rate-micro-batch` source (fixed rows per batch, fixed
+  * event-time advance — reproducible batch boundaries, unlike the
+  * wall-clock `rate` source) through a `noop` sink and reports
+  * per-query steady-state rows/sec from the engine's own progress
+  * telemetry (StreamingQueryProgress), warmup batches excluded.
+  *
+  * Event time advances 1 minute per batch, so with the pipelines' 10
+  * minute watermark the run crosses window-close/state-eviction
+  * boundaries repeatedly — the measured number includes eviction work,
+  * not just ingestion (30 batches ⇒ ~3 watermark generations).
+  *
+  * The reference analogue is its heartbeat fan-in: one controller
+  * thread absorbing per-node TCP heartbeats into in-memory maps
+  * (controller/MessageProcessor.java:283-287, HeartbeatMonitor 30 s
+  * sweep) — the pipelines here are those semantics as bounded-state
+  * streaming (ops/Streaming.scala:223-345), and this probe records what
+  * they sustain per second on the declared local[32] target.
+  *
+  * Usage: runMain graft.StreamBench [rowsPerBatch] [nBatches]
+  * (defaults 100000, 30). Prints one summary JSON line (file copy at
+  * /tmp/graft_stream_bench.json) for BENCHNOTES.
+  */
+object StreamBench {
+
+  /** Deterministic heartbeat stream: `nodes` distinct node ids cycling
+    * over the rate source's monotonically increasing `value`.
+    */
+  private def hbStream(s: SparkSession, rowsPerBatch: Int, nodes: Int): Dataset[Heartbeat] = {
+    import s.implicits._
+    s.readStream.format("rate-micro-batch")
+      .option("rowsPerBatch", rowsPerBatch)
+      .option("numPartitions", 8)
+      .option("advanceMillisPerBatch", 60000) // 1 min event time per batch
+      .load()
+      .select(col("timestamp").as("ts"),
+        concat(lit("node"), pmod(col("value"), lit(nodes.toLong))).as("node"))
+      .as[Heartbeat]
+  }
+
+  private final case class Result(name: String, rowsPerSec: Double,
+                                  batches: Int, rows: Long)
+
+  /** Run one streaming pipeline for `nBatches` micro-batches and report
+    * steady-state throughput (batches after `warmup`, from the engine's
+    * numInputRows / triggerExecution telemetry).
+    */
+  private def run(s: SparkSession, name: String, df: DataFrame,
+                  mode: OutputMode, nBatches: Int, warmup: Int = 5): Result = {
+    val ckpt = Files.createTempDirectory(s"graft-streambench-$name").toString
+    val q = df.writeStream.format("noop").outputMode(mode)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      while (Option(q.lastProgress).forall(_.batchId < nBatches) && q.isActive)
+        q.awaitTermination(200)
+      // a failed stream must not read as a slow one
+      q.exception.foreach(e => throw e)
+      val prog = q.recentProgress.toSeq
+        .filter(p => p.batchId >= warmup && p.numInputRows > 0)
+      val rows = prog.map(_.numInputRows).sum
+      val secs = prog
+        .flatMap(p => Option(p.durationMs.get("triggerExecution")).map(_.toLong))
+        .sum / 1000.0
+      Result(name, if (secs > 0) rows / secs else 0.0, prog.size, rows)
+    } finally {
+      q.stop()
+      deleteRecursively(new java.io.File(ckpt))
+    }
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(): Unit
+  }
+
+  def main(args: Array[String]): Unit = {
+    val rowsPerBatch = args.headOption.map(_.toInt).getOrElse(100000)
+    val nBatches = if (args.length > 1) args(1).toInt else 30
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def hb = hbStream(spark, rowsPerBatch, nodes = 200)
+
+    val results = Seq(
+      // sink-bound ceiling: projection only, no state — everything else
+      // is read relative to this number
+      run(spark, "passthrough", hb.toDF(), OutputMode.Append(), nBatches),
+      run(spark, "watermarked_counts", Streaming.watermarkedCounts(hb),
+        OutputMode.Update(), nBatches),
+      run(spark, "session_windows", Streaming.sessionizedStream(hb),
+        OutputMode.Append(), nBatches),
+      run(spark, "dedup_within_watermark", Streaming.dedupWithinWatermark(hb).toDF(),
+        OutputMode.Append(), nBatches),
+      run(spark, "stateful_liveness", Streaming.statefulLiveness(hb).toDF(),
+        OutputMode.Update(), nBatches),
+      // join keys spread over 50k nodes: ~2 rows/node/side/batch keeps
+      // the time-bounded fan-out ~4× instead of quadratic-in-batch
+      run(spark, "stream_stream_join",
+        Streaming.streamStreamJoin(
+          hbStream(spark, rowsPerBatch, nodes = 50000),
+          hbStream(spark, rowsPerBatch, nodes = 50000)),
+        OutputMode.Append(), nBatches))
+
+    results.foreach(r => println(
+      f"[streambench] ${r.name}%-24s ${r.rowsPerSec}%,12.0f rows/s  " +
+        f"(${r.rows}%,d rows over ${r.batches}%d steady batches)"))
+    val qs = results.map(r => s""""${r.name}":${r.rowsPerSec.toLong}""")
+      .mkString("{", ",", "}")
+    val line = s"""{"metric":"stream_rows_per_sec","unit":"rows/sec","rows_per_batch":$rowsPerBatch,"n_batches":$nBatches,"queries":$qs}"""
+    try Files.write(java.nio.file.Paths.get("/tmp/graft_stream_bench.json"),
+      line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case scala.util.control.NonFatal(_) => () }
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.stop()
+    println(line)
+  }
+}
