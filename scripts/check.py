@@ -117,6 +117,60 @@ def gzip_witness(con, files0):
     return True, f"{len(rows)} rows, every byte count matches python zlib"
 
 
+BIG_ROWS = 2_000_000
+
+
+def big_compare(con, files0, mine, mine_cols, oracle_sql):
+    """Engine-side exact compare for outputs too large to repr-canon.
+
+    Multiset equality via EXCEPT ALL both ways over the name-sorted
+    column projection (the same canonical column order the driver
+    hashes). Set operations group NULLs and NaNs as equal — the
+    semantics the repr-canon path implements by hand — and DOUBLE
+    comparison is bitwise-exact, strictly stronger than repr equality.
+    The type-class and column-set gates run first, as in the small path.
+    """
+    try:
+        or_rel = con.sql(oracle_sql)
+    except Exception as e:
+        return False, f"oracle SQL error: {e}"
+    or_cols = sorted(or_rel.columns)
+    mine_types = {c: type_class(t) for c, t in zip(mine.columns, mine.types)}
+    or_types = {c: type_class(t) for c, t in zip(or_rel.columns, or_rel.types)}
+    type_diffs = [
+        f"{c}: spark={mine_types[c]} oracle={or_types[c]}"
+        for c in sorted(set(mine_types) & set(or_types))
+        if mine_types[c] != or_types[c]]
+    if type_diffs:
+        return False, f"type-class mismatch ({'; '.join(type_diffs)})"
+    if mine_cols != or_cols:
+        return False, f"columns {mine_cols} vs oracle {or_cols}"
+    cols = ", ".join(f'"{c}"' for c in mine_cols)
+    # materialize the oracle once (count + both EXCEPT directions read it)
+    con.execute("DROP TABLE IF EXISTS __oracle_big")
+    con.execute(f"CREATE TEMP TABLE __oracle_big AS SELECT {cols} "
+                f"FROM ({oracle_sql})")
+    try:
+        n_mine, n_or = con.sql(
+            f"SELECT (SELECT count(*) FROM '{files0}'), "
+            f"(SELECT count(*) FROM __oracle_big)").fetchone()
+        if n_mine != n_or:
+            return False, f"{n_mine} rows vs oracle {n_or}"
+        extra = con.sql(
+            f"SELECT count(*) FROM (SELECT {cols} FROM '{files0}' "
+            f"EXCEPT ALL SELECT {cols} FROM __oracle_big)").fetchone()[0]
+        if extra:
+            return False, f"{extra} rows in spark output missing from oracle"
+        missing = con.sql(
+            f"SELECT count(*) FROM (SELECT {cols} FROM __oracle_big "
+            f"EXCEPT ALL SELECT {cols} FROM '{files0}')").fetchone()[0]
+        if missing:
+            return False, f"{missing} oracle rows missing from spark output"
+        return True, f"{n_mine} rows, multiset-equal"
+    finally:
+        con.execute("DROP TABLE IF EXISTS __oracle_big")
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
@@ -150,9 +204,24 @@ def main():
             continue
         mine = con.sql(f"SELECT * FROM '{files[0]}'")
         mine_cols = sorted(mine.columns)
-        mine_rows = con.sql(
-            f"SELECT {', '.join(mine_cols)} FROM mine_v"
-            if False else f"SELECT * FROM '{files[0]}'").fetchall()
+        n_mine = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+        # Outputs past the canon budget (the sf10 tier: 121M-row
+        # fileindex / 61M-row window tables) are compared INSIDE DuckDB:
+        # Python-side repr-canon at that volume is hours-to-never, while
+        # EXCEPT ALL is an exact multiset compare (NULL/NaN-grouped like
+        # the set ops spec) the engine streams. The small-output path
+        # below stays byte-identical to the driver's repr-canon gate.
+        if name in oracles and n_mine > BIG_ROWS:
+            ok, msg = big_compare(con, files[0], mine, mine_cols,
+                                  oracles[name])
+            if ok:
+                print(f"PASS {name} (duckdb multiset): {msg}")
+                n_pass += 1
+            else:
+                print(f"FAIL {name} (duckdb multiset): {msg}")
+                n_fail += 1
+            continue
+        mine_rows = con.sql(f"SELECT * FROM '{files[0]}'").fetchall()
         mine_idx = [mine.columns.index(c) for c in mine_cols]
         mine_canon = [tuple(canon(r[i]) for i in mine_idx) for r in mine_rows]
         if name not in oracles:
