@@ -687,10 +687,27 @@ object LlmPipeline {
     * fingerprint column here accepts.
     */
   private[graft] def ngramPostings(s: SparkSession, d: String): DataFrame =
-    withTk(Tables.documents(s, d))
-      .select(col("doc_id"), explode(expr(s"array_distinct($shingles)")).as("s"))
-      .select(col("doc_id"),
-        expr("CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)").as("sh"))
+    corpusMemo(ngramPostingsMemo, s, d)(
+      withTk(Tables.documents(s, d))
+        .select(col("doc_id"), explode(expr(s"array_distinct($shingles)")).as("s"))
+        .select(col("doc_id"),
+          expr("CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)").as("sh"))
+        .pinned())
+
+  /** Session memo for the pinned inverted index: SEVEN registry queries
+    * consume these rows (ngram/collapsed-jaccard pairs, boilerplate,
+    * source overlap, the three decontamination forms), and the
+    * decontamination family reads them on TWO plan branches (benchmark
+    * + train) — unmemoized, each consumer re-runs the corpus scan →
+    * tokenize → shingle-explode → hash pass, the single most re-executed
+    * subtree in the registry. Pinned state is 16 B × |distinct (doc,
+    * shingle)| (localCheckpoint spills to disk past the storage
+    * fraction); at 100 TB this is the job you run once and PERSIST —
+    * the Derived.ensure index lifecycle — with the session memo as its
+    * in-session equivalent, same staleness key (corpus mtime).
+    */
+  private val ngramPostingsMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Long), DataFrame]()
 
   /** Jaccard-pair core over inverted-index rows (doc_id, sh) — factored
     * out so specs can drive it with a planted degenerate shingle.
@@ -755,7 +772,7 @@ object LlmPipeline {
     * shingle hash. Exact integer ppm — fully oracle-checked.
     */
   def boilerplateScore(s: SparkSession, d: String): DataFrame = {
-    val postings = ngramPostings(s, d).pinned()
+    val postings = ngramPostings(s, d) // memo-pinned; both branches reuse
     val dfs = postings.groupBy("sh")
       .agg(countDistinct(col("doc_id")).as("df"))
     postings.join(dfs, "sh")
