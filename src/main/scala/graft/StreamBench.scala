@@ -79,9 +79,14 @@ object StreamBench {
       Result(name, if (secs > 0) rows / secs else 0.0, prog.size, rows)
     } finally {
       q.stop()
-      deleteRecursively(new java.io.File(ckpt))
+      // deleted after spark.stop(), not here: the state-store maintenance
+      // threads flush asynchronously past q.stop(), and deleting under
+      // them spews chmod/FileNotFound noise into the next query's run
+      ckpts += ckpt
     }
   }
+
+  private val ckpts = scala.collection.mutable.ArrayBuffer[String]()
 
   private def deleteRecursively(f: java.io.File): Unit = {
     Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
@@ -133,6 +138,7 @@ object StreamBench {
     catch { case scala.util.control.NonFatal(_) => () }
     spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
+    ckpts.foreach(c => deleteRecursively(new java.io.File(c)))
     println(line)
   }
 }
