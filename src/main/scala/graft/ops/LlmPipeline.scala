@@ -115,13 +115,24 @@ object LlmPipeline {
     * variable-length string agg buffers can't hash-aggregate; BIGINT
     * mins can, and shuffle 8 B per (doc, permutation) instead of 32.
     */
-  private[graft] def minhashBanded(s: SparkSession, d: String): DataFrame = {
-    // array_distinct before the explode: the 16 mins are unaffected by
-    // duplicate shingles, and each dropped duplicate saves the hash work.
-    val sh = withTk(Tables.documents(s, d))
-      .select(col("doc_id"), explode(expr(s"array_distinct($shingles)")).as("s"))
-    val base = sh.select(col("doc_id"),
-      expr("CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)").as("h"))
+  private[graft] def minhashBanded(s: SparkSession, d: String): DataFrame =
+    corpusMemo(minhashBandedMemo, s, d)(minhashBandedBuild(s, d))
+
+  /** Session memo for the pinned banded signatures: SIX call sites
+    * consume them (sig/pairs registry queries, the cc-label build,
+    * cross-source, cluster stats, verify), each previously re-running
+    * the signature aggregation. Pinned state is 4 rows × ~40 B per doc
+    * — strictly smaller than the postings memo it now derives from.
+    */
+  private val minhashBandedMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Long), DataFrame]()
+
+  private def minhashBandedBuild(s: SparkSession, d: String): DataFrame = {
+    // the memoized inverted index IS the (doc, 60-bit shingle hash)
+    // base this signature pass needs (same array_distinct + md5/conv
+    // math, to the bit) — deriving from it means the corpus scan and
+    // shingle hashing run once per session across both families
+    val base = ngramPostings(s, d).select(col("doc_id"), col("sh").as("h"))
     val sigs = base.groupBy("doc_id").agg(
       min(col("h").bitwiseXOR(lit(MinhashSalts.head))).as("sig0"),
       (1 until 16).map(i => min(col("h").bitwiseXOR(lit(MinhashSalts(i)))).as(s"sig$i")): _*)
@@ -132,6 +143,7 @@ object LlmPipeline {
     }
     sigs.select(col("doc_id"), explode(array(bands: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+      .pinned()
   }
 
   /** q_dedup_minhash_sig — per-doc banded MinHash signature. This is the
@@ -1601,6 +1613,33 @@ object LlmPipeline {
       .groupBy("bigram").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("bigram").asc)
       .limit(NgramTopK)
+
+  /** q_bpe_pairs — tokenizer induction, the first BPE merge iteration:
+    * corpus-wide adjacent CHARACTER-pair frequencies inside whitespace
+    * tokens, top-50 by count (total order: count desc, pair asc). The
+    * most frequent pair is exactly the first merge byte-pair encoding
+    * would learn (Sennrich et al. 2016, the algorithm behind every
+    * production LLM tokenizer) — and training a tokenizer over a
+    * 100 TB corpus starts with precisely this distributed count. Plan:
+    * two chained codegen'd explodes (token, then position window) into
+    * ONE combining hash aggregate — the pair vocabulary is bounded by
+    * charset² regardless of corpus size, so the shuffle carries
+    * per-partition distincts of a tiny key space and the top-k compiles
+    * to TakeOrderedAndProject. The ≥2-char guard runs on BOTH engines
+    * before the position sequence: Spark's sequence(1, 0) would emit a
+    * DESCENDING [1, 0] (the q_chunk_split trap), DuckDB's an empty
+    * list — guarded, neither form is ever built.
+    */
+  def bpePairs(s: SparkSession, d: String): DataFrame =
+    withTk(Tables.documents(s, d)
+      .select(coalesce(col("text"), lit("")).as("text")))
+      .select(explode(col("tk")).as("w"))
+      .where(length(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair").asc)
+      .limit(50)
 
   /** q_lm_fluency — bigram-LM fluency scoring, the LM-statistics
     * filter the CCNet pipeline popularised (KenLM perplexity against
@@ -3122,6 +3161,7 @@ object LlmPipeline {
     "q_doc_windows"         -> (docWindows _),
     "q_compression_ratio"   -> (compressionRatio _),
     "q_ngram_counts"        -> (ngramCounts _),
+    "q_bpe_pairs"           -> (bpePairs _),
     "q_budget_select"       -> (budgetSelect _),
     "q_source_cap"          -> (sourceCap _),
     "q_quality_drift"       -> (qualityDrift _),
@@ -3582,6 +3622,14 @@ object LlmPipeline {
           "(SELECT t, unnest(generate_series(1, len(t) - 1)) AS u FROM tk)) " +
           "SELECT bigram, count(*) AS n FROM b GROUP BY bigram " +
           s"ORDER BY n DESC, bigram LIMIT $NgramTopK"),
+      "q_bpe_pairs" ->
+        ("WITH w AS (SELECT unnest(string_split(coalesce(text, ''), ' ')) AS w " +
+          "FROM documents), " +
+          "p AS (SELECT substr(w, u, 2) AS pair FROM " +
+          "(SELECT w, unnest(generate_series(1, len(w) - 1)) AS u FROM w " +
+          "WHERE len(w) >= 2)) " +
+          "SELECT pair, count(*) AS n FROM p GROUP BY pair " +
+          "ORDER BY n DESC, pair LIMIT 50"),
       "q_budget_select" ->
         (s"WITH d0 AS (SELECT coalesce(text, '') AS text FROM documents), " +
           "t AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, " +
@@ -4698,6 +4746,13 @@ object LlmPipeline {
           "slice(t, 2, size(t) - 1), (a, b) -> concat(a, ' ', b))) AS bigram FROM tk) " +
           "SELECT bigram, count(*) AS n FROM b GROUP BY bigram " +
           s"ORDER BY n DESC, bigram LIMIT $NgramTopK"),
+      "q_bpe_pairs" ->
+        ("WITH w AS (SELECT explode(split(coalesce(text, ''), ' ')) AS w " +
+          "FROM documents), " +
+          "p AS (SELECT explode(transform(sequence(1, length(w) - 1), " +
+          "i -> substring(w, i, 2))) AS pair FROM w WHERE length(w) >= 2) " +
+          "SELECT pair, count(*) AS n FROM p GROUP BY pair " +
+          "ORDER BY n DESC, pair LIMIT 50"),
       "q_budget_select" ->
         (s"WITH d0 AS (SELECT coalesce(text, '') AS text FROM documents), " +
           "t AS (SELECT CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens, " +

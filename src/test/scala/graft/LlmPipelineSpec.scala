@@ -642,6 +642,23 @@ class LlmPipelineSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long)].collect().forall(r => r._3 == 0L && r._4 == 0L))
   }
 
+  test("q_bpe_pairs: planted corpus yields exact char-pair counts and order") {
+    import spark.implicits._
+    // words: "aaab" → pairs aa, aa, ab; "aab" → aa, ab; "xy" → xy;
+    // "z" (1 char) and "" (null text row) contribute nothing.
+    // Totals: aa=3, ab=2, xy=1 — order (n desc, pair asc) is total.
+    val dir = s"/tmp/graft-test-bpe-${java.util.UUID.randomUUID()}"
+    Seq(
+      (1L, "aaab aab", "en", "src0", 8L),
+      (2L, "xy z", "en", "src0", 4L),
+      (3L, null.asInstanceOf[String], "en", "src0", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = ops.LlmPipeline.queries("q_bpe_pairs")(spark, dir)
+      .as[(String, Long)].collect().toSeq
+    assert(got === Seq(("aa", 3L), ("ab", 2L), ("xy", 1L)))
+  }
+
   test("q_pii_scan: planted emails and long digit runs are counted exactly") {
     import spark.implicits._
     val dir = s"/tmp/graft-test-pii-${java.util.UUID.randomUUID()}"
