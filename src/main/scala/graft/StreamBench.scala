@@ -88,6 +88,51 @@ object StreamBench {
 
   private val ckpts = scala.collection.mutable.ArrayBuffer[String]()
 
+  /** Live file-tail ingest throughput: `nFiles` varint-framed heartbeat
+    * spool files pre-written, then tailed by LiveIngest.heartbeatStream
+    * (binaryFile FileStreamSource + mapPartitions varint decode) in
+    * maxFilesPerTrigger-bounded micro-batches — the catch-up profile of
+    * the reference's heartbeat fan-in. numInputRows counts FILES at
+    * this source, so frames/s is derived via framesPerFile.
+    */
+  private def runLiveIngest(s: SparkSession, nFiles: Int,
+                            framesPerFile: Int, warmupBatches: Int = 2): Result = {
+    import graft.sources.{LiveIngest, ProtoChunkSource, ProtoIngest}
+    val base = Files.createTempDirectory("graft-streambench-live").toString
+    val dir = s"$base/frames"
+    new java.io.File(dir).mkdirs()
+    val frames = ProtoChunkSource.heartbeatFrameBytes(
+      (0 until framesPerFile).map { i =>
+        ProtoIngest.Heartbeat(s"node${i % 200}", 9000 + (i % 200),
+          Seq(ProtoIngest.FileChunks(s"f${i % 1000}", Seq(1, 2, 3))))
+      })
+    (0 until nFiles).foreach { f =>
+      Files.write(java.nio.file.Paths.get(s"$dir/hb_$f.bin"), frames)
+    }
+    val q = LiveIngest.heartbeatStream(s, dir, maxFilesPerTrigger = 20)
+      .toDF().writeStream.format("noop").outputMode(OutputMode.Append())
+      .option("checkpointLocation", s"$base/ckpt").start()
+    try {
+      var seenFiles = 0L
+      while (q.isActive && seenFiles < nFiles) {
+        q.awaitTermination(200)
+        seenFiles = q.recentProgress.map(_.numInputRows).sum
+      }
+      q.exception.foreach(e => throw e)
+      val prog = q.recentProgress.toSeq
+        .filter(p => p.batchId >= warmupBatches && p.numInputRows > 0)
+      val decoded = prog.map(_.numInputRows).sum * framesPerFile
+      val secs = prog
+        .flatMap(p => Option(p.durationMs.get("triggerExecution")).map(_.toLong))
+        .sum / 1000.0
+      Result("live_file_tail_decode",
+        if (secs > 0) decoded / secs else 0.0, prog.size, decoded)
+    } finally {
+      q.stop()
+      ckpts += base
+    }
+  }
+
   private def deleteRecursively(f: java.io.File): Unit = {
     Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
     f.delete(): Unit
@@ -125,7 +170,9 @@ object StreamBench {
         Streaming.streamStreamJoin(
           hbStream(spark, rowsPerBatch, nodes = 50000),
           hbStream(spark, rowsPerBatch, nodes = 50000)),
-        OutputMode.Append(), nBatches))
+        OutputMode.Append(), nBatches),
+      // spool-file tail: 200 files × 5000 varint frames (≈1M heartbeats)
+      runLiveIngest(spark, nFiles = 200, framesPerFile = 5000))
 
     results.foreach(r => println(
       f"[streambench] ${r.name}%-24s ${r.rowsPerSec}%,12.0f rows/s  " +
