@@ -212,8 +212,10 @@ def main():
         # the set ops spec) the engine streams. The small-output path
         # below stays byte-identical to the driver's repr-canon gate.
         if name in oracles and n_mine > BIG_ROWS:
-            ok, msg = big_compare(con, files[0], mine, mine_cols,
-                                  oracles[name])
+            # glob, not files[0]: Verify coalesce(1)s today, but a
+            # multi-part output must not silently compare one shard
+            ok, msg = big_compare(con, f"{out_dir}/{name}/*.parquet",
+                                  mine, mine_cols, oracles[name])
             if ok:
                 print(f"PASS {name} (duckdb multiset): {msg}")
                 n_pass += 1
