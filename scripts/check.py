@@ -120,20 +120,11 @@ def gzip_witness(con, files0):
 BIG_ROWS = 2_000_000
 
 
-def big_compare(con, files0, mine, mine_cols, oracle_sql):
-    """Engine-side exact compare for outputs too large to repr-canon.
-
-    Multiset equality via EXCEPT ALL both ways over the name-sorted
-    column projection (the same canonical column order the driver
-    hashes). Set operations group NULLs and NaNs as equal — the
-    semantics the repr-canon path implements by hand — and DOUBLE
-    comparison is bitwise-exact, strictly stronger than repr equality.
-    The type-class and column-set gates run first, as in the small path.
+def gate_types_and_cols(mine, mine_cols, or_rel):
+    """Shared type-class + column-set gate (small and big paths must not
+    diverge — the q_pack_sequences decimal lesson applies to both).
+    Returns an error string, or None when both gates pass.
     """
-    try:
-        or_rel = con.sql(oracle_sql)
-    except Exception as e:
-        return False, f"oracle SQL error: {e}"
     or_cols = sorted(or_rel.columns)
     mine_types = {c: type_class(t) for c, t in zip(mine.columns, mine.types)}
     or_types = {c: type_class(t) for c, t in zip(or_rel.columns, or_rel.types)}
@@ -142,31 +133,56 @@ def big_compare(con, files0, mine, mine_cols, oracle_sql):
         for c in sorted(set(mine_types) & set(or_types))
         if mine_types[c] != or_types[c]]
     if type_diffs:
-        return False, f"type-class mismatch ({'; '.join(type_diffs)})"
+        return f"type-class mismatch ({'; '.join(type_diffs)})"
     if mine_cols != or_cols:
-        return False, f"columns {mine_cols} vs oracle {or_cols}"
-    cols = ", ".join(f'"{c}"' for c in mine_cols)
-    # materialize the oracle once (count + both EXCEPT directions read it)
-    con.execute("DROP TABLE IF EXISTS __oracle_big")
-    con.execute(f"CREATE TEMP TABLE __oracle_big AS SELECT {cols} "
-                f"FROM ({oracle_sql})")
+        return f"columns {mine_cols} vs oracle {or_cols}"
+    return None
+
+
+def big_compare(con, files0, mine, mine_cols, oracle_sql):
+    """Engine-side exact compare for outputs too large to repr-canon.
+
+    Multiset equality: equal counts + one empty EXCEPT ALL over the
+    name-sorted column projection. This is the DRIVER's semantics — its
+    gate row-sorts both sides before hashing, so row order is not part
+    of the graded contract (the small path's positional compare is
+    EXTRA strictness this path does not keep; ORDER BY correctness of
+    big-tier queries is still exercised at every smaller SF). Value
+    comparison is engine-native: NULLs and NaNs group as equal, doubles
+    compare bitwise. Every step that executes the oracle is guarded —
+    a runtime oracle error (OOM, cast) must record a FAIL for THIS
+    query, not crash the whole gate.
+    """
     try:
+        or_rel = con.sql(oracle_sql)
+    except Exception as e:
+        return False, f"oracle SQL error: {e}"
+    gate_err = gate_types_and_cols(mine, mine_cols, or_rel)
+    if gate_err is not None:
+        return False, gate_err
+    cols = ", ".join(f'"{c}"' for c in mine_cols)
+    con.execute("DROP TABLE IF EXISTS __oracle_big")
+    try:
+        # materialize the oracle once (count + EXCEPT read it); this is
+        # where the oracle actually RUNS, so it needs the guard too
+        con.execute(f"CREATE TEMP TABLE __oracle_big AS SELECT {cols} "
+                    f"FROM ({oracle_sql})")
         n_mine, n_or = con.sql(
             f"SELECT (SELECT count(*) FROM '{files0}'), "
             f"(SELECT count(*) FROM __oracle_big)").fetchone()
         if n_mine != n_or:
             return False, f"{n_mine} rows vs oracle {n_or}"
+        # one direction suffices: |A| = |B| and A∖B = ∅ (multiset) force
+        # B∖A = ∅ — the reverse EXCEPT would re-scan 100M+ rows for a
+        # condition that provably cannot fire
         extra = con.sql(
             f"SELECT count(*) FROM (SELECT {cols} FROM '{files0}' "
             f"EXCEPT ALL SELECT {cols} FROM __oracle_big)").fetchone()[0]
         if extra:
-            return False, f"{extra} rows in spark output missing from oracle"
-        missing = con.sql(
-            f"SELECT count(*) FROM (SELECT {cols} FROM __oracle_big "
-            f"EXCEPT ALL SELECT {cols} FROM '{files0}')").fetchone()[0]
-        if missing:
-            return False, f"{missing} oracle rows missing from spark output"
+            return False, f"{extra} spark rows not in the oracle multiset"
         return True, f"{n_mine} rows, multiset-equal"
+    except Exception as e:
+        return False, f"oracle/compare runtime error: {e}"
     finally:
         con.execute("DROP TABLE IF EXISTS __oracle_big")
 
@@ -249,17 +265,9 @@ def main():
             n_fail += 1
             continue
         or_canon = [tuple(canon(r[i]) for i in or_idx) for r in or_rows]
-        mine_types = {c: type_class(t) for c, t in zip(mine.columns, mine.types)}
-        or_types = {c: type_class(t) for c, t in zip(or_rel.columns, or_rel.types)}
-        type_diffs = [
-            f"{c}: spark={mine_types[c]} oracle={or_types[c]}"
-            for c in sorted(set(mine_types) & set(or_types))
-            if mine_types[c] != or_types[c]]
-        if type_diffs:
-            print(f"FAIL {name}: type-class mismatch ({'; '.join(type_diffs)})")
-            n_fail += 1
-        elif mine_cols != or_cols:
-            print(f"FAIL {name}: columns {mine_cols} vs oracle {or_cols}")
+        gate_err = gate_types_and_cols(mine, mine_cols, or_rel)
+        if gate_err is not None:
+            print(f"FAIL {name}: {gate_err}")
             n_fail += 1
         elif len(mine_canon) != len(or_canon):
             print(f"FAIL {name}: {len(mine_canon)} rows vs oracle {len(or_canon)}")

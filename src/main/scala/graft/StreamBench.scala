@@ -141,6 +141,9 @@ object StreamBench {
   def main(args: Array[String]): Unit = {
     val rowsPerBatch = args.headOption.map(_.toInt).getOrElse(100000)
     val nBatches = if (args.length > 1) args(1).toInt else 30
+    // fewer batches than the warmup window would "measure" an empty
+    // steady state and print a plausible-looking all-zero record
+    require(nBatches > 5, s"nBatches must exceed the 5-batch warmup, got $nBatches")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -152,6 +155,12 @@ object StreamBench {
 
     def hb = hbStream(spark, rowsPerBatch, nodes = 200)
 
+    // cleanup must run even when a pipeline fails mid-sequence: every
+    // dir accumulated in ckpts so far (checkpoints + the live-ingest
+    // spool) would otherwise leak into /tmp on each failed run; the
+    // metric line still prints AFTER stop() (the Bench lesson: shutdown
+    // logs interleave past a pre-stop println on merged stdout+stderr)
+    val line = try {
     val results = Seq(
       // sink-bound ceiling: projection only, no state — everything else
       // is read relative to this number
@@ -179,13 +188,16 @@ object StreamBench {
         f"(${r.rows}%,d rows over ${r.batches}%d steady batches)"))
     val qs = results.map(r => s""""${r.name}":${r.rowsPerSec.toLong}""")
       .mkString("{", ",", "}")
-    val line = s"""{"metric":"stream_rows_per_sec","unit":"rows/sec","rows_per_batch":$rowsPerBatch,"n_batches":$nBatches,"queries":$qs}"""
+    val l = s"""{"metric":"stream_rows_per_sec","unit":"rows/sec","rows_per_batch":$rowsPerBatch,"n_batches":$nBatches,"queries":$qs}"""
     try Files.write(java.nio.file.Paths.get("/tmp/graft_stream_bench.json"),
-      line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      l.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case scala.util.control.NonFatal(_) => () }
-    spark.sparkContext.setLogLevel("ERROR")
-    spark.stop()
-    ckpts.foreach(c => deleteRecursively(new java.io.File(c)))
+    l
+    } finally {
+      spark.sparkContext.setLogLevel("ERROR")
+      spark.stop()
+      ckpts.foreach(c => deleteRecursively(new java.io.File(c)))
+    }
     println(line)
   }
 }
