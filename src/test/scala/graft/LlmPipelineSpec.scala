@@ -642,6 +642,42 @@ class LlmPipelineSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long)].collect().forall(r => r._3 == 0L && r._4 == 0L))
   }
 
+  test("corpus memos miss after a same-path fixture rewrite (postings/banded staleness)") {
+    import spark.implicits._
+    // The session memos behind ngramPostings/minhashBanded key on the
+    // corpus mtime; a fixture regenerated AT THE SAME PATH must miss —
+    // otherwise every postings consumer silently answers from the old
+    // corpus (the Derived.ensure staleness rule applied to session
+    // state; r12's IVF-index bug was exactly this class).
+    val dir = s"/tmp/graft-test-memostale-${java.util.UUID.randomUUID()}"
+    def write(texts: Seq[String]): Unit =
+      texts.zipWithIndex.map { case (t, i) => (i.toLong, t, "en", "src0", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    write((0 until 25).map(i => s"the quick fox u$i v$i w$i"))
+    val before = ops.LlmPipeline.boilerplateScore(spark, dir)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(before.length == 25 && before.forall(_._4 == 250000L))
+    val sigBefore = ops.LlmPipeline.queries("q_dedup_minhash_sig")(spark, dir)
+      .where(col("doc_id") === 0 && col("band") === 0)
+      .select("band_key").as[String].head()
+    // rewrite at the SAME path with no shared phrase; bump the dir
+    // mtime explicitly so coarse-granularity filesystems can't alias
+    // the two corpora under one memo key
+    write((0 until 25).map(i => s"a$i b$i c$i d$i e$i f$i"))
+    val f = new java.io.File(s"$dir/documents.parquet")
+    assert(f.setLastModified(f.lastModified() + 2000))
+    val after = ops.LlmPipeline.boilerplateScore(spark, dir)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(after.length == 25 && after.forall(_._4 == 0L),
+      "stale postings memo served after a same-path corpus rewrite")
+    val sigAfter = ops.LlmPipeline.queries("q_dedup_minhash_sig")(spark, dir)
+      .where(col("doc_id") === 0 && col("band") === 0)
+      .select("band_key").as[String].head()
+    assert(sigAfter != sigBefore,
+      "stale banded-signature memo served after a same-path corpus rewrite")
+  }
+
   test("q_bpe_pairs: planted corpus yields exact char-pair counts and order") {
     import spark.implicits._
     // words: "aaab" → pairs aa, aa, ab; "aab" → aa, ab; "xy" → xy;
