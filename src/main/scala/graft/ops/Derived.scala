@@ -90,8 +90,16 @@ object Derived {
         }
         // a marker-less leftover (crashed older build) blocks the rename
         // (HDFS rename into an existing dir NESTS the source); it is
-        // incomplete by definition, so clear it inside the lock
-        if (fs.exists(dirPath)) fs.delete(dirPath, true)
+        // incomplete by definition, so clear it inside the lock. But if
+        // the dir is COMPLETE, a racing JVM published between our
+        // post-lock recheck and here — keep ITS artifact (content is
+        // identical by construction: same source, same version) and
+        // discard ours, instead of deleting a live artifact out from
+        // under a concurrent reader for a brief vanish window.
+        if (fs.exists(dirPath)) {
+          if (fs.exists(success)) { fs.delete(tmp, true); return dir }
+          fs.delete(dirPath, true)
+        }
         fs.mkdirs(dirPath.getParent)
         if (!fs.rename(tmp, dirPath)) {
           // cross-JVM race: keep the winner's artifact iff complete
