@@ -41,11 +41,13 @@ def load(path):
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    th = 1.3
-    for a in sys.argv[1:]:
+    args, th, it = [], 1.3, iter(sys.argv[1:])
+    for a in it:
         if a.startswith("--threshold"):
-            th = float(a.split("=", 1)[1] if "=" in a else sys.argv[sys.argv.index(a) + 1])
+            # accept both --threshold=1.3 and --threshold 1.3
+            th = float(a.split("=", 1)[1] if "=" in a else next(it))
+        else:
+            args.append(a)
     if len(args) != 2:
         sys.exit(__doc__)
     old, new = load(args[0]), load(args[1])

@@ -118,8 +118,8 @@ object Catalog {
       .withColumn("cents", expr("CAST(round(s_acctbal * 100, 0) AS BIGINT)"))
       .select(
         col("s_suppkey"),
-        expr("CAST(CASE WHEN cents >= 0 THEN (cents * 100 + 512) DIV 1024 " +
-          "ELSE -(((-cents) * 100 + 512) DIV 1024) END AS DOUBLE) / 100")
+        expr("CAST(CASE WHEN cents >= 0 THEN (cents + 512) DIV 1024 " +
+          "ELSE -(((-cents) + 512) DIV 1024) END AS DOUBLE) / 100")
           .as("space_gib"))
       .orderBy("s_suppkey")
 
@@ -200,8 +200,8 @@ object Catalog {
     "q_scalar_math_units" ->
       // exact-integer half-away rounding — see mathUnits scaladoc
       ("WITH c AS (SELECT s_suppkey, CAST(round(s_acctbal * 100, 0) AS BIGINT) AS cents FROM supplier) " +
-        "SELECT s_suppkey, CAST(CASE WHEN cents >= 0 THEN (cents * 100 + 512) // 1024 " +
-        "ELSE -(((-cents) * 100 + 512) // 1024) END AS DOUBLE) / 100 AS space_gib " +
+        "SELECT s_suppkey, CAST(CASE WHEN cents >= 0 THEN (cents + 512) // 1024 " +
+        "ELSE -(((-cents) + 512) // 1024) END AS DOUBLE) / 100 AS space_gib " +
         "FROM c ORDER BY s_suppkey"),
     "q_nested_catalog" ->
       ("WITH r AS (SELECT DISTINCT l_orderkey, l_linenumber, l_suppkey FROM lineitem), " +
@@ -236,8 +236,8 @@ object Catalog {
     // `//` → DIV
     "q_scalar_math_units" ->
       ("WITH c AS (SELECT s_suppkey, CAST(round(s_acctbal * 100, 0) AS BIGINT) AS cents FROM supplier) " +
-        "SELECT s_suppkey, CAST(CASE WHEN cents >= 0 THEN (cents * 100 + 512) DIV 1024 " +
-        "ELSE -(((-cents) * 100 + 512) DIV 1024) END AS DOUBLE) / 100 AS space_gib " +
+        "SELECT s_suppkey, CAST(CASE WHEN cents >= 0 THEN (cents + 512) DIV 1024 " +
+        "ELSE -(((-cents) + 512) DIV 1024) END AS DOUBLE) / 100 AS space_gib " +
         "FROM c ORDER BY s_suppkey"),
   )
 }

@@ -52,6 +52,14 @@ object Derived {
   private val buildLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
+  /** Test seam: fires between the last exists(dir) recheck and the
+    * publish rename — the one window an in-process lock cannot cover
+    * (a racing JVM publishing here makes Hadoop rename NEST tmp inside
+    * the live dir and still return true). DerivedSpec injects the race
+    * deterministically; production leaves it a no-op.
+    */
+  private[graft] var preRenameHook: () => Unit = () => ()
+
   /** Returns the artifact dir, invoking the builder first iff the dir
     * has no completion marker (the builder must write through a Spark
     * writer or leave its own `_SUCCESS`). `marker` is the dir-relative
@@ -101,12 +109,25 @@ object Derived {
           fs.delete(dirPath, true)
         }
         fs.mkdirs(dirPath.getParent)
+        preRenameHook()
         if (!fs.rename(tmp, dirPath)) {
           // cross-JVM race: keep the winner's artifact iff complete
           fs.delete(tmp, true)
           if (!fs.exists(success))
             throw new IllegalStateException(
               s"Derived.ensure($family): publish rename to $dir failed and no complete artifact exists")
+        } else {
+          // Hadoop rename into a dir that APPEARED between the recheck
+          // above and here NESTS tmp inside it and still returns true
+          // (ADVICE r13): a stray "<dir>/<family>….build-xxxx" subtree
+          // that directory-recursive readers would pick up. Detect and
+          // remove the nested leftover; the racer's published artifact
+          // (same source, same version ⇒ same content) stays.
+          val nested = new org.apache.hadoop.fs.Path(s"$dir/${tmp.getName}")
+          if (fs.exists(nested)) fs.delete(nested, true)
+          if (!fs.exists(success))
+            throw new IllegalStateException(
+              s"Derived.ensure($family): published $dir has no $marker after rename")
         }
       }
     }

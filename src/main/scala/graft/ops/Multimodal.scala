@@ -811,9 +811,12 @@ object Multimodal {
     (6L, 706L, 33, 21, 1, "ppm"),     // P5
     (7L, 190L, 5, 4, 3, "ppm"),       // P3 ascii raster
     (8L, 74L, 7, 3, 1, "ppm"),        // P2 ascii raster
-    (9L, 4708L, 48, 32, 3, "png"),
-    (10L, 987L, 16, 16, 4, "png"),    // RGBA
-    (11L, 128L, 8, 8, 1, "png"),      // grayscale
+    // PNG sizes are spec math now that IDAT is stored-block deflate:
+    // 57 byte shell (sig 8 + IHDR 25 + IDAT framing 12 + IEND 12) +
+    // zlib 2+5·1+adler 4 + raw h·(1 + w·bpp)
+    (9L, 4708L, 48, 32, 3, "png"),    // 57 + 11 + 32·145
+    (10L, 1108L, 16, 16, 4, "png"),   // RGBA: 57 + 11 + 16·65
+    (11L, 140L, 8, 8, 1, "png"),      // grayscale: 57 + 11 + 8·9
     (12L, 20L, 120, 80, 3, "gif"),    // 89a
     (13L, 20L, 40, 30, 3, "gif"),     // 87a
     (14L, 41L, 200, 150, 3, "jpeg"),  // SOF0 baseline

@@ -156,7 +156,13 @@ object MediaFixtures {
         }
       }
     }
-    val deflater = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION)
+    // NO_COMPRESSION (ADVICE r13): stored deflate blocks have a
+    // spec-determined size (2-byte zlib header + 5 bytes per ≤65535-byte
+    // block + raw + 4-byte adler), so the fixture's n_bytes is identical
+    // on every JDK/zlib build — DEFAULT_COMPRESSION output length is
+    // implementation-dependent and would detach the persisted artifact
+    // from the oracle's VALUES literals across JVM upgrades.
+    val deflater = new java.util.zip.Deflater(java.util.zip.Deflater.NO_COMPRESSION)
     deflater.setInput(raw.toByteArray); deflater.finish()
     val buf = new Array[Byte](raw.size() + 64)
     val n = deflater.deflate(buf)
@@ -333,7 +339,7 @@ object MediaFixtures {
     */
   def tablePath(s: SparkSession, d: String): String = {
     val dir = Derived.ensure(s, "graft_media_fixture", s"$d/documents.parquet",
-      version = "v1", marker = "documents_media/_SUCCESS") { tmp =>
+      version = "v2", marker = "documents_media/_SUCCESS") { tmp =>
       import s.implicits._
       assets().toDF("media_id", "kind", "payload")
         .coalesce(1)

@@ -110,4 +110,36 @@ class DerivedSpec extends AnyFunSuite {
     assert(Files.exists(Paths.get(d, "_SUCCESS")))
     assert(!Files.exists(Paths.get(d, "partial")), "crashed leftovers survived the rebuild")
   }
+
+  test("cross-JVM publish race in the pre-rename window leaves no nested .build- subtree") {
+    // ADVICE r13: if another JVM publishes between the exists(dir)
+    // recheck and fs.rename, Hadoop nests tmp INSIDE the live dir and
+    // returns true — a stray "<family>….build-xxxx" subtree that
+    // recursive readers would pick up. Inject the racer at exactly that
+    // window via the test seam and assert the published dir is clean.
+    val src = tempSource()
+    val dir = ops.Derived.dirFor(spark, "graft-derived-spec", src, "racewin")
+    ops.Derived.preRenameHook = () => {
+      // the racing JVM lands a complete artifact in the window
+      Files.createDirectories(Paths.get(dir))
+      Files.writeString(Paths.get(dir, "part-racer.parquet"), "racer data")
+      Files.writeString(Paths.get(dir, "_SUCCESS"), "")
+    }
+    try {
+      val d = ops.Derived.ensure(spark, "graft-derived-spec", src, "racewin") { b =>
+        Files.createDirectories(Paths.get(b))
+        Files.writeString(Paths.get(b, "part-ours.parquet"), "our data")
+        Files.writeString(Paths.get(b, "_SUCCESS"), "")
+      }
+      assert(Files.exists(Paths.get(d, "_SUCCESS")))
+      // the racer's complete artifact is kept (same source ⇒ same content)
+      assert(Files.exists(Paths.get(d, "part-racer.parquet")))
+      // and nothing got nested: no .build- subtree, no second artifact level
+      val entries = Files.list(Paths.get(d)).toArray.map(_.toString)
+      assert(!entries.exists(_.contains(".build-")),
+        s"nested build leftovers inside published dir: ${entries.mkString(", ")}")
+      assert(entries.forall(p => Files.isRegularFile(Paths.get(p))),
+        s"unexpected subdirectory inside published dir: ${entries.mkString(", ")}")
+    } finally ops.Derived.preRenameHook = () => ()
+  }
 }

@@ -46,6 +46,30 @@ class GoldenSpec extends AnyFunSuite {
     assert(got == Seq(("my.file", "12"), ("a", "1")))
   }
 
+  test("mathUnits GiB conversion: round(bal/1024, 2) half-away, exact off-boundary") {
+    // ADVICE r13 (high): the integer-space rewrite once computed
+    // ((cents*100+512) DIV 1024)/100 = bal/10.24 — 100x the GiB value.
+    // Pin the contract: 500.00 -> 0.49, 680.96 -> 0.67 (exact half-cent
+    // boundary, half-away-from-zero), negatives mirror, -1.00 -> -0.0
+    // canonicalized to 0.0 by the integer path.
+    val dir = s"/tmp/graft-test-mathunits-${java.util.UUID.randomUUID()}"
+    try {
+      Seq((1L, 500.00), (2L, 680.96), (3L, -680.96), (4L, 4090.79), (5L, -1.00))
+        .toDF("s_suppkey", "s_acctbal")
+        .withColumn("s_name", lit("x")).withColumn("s_nationkey", lit(0))
+        .write.parquet(s"$dir/supplier.parquet")
+      val got = ops.Catalog.mathUnits(spark, dir)
+        .as[(Long, Double)].collect().toMap
+      assert(got(1L) == 0.49)
+      assert(got(2L) == 0.67)
+      assert(got(3L) == -0.67)
+      assert(got(4L) == math.round(4090.79 / 1024 * 100).toDouble / 100)
+      assert(java.lang.Double.doubleToRawLongBits(got(5L)) == 0L) // not -0.0
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("fixed-width listing format (Client.java:156-164)") {
     val got = Seq(("tiny.bin", 7)).toDF("name", "n")
       .select(format_string("%-40s %5d", col("name"), col("n")))

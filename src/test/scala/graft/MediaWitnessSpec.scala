@@ -1,0 +1,229 @@
+package graft
+
+import java.io.ByteArrayInputStream
+
+import javax.imageio.ImageIO
+import javax.sound.sampled.{AudioFormat, AudioSystem}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.MediaFixtures
+import graft.ops.Multimodal
+
+/** Independent JDK decoder witness for the real-media fixture tier
+  * (VERDICT r13 #1). The q_mm_*_media oracle rows hash-match the
+  * GENERATOR's parameter catalog, and generator and parser were written
+  * by the same hand — a shared misreading of a format field (BMP
+  * biHeight sign, WAV block-align, AU encoding) would agree wrong on
+  * both sides and still pass. These specs re-decode the exact fixture
+  * bytes with decoders this repo did NOT write — `javax.imageio.ImageIO`
+  * for BMP/PNG/GIF/JPEG and `javax.sound.sampled.AudioSystem` for
+  * WAV/AU — and assert they recover the catalog's numbers, the same
+  * independent-verification discipline as the reference's checksum
+  * re-reads (Utils.java:28-58, ChunkTest.java:38-100). netpbm has no
+  * JDK decoder; its pixel honesty is witnessed transitively instead:
+  * ImageIO's pixels for a BMP/PNG asset must equal grayPixels' pixels
+  * for the same-scene P6 asset, which crosses generator → ImageIO →
+  * grayPixels through two independent containers.
+  */
+class MediaWitnessSpec extends AnyFunSuite {
+
+  private lazy val payloads: Map[Long, Array[Byte]] =
+    MediaFixtures.assets().map { case (id, _, p) => id -> p }.toMap
+
+  private lazy val imageCatalog: Map[Long, (Long, Int, Int, Int, String)] =
+    Multimodal.mediaImageExpected
+      .map { case (id, nb, w, h, c, dec) => id -> ((nb, w, h, c, dec)) }.toMap
+
+  /** BT.601 integer luma of a BufferedImage — the same formula the
+    * generator and grayPixels use, applied to ImageIO's output.
+    */
+  private def imageIoGray(img: java.awt.image.BufferedImage): (Int, Int, Array[Int]) = {
+    val w = img.getWidth; val h = img.getHeight
+    val singleBand = img.getRaster.getNumBands == 1
+    val g = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        g(y * w + x) =
+          if (singleBand) {
+            // getRGB on a gray image routes through a CS_GRAY→sRGB
+            // ColorModel conversion (gamma), which is not the stored
+            // sample — read the raster directly
+            img.getRaster.getSample(x, y, 0)
+          } else {
+            val rgb = img.getRGB(x, y)
+            val r = (rgb >> 16) & 0xFF; val gg = (rgb >> 8) & 0xFF; val b = rgb & 0xFF
+            (299 * r + 587 * gg + 114 * b) / 1000
+          }
+        x += 1
+      }
+      y += 1
+    }
+    (w, h, g)
+  }
+
+  test("ImageIO recovers the catalog dimensions for every BMP and PNG asset") {
+    for (id <- Seq(1L, 2L, 3L, 4L, 9L, 10L, 11L)) {
+      val (nb, w, h, _, dec) = imageCatalog(id)
+      val p = payloads(id)
+      assert(p.length.toLong == nb, s"asset $id ($dec): n_bytes catalog drift")
+      val img = ImageIO.read(new ByteArrayInputStream(p))
+      assert(img != null, s"asset $id ($dec): ImageIO could not decode the fixture bytes")
+      assert(img.getWidth == w && img.getHeight == h,
+        s"asset $id ($dec): ImageIO saw ${img.getWidth}x${img.getHeight}, catalog says ${w}x$h")
+    }
+  }
+
+  test("ImageIO recovers the catalog dimensions for the GIF headers") {
+    for (id <- Seq(12L, 13L)) {
+      val (_, w, h, _, dec) = imageCatalog(id)
+      val in = ImageIO.createImageInputStream(new ByteArrayInputStream(payloads(id)))
+      val readers = ImageIO.getImageReaders(in)
+      assert(readers.hasNext, s"asset $id ($dec): no ImageIO reader claimed the bytes")
+      val r = readers.next()
+      r.setInput(in)
+      try {
+        val (gotW, gotH) =
+          if (dec == "gif") {
+            // the GIF fixtures are container-metadata-only (no image
+            // frames — the tier's contract decodes the logical screen
+            // descriptor), so dims come from the STREAM metadata the
+            // same way the catalog defines them
+            val tree = r.getStreamMetadata.getAsTree("javax_imageio_gif_stream_1.0")
+              .asInstanceOf[org.w3c.dom.Element]
+            val lsd = tree.getElementsByTagName("LogicalScreenDescriptor")
+              .item(0).asInstanceOf[org.w3c.dom.Element]
+            (lsd.getAttribute("logicalScreenWidth").toInt,
+              lsd.getAttribute("logicalScreenHeight").toInt)
+          } else (r.getWidth(0), r.getHeight(0))
+        assert((gotW, gotH) == (w, h),
+          s"asset $id ($dec): ImageIO saw ${gotW}x$gotH, catalog says ${w}x$h")
+      } finally r.dispose()
+    }
+  }
+
+  test("our parser recovers dims/channels from JPEGs ENCODED by ImageIO (baseline, progressive, gray)") {
+    // the JPEG fixtures are header-only (no SOS/scan — the tier's
+    // contract is the SOF marker walk), which the JDK's native JPEG
+    // reader refuses outright ("missing SOS marker"), so the witness
+    // runs in the other direction: bytes produced by an encoder this
+    // repo did not write must parse to the encoder's parameters. This
+    // also drags the marker walk across segments no fixture emits
+    // (JFIF APP0, quant/huffman tables, real entropy-coded data).
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageWriteParam
+    def encode(w: Int, h: Int, imgType: Int, progressive: Boolean): Array[Byte] = {
+      val img = new BufferedImage(w, h, imgType)
+      val g2 = img.createGraphics()
+      g2.setColor(java.awt.Color.ORANGE); g2.fillRect(0, 0, w, h)
+      g2.dispose()
+      val out = new java.io.ByteArrayOutputStream()
+      val wr = ImageIO.getImageWritersByFormatName("jpeg").next()
+      val p = wr.getDefaultWriteParam
+      if (progressive) p.setProgressiveMode(ImageWriteParam.MODE_DEFAULT)
+      wr.setOutput(ImageIO.createImageOutputStream(out))
+      wr.write(null, new javax.imageio.IIOImage(img, null, null), p)
+      wr.dispose()
+      out.toByteArray
+    }
+    val cases = Seq(
+      (encode(200, 150, BufferedImage.TYPE_3BYTE_BGR, progressive = false), 200, 150, 3),
+      (encode(32, 24, BufferedImage.TYPE_BYTE_GRAY, progressive = false), 32, 24, 1),
+      (encode(64, 48, BufferedImage.TYPE_3BYTE_BGR, progressive = true), 64, 48, 3))
+    for (((bytes, w, h, nc), i) <- cases.zipWithIndex) {
+      val got = Multimodal.parseImageHeader(bytes)
+      assert(got.contains((w, h, nc, "jpeg")),
+        s"case $i: parser said $got for an ImageIO-encoded ${w}x$h/$nc JPEG")
+    }
+  }
+
+  test("ImageIO pixels agree with grayPixels for the BMP assets (bottom-up AND top-down)") {
+    for (id <- Seq(1L, 2L, 3L)) {
+      val p = payloads(id)
+      val (iw, ih, ig) = imageIoGray(ImageIO.read(new ByteArrayInputStream(p)))
+      val (gw, gh, gg) = Multimodal.grayPixels(p)
+        .getOrElse(fail(s"asset $id: grayPixels refused a 24-bpp BMP"))
+      assert((iw, ih) == (gw, gh), s"asset $id: dimension disagreement")
+      assert(ig.sameElements(gg),
+        s"asset $id: ImageIO and grayPixels disagree on pixel values")
+    }
+  }
+
+  test("ImageIO pixels for PNG/core-BMP equal grayPixels for the same-scene netpbm") {
+    // (payload under test, same-scene P6/P5 witness bytes)
+    val pairs = Seq(
+      (4L, MediaFixtures.netpbm("P6", 20, 10, seed = 4)),   // BITMAPCOREHEADER
+      (9L, MediaFixtures.netpbm("P6", 48, 32, seed = 9)),   // PNG RGB
+      (10L, MediaFixtures.netpbm("P6", 16, 16, seed = 10)), // PNG RGBA
+      (11L, MediaFixtures.netpbm("P6", 8, 8, seed = 11)))   // PNG grayscale
+    for ((id, witness) <- pairs) {
+      val (iw, ih, ig) = imageIoGray(ImageIO.read(new ByteArrayInputStream(payloads(id))))
+      val (gw, gh, gg) = Multimodal.grayPixels(witness)
+        .getOrElse(fail(s"asset $id: grayPixels refused the P6 witness"))
+      assert((iw, ih) == (gw, gh), s"asset $id: dimension disagreement with the P6 witness")
+      assert(ig.sameElements(gg),
+        s"asset $id: ImageIO pixels diverge from the same-scene netpbm raster")
+    }
+  }
+
+  test("our parser recovers dims from PNG/BMP/GIF bytes ENCODED by ImageIO") {
+    // reverse-direction witness for the remaining containers: ImageIO's
+    // own encoders exercise header layouts the fixture generator never
+    // emits (PNG ancillary chunks, GIF image descriptor + LZW frame,
+    // writer-chosen BMP header size), and our parser must still land on
+    // the true dimensions.
+    import java.awt.image.BufferedImage
+    def encode(fmt: String, w: Int, h: Int, imgType: Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, imgType)
+      val g2 = img.createGraphics()
+      g2.setColor(java.awt.Color.BLUE); g2.fillRect(0, 0, w, h)
+      g2.dispose()
+      val out = new java.io.ByteArrayOutputStream()
+      assert(ImageIO.write(img, fmt, out), s"no ImageIO writer for $fmt")
+      out.toByteArray
+    }
+    val cases = Seq(
+      ("png", 48, 32, BufferedImage.TYPE_3BYTE_BGR, 3),
+      ("png", 8, 8, BufferedImage.TYPE_BYTE_GRAY, 1),
+      ("bmp", 97, 55, BufferedImage.TYPE_3BYTE_BGR, 3),
+      ("gif", 120, 80, BufferedImage.TYPE_BYTE_INDEXED, 3))
+    for ((fmt, w, h, tp, nc) <- cases) {
+      val got = Multimodal.parseImageHeader(encode(fmt, w, h, tp))
+      assert(got.exists(r => r._1 == w && r._2 == h && r._4 == fmt),
+        s"$fmt: parser said $got for an ImageIO-encoded ${w}x$h image")
+      if (fmt != "gif") // GIF channel count is a fixed RGB convention, palette depth varies
+        assert(got.exists(_._3 == nc), s"$fmt: wrong channel count in $got")
+    }
+    // and the pixel path: grayPixels must decode an ImageIO-written
+    // 24-bpp BMP to exactly the BufferedImage's luma
+    val bmpBytes = encode("bmp", 21, 13, BufferedImage.TYPE_3BYTE_BGR)
+    val (gw, gh, gg) = Multimodal.grayPixels(bmpBytes)
+      .getOrElse(fail("grayPixels refused an ImageIO-written 24-bpp BMP"))
+    val (iw, ih, ig) = imageIoGray(ImageIO.read(new ByteArrayInputStream(bmpBytes)))
+    assert((gw, gh) == (iw, ih) && gg.sameElements(ig))
+  }
+
+  test("AudioSystem recovers channels/rate/bits/frames for every WAV and AU asset") {
+    val catalog = Multimodal.mediaAudioExpected
+      .map { case (id, nb, ch, rate, bits, frames, _, dec) =>
+        id -> ((nb, ch, rate, bits, frames, dec)) }.toMap
+    for (id <- Seq(20L, 21L, 22L, 23L)) {
+      val (nb, ch, rate, bits, frames, dec) = catalog(id)
+      val p = payloads(id)
+      assert(p.length.toLong == nb, s"asset $id ($dec): n_bytes catalog drift")
+      val aff = AudioSystem.getAudioFileFormat(new ByteArrayInputStream(p))
+      val f = aff.getFormat
+      assert(f.getChannels == ch, s"asset $id ($dec): channels ${f.getChannels} != $ch")
+      assert(f.getSampleRate.toInt == rate, s"asset $id ($dec): rate ${f.getSampleRate} != $rate")
+      assert(f.getSampleSizeInBits == bits,
+        s"asset $id ($dec): bits ${f.getSampleSizeInBits} != $bits")
+      assert(aff.getFrameLength.toLong == frames,
+        s"asset $id ($dec): frames ${aff.getFrameLength} != $frames")
+    }
+    // the µ-law AU really is µ-law, not linear PCM mislabeled
+    val ulaw = AudioSystem.getAudioFileFormat(new ByteArrayInputStream(payloads(23L)))
+    assert(ulaw.getFormat.getEncoding == AudioFormat.Encoding.ULAW)
+  }
+}
