@@ -74,6 +74,10 @@ object SfGen {
   def main(args: Array[String]): Unit = {
     val outDir = args.headOption.getOrElse("/tmp/graft_sf1")
     val sf = if (args.length > 1) args(1).toDouble else 1.0
+    // third arg "skew": one hot supplier (s_suppkey 0) holds ~30% of
+    // lineitem — the deliberately skewed corpus for the AQE skew-join
+    // evidence (VERDICT r13 #5)
+    val hotSupplier = args.length > 2 && args(2) == "skew"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -83,6 +87,19 @@ object SfGen {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    generate(spark, outDir, sf, cpus.toInt, hotSupplier)
+    spark.stop()
+  }
+
+  /** Generate the full fixture set into `outDir`. Exposed separately
+    * from main so specs can generate small corpora against their own
+    * session without main's conf mutations; `hotSupplier` routes ~30%
+    * of lineitem rows to s_suppkey 0 (deterministically, counter-based
+    * like every other field) to make the supplier join genuinely
+    * skewed.
+    */
+  def generate(spark: SparkSession, outDir: String, sf: Double,
+               parts: Int, hotSupplier: Boolean = false): Unit = {
     import spark.implicits._
 
     val nCust = (150000 * sf).toLong.max(1)
@@ -93,8 +110,6 @@ object SfGen {
     val nDocs = (50000 * sf).toLong.max(1)
     // embeddings follow the measured 4×-per-decade rule (500 → 2000 → 8000)
     val nVecs = (8000 * math.pow(10 * sf, math.log10(4)) / 4).toLong.max(1)
-    val parts = cpus.toInt
-
     def rangeDf(n: Long, col0: String): DataFrame =
       spark.range(0, n, 1, parts).toDF(col0)
 
@@ -158,7 +173,15 @@ object SfGen {
         explode(expr("sequence(1, n_lines)")).as("l_linenumber"))
       .select(col("o_orderkey").as("l_orderkey"),
         pmod(xxhash64(col("o_orderkey"), col("l_linenumber"), lit("lpart")), lit(nPart)).as("l_partkey"),
-        pmod(xxhash64(col("o_orderkey"), col("l_linenumber"), lit("lsupp")), lit(nSupp)).as("l_suppkey"),
+        {
+          val uniformSupp =
+            pmod(xxhash64(col("o_orderkey"), col("l_linenumber"), lit("lsupp")), lit(nSupp))
+          // skew mode: a deterministic 30% of lines land on supplier 0
+          if (hotSupplier)
+            when(pmod(xxhash64(col("o_orderkey"), col("l_linenumber"), lit("lhot")),
+              lit(100L)) < 30, lit(0L)).otherwise(uniformSupp).as("l_suppkey")
+          else uniformSupp.as("l_suppkey")
+        },
         col("l_linenumber"),
         (ui(xxhash64(col("o_orderkey"), col("l_linenumber")), "lqty", 50) + 1)
           .cast("double").as("l_quantity"),
@@ -238,6 +261,5 @@ object SfGen {
     println(s"[sfgen] wrote sf=$sf fixtures to $outDir " +
       s"(cust=$nCust supp=$nSupp part=$nPart orders=$nOrders events=$nEvents " +
       s"docs=$nDocs vecs=$nVecs; $stripped footers normalized)")
-    spark.stop()
   }
 }

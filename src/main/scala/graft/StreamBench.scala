@@ -33,7 +33,10 @@ import org.apache.spark.sql.streaming.OutputMode
   * they sustain per second on the declared local[32] target.
   *
   * Usage: runMain graft.StreamBench [rowsPerBatch] [nBatches]
-  * (defaults 100000, 30). Prints one summary JSON line (file copy at
+  * (defaults 100000, 30). Each stateful leg runs once per state-store
+  * backend (HDFS-backed in-memory AND RocksDB — the production swap
+  * when commits dominate; SPARK_GRAFT_STATE_BACKENDS overrides).
+  * Prints one summary JSON line (file copy at
   * /tmp/graft_stream_bench.json) for BENCHNOTES.
   */
 object StreamBench {
@@ -161,25 +164,48 @@ object StreamBench {
     // metric line still prints AFTER stop() (the Bench lesson: shutdown
     // logs interleave past a pre-stop println on merged stdout+stderr)
     val line = try {
+    // State-backend comparison (VERDICT r13 #3): every stateful leg is
+    // state-store-commit-bound, which is exactly what the RocksDB
+    // provider changes — run each stateful pipeline on both backends
+    // (providerClass is a runtime SQLConf; each query binds it at
+    // start). Stateless legs (passthrough, file tail) touch no state
+    // store and run once. SPARK_GRAFT_STATE_BACKENDS narrows the list.
+    val backends = sys.env.getOrElse("SPARK_GRAFT_STATE_BACKENDS", "hdfs,rocksdb")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    def providerOf(b: String) = b match {
+      case "hdfs" =>
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+      case "rocksdb" =>
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+      case fqcn => fqcn
+    }
+    val stateful = try {
+      backends.flatMap { b =>
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", providerOf(b))
+        Seq(
+          run(spark, s"watermarked_counts:$b", Streaming.watermarkedCounts(hb),
+            OutputMode.Update(), nBatches),
+          run(spark, s"session_windows:$b", Streaming.sessionizedStream(hb),
+            OutputMode.Append(), nBatches),
+          run(spark, s"dedup_within_watermark:$b",
+            Streaming.dedupWithinWatermark(hb).toDF(),
+            OutputMode.Append(), nBatches),
+          run(spark, s"stateful_liveness:$b", Streaming.statefulLiveness(hb).toDF(),
+            OutputMode.Update(), nBatches),
+          // join keys spread over 50k nodes: ~2 rows/node/side/batch keeps
+          // the time-bounded fan-out ~4× instead of quadratic-in-batch
+          run(spark, s"stream_stream_join:$b",
+            Streaming.streamStreamJoin(
+              hbStream(spark, rowsPerBatch, nodes = 50000),
+              hbStream(spark, rowsPerBatch, nodes = 50000)),
+            OutputMode.Append(), nBatches))
+      }
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     val results = Seq(
       // sink-bound ceiling: projection only, no state — everything else
       // is read relative to this number
-      run(spark, "passthrough", hb.toDF(), OutputMode.Append(), nBatches),
-      run(spark, "watermarked_counts", Streaming.watermarkedCounts(hb),
-        OutputMode.Update(), nBatches),
-      run(spark, "session_windows", Streaming.sessionizedStream(hb),
-        OutputMode.Append(), nBatches),
-      run(spark, "dedup_within_watermark", Streaming.dedupWithinWatermark(hb).toDF(),
-        OutputMode.Append(), nBatches),
-      run(spark, "stateful_liveness", Streaming.statefulLiveness(hb).toDF(),
-        OutputMode.Update(), nBatches),
-      // join keys spread over 50k nodes: ~2 rows/node/side/batch keeps
-      // the time-bounded fan-out ~4× instead of quadratic-in-batch
-      run(spark, "stream_stream_join",
-        Streaming.streamStreamJoin(
-          hbStream(spark, rowsPerBatch, nodes = 50000),
-          hbStream(spark, rowsPerBatch, nodes = 50000)),
-        OutputMode.Append(), nBatches),
+      run(spark, "passthrough", hb.toDF(), OutputMode.Append(), nBatches)) ++
+      stateful ++ Seq(
       // spool-file tail: 200 files × 5000 varint frames (≈1M heartbeats)
       runLiveIngest(spark, nFiles = 200, framesPerFile = 5000))
 

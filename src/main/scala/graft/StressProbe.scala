@@ -38,7 +38,9 @@ object StressProbe {
     "q_join_star_revenue", "q_join_shipping_priority",
     "q_join_large_orders", "q_join_returned_revenue",
     "q_join_nation_volume", "q_subquery_anti_agg",
-    "q_jsonl_roundtrip", "q_jsonl_audit", "q_source_cap")
+    "q_jsonl_roundtrip", "q_jsonl_audit", "q_source_cap",
+    // r14: the volume media decode tier (mult×1000 real assets, MB/s)
+    "media_decode_volume")
 
   /** Per-table id columns to offset per replica; absent table ⇒ copy. */
   private val IdOffsets: Map[String, Seq[String]] = Map(
@@ -115,7 +117,32 @@ object StressProbe {
     // path, running nothing — sweep.sh uses this to stand in the sf1
     // decade for the full Verify + DuckDB hash gate.
     val runNames = if (names == Seq("BUILD_ONLY")) Nil else names
-    runNames.foreach { name =>
+    // media decode tier (VERDICT r13 #8): an sf-proportional REAL-media
+    // corpus (mult × 1000 assets — images, audio, video containers) is
+    // decoded end-to-end through the production mapPartitions branch;
+    // reported as MB/s of payload bytes, the number a multimodal ingest
+    // pipeline is sized by.
+    if (runNames.contains("media_decode_volume")) {
+      import org.apache.spark.sql.functions.{col, length, sum}
+      import spark.implicits._
+      val n = 1000L * mult
+      val path = graft.sources.MediaFixtures.volumeTablePath(spark, base, n)
+      val tbl = spark.read.parquet(path)
+      val totalBytes = tbl.agg(sum(length(col("payload")))).head().getLong(0)
+      val t0 = System.nanoTime()
+      val decoded =
+        ops.Multimodal.decodeCore(tbl.where(col("kind") === "image")
+          .select(col("media_id"), col("payload")).as[(Long, Array[Byte])]).count() +
+        ops.Multimodal.audioCore(tbl.where(col("kind") === "audio")
+          .select(col("media_id"), col("payload")).as[(Long, Array[Byte])]).count() +
+        ops.Multimodal.videoCore(tbl.where(col("kind") === "video")
+          .select(col("media_id"), col("payload")).as[(Long, Array[Byte])]).count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[stress] media_decode_volume       $secs%8.1fs  rows=$decoded " +
+        f"bytes=$totalBytes (${totalBytes / secs / 1e6}%.0f MB/s)")
+      require(decoded == n, s"decode tier dropped rows: $decoded of $n")
+    }
+    runNames.filterNot(_ == "media_decode_volume").foreach { name =>
       val t0 = System.nanoTime()
       val outcome =
         try { val n = SparkEntry.queries(name)(spark, dir).count(); s"rows=$n" }

@@ -82,6 +82,60 @@ class LiveIngestSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("executor loss mid-stream: snapshot stays exactly-once and the query survives (VERDICT r13 #7)") {
+    // Real node death under a multi-process master: halt one executor
+    // JVM (Runtime.halt — no shutdown hooks, the way a machine dies)
+    // between two micro-batches of a checkpointed file-tail query, then
+    // assert the stream keeps running on the survivors and the snapshot
+    // holds exactly the once-each contents — the reference's node-death
+    // path (controller/FileTable.java:59-97) applied to our runtime.
+    // local[n] has no executor processes to lose; multi-JVM legs
+    // (GRAFT_TEST_MASTER=local-cluster[2,4,...]) exercise this.
+    assume(spark.sparkContext.master.startsWith("local-cluster"),
+      "needs real executor processes (local-cluster master)")
+    import org.apache.spark.{SparkEnv, TaskContext}
+    import spark.implicits._
+    def liveExecutors(): Set[String] =
+      spark.range(0, 64, 1, 64)
+        .map(_ => SparkEnv.get.executorId).distinct().collect().toSet
+    val base = Files.createTempDirectory("graft-live-kill").toString
+    val (src, snap, ckpt) = (s"$base/frames", s"$base/snapshot", s"$base/ckpt")
+    Files.createDirectories(Paths.get(src))
+    val t0 = 1706745600000L
+
+    writeFrameFile(src, "node1-0001.hb", Seq(hb("n1", 9001)), t0)
+    writeFrameFile(src, "node2-0001.hb", Seq(hb("n2", 9002)), t0)
+    val q = LiveIngest.runLivenessPipeline(spark, src, snap, ckpt)
+    try {
+      q.processAllAvailable()
+      val before = liveExecutors()
+      assert(before.size >= 2, s"expected >=2 executors, saw $before")
+      val victim = before.min
+
+      // the kill: tasks landing on the victim halt its JVM; their
+      // ExecutorLostFailure retries complete on the survivors
+      try spark.range(0, 64, 1, 64).foreach { _ =>
+        if (SparkEnv.get.executorId == victim) Runtime.getRuntime.halt(77)
+      } catch { case scala.util.control.NonFatal(_) => () }
+      // meta-check: the victim process is really gone (a fresh respawn
+      // gets a NEW executor id, so the old id never reappears)
+      val after = liveExecutors()
+      assert(!after.contains(victim),
+        s"executor $victim still alive after halt: $after")
+
+      // the stream absorbs new files on the survivors, exactly once
+      writeFrameFile(src, "node1-0002.hb", Seq(hb("n1", 9001)), t0 + 60000)
+      writeFrameFile(src, "node3-0001.hb", Seq(hb("n3", 9003)), t0 + 120000)
+      q.processAllAvailable()
+      q.exception.foreach(e => throw e)
+      val s = spark.read.parquet(snap).collect()
+        .map(r => r.getString(0) -> r.getTimestamp(1).getTime).toMap
+      assert(s == Map("n1:9001" -> (t0 + 60000), "n2:9002" -> t0,
+        "n3:9003" -> (t0 + 120000)),
+        s"post-loss snapshot not exactly-once: $s")
+    } finally q.stop()
+  }
+
   test("late spool file: snapshot re-adds the node and never regresses clocks; watermarked counts drop it") {
     // CHOSEN late-data semantics, pinned so they are a decision, not an
     // accident (VERDICT r12 #7). The reference unconditionally re-puts a

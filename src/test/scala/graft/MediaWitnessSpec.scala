@@ -205,6 +205,34 @@ class MediaWitnessSpec extends AnyFunSuite {
     assert((gw, gh) == (iw, ih) && gg.sameElements(ig))
   }
 
+  test("volume media corpus: every generated asset decodes through a REAL branch") {
+    // the sf-proportional decode tier (StressProbe media_decode_volume)
+    // is only evidence if no asset falls back to the md5 stub; pin that
+    // on a small corpus here, one of each generator branch included
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val n = 100L
+    val assets = spark.range(0, n, 1, 4).as[Long]
+      .mapPartitions(_.map(MediaFixtures.volumeAsset)).collect()
+    assert(assets.length == n.toInt)
+    val images = assets.filter(_._2 == "image").map(a => (a._1, a._3)).toSeq
+    val audio = assets.filter(_._2 == "audio").map(a => (a._1, a._3)).toSeq
+    val video = assets.filter(_._2 == "video").map(a => (a._1, a._3)).toSeq
+    val decI = Multimodal.decodeCore(images.toDS()).collect()
+    val decA = Multimodal.audioCore(audio.toDS()).collect()
+    val decV = Multimodal.videoCore(video.toDS()).collect()
+    assert(decI.length + decA.length + decV.length == n.toInt)
+    val stubs = decI.map(_.decoder) ++ decA.map(_.decoder) ++ decV.map(_.decoder)
+    assert(!stubs.exists(_.contains("stub")),
+      s"volume asset hit the stub branch: ${stubs.distinct.mkString(",")}")
+    // dims recovered, not defaulted: every image reports its id-derived size
+    decI.foreach { m =>
+      val w = 16 + (m.doc_id % 113).toInt; val h = 16 + (m.doc_id % 97).toInt
+      assert(m.width == w && m.height == h,
+        s"asset ${m.doc_id} (${m.decoder}): ${m.width}x${m.height} != ${w}x$h")
+    }
+  }
+
   test("AudioSystem recovers channels/rate/bits/frames for every WAV and AU asset") {
     val catalog = Multimodal.mediaAudioExpected
       .map { case (id, nb, ch, rate, bits, frames, _, dec) =>

@@ -371,4 +371,48 @@ class PlanShapeSpec extends AnyFunSuite {
     // broadcast); the anti join itself must be hash-based
     assert(!plan.contains("CartesianProduct"), s"cartesian crept in:\n$plan")
   }
+
+  test("bench-tail shuffle budget: exchange counts are pinned (VERDICT r13 #4)") {
+    // benchdiff catches TIME regressions; nothing catches a PLAN
+    // regression hiding inside the noise band — an extra shuffle is
+    // ~0.1 s on the fixture but catastrophic at 100 TB. Pin the exact
+    // ShuffleExchangeExec count of the bench tail's plans; any future
+    // plan change must edit the expected number consciously. AQE is off
+    // for the count (the adaptive wrapper hides its subtree from
+    // TreeNode.collect); AQE can only merge/convert these at runtime,
+    // never add one.
+    val expected = Seq(
+      // (query, shuffles) — the steady-state read plans; memoized
+      // substrate (windows/postings/labels/IVF artifacts) is an
+      // InMemoryTableScan or parquet read here, so its one-time build
+      // shuffles are correctly NOT in the budget
+      "q_dedup_substring" -> 3,        // window self-join + pair agg + order
+      "q_dedup_substring_auto" -> 3,   // winnow leg over the same memo table
+      "q_dedup_near" -> 2,             // collapse agg + re-expansion join
+      "q_heartbeat_map_explode" -> 3,  // explode + per-file agg + order
+      "q_dedup_cc" -> 1,               // memoized labels -> one final agg
+      "q_dedup_near_collapsed" -> 4,   // collapse + LSH join pair + order
+      "q_dedup_collapsed_jaccard" -> 6, // collapse, band pairs, verify join
+      "q_sim_search_ivf_kmeans" -> 0,  // persisted IVF + broadcast probes,
+                                       // top-k map-side: shuffle-free read
+      "q_dedup_ngram" -> 3,            // banded sigs + bucket pairs + order
+      "q_boilerplate_score" -> 4)      // postings memo + df join + score agg
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val got = expected.map { case (name, want) =>
+        // build twice: the first construction materializes any Derived/
+        // memo substrate so the counted plan is the steady-state one
+        SparkEntry.queries(name)(spark, d).queryExecution.executedPlan
+        val shuffles = SparkEntry.queries(name)(spark, d)
+          .queryExecution.executedPlan.collect {
+            case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+          }.size
+        (name, want, shuffles)
+      }
+      val drift = got.filter { case (_, want, have) => want != have }
+      assert(drift.isEmpty, "shuffle-budget drift (query, pinned, actual): " +
+        drift.map { case (n, w, h) => s"$n: $w -> $h" }.mkString("; "))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+  }
 }

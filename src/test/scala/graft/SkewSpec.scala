@@ -68,4 +68,59 @@ class SkewSpec extends AnyFunSuite {
     assert(salted <= unsalted / 4,
       s"salting did not spread the hot key: salted max $salted vs unsalted $unsalted")
   }
+
+  test("AQE splits the skewed supplier join at runtime (VERDICT r13 #5)") {
+    // The 100 TB first choice is not manual salting but AQE's
+    // OptimizeSkewedJoin (Skew scaladoc): on a corpus where one
+    // supplier holds ~30% of lineitem (SfGen's skew mode), the PLAIN
+    // sort-merge join's final adaptive plan must show the skew split,
+    // and the split must not change the result. Thresholds are scaled
+    // down to fixture bytes (defaults are 256 MB-class); factor/
+    // threshold semantics are unchanged.
+    val dir = java.nio.file.Files.createTempDirectory("graft-skewgen").toString
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "128k",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64k",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val before = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    try {
+      SfGen.generate(spark, dir, sf = 0.02, parts = 4, hotSupplier = true)
+      // the corpus really is skewed: supplier 0 holds ~30% of lines
+      val bySupp = Tables.lineitem(spark, dir).groupBy("l_suppkey").count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(bySupp(0L) > bySupp.values.sum / 4,
+        s"fixture not skewed: hot=${bySupp(0L)} of ${bySupp.values.sum}")
+      // NB: the aggregation key must NOT be the join key — a groupBy on
+      // s_suppkey could reuse the join's partitioning, and AQE declines
+      // a skew split that would force an extra downstream shuffle
+      // (forceOptimizeSkewedJoin exists for that; this is the unforced
+      // case). Grouping by nation needs its own shuffle either way.
+      def joined = Tables.lineitem(spark, dir)
+        .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_nationkey").agg(count(lit(1)).as("n_lines"),
+          sum("l_quantity").as("sum_qty"))
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val withAqe = joined
+      val rows = withAqe.collect()
+      // final adaptive plan (post-execution) shows the runtime split:
+      // the AQEShuffleRead over the hot side reports skewed partition
+      // specs, and the SMJ itself is flagged as a skew join
+      val finalPlan = withAqe.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("AQEShuffleRead skewed") ||
+          finalPlan.contains("skew=true"),
+        s"AQE did not split the skewed join:\n$finalPlan")
+      // and result parity with the non-adaptive plan
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val plainRows = joined.collect()
+      assert(rows.map(_.toString).sorted.toSeq == plainRows.map(_.toString).sorted.toSeq,
+        "skew-split result diverged from the plain join")
+    } finally {
+      before.foreach { case (k, v) => spark.conf.set(k, v) }
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
 }

@@ -24,6 +24,18 @@ object SparkTestSession {
       SparkSession.builder().master(master), master)
     sys.env.get("GRAFT_TEST_RELIABLE_PIN")
       .foreach(v => builder.config("spark.graft.reliablePin", v))
+    // GRAFT_TEST_STATESTORE=rocksdb runs every stateful streaming spec
+    // on RocksDBStateStoreProvider (the production backend a real
+    // deployment swaps in when HDFS-backed in-memory state commits
+    // become the bottleneck — StreamBench shows stateful legs are
+    // commit-bound). Default stays Spark's in-memory HDFS provider.
+    sys.env.get("GRAFT_TEST_STATESTORE").foreach {
+      case "rocksdb" => builder.config(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      case other => builder.config(
+        "spark.sql.streaming.stateStore.providerClass", other)
+    }
     val s = builder
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
