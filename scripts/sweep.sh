@@ -10,7 +10,7 @@ cd "$(dirname "$0")/.."
 # absent dirs, so the first round that ships /root/testdata/sf1 gets
 # the ~6M-row stress (df caps, hot-bucket overflow, substring windows)
 # with no script change.
-for sf in sf0.001 sf0.01 sf0.1 sf1 sf1gen; do
+for sf in sf0.001 sf0.01 sf0.1 sf1 sf1gen sf10gen; do
   dir="/root/testdata/$sf"
   if [ "$sf" = "sf1gen" ]; then
     # GENUINE sf1 (realistic distributions, graft.SfGen — VERDICT r12
@@ -25,6 +25,27 @@ for sf in sf0.001 sf0.01 sf0.1 sf1 sf1gen; do
       touch "$dir/_BUILT"
     fi
     echo "=== sweep sf1gen (genuine distributions, $dir) ==="
+  elif [ "$sf" = "sf10gen" ]; then
+    # FULL-registry oracle gate at genuine sf10 (VERDICT r13 #2):
+    # 61M-row lineitem, engine-side multiset compare for the >2M-row
+    # outputs. Costs 1-2 h wall-clock, so it is opt-in:
+    # GRAFT_SWEEP_SF10=1 bash scripts/sweep.sh
+    # The stride-1 substring ceiling is raised for the leg — its loud
+    # refusal above 40M corpus chars is the PRODUCTION contract; the
+    # gate overrides it explicitly to verify the math at volume.
+    if [ "${GRAFT_SWEEP_SF10:-0}" != "1" ]; then
+      echo "sweep: skipping sf10gen (set GRAFT_SWEEP_SF10=1 to run the ~2h leg)"
+      continue
+    fi
+    dir=/tmp/graft_sf10
+    if [ ! -f "$dir/_BUILT" ]; then
+      echo "=== sweep sf10gen: generating genuine sf10 fixtures ==="
+      sbt -batch "runMain graft.SfGen $dir 10" 2>&1 | grep '\[sfgen\]' || \
+        { echo "sweep: sf10 generation failed"; exit 1; }
+      touch "$dir/_BUILT"
+    fi
+    export SPARK_GRAFT_EXTRA_CONF="spark.graft.substringStride1MaxChars=2000000000"
+    echo "=== sweep sf10gen (genuine distributions, $dir) ==="
   elif [ ! -d "$dir" ]; then
     if [ "$sf" = "sf1" ] && [ -d /root/testdata/sf0.1 ]; then
       # The driver has not generated sf1; stand the decade in with the

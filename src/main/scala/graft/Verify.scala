@@ -17,6 +17,14 @@ object Verify {
       SparkSession.builder().master(master), master)
     sys.env.get("SPARK_GRAFT_RELIABLE_PIN")
       .foreach(v => builder.config("spark.graft.reliablePin", v))
+    // SPARK_GRAFT_EXTRA_CONF="k=v;k2=v2": arbitrary session confs for
+    // gate legs (sweep's sf10 leg raises the stride-1 substring ceiling
+    // this way — env reaches the forked JVM where SBT_OPTS -D does not)
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(";")
+      .filter(_.contains("=")).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        builder.config(k, v)
+      })
     val spark = builder
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

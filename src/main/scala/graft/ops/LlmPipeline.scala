@@ -1641,6 +1641,119 @@ object LlmPipeline {
       .orderBy(col("n").desc, col("pair").asc)
       .limit(50)
 
+  private[graft] val BpeIters = 3
+  // Symbol wrappers for the BPE merge state: every symbol is stored as
+  // \u0001 symbol \u0002, so a merge's search pattern
+  // \u0001 lhs \u0002\u0001 rhs \u0002 (a) can never match across a symbol
+  // boundary (the wrapper chars anchor both ends) and (b) adjacent
+  // occurrences never share characters, so ANY leftmost-nonoverlapping
+  // replace — Spark's UTF8String.replace and DuckDB's replace() alike —
+  // applies exactly the canonical greedy left-to-right BPE merge in one
+  // pass, same-symbol runs included ("aaaaa" → "aa aa a", never the
+  // shared-delimiter under-merge a space-joined encoding produces).
+  private val BpeL = "\u0001"
+  private val BpeR = "\u0002"
+
+  /** q_bpe_train — multi-iteration BPE training (the q_bpe_pairs loop
+    * run to depth [[BpeIters]]): learn the first K merges of a byte-pair
+    * encoder (Sennrich et al. 2016) over whitespace tokens, emitting the
+    * merge table (iter, lhs, rhs, n). Iteration i counts adjacent
+    * SYMBOL pairs (symbols start as characters and grow by merging),
+    * picks the winner under the total order (count desc, lhs asc, rhs
+    * asc), and rewrites every occurrence greedily left-to-right — the
+    * algorithm every production tokenizer trainer runs before an LLM
+    * sees a byte of data.
+    *
+    * Scale design (the 100 TB story): the corpus is first collapsed to
+    * the DISTINCT-word frequency table — Heaps'-law sublinear in corpus
+    * size, the standard trick every BPE trainer uses — and that table is
+    * pinned once ([[Pin.pin]]); all K iterations run over it, never over
+    * the corpus. Each iteration is one combining hash aggregate over the
+    * bounded symbol-pair vocabulary plus a broadcast of the 1-row winner
+    * (crossJoin(broadcast) — the merge is applied executor-side; the
+    * driver never holds the state). Each rewritten state is re-pinned so
+    * iteration i+1's aggregate reads a materialized input instead of
+    * re-running the whole replace chain, mirroring the per-iteration
+    * materialization of distributed BPE trainers. Reference analogue:
+    * the chunk-content checksum sweep (ChunkCorruptionMonitor.java:31-75)
+    * — a repeated full pass deriving a compact table from bulk payloads.
+    */
+  def bpeTrain(s: SparkSession, d: String): DataFrame = {
+    val words = Pin.pin(withTk(Tables.documents(s, d)
+      .select(coalesce(col("text"), lit("")).as("text")))
+      .select(explode(col("tk")).as("w"))
+      .where(length(col("w")) >= 2)
+      // the wrapper chars are reserved; a token carrying them would
+      // corrupt the state encoding (identical guard in both oracles)
+      .where(expr(s"instr(w, char(1)) = 0 AND instr(w, char(2)) = 0"))
+      .groupBy("w").agg(count(lit(1)).as("wn"))
+      .select(expr("concat_ws('', transform(split(w, ''), " +
+        "c -> concat(char(1), c, char(2))))").as("st"), col("wn")))
+    var state = words
+    val merges = (1 to BpeIters).map { i =>
+      val best = Pin.pin(state
+        .select(expr("split(substring(st, 2, length(st) - 2), " +
+          "char(2) || char(1))").as("sy"), col("wn"))
+        .select(explode(expr(
+          "zip_with(slice(sy, 1, size(sy) - 1), slice(sy, 2, size(sy) - 1), " +
+            "(a, b) -> struct(a AS lhs, b AS rhs))")).as("p"), col("wn"))
+        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .agg(sum(col("wn")).as("n"))
+        .orderBy(col("n").desc, col("lhs").asc, col("rhs").asc)
+        .limit(1))
+      state = Pin.pin(state.crossJoin(broadcast(best.select(
+          concat(lit(BpeL), col("lhs"), lit(BpeR), lit(BpeL), col("rhs"), lit(BpeR)).as("pat"),
+          concat(lit(BpeL), col("lhs"), col("rhs"), lit(BpeR)).as("rep"))))
+        .select(expr("replace(st, pat, rep)").as("st"), col("wn")))
+      best.select(lit(i).as("iter"), col("lhs"), col("rhs"), col("n"))
+    }
+    merges.reduce(_.unionAll(_)).orderBy("iter")
+  }
+
+  /** The q_bpe_train oracle, K iterations unrolled into chained CTEs —
+    * the loop body is deterministic SQL, so depth-K training is one
+    * static query per dialect. `duck` flips the few spellings that
+    * differ (unnest vs explode, list vs array lambdas); the merge step
+    * and its wrapped-symbol encoding are character-identical, which is
+    * the point: both engines' replace() is leftmost-nonoverlapping, and
+    * the encoding makes that exactly one greedy BPE pass (see [[BpeL]]).
+    */
+  private def bpeTrainSql(duck: Boolean): String = {
+    val sepL = "chr(1)"
+    val sepR = "chr(2)"
+    val toks =
+      if (duck) "SELECT unnest(string_split(coalesce(text, ''), ' ')) AS w FROM documents"
+      else "SELECT explode(split(coalesce(text, ''), ' ')) AS w FROM documents"
+    val wrap =
+      if (duck) s"array_to_string(list_transform(string_split(w, ''), c -> $sepL || c || $sepR), '')"
+      else s"concat_ws('', transform(split(w, ''), c -> concat($sepL, c, $sepR)))"
+    val lenF = if (duck) "len" else "length"
+    def pairs(i: Int): String =
+      if (duck)
+        s"p$i AS (SELECT sy[u] AS lhs, sy[u + 1] AS rhs, CAST(sum(wn) AS BIGINT) AS n FROM " +
+          s"(SELECT sy, wn, unnest(generate_series(1, len(sy) - 1)) AS u FROM " +
+          s"(SELECT string_split(substr(st, 2, len(st) - 2), $sepR || $sepL) AS sy, wn FROM s${i - 1})) " +
+          "GROUP BY lhs, rhs)"
+      else
+        s"p$i AS (SELECT p.lhs AS lhs, p.rhs AS rhs, sum(wn) AS n FROM " +
+          s"(SELECT explode(zip_with(slice(sy, 1, size(sy) - 1), slice(sy, 2, size(sy) - 1), " +
+          "(a, b) -> struct(a AS lhs, b AS rhs))) AS p, wn FROM " +
+          s"(SELECT split(substring(st, 2, length(st) - 2), concat($sepR, $sepL)) AS sy, wn FROM s${i - 1})) " +
+          "GROUP BY p.lhs, p.rhs)"
+    def step(i: Int): String =
+      s"${pairs(i)}, " +
+        s"b$i AS (SELECT lhs, rhs, n FROM p$i ORDER BY n DESC, lhs, rhs LIMIT 1), " +
+        s"s$i AS (SELECT replace(st, $sepL || lhs || $sepR || $sepL || rhs || $sepR, " +
+        s"$sepL || lhs || rhs || $sepR) AS st, wn FROM s${i - 1} CROSS JOIN b$i)"
+    val unions = (1 to BpeIters)
+      .map(i => s"SELECT $i AS iter, lhs, rhs, n FROM b$i").mkString(" UNION ALL ")
+    s"WITH w0 AS (SELECT w, CAST(count(*) AS BIGINT) AS wn FROM ($toks) " +
+      s"WHERE $lenF(w) >= 2 AND instr(w, $sepL) = 0 AND instr(w, $sepR) = 0 GROUP BY w), " +
+      s"s0 AS (SELECT $wrap AS st, wn FROM w0), " +
+      (1 to BpeIters).map(step).mkString(", ") +
+      s" SELECT iter, lhs, rhs, n FROM ($unions) ORDER BY iter"
+  }
+
   /** q_lm_fluency — bigram-LM fluency scoring, the LM-statistics
     * filter the CCNet pipeline popularised (KenLM perplexity against
     * corpus n-gram counts): each document is scored by its mean
@@ -3162,6 +3275,7 @@ object LlmPipeline {
     "q_compression_ratio"   -> (compressionRatio _),
     "q_ngram_counts"        -> (ngramCounts _),
     "q_bpe_pairs"           -> (bpePairs _),
+    "q_bpe_train"           -> (bpeTrain _),
     "q_budget_select"       -> (budgetSelect _),
     "q_source_cap"          -> (sourceCap _),
     "q_quality_drift"       -> (qualityDrift _),
@@ -3630,6 +3744,7 @@ object LlmPipeline {
           "WHERE len(w) >= 2)) " +
           "SELECT pair, count(*) AS n FROM p GROUP BY pair " +
           "ORDER BY n DESC, pair LIMIT 50"),
+      "q_bpe_train" -> bpeTrainSql(duck = true),
       "q_budget_select" ->
         (s"WITH d0 AS (SELECT coalesce(text, '') AS text FROM documents), " +
           "t AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, " +
@@ -4753,6 +4868,7 @@ object LlmPipeline {
           "i -> substring(w, i, 2))) AS pair FROM w WHERE length(w) >= 2) " +
           "SELECT pair, count(*) AS n FROM p GROUP BY pair " +
           "ORDER BY n DESC, pair LIMIT 50"),
+      "q_bpe_train" -> bpeTrainSql(duck = false),
       "q_budget_select" ->
         (s"WITH d0 AS (SELECT coalesce(text, '') AS text FROM documents), " +
           "t AS (SELECT CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens, " +

@@ -695,6 +695,27 @@ class LlmPipelineSpec extends AnyFunSuite {
     assert(got === Seq(("aa", 3L), ("ab", 2L), ("xy", 1L)))
   }
 
+  test("q_bpe_train: three merge iterations match hand-run canonical BPE") {
+    import spark.implicits._
+    // words: "aaaaa"×2, "abab", "xy".
+    // iter 1: (a,a) weighted 4·2=8 wins; the greedy leftmost pass turns
+    //   each "aaaaa" into [aa, aa, a] — the same-symbol-run case where a
+    //   shared-delimiter encoding would under-merge to [aa, a, aa].
+    // iter 2: (aa,aa)=2, (aa,a)=2, (a,b)=2 tie on count — lhs asc breaks
+    //   it: "a" < "aa", so (a,b,2) wins and "abab" → [ab, ab].
+    // iter 3: (aa,a) beats (aa,aa) on rhs asc at n=2.
+    val dir = s"/tmp/graft-test-bpetrain-${java.util.UUID.randomUUID()}"
+    Seq(
+      (1L, "aaaaa aaaaa abab", "en", "src0", 16L),
+      (2L, "xy z", "en", "src0", 4L),
+      (3L, null.asInstanceOf[String], "en", "src0", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = ops.LlmPipeline.queries("q_bpe_train")(spark, dir)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(got === Seq((1, "a", "a", 8L), (2, "a", "b", 2L), (3, "aa", "a", 2L)))
+  }
+
   test("q_pii_scan: planted emails and long digit runs are counted exactly") {
     import spark.implicits._
     val dir = s"/tmp/graft-test-pii-${java.util.UUID.randomUUID()}"
