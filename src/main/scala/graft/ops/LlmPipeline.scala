@@ -1678,7 +1678,14 @@ object LlmPipeline {
     * the chunk-content checksum sweep (ChunkCorruptionMonitor.java:31-75)
     * — a repeated full pass deriving a compact table from bulk payloads.
     */
-  def bpeTrain(s: SparkSession, d: String): DataFrame = {
+  def bpeTrain(s: SparkSession, d: String): DataFrame =
+    bpeLoop(s, d)._1.reduce(_.unionAll(_)).orderBy("iter")
+
+  /** The shared [[BpeIters]]-deep training loop: returns the per-iter
+    * 1-row merge frames (train's output) and the final rewritten word
+    * state (apply's input). Both consumers pay the same pinned plan.
+    */
+  private def bpeLoop(s: SparkSession, d: String): (Seq[DataFrame], DataFrame) = {
     val words = Pin.pin(withTk(Tables.documents(s, d)
       .select(coalesce(col("text"), lit("")).as("text")))
       .select(explode(col("tk")).as("w"))
@@ -1707,8 +1714,29 @@ object LlmPipeline {
         .select(expr("replace(st, pat, rep)").as("st"), col("wn")))
       best.select(lit(i).as("iter"), col("lhs"), col("rhs"), col("n"))
     }
-    merges.reduce(_.unionAll(_)).orderBy("iter")
+    (merges, state)
   }
+
+  /** q_bpe_apply — encode the corpus with the merge table [[bpeTrain]]
+    * learns and report the resulting token vocabulary: every word is
+    * rewritten through the K merges in training order, the final
+    * symbols exploded, and their corpus-weighted frequencies emitted
+    * as the top-100 (sym, n) — the vocabulary/compression audit run
+    * after every tokenizer training job (is the token distribution
+    * sane? did the merges actually absorb mass from their parts?).
+    * Same scale shape as training: the loop runs over the pinned
+    * distinct-word table, and the only corpus-sized work is the one
+    * word-frequency aggregate both queries share; the final explode is
+    * over distinct words × their symbol counts, then one combining
+    * hash aggregate and a TakeOrdered top-100.
+    */
+  def bpeApply(s: SparkSession, d: String): DataFrame =
+    bpeLoop(s, d)._2
+      .select(explode(expr("split(substring(st, 2, length(st) - 2), " +
+        "char(2) || char(1))")).as("sym"), col("wn"))
+      .groupBy("sym").agg(sum(col("wn")).as("n"))
+      .orderBy(col("n").desc, col("sym").asc)
+      .limit(100)
 
   /** The q_bpe_train oracle, K iterations unrolled into chained CTEs —
     * the loop body is deterministic SQL, so depth-K training is one
@@ -1719,6 +1747,30 @@ object LlmPipeline {
     * the encoding makes that exactly one greedy BPE pass (see [[BpeL]]).
     */
   private def bpeTrainSql(duck: Boolean): String = {
+    val unions = (1 to BpeIters)
+      .map(i => s"SELECT $i AS iter, lhs, rhs, n FROM b$i").mkString(" UNION ALL ")
+    s"${bpeSqlPrefix(duck)} SELECT iter, lhs, rhs, n FROM ($unions) ORDER BY iter"
+  }
+
+  /** The q_bpe_apply oracle: the same chained-CTE state as
+    * [[bpeTrainSql]], finished by exploding the final state's symbols
+    * into the corpus-weighted vocabulary histogram.
+    */
+  private def bpeApplySql(duck: Boolean): String =
+    if (duck)
+      s"${bpeSqlPrefix(duck = true)} SELECT sym, CAST(sum(wn) AS BIGINT) AS n FROM " +
+        s"(SELECT unnest(string_split(substr(st, 2, len(st) - 2), chr(2) || chr(1))) AS sym, wn " +
+        s"FROM s$BpeIters) GROUP BY sym ORDER BY n DESC, sym LIMIT 100"
+    else
+      s"${bpeSqlPrefix(duck = false)} SELECT sym, sum(wn) AS n FROM " +
+        s"(SELECT explode(split(substring(st, 2, length(st) - 2), concat(chr(2), chr(1)))) AS sym, wn " +
+        s"FROM s$BpeIters) GROUP BY sym ORDER BY n DESC, sym LIMIT 100"
+
+  /** The shared WITH-clause: w0 (distinct-word frequencies) → s0
+    * (wrapped-symbol states) → per-iteration pair counts p_i, winner
+    * b_i, rewritten state s_i, for i in 1..[[BpeIters]].
+    */
+  private def bpeSqlPrefix(duck: Boolean): String = {
     val sepL = "chr(1)"
     val sepR = "chr(2)"
     val toks =
@@ -1745,13 +1797,10 @@ object LlmPipeline {
         s"b$i AS (SELECT lhs, rhs, n FROM p$i ORDER BY n DESC, lhs, rhs LIMIT 1), " +
         s"s$i AS (SELECT replace(st, $sepL || lhs || $sepR || $sepL || rhs || $sepR, " +
         s"$sepL || lhs || rhs || $sepR) AS st, wn FROM s${i - 1} CROSS JOIN b$i)"
-    val unions = (1 to BpeIters)
-      .map(i => s"SELECT $i AS iter, lhs, rhs, n FROM b$i").mkString(" UNION ALL ")
     s"WITH w0 AS (SELECT w, CAST(count(*) AS BIGINT) AS wn FROM ($toks) " +
       s"WHERE $lenF(w) >= 2 AND instr(w, $sepL) = 0 AND instr(w, $sepR) = 0 GROUP BY w), " +
       s"s0 AS (SELECT $wrap AS st, wn FROM w0), " +
-      (1 to BpeIters).map(step).mkString(", ") +
-      s" SELECT iter, lhs, rhs, n FROM ($unions) ORDER BY iter"
+      (1 to BpeIters).map(step).mkString(", ")
   }
 
   /** q_lm_fluency — bigram-LM fluency scoring, the LM-statistics
@@ -3276,6 +3325,7 @@ object LlmPipeline {
     "q_ngram_counts"        -> (ngramCounts _),
     "q_bpe_pairs"           -> (bpePairs _),
     "q_bpe_train"           -> (bpeTrain _),
+    "q_bpe_apply"           -> (bpeApply _),
     "q_budget_select"       -> (budgetSelect _),
     "q_source_cap"          -> (sourceCap _),
     "q_quality_drift"       -> (qualityDrift _),
@@ -3745,6 +3795,7 @@ object LlmPipeline {
           "SELECT pair, count(*) AS n FROM p GROUP BY pair " +
           "ORDER BY n DESC, pair LIMIT 50"),
       "q_bpe_train" -> bpeTrainSql(duck = true),
+      "q_bpe_apply" -> bpeApplySql(duck = true),
       "q_budget_select" ->
         (s"WITH d0 AS (SELECT coalesce(text, '') AS text FROM documents), " +
           "t AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, " +
@@ -4869,6 +4920,7 @@ object LlmPipeline {
           "SELECT pair, count(*) AS n FROM p GROUP BY pair " +
           "ORDER BY n DESC, pair LIMIT 50"),
       "q_bpe_train" -> bpeTrainSql(duck = false),
+      "q_bpe_apply" -> bpeApplySql(duck = false),
       "q_budget_select" ->
         (s"WITH d0 AS (SELECT coalesce(text, '') AS text FROM documents), " +
           "t AS (SELECT CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens, " +

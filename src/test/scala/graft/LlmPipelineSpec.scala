@@ -714,6 +714,14 @@ class LlmPipelineSpec extends AnyFunSuite {
     val got = ops.LlmPipeline.queries("q_bpe_train")(spark, dir)
       .as[(Int, String, String, Long)].collect().toSeq
     assert(got === Seq((1, "a", "a", 8L), (2, "a", "b", 2L), (3, "aa", "a", 2L)))
+
+    // q_bpe_apply on the same corpus: the three merges encode
+    // "aaaaa" → [aa, aaa] (merge 3's greedy pass lands on the SECOND
+    // aa — leftmost (aa,a) adjacency), "abab" → [ab, ab], "xy" → [x, y];
+    // weighted by word frequency (aaaaa×2) the vocabulary is exact.
+    val vocab = ops.LlmPipeline.queries("q_bpe_apply")(spark, dir)
+      .as[(String, Long)].collect().toSeq
+    assert(vocab === Seq(("aa", 2L), ("aaa", 2L), ("ab", 2L), ("x", 1L), ("y", 1L)))
   }
 
   test("q_pii_scan: planted emails and long digit runs are counted exactly") {
