@@ -258,9 +258,9 @@ object LlmPipeline {
     * must miss: the ensureBloomIndex staleness rule; Derived.sourceMtime
     * reads through the Hadoop FS so remote paths stamp correctly too).
     */
-  private def corpusMemo(
-      memo: java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Long), DataFrame],
-      s: SparkSession, d: String)(build: => DataFrame): DataFrame = {
+  private def corpusMemo[V](
+      memo: java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Long), V],
+      s: SparkSession, d: String)(build: => V): V = {
     val key = (s, d, Derived.sourceMtime(s, s"$d/documents.parquet"))
     if (!memo.containsKey(key)) {
       val it = memo.keys()
@@ -1679,7 +1679,20 @@ object LlmPipeline {
     * — a repeated full pass deriving a compact table from bulk payloads.
     */
   def bpeTrain(s: SparkSession, d: String): DataFrame =
-    bpeLoop(s, d)._1.reduce(_.unionAll(_)).orderBy("iter")
+    bpeLoopFor(s, d)._1.reduce(_.unionAll(_)).orderBy("iter")
+
+  /** The training loop's pinned frames are a per-corpus substrate:
+    * train emits the merges, apply re-reads the final state, and both
+    * chains are materialized by [[Pin.pin]] — so the second consumer
+    * (whichever runs later) should pay a memo hit, not a second
+    * corpus aggregate + K rewrite passes. Same staleness contract as
+    * the postings/banded/cc memos (mtime-keyed, same-path eviction).
+    */
+  private val bpeLoopMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Long), (Seq[DataFrame], DataFrame)]()
+
+  private def bpeLoopFor(s: SparkSession, d: String): (Seq[DataFrame], DataFrame) =
+    corpusMemo(bpeLoopMemo, s, d)(bpeLoop(s, d))
 
   /** The shared [[BpeIters]]-deep training loop: returns the per-iter
     * 1-row merge frames (train's output) and the final rewritten word
@@ -1731,7 +1744,7 @@ object LlmPipeline {
     * hash aggregate and a TakeOrdered top-100.
     */
   def bpeApply(s: SparkSession, d: String): DataFrame =
-    bpeLoop(s, d)._2
+    bpeLoopFor(s, d)._2
       .select(explode(expr("split(substring(st, 2, length(st) - 2), " +
         "char(2) || char(1))")).as("sym"), col("wn"))
       .groupBy("sym").agg(sum(col("wn")).as("n"))

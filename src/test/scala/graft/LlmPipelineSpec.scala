@@ -661,6 +661,8 @@ class LlmPipelineSpec extends AnyFunSuite {
     val sigBefore = ops.LlmPipeline.queries("q_dedup_minhash_sig")(spark, dir)
       .where(col("doc_id") === 0 && col("band") === 0)
       .select("band_key").as[String].head()
+    val vocabBefore = ops.LlmPipeline.queries("q_bpe_apply")(spark, dir)
+      .as[(String, Long)].collect().toSet
     // rewrite at the SAME path with no shared phrase; bump the dir
     // mtime explicitly so coarse-granularity filesystems can't alias
     // the two corpora under one memo key
@@ -676,6 +678,10 @@ class LlmPipelineSpec extends AnyFunSuite {
       .select("band_key").as[String].head()
     assert(sigAfter != sigBefore,
       "stale banded-signature memo served after a same-path corpus rewrite")
+    val vocabAfter = ops.LlmPipeline.queries("q_bpe_apply")(spark, dir)
+      .as[(String, Long)].collect().toSet
+    assert(vocabAfter != vocabBefore,
+      "stale BPE-loop memo served after a same-path corpus rewrite")
   }
 
   test("q_bpe_pairs: planted corpus yields exact char-pair counts and order") {
