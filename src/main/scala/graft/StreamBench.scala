@@ -170,18 +170,25 @@ object StreamBench {
     // (providerClass is a runtime SQLConf; each query binds it at
     // start). Stateless legs (passthrough, file tail) touch no state
     // store and run once. SPARK_GRAFT_STATE_BACKENDS narrows the list.
-    val backends = sys.env.getOrElse("SPARK_GRAFT_STATE_BACKENDS", "hdfs,rocksdb")
+    val backends = sys.env.getOrElse("SPARK_GRAFT_STATE_BACKENDS",
+      "hdfs,rocksdb,rocksdb-changelog")
       .split(",").map(_.trim).filter(_.nonEmpty).toSeq
     def providerOf(b: String) = b match {
       case "hdfs" =>
         "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
-      case "rocksdb" =>
+      // changelog checkpointing keeps the same provider; the difference
+      // is WHAT each commit uploads (per-batch change log vs full SST
+      // snapshot) — at scale the snapshot upload leaves the commit path,
+      // so this is the posture a production RocksDB deployment runs
+      case "rocksdb" | "rocksdb-changelog" =>
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
       case fqcn => fqcn
     }
     val stateful = try {
       backends.flatMap { b =>
         spark.conf.set("spark.sql.streaming.stateStore.providerClass", providerOf(b))
+        spark.conf.set("spark.sql.streaming.stateStore.rocksdb." +
+          "changelogCheckpointing.enabled", (b == "rocksdb-changelog").toString)
         Seq(
           run(spark, s"watermarked_counts:$b", Streaming.watermarkedCounts(hb),
             OutputMode.Update(), nBatches),
@@ -200,7 +207,11 @@ object StreamBench {
               hbStream(spark, rowsPerBatch, nodes = 50000)),
             OutputMode.Append(), nBatches))
       }
-    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    } finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      spark.conf.unset(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled")
+    }
     val results = Seq(
       // sink-bound ceiling: projection only, no state — everything else
       // is read relative to this number

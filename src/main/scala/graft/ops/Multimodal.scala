@@ -556,29 +556,43 @@ object Multimodal {
   // ---------------------------------------------------------- perceptual hash
 
   /** Grayscale pixel decode for the CODEC-FREE image formats the header
-    * parser already locates: uncompressed 24-bpp BMP (BITMAPINFOHEADER,
-    * bottom-up or top-down) and binary netpbm P5 (gray) / P6 (RGB,
-    * maxval < 256). Returns (width, height, row-major gray 0..255).
-    * Anything else — compressed, paletted, deep-color, ascii netpbm —
-    * returns None and the caller falls back to the content-hash stub
-    * (same rule as decodeCore: real where bytes allow, labeled fake
-    * otherwise). Public format specs: BMP file structure (Windows DIB),
-    * netpbm P5/P6; luma weights are ITU-R BT.601 integer form.
+    * parser already locates: uncompressed 24-bpp BMP (BITMAPINFOHEADER
+    * bottom-up or top-down, AND the 12-byte BITMAPCOREHEADER), all four
+    * netpbm rasters (binary P5/P6 and ascii P2/P3), and 8-bit
+    * non-interlaced PNG (colorType gray/RGB/gray+alpha/RGBA — IDAT
+    * inflate via the JDK's zlib, then the five standard scanline
+    * filters per the PNG spec §6). Returns (width, height, row-major
+    * gray 0..255). Anything genuinely codec-bound — JPEG entropy data,
+    * GIF LZW, paletted/16-bit/interlaced PNG — returns None and the
+    * caller falls back to the content-hash stub (same rule as
+    * decodeCore: real where bytes allow, labeled fake otherwise).
+    * Public format specs: Windows DIB, netpbm, PNG (RFC 2083); luma
+    * weights are ITU-R BT.601 integer form. Pixel honesty is witnessed
+    * against `javax.imageio.ImageIO` in MediaWitnessSpec — a decoder
+    * this repo did not write.
     */
   private[graft] def grayPixels(p: Array[Byte]): Option[(Int, Int, Array[Int])] = {
     def u8(i: Int) = p(i) & 0xFF
     def le32(i: Int) = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
     def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def be32(i: Int) = (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
     try {
-      if (p.length > 54 && p(0) == 'B' && p(1) == 'M') {
+      if (p.length > 26 && p(0) == 'B' && p(1) == 'M') {
         val dataOff = le32(10)
-        val w = le32(18)
-        val hRaw = le32(22)
-        val bottomUp = hRaw > 0
-        val h = math.abs(hRaw)
-        val bpp = le16(28)
-        val compression = le32(30)
-        if (w <= 0 || h == 0 || bpp != 24 || compression != 0) return None
+        val hdrSize = le32(14)
+        // (w, h, bottomUp, ok) per DIB generation: BITMAPCOREHEADER
+        // (12 bytes, u16 dims, always bottom-up) vs BITMAPINFOHEADER+
+        // (u32 dims, sign of biHeight picks the row order)
+        val (w, h, bottomUp, ok) =
+          if (hdrSize == 12) {
+            val cw = le16(18); val chh = le16(20)
+            (cw, chh, true, p.length > 26 && le16(24) == 24)
+          } else {
+            val iw = le32(18); val hRaw = le32(22)
+            (iw, math.abs(hRaw), hRaw > 0,
+              p.length > 54 && le16(28) == 24 && le32(30) == 0)
+          }
+        if (!ok || w <= 0 || h == 0) return None
         // stride in LONG: a crafted header claiming w ≈ 2^31/3 wraps an
         // Int stride negative, slips past the size check, and the w*h
         // allocation OOMs the executor (OutOfMemoryError is not
@@ -600,42 +614,138 @@ object Multimodal {
           y += 1
         }
         Some((w, h, g))
-      } else if (p.length > 2 && p(0) == 'P' && (p(1) == '5' || p(1) == '6')) {
-        val rgb = p(1) == '6'
+      } else if (p.length > 2 && p(0) == 'P' && p(1) >= '2' && p(1) <= '6' && p(1) != '4') {
+        val asciiRaster = p(1) == '2' || p(1) == '3'
+        val rgb = p(1) == '3' || p(1) == '6'
         // netpbm header: three whitespace-separated ints (w h maxval),
-        // '#' comments run to end-of-line, ONE whitespace then raster
+        // '#' comments run to end-of-line; binary rasters follow after
+        // ONE whitespace, ascii rasters are just more integer tokens
         var i = 2
-        val vals = new Array[Int](3)
-        var nv = 0
-        while (nv < 3 && i < p.length) {
-          while (i < p.length &&
-            (p(i) == ' ' || p(i) == '\t' || p(i) == '\n' || p(i) == '\r')) i += 1
-          if (i < p.length && p(i) == '#') {
-            while (i < p.length && p(i) != '\n') i += 1
-          } else {
-            var v = 0
-            var any = false
-            while (i < p.length && p(i) >= '0' && p(i) <= '9') {
-              v = v * 10 + (p(i) - '0'); i += 1; any = true
-            }
-            if (!any) return None
-            vals(nv) = v; nv += 1
+        def nextInt(): Int = {
+          var done = false
+          while (!done && i < p.length) {
+            if (p(i) == ' ' || p(i) == '\t' || p(i) == '\n' || p(i) == '\r') i += 1
+            else if (p(i) == '#') { while (i < p.length && p(i) != '\n') i += 1 }
+            else done = true
           }
+          var v = 0
+          var any = false
+          while (i < p.length && p(i) >= '0' && p(i) <= '9') {
+            v = v * 10 + (p(i) - '0'); i += 1; any = true
+          }
+          if (!any) -1 else v
         }
-        if (nv < 3) return None
-        i += 1 // the single whitespace after maxval
-        val w = vals(0); val h = vals(1); val maxv = vals(2)
+        val w = nextInt(); val h = nextInt(); val maxv = nextInt()
         val bpx = if (rgb) 3 else 1
         if (w <= 0 || h <= 0 || maxv <= 0 || maxv > 255) return None
-        if (i.toLong + w.toLong * h * bpx > p.length) return None
+        val g = new Array[Int](w * h)
+        if (asciiRaster) {
+          var k = 0
+          while (k < w * h) {
+            val v =
+              if (rgb) {
+                val r = nextInt(); val gg = nextInt(); val b = nextInt()
+                if (b < 0) return None
+                (299 * r * 255 / maxv + 587 * gg * 255 / maxv + 114 * b * 255 / maxv) / 1000
+              } else {
+                val v0 = nextInt()
+                if (v0 < 0) return None
+                v0 * 255 / maxv
+              }
+            g(k) = v
+            k += 1
+          }
+        } else {
+          i += 1 // the single whitespace after maxval
+          if (i.toLong + w.toLong * h * bpx > p.length) return None
+          var k = 0
+          while (k < w * h) {
+            val base = i + k * bpx
+            val v =
+              if (rgb) (299 * u8(base) + 587 * u8(base + 1) + 114 * u8(base + 2)) / 1000
+              else u8(base)
+            g(k) = v * 255 / maxv
+            k += 1
+          }
+        }
+        Some((w, h, g))
+      } else if (p.length > 8 && u8(0) == 0x89 && p(1) == 'P' && p(2) == 'N' && p(3) == 'G') {
+        // PNG: walk the chunk stream (len BE32, type, data, crc),
+        // gather IHDR geometry + every IDAT payload
+        var i = 8
+        var w = 0; var h = 0; var depth = 0; var ct = -1; var interlace = 0
+        var sawIhdr = false; var sawIend = false
+        val idat = new java.io.ByteArrayOutputStream()
+        while (!sawIend && i + 8 <= p.length) {
+          val len = be32(i)
+          if (len < 0 || i + 8L + len + 4 > p.length) return None
+          val tp = new String(p, i + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+          tp match {
+            case "IHDR" =>
+              w = be32(i + 8); h = be32(i + 12)
+              depth = u8(i + 16); ct = u8(i + 17); interlace = u8(i + 20)
+              sawIhdr = true
+            case "IDAT" => idat.write(p, i + 8, len)
+            case "IEND" => sawIend = true
+            case _ => ()
+          }
+          i += 12 + len
+        }
+        // channels per colorType: 0 gray, 2 RGB, 4 gray+alpha, 6 RGBA;
+        // palette (3) needs the PLTE lookup, 16-bit and Adam7 need
+        // resampling — those stay on the stub path
+        if (!sawIhdr || w <= 0 || h <= 0 || depth != 8 || interlace != 0) return None
+        val channels = ct match { case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4; case _ => return None }
+        if (w.toLong * h * channels > 256L * 1024 * 1024) return None
+        val stride = w * channels
+        val raw = new Array[Byte]((stride + 1) * h)
+        val inf = new java.util.zip.Inflater()
+        inf.setInput(idat.toByteArray)
+        var off = 0
+        try {
+          while (off < raw.length && !inf.finished()) {
+            val n = inf.inflate(raw, off, raw.length - off)
+            if (n == 0 && (inf.needsInput() || inf.needsDictionary())) return None
+            off += n
+          }
+        } finally inf.end()
+        if (off != raw.length) return None
+        // undo the per-scanline filter (PNG spec §6: None/Sub/Up/
+        // Average/Paeth); `img` holds the reconstructed bytes
+        val img = new Array[Int](stride * h)
+        var y = 0
+        while (y < h) {
+          val ft = raw(y * (stride + 1)) & 0xFF
+          if (ft > 4) return None
+          val base = y * (stride + 1) + 1
+          var x = 0
+          while (x < stride) {
+            val rv = raw(base + x) & 0xFF
+            val a = if (x >= channels) img(y * stride + x - channels) else 0
+            val b = if (y > 0) img((y - 1) * stride + x) else 0
+            val c = if (x >= channels && y > 0) img((y - 1) * stride + x - channels) else 0
+            val v = ft match {
+              case 0 => rv
+              case 1 => rv + a
+              case 2 => rv + b
+              case 3 => rv + (a + b) / 2
+              case _ => // Paeth predictor
+                val pp = a + b - c
+                val pa = math.abs(pp - a); val pb = math.abs(pp - b); val pc = math.abs(pp - c)
+                rv + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+            }
+            img(y * stride + x) = v & 0xFF
+            x += 1
+          }
+          y += 1
+        }
         val g = new Array[Int](w * h)
         var k = 0
         while (k < w * h) {
-          val base = i + k * bpx
-          val v =
-            if (rgb) (299 * u8(base) + 587 * u8(base + 1) + 114 * u8(base + 2)) / 1000
-            else u8(base)
-          g(k) = v * 255 / maxv
+          val base = k * channels
+          g(k) =
+            if (channels <= 2) img(base) // gray / gray+alpha: the sample IS luma
+            else (299 * img(base) + 587 * img(base + 1) + 114 * img(base + 2)) / 1000
           k += 1
         }
         Some((w, h, g))
@@ -829,6 +939,34 @@ object Multimodal {
     (22L, 1624L, 1, 16000, 16, 800L, 50L, "au"),    // linear PCM
     (23L, 824L, 2, 8000, 8, 400L, 50L, "au"))       // µ-law
 
+  /** Expected q_mm_resize_media rows. Unlike the dims catalogs above,
+    * px_sum/px_wsum are NOT hand-transcribable — they are the 16×16
+    * nearest-neighbor resample checksums of the decoded rasters. Their
+    * independence from the decoder is established by MediaWitnessSpec,
+    * which recomputes both sums from ImageIO-decoded pixels (a decoder
+    * this repo did not write) with its own resize loop and asserts
+    * equality against these literals for every BMP/PNG asset, and
+    * crosses the netpbm assets through same-scene BMP witnesses.
+    * Asset 5 equaling asset 1 (32026/4135238) is the cross-container
+    * identity: same scene through two container formats.
+    */
+  private[graft] val mediaResizeExpected: Seq[(Long, Int, Int, Int, Int, Long, Long, String)] = Seq(
+    (1L, 97, 55, 16, 16, 32026L, 4135238L, "bmp"),
+    (2L, 64, 64, 16, 16, 31849L, 4051715L, "bmp"),
+    (3L, 32, 16, 16, 16, 26195L, 3627777L, "bmp"),   // top-down
+    (4L, 20, 10, 16, 16, 21046L, 3111310L, "bmp"),   // BITMAPCOREHEADER
+    (5L, 97, 55, 16, 16, 32026L, 4135238L, "ppm"),   // ≡ asset 1 scene
+    (6L, 33, 21, 16, 16, 28485L, 3994960L, "ppm"),   // P5
+    (7L, 5, 4, 16, 16, 8208L, 1204460L, "ppm"),      // P3 ascii
+    (8L, 7, 3, 16, 16, 8908L, 1258762L, "ppm"),      // P2 ascii
+    (9L, 48, 32, 16, 16, 34633L, 4729713L, "png"),   // RGB
+    (10L, 16, 16, 16, 16, 25886L, 3772939L, "png"),  // RGBA
+    (11L, 8, 8, 16, 16, 15780L, 2339502L, "png"),    // grayscale
+    (12L, 120, 80, 16, 16, -1L, -1L, "no-raster:gif"),
+    (13L, 40, 30, 16, 16, -1L, -1L, "no-raster:gif"),
+    (14L, 200, 150, 16, 16, -1L, -1L, "no-raster:jpeg"),
+    (15L, 32, 24, 16, 16, -1L, -1L, "no-raster:jpeg"))
+
   private[graft] val mediaVideoExpected: Seq[(Long, Long, Int, Int, Long, String)] = Seq(
     // (id, n_bytes, width, height, duration_ms, decoder)
     (30L, 312L, 320, 240, 5000L, "mp4"),   // v0 boxes: 5000/1000 ts
@@ -884,6 +1022,73 @@ object Multimodal {
       .orderBy("media_id")
   }
 
+  /** Nearest-neighbor 16×16 grayscale thumbnail of a raster, reduced to
+    * two order-sensitive checksums: px_sum = Σ g[i] and px_wsum =
+    * Σ g[i]·(i+1) over the 256 output pixels row-major. The sampling
+    * rule is plain index scaling (srcX = x·W/16, srcY = y·H/16, floor)
+    * — stated here because MediaWitnessSpec recomputes it independently
+    * over ImageIO-decoded pixels. Weighted sum catches transpositions a
+    * plain sum cannot.
+    */
+  private[graft] def resize16(w: Int, h: Int, g: Array[Int]): (Long, Long) = {
+    var sum = 0L; var wsum = 0L
+    var i = 0
+    var y = 0
+    while (y < 16) {
+      val sy = y * h / 16
+      var x = 0
+      while (x < 16) {
+        val v = g(sy * w + x * w / 16)
+        i += 1
+        sum += v
+        wsum += v.toLong * i
+        x += 1
+      }
+      y += 1
+    }
+    (sum, wsum)
+  }
+
+  case class ResizedMedia(media_id: Long, in_w: Int, in_h: Int,
+                          out_w: Int, out_h: Int,
+                          px_sum: Long, px_wsum: Long, decoder: String)
+
+  /** q_mm_resize_media — REAL pixel resize over the persisted media
+    * fixture table: every codec-free raster (24-bpp BMP incl.
+    * BITMAPCOREHEADER, all four netpbm forms, 8-bit non-interlaced PNG
+    * through the JDK-zlib inflate + unfilter path) is grayscale-decoded
+    * and nearest-neighbor-resampled to a 16×16 thumbnail, emitted as
+    * two order-sensitive checksums the DuckDB VALUES mirror pins
+    * literal-exactly. Entropy-coded containers (GIF LZW, JPEG scans)
+    * have no codec-free raster — they emit 'no-raster:<fmt>' with -1
+    * sums, keeping the honest real/stub boundary observable in the
+    * output instead of silently hashing. The upstream r12→r13 stub gap
+    * ends here: decode dims, audio/video metadata AND pixel math all
+    * run real branches on real persisted bytes.
+    */
+  def resizeMedia(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.sources.MediaFixtures.table(s, d)
+      .where(col("kind") === "image")
+      .select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, p) =>
+          val (w, h, _, label) = parseImageHeader(p).getOrElse((0, 0, 0, "unknown"))
+          grayPixels(p) match {
+            case Some((gw, gh, g)) =>
+              val (s1, s2) = resize16(gw, gh, g)
+              ResizedMedia(id, gw, gh, 16, 16, s1, s2, label)
+            case None =>
+              ResizedMedia(id, w, h, 16, 16, -1L, -1L, s"no-raster:$label")
+          }
+        }
+      }
+      .toDF()
+      .select(col("media_id"), col("in_w"), col("in_h"), col("out_w"),
+        col("out_h"), col("px_sum"), col("px_wsum"), col("decoder"))
+      .orderBy("media_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mm_decode"       -> (decode _),
     "q_dedup_phash"     -> (dedupPhash _),
@@ -895,6 +1100,7 @@ object Multimodal {
     "q_mm_decode_media" -> (decodeMedia _),
     "q_mm_audio_media"  -> (audioMedia _),
     "q_mm_video_media"  -> (videoMedia _),
+    "q_mm_resize_media" -> (resizeMedia _),
   )
 
   // VALUES bodies for the real-media literal mirrors — one shared row
@@ -908,6 +1114,10 @@ object Multimodal {
     .mkString(", ")
   private def videoValues: String = mediaVideoExpected
     .map { case (id, nb, w, h, dur, dec) => s"($id, $nb, $w, $h, $dur, '$dec')" }
+    .mkString(", ")
+  private def resizeValues: String = mediaResizeExpected
+    .map { case (id, iw, ih, ow, oh, s1, s2, dec) =>
+      s"($id, $iw, $ih, $ow, $oh, $s1, $s2, '$dec')" }
     .mkString(", ")
 
   private val hx = "instr('0123456789abcdef', substr(md5(coalesce(text, '')), %d, 1)) - 1"
@@ -992,6 +1202,12 @@ object Multimodal {
     "q_mm_video_media" ->
       (s"SELECT * FROM (VALUES $videoValues) AS " +
         "t(media_id, n_bytes, width, height, duration_ms, decoder) ORDER BY media_id"),
+    // px_sum/px_wsum literals: the 16×16 resample checksums ImageIO
+    // independently reproduces in MediaWitnessSpec — a decoder bug
+    // (wrong filter reconstruction, row order, stride) shifts both
+    "q_mm_resize_media" ->
+      (s"SELECT * FROM (VALUES $resizeValues) AS " +
+        "t(media_id, in_w, in_h, out_w, out_h, px_sum, px_wsum, decoder) ORDER BY media_id"),
     // byte ≡ char here: the corpus is pure ASCII (verified: octet_length
     // = length for every doc), so ord(char)//32 mirrors (byte & 0xFF)>>5;
     // left join keeps zero-byte docs with all-zero features
@@ -1076,6 +1292,9 @@ object Multimodal {
     "q_mm_video_media" ->
       (s"SELECT * FROM VALUES $videoValues AS " +
         "t(media_id, n_bytes, width, height, duration_ms, decoder) ORDER BY media_id"),
+    "q_mm_resize_media" ->
+      (s"SELECT * FROM VALUES $resizeValues AS " +
+        "t(media_id, in_w, in_h, out_w, out_h, px_sum, px_wsum, decoder) ORDER BY media_id"),
     "q_mm_feature" -> {
       val bins = (0 until 8)
         .map(b => s"count(*) FILTER (WHERE code DIV 32 = $b) AS h$b").mkString(", ")

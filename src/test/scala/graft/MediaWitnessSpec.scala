@@ -151,6 +151,111 @@ class MediaWitnessSpec extends AnyFunSuite {
     }
   }
 
+  test("ImageIO pixels agree with grayPixels DIRECTLY for PNG and core-header BMP") {
+    // r14: grayPixels gained the real PNG path (IDAT inflate +
+    // scanline unfilter) and BITMAPCOREHEADER — so the pixel witness
+    // no longer needs the same-scene netpbm detour for these assets:
+    // ImageIO decodes the EXACT fixture bytes and must see the same
+    // luma raster our decoder reconstructs (PNG is lossless)
+    for (id <- Seq(4L, 9L, 10L, 11L)) {
+      val p = payloads(id)
+      val (iw, ih, ig) = imageIoGray(ImageIO.read(new ByteArrayInputStream(p)))
+      val (gw, gh, gg) = Multimodal.grayPixels(p)
+        .getOrElse(fail(s"asset $id: grayPixels refused a PNG/core-BMP it now claims to decode"))
+      assert((iw, ih) == (gw, gh), s"asset $id: dimension disagreement")
+      assert(ig.sameElements(gg),
+        s"asset $id: ImageIO and grayPixels disagree on pixel values")
+    }
+  }
+
+  test("grayPixels reconstructs ImageIO-ENCODED PNGs (adaptive filters, real deflate) pixel-exactly") {
+    // the fixture PNGs are filter-0 + stored-deflate; the JDK's PNG
+    // writer picks per-row adaptive filters (Sub/Up/Average/Paeth) and
+    // dynamic-Huffman deflate on natural gradients — bytes our
+    // generator never produces, decoded by a writer this repo did not
+    // write. grayPixels must reconstruct the exact raster for RGB,
+    // gray, and alpha-carrying images.
+    import java.awt.image.BufferedImage
+    def gradient(w: Int, h: Int, tp: Int): BufferedImage = {
+      val img = new BufferedImage(w, h, tp)
+      for (y <- 0 until h; x <- 0 until w) {
+        val r = (x * 255 / math.max(1, w - 1)) & 0xFF
+        val g = (y * 255 / math.max(1, h - 1)) & 0xFF
+        val b = ((x + y) * 7) & 0xFF
+        img.setRGB(x, y, (0xFF << 24) | (r << 16) | (g << 8) | b)
+      }
+      img
+    }
+    val cases = Seq(
+      (BufferedImage.TYPE_3BYTE_BGR, "rgb"),
+      (BufferedImage.TYPE_BYTE_GRAY, "gray"),
+      (BufferedImage.TYPE_4BYTE_ABGR, "rgba"))
+    for ((tp, name) <- cases) {
+      val img = gradient(61, 47, tp) // odd dims: no stride regularity to hide behind
+      val out = new java.io.ByteArrayOutputStream()
+      assert(ImageIO.write(img, "png", out), "no ImageIO PNG writer")
+      val bytes = out.toByteArray
+      val (gw, gh, gg) = Multimodal.grayPixels(bytes)
+        .getOrElse(fail(s"$name: grayPixels refused an ImageIO-written PNG"))
+      val (iw, ih, ig) = imageIoGray(ImageIO.read(new ByteArrayInputStream(bytes)))
+      assert((gw, gh) == (iw, ih), s"$name: dimension disagreement")
+      assert(gg.sameElements(ig), s"$name: filter reconstruction diverged from ImageIO")
+    }
+  }
+
+  /** The resize witness's own 16×16 nearest-neighbor resample —
+    * deliberately written in collection style against the production
+    * while-loop (Multimodal.resize16), same stated rule: src = d·S/16.
+    */
+  private def witnessResize16(w: Int, h: Int, g: Array[Int]): (Long, Long) = {
+    val out = for (y <- 0 until 16; x <- 0 until 16) yield g((y * h / 16) * w + (x * w / 16))
+    (out.map(_.toLong).sum,
+      out.zipWithIndex.map { case (v, i) => v.toLong * (i + 1) }.sum)
+  }
+
+  test("resize catalog checksums reproduce from ImageIO pixels for every raster asset") {
+    // q_mm_resize_media's oracle VALUES are generator-derived literals;
+    // this closes the circle the same way the dims catalogs do — the
+    // independent decoder's pixels, pushed through an independently
+    // written resample, must land on the same px_sum/px_wsum. netpbm
+    // has no JDK decoder: those four route through same-scene BMP
+    // witness bytes (identical scene ⇒ identical gray raster).
+    val sceneWitness: Map[Long, Array[Byte]] = Map(
+      5L -> MediaFixtures.bmp24(97, 55, seed = 1),
+      6L -> MediaFixtures.bmp24(33, 21, seed = 6),
+      7L -> MediaFixtures.bmp24(5, 4, seed = 7),
+      8L -> MediaFixtures.bmp24(7, 3, seed = 8))
+    for ((id, iw, ih, ow, oh, pxSum, pxWsum, dec) <- Multimodal.mediaResizeExpected) {
+      assert((ow, oh) == (16, 16), s"asset $id: catalog out dims drifted")
+      if (pxSum >= 0) {
+        val bytes = sceneWitness.getOrElse(id, payloads(id))
+        val img = ImageIO.read(new ByteArrayInputStream(bytes))
+        assert(img != null, s"asset $id ($dec): ImageIO could not decode the witness bytes")
+        val (w, h, g) = imageIoGray(img)
+        assert((w, h) == (iw, ih), s"asset $id ($dec): witness dims ${w}x$h != catalog ${iw}x$ih")
+        val (s1, s2) = witnessResize16(w, h, g)
+        assert((s1, s2) == (pxSum, pxWsum),
+          s"asset $id ($dec): ImageIO-derived checksums ($s1, $s2) != catalog ($pxSum, $pxWsum)")
+      }
+    }
+  }
+
+  test("grayPixels decodes the ascii netpbm assets to the same-scene binary rasters") {
+    // P3/P2 (ascii) vs P6/P5 (binary) of the same scene must be the
+    // same raster — the two encodings differ only in transport
+    val pairs = Seq(
+      (7L, MediaFixtures.netpbm("P6", 5, 4, seed = 7)),
+      (8L, MediaFixtures.netpbm("P5", 7, 3, seed = 8)))
+    for ((id, binaryTwin) <- pairs) {
+      val a = Multimodal.grayPixels(payloads(id))
+        .getOrElse(fail(s"asset $id: grayPixels refused an ascii netpbm raster"))
+      val b = Multimodal.grayPixels(binaryTwin)
+        .getOrElse(fail(s"asset $id: grayPixels refused the binary twin"))
+      assert(a._1 == b._1 && a._2 == b._2 && a._3.sameElements(b._3),
+        s"asset $id: ascii and binary netpbm rasters diverge")
+    }
+  }
+
   test("ImageIO pixels for PNG/core-BMP equal grayPixels for the same-scene netpbm") {
     // (payload under test, same-scene P6/P5 witness bytes)
     val pairs = Seq(

@@ -33,6 +33,15 @@ object SparkTestSession {
       case "rocksdb" => builder.config(
         "spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      case "rocksdb-changelog" =>
+        // RocksDB + changelog checkpointing: per-batch uploads become the
+        // delta log instead of full SST snapshots — the posture a large
+        // deployment runs (snapshot upload moves off the commit path).
+        builder.config(
+          "spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+          .config("spark.sql.streaming.stateStore.rocksdb." +
+            "changelogCheckpointing.enabled", "true")
       case other => builder.config(
         "spark.sql.streaming.stateStore.providerClass", other)
     }
