@@ -148,8 +148,13 @@ object StreamBench {
     // steady state and print a plausible-looking all-zero record
     require(nBatches > 5, s"nBatches must exceed the 5-batch warmup, got $nBatches")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER=local-cluster[2,4,8192] measures the stateful
+    // legs across REAL executor JVMs (state store instances live in the
+    // executors; progress telemetry crosses the RPC boundary) — the
+    // same multi-JVM switch Verify has. Default unchanged.
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val spark = Sessions.tuneForMaster(
+      SparkSession.builder().master(master), master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -141,6 +141,20 @@ object StressProbe {
       println(f"[stress] media_decode_volume       $secs%8.1fs  rows=$decoded " +
         f"bytes=$totalBytes (${totalBytes / secs / 1e6}%.0f MB/s)")
       require(decoded == n, s"decode tier dropped rows: $decoded of $n")
+      // pixel path at volume: full raster decode (BMP/netpbm/PNG incl.
+      // the inflate+unfilter branch) + aHash per image — the heaviest
+      // per-byte work the media tier does, the number a phash-dedup
+      // stage is sized by (header decode above is IO-bound by contrast)
+      val imgs = tbl.where(col("kind") === "image")
+        .select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
+      val imgBytes = tbl.where(col("kind") === "image")
+        .agg(sum(length(col("payload")))).head().getLong(0)
+      val t1 = System.nanoTime()
+      val hashed = ops.Multimodal.phashCore(imgs).toDF("media_id", "phash")
+        .where(length(col("phash")) === 16).count()
+      val psecs = (System.nanoTime() - t1) / 1e9
+      println(f"[stress] media_phash_volume        $psecs%8.1fs  rows=$hashed " +
+        f"bytes=$imgBytes (${imgBytes / psecs / 1e6}%.0f MB/s raster+aHash)")
     }
     runNames.filterNot(_ == "media_decode_volume").foreach { name =>
       val t0 = System.nanoTime()

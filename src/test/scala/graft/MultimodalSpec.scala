@@ -203,6 +203,23 @@ class MultimodalSpec extends AnyFunSuite {
       s"noisy copy too far: ${hamming(hashes(1L), hashes(3L))} bits")
     assert(hamming(hashes(1L), hashes(4L)) > 20,
       s"inverted scene too close: ${hamming(hashes(1L), hashes(4L))} bits")
+    // r14: PNG rasters now reach aHash through the inflate+unfilter
+    // path — the SAME scene written by the JDK's own PNG encoder (real
+    // adaptive filters, not the fixtures' filter-0) must hash
+    // identically to its BMP twin: pixel-space identity across a THIRD
+    // container and an encoder this repo did not write
+    val img = new java.awt.image.BufferedImage(64, 48,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until 48; x <- 0 until 64) {
+      val (r, g, b) = gradient(x, y)
+      img.setRGB(x, y, (0xFF << 24) | (r << 16) | (g << 8) | b)
+    }
+    val png = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", png))
+    val pngHash = ops.Multimodal.phashCore(Seq(6L -> png.toByteArray).toDS())
+      .collect().head._2
+    assert(pngHash == hashes(1L),
+      s"JDK-encoded PNG of the same scene hashed $pngHash != BMP ${hashes(1L)}")
   }
 
   test("dedupPhash end-to-end on planted images: near-dup pair accepted, distinct pair not") {
