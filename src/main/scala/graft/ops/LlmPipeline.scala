@@ -3616,13 +3616,22 @@ object LlmPipeline {
           "ORDER BY cos DESC, vec_id LIMIT 5"),
       "q_lsh_bucket_stats" -> {
         val bucketDuck = lshBucketExpr(lshPlaneDotDuck)
+        // BIGINT (not DECIMAL(38,0)) on purpose: DuckDB's `//` over a
+        // DECIMAL operand is DOUBLE division (134843.75), and the BIGINT
+        // cast then ROUNDS where Spark's DIV floors — caught by the
+        // genuine-sf10 full gate (4315·1e6/32000 = .75 exactly; every
+        // smaller SF happened to land under .5). BIGINT `//` HUGEINT
+        // (sum() is HUGEINT) is true integer division; n_vecs·16·1e6
+        // fits BIGINT past any real corpus. Same rule as q_pack_sequences
+        // (LlmPipeline:2357) and the zonemap mirror (Storage:395); the
+        // Spark side keeps its DECIMAL(38,0) DIV guard.
         s"WITH q AS (SELECT vec_id, $quantDuck AS q FROM embeddings), " +
           s"b AS (SELECT CAST($bucketDuck AS INTEGER) AS bucket FROM q), " +
           "pb AS (SELECT bucket, count(*) AS n_vecs FROM b GROUP BY 1), " +
           "g AS (SELECT sum(n_vecs) AS total_vecs, count(*) AS n_buckets FROM pb) " +
           "SELECT bucket, n_vecs, " +
-          "CAST(CAST(n_vecs AS DECIMAL(38,0)) * 1000000 // total_vecs AS BIGINT) AS share_ppm, " +
-          "CAST(CAST(n_vecs AS DECIMAL(38,0)) * n_buckets * 1000000 // total_vecs AS BIGINT) AS load_micros " +
+          "CAST(CAST(n_vecs AS BIGINT) * 1000000 // total_vecs AS BIGINT) AS share_ppm, " +
+          "CAST(CAST(n_vecs AS BIGINT) * n_buckets * 1000000 // total_vecs AS BIGINT) AS load_micros " +
           "FROM pb CROSS JOIN g ORDER BY bucket"
       },
       "q_ann_recall_mp" -> {
