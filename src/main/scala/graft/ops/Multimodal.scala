@@ -638,18 +638,33 @@ object Multimodal {
         val w = nextInt(); val h = nextInt(); val maxv = nextInt()
         val bpx = if (rgb) 3 else 1
         if (w <= 0 || h <= 0 || maxv <= 0 || maxv > 255) return None
+        // Validate BEFORE allocating (the BMP stride-in-Long precedent):
+        // a ~20-byte header claiming 30000x30000 would otherwise trigger
+        // a multi-GB allocation whose OutOfMemoryError is not NonFatal
+        // and escapes the catch below; 65536x65536 wraps w*h to 0 in
+        // Int. Pixel count in Long against the payload: binary needs
+        // exactly w*h*bpx raster bytes, ascii needs >= 2 bytes per
+        // sample (digit + separator), so either way the header cannot
+        // claim more pixels than the byte budget can carry.
+        val pixelsL = w.toLong * h
+        val minBytesPerPx = if (asciiRaster) 2L * bpx else bpx.toLong
+        if (pixelsL > Int.MaxValue / 4 || pixelsL * minBytesPerPx > p.length) return None
         val g = new Array[Int](w * h)
         if (asciiRaster) {
           var k = 0
           while (k < w * h) {
+            // Same luma order as the binary path (weighted sum / 1000,
+            // THEN scale by 255/maxv) so P3 and P6 of the same scene
+            // yield the same raster; out-of-range samples (> maxval)
+            // are rejected, not wrapped.
             val v =
               if (rgb) {
                 val r = nextInt(); val gg = nextInt(); val b = nextInt()
-                if (b < 0) return None
-                (299 * r * 255 / maxv + 587 * gg * 255 / maxv + 114 * b * 255 / maxv) / 1000
+                if (b < 0 || r > maxv || gg > maxv || b > maxv) return None
+                (299 * r + 587 * gg + 114 * b) / 1000 * 255 / maxv
               } else {
                 val v0 = nextInt()
-                if (v0 < 0) return None
+                if (v0 < 0 || v0 > maxv) return None
                 v0 * 255 / maxv
               }
             g(k) = v
@@ -1035,10 +1050,14 @@ object Multimodal {
     var i = 0
     var y = 0
     while (y < 16) {
-      val sy = y * h / 16
+      // Index math in Long (the BMP stride precedent): with extreme
+      // aspect ratios under the pixel cap (e.g. w = 2^28, h = 1),
+      // x*w overflows Int and would throw an uncaught AIOOBE inside
+      // resizeMedia's mapPartitions instead of falling back.
+      val sy = (y.toLong * h / 16).toInt
       var x = 0
       while (x < 16) {
-        val v = g(sy * w + x * w / 16)
+        val v = g((sy.toLong * w + x.toLong * w / 16).toInt)
         i += 1
         sum += v
         wsum += v.toLong * i

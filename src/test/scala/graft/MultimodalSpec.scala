@@ -415,4 +415,40 @@ class MultimodalSpec extends AnyFunSuite {
     val Some((w2, h2, g2)) = ops.Multimodal.grayPixels(byId(2L))
     assert(ops.Multimodal.aHash64(w1, h1, g1) != ops.Multimodal.aHash64(w2, h2, g2))
   }
+
+  test("grayPixels rejects crafted netpbm headers before allocating") {
+    import java.nio.charset.StandardCharsets.US_ASCII
+    def b(s: String) = s.getBytes(US_ASCII)
+    // a ~20-byte header claiming a multi-GB raster must return None,
+    // not attempt the allocation (OOME is not NonFatal)
+    assert(ops.Multimodal.grayPixels(b("P5\n30000 30000\n255\n ")).isEmpty)
+    assert(ops.Multimodal.grayPixels(b("P2\n30000 30000\n255\n0 0 0")).isEmpty)
+    // 65536x65536 wraps w*h to 0 in Int — the Long guard must catch it
+    assert(ops.Multimodal.grayPixels(b("P2\n65536 65536\n255\n0")).isEmpty)
+    assert(ops.Multimodal.grayPixels(b("P3\n65536 65536\n255\n0 0 0")).isEmpty)
+    // ascii samples above maxval are rejected, not wrapped into
+    // out-of-range gray values
+    assert(ops.Multimodal.grayPixels(b("P2\n2 1\n15\n3 99")).isEmpty)
+    assert(ops.Multimodal.grayPixels(b("P3\n1 1\n15\n3 900 2")).isEmpty)
+  }
+
+  test("grayPixels ascii/binary luma parity at maxval < 255") {
+    import java.nio.charset.StandardCharsets.US_ASCII
+    // the same 2x1 RGB scene at maxval=15 through P3 (ascii) and P6
+    // (binary) must decode to the same grays: weighted sum / 1000 first,
+    // THEN the 255/maxv scale, in both branches
+    val p3 = "P3\n2 1\n15\n15 0 7 3 14 1".getBytes(US_ASCII)
+    val p6 = "P6\n2 1\n15\n".getBytes(US_ASCII) ++
+      Array[Byte](15, 0, 7, 3, 14, 1)
+    val Some((w3, h3, g3)) = ops.Multimodal.grayPixels(p3)
+    val Some((w6, h6, g6)) = ops.Multimodal.grayPixels(p6)
+    assert((w3, h3) == (2, 1) && (w6, h6) == (2, 1))
+    assert(g3.sameElements(g6),
+      s"P3 ${g3.toSeq} vs P6 ${g6.toSeq} diverged at maxval=15")
+    // and the grays match the binary-order formula exactly
+    val exp = Seq((15, 0, 7), (3, 14, 1)).map { case (r, g, b) =>
+      (299 * r + 587 * g + 114 * b) / 1000 * 255 / 15
+    }
+    assert(g3.toSeq == exp)
+  }
 }
