@@ -768,6 +768,55 @@ object Multimodal {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
+  /** ImageIO-backed raster decode for the ENTROPY-CODED containers
+    * (GIF LZW frames, JPEG scans) — exactly where the pure-JVM decoders
+    * stop (grayPixels owns BMP/netpbm/PNG natively and stays primary).
+    * javax.imageio is pure JDK, executor-safe, and already the trusted
+    * witness decoder (MediaWitnessSpec); here it becomes a production
+    * branch so a real multimodal corpus — mostly JPEG — gets real
+    * pixels instead of `no-raster` markers (VERDICT r14 #1). Gated on
+    * the GIF/JPEG magic so the hand-written paths keep every format
+    * they own. Gray conversion: single-band component rasters read raw
+    * samples (getRGB on CS_GRAY routes through a gamma conversion that
+    * is not the stored sample), but palette rasters (GIF) hold INDICES
+    * in their one band, so they go through getRGB (IndexColorModel is
+    * sRGB — exact) + BT.601. Same 256 MB pixel cap as the PNG path;
+    * decode failures return None (the honest no-raster marker), never
+    * throw. Reference discipline: verify the stored BYTES, not just
+    * headers (`Utils.java:28-58`).
+    */
+  private[graft] def imageIoGrayDecode(p: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    val isGif = p.length > 6 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F' && p(3) == '8'
+    val isJpeg = p.length > 3 && (p(0) & 0xFF) == 0xFF && (p(1) & 0xFF) == 0xD8
+    if (!isGif && !isJpeg) return None
+    try {
+      javax.imageio.ImageIO.setUseCache(false) // no temp-file cache on executors
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
+      if (img == null) return None
+      val w = img.getWidth; val h = img.getHeight
+      if (w <= 0 || h <= 0 || w.toLong * h > 64L * 1024 * 1024) return None
+      val rawSamples = img.getRaster.getNumBands == 1 &&
+        !img.getColorModel.isInstanceOf[java.awt.image.IndexColorModel]
+      val g = new Array[Int](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          g(y * w + x) =
+            if (rawSamples) img.getRaster.getSample(x, y, 0)
+            else {
+              val rgb = img.getRGB(x, y)
+              (299 * ((rgb >> 16) & 0xFF) + 587 * ((rgb >> 8) & 0xFF) +
+                114 * (rgb & 0xFF)) / 1000
+            }
+          x += 1
+        }
+        y += 1
+      }
+      Some((w, h, g))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   /** aHash: box-average the grayscale image to 8×8, then one bit per
     * cell — 1 iff the cell mean exceeds the global 8×8 mean (strict, so
     * a constant image hashes to all-zeros deterministically). Bit (r,c)
@@ -841,7 +890,7 @@ object Multimodal {
         // null payload ⇒ empty bytes, matching the md5(coalesce(x, ''))
         // the SQL mirrors compute (md.digest(null) would NPE the task)
         val payload = if (rawPayload == null) Array.emptyByteArray else rawPayload
-        val hx = grayPixels(payload) match {
+        val hx = grayPixels(payload).orElse(imageIoGrayDecode(payload)) match {
           case Some((w, h, g)) => f"${aHash64(w, h, g)}%016x"
           case None =>
             md.reset()
@@ -927,7 +976,7 @@ object Multimodal {
     * closing the r12 gap where every green q_mm_* row validated only
     * the md5-stub path.
     */
-  private[graft] val mediaImageExpected: Seq[(Long, Long, Int, Int, Int, String)] = Seq(
+  private[graft] lazy val mediaImageExpected: Seq[(Long, Long, Int, Int, Int, String)] = Seq(
     (1L, 16114L, 97, 55, 3, "bmp"),   // 54 + ((97·3+3)/4·4=292)·55
     (2L, 12342L, 64, 64, 3, "bmp"),
     (3L, 1590L, 32, 16, 3, "bmp"),    // top-down (negative biHeight)
@@ -945,7 +994,24 @@ object Multimodal {
     (12L, 20L, 120, 80, 3, "gif"),    // 89a
     (13L, 20L, 40, 30, 3, "gif"),     // 87a
     (14L, 41L, 200, 150, 3, "jpeg"),  // SOF0 baseline
-    (15L, 35L, 32, 24, 1, "jpeg"))    // SOF2 progressive, grayscale
+    (15L, 35L, 32, 24, 1, "jpeg"),    // SOF2 progressive, grayscale
+    // 16-19 carry real entropy-coded payloads (ImageIO LZW/Huffman):
+    // w/h/channels stay generator literals the parser must recover,
+    // but n_bytes is ENCODER-determined, so it's read from the
+    // generated bytes (deterministic per JVM; the spec-math rule only
+    // applies where the spec fixes the length)
+    (16L, fixtureLen(16L), 31, 19, 3, "gif"),   // real LZW frame
+    (17L, fixtureLen(17L), 12, 8, 3, "gif"),
+    (18L, fixtureLen(18L), 24, 16, 3, "jpeg"),  // real baseline scan
+    (19L, fixtureLen(19L), 17, 11, 3, "jpeg"))
+
+  /** Byte lengths of the entropy-coded fixtures — the one catalog field
+    * the format spec does not determine (LZW/Huffman output length).
+    */
+  private lazy val fixtureLens: Map[Long, Long] =
+    graft.sources.MediaFixtures.assets()
+      .map { case (id, _, p) => id -> p.length.toLong }.toMap
+  private def fixtureLen(id: Long): Long = fixtureLens(id)
 
   private[graft] val mediaAudioExpected: Seq[(Long, Long, Int, Int, Int, Long, Long, String)] = Seq(
     // (id, n_bytes, channels, rate, bits, frames, duration_ms, decoder)
@@ -965,7 +1031,7 @@ object Multimodal {
     * Asset 5 equaling asset 1 (32026/4135238) is the cross-container
     * identity: same scene through two container formats.
     */
-  private[graft] val mediaResizeExpected: Seq[(Long, Int, Int, Int, Int, Long, Long, String)] = Seq(
+  private[graft] lazy val mediaResizeExpected: Seq[(Long, Int, Int, Int, Int, Long, Long, String)] = Seq(
     (1L, 97, 55, 16, 16, 32026L, 4135238L, "bmp"),
     (2L, 64, 64, 16, 16, 31849L, 4051715L, "bmp"),
     (3L, 32, 16, 16, 16, 26195L, 3627777L, "bmp"),   // top-down
@@ -977,10 +1043,30 @@ object Multimodal {
     (9L, 48, 32, 16, 16, 34633L, 4729713L, "png"),   // RGB
     (10L, 16, 16, 16, 16, 25886L, 3772939L, "png"),  // RGBA
     (11L, 8, 8, 16, 16, 15780L, 2339502L, "png"),    // grayscale
-    (12L, 120, 80, 16, 16, -1L, -1L, "no-raster:gif"),
+    (12L, 120, 80, 16, 16, -1L, -1L, "no-raster:gif"),   // zero-image container
     (13L, 40, 30, 16, 16, -1L, -1L, "no-raster:gif"),
-    (14L, 200, 150, 16, 16, -1L, -1L, "no-raster:jpeg"),
-    (15L, 32, 24, 16, 16, -1L, -1L, "no-raster:jpeg"))
+    (14L, 200, 150, 16, 16, -1L, -1L, "no-raster:jpeg"), // header-only, no scan
+    (15L, 32, 24, 16, 16, -1L, -1L, "no-raster:jpeg"),
+    // 16/17: real LZW GIF through the ImageIO branch. LOSSLESS +
+    // identity gray palette ⇒ the checksums are pure generator math
+    // (resize16 over sceneGray), computed here independent of any
+    // decoder — the decode pipeline must land on them exactly.
+    gifResizeRow(16L, 31, 19, seed = 16),
+    gifResizeRow(17L, 12, 8, seed = 17),
+    // 18/19: real baseline JPEG — LOSSY, so these are DECODER-EXACT
+    // pins (the JDK decoder's output, deterministic per JVM build);
+    // semantic correctness vs the generator scene is the tolerance
+    // witness in MediaWitnessSpec, not these literals.
+    (18L, 24, 16, 16, 16, 22328L, 3554843L, "jpeg-imageio"),
+    (19L, 17, 11, 16, 16, 22053L, 3546525L, "jpeg-imageio"))
+
+  private def gifResizeRow(id: Long, w: Int, h: Int, seed: Int)
+      : (Long, Int, Int, Int, Int, Long, Long, String) = {
+    val g = Array.tabulate(w * h)(k =>
+      graft.sources.MediaFixtures.sceneGray(seed)(k % w, k / w))
+    val (s1, s2) = resize16(w, h, g)
+    (id, w, h, 16, 16, s1, s2, "gif-imageio")
+  }
 
   private[graft] val mediaVideoExpected: Seq[(Long, Long, Int, Int, Long, String)] = Seq(
     // (id, n_bytes, width, height, duration_ms, decoder)
@@ -1079,11 +1165,13 @@ object Multimodal {
     * and nearest-neighbor-resampled to a 16×16 thumbnail, emitted as
     * two order-sensitive checksums the DuckDB VALUES mirror pins
     * literal-exactly. Entropy-coded containers (GIF LZW, JPEG scans)
-    * have no codec-free raster — they emit 'no-raster:<fmt>' with -1
-    * sums, keeping the honest real/stub boundary observable in the
-    * output instead of silently hashing. The upstream r12→r13 stub gap
-    * ends here: decode dims, audio/video metadata AND pixel math all
-    * run real branches on real persisted bytes.
+    * decode through the JDK ImageIO branch (imageIoGrayDecode, decoder
+    * label '<fmt>-imageio'); only containers with no raster at all
+    * (zero-image GIF, header-only JPEG) emit 'no-raster:<fmt>' with -1
+    * sums, keeping the honest boundary observable in the output. The
+    * upstream r12→r13 stub gap ends here: decode dims, audio/video
+    * metadata AND pixel math all run real branches on real persisted
+    * bytes, across every raster format the generator emits.
     */
   def resizeMedia(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -1098,7 +1186,15 @@ object Multimodal {
               val (s1, s2) = resize16(gw, gh, g)
               ResizedMedia(id, gw, gh, 16, 16, s1, s2, label)
             case None =>
-              ResizedMedia(id, w, h, 16, 16, -1L, -1L, s"no-raster:$label")
+              // entropy-coded containers: JDK ImageIO branch; the
+              // `-imageio` suffix keeps which decoder ran observable
+              imageIoGrayDecode(p) match {
+                case Some((gw, gh, g)) =>
+                  val (s1, s2) = resize16(gw, gh, g)
+                  ResizedMedia(id, gw, gh, 16, 16, s1, s2, s"$label-imageio")
+                case None =>
+                  ResizedMedia(id, w, h, 16, 16, -1L, -1L, s"no-raster:$label")
+              }
           }
         }
       }

@@ -240,6 +240,48 @@ class MediaWitnessSpec extends AnyFunSuite {
     }
   }
 
+  test("ImageIO branch decodes the LZW GIF fixtures to the EXACT generator scene grays") {
+    // the pixel anchor for the entropy-coded tier: GIF is lossless and
+    // the fixture palette is identity-gray, so the production decode
+    // (imageIoGrayDecode) must reproduce the pure-Scala scene raster
+    // bit-for-bit — generator parameters, not decoder output, are the
+    // ground truth here
+    for ((id, w, h, seed) <- Seq((16L, 31, 19, 16), (17L, 12, 8, 17))) {
+      val (gw, gh, g) = Multimodal.imageIoGrayDecode(payloads(id))
+        .getOrElse(fail(s"asset $id: ImageIO branch refused the LZW GIF"))
+      assert((gw, gh) == (w, h), s"asset $id: dims ${gw}x$gh != ${w}x$h")
+      val expected = Array.tabulate(w * h)(k => MediaFixtures.sceneGray(seed)(k % w, k / w))
+      assert(g.sameElements(expected),
+        s"asset $id: LZW round-trip did not preserve the scene grays")
+    }
+  }
+
+  test("ImageIO branch decodes the JPEG fixtures within tight luma tolerance of the scene") {
+    // JPEG is lossy: the catalog rows are decoder-exact pins; THIS is
+    // the semantic check — the decoded luma must track the generator's
+    // smooth-gradient scene closely (measured mean |err| ≈ 0.78 on
+    // both fixtures; bound at 4 to absorb codec/JDK drift)
+    for ((id, w, h, seed) <- Seq((18L, 24, 16, 18), (19L, 17, 11, 19))) {
+      val (gw, gh, g) = Multimodal.imageIoGrayDecode(payloads(id))
+        .getOrElse(fail(s"asset $id: ImageIO branch refused the JPEG scan"))
+      assert((gw, gh) == (w, h), s"asset $id: dims ${gw}x$gh != ${w}x$h")
+      val px = MediaFixtures.smoothScene(w, h, seed) _
+      var absErr = 0L; var maxErr = 0
+      for (y <- 0 until h; x <- 0 until w) {
+        val (r, gg, b) = px(x, y)
+        val lum = (299 * r + 587 * gg + 114 * b) / 1000
+        val e = math.abs(g(y * w + x) - lum)
+        absErr += e; maxErr = math.max(maxErr, e)
+      }
+      val mean = absErr.toDouble / (w * h)
+      assert(mean <= 4.0, s"asset $id: mean luma error $mean exceeds the lossy bound")
+      assert(maxErr <= 32, s"asset $id: max luma error $maxErr — decode is not tracking the scene")
+    }
+    // and the zero-image/header-only containers stay honestly raster-free
+    assert(Multimodal.imageIoGrayDecode(payloads(12L)).isEmpty, "zero-image GIF grew a raster")
+    assert(Multimodal.imageIoGrayDecode(payloads(14L)).isEmpty, "header-only JPEG grew a raster")
+  }
+
   test("grayPixels decodes the ascii netpbm assets to the same-scene binary rasters") {
     // P3/P2 (ascii) vs P6/P5 (binary) of the same scene must be the
     // same raster — the two encodings differ only in transport

@@ -394,12 +394,16 @@ class MultimodalSpec extends AnyFunSuite {
     assert(vid.forall(_._6 != "stub-md5"), "a video asset fell through to the stub")
     // r14: the pixel-math leg — every codec-free raster (BMP incl.
     // core-header, all four netpbm forms, 8-bit PNG) resizes through
-    // the real decode; only the entropy-coded GIF/JPEG report no-raster
+    // the pure-JVM decode; r15: entropy-coded GIF/JPEG rasters resize
+    // through the ImageIO branch (decoder '*-imageio'); only the
+    // zero-image GIF and header-only JPEG containers stay no-raster
     val rsz = ops.Multimodal.resizeMedia(spark, d)
       .as[(Long, Int, Int, Int, Int, Long, Long, String)].collect().toSeq
     assert(rsz == ops.Multimodal.mediaResizeExpected,
       s"resize drifted from the catalog: $rsz")
-    assert(rsz.count(_._6 >= 0) == 11, "a raster asset lost its pixel path")
+    assert(rsz.count(_._6 >= 0) == 15, "a raster asset lost its pixel path")
+    assert(rsz.count(_._8.endsWith("-imageio")) == 4,
+      "an entropy-coded raster fell off the ImageIO branch")
   }
 
   test("real-media fixtures: same scene in BMP and P6 is pixel- and aHash-identical across containers") {
