@@ -527,6 +527,59 @@ object Relational {
       .orderBy("supp_nation", "cust_nation", "l_year")
   }
 
+  /** q_join_waiting_suppliers — TPC-H Q21's suppliers-who-kept-orders-
+    * waiting shape: the multi-level EXISTS + NOT-EXISTS cascade on the
+    * SAME fact table with a correlated inequality (the one classic join
+    * pattern the single-level anti-join form — reference
+    * controller/FileTable.java:59-97 — does not reach). A late line
+    * (shipped > 60 days after order date, this schema's analogue of
+    * receipt > commit) from supplier S counts iff the order has another
+    * supplier (EXISTS) and NO other supplier was late (NOT EXISTS).
+    *
+    * Scale shape: the literal Q21 text scans lineitem three times (l1,
+    * l2, l3) and decorrelates to two extra joins; here both correlated
+    * predicates become ONE aggregate pass — lineitem joins the
+    * status-filtered orders once (the only fact-fact shuffle, keyed on
+    * orderkey), a combining hash agg reduces to a row per (order,
+    * supplier), and a window over that already-reduced set (re-keyed on
+    * orderkey, exchanging order-count rows, not line-count) yields both
+    * the other-supplier EXISTS (n_supp > 1) and the no-other-late
+    * NOT EXISTS (n_late_supp = 1) without touching lineitem again.
+    * Supplier attribution joins AFTER the filter — only qualifying
+    * (order, supplier) rows reach it — with nation broadcast (bounded
+    * dim). Plan-asserted: semi/anti semantics via hash joins only, no
+    * BroadcastNestedLoopJoin, exactly one lineitem scan
+    * (PlanShapeSpec). Oracle independence: the DuckDB mirror keeps the
+    * textbook correlated EXISTS/NOT-EXISTS form, so the gate proves the
+    * aggregate rewrite, not just the arithmetic.
+    */
+  def joinWaitingSuppliers(s: SparkSession, d: String): DataFrame = {
+    val lateFlag = when(
+      col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"), 1
+    ).otherwise(0)
+    val perSupp = Tables.lineitem(s, d)
+      .select("l_orderkey", "l_suppkey", "l_shipdate")
+      .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+        .select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey", "l_suppkey")
+      .agg(sum(lateFlag).as("late_lines"))
+    val w = Window.partitionBy("l_orderkey")
+    perSupp
+      .withColumn("n_supp", count(lit(1)).over(w))
+      .withColumn("n_late_supp",
+        sum(when(col("late_lines") > 0, 1).otherwise(0)).over(w))
+      .filter(col("late_lines") > 0 && col("n_supp") > 1 &&
+        col("n_late_supp") === 1)
+      .join(Tables.supplier(s, d).select("s_suppkey", "s_name", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, d).select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy("s_name", "n_name")
+      .agg(sum(col("late_lines")).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+  }
+
   /** q_subquery_anti_agg — TPC-H Q22's dormant-high-balance shape: per
     * market segment, customers whose balance beats the positive-balance
     * mean and who placed no order in the final window. Two decorrelation
@@ -874,6 +927,7 @@ object Relational {
     "q_join_large_orders"   -> (joinLargeOrders _),
     "q_join_returned_revenue" -> (joinReturnedRevenue _),
     "q_join_nation_volume"  -> (joinNationVolume _),
+    "q_join_waiting_suppliers" -> (joinWaitingSuppliers _),
     "q_subquery_anti_agg"   -> (subqueryAntiAgg _),
     "q_pivot"               -> (pivotStatus _),
     "q_window_lag_lead"     -> (windowLagLead _),
@@ -1025,6 +1079,23 @@ object Relational {
         "HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250) b ON o_orderkey = b.l_orderkey " +
         "JOIN customer ON o_custkey = c_custkey " +
         "ORDER BY totalprice DESC, o_orderkey LIMIT 100"),
+    // deliberately the TEXTBOOK correlated form (triple lineitem scan,
+    // EXISTS + NOT EXISTS): the engine runs the single-scan aggregate
+    // rewrite, so a green row proves the rewrite, not the arithmetic
+    "q_join_waiting_suppliers" ->
+      ("SELECT s_name, n_name, count(*) AS numwait " +
+        "FROM supplier, lineitem l1, orders o, nation " +
+        "WHERE s_suppkey = l1.l_suppkey " +
+        "AND o.o_orderkey = l1.l_orderkey " +
+        "AND o.o_orderstatus = 'F' " +
+        "AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAYS " +
+        "AND EXISTS (SELECT 1 FROM lineitem l2 " +
+        "WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey) " +
+        "AND NOT EXISTS (SELECT 1 FROM lineitem l3 " +
+        "WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey " +
+        "AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAYS) " +
+        "AND s_nationkey = n_nationkey " +
+        "GROUP BY s_name, n_name ORDER BY numwait DESC, s_name"),
     "q_join_returned_revenue" ->
       ("SELECT c_custkey, c_name, n_name, " +
         "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue, " +

@@ -320,6 +320,25 @@ class PlanShapeSpec extends AnyFunSuite {
       s"star join degenerated:\n$plan")
   }
 
+  test("waiting suppliers: one lineitem scan serves both correlated predicates, hash joins only") {
+    val plan = physical(ops.Relational.joinWaitingSuppliers(spark, d))
+    // the aggregate rewrite's whole point: the literal Q21 text scans
+    // lineitem three times (l1/l2/l3); the rewrite must scan it ONCE
+    val lineitemScans = "lineitem\\.parquet".r.findAllIn(plan).size
+    assert(lineitemScans == 1,
+      s"expected exactly one lineitem scan, saw $lineitemScans:\n$plan")
+    // the EXISTS/NOT-EXISTS cascade must stay in hash-join land
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"correlated-predicate rewrite degenerated:\n$plan")
+    // status filter prunes orders at the scan, not post-join
+    assert(plan.contains("EqualTo(o_orderstatus,F)"),
+      s"o_orderstatus filter not pushed to the orders scan:\n$plan")
+    // the per-(order,supplier) reduction is a combining hash aggregate
+    assert(plan.contains("HashAggregate") && plan.contains("partial"),
+      s"expected partial hash aggregation before the window:\n$plan")
+  }
+
   test("shipping priority's top-10 is TakeOrderedAndProject over the aggregate, no global sort") {
     val plan = physical(ops.Relational.joinShippingPriority(spark, d))
     assert(plan.contains("TakeOrderedAndProject"),
