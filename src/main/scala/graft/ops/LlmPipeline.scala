@@ -1372,6 +1372,103 @@ object LlmPipeline {
       .agg(sum(col("t")).as("adist2"))
   }
 
+  /** Probe width for the IVF-PQ composite (cells scanned per query). */
+  private[graft] val IvfPqNprobe = 2
+
+  /** q_sim_search_ivfpq — the IVF+PQ COMPOSITE (the industrial 100 TB
+    * ANN layout: faiss's IndexIVFPQ): coarse-prune with the IVF
+    * partitioner, then scan PQ CODES inside the probed cells — the two
+    * orthogonal savings multiply (nlist× fewer candidates × ~32×
+    * smaller per-candidate payload). Codes quantize RESIDUALS (vector −
+    * its cell centroid), the classic refinement: residuals are smaller
+    * than raw vectors, so the same PqK codes cut quantization error
+    * (spec-measured vs raw-PQ ADC), and the ADC table is built per
+    * probed cell from the probe's OWN residual in that cell.
+    *
+    * Deterministic stand-ins as in both parents — centroids = vectors
+    * vec_id < IvfNlist, residual codebook = residual subvectors of
+    * vec_id ∈ [PqK, 2·PqK) (the first PqK vectors are centroids with
+    * zero residuals — a degenerate codebook — so the NEXT PqK carry
+    * it); everything is exact integer math, so the composite stays
+    * fully oracle-checked like both parents. Scale shape: index build =
+    * two broadcast joins (centroids, codebook) + packed-argmin
+    * combining hash-aggregates (no window over the corpus); query =
+    * codes ⋈ broadcast ADC table (IvfPqNprobe·PqM·PqK tiny rows) where
+    * the cent_id = pcent equi-key IS the coarse prune — unprobed cells
+    * never match, and at scale a cent_id-bucketed code table makes that
+    * a partition-pruned read. ADC identity spec-pinned: a codebook
+    * vector's codes reconstruct its residual losslessly, so its
+    * approximate distance equals its EXACT distance to the probe.
+    */
+  def simSearchIvfPq(s: SparkSession, d: String): DataFrame =
+    ivfPqAdcAll(s, d)
+      .orderBy(col("adist2").asc, col("vec_id").asc)
+      .limit(5)
+
+  /** Full IVF-PQ ADC scan over the probed cells (no top-k) — the spec
+    * uses this to pin the ADC identity and measure recall/refinement.
+    */
+  private[graft] def ivfPqAdcAll(s: SparkSession, d: String): DataFrame = {
+    val nlist = IvfNlist
+    val e = Tables.embeddings(s, d).select(col("vec_id"), expr(quant).as("q"))
+    val cents = broadcast(e.where(col("vec_id") < nlist)
+      .select(col("vec_id").as("cent_id"), col("q").as("qc")))
+    val d2c = s"(${dotL("q", "q")} - 2 * ${dotL("q", "qc")} + ${dotL("qc", "qc")})"
+    // coarse assignment: the IVF packed-argmin (map-side broadcast
+    // candidates collapse in a combining hash agg, never a window)
+    val cand = e.crossJoin(cents)
+      .select(col("vec_id"), col("q"), col("cent_id"), expr(d2c).as("dist2"))
+    val assigned = cand
+      .groupBy(col("vec_id"), col("q"))
+      .agg(min(col("dist2") * nlist + col("cent_id")).as("k"))
+      .select(col("vec_id"), col("q"), (col("k") % nlist).as("cent_id"))
+    // residual re-attach: one more broadcast join against the tiny
+    // centroid table (zip_with stays in whole-stage codegen)
+    val resid = assigned.join(cents, "cent_id")
+      .select(col("vec_id"), col("cent_id"),
+        expr("zip_with(q, qc, (a, b) -> a - b)").as("r"))
+    val subs = resid.select(col("vec_id"), col("cent_id"),
+      posexplode(expr(s"transform(sequence(0, ${PqM - 1}), " +
+        s"j -> slice(r, j * $PqSubDim + 1, $PqSubDim))")))
+      .toDF("vec_id", "cent_id", "j", "sub")
+    val codebook = broadcast(subs
+      .where(col("vec_id") >= PqK && col("vec_id") < 2 * PqK)
+      .select((col("vec_id") - PqK).cast("int").as("c"), col("j"),
+        col("sub").as("csub")))
+    val d2s = s"(${dotL("sub", "sub")} - 2 * ${dotL("sub", "csub")} + " +
+      s"${dotL("csub", "csub")})"
+    // encode: nearest residual code per (vector, cell, subspace) — the
+    // PQ packed argmin (c < PqK, residual sub-dist2 ≪ 2⁶⁰)
+    val codes = subs.join(codebook, "j")
+      .select(col("vec_id"), col("cent_id"), col("j"),
+        (expr(d2s) * PqK + col("c")).as("packed"))
+      .groupBy("vec_id", "cent_id", "j")
+      .agg(min(col("packed")).as("k"))
+      .select(col("vec_id"), col("cent_id"), col("j"),
+        (col("k") % PqK).cast("int").as("code"))
+    // probe: IvfPqNprobe nearest cells, probe residual PER probed cell
+    val probeCells = cand.where(col("vec_id") === 0)
+      .orderBy(col("dist2").asc, col("cent_id").asc).limit(IvfPqNprobe)
+      .join(cents, "cent_id")
+      .select(col("cent_id").as("pcent"),
+        expr("zip_with(q, qc, (a, b) -> a - b)").as("pr"))
+    val probeSubs = probeCells.select(col("pcent"),
+      posexplode(expr(s"transform(sequence(0, ${PqM - 1}), " +
+        s"j -> slice(pr, j * $PqSubDim + 1, $PqSubDim))")))
+      .toDF("pcent", "j", "psub")
+    val d2p = s"(${dotL("psub", "psub")} - 2 * ${dotL("psub", "csub")} + " +
+      s"${dotL("csub", "csub")})"
+    val adcTable = broadcast(probeSubs.join(codebook, "j")
+      .select(col("pcent"), col("j").as("aj"), col("c"), expr(d2p).as("t")))
+    // scan codes, not vectors: the cent_id = pcent key IS the coarse
+    // prune (unprobed cells never match the broadcast ADC table)
+    codes.where(col("vec_id") =!= 0)
+      .join(adcTable, col("cent_id") === col("pcent") &&
+        col("j") === col("aj") && col("code") === col("c"))
+      .groupBy("vec_id", "cent_id")
+      .agg(sum(col("t")).as("adist2"))
+  }
+
   /** q_sim_search_ivf_kmeans — IVF-ANN with a REAL training step:
     * spark.ml KMeans (k=8, fixed seed) learns the coarse quantizer,
     * every vector is assigned to its nearest learned centroid, and the
@@ -3305,6 +3402,7 @@ object LlmPipeline {
     "q_lsh_bucket_stats"    -> (lshBucketStats _),
     "q_sim_search_lsh_mp"   -> (simSearchLshMp _),
     "q_sim_search_pq"       -> (simSearchPq _),
+    "q_sim_search_ivfpq"    -> (simSearchIvfPq _),
     "q_sim_search_ivf_kmeans" -> (simSearchIvfKmeans _),
     "q_sim_search_ivf_kmeans_probe" -> (simSearchIvfKmeansProbe _),
     "q_text_tokens"         -> (textTokens _),
@@ -3753,6 +3851,44 @@ object LlmPipeline {
           "FROM codes JOIN adc ON codes.j = adc.j AND codes.code = adc.c " +
           "WHERE codes.vec_id <> 0 " +
           "GROUP BY codes.vec_id ORDER BY adist2 ASC, vec_id ASC LIMIT 5"
+      },
+      "q_sim_search_ivfpq" -> {
+        def d2(a: String, b: String) =
+          s"CAST(list_sum(list_transform(list_zip($a, $b), " +
+            "p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT)"
+        def slices(src: String, arr: String, extra: String) =
+          (0 until PqM).map { j =>
+            val lo = j * PqSubDim + 1
+            val hi = (j + 1) * PqSubDim
+            s"SELECT $extra, $j AS j, $arr[$lo:$hi] AS s FROM $src"
+          }.mkString(" UNION ALL ")
+        s"WITH q AS (SELECT vec_id, $quantDuck AS q FROM embeddings), " +
+          s"cents AS (SELECT vec_id AS cent_id, q AS qc FROM q WHERE vec_id < $IvfNlist), " +
+          s"dists AS (SELECT vec_id, q, cent_id, ${d2("q", "qc")} AS dist2 FROM q, cents), " +
+          "assigned AS (SELECT vec_id, q, cent_id FROM dists " +
+          "QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist2 ASC, cent_id ASC) = 1), " +
+          "resid AS (SELECT a.vec_id, a.cent_id, " +
+          "list_transform(list_zip(a.q, c.qc), p -> p[1] - p[2]) AS r " +
+          "FROM assigned a JOIN cents c ON a.cent_id = c.cent_id), " +
+          s"subs AS (${slices("resid", "r", "vec_id, cent_id")}), " +
+          s"cb AS (SELECT CAST(vec_id - $PqK AS INTEGER) AS c, j, s AS csub " +
+          s"FROM subs WHERE vec_id >= $PqK AND vec_id < ${2 * PqK}), " +
+          s"codes AS (SELECT vec_id, cent_id, j, " +
+          s"CAST(min(${d2("s", "csub")} * $PqK + c) % $PqK AS INTEGER) AS code " +
+          "FROM subs JOIN cb USING (j) GROUP BY vec_id, cent_id, j), " +
+          "pcells AS (SELECT cent_id AS pcent, q FROM dists WHERE vec_id = 0 " +
+          s"QUALIFY row_number() OVER (ORDER BY dist2 ASC, cent_id ASC) <= $IvfPqNprobe), " +
+          "presid AS (SELECT pcent, " +
+          "list_transform(list_zip(p.q, c.qc), z -> z[1] - z[2]) AS pr " +
+          "FROM pcells p JOIN cents c ON p.pcent = c.cent_id), " +
+          s"psubs AS (${slices("presid", "pr", "pcent")}), " +
+          s"adc AS (SELECT pcent, j, c, ${d2("s", "csub")} AS t " +
+          "FROM psubs JOIN cb USING (j)) " +
+          "SELECT v.vec_id, v.cent_id, CAST(sum(adc.t) AS BIGINT) AS adist2 " +
+          "FROM codes v JOIN adc ON v.cent_id = adc.pcent " +
+          "AND v.j = adc.j AND v.code = adc.c " +
+          "WHERE v.vec_id <> 0 GROUP BY v.vec_id, v.cent_id " +
+          "ORDER BY adist2 ASC, vec_id ASC LIMIT 5"
       },
       "q_text_tokens" ->
         ("SELECT lang, rn, tok, n FROM (SELECT lang, tok, count(*) AS n, " +
@@ -4767,6 +4903,42 @@ object LlmPipeline {
           "FROM codes JOIN adc ON codes.j = adc.j AND codes.code = adc.c " +
           "WHERE codes.vec_id <> 0 " +
           "GROUP BY codes.vec_id ORDER BY adist2 ASC, vec_id ASC LIMIT 5"
+      },
+      "q_sim_search_ivfpq" -> {
+        def d2(a: String, b: String) =
+          s"(${dot(a, a)} - 2 * ${dot(a, b)} + ${dot(b, b)})"
+        def slices(src: String, arr: String, extra: String) =
+          (0 until PqM).map { j =>
+            s"SELECT $extra, $j AS j, slice($arr, ${j * PqSubDim + 1}, $PqSubDim) AS s FROM $src"
+          }.mkString(" UNION ALL ")
+        s"WITH q AS (SELECT vec_id, $quantS AS q FROM embeddings), " +
+          s"cents AS (SELECT vec_id AS cent_id, q AS qc FROM q WHERE vec_id < $IvfNlist), " +
+          s"dists AS (SELECT q.vec_id, q.q, cent_id, qc, ${d2("q.q", "qc")} AS dist2 " +
+          "FROM q CROSS JOIN cents), " +
+          // packed argmin instead of QUALIFY (Spark has no QUALIFY)
+          s"assigned AS (SELECT vec_id, min(dist2 * $IvfNlist + cent_id) % $IvfNlist AS cent_id " +
+          "FROM dists GROUP BY vec_id), " +
+          "resid AS (SELECT a.vec_id, a.cent_id, zip_with(q.q, c.qc, (x, y) -> x - y) AS r " +
+          "FROM assigned a JOIN q ON q.vec_id = a.vec_id JOIN cents c ON a.cent_id = c.cent_id), " +
+          s"subs AS (${slices("resid", "r", "vec_id, cent_id")}), " +
+          s"cb AS (SELECT CAST(vec_id - $PqK AS INT) AS c, j, s AS csub " +
+          s"FROM subs WHERE vec_id >= $PqK AND vec_id < ${2 * PqK}), " +
+          s"codes AS (SELECT vec_id, cent_id, j, " +
+          s"CAST(min(${d2("s", "csub")} * $PqK + c) % $PqK AS INT) AS code " +
+          "FROM subs JOIN cb USING (j) GROUP BY vec_id, cent_id, j), " +
+          "pcells AS (SELECT cent_id AS pcent FROM (SELECT cent_id, " +
+          "row_number() OVER (ORDER BY dist2 ASC, cent_id ASC) AS rn " +
+          s"FROM dists WHERE vec_id = 0) WHERE rn <= $IvfPqNprobe), " +
+          "presid AS (SELECT pcent, zip_with(q.q, c.qc, (x, y) -> x - y) AS pr " +
+          "FROM pcells JOIN q ON q.vec_id = 0 JOIN cents c ON pcent = c.cent_id), " +
+          s"psubs AS (${slices("presid", "pr", "pcent")}), " +
+          s"adc AS (SELECT pcent, j, c, ${d2("s", "csub")} AS t " +
+          "FROM psubs JOIN cb USING (j)) " +
+          "SELECT v.vec_id, v.cent_id, sum(adc.t) AS adist2 " +
+          "FROM codes v JOIN adc ON v.cent_id = adc.pcent " +
+          "AND v.j = adc.j AND v.code = adc.c " +
+          "WHERE v.vec_id <> 0 GROUP BY v.vec_id, v.cent_id " +
+          "ORDER BY adist2 ASC, vec_id ASC LIMIT 5"
       },
       "q_boilerplate_score" ->
         (s"$dsCte, " +

@@ -364,6 +364,74 @@ class LlmPipelineSpec extends AnyFunSuite {
     assert(top == expTop)
   }
 
+  test("q_sim_search_ivfpq: plain-Scala witness equality, residual refinement, recall floors") {
+    val d = SparkTestSession.sf0001
+    // ---- independent plain-Scala IVF-PQ over the collected corpus:
+    // same geometry, zero shared query code — the witness the whole
+    // distributed pipeline must reproduce EXACTLY (integer math)
+    val e = graft.Tables.embeddings(spark, d).selectExpr("vec_id",
+      "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    val nlist = ops.LlmPipeline.IvfNlist
+    val pqM = ops.LlmPipeline.PqM; val pqSub = ops.LlmPipeline.PqSubDim
+    val pqK = ops.LlmPipeline.PqK
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    def argmin(ds: Seq[Long]): Int = ds.zipWithIndex.minBy { case (v, i) => (v, i) }._2
+    val cents = (0 until nlist).map(c => e(c.toLong))
+    val cell = e.map { case (v, q) => v -> argmin(cents.map(d2(_, q))) }
+    val resid = e.map { case (v, q) =>
+      v -> q.zip(cents(cell(v))).map { case (x, y) => x - y } }
+    def sub(r: Array[Long], j: Int) = r.slice(j * pqSub, j * pqSub + pqSub)
+    val cb = (0 until pqK).map(c => resid((pqK + c).toLong)) // residuals of 8..15
+    val codes = resid.map { case (v, r) =>
+      v -> (0 until pqM).map(j => argmin(cb.map(cv => d2(sub(cv, j), sub(r, j))))) }
+    val probed = (0 until nlist).sortBy(c => (d2(cents(c), e(0L)), c)).take(
+      ops.LlmPipeline.IvfPqNprobe).toSet
+    val expected = e.keys.filter(v => v != 0L && probed(cell(v))).map { v =>
+      val pc = cell(v)
+      val pr = e(0L).zip(cents(pc)).map { case (x, y) => x - y }
+      val ad = (0 until pqM).map(j => d2(sub(cb(codes(v)(j)), j), sub(pr, j))).sum
+      (v, pc.toLong, ad)
+    }.toSet
+    val all = ops.LlmPipeline.ivfPqAdcAll(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(all == expected,
+      s"distributed IVF-PQ diverged from the plain-Scala witness " +
+        s"(${(all -- expected).take(3)} vs ${(expected -- all).take(3)})")
+    // ---- ADC identity: codebook vectors' codes reconstruct their
+    // residual losslessly, and probe/candidate residuals share the
+    // probed cell's centroid, so adist2 == EXACT |q0 - qv|²
+    val adist = all.map(t => t._1 -> t._3).toMap
+    val exact = e.collect { case (v, q) if v != 0L => v -> d2(e(0L), q) }.toMap
+    val cbInProbed = (pqK until 2 * pqK).map(_.toLong).filter(adist.contains)
+    assert(cbInProbed.nonEmpty, "no codebook vector landed in a probed cell")
+    cbInProbed.foreach { v =>
+      assert(adist(v) == exact(v), s"cb vec $v: ADC ${adist(v)} != exact ${exact(v)}")
+    }
+    // ---- the reason IVF-PQ quantizes RESIDUALS: within the probed
+    // cells, residual-ADC distances track exact distances strictly
+    // better than raw-PQ ADC (q_sim_search_pq's full-corpus scan)
+    val rawAdc = ops.LlmPipeline.pqAdcAll(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val errResid = adist.map { case (v, a) => math.abs(a - exact(v)).toDouble }.sum
+    val errRaw = adist.keys.map(v => math.abs(rawAdc(v) - exact(v)).toDouble).sum
+    assert(errResid < errRaw,
+      s"residual quantization did not refine: $errResid !< $errRaw")
+    // ---- recall floors (non-vacuous prune + non-vacuous ordering):
+    // the probed cells must hold brute-force neighbors, and the
+    // registered top-5 must recall at least one
+    val top5Exact = exact.toSeq.sortBy { case (v, dd) => (dd, v) }.take(5).map(_._1).toSet
+    assert(top5Exact.count(adist.contains) >= 3,
+      "coarse prune lost the brute-force neighborhood")
+    val top = ops.LlmPipeline.simSearchIvfPq(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val expTop = all.toSeq.sortBy { case (v, _, ad) => (ad, v) }.take(5)
+    assert(top == expTop, "registered query is not the ADC scan's head")
+    assert(top.map(_._1).count(top5Exact) >= 1,
+      "IVF-PQ top-5 recalled none of the exact top-5")
+  }
+
   test("q_sample_stratified: deterministic subset with per-stratum rates") {
     val d = SparkTestSession.sf0001
     val a = ops.LlmPipeline.sampleStratified(spark, d).collect()
