@@ -530,59 +530,54 @@ object LlmPipeline {
       .agg(count(lit(1)).as("n_docs"))
       .where(col("n_docs") > cap)
 
-  /** #44 q_dedup_near — near-duplicate pairs at Jaccard distance ≤ 0.5
-    * (spark.ml MinHashLSH semantics), computed the scale-safe way:
-    * EXACT-collapse verbatim copies to their min-id representative
-    * (hash-groupBy, linear), run the LSH join over REPRESENTATIVES
-    * only, then re-expand pairs through the copy groups. Identical
-    * text ⇒ identical shingle set ⇒ identical MinHash signature, so a
-    * copy's join partners are exactly its representative's at the same
-    * distance, and intra-group pairs are distance 0 — the expansion
-    * reconstructs the whole-corpus join result DETERMINISTICALLY while
-    * the duplicate mass never reaches approxSimilarityJoin (which has
-    * no within-bucket cap: the r11 whole-corpus form of this query
-    * OOM'd a 48 GB heap at the 100× adversarial corpus, BENCHNOTES
-    * r11 — that form survives only as the spec-only witness
-    * dedupNearUncollapsed). Approximate (hash-seed-dependent) at the
-    * rep level, so no DuckDB oracle — rows-only + planted-recall spec;
-    * the collapse stage gets its hash-gate anchor from
-    * q_dedup_collapsed_jaccard.
+  /** #44 q_dedup_near — near-duplicate pairs at shingle-set Jaccard >
+    * 1/2 (distance < 0.5), computed end-to-end by the repo's OWN
+    * scale-fenced chain (VERDICT r14 #4: spark.ml's
+    * approxSimilarityJoin, whose uncapped in-bucket join was the last
+    * quadratic surface and the whole sf10 bench tail, is retired to
+    * the spec-only cross-check dedupNearUncollapsed):
+    *   1. EXACT-collapse verbatim copies to their min-id
+    *      representative (hash-groupBy, linear);
+    *   2. banded-MinHash candidates over REPRESENTATIVES only
+    *      (minhashPairsFromBanded — one shuffle on (band, band_key),
+    *      pairs bucket-local, HotBucketCap fences pathological
+    *      buckets);
+    *   3. EXACT verify: true shingle-hash Jaccard per candidate (the
+    *      dedupVerify core — the re-read is semi-joined to
+    *      docs-in-pairs, so verify cost is candidate-set-bounded);
+    *   4. re-expand through the copy groups (+ distance-0 intra
+    *      pairs).
+    * Identical text ⇒ identical signature ⇒ identical buckets, so the
+    * expansion reconstructs the whole-corpus result while duplicate
+    * mass never reaches pair generation (and can never overflow the
+    * bucket cap). RAW-text collapse key, NOT lower(trim(...)): only
+    * byte-identical texts are guaranteed identical signatures.
+    * Deterministic end-to-end (fixed salts, exact integer Jaccard) —
+    * so unlike the spark.ml form this query is fully ORACLE-CHECKED,
+    * with the planted-recall and ml-cross-check specs on top.
     */
   private val lastNearHashed =
     new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
 
   def dedupNear(s: SparkSession, d: String): DataFrame = {
-    // one tokens pass; copies of one text produce identical rows, so
-    // group membership is uniform w.r.t. the empty-shingle filter.
-    // RAW-text collapse key, NOT lower(trim(...)): shingles are computed
-    // case/whitespace-sensitively, so only byte-identical texts are
-    // guaranteed identical signatures — a case-variant copy collapsed
-    // into the group would inherit its representative's pairs at the
-    // wrong distances (and distance-0 intra pairs it doesn't have).
-    val toks = withTk(Tables.documents(s, d))
-      .select(col("doc_id"),
-        md5(coalesce(col("text"), lit(""))).as("norm_key"),
-        expr(s"array_distinct($shingles)").as("tokens"))
-      .where(expr("size(tokens) > 0"))
-      .pinned() // feeds the collapse, the LSH side, and the expansion
-    val members = toks.select(col("doc_id"), col("norm_key"))
+    val members = Tables.documents(s, d)
+      .select(col("doc_id"), md5(coalesce(col("text"), lit(""))).as("norm_key"))
     val reps = members.groupBy("norm_key").agg(min("doc_id").as("rep"))
     val docRep = members.join(reps, "norm_key")
       .select(col("doc_id"), col("rep")).pinned()
     // Short-circuit on a duplicate-FREE corpus (VERDICT r12 #6): when
     // every doc is its own representative the expansion is an identity
-    // map and the intra-group pairs are empty, so the two re-expansion
-    // equi-joins and the union are pure overhead — return the rep-level
-    // join directly (over ALL docs, since reps == docs). One cheap
-    // existence probe over the already-pinned membership frame decides.
+    // map and the intra-group pairs are empty, so the re-expansion
+    // equi-joins, the corpus-sized intra self-join, and the union are
+    // pure overhead — run the verified chain over all docs directly.
     val hasCopies = !docRep.where(col("doc_id") =!= col("rep")).isEmpty
     if (!hasCopies)
-      return nearLshJoin(toks.select(col("doc_id"), col("tokens")))
-    val repPairs = nearLshJoin(
-      toks.join(docRep.where(col("doc_id") === col("rep")).select("doc_id"), "doc_id")
-        .select(col("doc_id"), col("tokens")))
+      return nearBandedVerified(s, d, None).orderBy("doc_a", "doc_b")
+    val repPairs = nearBandedVerified(s, d,
+      Some(docRep.where(col("doc_id") === col("rep")).select("doc_id")))
+      .pinned()
     // expansion: linear equi-joins on the rep key; intra-group pairs are
-    // output-inherent (the whole-corpus join emits them too)
+    // output-inherent (the whole-corpus chain emits them too)
     val cross = repPairs
       .join(docRep.select(col("rep").as("doc_a"), col("doc_id").as("xa")), "doc_a")
       .join(docRep.select(col("rep").as("doc_b"), col("doc_id").as("xb")), "doc_b")
@@ -595,27 +590,63 @@ object LlmPipeline {
     cross.unionByName(intra).orderBy("doc_a", "doc_b")
   }
 
-  /** The r11 whole-corpus MinHashLSH join — retained ONLY as the spec
-    * witness that the collapsed+expanded registry form reproduces it
-    * (LlmPipelineSpec); never registered: approxSimilarityJoin with no
-    * within-bucket cap is the documented 100×-corpus OOM casualty.
+  /** The banded-candidate → exact-verify near-dup core over `only` docs
+    * (the whole corpus when None): HotBucketCap'd banded-MinHash pair
+    * generation (restricting the memoized full-corpus banding is exact —
+    * signatures are per-doc), then the dedupVerify exact-Jaccard
+    * confirm. The near threshold is decided in exact INTEGERS —
+    * 2·|∩| > |∪| ⇔ J > 1/2 ⇔ distance < 0.5 — so no engine ever
+    * compares a rounded double at the boundary; the emitted
+    * jaccard_dist is the IEEE double 1 − |∩|/|∪| (exactly-rounded ops
+    * over exact integers: bit-identical on every engine).
+    */
+  private[graft] def nearBandedVerified(
+      s: SparkSession, d: String, only: Option[DataFrame]): DataFrame = {
+    val banded = only match {
+      case Some(ids) => minhashBanded(s, d).join(ids, Seq("doc_id"), "left_semi")
+      case None => minhashBanded(s, d)
+    }
+    val pairs = minhashPairsFromBanded(banded).pinned()
+    val docsInPairs = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    val sh = verifyShingleHashes(s, d, docsInPairs).pinned()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = pairs
+      .join(sh.select(col("doc_id").as("doc_a"), col("h")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("h")), Seq("doc_b", "h"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+    // inner join on inter: a zero-intersection candidate cannot pass
+    // J > 1/2, so the left-coalesce of dedupVerify is dead weight here
+    pairs.join(inter, Seq("doc_a", "doc_b"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), Seq("doc_b"))
+      .where(col("n_inter") * 2 > col("n_a") + col("n_b") - col("n_inter"))
+      .select(col("doc_a"), col("doc_b"),
+        (lit(1.0) - col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter"))).as("jaccard_dist"))
+  }
+
+  /** The spark.ml whole-corpus MinHashLSH join — retained ONLY as the
+    * SPEC-ONLY cross-check against the registered banded+verified chain
+    * (LlmPipelineSpec: both families must recall every planted
+    * near-dup); never registered: approxSimilarityJoin with no
+    * within-bucket cap is the documented 100×-corpus OOM casualty
+    * (BENCHNOTES r11) and the retired sf10 bench tail (VERDICT r14 #4).
     */
   private[graft] def dedupNearUncollapsed(s: SparkSession, d: String): DataFrame =
     nearLshJoin(withTk(Tables.documents(s, d))
       .select(col("doc_id"), expr(s"array_distinct($shingles)").as("tokens")))
 
-  /** q_dedup_near_collapsed — the production composition that makes the
-    * library LSH variant survive duplicate-heavy corpora: EXACT dedup
-    * first (verbatim copies collapse to their min-id representative via
-    * the q_dedup_exact hash-groupBy, which scales linearly), THEN the
-    * MinHashLSH join over representatives only. The 100× stress probe
-    * is the motivation: spark.ml's approxSimilarityJoin has no
-    * within-bucket cap, so 100 verbatim copies of each doc explode the
-    * join quadratically until the stage OOMs — collapsed first, the
-    * duplicate mass never reaches the join. Same output shape as
-    * q_dedup_near, restricted to representatives (identical on a
-    * corpus with no verbatim duplicates — spec-pinned on the planted
-    * fixture).
+  /** q_dedup_near_collapsed — q_dedup_near's rep-level form WITHOUT the
+    * expansion: EXACT dedup first (verbatim copies collapse to their
+    * min-id representative — linear hash-groupBy), then the capped
+    * banded-candidate + exact-verify chain over representatives only.
+    * This is the production decision surface (a dedup KEEPS one doc per
+    * near-group; partners of a dropped copy are noise), and collapse-
+    * first is what makes any LSH family survive duplicate-heavy
+    * corpora: duplicate mass never reaches pair generation, so it can
+    * neither explode a bucket nor overflow the cap. Same output shape
+    * as q_dedup_near, restricted to representatives; oracle-checked.
     */
   def dedupNearCollapsed(s: SparkSession, d: String): DataFrame = {
     // raw-text collapse (the dedupNear rule): only byte-identical texts
@@ -624,8 +655,7 @@ object LlmPipeline {
       .groupBy(md5(coalesce(col("text"), lit(""))).as("norm_key"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id")
-    nearLshJoin(withTk(Tables.documents(s, d).join(reps, "doc_id"))
-      .select(col("doc_id"), expr(s"array_distinct($shingles)").as("tokens")))
+    nearBandedVerified(s, d, Some(reps)).orderBy("doc_a", "doc_b")
   }
 
   /** The MinHashLSH near-dup join over a (doc_id, tokens) frame —
@@ -4028,6 +4058,72 @@ object LlmPipeline {
           "SELECT doc_a, doc_b, jaccard_ppm, " +
           s"jaccard_ppm >= ${LlmPipeline.VerifyDupPpm} AS is_dup " +
           "FROM jv ORDER BY doc_a, doc_b"),
+      // q_dedup_near / _collapsed: the banded+verified chain is fully
+      // deterministic (fixed salts, exact integer Jaccard), so the
+      // formerly no-oracle LSH rows graduate to the hash gate. The
+      // mirror restricts banding to min-doc_id representatives, pairs
+      // within capped buckets, confirms 2·|∩| > |∪| in integers, and
+      // (for q_dedup_near) re-expands through the copy groups.
+      "q_dedup_near" ->
+        (s"$minhashBandsDuck, " +
+          "mem AS (SELECT doc_id, md5(coalesce(text, '')) AS norm_key FROM documents), " +
+          "grp AS (SELECT norm_key, min(doc_id) AS rep FROM mem GROUP BY norm_key), " +
+          "docrep AS (SELECT m.doc_id, g.rep FROM mem m JOIN grp g ON g.norm_key = m.norm_key), " +
+          "rb AS (SELECT b.doc_id, b.band, b.band_key FROM bands b " +
+          "JOIN docrep dr ON dr.doc_id = b.doc_id AND dr.rep = b.doc_id), " +
+          "ok AS (SELECT band, band_key FROM rb GROUP BY band, band_key " +
+          s"HAVING count(*) <= ${LlmPipeline.HotBucketCap}), " +
+          "pr AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b " +
+          "FROM rb a JOIN ok ON ok.band = a.band AND ok.band_key = a.band_key " +
+          "JOIN rb b ON a.band = b.band AND a.band_key = b.band_key " +
+          "AND a.doc_id < b.doc_id), " +
+          "din AS (SELECT doc_a AS doc_id FROM pr UNION SELECT doc_b FROM pr), " +
+          s"shv AS (SELECT doc_id, unnest(list_distinct($shinglesDuck)) AS s " +
+          "FROM documents WHERE doc_id IN (SELECT doc_id FROM din)), " +
+          "hv AS (SELECT doc_id, " +
+          "CAST(concat('0x', substring(md5(s), 1, 15)) AS BIGINT) AS h FROM shv), " +
+          "sz AS (SELECT doc_id, count(*) AS n FROM hv GROUP BY doc_id), " +
+          "iv AS (SELECT p.doc_a, p.doc_b, count(*) AS n_inter FROM pr p " +
+          "JOIN hv a ON a.doc_id = p.doc_a " +
+          "JOIN hv b ON b.doc_id = p.doc_b AND b.h = a.h " +
+          "GROUP BY p.doc_a, p.doc_b), " +
+          "rp AS (SELECT iv.doc_a, iv.doc_b, " +
+          "1.0 - CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) AS jaccard_dist " +
+          "FROM iv JOIN sz sa ON sa.doc_id = iv.doc_a JOIN sz sb ON sb.doc_id = iv.doc_b " +
+          "WHERE 2 * n_inter > sa.n + sb.n - n_inter), " +
+          "ex AS (SELECT least(ma.doc_id, mb.doc_id) AS doc_a, " +
+          "greatest(ma.doc_id, mb.doc_id) AS doc_b, jaccard_dist " +
+          "FROM rp JOIN docrep ma ON ma.rep = rp.doc_a JOIN docrep mb ON mb.rep = rp.doc_b " +
+          "UNION ALL SELECT m1.doc_id, m2.doc_id, CAST(0.0 AS DOUBLE) " +
+          "FROM docrep m1 JOIN docrep m2 ON m1.rep = m2.rep AND m1.doc_id < m2.doc_id) " +
+          "SELECT doc_a, doc_b, jaccard_dist FROM ex ORDER BY doc_a, doc_b"),
+      "q_dedup_near_collapsed" ->
+        (s"$minhashBandsDuck, " +
+          "mem AS (SELECT doc_id, md5(coalesce(text, '')) AS norm_key FROM documents), " +
+          "grp AS (SELECT norm_key, min(doc_id) AS rep FROM mem GROUP BY norm_key), " +
+          "rb AS (SELECT b.doc_id, b.band, b.band_key FROM bands b " +
+          "JOIN grp g ON g.rep = b.doc_id), " +
+          "ok AS (SELECT band, band_key FROM rb GROUP BY band, band_key " +
+          s"HAVING count(*) <= ${LlmPipeline.HotBucketCap}), " +
+          "pr AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b " +
+          "FROM rb a JOIN ok ON ok.band = a.band AND ok.band_key = a.band_key " +
+          "JOIN rb b ON a.band = b.band AND a.band_key = b.band_key " +
+          "AND a.doc_id < b.doc_id), " +
+          "din AS (SELECT doc_a AS doc_id FROM pr UNION SELECT doc_b FROM pr), " +
+          s"shv AS (SELECT doc_id, unnest(list_distinct($shinglesDuck)) AS s " +
+          "FROM documents WHERE doc_id IN (SELECT doc_id FROM din)), " +
+          "hv AS (SELECT doc_id, " +
+          "CAST(concat('0x', substring(md5(s), 1, 15)) AS BIGINT) AS h FROM shv), " +
+          "sz AS (SELECT doc_id, count(*) AS n FROM hv GROUP BY doc_id), " +
+          "iv AS (SELECT p.doc_a, p.doc_b, count(*) AS n_inter FROM pr p " +
+          "JOIN hv a ON a.doc_id = p.doc_a " +
+          "JOIN hv b ON b.doc_id = p.doc_b AND b.h = a.h " +
+          "GROUP BY p.doc_a, p.doc_b) " +
+          "SELECT iv.doc_a, iv.doc_b, " +
+          "1.0 - CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) AS jaccard_dist " +
+          "FROM iv JOIN sz sa ON sa.doc_id = iv.doc_a JOIN sz sb ON sb.doc_id = iv.doc_b " +
+          "WHERE 2 * n_inter > sa.n + sb.n - n_inter " +
+          "ORDER BY doc_a, doc_b"),
       "q_split_assign" ->
         ("WITH d0 AS (SELECT source, coalesce(text, '') AS text, " +
           "CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS b " +
@@ -5238,43 +5334,68 @@ object LlmPipeline {
           "SELECT doc_id, n_bytes, gzip_bytes, " +
           "gzip_bytes * 1000000 DIV greatest(n_bytes, 1) AS ratio_ppm " +
           "FROM b ORDER BY doc_id"),
-      // q_dedup_near's text is the EXACT shingle-Jaccard pair join at the
-      // same strict <0.5 distance threshold approxSimilarityJoin applies;
-      // it equals the LSH output whenever recall is 100% (pinned on the
-      // fixture by the planted-dup spec) and no HashingTF bucket
-      // collision crosses the threshold.
+      // q_dedup_near / _collapsed: the banded+verified chain in Spark
+      // dialect — same CTE skeleton as the DuckDB oracle (reps-
+      // restricted banding, capped buckets, integer 2·|∩| > |∪|
+      // threshold, expansion for the full form)
       "q_dedup_near_collapsed" ->
-        (s"WITH $dtk, " +
-          // raw-text collapse key matching dedupNearCollapsed (the
-          // 0d1da8f rule): lower(trim) here would collapse case
-          // variants whose shingle sets differ
-          "reps AS (SELECT min(doc_id) AS doc_id FROM documents " +
+        (s"$minhashCtes, " +
+          "grp AS (SELECT min(doc_id) AS rep FROM documents " +
           "GROUP BY md5(coalesce(text, ''))), " +
-          s"ds AS (SELECT doc_id, ${hash("s")} AS sh FROM " +
-          s"(SELECT t.doc_id, explode(array_distinct($shS)) AS s " +
-          "FROM dtk t JOIN reps USING (doc_id))), " +
-          "sizes AS (SELECT doc_id, count(*) AS n_sh FROM ds GROUP BY doc_id), " +
-          "ok AS (SELECT sh FROM ds GROUP BY sh HAVING count(DISTINCT doc_id) > 1), " +
-          "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(DISTINCT a.sh) AS n_inter " +
-          "FROM ds a JOIN ok ON ok.sh = a.sh JOIN ds b ON a.sh = b.sh AND a.doc_id < b.doc_id " +
-          "GROUP BY 1, 2), " +
-          "j AS (SELECT doc_a, doc_b, " +
-          "1.0D - CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) AS jaccard_dist " +
-          "FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b) " +
-          "SELECT doc_a, doc_b, jaccard_dist FROM j WHERE jaccard_dist < 0.5D " +
+          "rb AS (SELECT b.doc_id, b.band, b.band_key FROM bands b " +
+          "JOIN grp g ON g.rep = b.doc_id), " +
+          "ok AS (SELECT band, band_key FROM rb GROUP BY band, band_key " +
+          s"HAVING count(*) <= $HotBucketCap), " +
+          "pr AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM rb a " +
+          "JOIN ok ON ok.band = a.band AND ok.band_key = a.band_key " +
+          "JOIN rb b ON a.band = b.band AND a.band_key = b.band_key " +
+          "AND a.doc_id < b.doc_id), " +
+          "din AS (SELECT doc_a AS doc_id FROM pr UNION SELECT doc_b AS doc_id FROM pr), " +
+          s"shv AS (SELECT doc_id, explode(array_distinct($shS)) AS s FROM dtk " +
+          "WHERE doc_id IN (SELECT doc_id FROM din)), " +
+          s"hv AS (SELECT doc_id, ${hash("s")} AS h FROM shv), " +
+          "sz AS (SELECT doc_id, count(*) AS n FROM hv GROUP BY doc_id), " +
+          "iv AS (SELECT p.doc_a, p.doc_b, count(*) AS n_inter FROM pr p " +
+          "JOIN hv a ON a.doc_id = p.doc_a " +
+          "JOIN hv b ON b.doc_id = p.doc_b AND b.h = a.h " +
+          "GROUP BY p.doc_a, p.doc_b) " +
+          "SELECT iv.doc_a, iv.doc_b, " +
+          "1.0D - CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) AS jaccard_dist " +
+          "FROM iv JOIN sz sa ON sa.doc_id = iv.doc_a JOIN sz sb ON sb.doc_id = iv.doc_b " +
+          "WHERE 2 * n_inter > sa.n + sb.n - n_inter " +
           "ORDER BY doc_a, doc_b"),
       "q_dedup_near" ->
-        (s"$dsCte, " +
-          "sizes AS (SELECT doc_id, count(*) AS n_sh FROM ds GROUP BY doc_id), " +
-          "ok AS (SELECT sh FROM ds GROUP BY sh HAVING count(DISTINCT doc_id) > 1), " +
-          "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(DISTINCT a.sh) AS n_inter " +
-          "FROM ds a JOIN ok ON ok.sh = a.sh JOIN ds b ON a.sh = b.sh AND a.doc_id < b.doc_id " +
-          "GROUP BY 1, 2), " +
-          "j AS (SELECT doc_a, doc_b, " +
-          "1.0D - CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) AS jaccard_dist " +
-          "FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b) " +
-          "SELECT doc_a, doc_b, jaccard_dist FROM j WHERE jaccard_dist < 0.5D " +
-          "ORDER BY doc_a, doc_b"),
+        (s"$minhashCtes, " +
+          "mem AS (SELECT doc_id, md5(coalesce(text, '')) AS norm_key FROM documents), " +
+          "grp AS (SELECT norm_key, min(doc_id) AS rep FROM mem GROUP BY norm_key), " +
+          "docrep AS (SELECT m.doc_id, g.rep FROM mem m JOIN grp g ON g.norm_key = m.norm_key), " +
+          "rb AS (SELECT b.doc_id, b.band, b.band_key FROM bands b " +
+          "JOIN docrep dr ON dr.doc_id = b.doc_id AND dr.rep = b.doc_id), " +
+          "ok AS (SELECT band, band_key FROM rb GROUP BY band, band_key " +
+          s"HAVING count(*) <= $HotBucketCap), " +
+          "pr AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM rb a " +
+          "JOIN ok ON ok.band = a.band AND ok.band_key = a.band_key " +
+          "JOIN rb b ON a.band = b.band AND a.band_key = b.band_key " +
+          "AND a.doc_id < b.doc_id), " +
+          "din AS (SELECT doc_a AS doc_id FROM pr UNION SELECT doc_b AS doc_id FROM pr), " +
+          s"shv AS (SELECT doc_id, explode(array_distinct($shS)) AS s FROM dtk " +
+          "WHERE doc_id IN (SELECT doc_id FROM din)), " +
+          s"hv AS (SELECT doc_id, ${hash("s")} AS h FROM shv), " +
+          "sz AS (SELECT doc_id, count(*) AS n FROM hv GROUP BY doc_id), " +
+          "iv AS (SELECT p.doc_a, p.doc_b, count(*) AS n_inter FROM pr p " +
+          "JOIN hv a ON a.doc_id = p.doc_a " +
+          "JOIN hv b ON b.doc_id = p.doc_b AND b.h = a.h " +
+          "GROUP BY p.doc_a, p.doc_b), " +
+          "rp AS (SELECT iv.doc_a, iv.doc_b, " +
+          "1.0D - CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) AS jaccard_dist " +
+          "FROM iv JOIN sz sa ON sa.doc_id = iv.doc_a JOIN sz sb ON sb.doc_id = iv.doc_b " +
+          "WHERE 2 * n_inter > sa.n + sb.n - n_inter), " +
+          "ex AS (SELECT least(ma.doc_id, mb.doc_id) AS doc_a, " +
+          "greatest(ma.doc_id, mb.doc_id) AS doc_b, jaccard_dist " +
+          "FROM rp JOIN docrep ma ON ma.rep = rp.doc_a JOIN docrep mb ON mb.rep = rp.doc_b " +
+          "UNION ALL SELECT m1.doc_id, m2.doc_id, 0.0D " +
+          "FROM docrep m1 JOIN docrep m2 ON m1.rep = m2.rep AND m1.doc_id < m2.doc_id) " +
+          "SELECT doc_a, doc_b, jaccard_dist FROM ex ORDER BY doc_a, doc_b"),
       // the same rand(seed)-filter sampleBy compiles to, spelled as text
       "q_sample_stratified" -> {
         val cases = SampleFractions.toSeq.sorted

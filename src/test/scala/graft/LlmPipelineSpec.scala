@@ -1454,22 +1454,34 @@ class LlmPipelineSpec extends AnyFunSuite {
     assert(exact == Set((1L, 2L)))
   }
 
-  test("q_dedup_near (collapse+expand) reproduces the whole-corpus LSH join exactly") {
+  test("q_dedup_near (banded+verified, expanded) cross-checks the spark.ml LSH witness exactly") {
     import spark.implicits._
     val dir = LlmFixtures.plantedDir(spark) // doc 200 is a verbatim copy of doc 0
     def rows(df: org.apache.spark.sql.DataFrame) = df
       .select($"doc_a", $"doc_b", $"jaccard_dist".cast("double"))
       .as[(Long, Long, Double)].collect().toSet
-    // identical text ⇒ identical signature, so expanding rep-level pairs
-    // through the copy groups must equal the uncollapsed join, pair for
-    // pair AND distance for distance — including the (0, 200) intra-group
-    // pair at distance 0
+    // the registered chain (banded-MinHash candidates over reps → exact
+    // verify → expansion) against the RETIRED spark.ml whole-corpus
+    // approxSimilarityJoin (spec-only witness, VERDICT r14 #4): on a
+    // collision-free fixture both families' candidate sets cover every
+    // true near pair and both distances are exact 1 − |∩|/|∪| over
+    // distinct shingle sets, so the two INDEPENDENT implementations
+    // must agree pair for pair AND distance for distance — including
+    // the (0, 200) intra-group pair at distance 0
     val expanded = rows(ops.LlmPipeline.dedupNear(spark, dir))
     val wholeCorpus = rows(ops.LlmPipeline.dedupNearUncollapsed(spark, dir))
     assert(expanded == wholeCorpus,
       s"only-expanded: ${(expanded -- wholeCorpus).take(5)}; " +
         s"only-whole: ${(wholeCorpus -- expanded).take(5)}")
     assert(expanded.exists(p => p._1 == 0L && p._2 == 200L && p._3 == 0.0))
+    // and the expansion itself reconstructs the banded chain's own
+    // whole-corpus run (same family, no collapse) — the cap-safe
+    // rep-level form loses nothing on a fixture with small buckets
+    val bandedWhole = rows(ops.LlmPipeline.nearBandedVerified(spark, dir, None)
+      .orderBy("doc_a", "doc_b"))
+    assert(expanded == bandedWhole,
+      s"expansion diverged from the banded whole-corpus run: " +
+        s"${(expanded -- bandedWhole).take(5)} vs ${(bandedWhole -- expanded).take(5)}")
   }
 
   test("collapse key is RAW text: a case-variant copy never collapses or gains distance-0 pairs") {
