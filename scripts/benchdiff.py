@@ -22,6 +22,8 @@ import sys
 
 
 def load(path):
+    """Returns (times, shuffle_bytes): shuffle_bytes maps query ->
+    read_b + write_b (r15+ records; empty for older rounds)."""
     text = open(path).read()
     try:
         d = json.loads(text)
@@ -29,7 +31,10 @@ def load(path):
             p = d.get("parsed") or d
             qs = p.get("queries")
             if isinstance(qs, dict):
-                return {k: float(v) for k, v in qs.items()}
+                sh = {k: float(v.get("read_b", 0)) + float(v.get("write_b", 0))
+                      for k, v in (p.get("shuffle") or {}).items()
+                      if isinstance(v, dict)}
+                return {k: float(v) for k, v in qs.items()}, sh
     except (json.JSONDecodeError, AttributeError):
         pass
     qs = {}
@@ -37,7 +42,7 @@ def load(path):
         qs[m.group(1)] = float(m.group(2))
     if not qs:
         sys.exit(f"benchdiff: no per-query timings found in {path}")
-    return qs
+    return qs, {}
 
 
 def main():
@@ -50,7 +55,7 @@ def main():
             args.append(a)
     if len(args) != 2:
         sys.exit(__doc__)
-    old, new = load(args[0]), load(args[1])
+    (old, osh), (new, nsh) = load(args[0]), load(args[1])
     shared = sorted(set(old) & set(new))
     gone, added = sorted(set(old) - set(new)), sorted(set(new) - set(old))
     regress, improve = [], []
@@ -68,6 +73,16 @@ def main():
         print(f"REGRESS  {q:36s} {o:8.2f}s -> {n:8.2f}s  ({r:.2f}x)")
     for r, q, o, n in sorted(improve):
         print(f"improve  {q:36s} {o:8.2f}s -> {n:8.2f}s  ({r:.2f}x)")
+    # shuffle-bytes column (VERDICT r14 #5): bytes are deterministic, so
+    # inflation is signal even when wall-time hides it in box noise.
+    # Floor at 16 MB — small-query byte jitter (AQE coalescing) is not.
+    bregress = []
+    for q in sorted(set(osh) & set(nsh)):
+        ob, nb = osh[q], nsh[q]
+        if nb >= ob * th and nb - ob >= 16 * 1024 * 1024:
+            bregress.append((nb / ob if ob > 0 else float("inf"), q, ob, nb))
+    for r, q, ob, nb in sorted(bregress, reverse=True):
+        print(f"BYTES-REGRESS {q:31s} {ob / 1e6:8.1f}MB -> {nb / 1e6:8.1f}MB  ({r:.2f}x)")
     if gone:
         print(f"removed: {', '.join(gone)}")
     if added:
@@ -77,7 +92,12 @@ def main():
     print(f"totals over {len(shared)} shared queries: "
           f"{to:.1f}s -> {tn:.1f}s ({ratio}); "
           f"{len(regress)} regressions >= {th}x, {len(improve)} improvements")
-    sys.exit(1 if regress else 0)
+    if osh and nsh:
+        tob = sum(osh.values()) / 1e6
+        tnb = sum(nsh.values()) / 1e6
+        print(f"shuffle bytes over {len(set(osh) & set(nsh))} shared queries: "
+              f"{tob:.0f}MB -> {tnb:.0f}MB; {len(bregress)} byte regressions")
+    sys.exit(1 if regress or bregress else 0)
 
 
 if __name__ == "__main__":

@@ -55,8 +55,40 @@ object Bench {
     // query that never ran (VERDICT r12 #2). Collected across all
     // iterations and emitted as "errors":[names] in the metric line.
     val errored = scala.collection.mutable.SortedSet[String]()
+    // Shuffle-bytes telemetry (VERDICT r14 #5): exchange-count plan pins
+    // catch ADDED shuffles but not INFLATED ones (same plan, 10× bytes
+    // through the exchange). Attribute per-stage shuffle read/write and
+    // spill bytes to the running query via its job group (thread-local,
+    // so every job a builder triggers — localCheckpoint pins, broadcast
+    // builds, the final count — lands on the right query; a memoized
+    // index build attributes to the first query that touches it).
+    // Attribution is by stage id, so late-arriving listener events still
+    // land correctly; the full map is written after spark.stop(), by
+    // which point the listener bus has drained.
+    val shuffleAgg = new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
+    val stageToGroup = new java.util.concurrent.ConcurrentHashMap[Int, String]()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val g = Option(js.properties).map(_.getProperty("spark.jobGroup.id")).orNull
+        if (g != null) js.stageIds.foreach(sid => stageToGroup.put(sid, g))
+      }
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val g = stageToGroup.get(sc.stageInfo.stageId)
+        if (g != null) {
+          val m = sc.stageInfo.taskMetrics
+          val arr = shuffleAgg.computeIfAbsent(g, _ => Array.fill(3)(0L))
+          arr.synchronized {
+            arr(0) += m.shuffleReadMetrics.totalBytesRead
+            arr(1) += m.shuffleWriteMetrics.bytesWritten
+            arr(2) += m.memoryBytesSpilled + m.diskBytesSpilled
+          }
+        }
+      }
+    })
     val runs = (1 to iters).map { _ =>
       ordered.map { case (name, fn) =>
+        spark.sparkContext.setJobGroup(name, name, interruptOnCancel = false)
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case e: Throwable =>
           errored += name
@@ -65,6 +97,7 @@ object Bench {
         name -> (System.nanoTime() - t0) / 1e9
       }.toMap
     }
+    spark.sparkContext.clearJobGroup()
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       s(s.length / 2)
@@ -83,10 +116,6 @@ object Bench {
     // total + the slowest queries, always well under the tail window —
     // and park the full per-query breakdown in a file for BENCHNOTES.
     val errs = errored.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","errors":$errs,"queries":$qs,"sf":"$sfDir"}"""
-    try java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/graft_bench_full.json"),
-      full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case scala.util.control.NonFatal(_) => () }
     val top = results.toSeq.sortBy(-_._2).take(12)
       .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -96,9 +125,23 @@ object Bench {
     // the driver captures stdout+stderr merged, leaving a log line as the
     // recorded tail's last line. Quiet the logger first so stop() itself
     // emits nothing above ERROR, then emit the one JSON line and flush.
+    // stop() also drains the listener bus, so the shuffle-bytes map is
+    // complete once it returns — the full-file write happens after.
     spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"iters":$iters,"single_shot":$singleShot,"errors":$errs,"queries":$top,"sf":"$sfDir"}""")
+    import scala.jdk.CollectionConverters._
+    // per-iteration averages so SPARK_GRAFT_ITERS > 1 stays comparable
+    // with single-shot records
+    val shuffle = shuffleAgg.asScala.toSeq.sortBy(_._1).map { case (k, a) =>
+      s"\"$k\":{\"read_b\":${a(0) / iters},\"write_b\":${a(1) / iters},\"spill_b\":${a(2) / iters}}"
+    }.mkString("{", ",", "}")
+    val Seq(readB, writeB, spillB) = (0 to 2).map(i =>
+      shuffleAgg.values.asScala.map(_(i)).sum / iters)
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","errors":$errs,"queries":$qs,"shuffle":$shuffle,"sf":"$sfDir"}"""
+    try java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/graft_bench_full.json"),
+      full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case scala.util.control.NonFatal(_) => () }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"iters":$iters,"single_shot":$singleShot,"shuffle_read_b":$readB,"shuffle_write_b":$writeB,"spill_b":$spillB,"errors":$errs,"queries":$top,"sf":"$sfDir"}""")
     System.out.flush()
   }
 }
