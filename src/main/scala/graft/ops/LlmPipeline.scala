@@ -1824,8 +1824,34 @@ object LlmPipeline {
   /** The shared [[BpeIters]]-deep training loop: returns the per-iter
     * 1-row merge frames (train's output) and the final rewritten word
     * state (apply's input). Both consumers pay the same pinned plan.
+    * Every state pins (pinEvery = 1) and exhaustion is NOT special-
+    * cased, keeping the registered queries' behavior byte-identical to
+    * their chained-CTE oracles (an exhausted b_i empties s_i in both).
     */
-  private def bpeLoop(s: SparkSession, d: String): (Seq[DataFrame], DataFrame) = {
+  private def bpeLoop(s: SparkSession, d: String): (Seq[DataFrame], DataFrame) =
+    bpeLoopDeep(s, d, BpeIters, pinEvery = 1, stopWhenExhausted = false)
+
+  /** Depth-K BPE training (VERDICT r14 #2 — the chained pinned-plan
+    * pattern past toy depth). Realistic tokenizer training runs K in
+    * the tens of thousands; what changes at depth is LOOP MECHANICS,
+    * not per-iteration semantics:
+    *   - `pinEvery`: localCheckpoint the word state every N merges
+    *     instead of every merge. Between pins the plan accretes ≤ N
+    *     replace steps (cheap over the Heaps-bounded distinct-word
+    *     table); each pin cuts lineage back to O(1), so plan size and
+    *     driver overhead stay constant in K instead of growing with it.
+    *     The 1-row winners always pin (two consumers each).
+    *   - exhaustion: once no adjacent pair remains (every word fully
+    *     merged — reachable on bounded-vocabulary corpora well before a
+    *     production K), the loop STOPS and returns the merges learned,
+    *     rather than cross-joining an empty winner and vaporizing the
+    *     state (the registered K=3 form keeps that oracle-mirrored
+    *     behavior; a depth-K trainer must terminate gracefully).
+    * Merge semantics are pinned ≡ a plain-Scala reference BPE at K=64
+    * in LlmPipelineSpec; sf0.1/sf1 timing curve in BENCHNOTES r15.
+    */
+  private[graft] def bpeLoopDeep(s: SparkSession, d: String, iters: Int,
+      pinEvery: Int, stopWhenExhausted: Boolean = true): (Seq[DataFrame], DataFrame) = {
     val words = Pin.pin(withTk(Tables.documents(s, d)
       .select(coalesce(col("text"), lit("")).as("text")))
       .select(explode(col("tk")).as("w"))
@@ -1837,7 +1863,10 @@ object LlmPipeline {
       .select(expr("concat_ws('', transform(split(w, ''), " +
         "c -> concat(char(1), c, char(2))))").as("st"), col("wn")))
     var state = words
-    val merges = (1 to BpeIters).map { i =>
+    val merges = Seq.newBuilder[DataFrame]
+    var i = 1
+    var exhausted = false
+    while (i <= iters && !exhausted) {
       val best = Pin.pin(state
         .select(expr("split(substring(st, 2, length(st) - 2), " +
           "char(2) || char(1))").as("sy"), col("wn"))
@@ -1848,13 +1877,29 @@ object LlmPipeline {
         .agg(sum(col("wn")).as("n"))
         .orderBy(col("n").desc, col("lhs").asc, col("rhs").asc)
         .limit(1))
-      state = Pin.pin(state.crossJoin(broadcast(best.select(
-          concat(lit(BpeL), col("lhs"), lit(BpeR), lit(BpeL), col("rhs"), lit(BpeR)).as("pat"),
-          concat(lit(BpeL), col("lhs"), col("rhs"), lit(BpeR)).as("rep"))))
-        .select(expr("replace(st, pat, rep)").as("st"), col("wn")))
-      best.select(lit(i).as("iter"), col("lhs"), col("rhs"), col("n"))
+      if (stopWhenExhausted && best.isEmpty) exhausted = true
+      else {
+        val next = state.crossJoin(broadcast(best.select(
+            concat(lit(BpeL), col("lhs"), lit(BpeR), lit(BpeL), col("rhs"), lit(BpeR)).as("pat"),
+            concat(lit(BpeL), col("lhs"), col("rhs"), lit(BpeR)).as("rep"))))
+          .select(expr("replace(st, pat, rep)").as("st"), col("wn"))
+        state = if (i % pinEvery == 0 || i == iters) Pin.pin(next) else next
+        merges += best.select(lit(i).as("iter"), col("lhs"), col("rhs"), col("n"))
+        i += 1
+      }
     }
-    (merges, state)
+    (merges.result(), state)
+  }
+
+  /** Depth-K merge table (iter, lhs, rhs, n) — the deep trainer's
+    * public face. Not registered: a K=64 chained-CTE oracle is
+    * impractical, so the gate is the plain-Scala witness spec.
+    */
+  private[graft] def bpeTrainDeep(s: SparkSession, d: String, k: Int,
+      pinEvery: Int = 8): DataFrame = {
+    val (ms, _) = bpeLoopDeep(s, d, k, pinEvery)
+    require(ms.nonEmpty, "BPE exhausted before the first merge")
+    ms.reduce(_.unionAll(_)).orderBy("iter")
   }
 
   /** q_bpe_apply — encode the corpus with the merge table [[bpeTrain]]

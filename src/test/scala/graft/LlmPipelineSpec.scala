@@ -432,6 +432,60 @@ class LlmPipelineSpec extends AnyFunSuite {
       "IVF-PQ top-5 recalled none of the exact top-5")
   }
 
+  test("bpeTrainDeep K=64 matches a plain-Scala reference BPE merge-for-merge") {
+    import spark.implicits._
+    // seeded fixture: 40 distinct 8-char words over {a..f} with skewed
+    // repetition — enough pair mass that 64 merges never exhaust, small
+    // enough that a plain-Scala trainer is instant
+    val rnd = new scala.util.Random(7)
+    val words = (0 until 40).map(_ => (0 until 8).map(_ => "abcdef"(rnd.nextInt(6))).mkString)
+    val weighted = words.zipWithIndex.flatMap { case (w, i) => Seq.fill(i % 7 + 1)(w) }
+    val docs = (0 until 50).map { di =>
+      (di.toLong, Seq.fill(30)(weighted(rnd.nextInt(weighted.length))).mkString(" "))
+    }
+    val dir = s"/tmp/graft-test-bpe-${java.util.UUID.randomUUID()}"
+    docs.map { case (id, t) => (id, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    // ---- independent plain-Scala BPE: distinct-word frequencies,
+    // weighted adjacent-pair counts, (n desc, lhs, rhs) winner, greedy
+    // leftmost-nonoverlapping merge — zero shared code with the engine
+    var state: Map[Vector[String], Long] = docs.flatMap(_._2.split(' '))
+      .filter(_.length >= 2).groupBy(identity)
+      .map { case (w, xs) => w.split("").toVector -> xs.length.toLong }
+    val expected = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    var it = 1
+    while (it <= 64 && state.keys.exists(_.length >= 2)) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      state.foreach { case (sy, n) =>
+        var i = 0
+        while (i + 1 < sy.length) {
+          val k = (sy(i), sy(i + 1))
+          counts(k) = counts.getOrElse(k, 0L) + n
+          i += 1
+        }
+      }
+      val ((lhs, rhs), n) = counts.toSeq.minBy { case ((l, r), c) => (-c, l, r) }
+      expected += ((it, lhs, rhs, n))
+      state = state.toSeq.map { case (sy, wn) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < sy.length) {
+          if (i + 1 < sy.length && sy(i) == lhs && sy(i + 1) == rhs) {
+            out += lhs + rhs; i += 2
+          } else { out += sy(i); i += 1 }
+        }
+        out.result() -> wn
+      }.groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).sum }
+      it += 1
+    }
+    val got = ops.LlmPipeline.bpeTrainDeep(spark, dir, 64)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got.length == 64, s"fixture exhausted early: ${got.length} merges")
+    assert(got == expected.toSeq,
+      s"first divergence: ${got.zip(expected).find { case (a, b) => a != b }}")
+  }
+
   test("q_sample_stratified: deterministic subset with per-stratum rates") {
     val d = SparkTestSession.sf0001
     val a = ops.LlmPipeline.sampleStratified(spark, d).collect()

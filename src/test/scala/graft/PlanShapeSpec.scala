@@ -410,7 +410,9 @@ class PlanShapeSpec extends AnyFunSuite {
       "q_dedup_near" -> 2,             // collapse agg + re-expansion join
       "q_heartbeat_map_explode" -> 3,  // explode + per-file agg + order
       "q_dedup_cc" -> 1,               // memoized labels -> one final agg
-      "q_dedup_near_collapsed" -> 4,   // collapse + LSH join pair + order
+      "q_dedup_near_collapsed" -> 2,   // r15 banded+verify reroute: collapse
+                                       // agg + order (banded/shingle substrate
+                                       // pinned); down from 4 with spark.ml
       "q_dedup_collapsed_jaccard" -> 6, // collapse, band pairs, verify join
       "q_sim_search_ivf_kmeans" -> 0,  // persisted IVF + broadcast probes,
                                        // top-k map-side: shuffle-free read
