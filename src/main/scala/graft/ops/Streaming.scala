@@ -313,6 +313,30 @@ object Streaming {
       .select(col("node"), unix_micros(col("p_ts")).as("ping_us"),
         unix_micros(col("e_ts")).as("echo_us"))
 
+  /** Stream-stream LEFT OUTER join with bounded state — the
+    * request/TIMEOUT correlation: every ping either matches an echo
+    * within the 5-minute bound (emitted immediately, like the inner
+    * form) or is emitted NULL-PADDED once the watermark proves no echo
+    * can still arrive. This is the streaming semantic behind every
+    * "did the node ever acknowledge?" monitor — the reference detects
+    * a missing ack only implicitly, by the replication order staying
+    * in its pending map forever (controller/FileTable.java
+    * pending-chunk bookkeeping); the outer join makes the timeout an
+    * EMITTED ROW. The subtlety a spec must pin (StreamingSpec): the
+    * null-padded row is emitted ONLY when eviction is certain — at the
+    * watermark, not at trigger time — so outer results are late by
+    * design, never speculative. Same bounded-state shape as the inner
+    * join: both sides watermarked + time-bound condition ⇒ O(window)
+    * state (StateBoundsSpec covers eviction on all three backends).
+    */
+  def streamStreamLeftJoin(ping: Dataset[Heartbeat], echo: Dataset[Heartbeat]): DataFrame =
+    ping.toDF("p_ts", "node").withWatermark("p_ts", "10 minutes")
+      .join(echo.toDF("e_ts", "e_node").withWatermark("e_ts", "10 minutes"),
+        expr("node = e_node AND e_ts BETWEEN p_ts AND p_ts + INTERVAL 5 MINUTES"),
+        "left_outer")
+      .select(col("node"), unix_micros(col("p_ts")).as("ping_us"),
+        unix_micros(col("e_ts")).as("echo_us")) // echo_us NULL = timed out
+
   /** foreachBatch upsert sink: maintains a per-node latest-heartbeat
     * parquet snapshot (the reference's `heartbeats.put(node, date)` map,
     * controller/MessageProcessor.java:283-287, as a durable table).

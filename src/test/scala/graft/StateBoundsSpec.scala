@@ -125,6 +125,11 @@ class StateBoundsSpec extends AnyFunSuite {
       (a, b) => ops.Streaming.streamStreamJoin(a.toDS(), b.toDS()))
   }
 
+  test("stream-stream LEFT OUTER join: outer-side state evicts after null-padded emit on all 3 backends") {
+    assertBounded("ssleft", OutputMode.Append(),
+      (a, b) => ops.Streaming.streamStreamLeftJoin(a.toDS(), b.toDS()))
+  }
+
   test("flatMapGroupsWithState liveness: state is keyed by live nodes, never by stream length") {
     // processing-time timeout leg: event time never evicts here, so the
     // bound is |nodes| — a long timeout keeps every node alive through

@@ -137,6 +137,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER join: matches emit like inner, timeouts emit null-padded at the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val pings = MemoryStream[ops.Streaming.Heartbeat]
+    val echos = MemoryStream[ops.Streaming.Heartbeat]
+    val q = ops.Streaming.streamStreamLeftJoin(pings.toDS(), echos.toDS())
+      .writeStream.format("memory").queryName("ss_left_join")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      pings.addData(ops.Streaming.Heartbeat(ts("2024-01-01 10:00:00"), "n1"),
+        ops.Streaming.Heartbeat(ts("2024-01-01 10:00:00"), "n2"))
+      echos.addData(
+        ops.Streaming.Heartbeat(ts("2024-01-01 10:03:00"), "n1"), // in bound
+        ops.Streaming.Heartbeat(ts("2024-01-01 10:09:00"), "n2")) // out of bound
+      q.processAllAvailable()
+      def rows() = spark.sql("SELECT node, echo_us IS NULL FROM ss_left_join")
+        .collect().map(r => (r.getString(0), r.getBoolean(1))).toSet
+      // before the watermark passes n2's join horizon, ONLY the inner
+      // match may exist — a null-padded row now would be speculative
+      // (an in-bound echo could still arrive)
+      assert(rows() == Set(("n1", false)),
+        s"speculative outer row before eviction: ${rows()}")
+      // advance both watermarks far past n2's horizon (10:00 + 5 min
+      // bound + 10 min delay): eviction proves no echo can arrive, and
+      // the timeout becomes an emitted null-padded row
+      pings.addData(ops.Streaming.Heartbeat(ts("2024-01-01 11:00:00"), "n9"))
+      echos.addData(ops.Streaming.Heartbeat(ts("2024-01-01 11:00:00"), "n9"))
+      q.processAllAvailable()
+      assert(rows().contains(("n2", true)),
+        s"timed-out ping never emitted null-padded: ${rows()}")
+      assert(!rows().contains(("n2", false)), "out-of-bound echo matched")
+    } finally q.stop()
+  }
+
   test("streaming session_window finalizes a session when the watermark passes it (#50)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
