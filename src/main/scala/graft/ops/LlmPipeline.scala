@@ -2604,6 +2604,26 @@ object LlmPipeline {
   private val substringWindowsMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Long), DataFrame]()
 
+  private val winnowFpsMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Long), DataFrame]()
+
+  /** Per-doc-distinct winnow fingerprints (doc_id, h), mapper-computed
+    * and pinned — the shared substrate of dedupSubstringWinnow and the
+    * auto router's winnow branch (see the r15 scaladoc there).
+    */
+  private def winnowFps(s: SparkSession, d: String): DataFrame =
+    corpusMemo(winnowFpsMemo, s, d)(
+      Tables.documents(s, d)
+        .where(col("n_chars") >= SubWinW)
+        .select(col("doc_id"), expr(
+          s"transform(sequence(CAST(1 AS BIGINT), n_chars - ${SubWinW - 1}), " +
+            s"i -> CAST(conv(substring(md5(substring(text, CAST(i AS INT), $SubWinW)), 1, 15), 16, 10) AS BIGINT))")
+          .as("hs"))
+        .select(col("doc_id"), explode(expr(
+          s"array_distinct(transform(sequence(0, size(hs) - 1), " +
+            s"j -> array_min(slice(hs, j + 1, $WinnowK))))")).as("h"))
+        .pinned())
+
   private def substringWindows(s: SparkSession, d: String): DataFrame =
     corpusMemo(substringWindowsMemo, s, d)(
       Tables.documents(s, d)
@@ -2684,17 +2704,31 @@ object LlmPipeline {
     * Same df-cap gate as the stride-1 form.
     */
   def dedupSubstringWinnow(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-      .rowsBetween(Window.currentRow, WinnowK - 1)
-    val fp = substringWindows(s, d)
-      .withColumn("fpv", min(col("h")).over(w))
-      .select(col("doc_id"), col("fpv").as("h"))
-      .distinct()
-      .pinned()
+    // Winnow fingerprints are computed ENTIRELY mapper-side (r15): a
+    // document is one row, so its per-position window hashes and their
+    // K-wide rolling minima are a single projection over the text
+    // column — slice() truncates at the array end, exactly the ROWS
+    // BETWEEN CURRENT AND K-1 FOLLOWING frame both oracles mirror. The
+    // previous form consumed the stride-1 substringWindows memo through
+    // a per-doc window SORT: a W×-corpus-volume exchange plus two
+    // corpus-scale pins that exceeded the sandbox's 55 GB scratch disk
+    // at the sf100 probe (BENCHNOTES r15) — the exact anti-pattern the
+    // winnow form exists to avoid. Now NOTHING corpus-scale is pinned
+    // or sorted: the df count is a combining hash aggregate over
+    // per-partition-distinct fingerprints, only the df-capped RARE
+    // slice (pair-relevant by construction) is pinned for its two join
+    // legs, and the raw projection is recomputed (mapper CPU, ~md5 per
+    // window) rather than materialized — the 100 TB trade. What IS
+    // pinned (and corpus-memoized, shared with the auto router's
+    // winnow branch) is the per-doc-DISTINCT rolling-minima table —
+    // winnowing's own ~K/2× reduction — so the md5 mapper work runs
+    // once across the df count, both join legs, and both queries.
+    val fp = winnowFps(s, d)
     val g = fp.groupBy("h").agg(count(lit(1)).as("df"))
       .where(col("df").between(2, SubDfCap)).select("h")
-    fp.join(g, "h")
-      .join(fp.select(col("doc_id").as("doc_b"), col("h")), "h")
+    val fpRare = fp.join(g, "h")
+    fpRare
+      .join(fpRare.select(col("doc_id").as("doc_b"), col("h")), "h")
       .where(col("doc_id") < col("doc_b"))
       .groupBy(col("doc_id").as("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_shared_fps"))
