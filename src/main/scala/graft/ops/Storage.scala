@@ -233,9 +233,14 @@ object Storage {
     * structure). One combining distinct over (file, 2 positions per
     * chunk); output is metadata-sized — ≤ 2·distinct-keys-per-file rows
     * per file, hard-capped at m per file.
+    *
+    * Reads through the PERSISTED index (ensureBloomIndex) — the same
+    * artifact the prune probes — so build + prune cost ONE corpus pass
+    * total, not one each (the r15 sf100 probe measured the old split as
+    * 318 s + 298 s: two full passes over 610M rows for one index).
     */
   def fileindexBuild(s: SparkSession, d: String): DataFrame =
-    fileBloomIndex(s, d).orderBy("file_id", "bit_pos")
+    s.read.parquet(ensureBloomIndex(s, d)).orderBy("file_id", "bit_pos")
 
   /** Persisted form of the Bloom index, keyed by dataset dir + source
     * mtime (a driver-regenerated fixture must miss, or a stale index
