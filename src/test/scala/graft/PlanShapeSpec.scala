@@ -417,7 +417,11 @@ class PlanShapeSpec extends AnyFunSuite {
       "q_sim_search_ivf_kmeans" -> 0,  // persisted IVF + broadcast probes,
                                        // top-k map-side: shuffle-free read
       "q_dedup_ngram" -> 3,            // banded sigs + bucket pairs + order
-      "q_boilerplate_score" -> 4)      // postings memo + df join + score agg
+      "q_boilerplate_score" -> 4,      // postings memo + df join + score agg
+      "q_join_waiting_suppliers" -> 4) // fact-fact on orderkey (agg reuses
+                                       // that partitioning; the window
+                                       // re-keys) + supplier join + final
+                                       // agg + order
     val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
