@@ -920,28 +920,65 @@ object LlmPipeline {
     "CAST(list_sum(list_transform(list_zip(qa, qb), p -> p[1] * p[2])) AS BIGINT)"
 
 
-  /** q_dedup_embed — embedding near-dup pairs, blocked by label (the
-    * block key stands in for an LSH bucket: candidate generation is an
-    * equi join, the exact cosine runs only within blocks). Top-100 by
-    * (cos desc, a, b).
+  /** Candidate-block substrate for q_dedup_embed: each embedding row
+    * with its label, milli-quantized vector, exact squared norm, and the
+    * deterministic sign-LSH bucket from the shared [[LshPlanes]] — the
+    * same planes q_sim_search_lsh probes, so the block key is
+    * data-independent and oracle-exact on both engines.
     */
-  def dedupEmbed(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.embeddings(s, d)
+  private def embedBucketed(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"), expr(quant).as("q"))
-    val nrm = e.select(col("vec_id"), col("label"), col("q"),
-      expr(dotL("q", "q")).as("n2"))
-    val l = nrm.select(col("vec_id").as("vec_a"), col("label"),
-      col("q").as("qa"), col("n2").as("n2a"))
-    val r = nrm.select(col("vec_id").as("vec_b"), col("label"),
-      col("q").as("qb"), col("n2").as("n2b"))
-    l.join(r, Seq("label"))
-      .where(col("vec_a") < col("vec_b"))
-      .select(col("vec_a"), col("vec_b"),
-        (expr(dotL("qa", "qb")).cast("double") /
-          sqrt(col("n2a").cast("double") * col("n2b").cast("double"))).as("cos"))
+      .withColumn("n2", expr(dotL("q", "q")))
+      .withColumn("bucket", expr(lshBucketExpr(lshPlaneDot)).cast("int"))
+
+  /** Pair-generation core for bucketed embeddings (vec_id, label, q, n2,
+    * bucket) — the minhashPairsFromBanded discipline applied to the
+    * embedding blocks: ONE shuffle on (label, bucket) collecting each
+    * block's members, pairs generated inside the block, blocks over
+    * `cap` excluded entirely (embedBucketOverflow reports them). Exact
+    * integer cosine is the verify stage — candidates never leave the
+    * block, so one Zipf-heavy label can no longer go quadratic: worst
+    * case is cap·(cap−1)/2 pairs per (label, bucket). Factored out so
+    * specs can drive it with a synthetic degenerate block.
+    */
+  private[graft] def embedPairsFromBucketed(b: DataFrame, cap: Int = HotBucketCap): DataFrame =
+    b.groupBy("label", "bucket")
+      .agg(expr("array_sort(collect_list(struct(vec_id, q, n2)))").as("ms"))
+      .where(size(col("ms")) > 1 && size(col("ms")) <= cap)
+      .select(explode(expr(
+        "flatten(transform(sequence(0, size(ms) - 2), " +
+          "i -> transform(slice(ms, i + 2, size(ms) - i - 1), " +
+          "x -> struct(ms[i].vec_id AS vec_a, x.vec_id AS vec_b, " +
+          "array_dot_l(ms[i].q, x.q) AS dp, ms[i].n2 AS n2a, x.n2 AS n2b))))")).as("p"))
+      .select(col("p.vec_a").as("vec_a"), col("p.vec_b").as("vec_b"),
+        (col("p.dp").cast("double") /
+          sqrt(col("p.n2a").cast("double") * col("p.n2b").cast("double"))).as("cos"))
+
+  /** Overflow report: (label, bucket) blocks whose membership exceeds
+    * the cap (and were therefore skipped by pair generation). Empty on
+    * healthy corpora — the minhashBucketOverflow pattern.
+    */
+  private[graft] def embedBucketOverflow(b: DataFrame, cap: Int = HotBucketCap): DataFrame =
+    b.groupBy("label", "bucket")
+      .agg(count(lit(1)).as("n_vecs"))
+      .where(col("n_vecs") > cap)
+
+  /** q_dedup_embed — embedding near-dup pairs: candidates from
+    * (label, sign-LSH bucket) blocks — the label narrows to a class, the
+    * deterministic hyperplane bucket keeps one Zipf-heavy label from
+    * going quadratic (real corpora are Zipfian in label; an uncapped
+    * within-label self-join is the r11 hot-bucket failure mode) — then
+    * exact integer cosine as the verify stage, top-100 by (cos desc, a,
+    * b). Blocks over HotBucketCap are dropped with an overflow report,
+    * the standard web-dedup mitigation every sibling pair generator
+    * applies. Near-parallel vectors agree on every plane w.h.p., so the
+    * blocking loses only far pairs.
+    */
+  def dedupEmbed(s: SparkSession, d: String): DataFrame =
+    embedPairsFromBucketed(embedBucketed(s, d))
       .orderBy(col("cos").desc, col("vec_a"), col("vec_b"))
       .limit(100)
-  }
 
   /** q_embed_centroids — per-label class prototype: the mean embedding
     * of each label, in exact integer micros (per-dim Σ of the
@@ -3735,15 +3772,21 @@ object LlmPipeline {
           "CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) AS jaccard " +
           "FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b " +
           "ORDER BY jaccard DESC, doc_a, doc_b LIMIT 100"),
-      "q_dedup_embed" ->
-        (s"WITH q AS (SELECT vec_id, label, $quantDuck AS q FROM embeddings), " +
+      "q_dedup_embed" -> {
+        val bucketDuck = lshBucketExpr(lshPlaneDotDuck)
+        s"WITH q AS (SELECT vec_id, label, $quantDuck AS q FROM embeddings), " +
           "n AS (SELECT vec_id, label, q, " +
-          "CAST(list_sum(list_transform(list_zip(q, q), p -> p[1] * p[2])) AS BIGINT) AS n2 FROM q) " +
+          "CAST(list_sum(list_transform(list_zip(q, q), p -> p[1] * p[2])) AS BIGINT) AS n2, " +
+          s"CAST($bucketDuck AS INTEGER) AS bucket FROM q), " +
+          "ok AS (SELECT label, bucket FROM n GROUP BY 1, 2 " +
+          s"HAVING count(*) > 1 AND count(*) <= $HotBucketCap) " +
           "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, " +
           "CAST(list_sum(list_transform(list_zip(a.q, b.q), p -> p[1] * p[2])) AS BIGINT) " +
           "/ sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE)) AS cos " +
-          "FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id " +
-          "ORDER BY cos DESC, vec_a, vec_b LIMIT 100"),
+          "FROM n a JOIN ok ON ok.label = a.label AND ok.bucket = a.bucket " +
+          "JOIN n b ON a.label = b.label AND a.bucket = b.bucket AND a.vec_id < b.vec_id " +
+          "ORDER BY cos DESC, vec_a, vec_b LIMIT 100"
+      },
       "q_embed_centroids" ->
         (s"WITH q AS (SELECT label, $quantDuck AS q FROM embeddings), " +
           "e AS (SELECT label, u - 1 AS dim, q[u] AS qv FROM " +
@@ -4905,13 +4948,21 @@ object LlmPipeline {
           "FROM bands a JOIN ok ON ok.b = a.b AND ok.bv = a.bv " +
           "JOIN bands b ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id " +
           "WHERE bit_count(a.simhash ^ b.simhash) <= 8 ORDER BY doc_a, doc_b"),
-      "q_dedup_embed" ->
-        (s"WITH q AS (SELECT vec_id, label, $quantS AS q FROM embeddings), " +
-          s"n AS (SELECT vec_id, label, q, ${dot("q", "q")} AS n2 FROM q) " +
+      "q_dedup_embed" -> {
+        val bucket = (0 until 4).map { p =>
+          s"(CASE WHEN ${dot("q", plane(p))} >= 0 THEN ${1 << p} ELSE 0 END)"
+        }.mkString(" + ")
+        s"WITH q AS (SELECT vec_id, label, $quantS AS q FROM embeddings), " +
+          s"n AS (SELECT vec_id, label, q, ${dot("q", "q")} AS n2, " +
+          s"CAST($bucket AS INTEGER) AS bucket FROM q), " +
+          "ok AS (SELECT label, bucket FROM n GROUP BY 1, 2 " +
+          s"HAVING count(*) > 1 AND count(*) <= $HotBucketCap) " +
           s"SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, CAST(${dot("a.q", "b.q")} AS DOUBLE) / " +
           "sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE)) AS cos " +
-          "FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id " +
-          "ORDER BY cos DESC, vec_a, vec_b LIMIT 100"),
+          "FROM n a JOIN ok ON ok.label = a.label AND ok.bucket = a.bucket " +
+          "JOIN n b ON a.label = b.label AND a.bucket = b.bucket AND a.vec_id < b.vec_id " +
+          "ORDER BY cos DESC, vec_a, vec_b LIMIT 100"
+      },
       "q_embed_centroids" ->
         (s"WITH q AS (SELECT label, $quantS AS q FROM embeddings), " +
           "e AS (SELECT label, posexplode(q) AS (dim, qv) FROM q), " +

