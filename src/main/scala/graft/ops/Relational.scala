@@ -608,6 +608,136 @@ object Relational {
       .orderBy("c_mktsegment")
   }
 
+  /** q_subquery_avg_threshold — TPC-H Q17's small-quantity-order revenue
+    * shape: lines of one brand's parts whose quantity is below 20% of
+    * that part's average quantity; reports the would-be yearly revenue
+    * (Σ price / 7). The classic per-key correlated scalar-AVG-with-
+    * multiplier subquery. Decorrelation: the textbook re-reads lineitem
+    * per part; here ONE scan survives — the brand slice of parts
+    * broadcasts into the lineitem scan (partkey pruning at the source),
+    * and the per-part average arrives as a window over the already
+    * brand-filtered rows (exchanging the selective slice, never the
+    * fact table). The threshold test is algebraic — qty·5·n < Σqty in
+    * exact DECIMAL — so no engine divides and the boundary cannot drift
+    * between DECIMAL and IEEE (the q_subquery_corr rule). Oracle
+    * independence: the DuckDB mirror keeps the textbook correlated form
+    * (two per-part scalar subqueries), so the gate proves the rewrite.
+    * Reference analogue: the single-level per-file HAVING at
+    * controller/FileTable.java:41-52.
+    */
+  def subqueryAvgThreshold(s: SparkSession, d: String): DataFrame = {
+    val brandParts = Tables.part(s, d)
+      .filter(col("p_brand") === "Brand#12").select("p_partkey")
+    val j = Tables.lineitem(s, d)
+      .select(col("l_partkey"), dec("l_quantity").as("qty"),
+        dec("l_extendedprice").as("price"))
+      .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+    val w = Window.partitionBy("l_partkey")
+    j.withColumn("sum_qty", sum(col("qty")).over(w))
+      .withColumn("n", count(lit(1)).over(w))
+      .filter(col("qty") * 5 * col("n") < col("sum_qty"))
+      .agg((sum(col("price")).cast(DoubleType) / 7.0).as("avg_yearly"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** q_join_dominant_suppliers — TPC-H Q20's excess-stock supplier shape
+    * adapted to this schema (no partsupp table): suppliers who, for some
+    * part named 'small %', shipped MORE THAN HALF of that part's total
+    * 1997 quantity — the nested-IN + per-key-agg-threshold semi chain
+    * (supplier IN (per-(supp,part) agg HAVING > correlated per-part
+    * agg)). Decorrelation: name-filtered parts broadcast into the
+    * date-filtered lineitem scan, one combining agg to (part, supplier)
+    * rows, the correlated per-part total becomes a window over that
+    * already-reduced set, and the IN becomes a LEFT SEMI hash join on
+    * the distinct dominant suppliers. Dominance (2·q > tot) is exact
+    * DECIMAL algebra — never a division. The oracle keeps the textbook
+    * nested-IN + correlated-HAVING text.
+    */
+  def joinDominantSuppliers(s: SparkSession, d: String): DataFrame = {
+    val pk = Tables.part(s, d)
+      .filter(col("p_name").startsWith("small ")).select("p_partkey")
+    val perSupp = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("l_partkey"), col("l_suppkey"), dec("l_quantity").as("qty"))
+      .join(broadcast(pk), col("l_partkey") === col("p_partkey"))
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(sum(col("qty")).as("supp_qty"))
+    val dominant = perSupp
+      .withColumn("tot", sum(col("supp_qty")).over(Window.partitionBy("l_partkey")))
+      .filter(col("supp_qty") * 2 > col("tot"))
+      .select("l_suppkey").distinct()
+    Tables.supplier(s, d).select("s_suppkey", "s_name", "s_nationkey")
+      // dominant is bounded by the supplier roster (the reference's
+      // storage-node set) — broadcast it so the semi join never
+      // exchanges the supplier side
+      .join(broadcast(dominant), col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .join(broadcast(Tables.nation(s, d).select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_name", "n_name")
+      .orderBy("s_name")
+  }
+
+  /** q_join_min_price_supplier — TPC-H Q2's minimum-cost-supplier shape
+    * adapted to this schema (lineitem price plays partsupp supplycost):
+    * for each LARGE small-size part, the EUROPE-region supplier(s) whose
+    * line hit that part's minimum extended price — the correlated
+    * per-group MIN → argmin-join pattern. Decorrelation: the textbook
+    * re-runs the region-restricted min per part; here both the filtered
+    * parts and the region-restricted supplier roster broadcast into ONE
+    * lineitem scan, and the per-part min is a window over the doubly-
+    * filtered slice; price = min(price) then keeps every tied supplier
+    * (argmin, not arbitrary pick). DECIMAL equality — no IEEE boundary.
+    * The oracle keeps the textbook correlated scalar-MIN text over the
+    * full five-table join.
+    */
+  def joinMinPriceSupplier(s: SparkSession, d: String): DataFrame = {
+    val eu = Tables.supplier(s, d).select("s_suppkey", "s_name", "s_nationkey")
+      .join(broadcast(Tables.nation(s, d)
+        .join(broadcast(Tables.region(s, d).filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_name", "n_name")
+    val parts = Tables.part(s, d)
+      .filter(col("p_type") === "LARGE" && col("p_size") <= 10)
+      .select("p_partkey", "p_name")
+    val j = Tables.lineitem(s, d)
+      .select(col("l_partkey"), col("l_suppkey"), dec("l_extendedprice").as("pr"))
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(eu), col("l_suppkey") === col("s_suppkey"))
+    j.withColumn("min_pr", min(col("pr")).over(Window.partitionBy("p_partkey")))
+      .filter(col("pr") === col("min_pr"))
+      .select(col("p_partkey"), col("p_name"), col("s_name"), col("n_name"),
+        col("pr").cast(DoubleType).as("price"))
+      .distinct()
+      .orderBy("p_partkey", "s_name")
+  }
+
+  /** q_agg_custdist — TPC-H Q13's customer order-count distribution: how
+    * many customers placed exactly k non-urgent orders, INCLUDING the
+    * zero bucket — the outer-join count-of-counts shape whose defining
+    * subtlety is that the priority filter lives in the JOIN CONDITION,
+    * not WHERE (a WHERE would silently drop the never-ordered customers
+    * a retention report exists to surface). Scale shape: orders
+    * pre-aggregate to one row per customer BEFORE the outer join, so
+    * the join exchanges |customers| + |custkeys-with-orders| rows —
+    * never per-order rows — and the count-of-counts agg input is
+    * |customers| rows. Both engines count k exactly (BIGINT), so the
+    * row set is oracle-exact; (custdist, c_count) ordering is total
+    * because c_count is the group key.
+    */
+  def aggCustdist(s: SparkSession, d: String): DataFrame = {
+    val perCust = Tables.orders(s, d)
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .groupBy("o_custkey").agg(count(lit(1)).as("cnt"))
+    Tables.customer(s, d).select("c_custkey")
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left_outer")
+      .select(coalesce(col("cnt"), lit(0L)).as("c_count"))
+      .groupBy("c_count").agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
   /** q_pivot — status-by-priority order counts as a wide table
     * (groupBy + pivot with an EXPLICIT value list: without it Spark runs
     * an extra distinct pass over the pivot column AND the output schema
@@ -929,6 +1059,10 @@ object Relational {
     "q_join_nation_volume"  -> (joinNationVolume _),
     "q_join_waiting_suppliers" -> (joinWaitingSuppliers _),
     "q_subquery_anti_agg"   -> (subqueryAntiAgg _),
+    "q_subquery_avg_threshold" -> (subqueryAvgThreshold _),
+    "q_join_dominant_suppliers" -> (joinDominantSuppliers _),
+    "q_join_min_price_supplier" -> (joinMinPriceSupplier _),
+    "q_agg_custdist"        -> (aggCustdist _),
     "q_pivot"               -> (pivotStatus _),
     "q_window_lag_lead"     -> (windowLagLead _),
     "q_window_ntile"        -> (windowNtile _),
@@ -1096,6 +1230,48 @@ object Relational {
         "AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAYS) " +
         "AND s_nationkey = n_nationkey " +
         "GROUP BY s_name, n_name ORDER BY numwait DESC, s_name"),
+    "q_subquery_avg_threshold" ->
+      ("SELECT CAST(SUM(CAST(l1.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly, " +
+        "count(*) AS n_lines " +
+        "FROM lineitem l1, part " +
+        "WHERE p_partkey = l1.l_partkey AND p_brand = 'Brand#12' " +
+        "AND CAST(l1.l_quantity AS DECIMAL(18,2)) * 5 * " +
+        "(SELECT count(*) FROM lineitem l2 WHERE l2.l_partkey = p_partkey) " +
+        "< (SELECT SUM(CAST(l3.l_quantity AS DECIMAL(18,2))) FROM lineitem l3 " +
+        "WHERE l3.l_partkey = p_partkey)"),
+    "q_join_dominant_suppliers" ->
+      ("SELECT s_name, n_name FROM supplier, nation " +
+        "WHERE s_nationkey = n_nationkey AND s_suppkey IN (" +
+        "SELECT l1.l_suppkey FROM lineitem l1, part " +
+        "WHERE l1.l_partkey = p_partkey AND p_name LIKE 'small %' " +
+        "AND l1.l_shipdate >= TIMESTAMP '1997-01-01' AND l1.l_shipdate < TIMESTAMP '1998-01-01' " +
+        "GROUP BY l1.l_suppkey, p_partkey " +
+        "HAVING SUM(CAST(l1.l_quantity AS DECIMAL(18,2))) * 2 > (" +
+        "SELECT SUM(CAST(l2.l_quantity AS DECIMAL(18,2))) FROM lineitem l2 " +
+        "WHERE l2.l_partkey = p_partkey " +
+        "AND l2.l_shipdate >= TIMESTAMP '1997-01-01' AND l2.l_shipdate < TIMESTAMP '1998-01-01')) " +
+        "ORDER BY s_name"),
+    "q_join_min_price_supplier" ->
+      ("SELECT DISTINCT p_partkey, p_name, s_name, n_name, " +
+        "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS price " +
+        "FROM part, lineitem, supplier, nation, region " +
+        "WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey " +
+        "AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey " +
+        "AND r_name = 'EUROPE' AND p_type = 'LARGE' AND p_size <= 10 " +
+        "AND CAST(l_extendedprice AS DECIMAL(18,2)) = (" +
+        "SELECT MIN(CAST(l2.l_extendedprice AS DECIMAL(18,2))) " +
+        "FROM lineitem l2, supplier s2, nation n2, region r2 " +
+        "WHERE l2.l_partkey = p_partkey AND s2.s_suppkey = l2.l_suppkey " +
+        "AND s2.s_nationkey = n2.n_nationkey AND n2.n_regionkey = r2.r_regionkey " +
+        "AND r2.r_name = 'EUROPE') " +
+        "ORDER BY p_partkey, s_name"),
+    "q_agg_custdist" ->
+      ("SELECT c_count, count(*) AS custdist FROM (" +
+        "SELECT c_custkey, count(o_orderkey) AS c_count " +
+        "FROM customer LEFT OUTER JOIN orders " +
+        "ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT' " +
+        "GROUP BY c_custkey) c_orders " +
+        "GROUP BY c_count ORDER BY custdist DESC, c_count DESC"),
     "q_join_returned_revenue" ->
       ("SELECT c_custkey, c_name, n_name, " +
         "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue, " +

@@ -418,10 +418,23 @@ class PlanShapeSpec extends AnyFunSuite {
                                        // top-k map-side: shuffle-free read
       "q_dedup_ngram" -> 3,            // banded sigs + bucket pairs + order
       "q_boilerplate_score" -> 4,      // postings memo + df join + score agg
-      "q_join_waiting_suppliers" -> 4) // fact-fact on orderkey (agg reuses
+      "q_join_waiting_suppliers" -> 4, // fact-fact on orderkey (agg reuses
                                        // that partitioning; the window
                                        // re-keys) + supplier join + final
                                        // agg + order
+      "q_subquery_avg_threshold" -> 2, // brand parts broadcast into ONE
+                                       // lineitem scan; window re-key on
+                                       // partkey + single-partition agg
+      "q_join_dominant_suppliers" -> 4, // (part,supp) agg + window re-key
+                                       // + distinct suppkey; dominant set
+                                       // broadcasts into the semi join;
+                                       // order by name
+      "q_join_min_price_supplier" -> 2, // parts + region roster both
+                                       // broadcast; window re-key on
+                                       // partkey + distinct/order
+      "q_agg_custdist" -> 3)           // per-cust agg + customer-side
+                                       // exchange (agg reuses) + c_count
+                                       // agg; order rides the agg exchange
     val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
