@@ -768,42 +768,73 @@ object Multimodal {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
-  /** ImageIO-backed raster decode for the ENTROPY-CODED containers
-    * (GIF LZW frames, JPEG scans) — exactly where the pure-JVM decoders
-    * stop (grayPixels owns BMP/netpbm/PNG natively and stays primary).
-    * javax.imageio is pure JDK, executor-safe, and already the trusted
-    * witness decoder (MediaWitnessSpec); here it becomes a production
-    * branch so a real multimodal corpus — mostly JPEG — gets real
-    * pixels instead of `no-raster` markers (VERDICT r14 #1). Gated on
-    * the GIF/JPEG magic so the hand-written paths keep every format
-    * they own. Gray conversion: single-band component rasters read raw
-    * samples (getRGB on CS_GRAY routes through a gamma conversion that
-    * is not the stored sample), but palette rasters (GIF) hold INDICES
+  /** ImageIO-backed raster decode for everything the pure-JVM decoders
+    * stop at: the ENTROPY-CODED containers (GIF LZW frames, JPEG scans)
+    * plus the PNG variants grayPixels declines — interlaced (Adam7),
+    * 16-bit, paletted (VERDICT r15 #3; call sites try grayPixels FIRST,
+    * so it keeps every format it owns). javax.imageio is pure JDK,
+    * executor-safe, and already the trusted witness decoder
+    * (MediaWitnessSpec); here it is a production branch so a real
+    * multimodal corpus — mostly JPEG — gets real pixels instead of
+    * `no-raster` markers (VERDICT r14 #1). Dimensions are read from the
+    * HEADER and capped BEFORE the full decode (ADVICE r15: a crafted
+    * header must not drive a multi-GB allocation inside reader.read —
+    * OutOfMemoryError is not NonFatal and would escape the catch).
+    * Gray conversion: single-band component rasters read raw samples
+    * (getRGB on CS_GRAY routes through a gamma conversion that is not
+    * the stored sample; >8-bit samples downshift to the 8-bit luma
+    * contract), but palette rasters (GIF, PNG colorType 3) hold INDICES
     * in their one band, so they go through getRGB (IndexColorModel is
-    * sRGB — exact) + BT.601. Same 256 MB pixel cap as the PNG path;
-    * decode failures return None (the honest no-raster marker), never
-    * throw. Reference discipline: verify the stored BYTES, not just
-    * headers (`Utils.java:28-58`).
+    * sRGB — exact) + BT.601. Decode failures return None (the honest
+    * no-raster marker), never throw. Reference discipline: verify the
+    * stored BYTES, not just headers (`Utils.java:28-58`).
     */
   private[graft] def imageIoGrayDecode(p: Array[Byte]): Option[(Int, Int, Array[Int])] = {
     val isGif = p.length > 6 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F' && p(3) == '8'
     val isJpeg = p.length > 3 && (p(0) & 0xFF) == 0xFF && (p(1) & 0xFF) == 0xD8
-    if (!isGif && !isJpeg) return None
+    // PNG magic too (VERDICT r15 #3): grayPixels owns the 8-bit
+    // non-interlaced forms and tries FIRST at every call site, so the
+    // only PNGs reaching here are the variants it declines — interlaced
+    // (Adam7), 16-bit, paletted — which otherwise had NO raster at all.
+    val isPng = p.length > 8 && (p(0) & 0xFF) == 0x89 && p(1) == 'P' &&
+      p(2) == 'N' && p(3) == 'G'
+    if (!isGif && !isJpeg && !isPng) return None
     try {
       javax.imageio.ImageIO.setUseCache(false) // no temp-file cache on executors
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(p))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) { iis.close(); return None }
+      val reader = readers.next()
+      val img = try {
+        reader.setInput(iis)
+        // Header-only dimensions BEFORE the full decode (ADVICE r15): a
+        // crafted header claiming huge dimensions must be rejected here
+        // — reader.read on it allocates the full raster inside ImageIO,
+        // and the resulting OutOfMemoryError is not NonFatal and would
+        // escape the catch (the exact failure mode the netpbm path
+        // pre-validates against at :641).
+        val w0 = reader.getWidth(0); val h0 = reader.getHeight(0)
+        if (w0 <= 0 || h0 <= 0 || w0.toLong * h0 > 64L * 1024 * 1024) null
+        else reader.read(0)
+      } finally { reader.dispose(); iis.close() }
       if (img == null) return None
       val w = img.getWidth; val h = img.getHeight
       if (w <= 0 || h <= 0 || w.toLong * h > 64L * 1024 * 1024) return None
       val rawSamples = img.getRaster.getNumBands == 1 &&
         !img.getColorModel.isInstanceOf[java.awt.image.IndexColorModel]
+      // 16-bit gray arrives as raw 0..65535 samples; normalize to the
+      // 8-bit luma contract. The fixture encodes v·257 = (v<<8)|v, so
+      // the downshift recovers the generator scene exactly.
+      val shift = if (rawSamples)
+        math.max(0, img.getColorModel.getComponentSize(0) - 8) else 0
       val g = new Array[Int](w * h)
       var y = 0
       while (y < h) {
         var x = 0
         while (x < w) {
           g(y * w + x) =
-            if (rawSamples) img.getRaster.getSample(x, y, 0)
+            if (rawSamples) img.getRaster.getSample(x, y, 0) >> shift
             else {
               val rgb = img.getRGB(x, y)
               (299 * ((rgb >> 16) & 0xFF) + 587 * ((rgb >> 8) & 0xFF) +
@@ -1003,7 +1034,17 @@ object Multimodal {
     (16L, fixtureLen(16L), 31, 19, 3, "gif"),   // real LZW frame
     (17L, fixtureLen(17L), 12, 8, 3, "gif"),
     (18L, fixtureLen(18L), 24, 16, 3, "jpeg"),  // real baseline scan
-    (19L, fixtureLen(19L), 17, 11, 3, "jpeg"))
+    (19L, fixtureLen(19L), 17, 11, 3, "jpeg"),
+    // PNG variants (VERDICT r15 #3). 35/36 are hand-assembled with
+    // stored-block deflate, so n_bytes is spec math again: 16-bit gray
+    // = 57-byte shell + zlib 11 + h·(1+2w); paletted adds the 780-byte
+    // PLTE chunk with raw h·(1+w). 37 is ImageIO-encoded (Adam7), so
+    // its length is encoder-determined (the gifRaster rule). channels
+    // transcribes IHDR samples-per-pixel: 1 for gray AND palette
+    // indices (parseImageHeader's contract).
+    (35L, 329L, 14, 9, 1, "png"),    // 57 + 11 + 9·29
+    (36L, 1134L, 21, 13, 1, "png"),  // 57 + 780 + 11 + 13·22
+    (37L, fixtureLen(37L), 26, 17, 1, "png"))
 
   /** Byte lengths of the entropy-coded fixtures — the one catalog field
     * the format spec does not determine (LZW/Huffman output length).
@@ -1058,15 +1099,27 @@ object Multimodal {
     // semantic correctness vs the generator scene is the tolerance
     // witness in MediaWitnessSpec, not these literals.
     (18L, 24, 16, 16, 16, 22328L, 3554843L, "jpeg-imageio"),
-    (19L, 17, 11, 16, 16, 22053L, 3546525L, "jpeg-imageio"))
+    (19L, 17, 11, 16, 16, 22053L, 3546525L, "jpeg-imageio"),
+    // 35-37: the PNG variants through the ImageIO fallback. All three
+    // are LOSSLESS encodings of the scene grays (16-bit stores v·257 —
+    // the downshift recovers v; the palette is identity gray; Adam7
+    // reorders, never alters, samples), so like the GIF rows the
+    // checksums are pure generator math, independent of any decoder.
+    sceneResizeRow(35L, 14, 9, seed = 35, "png-imageio"),
+    sceneResizeRow(36L, 21, 13, seed = 36, "png-imageio"),
+    sceneResizeRow(37L, 26, 17, seed = 37, "png-imageio"))
 
-  private def gifResizeRow(id: Long, w: Int, h: Int, seed: Int)
+  private def sceneResizeRow(id: Long, w: Int, h: Int, seed: Int, label: String)
       : (Long, Int, Int, Int, Int, Long, Long, String) = {
     val g = Array.tabulate(w * h)(k =>
       graft.sources.MediaFixtures.sceneGray(seed)(k % w, k / w))
     val (s1, s2) = resize16(w, h, g)
-    (id, w, h, 16, 16, s1, s2, "gif-imageio")
+    (id, w, h, 16, 16, s1, s2, label)
   }
+
+  private def gifResizeRow(id: Long, w: Int, h: Int, seed: Int)
+      : (Long, Int, Int, Int, Int, Long, Long, String) =
+    sceneResizeRow(id, w, h, seed, "gif-imageio")
 
   private[graft] val mediaVideoExpected: Seq[(Long, Long, Int, Int, Long, String)] = Seq(
     // (id, n_bytes, width, height, duration_ms, decoder)

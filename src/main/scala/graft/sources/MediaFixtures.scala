@@ -149,12 +149,16 @@ object MediaFixtures {
     out.toByteArray
   }
 
-  /** Complete valid PNG: signature + IHDR + one deflate-compressed IDAT
-    * (filter-0 scanlines) + IEND, CRC32 per chunk. colorType 0 = gray,
-    * 2 = RGB, 6 = RGBA (bit depth 8).
+  /** Complete valid PNG: signature + IHDR (+ PLTE for colorType 3) + one
+    * deflate-compressed IDAT (filter-0 scanlines) + IEND, CRC32 per
+    * chunk. colorType 0 = gray (bit depth 8 or 16), 2 = RGB, 3 =
+    * paletted (identity-gray 256-entry PLTE, indices = BT.601 luma),
+    * 6 = RGBA. The depth-16 gray sample is luma·257 = (luma<<8)|luma, so
+    * a correct 16→8 downshift recovers the 8-bit scene exactly — the
+    * variant rasters stay generator-pinnable despite the wider samples.
     */
-  private[graft] def png(w: Int, h: Int, colorType: Int, seed: Int): Array[Byte] = {
-    val channels = colorType match { case 0 => 1; case 2 => 3; case 6 => 4 }
+  private[graft] def png(w: Int, h: Int, colorType: Int, seed: Int,
+                         depth: Int = 8): Array[Byte] = {
     def chunk(tp: String, data: Array[Byte]): Array[Byte] = {
       val crc = new java.util.zip.CRC32()
       val t = ascii(tp)
@@ -162,17 +166,22 @@ object MediaFixtures {
       be32(data.length.toLong) ++ t ++ data ++ be32(crc.getValue)
     }
     val ihdr = be32(w.toLong) ++ be32(h.toLong) ++
-      Array[Byte](8, colorType.toByte, 0, 0, 0)
+      Array[Byte](depth.toByte, colorType.toByte, 0, 0, 0)
     val px = scene(seed) _
+    def gray(x: Int, y: Int): Int = {
+      val (r, g, b) = px(x, y); (299 * r + 587 * g + 114 * b) / 1000
+    }
     val raw = new ByteArrayOutputStream()
     for (y <- 0 until h) {
       raw.write(0) // filter: None
       for (x <- 0 until w) {
         val (r, g, b) = px(x, y)
-        colorType match {
-          case 0 => raw.write((299 * r + 587 * g + 114 * b) / 1000)
-          case 2 => raw.write(r); raw.write(g); raw.write(b)
-          case 6 => raw.write(r); raw.write(g); raw.write(b); raw.write(255)
+        (colorType, depth) match {
+          case (0, 8) => raw.write(gray(x, y))
+          case (0, 16) => val v = gray(x, y); raw.write(v); raw.write(v)
+          case (2, _) => raw.write(r); raw.write(g); raw.write(b)
+          case (3, _) => raw.write(gray(x, y)) // index into identity palette
+          case (6, _) => raw.write(r); raw.write(g); raw.write(b); raw.write(255)
         }
       }
     }
@@ -187,8 +196,43 @@ object MediaFixtures {
     val buf = new Array[Byte](raw.size() + 64)
     val n = deflater.deflate(buf)
     deflater.end()
+    val plte =
+      if (colorType == 3)
+        chunk("PLTE", Array.tabulate(768)(i => (i / 3).toByte))
+      else Array.emptyByteArray
     Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A) ++
-      chunk("IHDR", ihdr) ++ chunk("IDAT", buf.take(n)) ++ chunk("IEND", Array.emptyByteArray)
+      chunk("IHDR", ihdr) ++ plte ++ chunk("IDAT", buf.take(n)) ++
+      chunk("IEND", Array.emptyByteArray)
+  }
+
+  /** Adam7-interlaced grayscale PNG via the JDK's PNG writer in
+    * progressive mode — an interlaced stream this repo did not
+    * hand-assemble, exercising the ImageIO fallback the native PNG path
+    * declines (interlace ≠ 0). Lossless gray, so the decoded raster must
+    * equal sceneGray exactly; n_bytes is encoder-determined (the
+    * gifRaster rule).
+    */
+  private[graft] def pngInterlaced(w: Int, h: Int, seed: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val r = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { r.setSample(x, y, 0, sceneGray(seed)(x, y)); x += 1 }
+      y += 1
+    }
+    javax.imageio.ImageIO.setUseCache(false)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+    val param = writer.getDefaultWriteParam
+    param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val out = new ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    } finally { writer.dispose(); ios.close() }
+    out.toByteArray
   }
 
   /** GIF87a/89a header + logical screen descriptor + 2-entry global
@@ -403,6 +447,11 @@ object MediaFixtures {
     (17L, "image", gifRaster(12, 8, seed = 17)),
     (18L, "image", jpegRaster(24, 16, seed = 18)),   // real entropy-coded scan
     (19L, "image", jpegRaster(17, 11, seed = 19)),
+    // PNG variants the native decoder declines (VERDICT r15 #3) — each
+    // must take the ImageIO fallback and recover the exact scene grays
+    (35L, "image", png(14, 9, colorType = 0, seed = 35, depth = 16)),
+    (36L, "image", png(21, 13, colorType = 3, seed = 36)), // paletted
+    (37L, "image", pngInterlaced(26, 17, seed = 37)),      // Adam7
     (20L, "audio", wav(ch = 2, rate = 8000, bits = 16, frames = 1600)),
     (21L, "audio", wav(ch = 1, rate = 44100, bits = 8, frames = 4410)),
     (22L, "audio", au(ch = 1, rate = 16000, enc = 3, frames = 800)),
@@ -418,9 +467,20 @@ object MediaFixtures {
     * parquet storage exactly like a 100 TB media corpus would, so the
     * decode queries read persisted bytes, not in-memory literals.
     */
+  /** Version component for the Derived key of every encoder-bearing
+    * fixture (ADVICE r15): assets 16-19/37 carry ImageIO-ENCODED bytes
+    * and the resize catalog pins decoder-exact checksums, both
+    * JDK-build-dependent — a JVM upgrade must regenerate the persisted
+    * artifact in sync with the in-JVM expectations, or cached bytes
+    * written by the old encoder disagree with literals recomputed by
+    * the new one.
+    */
+  private def jdkKey: String =
+    System.getProperty("java.version", "unknown").replaceAll("[^0-9A-Za-z.]", "_")
+
   def tablePath(s: SparkSession, d: String): String = {
     val dir = Derived.ensure(s, "graft_media_fixture", s"$d/documents.parquet",
-      version = "v3", marker = "documents_media/_SUCCESS") { tmp =>
+      version = s"v4-jdk$jdkKey", marker = "documents_media/_SUCCESS") { tmp =>
       import s.implicits._
       assets().toDF("media_id", "kind", "payload")
         .coalesce(1)
@@ -445,7 +505,14 @@ object MediaFixtures {
       case 1 => (i, "image", bmp24(w, h, seed = (i % 1000).toInt, topDown = true))
       case 2 => (i, "image", netpbm("P6", w, h, seed = (i % 1000).toInt))
       case 3 => (i, "image", netpbm("P5", w, h, seed = (i % 1000).toInt))
-      case 4 => (i, "image", png(w, h, colorType = 2, seed = (i % 1000).toInt))
+      // PNG volume cycles the full variant set: native-path RGB plus the
+      // three ImageIO-fallback variants (16-bit, paletted, Adam7)
+      case 4 => (i, "image", (i / 10 % 4) match {
+        case 0 => png(w, h, colorType = 2, seed = (i % 1000).toInt)
+        case 1 => png(w, h, colorType = 0, seed = (i % 1000).toInt, depth = 16)
+        case 2 => png(w, h, colorType = 3, seed = (i % 1000).toInt)
+        case _ => pngInterlaced(w, h, seed = (i % 1000).toInt)
+      })
       // half the GIF/JPEG volume carries REAL entropy-coded rasters
       // (the decode tier's ImageIO branch does full pixel work on
       // them); the other half keeps the header-only containers so the
@@ -473,7 +540,7 @@ object MediaFixtures {
     */
   def volumeTablePath(s: SparkSession, d: String, n: Long): String = {
     val dir = Derived.ensure(s, "graft_media_volume", s"$d/documents.parquet",
-      version = s"v2-$n", marker = "media_volume/_SUCCESS") { tmp =>
+      version = s"v3-$n-jdk$jdkKey", marker = "media_volume/_SUCCESS") { tmp =>
       import s.implicits._
       s.range(0, n, 1, math.max(1, math.min(n / 64 + 1, 64)).toInt)
         .as[Long]

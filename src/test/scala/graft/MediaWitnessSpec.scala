@@ -50,8 +50,11 @@ class MediaWitnessSpec extends AnyFunSuite {
           if (singleBand) {
             // getRGB on a gray image routes through a CS_GRAY→sRGB
             // ColorModel conversion (gamma), which is not the stored
-            // sample — read the raster directly
-            img.getRaster.getSample(x, y, 0)
+            // sample — read the raster directly; >8-bit samples
+            // downshift to the 8-bit luma contract (the production
+            // imageIoGrayDecode rule, re-derived here)
+            img.getRaster.getSample(x, y, 0) >>
+              math.max(0, img.getColorModel.getComponentSize(0) - 8)
           } else {
             val rgb = img.getRGB(x, y)
             val r = (rgb >> 16) & 0xFF; val gg = (rgb >> 8) & 0xFF; val b = rgb & 0xFF
@@ -254,6 +257,48 @@ class MediaWitnessSpec extends AnyFunSuite {
       assert(g.sameElements(expected),
         s"asset $id: LZW round-trip did not preserve the scene grays")
     }
+  }
+
+  test("ImageIO branch decodes the PNG variant fixtures (16-bit, paletted, Adam7) to EXACT scene grays") {
+    // VERDICT r15 #3: the three PNG forms grayPixels declines must take
+    // the ImageIO fallback and — all being lossless encodings of the
+    // scene — land on the generator raster bit-for-bit: 16-bit stores
+    // v·257 (downshift recovers v), the palette is identity gray,
+    // Adam7 only reorders scanlines
+    for ((id, w, h, seed) <- Seq((35L, 14, 9, 35), (36L, 21, 13, 36), (37L, 26, 17, 37))) {
+      val p = payloads(id)
+      assert(Multimodal.grayPixels(p).isEmpty,
+        s"asset $id: grayPixels claims a variant it was built to decline")
+      val (gw, gh, g) = Multimodal.imageIoGrayDecode(p)
+        .getOrElse(fail(s"asset $id: ImageIO branch refused the PNG variant"))
+      assert((gw, gh) == (w, h), s"asset $id: dims ${gw}x$gh != ${w}x$h")
+      val expected = Array.tabulate(w * h)(k => MediaFixtures.sceneGray(seed)(k % w, k / w))
+      assert(g.sameElements(expected),
+        s"asset $id: PNG variant round-trip did not preserve the scene grays")
+    }
+    // interlace/depth/colorType bytes really are the variant forms
+    // (guards against the generator silently emitting the plain form)
+    assert(payloads(35L)(24) == 16, "asset 35 is not bit depth 16")
+    assert(payloads(36L)(25) == 3, "asset 36 is not colorType 3 (paletted)")
+    assert(payloads(37L)(28) == 1, "asset 37 is not Adam7-interlaced")
+  }
+
+  test("imageIoGrayDecode rejects a crafted huge-dimension header BEFORE allocating (ADVICE r15)") {
+    // a valid interlaced PNG re-headered (CRC recomputed, so the reader
+    // trusts it) to claim 60000x60000 (3.6G pixels) must bounce off the
+    // header-only cap — reader.read on it would attempt the full-raster
+    // allocation inside ImageIO, and OOM is not NonFatal
+    val p = MediaFixtures.pngInterlaced(8, 6, seed = 1).clone()
+    def be32(v: Long, at: Int): Unit = {
+      p(at) = ((v >> 24) & 0xFF).toByte; p(at + 1) = ((v >> 16) & 0xFF).toByte
+      p(at + 2) = ((v >> 8) & 0xFF).toByte; p(at + 3) = (v & 0xFF).toByte
+    }
+    be32(60000L, 16); be32(60000L, 20) // IHDR width, height
+    val crc = new java.util.zip.CRC32()
+    crc.update(p, 12, 17) // chunk type + 13 IHDR data bytes
+    be32(crc.getValue, 29)
+    assert(Multimodal.imageIoGrayDecode(p).isEmpty,
+      "crafted 3.6-gigapixel header was not rejected")
   }
 
   test("ImageIO branch decodes the JPEG fixtures within tight luma tolerance of the scene") {

@@ -401,9 +401,10 @@ class MultimodalSpec extends AnyFunSuite {
       .as[(Long, Int, Int, Int, Int, Long, Long, String)].collect().toSeq
     assert(rsz == ops.Multimodal.mediaResizeExpected,
       s"resize drifted from the catalog: $rsz")
-    assert(rsz.count(_._6 >= 0) == 15, "a raster asset lost its pixel path")
-    assert(rsz.count(_._8.endsWith("-imageio")) == 4,
-      "an entropy-coded raster fell off the ImageIO branch")
+    assert(rsz.count(_._6 >= 0) == 18, "a raster asset lost its pixel path")
+    // 4 entropy-coded (GIF LZW x2, JPEG x2) + 3 PNG variants (r16)
+    assert(rsz.count(_._8.endsWith("-imageio")) == 7,
+      "a raster fell off the ImageIO branch")
   }
 
   test("real-media fixtures: same scene in BMP and P6 is pixel- and aHash-identical across containers") {
