@@ -1575,6 +1575,43 @@ class LlmPipelineSpec extends AnyFunSuite {
         s"${(expanded -- bandedWhole).take(5)} vs ${(bandedWhole -- expanded).take(5)}")
   }
 
+  test("duplicated short/empty texts: expansion ≡ ml witness, distance-0 intra pairs on both (ADVICE r15)") {
+    import spark.implicits._
+    // ADVICE r15 flagged the collapse membership as including docs with
+    // empty shingle sets while the ml witness filters size(tokens) > 0.
+    // In THIS substrate the shingle set is never empty — a short or
+    // empty/null text shingles to array(coalesce(text, '')), one
+    // element — so byte-identical short/empty docs are legitimate
+    // distance-0 copies on BOTH families and the tokens filter is
+    // vacuous. This pins that equality on the exact corpus shape the
+    // advice describes (duplicated empty, duplicated sub-shingle-length,
+    // and a null that coalesces to '').
+    val docs = Seq(
+      (0L, "alpha bravo charlie delta echo foxtrot golf hotel india juliet"),
+      (1L, ""), (2L, ""),                   // duplicated empty
+      (3L, "kilo lima"), (4L, "kilo lima"), // duplicated sub-shingle-length
+      (5L, null.asInstanceOf[String]),      // null ≡ '' by the coalesce rule
+      (6L, "alpha bravo charlie delta echo foxtrot golf hotel india juliet"))
+    val dir = s"/tmp/graft-test-shortdup-${java.util.UUID.randomUUID()}"
+    docs.map { case (id, t) =>
+        (id, t, "en", "src0", Option(t).map(_.length.toLong).getOrElse(0L)) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select($"doc_a", $"doc_b", $"jaccard_dist".cast("double"))
+      .as[(Long, Long, Double)].collect().toSet
+    val got = rows(ops.LlmPipeline.dedupNear(spark, dir))
+    val ml = rows(ops.LlmPipeline.dedupNearUncollapsed(spark, dir))
+    assert(got == ml,
+      s"only-expanded: ${(got -- ml).take(5)}; only-ml: ${(ml -- got).take(5)}")
+    assert(got.contains((1L, 2L, 0.0)), "duplicated empty texts must pair at 0")
+    assert(got.contains((1L, 5L, 0.0)), "null must collapse with '' (coalesce rule)")
+    assert(got.contains((3L, 4L, 0.0)), "duplicated short texts must pair at 0")
+    assert(got.contains((0L, 6L, 0.0)), "verbatim long copies must pair at 0")
+    // empty and short texts are NOT near each other (disjoint shingles)
+    assert(!got.exists(p => Set(p._1, p._2) == Set(1L, 3L)))
+  }
+
   test("collapse key is RAW text: a case-variant copy never collapses or gains distance-0 pairs") {
     import spark.implicits._
     val dir = LlmFixtures.plantedDir(spark) // doc 201 = doc 0 capitalized
