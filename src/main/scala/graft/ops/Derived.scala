@@ -27,12 +27,25 @@ object Derived {
     */
   def dirFor(s: SparkSession, family: String, sourceFile: String,
              version: String = ""): String = {
-    val srcPath = new org.apache.hadoop.fs.Path(sourceFile)
     val mtime = sourceMtime(s, sourceFile)
-    s"${sys.props("java.io.tmpdir")}/$family/" +
-      srcPath.getParent.toString.replaceAll("[^A-Za-z0-9._-]", "_") +
+    s"${familyDir(family)}/${labelFor(sourceFile)}" +
       s"_$mtime${if (version.isEmpty) "" else s"_$version"}"
   }
+
+  /** The family's artifact root — where every published artifact for
+    * `family` lives, one subdir per (source, mtime, version).
+    */
+  def familyDir(family: String): String =
+    s"${sys.props("java.io.tmpdir")}/$family"
+
+  /** The per-dataset label component of an artifact dir name (the
+    * sanitized parent of the source file). Exposed so append-aware
+    * ensures (Storage.ensureBloomIndex) can enumerate a dataset's
+    * PREVIOUS artifacts — same formula, no duplicate that could drift.
+    */
+  def labelFor(sourceFile: String): String =
+    new org.apache.hadoop.fs.Path(sourceFile)
+      .getParent.toString.replaceAll("[^A-Za-z0-9._-]", "_")
 
   /** Hadoop-FS mtime of a source file (0 when absent) — the staleness
     * stamp session memos key on (substring windows, cc labels), shared

@@ -214,8 +214,14 @@ object Storage {
     * (adds the output order) and prune (consumes unordered).
     */
   private[graft] def fileBloomIndex(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("file_id"),
+    bloomRowsFor(Tables.lineitem(s, d))
+
+  /** The bloom-row projection over any lineitem-shaped frame — factored
+    * out so the incremental ensure can run it over the DELTA data files
+    * alone (the full build passes the whole table).
+    */
+  private def bloomRowsFor(li: DataFrame): DataFrame =
+    li.select(col("l_orderkey").as("file_id"),
         expr("CAST(l_suppkey AS STRING)").as("k"))
       .withColumn("h", expr(bloomHash("k", duck = false)))
       .select(col("file_id"), explode(array(
@@ -242,18 +248,107 @@ object Storage {
   def fileindexBuild(s: SparkSession, d: String): DataFrame =
     s.read.parquet(ensureBloomIndex(s, d)).orderBy("file_id", "bit_pos")
 
-  /** Persisted form of the Bloom index, keyed by dataset dir + source
-    * mtime (a driver-regenerated fixture must miss, or a stale index
-    * would serve wrong prune sets to the oracle gate). Same
-    * build-once/probe-many lifecycle as the IVF index
-    * (LlmPipeline.ensureIvfIndex): at 100 TB the index build is one
-    * corpus pass run by the ingest job; every point-lookup probe after
-    * it reads only this metadata-sized table.
+  private[graft] val BloomFamily = "graft-bloom-index"
+  private[graft] val BloomManifest = "_MANIFEST"
+
+  /** The source table's data files as manifest lines `len\tmtime\tpath`
+    * (sorted; `_`/`.`-prefixed bookkeeping files excluded — the same
+    * set a parquet scan reads). The line triple is the identity an
+    * append-aware ensure compares: a file with the same path but new
+    * length or mtime is a MODIFICATION, never an append.
     */
-  private[graft] def ensureBloomIndex(s: SparkSession, d: String): String =
-    Derived.ensure(s, "graft-bloom-index", s"$d/lineitem.parquet") { dir =>
-      fileBloomIndex(s, d).write.mode("overwrite").parquet(dir)
+  private def manifestLines(s: SparkSession, table: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(table)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Nil
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val n = st.getPath.getName
+      if (st.isFile && !n.startsWith("_") && !n.startsWith("."))
+        out += s"${st.getLen}\t${st.getModificationTime}\t${st.getPath}"
     }
+    out.sorted.toSeq
+  }
+
+  private def manifestPath(lines: Seq[String]): Seq[String] =
+    lines.map(_.split('\t')(2))
+
+  /** The most-covering PREVIOUS artifact for this dataset whose manifest
+    * is a strict subset of the current listing — the base an append
+    * extends. Enumerates the family dir by the dataset's label prefix
+    * (Derived.labelFor: same formula as dirFor, no drift).
+    */
+  private def latestCoveredBase(s: SparkSession, src: String,
+      current: Seq[String]): Option[(String, Set[String])] = {
+    val fs = new org.apache.hadoop.fs.Path(Derived.familyDir(BloomFamily))
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val fam = new org.apache.hadoop.fs.Path(Derived.familyDir(BloomFamily))
+    if (!fs.exists(fam)) return None
+    val prefix = Derived.labelFor(src) + "_"
+    val cur = current.toSet
+    fs.listStatus(fam).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
+      .flatMap { st =>
+        val dir = st.getPath
+        val ok = fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS")) &&
+          fs.exists(new org.apache.hadoop.fs.Path(dir, BloomManifest))
+        if (!ok) None
+        else {
+          val in = fs.open(new org.apache.hadoop.fs.Path(dir, BloomManifest))
+          val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+            .getLines().toList finally in.close()
+          if (lines.nonEmpty && lines.forall(cur) && lines.size < cur.size)
+            Some((dir.toString, lines.toSet))
+          else None
+        }
+      }
+      .sortBy(-_._2.size).headOption
+  }
+
+  /** Persisted form of the Bloom index, keyed by dataset dir + the FULL
+    * data-file manifest (path, length, mtime of every part file) — a
+    * driver-regenerated fixture must miss, or a stale index would serve
+    * wrong prune sets to the oracle gate. Same build-once/probe-many
+    * lifecycle as the IVF index (LlmPipeline.ensureIvfIndex), PLUS the
+    * append lifecycle a daily-ingest lake needs (VERDICT r15 #4): when
+    * the current listing strictly extends a previously published
+    * artifact's manifest, the build scans ONLY the delta files and
+    * unions them with the previous artifact's metadata-sized rows —
+    * never re-reading covered corpus bytes (StorageSpec proves this by
+    * corrupting a covered file in place: the extend succeeds, a rebuild
+    * could not). Any non-append change (modified/removed file) fails
+    * the subset test and falls back to the full rebuild. Set-identical
+    * to the full build by construction: distinct(prev ∪ delta) =
+    * distinct(all) because the projection is per-row. Mirrors the
+    * reference's delta heartbeats — publish what changed, not the
+    * world (storageNode/HeartbeatRunnable.java:101-143) — and the
+    * repo's own q_dedup_incremental probe-don't-rebuild discipline.
+    */
+  private[graft] def ensureBloomIndex(s: SparkSession, d: String): String = {
+    val src = s"$d/lineitem.parquet"
+    val lines = manifestLines(s, src)
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(lines.mkString("\n").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    Derived.ensure(s, BloomFamily, src, version = s"m$key") { tmp =>
+      val rows = latestCoveredBase(s, src, lines) match {
+        case Some((prevDir, covered)) =>
+          val delta = manifestPath(lines.filterNot(covered))
+          bloomRowsFor(s.read.parquet(delta: _*))
+            .unionByName(s.read.parquet(prevDir))
+            .distinct()
+        case None => fileBloomIndex(s, d)
+      }
+      rows.write.mode("overwrite").parquet(tmp)
+      val fs = new org.apache.hadoop.fs.Path(tmp)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val out = fs.create(new org.apache.hadoop.fs.Path(tmp, BloomManifest))
+      try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+      finally out.close()
+    }
+  }
 
   /** q_fileindex_prune — candidate files for `l_suppkey = ProbeSuppKey`,
     * answered FROM THE INDEX ALONE: a file qualifies iff its bit set
