@@ -337,6 +337,32 @@ object Streaming {
       .select(col("node"), unix_micros(col("p_ts")).as("ping_us"),
         unix_micros(col("e_ts")).as("echo_us")) // echo_us NULL = timed out
 
+  /** Stream-stream FULL OUTER join with bounded state — two-way
+    * reconciliation (VERDICT r15 #5, completing the inner/left family):
+    * matches emit immediately like the inner form; a ping with no
+    * in-bound echo emits null-padded on the echo side (the timeout,
+    * same as the left form); an echo with no ping emits null-padded on
+    * the PING side — the "unsolicited ack" the one-directional monitor
+    * can never surface. This is the shape of the controller's
+    * order-vs-stored-ack bookkeeping run in BOTH directions at once
+    * (an order never acknowledged AND an ack never ordered are both
+    * incidents; reference controller/FileTable.java pending-chunk map +
+    * MessageProcessor's stored-ack handling). Both unmatched emissions
+    * happen ONLY at the watermark — eviction time, when no partner can
+    * still arrive — never speculatively at trigger time (the left-form
+    * rule, now pinned on both sides in StreamingSpec). Same bounded
+    * state as the inner join: both sides watermarked + time-bound
+    * condition ⇒ O(window) buffers (StateBoundsSpec, 3 backends).
+    */
+  def streamStreamFullJoin(ping: Dataset[Heartbeat], echo: Dataset[Heartbeat]): DataFrame =
+    ping.toDF("p_ts", "node").withWatermark("p_ts", "10 minutes")
+      .join(echo.toDF("e_ts", "e_node").withWatermark("e_ts", "10 minutes"),
+        expr("node = e_node AND e_ts BETWEEN p_ts AND p_ts + INTERVAL 5 MINUTES"),
+        "full_outer")
+      .select(coalesce(col("node"), col("e_node")).as("node"),
+        unix_micros(col("p_ts")).as("ping_us"),  // NULL = unsolicited echo
+        unix_micros(col("e_ts")).as("echo_us"))  // NULL = timed-out ping
+
   /** foreachBatch upsert sink: maintains a per-node latest-heartbeat
     * parquet snapshot (the reference's `heartbeats.put(node, date)` map,
     * controller/MessageProcessor.java:283-287, as a durable table).

@@ -130,6 +130,11 @@ class StateBoundsSpec extends AnyFunSuite {
       (a, b) => ops.Streaming.streamStreamLeftJoin(a.toDS(), b.toDS()))
   }
 
+  test("stream-stream FULL OUTER join: BOTH outer buffers evict after null-padded emit on all 3 backends") {
+    assertBounded("ssfull", OutputMode.Append(),
+      (a, b) => ops.Streaming.streamStreamFullJoin(a.toDS(), b.toDS()))
+  }
+
   test("flatMapGroupsWithState liveness: state is keyed by live nodes, never by stream length") {
     // processing-time timeout leg: event time never evicts here, so the
     // bound is |nodes| — a long timeout keeps every node alive through

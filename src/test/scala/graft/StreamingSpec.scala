@@ -171,6 +171,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream FULL OUTER join: both unmatched sides emit null-padded at the watermark, never before") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val pings = MemoryStream[ops.Streaming.Heartbeat]
+    val echos = MemoryStream[ops.Streaming.Heartbeat]
+    val q = ops.Streaming.streamStreamFullJoin(pings.toDS(), echos.toDS())
+      .writeStream.format("memory").queryName("ss_full_join")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      pings.addData(ops.Streaming.Heartbeat(ts("2024-01-01 10:00:00"), "n1"),
+        ops.Streaming.Heartbeat(ts("2024-01-01 10:00:00"), "n2")) // will time out
+      echos.addData(
+        ops.Streaming.Heartbeat(ts("2024-01-01 10:03:00"), "n1"), // in bound
+        ops.Streaming.Heartbeat(ts("2024-01-01 10:02:00"), "n3")) // unsolicited
+      q.processAllAvailable()
+      def rows() = spark.sql(
+        "SELECT node, ping_us IS NULL, echo_us IS NULL FROM ss_full_join")
+        .collect().map(r => (r.getString(0), r.getBoolean(1), r.getBoolean(2))).toSet
+      // before eviction, ONLY the inner match may exist — a null-padded
+      // row on EITHER side now would be speculative
+      assert(rows() == Set(("n1", false, false)),
+        s"speculative outer row before eviction: ${rows()}")
+      // advance both watermarks far past every horizon: the timed-out
+      // ping AND the unsolicited echo both become emitted rows
+      pings.addData(ops.Streaming.Heartbeat(ts("2024-01-01 11:00:00"), "n9"))
+      echos.addData(ops.Streaming.Heartbeat(ts("2024-01-01 11:00:00"), "n9"))
+      q.processAllAvailable()
+      assert(rows().contains(("n2", false, true)),
+        s"timed-out ping never emitted: ${rows()}")
+      assert(rows().contains(("n3", true, false)),
+        s"unsolicited echo never emitted: ${rows()}")
+      // and no fabricated cross-matches
+      assert(!rows().exists(r => r._1 == "n2" && !r._3), "n2 matched a ghost echo")
+      assert(!rows().exists(r => r._1 == "n3" && !r._2), "n3 matched a ghost ping")
+    } finally q.stop()
+  }
+
   test("streaming session_window finalizes a session when the watermark passes it (#50)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
