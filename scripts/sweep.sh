@@ -68,3 +68,28 @@ for sf in sf0.001 sf0.01 sf0.1 sf1 sf1gen sf10gen; do
   python3 scripts/check.py "$dir" "$out" | tail -3
 done
 echo "sweep: all SFs green"
+
+# sf10 timed regression gate (VERDICT r15 #7): benchdiff the committed
+# heavy-tier baseline against a fresh run of the SAME query set on the
+# genuine-sf10 corpus. Opt-in (the run costs ~10 min):
+#   GRAFT_SWEEP_SF10BENCH=1 bash scripts/sweep.sh
+# Threshold 1.5: sf10 single-shot numbers carry more box noise than the
+# sf0.1 median-of-3 record benchdiff's default 1.3 was tuned for.
+if [ "${GRAFT_SWEEP_SF10BENCH:-0}" = "1" ] && [ -f BENCH_SF10.json ]; then
+  dir=/tmp/graft_sf10
+  if [ ! -f "$dir/_BUILT" ]; then
+    echo "=== sf10 bench gate: generating genuine sf10 fixtures ==="
+    sbt -batch "runMain graft.SfGen $dir 10" 2>&1 | grep '\[sfgen\]' || \
+      { echo "sweep: sf10 generation failed"; exit 1; }
+    touch "$dir/_BUILT"
+  fi
+  # NOTE: no stride-1 ceiling override here — the baseline set routes
+  # substring work through the auto router's production path (the
+  # raised-ceiling stride-1 run OOMs a 24g driver at sf10 by design;
+  # its loud refusal IS the production contract).
+  names=$(python3 -c "import json; d=json.load(open('BENCH_SF10.json')); print(','.join(sorted(d['queries'])))")
+  echo "=== sf10 bench gate ($(echo "$names" | tr ',' '\n' | wc -l) queries) ==="
+  SPARK_GRAFT_SF_DIR="$dir" SPARK_GRAFT_BENCH_ONLY="$names" \
+    sbt -batch "runMain graft.Bench" 2>&1 | grep '"metric"'
+  python3 scripts/benchdiff.py BENCH_SF10.json /tmp/graft_bench_full.json --threshold 1.5
+fi

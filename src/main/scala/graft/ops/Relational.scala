@@ -1023,23 +1023,34 @@ object Relational {
     * stack generator. Values are exact BIGINT counts — never IEEE —
     * so the long form hashes identically on both engines.
     *
-    * Plan: the two DISTINCT aggregates compile to ONE Expand (3×
-    * scan rows, the standard multi-distinct plan) and a single
-    * shuffle on l_returnflag; stack is a mapper-only generator over
-    * the |flags|-row matrix, so the reshape itself is free. The
-    * oracle keeps the dialect-neutral UNION ALL unpivot as the
-    * independent witness.
+    * Plan: each DISTINCT count runs as its own two-level aggregate —
+    * partial distinct on (flag, key) map-side, then a count per flag —
+    * and the three |flags|-row results broadcast-join back together.
+    * NOT the one-pass multi-distinct form: Spark compiles two
+    * countDistincts over one input into an Expand (3× the scan rows
+    * through a single hash aggregate holding all dedup sets at once),
+    * which was the registry's worst sf100 spiller by far (135 GB
+    * spilled against 6.6 GB shuffled — BENCHNOTES r15). Three pruned
+    * 2-column scans are bandwidth at 100 TB; the interleaved Expand
+    * state is spill. Stack is a mapper-only generator over the
+    * |flags|-row matrix, so the reshape itself stays free. The oracle
+    * keeps the dialect-neutral UNION ALL unpivot as the independent
+    * witness.
     */
-  def unpivotFlagMatrix(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d)
-      .groupBy(col("l_returnflag"))
-      .agg(count(lit(1)).as("n_rows"),
-        countDistinct(col("l_partkey")).as("n_parts"),
-        countDistinct(col("l_suppkey")).as("n_supps"))
+  def unpivotFlagMatrix(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val nRows = li.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n_rows"))
+    def distinctPerFlag(key: String, as: String) =
+      li.select(col("l_returnflag"), col(key)).distinct()
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as(as))
+    nRows
+      .join(broadcast(distinctPerFlag("l_partkey", "n_parts")), "l_returnflag")
+      .join(broadcast(distinctPerFlag("l_suppkey", "n_supps")), "l_returnflag")
       .selectExpr("l_returnflag",
         "stack(3, 'n_rows', n_rows, 'n_parts', n_parts, 'n_supps', n_supps) " +
           "AS (measure, value)")
       .orderBy("l_returnflag", "measure")
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dq_audit"            -> (dqAudit _),
