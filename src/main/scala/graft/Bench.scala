@@ -86,44 +86,23 @@ object Bench {
         }
       }
     })
-    // §4.3 shuffle sizing applied PER QUERY (VERDICT r15 #6): queries
-    // whose exchange/sort volume is a MULTIPLE of the input (explode
-    // fan-out, banded pair verify, full-output total sorts) spill when
-    // the session-global partition count is sized for 1× scans — the
-    // r15 sf100 probe spilled 317 GB against 276 GB shuffled, almost
-    // all of it in this class. Partitions = sourceBytes × mult / 64 MB,
-    // clamped [session default, 4096]: a no-op at the test SFs (sf0.1's
-    // 62 MB never exceeds the default), active exactly where volume is.
-    // q_heartbeat_map_explode is deliberately ABSENT: its spill is the
-    // collect_list object state of building full-catalog per-node maps
-    // (the query's round-trip contract), measured invariant under both
-    // partition count (sf10: 10.1 -> 21.2 GB at 8x partitions) and the
-    // objectHashAggregate fallback threshold — the production path at
-    // fleet scale is the BOUNDED delta heartbeat (q_heartbeat_map_delta).
-    val volumeMult: Map[String, Int] = Map(
-      "q_dedup_collapsed_jaccard" -> 8, // banded pairs + shingle verify joins
-      "q_unpivot" -> 4,
-      "q_dq_audit" -> 4,
-      "q_source_overlap" -> 4,
-      "q_boilerplate_score" -> 4,
-      "q_lm_fluency" -> 4)
-    val baseParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val srcBytes: Long = try {
-      val p = new org.apache.hadoop.fs.Path(sfDir)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val it = fs.listFiles(p, true)
-      var n = 0L
-      while (it.hasNext) { val st = it.next(); if (st.isFile) n += st.getLen }
-      n
-    } catch { case scala.util.control.NonFatal(_) => 0L }
-    def partsFor(name: String): Int = volumeMult.get(name)
-      .map(m => math.min(4096L, math.max(baseParts.toLong,
-        srcBytes * m / (64L << 20))).toInt)
-      .getOrElse(baseParts)
+    // NOTE on per-query shuffle sizing (VERDICT r15 #6): a
+    // volume-multiplier override (partitions = sourceBytes × mult /
+    // 64 MB for the explode/pair-verify class) was implemented and
+    // MEASURED here in r16, and reverted on the evidence — 8× partitions
+    // doubled q_dedup_collapsed_jaccard's sf100 wall (59.7 → 128.6 s)
+    // for a 27% spill reduction, slowed every sized sf10 query 15-30%,
+    // and left q_heartbeat_map_explode's spill untouched (its spill is
+    // the collect_list object state of the full-catalog map round-trip
+    // itself, invariant under partitions AND the objectHashAggregate
+    // fallback threshold; the fleet-scale path is the bounded delta
+    // heartbeat). The spill that WAS fixable was plan-shaped, not
+    // partition-shaped: q_unpivot's multi-countDistinct Expand
+    // (135 GB → rewritten to split distinct aggregates). BENCHNOTES r16
+    // has the full A/B table.
     val runs = (1 to iters).map { _ =>
       ordered.map { case (name, fn) =>
         spark.sparkContext.setJobGroup(name, name, interruptOnCancel = false)
-        spark.conf.set("spark.sql.shuffle.partitions", partsFor(name).toString)
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case e: Throwable =>
           errored += name
@@ -132,7 +111,6 @@ object Bench {
         name -> (System.nanoTime() - t0) / 1e9
       }.toMap
     }
-    spark.conf.set("spark.sql.shuffle.partitions", baseParts.toString)
     spark.sparkContext.clearJobGroup()
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
