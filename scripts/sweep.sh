@@ -73,8 +73,9 @@ echo "sweep: all SFs green"
 # heavy-tier baseline against a fresh run of the SAME query set on the
 # genuine-sf10 corpus. Opt-in (the run costs ~10 min):
 #   GRAFT_SWEEP_SF10BENCH=1 bash scripts/sweep.sh
-# Threshold 1.5: sf10 single-shot numbers carry more box noise than the
-# sf0.1 median-of-3 record benchdiff's default 1.3 was tuned for.
+# Threshold 2.0: measured same-code sf10 reruns swing up to 1.7x on
+# sub-5 s queries (memo/first-touch ordering + box noise), so the
+# sf0.1-tuned 1.3 default would false-positive here.
 if [ "${GRAFT_SWEEP_SF10BENCH:-0}" = "1" ] && [ -f BENCH_SF10.json ]; then
   dir=/tmp/graft_sf10
   if [ ! -f "$dir/_BUILT" ]; then
@@ -91,5 +92,5 @@ if [ "${GRAFT_SWEEP_SF10BENCH:-0}" = "1" ] && [ -f BENCH_SF10.json ]; then
   echo "=== sf10 bench gate ($(echo "$names" | tr ',' '\n' | wc -l) queries) ==="
   SPARK_GRAFT_SF_DIR="$dir" SPARK_GRAFT_BENCH_ONLY="$names" \
     sbt -batch "runMain graft.Bench" 2>&1 | grep '"metric"'
-  python3 scripts/benchdiff.py BENCH_SF10.json /tmp/graft_bench_full.json --threshold 1.5
+  python3 scripts/benchdiff.py BENCH_SF10.json /tmp/graft_bench_full.json --threshold 2.0
 fi
