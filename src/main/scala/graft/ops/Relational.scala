@@ -738,6 +738,90 @@ object Relational {
       .orderBy(col("custdist").desc, col("c_count").desc)
   }
 
+  /** q_join_order_priority_check — TPC-H Q4's order-priority-check
+    * shape: per priority, how many orders in a quarter had at least one
+    * LATE line (shipped > 30 days after order date — this schema's
+    * commit-vs-receipt analogue). The defining pattern is EXISTS with a
+    * correlated INEQUALITY against the outer row's own column:
+    * decorrelated here to a LEFT SEMI hash join whose condition carries
+    * both the equi key and the date inequality, so each order counts
+    * at most once however many lines are late. The date-filtered orders
+    * slice drives; lineitem projects two columns. Oracle keeps the
+    * textbook correlated EXISTS.
+    */
+  def joinOrderPriorityCheck(s: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1997-07-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-10-01").cast("timestamp"))
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    val li = Tables.lineitem(s, d).select("l_orderkey", "l_shipdate")
+    ord.join(li,
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** q_join_disjunctive — TPC-H Q19's discounted-revenue shape: a join
+    * whose predicate is an OR of brand/size/quantity conjunctions. The
+    * optimizer property THIS query exists to pin: the common equi key
+    * (p_partkey = l_partkey) must be EXTRACTED so the join runs as a
+    * broadcast hash join with the disjunction as a residual filter —
+    * a naive planner evaluates the OR as a nested-loop predicate and
+    * goes quadratic (PlanShapeSpec pins no BroadcastNestedLoopJoin /
+    * CartesianProduct survives). Exact DECIMAL revenue, one lineitem
+    * scan, part broadcast.
+    */
+  def joinDisjunctive(s: SparkSession, d: String): DataFrame = {
+    val pt = Tables.part(s, d).select("p_partkey", "p_brand", "p_size")
+    val li = Tables.lineitem(s, d)
+      .select(col("l_partkey"), dec("l_quantity").as("qty"),
+        dec("l_extendedprice").as("price"), dec("l_discount").as("disc"))
+    li.join(broadcast(pt),
+        col("p_partkey") === col("l_partkey") && (
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+            col("qty").between(1, 15)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) &&
+            col("qty").between(10, 25)) ||
+          (col("p_brand") === "Brand#34" && col("p_size").between(1, 35) &&
+            col("qty").between(20, 35))))
+      .agg(sum(col("price") * (lit(1) - col("disc"))).cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** q_subquery_top_supplier — TPC-H Q15's top-supplier shape: a
+    * revenue aggregate CTE consumed TWICE — once as the join input,
+    * once reduced to its global max — with the argmax row(s) kept (ties
+    * included, the textbook semantics). The correlated form re-runs the
+    * CTE inside a scalar subquery; here the quarter-filtered per-
+    * supplier aggregate computes ONCE, its 1-row global max broadcasts
+    * back, and the equality decides in exact DECIMAL (never the cast
+    * double) so an IEEE tie cannot drop or duplicate the winner.
+    * Supplier attribution joins after the filter — only winners reach
+    * it.
+    */
+  def subqueryTopSupplier(s: SparkSession, d: String): DataFrame = {
+    // Pin the CTE: it feeds TWO plan legs (join input + global max) and
+    // without a materialization each leg re-scans lineitem — the plan
+    // pin in PlanShapeSpec caught exactly that. The pinned table is
+    // supplier-count-sized.
+    val rev = Pin.pin(Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(dec("l_extendedprice") * (lit(1) - dec("l_discount"))).as("rev_d")))
+    val top = rev.agg(max(col("rev_d")).as("max_rev"))
+    rev.crossJoin(broadcast(top))
+      .filter(col("rev_d") === col("max_rev"))
+      .join(Tables.supplier(s, d).select("s_suppkey", "s_name"),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("rev_d").cast(DoubleType).as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
   /** q_pivot — status-by-priority order counts as a wide table
     * (groupBy + pivot with an EXPLICIT value list: without it Spark runs
     * an extra distinct pass over the pivot column AND the output schema
@@ -1074,6 +1158,9 @@ object Relational {
     "q_join_dominant_suppliers" -> (joinDominantSuppliers _),
     "q_join_min_price_supplier" -> (joinMinPriceSupplier _),
     "q_agg_custdist"        -> (aggCustdist _),
+    "q_join_order_priority_check" -> (joinOrderPriorityCheck _),
+    "q_join_disjunctive"    -> (joinDisjunctive _),
+    "q_subquery_top_supplier" -> (subqueryTopSupplier _),
     "q_pivot"               -> (pivotStatus _),
     "q_window_lag_lead"     -> (windowLagLead _),
     "q_window_ntile"        -> (windowNtile _),
@@ -1283,6 +1370,36 @@ object Relational {
         "ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT' " +
         "GROUP BY c_custkey) c_orders " +
         "GROUP BY c_count ORDER BY custdist DESC, c_count DESC"),
+    "q_join_order_priority_check" ->
+      ("SELECT o_orderpriority, count(*) AS order_count FROM orders " +
+        "WHERE o_orderdate >= TIMESTAMP '1997-07-01' " +
+        "AND o_orderdate < TIMESTAMP '1997-10-01' " +
+        "AND EXISTS (SELECT 1 FROM lineitem " +
+        "WHERE l_orderkey = o_orderkey " +
+        "AND l_shipdate > o_orderdate + INTERVAL 30 DAYS) " +
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+    "q_join_disjunctive" ->
+      ("SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+        "(1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue, " +
+        "count(*) AS n_lines " +
+        "FROM lineitem, part WHERE p_partkey = l_partkey AND (" +
+        "(p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 " +
+        "AND CAST(l_quantity AS DECIMAL(18,2)) BETWEEN 1 AND 15) " +
+        "OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 " +
+        "AND CAST(l_quantity AS DECIMAL(18,2)) BETWEEN 10 AND 25) " +
+        "OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 " +
+        "AND CAST(l_quantity AS DECIMAL(18,2)) BETWEEN 20 AND 35))"),
+    "q_subquery_top_supplier" ->
+      ("WITH revenue AS (SELECT l_suppkey, " +
+        "SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+        "(1 - CAST(l_discount AS DECIMAL(18,2)))) AS rev_d FROM lineitem " +
+        "WHERE l_shipdate >= TIMESTAMP '1997-01-01' " +
+        "AND l_shipdate < TIMESTAMP '1997-04-01' GROUP BY l_suppkey) " +
+        "SELECT s_suppkey, s_name, CAST(rev_d AS DOUBLE) AS total_revenue " +
+        "FROM supplier, revenue " +
+        "WHERE s_suppkey = l_suppkey " +
+        "AND rev_d = (SELECT max(rev_d) FROM revenue) " +
+        "ORDER BY s_suppkey"),
     "q_join_returned_revenue" ->
       ("SELECT c_custkey, c_name, n_name, " +
         "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue, " +

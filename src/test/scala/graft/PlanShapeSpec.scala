@@ -391,6 +391,48 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), s"cartesian crept in:\n$plan")
   }
 
+  test("disjunctive join: common equi key extracted — hash join with residual OR, never nested-loop") {
+    // Q19's defining optimizer property: the OR of brand/size/quantity
+    // conjunctions shares p_partkey = l_partkey, which must be pulled
+    // out as the hash key (the disjunction stays as a residual filter);
+    // a planner that misses the extraction nested-loops the fact table
+    val plan = physical(ops.Relational.joinDisjunctive(spark, d))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"part should broadcast-hash-join on the extracted equi key:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"disjunctive predicate degenerated to nested-loop:\n$plan")
+  }
+
+  test("order-priority EXISTS: correlated inequality compiles to ONE semi hash join") {
+    val plan = physical(ops.Relational.joinOrderPriorityCheck(spark, d))
+    assert(plan.contains("LeftSemi"), s"expected LEFT SEMI join:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"EXISTS degenerated:\n$plan")
+  }
+
+  test("top-supplier argmax: the revenue aggregate computes once (exchange reused for the max)") {
+    // Q15's CTE is consumed twice (join input + global max); the plan
+    // must reuse the aggregate's exchange, not re-scan lineitem per
+    // consumer — at 100 TB a second scan of the quarter slice is the
+    // difference between one pass and two
+    // AQE's adaptive wrapper hides the subtree from TreeNode.collect
+    // (the shuffle-budget test's rule) — count with it off
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // build twice: the first construction materializes the Pin so the
+      // counted plan is the steady-state one (the budget-test rule)
+      ops.Relational.subqueryTopSupplier(spark, d).queryExecution.executedPlan
+      val qe = ops.Relational.subqueryTopSupplier(spark, d).queryExecution
+      val scans = qe.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.metadata.get("Location").exists(_.contains("lineitem")) => f
+      }.size
+      assert(scans == 0,
+        s"revenue CTE re-scans lineitem ($scans scans) instead of the pinned table:\n${qe.executedPlan}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+  }
+
   test("bench-tail shuffle budget: exchange counts are pinned (VERDICT r13 #4)") {
     // benchdiff catches TIME regressions; nothing catches a PLAN
     // regression hiding inside the noise band — an extra shuffle is
