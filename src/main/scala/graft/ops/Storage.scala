@@ -37,8 +37,13 @@ object Storage {
     * usable for both range and point predicates.
     */
   def zonemapBuild(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d)
-      .groupBy(col("l_orderkey").as("file_id"))
+    s.read.parquet(ensureZoneMap(s, d)).orderBy("file_id")
+
+  /** The zone-map rows over any lineitem-shaped frame — shared by the
+    * full build and the incremental ensure's delta pass.
+    */
+  private def zonemapRowsFor(li: DataFrame): DataFrame =
+    li.groupBy(col("l_orderkey").as("file_id"))
       .agg(
         count(lit(1)).as("n_chunks"),
         // NTZ casts: raw timestamps reach the output, and the written
@@ -49,7 +54,35 @@ object Storage {
         min(col("l_partkey")).as("min_part"),
         max(col("l_partkey")).as("max_part"),
         expr(sizeUnits).as("size_units"))
-      .orderBy("file_id")
+
+  private[graft] val ZonemapFamily = "graft-zonemap"
+
+  /** Persisted, append-extendable zone map — the ensureBloomIndex
+    * lifecycle applied to the second index (both named in VERDICT r15
+    * #4): a pure append computes the delta files' zone rows and MERGES
+    * them with the previous artifact — every stat is mergeable (count
+    * and size sum; min/max of mins/maxes), so a file_id whose chunks
+    * span covered and new part files folds exactly. size_units merges
+    * exactly because l_quantity is integral: the per-group DECIMAL sum
+    * carries a .00 fraction, so the BIGINT truncation is lossless and
+    * sum-of-truncated = truncated-sum (the q_dq_audit range gate pins
+    * integrality). StorageSpec proves extend ≡ rebuild and delta-only
+    * reads by the same corruption witness as the Bloom spec.
+    */
+  private[graft] def ensureZoneMap(s: SparkSession, d: String): String =
+    ensureManifestKeyed(s, ZonemapFamily, s"$d/lineitem.parquet") {
+      () => zonemapRowsFor(Tables.lineitem(s, d))
+    } { (prevDir, delta) =>
+      s.read.parquet(prevDir)
+        .unionByName(zonemapRowsFor(s.read.parquet(delta: _*)))
+        .groupBy("file_id")
+        .agg(sum(col("n_chunks")).as("n_chunks"),
+          min(col("min_ship")).as("min_ship"),
+          max(col("max_ship")).as("max_ship"),
+          min(col("min_part")).as("min_part"),
+          max(col("max_part")).as("max_part"),
+          sum(col("size_units")).as("size_units"))
+    }
 
   /** Prune window for q_zonemap_prune (inclusive ship-date range). */
   private[graft] val PruneLo = "1995-06-01 00:00:00"
@@ -66,7 +99,7 @@ object Storage {
     * between a metadata lookup + targeted scan and a full-table pass.
     */
   def zonemapPrune(s: SparkSession, d: String): DataFrame =
-    zonemapBuild(s, d)
+    s.read.parquet(ensureZoneMap(s, d))
       .where(col("max_ship") >= lit(PruneLo).cast("timestamp") &&
         col("min_ship") <= lit(PruneHi).cast("timestamp"))
       .select("file_id", "n_chunks", "size_units")
@@ -280,11 +313,11 @@ object Storage {
     * extends. Enumerates the family dir by the dataset's label prefix
     * (Derived.labelFor: same formula as dirFor, no drift).
     */
-  private def latestCoveredBase(s: SparkSession, src: String,
+  private def latestCoveredBase(s: SparkSession, family: String, src: String,
       current: Seq[String]): Option[(String, Set[String])] = {
-    val fs = new org.apache.hadoop.fs.Path(Derived.familyDir(BloomFamily))
+    val fs = new org.apache.hadoop.fs.Path(Derived.familyDir(family))
       .getFileSystem(s.sparkContext.hadoopConfiguration)
-    val fam = new org.apache.hadoop.fs.Path(Derived.familyDir(BloomFamily))
+    val fam = new org.apache.hadoop.fs.Path(Derived.familyDir(family))
     if (!fs.exists(fam)) return None
     val prefix = Derived.labelFor(src) + "_"
     val cur = current.toSet
@@ -307,6 +340,36 @@ object Storage {
       .sortBy(-_._2.size).headOption
   }
 
+  /** Manifest-keyed build-or-extend lifecycle shared by the Bloom index
+    * and the zone map (VERDICT r15 #4 applied to BOTH persisted
+    * indexes): the artifact key is the full data-file listing; a pure
+    * append finds the previous artifact and runs `deltaBuild` over ONLY
+    * the new files' paths plus the previous artifact dir; anything else
+    * (modified/removed file, first build) runs `fullBuild`. The builder
+    * output is published atomically with its manifest (Derived.ensure).
+    */
+  private def ensureManifestKeyed(s: SparkSession, family: String, src: String)
+      (fullBuild: () => DataFrame)
+      (deltaBuild: (String, Seq[String]) => DataFrame): String = {
+    val lines = manifestLines(s, src)
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(lines.mkString("\n").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    Derived.ensure(s, family, src, version = s"m$key") { tmp =>
+      val rows = latestCoveredBase(s, family, src, lines) match {
+        case Some((prevDir, covered)) =>
+          deltaBuild(prevDir, manifestPath(lines.filterNot(covered)))
+        case None => fullBuild()
+      }
+      rows.write.mode("overwrite").parquet(tmp)
+      val fs = new org.apache.hadoop.fs.Path(tmp)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val out = fs.create(new org.apache.hadoop.fs.Path(tmp, BloomManifest))
+      try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+      finally out.close()
+    }
+  }
+
   /** Persisted form of the Bloom index, keyed by dataset dir + the FULL
     * data-file manifest (path, length, mtime of every part file) — a
     * driver-regenerated fixture must miss, or a stale index would serve
@@ -326,29 +389,17 @@ object Storage {
     * world (storageNode/HeartbeatRunnable.java:101-143) — and the
     * repo's own q_dedup_incremental probe-don't-rebuild discipline.
     */
-  private[graft] def ensureBloomIndex(s: SparkSession, d: String): String = {
-    val src = s"$d/lineitem.parquet"
-    val lines = manifestLines(s, src)
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(lines.mkString("\n").getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString.take(12)
-    Derived.ensure(s, BloomFamily, src, version = s"m$key") { tmp =>
-      val rows = latestCoveredBase(s, src, lines) match {
-        case Some((prevDir, covered)) =>
-          val delta = manifestPath(lines.filterNot(covered))
-          bloomRowsFor(s.read.parquet(delta: _*))
-            .unionByName(s.read.parquet(prevDir))
-            .distinct()
-        case None => fileBloomIndex(s, d)
-      }
-      rows.write.mode("overwrite").parquet(tmp)
-      val fs = new org.apache.hadoop.fs.Path(tmp)
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
-      val out = fs.create(new org.apache.hadoop.fs.Path(tmp, BloomManifest))
-      try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
-      finally out.close()
+  private[graft] def ensureBloomIndex(s: SparkSession, d: String): String =
+    ensureManifestKeyed(s, BloomFamily, s"$d/lineitem.parquet") {
+      () => fileBloomIndex(s, d)
+    } { (prevDir, delta) =>
+      // delta rows ∪ previous artifact, re-distinct'd: a file_id whose
+      // rows span covered and new part files would otherwise duplicate.
+      // Set-identical to the full build (the projection is per-row).
+      bloomRowsFor(s.read.parquet(delta: _*))
+        .unionByName(s.read.parquet(prevDir))
+        .distinct()
     }
-  }
 
   /** q_fileindex_prune — candidate files for `l_suppkey = ProbeSuppKey`,
     * answered FROM THE INDEX ALONE: a file qualifies iff its bit set
