@@ -822,6 +822,75 @@ object Relational {
       .orderBy("s_suppkey")
   }
 
+  /** q_agg_forecast_revenue — TPC-H Q6's forecasting-revenue-change
+    * shape: one scan, three scan-level predicates (date range, discount
+    * band, quantity cap), one global aggregate — the query whose entire
+    * performance story is PREDICATE PUSHDOWN (every filter must reach
+    * the parquet scan as a PushedFilter; PlanShapeSpec pins it). The
+    * discount band compares STORED doubles to literals — identical on
+    * both engines — while the revenue sum runs in exact DECIMAL.
+    */
+  def aggForecastRevenue(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(sum(dec("l_extendedprice") * dec("l_discount"))
+        .cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n_lines"))
+
+  /** q_agg_market_share — TPC-H Q8's national-market-share shape: of
+    * the PROMO-part volume EUROPE-region customers ordered per year,
+    * the fraction supplied by NATION_3 — a conditional-numerator /
+    * total-denominator ratio over a five-table join. Determinism rule:
+    * numerator and denominator aggregate in exact DECIMAL and are
+    * emitted alongside the share, and the share itself is ONE double
+    * division of those two exactly-derived values (both engines round
+    * that single IEEE op identically — the q_join_part_promo rule).
+    * Scale shape: region→nation→customer narrows before touching the
+    * facts; both dimension chains broadcast; one lineitem scan, the
+    * orders join is the only fact-fact shuffle.
+    */
+  def aggMarketShare(s: SparkSession, d: String): DataFrame = {
+    val euCust = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+      .join(broadcast(Tables.nation(s, d)
+        .join(broadcast(Tables.region(s, d).filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("cn_key"))),
+        col("c_nationkey") === col("cn_key"))
+      .select("c_custkey")
+    val promoParts = Tables.part(s, d)
+      .filter(col("p_type") === "PROMO").select("p_partkey")
+    val suppNation = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+      .join(broadcast(Tables.nation(s, d)
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("sn_key"))
+      .select("s_suppkey", "supp_nation")
+    val vol = dec("l_extendedprice") * (lit(1) - dec("l_discount"))
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"), vol.as("volume"))
+      .join(broadcast(promoParts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      // customer is a BIG dim at scale — the semi join hashes on the
+      // key, no broadcast hint (the planner may still elect one at
+      // fixture sizes)
+      .join(euCust, col("o_custkey") === col("c_custkey"), "left_semi")
+      .groupBy(year(col("o_orderdate")).cast(IntegerType).as("o_year"))
+      .agg(sum(when(col("supp_nation") === "NATION_3", col("volume"))
+          .otherwise(lit(0).cast(DecimalType(18, 2)))).as("num_d"),
+        sum(col("volume")).as("den_d"))
+      .select(col("o_year"),
+        col("num_d").cast(DoubleType).as("nation_volume"),
+        col("den_d").cast(DoubleType).as("total_volume"),
+        (col("num_d").cast(DoubleType) / col("den_d").cast(DoubleType)).as("mkt_share"))
+      .orderBy("o_year")
+  }
+
   /** q_pivot — status-by-priority order counts as a wide table
     * (groupBy + pivot with an EXPLICIT value list: without it Spark runs
     * an extra distinct pass over the pivot column AND the output schema
@@ -1161,6 +1230,8 @@ object Relational {
     "q_join_order_priority_check" -> (joinOrderPriorityCheck _),
     "q_join_disjunctive"    -> (joinDisjunctive _),
     "q_subquery_top_supplier" -> (subqueryTopSupplier _),
+    "q_agg_forecast_revenue" -> (aggForecastRevenue _),
+    "q_agg_market_share"    -> (aggMarketShare _),
     "q_pivot"               -> (pivotStatus _),
     "q_window_lag_lead"     -> (windowLagLead _),
     "q_window_ntile"        -> (windowNtile _),
@@ -1389,6 +1460,33 @@ object Relational {
         "AND CAST(l_quantity AS DECIMAL(18,2)) BETWEEN 10 AND 25) " +
         "OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 " +
         "AND CAST(l_quantity AS DECIMAL(18,2)) BETWEEN 20 AND 35))"),
+    "q_agg_forecast_revenue" ->
+      ("SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+        "CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue, " +
+        "count(*) AS n_lines FROM lineitem " +
+        "WHERE l_shipdate >= TIMESTAMP '1997-01-01' " +
+        "AND l_shipdate < TIMESTAMP '1998-01-01' " +
+        "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"),
+    "q_agg_market_share" ->
+      ("WITH vol AS (SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year, " +
+        "CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+        "(1 - CAST(l_discount AS DECIMAL(18,2))) AS volume, n2.n_name AS supp_nation " +
+        "FROM lineitem " +
+        "JOIN part ON p_partkey = l_partkey AND p_type = 'PROMO' " +
+        "JOIN supplier ON s_suppkey = l_suppkey " +
+        "JOIN nation n2 ON s_nationkey = n2.n_nationkey " +
+        "JOIN orders ON o_orderkey = l_orderkey " +
+        "WHERE o_orderdate >= TIMESTAMP '1996-01-01' " +
+        "AND o_orderdate < TIMESTAMP '1998-01-01' " +
+        "AND EXISTS (SELECT 1 FROM customer, nation n1, region " +
+        "WHERE c_custkey = o_custkey AND c_nationkey = n1.n_nationkey " +
+        "AND n1.n_regionkey = r_regionkey AND r_name = 'EUROPE')) " +
+        "SELECT o_year, " +
+        "CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS nation_volume, " +
+        "CAST(SUM(volume) AS DOUBLE) AS total_volume, " +
+        "CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) / " +
+        "CAST(SUM(volume) AS DOUBLE) AS mkt_share " +
+        "FROM vol GROUP BY o_year ORDER BY o_year"),
     "q_subquery_top_supplier" ->
       ("WITH revenue AS (SELECT l_suppkey, " +
         "SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * " +

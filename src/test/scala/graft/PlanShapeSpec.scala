@@ -391,6 +391,25 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), s"cartesian crept in:\n$plan")
   }
 
+  test("forecast revenue: every predicate reaches the parquet scan as a PushedFilter") {
+    // Q6's whole performance story IS scan-level pruning: date range,
+    // discount band, and quantity cap must all land in PushedFilters so
+    // row groups skip on statistics before any row materializes
+    val plan = physical(ops.Relational.aggForecastRevenue(spark, d))
+    val pushed = plan.linesIterator.find(_.contains("PushedFilters"))
+      .getOrElse(fail(s"no PushedFilters line in:\n$plan"))
+    for (c <- Seq("l_shipdate", "l_discount", "l_quantity"))
+      assert(pushed.contains(c), s"$c not pushed to the scan: $pushed")
+  }
+
+  test("market share: dimensions broadcast; the orders join is the only fact-fact exchange") {
+    val plan = physical(ops.Relational.aggMarketShare(spark, d))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"part/supplier-nation chains should broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"market-share join degenerated:\n$plan")
+  }
+
   test("disjunctive join: common equi key extracted — hash join with residual OR, never nested-loop") {
     // Q19's defining optimizer property: the OR of brand/size/quantity
     // conjunctions shares p_partkey = l_partkey, which must be pulled
