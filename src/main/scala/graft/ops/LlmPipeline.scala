@@ -964,6 +964,74 @@ object LlmPipeline {
       .agg(count(lit(1)).as("n_vecs"))
       .where(col("n_vecs") > cap)
 
+  /** Semantic-duplicate cosine threshold τ = 0.95 as an exact rational:
+    * cos ≥ τ ⟺ dot > 0 ∧ dot²·[[SemTauDen]] ≥ [[SemTauNum]]·n2a·n2b —
+    * decided in DECIMAL(38,0) (dot²·10⁴ reaches ~4e19, past BIGINT), so
+    * no engine ever compares a rounded double at the boundary.
+    */
+  private[graft] val SemTauNum = 9025L // 0.95² · 10⁴
+  private[graft] val SemTauDen = 10000L
+
+  /** Cosine-thresholded pair generation over bucketed embeddings — the
+    * embedPairsFromBucketed machinery with the verify folded in: blocks
+    * on the sign-LSH bucket ALONE (semantic clusters ignore the label;
+    * near-parallel vectors agree on every plane w.h.p.), caps blocks,
+    * and emits only pairs at cos ≥ τ, decided in exact integers.
+    */
+  private[graft] def semanticPairsFromBucketed(b: DataFrame, cap: Int = HotBucketCap): DataFrame =
+    b.groupBy("bucket")
+      .agg(expr("array_sort(collect_list(struct(vec_id, q, n2)))").as("ms"))
+      .where(size(col("ms")) > 1 && size(col("ms")) <= cap)
+      .select(explode(expr(
+        "flatten(transform(sequence(0, size(ms) - 2), " +
+          "i -> transform(slice(ms, i + 2, size(ms) - i - 1), " +
+          "x -> struct(ms[i].vec_id AS vec_a, x.vec_id AS vec_b, " +
+          "array_dot_l(ms[i].q, x.q) AS dp, ms[i].n2 AS n2a, x.n2 AS n2b))))")).as("p"))
+      .select(col("p.vec_a").as("vec_a"), col("p.vec_b").as("vec_b"),
+        col("p.dp").as("dp"), col("p.n2a").as("n2a"), col("p.n2b").as("n2b"))
+      .where(col("dp") > 0 && expr(
+        s"CAST(dp AS DECIMAL(38,0)) * CAST(dp AS DECIMAL(38,0)) * $SemTauDen >= " +
+          s"$SemTauNum * CAST(n2a AS DECIMAL(38,0)) * CAST(n2b AS DECIMAL(38,0))"))
+      .select("vec_a", "vec_b")
+
+  /** q_dedup_semantic — SemDeDup-style semantic deduplication DECISION
+    * (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): cluster the embedding
+    * space, prune near-duplicate members within each cluster, keep ONE
+    * representative per semantic group. Where q_dedup_embed REPORTS
+    * ranked pairs, this emits the keep/drop verdict a curation pipeline
+    * acts on — the embedding-space analogue of q_dedup_exact's keep_id.
+    * Spark-first re-expression of the paper's recipe, fully
+    * oracle-exact: the cluster step is the deterministic sign-LSH
+    * bucketing (data-independent, both engines literal-identical —
+    * k-means cells would be RNG-bound), the within-cluster prune is the
+    * capped block-local pair generation at cos ≥ 0.95 decided in exact
+    * integers, and keep-one is TRANSITIVE — connected components over
+    * the τ-pairs (the q_dedup_cc discipline: pairwise keep-the-min
+    * retains both ends of an A~B~C chain), rep = min vec_id. Output:
+    * every vector with its rep and the keep flag. On the synthetic
+    * fixture no pair reaches τ (max corpus cosine 0.51), so every row
+    * keeps — the planted-cluster spec drives the collapse path, the
+    * q_dedup_phash precedent. Scale: one shuffle on bucket, pairs
+    * block-local and capped, cc over the duplicate set only.
+    */
+  def dedupSemantic(s: SparkSession, d: String): DataFrame = {
+    val pairs = semanticPairsFromBucketed(embedBucketed(s, d))
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    val labels =
+      if (pairs.isEmpty) null // cc over zero edges: every vec is its own rep
+      else ccLabels(pairs)
+    val base = Tables.embeddings(s, d).select(col("vec_id"))
+    val out =
+      if (labels == null) base.withColumn("rep_id", col("vec_id"))
+      else base.join(labels.withColumnRenamed("doc_id", "vec_id"), Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("rep_id"), col("vec_id")).as("rep_id"))
+    out.select(col("vec_id"), col("rep_id"),
+        (col("rep_id") === col("vec_id")).as("keep"))
+      .orderBy("vec_id")
+  }
+
   /** q_dedup_embed — embedding near-dup pairs: candidates from
     * (label, sign-LSH bucket) blocks — the label narrows to a class, the
     * deterministic hyperplane bucket keeps one Zipf-heavy label from
@@ -3536,6 +3604,7 @@ object LlmPipeline {
     "q_dedup_near_collapsed" -> (dedupNearCollapsed _),
     "q_dedup_ngram"         -> (dedupNgram _),
     "q_dedup_embed"         -> (dedupEmbed _),
+    "q_dedup_semantic"      -> (dedupSemantic _),
     "q_embed_centroids"     -> (embedCentroids _),
     "q_embed_outliers"      -> (embedOutliers _),
     "q_embed_quantize"      -> (embedQuantize _),
@@ -3786,6 +3855,32 @@ object LlmPipeline {
           "FROM n a JOIN ok ON ok.label = a.label AND ok.bucket = a.bucket " +
           "JOIN n b ON a.label = b.label AND a.bucket = b.bucket AND a.vec_id < b.vec_id " +
           "ORDER BY cos DESC, vec_a, vec_b LIMIT 100"
+      },
+      "q_dedup_semantic" -> {
+        val bucketDuck = lshBucketExpr(lshPlaneDotDuck)
+        s"WITH RECURSIVE q AS (SELECT vec_id, $quantDuck AS q FROM embeddings), " +
+          "n AS (SELECT vec_id, q, " +
+          "CAST(list_sum(list_transform(list_zip(q, q), p -> p[1] * p[2])) AS BIGINT) AS n2, " +
+          s"CAST($bucketDuck AS INTEGER) AS bucket FROM q), " +
+          "okb AS (SELECT bucket FROM n GROUP BY 1 " +
+          s"HAVING count(*) > 1 AND count(*) <= $HotBucketCap), " +
+          "cand AS (SELECT a.vec_id AS va, b.vec_id AS vb, " +
+          "CAST(list_sum(list_transform(list_zip(a.q, b.q), p -> p[1] * p[2])) AS BIGINT) AS dp, " +
+          "a.n2 AS n2a, b.n2 AS n2b " +
+          "FROM n a JOIN okb ON okb.bucket = a.bucket " +
+          "JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id), " +
+          "pairs AS (SELECT va, vb FROM cand WHERE dp > 0 " +
+          s"AND CAST(dp AS HUGEINT) * CAST(dp AS HUGEINT) * $SemTauDen >= " +
+          s"$SemTauNum * CAST(n2a AS HUGEINT) * CAST(n2b AS HUGEINT)), " +
+          "edges AS (SELECT va AS u, vb AS v FROM pairs " +
+          "UNION ALL SELECT vb, va FROM pairs), " +
+          "reach(vec_id, lbl) AS (SELECT u, u FROM edges " +
+          "UNION SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.vec_id), " +
+          "lab AS (SELECT vec_id, min(lbl) AS rep_id FROM reach GROUP BY vec_id) " +
+          "SELECT e.vec_id, coalesce(l.rep_id, e.vec_id) AS rep_id, " +
+          "coalesce(l.rep_id, e.vec_id) = e.vec_id AS keep " +
+          "FROM embeddings e LEFT JOIN lab l ON l.vec_id = e.vec_id " +
+          "ORDER BY e.vec_id"
       },
       "q_embed_centroids" ->
         (s"WITH q AS (SELECT label, $quantDuck AS q FROM embeddings), " +
@@ -4962,6 +5057,46 @@ object LlmPipeline {
           "FROM n a JOIN ok ON ok.label = a.label AND ok.bucket = a.bucket " +
           "JOIN n b ON a.label = b.label AND a.bucket = b.bucket AND a.vec_id < b.vec_id " +
           "ORDER BY cos DESC, vec_a, vec_b LIMIT 100"
+      },
+      "q_dedup_semantic" -> {
+        // the ccUnrolled pattern over cosine-thresholded vec pairs:
+        // Spark rejects the cycle-safe recursive UNION, so min-label
+        // propagation unrolls CcSqlRounds rounds (components are
+        // within-bucket near-cliques; diameter 2-3) with the same
+        // assert_true fixpoint guard
+        val bucket = (0 until 4).map { p =>
+          s"(CASE WHEN ${dot("q", plane(p))} >= 0 THEN ${1 << p} ELSE 0 END)"
+        }.mkString(" + ")
+        val ctes = s"WITH q AS (SELECT vec_id, $quantS AS q FROM embeddings), " +
+          s"n AS (SELECT vec_id, q, ${dot("q", "q")} AS n2, " +
+          s"CAST($bucket AS INTEGER) AS bucket FROM q), " +
+          "okb AS (SELECT bucket FROM n GROUP BY 1 " +
+          s"HAVING count(*) > 1 AND count(*) <= $HotBucketCap), " +
+          s"cand AS (SELECT a.vec_id AS va, b.vec_id AS vb, ${dot("a.q", "b.q")} AS dp, " +
+          "a.n2 AS n2a, b.n2 AS n2b " +
+          "FROM n a JOIN okb ON okb.bucket = a.bucket " +
+          "JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id), " +
+          "pairs AS (SELECT va, vb FROM cand WHERE dp > 0 " +
+          s"AND CAST(dp AS DECIMAL(38,0)) * CAST(dp AS DECIMAL(38,0)) * $SemTauDen >= " +
+          s"$SemTauNum * CAST(n2a AS DECIMAL(38,0)) * CAST(n2b AS DECIMAL(38,0))), " +
+          "edges AS (SELECT va AS u, vb AS v FROM pairs " +
+          "UNION ALL SELECT vb, va FROM pairs " +
+          "UNION ALL SELECT va, va FROM pairs " +
+          "UNION ALL SELECT vb, vb FROM pairs), " +
+          "l0 AS (SELECT v AS vec_id, min(u) AS rep_id FROM edges GROUP BY v)"
+        val rounds = (1 to CcSqlRounds).map { k =>
+          s"l$k AS (SELECT e.v AS vec_id, min(l.rep_id) AS rep_id " +
+            s"FROM edges e JOIN l${k - 1} l ON l.vec_id = e.u GROUP BY e.v)"
+        }.mkString(", ")
+        val chk = s"chk AS (SELECT assert_true((SELECT count(*) FROM " +
+          s"(SELECT * FROM l$CcSqlRounds EXCEPT SELECT * FROM l${CcSqlRounds - 1})) = 0, " +
+          s"'q_dedup_semantic SQL surface: propagation not converged after $CcSqlRounds rounds') AS ok)"
+        s"$ctes, $rounds, $chk, " +
+          s"lconv AS (SELECT l.vec_id, l.rep_id FROM l$CcSqlRounds l CROSS JOIN chk) " +
+          "SELECT e.vec_id, coalesce(l.rep_id, e.vec_id) AS rep_id, " +
+          "coalesce(l.rep_id, e.vec_id) = e.vec_id AS keep " +
+          "FROM embeddings e LEFT JOIN lconv l ON l.vec_id = e.vec_id " +
+          "ORDER BY e.vec_id"
       },
       "q_embed_centroids" ->
         (s"WITH q AS (SELECT label, $quantS AS q FROM embeddings), " +

