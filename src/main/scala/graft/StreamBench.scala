@@ -210,6 +210,13 @@ object StreamBench {
             Streaming.streamStreamJoin(
               hbStream(spark, rowsPerBatch, nodes = 50000),
               hbStream(spark, rowsPerBatch, nodes = 50000)),
+            OutputMode.Append(), nBatches),
+          // FULL OUTER: both sides buffer to the watermark and emit
+          // null-padded on eviction — the heaviest join state shape
+          run(spark, s"stream_stream_full_join:$b",
+            Streaming.streamStreamFullJoin(
+              hbStream(spark, rowsPerBatch, nodes = 50000),
+              hbStream(spark, rowsPerBatch, nodes = 50000)),
             OutputMode.Append(), nBatches))
       }
     } finally {
