@@ -183,6 +183,25 @@ class LlmPipelineSpec extends AnyFunSuite {
     assert(fixture.where(!col("keep")).isEmpty, "fixture grew a semantic dup")
   }
 
+  test("semantic pairs: hot blocks cap; the τ boundary decides in exact integers") {
+    import spark.implicits._
+    // hot block: 60 identical vectors (> HotBucketCap) must emit NOTHING;
+    // block 7 holds an exact-duplicate pair (cos = 1 ≥ τ), a pair at
+    // cos = 24/25 = 0.96 ≥ τ, and a pair at cos = 0.6 < τ
+    val hot = (0 until 60).map(i => (i.toLong, Seq(1L, 0L), 1L, 3))
+    val dup = Seq((100L, Seq(3L, 4L), 25L, 7), (101L, Seq(3L, 4L), 25L, 7))
+    // (3,4)·(0,5) = 20; 20²·10⁴ = 4e6·10⁴ vs 9025·25·25 → 0.8 < 0.95: out
+    val far = Seq((102L, Seq(0L, 5L), 25L, 7))
+    // (3,4)·(4,3) = 24; 24²·10⁴ = 5.76e6·10³... exact: 5760000·10⁴ ≥ 9025·625·...
+    // cos = 24/25 = 0.96 ≥ 0.95: in
+    val near = Seq((103L, Seq(4L, 3L), 25L, 7))
+    val b = (hot ++ dup ++ far ++ near).toDF("vec_id", "q", "n2", "bucket")
+    val got = ops.LlmPipeline.semanticPairsFromBucketed(b)
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((100L, 101L), (100L, 103L), (101L, 103L)),
+      s"expected the cos∈{1, 0.96} pairs only, got $got")
+  }
+
   test("ccLabels: chain graphs converge to the global min across rounds") {
     import spark.implicits._
     // A 7-node path 10-11-...-16 (diameter 6 forces multiple propagation
