@@ -1663,7 +1663,17 @@ object LlmPipeline {
     * explicit lake path to [[buildIvfIndex]] instead.
     */
   private[graft] def ivfIndexDir(s: SparkSession, d: String): String =
-    Derived.dirFor(s, "graft-ivf-index", s"$d/embeddings.parquet")
+    Derived.dirFor(s, IvfFamily, s"$d/embeddings.parquet",
+      version = s"m${ivfManifestKey(s, d)}")
+
+  /** The manifest component of the IVF artifact key — shared by
+    * dirFor and ensure so the two can never disagree on the dir.
+    */
+  private def ivfManifestKey(s: SparkSession, d: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(Storage.manifestLines(s, s"$d/embeddings.parquet")
+        .mkString("\n").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
 
   /** The INDEX-BUILD job: fit the coarse quantizer once and persist the
     * searchable state — bucket assignments (vec_id, q, bucket) and the
@@ -1708,15 +1718,75 @@ object LlmPipeline {
     * assignments as a view — the SQL front door to the trained-ANN
     * queries (training is an ETL job; querying is SQL).
     */
-  /** Derived.ensure lifecycle (mtime-keyed — a regenerated embeddings
+  private[graft] val IvfFamily = "graft-ivf-index"
+  private[graft] val IvfMarker = "centroids/_SUCCESS"
+
+  /** Derived.ensure lifecycle, manifest-keyed (a regenerated embeddings
     * table must miss, or probes would serve bucket assignments for the
     * OLD corpus while the per-run form reflects the new one). Marker is
     * centroids/_SUCCESS because centroids are written LAST: a crash
     * between the two writes leaves a half-index that must rebuild.
+    *
+    * APPEND lifecycle (completing the persisted-index triad with the
+    * bloom index and zone map): when the data-file listing strictly
+    * extends a previous artifact's manifest, the centroids stay FROZEN
+    * — the production IVF contract: a vector DB assigns arriving
+    * vectors to the existing cells and re-trains centroids only as a
+    * scheduled job — so the extend scans ONLY the delta files, assigns
+    * each new vector to its nearest previous centroid (exact
+    * squared-L2 argmin, cent_id tiebreak), and unions with the previous
+    * assignments VERBATIM (probe results over old vectors cannot move
+    * on append). Unlike the mergeable-stat indexes the extended index
+    * is intentionally NOT rebuild-identical — a re-fit would move every
+    * centroid — so the spec pins the production properties instead:
+    * old assignments byte-stable, centroids byte-identical, new vectors
+    * at their true nearest frozen cell, covered files never re-read
+    * (corruption witness).
     */
-  private[graft] def ensureIvfIndex(s: SparkSession, d: String): String =
-    Derived.ensure(s, "graft-ivf-index", s"$d/embeddings.parquet",
-      marker = "centroids/_SUCCESS")(dir => buildIvfIndex(s, d, dir))
+  private[graft] def ensureIvfIndex(s: SparkSession, d: String): String = {
+    val src = s"$d/embeddings.parquet"
+    val lines = Storage.manifestLines(s, src)
+    Derived.ensure(s, IvfFamily, src,
+      version = s"m${ivfManifestKey(s, d)}", marker = IvfMarker) { tmp =>
+      Storage.latestCoveredBase(s, IvfFamily, src, lines, marker = IvfMarker) match {
+        case Some((prevDir, covered)) =>
+          extendIvfIndex(s, prevDir,
+            Storage.manifestPath(lines.filterNot(covered)), tmp)
+        case None => buildIvfIndex(s, d, tmp)
+      }
+      val fs = new org.apache.hadoop.fs.Path(tmp)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val out = fs.create(new org.apache.hadoop.fs.Path(tmp, "_MANIFEST"))
+      try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+      finally out.close()
+    }
+  }
+
+  /** Frozen-centroid delta assignment: nearest previous centroid by
+    * exact squared L2 (Σ(fᵢ−cᵢ)², cent_id tiebreak) over the 8-row
+    * broadcast centroid table — one mapper-side pass over the delta
+    * files plus a vec-keyed rank-1 window.
+    */
+  private def extendIvfIndex(s: SparkSession, prevDir: String,
+      delta: Seq[String], tmp: String): Unit = {
+    val cents = s.read.parquet(s"$prevDir/centroids")
+    val deltaE = s.read.parquet(delta: _*)
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("fv"),
+        expr(quant).as("q"))
+    val w = Window.partitionBy("vec_id").orderBy(col("dist2").asc, col("cent_id").asc)
+    val assigned = deltaE.crossJoin(broadcast(cents))
+      .withColumn("dist2", expr(
+        "aggregate(zip_with(fv, center, (a, b) -> (a - b) * (a - b)), " +
+          "CAST(0 AS DOUBLE), (acc, x) -> acc + x)"))
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("vec_id"), col("q"), col("cent_id").cast("int").as("bucket"))
+    s.read.parquet(s"$prevDir/assignments").unionByName(assigned)
+      .write.mode("overwrite").parquet(s"$tmp/assignments")
+    // centroids copied LAST: they are the commit marker
+    s.read.parquet(s"$prevDir/centroids").coalesce(1)
+      .write.mode("overwrite").parquet(s"$tmp/centroids")
+  }
 
   // ------------------------------------------------------- text analysis
   /** #46 q_text_tokens — top-5 tokens per lang by (count desc, token

@@ -290,7 +290,7 @@ object Storage {
     * append-aware ensure compares: a file with the same path but new
     * length or mtime is a MODIFICATION, never an append.
     */
-  private def manifestLines(s: SparkSession, table: String): Seq[String] = {
+  private[graft] def manifestLines(s: SparkSession, table: String): Seq[String] = {
     val p = new org.apache.hadoop.fs.Path(table)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return Nil
@@ -305,7 +305,7 @@ object Storage {
     out.sorted.toSeq
   }
 
-  private def manifestPath(lines: Seq[String]): Seq[String] =
+  private[graft] def manifestPath(lines: Seq[String]): Seq[String] =
     lines.map(_.split('\t')(2))
 
   /** The most-covering PREVIOUS artifact for this dataset whose manifest
@@ -313,8 +313,8 @@ object Storage {
     * extends. Enumerates the family dir by the dataset's label prefix
     * (Derived.labelFor: same formula as dirFor, no drift).
     */
-  private def latestCoveredBase(s: SparkSession, family: String, src: String,
-      current: Seq[String]): Option[(String, Set[String])] = {
+  private[graft] def latestCoveredBase(s: SparkSession, family: String, src: String,
+      current: Seq[String], marker: String = "_SUCCESS"): Option[(String, Set[String])] = {
     val fs = new org.apache.hadoop.fs.Path(Derived.familyDir(family))
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     val fam = new org.apache.hadoop.fs.Path(Derived.familyDir(family))
@@ -325,7 +325,7 @@ object Storage {
       .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
       .flatMap { st =>
         val dir = st.getPath
-        val ok = fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS")) &&
+        val ok = fs.exists(new org.apache.hadoop.fs.Path(dir, marker)) &&
           fs.exists(new org.apache.hadoop.fs.Path(dir, BloomManifest))
         if (!ok) None
         else {

@@ -202,6 +202,62 @@ class LlmPipelineSpec extends AnyFunSuite {
       s"expected the cos∈{1, 0.96} pairs only, got $got")
   }
 
+  test("IVF index append lifecycle: frozen centroids, stable assignments, delta-only scan") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(4242)
+    def vecs(ids: Range) = ids.map(i =>
+      (i.toLong, Seq.fill(64)(rnd.nextFloat() * 2 - 1), (i % 10)))
+        .toDF("vec_id", "embedding", "label")
+    val dir = s"/tmp/graft-test-ivfappend-${java.util.UUID.randomUUID()}"
+    val table = s"$dir/embeddings.parquet"
+    vecs(0 until 300).coalesce(1).write.parquet(table)
+    val idx1 = ops.LlmPipeline.ensureIvfIndex(spark, dir)
+    val asg1 = spark.read.parquet(s"$idx1/assignments")
+      .select("vec_id", "bucket").as[(Long, Int)].collect().toMap
+    val cents1 = spark.read.parquet(s"$idx1/centroids")
+      .as[(Int, Seq[Double])].collect().sortBy(_._1)
+    // day 1: the ingest appends new vectors (new part file only);
+    // captured driver-side BEFORE the corruption below, since the raw
+    // table becomes unreadable as a whole by design
+    val bDf = vecs(1000 until 1060)
+    val newVecs = bDf
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect()
+    bDf.coalesce(1).write.mode("append").parquet(table)
+    // corrupt the original part file in place (manifest identity kept):
+    // the extend must succeed reading only the delta — a re-fit cannot
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val oldPart = fs.listStatus(new org.apache.hadoop.fs.Path(table))
+      .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+      .minBy(_.getModificationTime)
+    val (pLen, pMtime) = (oldPart.getLen, oldPart.getModificationTime)
+    val out = fs.create(oldPart.getPath, true)
+    try out.write(new Array[Byte](pLen.toInt)) finally out.close()
+    fs.setTimes(oldPart.getPath, pMtime, -1)
+    val idx2 = ops.LlmPipeline.ensureIvfIndex(spark, dir)
+    assert(idx2 != idx1, "append did not produce a new artifact")
+    // production IVF contract #1: centroids are FROZEN on append
+    val cents2 = spark.read.parquet(s"$idx2/centroids")
+      .as[(Int, Seq[Double])].collect().sortBy(_._1)
+    assert(cents2.toSeq == cents1.toSeq, "append moved the centroids")
+    // #2: covered vectors' assignments are byte-stable (probe results
+    // over old vectors cannot move on append)
+    val asg2 = spark.read.parquet(s"$idx2/assignments")
+      .select("vec_id", "bucket").as[(Long, Int)].collect().toMap
+    assert(asg1.forall { case (v, b) => asg2(v) == b },
+      "append moved an existing vector's cell")
+    // #3: every new vector landed in its TRUE nearest frozen cell
+    // (recomputed independently here, same exact argmin rule)
+    assert(newVecs.length == 60)
+    newVecs.foreach { case (v, f) =>
+      val best = cents1.map { case (cid, c) =>
+        (f.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum, cid)
+      }.min._2
+      assert(asg2(v) == best, s"vec $v: assigned ${asg2(v)}, nearest frozen cell $best")
+    }
+  }
+
   test("ccLabels: chain graphs converge to the global min across rounds") {
     import spark.implicits._
     // A 7-node path 10-11-...-16 (diameter 6 forces multiple propagation
