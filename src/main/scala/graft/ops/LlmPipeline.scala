@@ -469,11 +469,18 @@ object LlmPipeline {
     * subtree once per side; grouping runs it exactly once and keeps the
     * pair explosion bucket-local behind HotBucketCap.
     */
-  def dedupSimhash(s: SparkSession, d: String): DataFrame = {
-    // One md5 + conv per shingle (the minhashBanded base-hash trick);
-    // bit b of the signature is integer bit-test (h >> b) & 1 — the
-    // previous form ran 32 substring-compares per shingle over the hex
-    // string, which is 32 string ops where 32 codegen'd shifts suffice.
+  def dedupSimhash(s: SparkSession, d: String): DataFrame =
+    simhashPairsFromSig(simhashSig(s, d))
+
+  /** SimHash signature substrate (doc_id, simhash) — factored out of
+    * dedupSimhash so the overflow report shares the exact signature
+    * math with pair generation. One md5 + conv per shingle (the
+    * minhashBanded base-hash trick); bit b of the signature is integer
+    * bit-test (h >> b) & 1 — the previous form ran 32
+    * substring-compares per shingle over the hex string, which is 32
+    * string ops where 32 codegen'd shifts suffice.
+    */
+  private[graft] def simhashSig(s: SparkSession, d: String): DataFrame = {
     val hs = withTk(Tables.documents(s, d))
       .select(col("doc_id"), explode(expr(shingles)).as("s"))
       .select(col("doc_id"),
@@ -484,9 +491,8 @@ object LlmPipeline {
     val sim = (1 to 32).map { b =>
       s"(CASE WHEN v$b > 0 THEN CAST(pow(2, ${32 - b}) AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
     }.mkString(" + ")
-    val sh = hs.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    hs.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"), expr(sim).as("simhash"))
-    simhashPairsFromSig(sh)
   }
 
   /** Pair-generation core for SimHash signatures (doc_id, simhash) —
@@ -926,7 +932,7 @@ object LlmPipeline {
     * same planes q_sim_search_lsh probes, so the block key is
     * data-independent and oracle-exact on both engines.
     */
-  private def embedBucketed(s: SparkSession, d: String): DataFrame =
+  private[graft] def embedBucketed(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"), expr(quant).as("q"))
       .withColumn("n2", expr(dotL("q", "q")))
@@ -994,6 +1000,17 @@ object LlmPipeline {
           s"$SemTauNum * CAST(n2a AS DECIMAL(38,0)) * CAST(n2b AS DECIMAL(38,0))"))
       .select("vec_a", "vec_b")
 
+  /** Overflow report for the semantic pair generator: sign-LSH buckets
+    * whose membership exceeds the cap and were therefore skipped by
+    * pair generation (conservative — every member keeps). Empty on
+    * healthy corpora — the minhashBucketOverflow pattern, bucket-only
+    * key because semantic clusters ignore the label.
+    */
+  private[graft] def semanticBucketOverflow(b: DataFrame, cap: Int = HotBucketCap): DataFrame =
+    b.groupBy("bucket")
+      .agg(count(lit(1)).as("n_vecs"))
+      .where(col("n_vecs") > cap)
+
   /** q_dedup_semantic — SemDeDup-style semantic deduplication DECISION
     * (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
     * web-scale through semantic deduplication"): cluster the embedding
@@ -1016,8 +1033,7 @@ object LlmPipeline {
     * block-local and capped, cc over the duplicate set only.
     */
   def dedupSemantic(s: SparkSession, d: String): DataFrame = {
-    val pairs = semanticPairsFromBucketed(embedBucketed(s, d))
-      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    val pairs = semanticPairsPinned(s, d)
     val labels =
       if (pairs.isEmpty) null // cc over zero edges: every vec is its own rep
       else ccLabels(pairs)
@@ -1031,6 +1047,22 @@ object LlmPipeline {
         (col("rep_id") === col("vec_id")).as("keep"))
       .orderBy("vec_id")
   }
+
+  /** The τ-pair edge set for dedupSemantic, PINNED (eager lineage-cut
+    * materialization) BEFORE any consumer — the dedupNear :567 pattern.
+    * Without the pin the emptiness probe runs the bucket shuffle +
+    * block-local pair explode once, then ccLabels' edge pin re-executes
+    * the same unpinned subtree — a guaranteed 2× on the query's
+    * dominant stage. Factored and `private[graft]` so the spec can pin
+    * the contract: the returned plan is a lineage-cut scan (the bucket
+    * exchange already executed, exactly once) and every downstream
+    * consumer — the isEmpty probe, ccLabels' symmetrized edge pin —
+    * reads the checkpoint blocks, never the subtree.
+    */
+  private[graft] def semanticPairsPinned(s: SparkSession, d: String): DataFrame =
+    semanticPairsFromBucketed(embedBucketed(s, d))
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+      .pinned()
 
   /** q_dedup_embed — embedding near-dup pairs: candidates from
     * (label, sign-LSH bucket) blocks — the label narrows to a class, the
@@ -1047,6 +1079,44 @@ object LlmPipeline {
     embedPairsFromBucketed(embedBucketed(s, d))
       .orderBy(col("cos").desc, col("vec_a"), col("vec_b"))
       .limit(100)
+
+  /** q_dedup_overflow_report — the caps, visible through the SQL front
+    * door (VERDICT r16 #5): one row per hot block a capped pair
+    * generator SKIPPED, unioned across the five bucketed dedup families
+    * (minhash bands, simhash bands, ngram df-cap postings, embed
+    * (label, bucket) blocks, semantic buckets) with a family tag. A
+    * production curation run reads this table to learn exactly what
+    * recall its caps traded away — the reference reports what it drops
+    * rather than acting silently (under-replication surfacing at
+    * `controller/FileTable.java:41-52`, public GitHub). Keys are
+    * stringified so heterogeneous block keys union into one relation;
+    * single-key families carry '' as key2. Empty on healthy corpora and
+    * on the fixtures — the oracle runs the same five group-count
+    * mirrors in DuckDB, and the planted-hot-block spec drives each
+    * family's non-empty path. Scale: five independent hash-aggregates
+    * over substrates that are already memoized/pinned for their sibling
+    * queries — no pair generation anywhere.
+    */
+  def dedupOverflowReport(s: SparkSession, d: String): DataFrame = {
+    val eb = embedBucketed(s, d)
+    val mh = minhashBucketOverflow(minhashBanded(s, d))
+      .select(lit("minhash").as("family"), col("band").cast("string").as("key1"),
+        col("band_key").cast("string").as("key2"), col("n_docs").as("n_members"))
+    val sh = simhashBucketOverflow(simhashSig(s, d))
+      .select(lit("simhash").as("family"), col("band").cast("string").as("key1"),
+        col("bv").cast("string").as("key2"), col("n_docs").as("n_members"))
+    val ng = ngramDfOverflow(ngramPostings(s, d))
+      .select(lit("ngram").as("family"), col("sh").cast("string").as("key1"),
+        lit("").as("key2"), col("df").as("n_members"))
+    val em = embedBucketOverflow(eb)
+      .select(lit("embed").as("family"), col("label").cast("string").as("key1"),
+        col("bucket").cast("string").as("key2"), col("n_vecs").as("n_members"))
+    val se = semanticBucketOverflow(eb)
+      .select(lit("semantic").as("family"), col("bucket").cast("string").as("key1"),
+        lit("").as("key2"), col("n_vecs").as("n_members"))
+    mh.unionByName(sh).unionByName(ng).unionByName(em).unionByName(se)
+      .orderBy("family", "key1", "key2")
+  }
 
   /** q_embed_centroids — per-label class prototype: the mean embedding
     * of each label, in exact integer micros (per-dim Σ of the
@@ -1670,9 +1740,11 @@ object LlmPipeline {
     * dirFor and ensure so the two can never disagree on the dir.
     */
   private def ivfManifestKey(s: SparkSession, d: String): String =
+    ivfKeyOf(Storage.manifestLines(s, s"$d/embeddings.parquet"))
+
+  private def ivfKeyOf(lines: Seq[String]): String =
     java.security.MessageDigest.getInstance("MD5")
-      .digest(Storage.manifestLines(s, s"$d/embeddings.parquet")
-        .mkString("\n").getBytes("UTF-8"))
+      .digest(lines.mkString("\n").getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(12)
 
   /** The INDEX-BUILD job: fit the coarse quantizer once and persist the
@@ -1683,10 +1755,22 @@ object LlmPipeline {
     * subsequent query) and the centroid table is k·dim doubles —
     * driver-sized state, exactly like faiss's coarse quantizer.
     */
-  def buildIvfIndex(s: SparkSession, d: String, indexDir: String): Unit = {
+  def buildIvfIndex(s: SparkSession, d: String, indexDir: String): Unit =
+    buildIvfIndexFrom(s, Tables.embeddings(s, d), indexDir)
+
+  /** The build body over a caller-supplied embeddings frame — the
+    * manifest-keyed ensure passes `s.read.parquet(pinnedPaths: _*)` so
+    * artifact content and _MANIFEST derive from the same listing
+    * (the ADVICE r16 TOCTOU fix: a file appended between the listing
+    * and a live directory scan would be baked into the assignments but
+    * absent from the manifest, and the next ensure would assign its
+    * vectors AGAIN as delta — duplicate vec_id rows).
+    */
+  private[graft] def buildIvfIndexFrom(s: SparkSession, emb: DataFrame,
+      indexDir: String): Unit = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val e = Tables.embeddings(s, d)
+    val e = emb
       .select(col("vec_id"),
         array_to_vector(col("embedding").cast("array<double>")).as("fv"),
         expr(quant).as("q"))
@@ -1745,14 +1829,20 @@ object LlmPipeline {
     */
   private[graft] def ensureIvfIndex(s: SparkSession, d: String): String = {
     val src = s"$d/embeddings.parquet"
+    // ONE listing feeds the version key, the covered-base test, the
+    // pinned full-build read, AND the written _MANIFEST — never two
+    // separate snapshots that a concurrent append could split
     val lines = Storage.manifestLines(s, src)
     Derived.ensure(s, IvfFamily, src,
-      version = s"m${ivfManifestKey(s, d)}", marker = IvfMarker) { tmp =>
+      version = s"m${ivfKeyOf(lines)}", marker = IvfMarker) { tmp =>
       Storage.latestCoveredBase(s, IvfFamily, src, lines, marker = IvfMarker) match {
         case Some((prevDir, covered)) =>
           extendIvfIndex(s, prevDir,
             Storage.manifestPath(lines.filterNot(covered)), tmp)
-        case None => buildIvfIndex(s, d, tmp)
+        case None => // full build over the PINNED listing, not a live
+          // dir scan — artifact and manifest from the same snapshot
+          buildIvfIndexFrom(s,
+            s.read.parquet(Storage.manifestPath(lines): _*), tmp)
       }
       val fs = new org.apache.hadoop.fs.Path(tmp)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -3675,6 +3765,7 @@ object LlmPipeline {
     "q_dedup_ngram"         -> (dedupNgram _),
     "q_dedup_embed"         -> (dedupEmbed _),
     "q_dedup_semantic"      -> (dedupSemantic _),
+    "q_dedup_overflow_report" -> (dedupOverflowReport _),
     "q_embed_centroids"     -> (embedCentroids _),
     "q_embed_outliers"      -> (embedOutliers _),
     "q_embed_quantize"      -> (embedQuantize _),
@@ -3951,6 +4042,50 @@ object LlmPipeline {
           "coalesce(l.rep_id, e.vec_id) = e.vec_id AS keep " +
           "FROM embeddings e LEFT JOIN lab l ON l.vec_id = e.vec_id " +
           "ORDER BY e.vec_id"
+      },
+      // Five group-count mirrors of the capped families' overflow
+      // predicates, unioned under a family tag — stringified keys so the
+      // heterogeneous block keys share one relation. Empty on the
+      // fixtures; the planted-hot-block spec drives each non-empty path.
+      "q_dedup_overflow_report" -> {
+        val bucketDuck = lshBucketExpr(lshPlaneDotDuck)
+        val bitSums = (1 to 32).map(b =>
+          s"CAST(sum(CASE WHEN (h >> ${b - 1}) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS v$b")
+          .mkString(", ")
+        val shSum = (1 to 32).map(b =>
+          s"(CASE WHEN v$b > 0 THEN CAST(power(2, ${32 - b}) AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+          .mkString(" + ")
+        s"$minhashBandsDuck, " +
+          "sim_hs AS (SELECT doc_id, " +
+          s"CAST(concat('0x', substring(md5(unnest($shinglesDuck)), 1, 15)) AS BIGINT) AS h " +
+          "FROM documents), " +
+          s"sim_bits AS (SELECT doc_id, $bitSums FROM sim_hs GROUP BY doc_id), " +
+          s"sim_sig AS (SELECT doc_id, $shSum AS simhash FROM sim_bits), " +
+          "sim_bands AS (SELECT doc_id, b, " +
+          "CAST(floor(simhash / power(256, 3 - b)) AS BIGINT) % 256 AS bv " +
+          "FROM sim_sig, (SELECT unnest(generate_series(0, 3)) AS b) bb), " +
+          "ng_ds AS (SELECT doc_id, " +
+          s"CAST(concat('0x', substring(md5(unnest(list_distinct($shinglesDuck))), 1, 15)) AS BIGINT) AS sh " +
+          "FROM documents), " +
+          s"em_q AS (SELECT vec_id, label, $quantDuck AS q FROM embeddings), " +
+          s"em_n AS (SELECT vec_id, label, CAST($bucketDuck AS INTEGER) AS bucket FROM em_q) " +
+          "SELECT family, key1, key2, n_members FROM (" +
+          "SELECT 'minhash' AS family, CAST(band AS VARCHAR) AS key1, " +
+          "band_key AS key2, count(*) AS n_members FROM bands " +
+          s"GROUP BY 1, 2, 3 HAVING count(*) > ${LlmPipeline.HotBucketCap} " +
+          "UNION ALL " +
+          "SELECT 'simhash', CAST(b AS VARCHAR), CAST(bv AS VARCHAR), count(*) FROM sim_bands " +
+          s"GROUP BY 1, 2, 3 HAVING count(*) > ${LlmPipeline.HotBucketCap} " +
+          "UNION ALL " +
+          "SELECT 'ngram', CAST(sh AS VARCHAR), '', count(DISTINCT doc_id) FROM ng_ds " +
+          s"GROUP BY 1, 2, 3 HAVING count(DISTINCT doc_id) > ${LlmPipeline.NgramDfCap} " +
+          "UNION ALL " +
+          "SELECT 'embed', CAST(label AS VARCHAR), CAST(bucket AS VARCHAR), count(*) FROM em_n " +
+          s"GROUP BY 1, 2, 3 HAVING count(*) > ${LlmPipeline.HotBucketCap} " +
+          "UNION ALL " +
+          "SELECT 'semantic', CAST(bucket AS VARCHAR), '', count(*) FROM em_n " +
+          s"GROUP BY 1, 2, 3 HAVING count(*) > ${LlmPipeline.HotBucketCap}" +
+          ") ORDER BY family, key1, key2"
       },
       "q_embed_centroids" ->
         (s"WITH q AS (SELECT label, $quantDuck AS q FROM embeddings), " +
@@ -5167,6 +5302,43 @@ object LlmPipeline {
           "coalesce(l.rep_id, e.vec_id) = e.vec_id AS keep " +
           "FROM embeddings e LEFT JOIN lconv l ON l.vec_id = e.vec_id " +
           "ORDER BY e.vec_id"
+      },
+      // Spark spelling of the five overflow group-counts (the oracle's
+      // DuckDB list/unnest idioms don't parse here); same CTEs as the
+      // per-family mirrors above
+      "q_dedup_overflow_report" -> {
+        val bucket = (0 until 4).map { p =>
+          s"(CASE WHEN ${dot("q", plane(p))} >= 0 THEN ${1 << p} ELSE 0 END)"
+        }.mkString(" + ")
+        s"$minhashCtes, " +
+          s"sim_hs AS (SELECT doc_id, ${hash("s")} AS h FROM " +
+          s"(SELECT doc_id, explode($shS) AS s FROM dtk)), " +
+          s"sim_bits AS (SELECT doc_id, $bitCols FROM sim_hs GROUP BY doc_id), " +
+          s"sim_sig AS (SELECT doc_id, $simExpr AS simhash FROM sim_bits), " +
+          "sim_bands AS (SELECT doc_id, b, " +
+          "CAST(floor(simhash / pow(256, 3 - b)) AS BIGINT) % 256 AS bv " +
+          "FROM sim_sig CROSS JOIN (SELECT explode(sequence(0, 3)) AS b) bb), " +
+          s"ng_ds AS (SELECT doc_id, ${hash("s")} AS sh FROM " +
+          s"(SELECT doc_id, explode(array_distinct($shS)) AS s FROM dtk)), " +
+          s"em_q AS (SELECT vec_id, label, $quantS AS q FROM embeddings), " +
+          s"em_n AS (SELECT vec_id, label, CAST($bucket AS INTEGER) AS bucket FROM em_q) " +
+          "SELECT family, key1, key2, n_members FROM (" +
+          "SELECT 'minhash' AS family, CAST(band AS STRING) AS key1, " +
+          "band_key AS key2, count(*) AS n_members FROM bands " +
+          s"GROUP BY 1, 2, 3 HAVING count(*) > $HotBucketCap " +
+          "UNION ALL " +
+          "SELECT 'simhash', CAST(b AS STRING), CAST(bv AS STRING), count(*) FROM sim_bands " +
+          s"GROUP BY 1, 2, 3 HAVING count(*) > $HotBucketCap " +
+          "UNION ALL " +
+          "SELECT 'ngram', CAST(sh AS STRING), '', count(DISTINCT doc_id) FROM ng_ds " +
+          s"GROUP BY 1, 2, 3 HAVING count(DISTINCT doc_id) > $NgramDfCap " +
+          "UNION ALL " +
+          "SELECT 'embed', CAST(label AS STRING), CAST(bucket AS STRING), count(*) FROM em_n " +
+          s"GROUP BY 1, 2, 3 HAVING count(*) > $HotBucketCap " +
+          "UNION ALL " +
+          "SELECT 'semantic', CAST(bucket AS STRING), '', count(*) FROM em_n " +
+          s"GROUP BY 1, 2, 3 HAVING count(*) > $HotBucketCap" +
+          ") ORDER BY family, key1, key2"
       },
       "q_embed_centroids" ->
         (s"WITH q AS (SELECT label, $quantS AS q FROM embeddings), " +

