@@ -70,8 +70,16 @@ object Storage {
     * reads by the same corruption witness as the Bloom spec.
     */
   private[graft] def ensureZoneMap(s: SparkSession, d: String): String =
-    ensureManifestKeyed(s, ZonemapFamily, s"$d/lineitem.parquet") {
-      () => zonemapRowsFor(Tables.lineitem(s, d))
+    ensureZoneMapWithLines(s, d, manifestLines(s, s"$d/lineitem.parquet"))
+
+  /** Spec entry: the zone-map lifecycle over a caller-pinned listing —
+    * how StorageSpec simulates the append-during-build race
+    * deterministically (the TOCTOU witness).
+    */
+  private[graft] def ensureZoneMapWithLines(s: SparkSession, d: String,
+      lines: Seq[String]): String =
+    ensureManifestKeyedWithLines(s, ZonemapFamily, s"$d/lineitem.parquet", lines) {
+      pinned => zonemapRowsFor(s.read.parquet(pinned: _*))
     } { (prevDir, delta) =>
       s.read.parquet(prevDir)
         .unionByName(zonemapRowsFor(s.read.parquet(delta: _*)))
@@ -286,20 +294,29 @@ object Storage {
 
   /** The source table's data files as manifest lines `len\tmtime\tpath`
     * (sorted; `_`/`.`-prefixed bookkeeping files excluded — the same
-    * set a parquet scan reads). The line triple is the identity an
-    * append-aware ensure compares: a file with the same path but new
-    * length or mtime is a MODIFICATION, never an append.
+    * set a parquet scan reads). The hidden-name test applies to EVERY
+    * path component between the table root and the leaf, not just the
+    * leaf (ADVICE r16): `fs.listFiles` recurses into hidden directories
+    * — a `_temporary` leftover from a crashed append holds part files
+    * whose leaf names look clean, but Spark's InMemoryFileIndex never
+    * reads them, so admitting them would make the manifest claim
+    * coverage of rows the artifact never ingested. The line triple is
+    * the identity an append-aware ensure compares: a file with the same
+    * path but new length or mtime is a MODIFICATION, never an append.
     */
   private[graft] def manifestLines(s: SparkSession, table: String): Seq[String] = {
     val p = new org.apache.hadoop.fs.Path(table)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return Nil
+    val root = fs.makeQualified(p).toString
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     val it = fs.listFiles(p, true)
     while (it.hasNext) {
       val st = it.next()
-      val n = st.getPath.getName
-      if (st.isFile && !n.startsWith("_") && !n.startsWith("."))
+      val rel = st.getPath.toString.stripPrefix(root).stripPrefix("/")
+      val anyHidden = rel.split('/')
+        .exists(c => c.startsWith("_") || c.startsWith("."))
+      if (st.isFile && !anyHidden)
         out += s"${st.getLen}\t${st.getModificationTime}\t${st.getPath}"
     }
     out.sorted.toSeq
@@ -322,7 +339,12 @@ object Storage {
     val prefix = Derived.labelFor(src) + "_"
     val cur = current.toSet
     fs.listStatus(fam).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
+      // skip in-flight '<dir>.build-<uuid>' temp dirs (ADVICE r16):
+      // a concurrent JVM's staging dir carries its marker + _MANIFEST
+      // BEFORE the publish rename — selecting it as prevDir races the
+      // winner's rename and the extend can read a vanishing path
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix) &&
+        !st.getPath.getName.contains(".build-"))
       .flatMap { st =>
         val dir = st.getPath
         val ok = fs.exists(new org.apache.hadoop.fs.Path(dir, marker)) &&
@@ -345,13 +367,29 @@ object Storage {
     * indexes): the artifact key is the full data-file listing; a pure
     * append finds the previous artifact and runs `deltaBuild` over ONLY
     * the new files' paths plus the previous artifact dir; anything else
-    * (modified/removed file, first build) runs `fullBuild`. The builder
-    * output is published atomically with its manifest (Derived.ensure).
+    * (modified/removed file, first build) runs `fullBuild` — over
+    * exactly the PINNED listing's paths, never a live directory scan
+    * (ADVICE r16 TOCTOU): a file appended between the listing and the
+    * build would otherwise be baked into the artifact but absent from
+    * its _MANIFEST, so the next ensure would merge it AGAIN as delta —
+    * double-counted zone-map stats, duplicate IVF assignment rows. The
+    * builder output is published atomically with its manifest
+    * (Derived.ensure).
     */
   private def ensureManifestKeyed(s: SparkSession, family: String, src: String)
-      (fullBuild: () => DataFrame)
+      (fullBuild: Seq[String] => DataFrame)
+      (deltaBuild: (String, Seq[String]) => DataFrame): String =
+    ensureManifestKeyedWithLines(s, family, src,
+      manifestLines(s, src))(fullBuild)(deltaBuild)
+
+  /** The lifecycle body over a CALLER-pinned listing — split out so the
+    * spec can hand it a stale snapshot and prove artifact content and
+    * manifest derive from the same listing (the TOCTOU witness).
+    */
+  private[graft] def ensureManifestKeyedWithLines(s: SparkSession,
+      family: String, src: String, lines: Seq[String])
+      (fullBuild: Seq[String] => DataFrame)
       (deltaBuild: (String, Seq[String]) => DataFrame): String = {
-    val lines = manifestLines(s, src)
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(lines.mkString("\n").getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(12)
@@ -359,7 +397,7 @@ object Storage {
       val rows = latestCoveredBase(s, family, src, lines) match {
         case Some((prevDir, covered)) =>
           deltaBuild(prevDir, manifestPath(lines.filterNot(covered)))
-        case None => fullBuild()
+        case None => fullBuild(manifestPath(lines))
       }
       rows.write.mode("overwrite").parquet(tmp)
       val fs = new org.apache.hadoop.fs.Path(tmp)
@@ -391,7 +429,7 @@ object Storage {
     */
   private[graft] def ensureBloomIndex(s: SparkSession, d: String): String =
     ensureManifestKeyed(s, BloomFamily, s"$d/lineitem.parquet") {
-      () => fileBloomIndex(s, d)
+      pinned => bloomRowsFor(s.read.parquet(pinned: _*))
     } { (prevDir, delta) =>
       // delta rows ∪ previous artifact, re-distinct'd: a file_id whose
       // rows span covered and new part files would otherwise duplicate.

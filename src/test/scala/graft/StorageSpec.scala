@@ -215,6 +215,90 @@ class StorageSpec extends AnyFunSuite {
     assert(f5.getAs[Long]("n_chunks") == 6L, s"file 5 should hold 3+3 chunks: $f5")
   }
 
+  test("manifest snapshot discipline: a file landing after the listing merges ONCE, never twice (ADVICE r16 TOCTOU)") {
+    import spark.implicits._
+    def liRows(ids: Seq[Long], dayOff: Int) =
+      ids.flatMap(f => (0 until 3).map(c =>
+        (f, 100L + f % 7, 200L + (f * 3 + c + dayOff) % 11, c.toLong + 1,
+          java.sql.Timestamp.valueOf(f"1995-0${1 + dayOff}%d-1${c}%d 00:00:00"),
+          (f % 50 + c).toDouble)))
+        .toDF("l_orderkey", "l_suppkey", "l_partkey", "l_linenumber",
+          "l_shipdate", "l_quantity")
+    val dir = s"/tmp/graft-test-toctou-${java.util.UUID.randomUUID()}"
+    val table = s"$dir/lineitem.parquet"
+    liRows(0L until 10L, 0).coalesce(1).write.parquet(table)
+    // the race, replayed deterministically: the listing is pinned, THEN
+    // a concurrent ingest appends a part file, THEN the build runs
+    val pinned = ops.Storage.manifestLines(spark, table)
+    liRows(10L until 20L, 1).coalesce(1).write.mode("append").parquet(table)
+    val idxStale = ops.Storage.ensureZoneMapWithLines(spark, dir, pinned)
+    // artifact content derives from the PINNED snapshot, not the live
+    // dir: the racing file's rows are absent (pre-fix they were baked in
+    // while the manifest denied them)
+    val staleIds = spark.read.parquet(idxStale)
+      .select("file_id").as[Long].collect().toSet
+    assert(staleIds == (0L until 10L).toSet,
+      s"stale build leaked the racing file's rows: $staleIds")
+    // the next ensure sees the racing file as a pure-append delta and
+    // merges it exactly once: extended ≡ full rebuild (pre-fix the
+    // already-baked rows double-counted n_chunks/size_units here)
+    val idx2 = ops.Storage.ensureZoneMap(spark, dir)
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .selectExpr("file_id", "n_chunks", "CAST(min_ship AS STRING)",
+        "CAST(max_ship AS STRING)", "min_part", "max_part", "size_units")
+      .collect().map(_.toSeq).toSet
+    val mirror = s"/tmp/graft-test-toctoumirror-${java.util.UUID.randomUUID()}"
+    (liRows(0L until 10L, 0) unionByName liRows(10L until 20L, 1))
+      .write.parquet(s"$mirror/lineitem.parquet")
+    val full = canon(spark.read.parquet(ops.Storage.ensureZoneMap(spark, mirror)))
+    assert(canon(spark.read.parquet(idx2)) == full,
+      "racing file merged twice (or lost) across the stale build + extend")
+  }
+
+  test("manifest excludes files under hidden directories (ADVICE r16: crashed-append _temporary)") {
+    import spark.implicits._
+    val dir = s"/tmp/graft-test-hiddenmanifest-${java.util.UUID.randomUUID()}"
+    val table = s"$dir/lineitem.parquet"
+    Seq((1L, 2L)).toDF("l_orderkey", "l_suppkey").coalesce(1).write.parquet(table)
+    // a crashed append's leftover: clean-named part file under _temporary
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ghost = new org.apache.hadoop.fs.Path(
+      s"$table/_temporary/0/part-00000-ghost.parquet")
+    val out = fs.create(ghost)
+    try out.write("not parquet".getBytes("UTF-8")) finally out.close()
+    val lines = ops.Storage.manifestLines(spark, table)
+    assert(lines.nonEmpty && lines.forall(!_.contains("_temporary")),
+      s"manifest claims coverage of rows a parquet scan never reads: $lines")
+    // and the set matches what a parquet scan actually reads
+    assert(lines.size == fs.listStatus(new org.apache.hadoop.fs.Path(table))
+      .count(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith(".")))
+  }
+
+  test("latestCoveredBase skips in-flight .build- staging dirs (ADVICE r16)") {
+    val src = s"/tmp/graft-test-buildskip-${java.util.UUID.randomUUID()}/lineitem.parquet"
+    val fam = ops.Derived.familyDir(ops.Storage.ZonemapFamily)
+    val label = ops.Derived.labelFor(src)
+    val fs = new org.apache.hadoop.fs.Path(fam)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a racing JVM's staging dir: marker + _MANIFEST already written,
+    // publish rename not yet done — covers a strict subset, so pre-fix
+    // it would be SELECTED as the extend base and then vanish
+    val staging = new org.apache.hadoop.fs.Path(s"$fam/${label}_mdeadbeef.build-abc123")
+    fs.mkdirs(staging)
+    try {
+      val m = fs.create(new org.apache.hadoop.fs.Path(staging, "_MANIFEST"))
+      try m.write("1\t1\tfileA\n".getBytes("UTF-8")) finally m.close()
+      val s2 = fs.create(new org.apache.hadoop.fs.Path(staging, "_SUCCESS"))
+      try s2.write(Array.empty[Byte]) finally s2.close()
+      val got = ops.Storage.latestCoveredBase(spark, ops.Storage.ZonemapFamily,
+        src, Seq("1\t1\tfileA", "2\t2\tfileB"))
+      assert(!got.exists(_._1.contains(".build-")),
+        s"selected an in-flight staging dir as the extend base: $got")
+    } finally fs.delete(staging, true)
+  }
+
   test("z-order interleave: known bit patterns; layout boxes beat 1-D order on a 2-D probe") {
     // zExpr(3, 5): a=0b11 → even bits 1+4; b=0b101 → odd bits 2+32 ⇒ 39
     val z35 = spark.sql(
