@@ -891,6 +891,131 @@ object Relational {
       .orderBy("o_year")
   }
 
+  /** q_agg_profit_by_nation — TPC-H Q9's product-type-profit shape
+    * adapted to this schema (p_retailprice plays ps_supplycost — the
+    * Q2/Q20 no-partsupp convention): for every line of a part whose
+    * name contains 'red', profit = revenue − cost·quantity, rolled up
+    * by (supplier nation, order year) — the multi-fact rollup whose
+    * group key is an EXPRESSION over a joined column (year(o_orderdate))
+    * rather than any stored column. Scale shape: the name-filtered
+    * parts (with their cost) and supplier→nation both broadcast into
+    * ONE lineitem scan; the orders join is the only fact-fact shuffle;
+    * the rollup is 25 nations × ~7 years. Profit stays exact DECIMAL
+    * until the final DOUBLE cast (both engines cast the same exact
+    * value). Textbook ordering: nation asc, year DESC.
+    */
+  def aggProfitByNation(s: SparkSession, d: String): DataFrame = {
+    val redParts = Tables.part(s, d)
+      .filter(col("p_name").contains("red"))
+      .select(col("p_partkey"), dec("p_retailprice").as("cost"))
+    val suppNation = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+      .join(broadcast(Tables.nation(s, d).select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name"))
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        (dec("l_extendedprice") * (lit(1) - dec("l_discount"))).as("rev"),
+        dec("l_quantity").as("qty"))
+      .join(broadcast(redParts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(s, d).select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).cast(IntegerType).as("o_year"))
+      .agg(sum(col("rev") - col("cost") * col("qty"))
+        .cast(DoubleType).as("sum_profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  /** q_agg_important_parts — TPC-H Q11's important-stock shape adapted
+    * to this schema (a part's "stock value" held by NATION_3's
+    * suppliers = the DECIMAL sum of their lines' extended prices —
+    * lineitem plays partsupp, the Q2/Q20 convention): parts whose value
+    * exceeds 1/1000 of the NATION'S TOTAL — the global-fraction HAVING
+    * scalar subquery, the one shape where a per-group aggregate is
+    * gated by a SECOND, global aggregate of the same slice. Threshold
+    * decided as value·1000 > total in exact DECIMAL algebra (the
+    * q_join_dominant_suppliers rule) — never a double fraction at the
+    * boundary. Scale shape: the textbook text scans the fact slice
+    * twice (once per aggregate); here the global total re-aggregates
+    * the ALREADY-GROUPED per-part table — metadata-sized input — and
+    * broadcasts as a 1-row threshold, so the corpus is read ONCE. The
+    * oracle keeps the textbook two-scan scalar-subquery text.
+    */
+  def aggImportantParts(s: SparkSession, d: String): DataFrame = {
+    val n3supp = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+      .join(broadcast(Tables.nation(s, d)
+        .filter(col("n_name") === "NATION_3").select("n_nationkey")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey")
+    val perPart = Tables.lineitem(s, d)
+      .select(col("l_partkey"), col("l_suppkey"), dec("l_extendedprice").as("pr"))
+      .join(broadcast(n3supp), col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy(col("l_partkey").as("p_partkey"))
+      .agg(sum(col("pr")).as("value_d"))
+    val total = perPart.agg(sum(col("value_d")).as("tot"))
+    perPart.join(broadcast(total))
+      .filter(col("value_d") * 1000 > col("tot"))
+      .select(col("p_partkey"), col("value_d").cast(DoubleType).as("value"))
+      .orderBy(col("value").desc, col("p_partkey"))
+  }
+
+  /** q_join_line_priority — TPC-H Q12's shipping-mode-priority shape
+    * adapted to this schema (l_returnflag plays l_shipmode; the
+    * ship-date year window plays the receipt-date window): per flag,
+    * how many 1997 lines belong to critical-priority orders vs not —
+    * the two-branch conditional CASE-count over a fact-fact join, the
+    * shape every SLA report compiles to. Scale shape: the date filter
+    * pushes to the lineitem scan; the join exchanges only (orderkey,
+    * flag) × (orderkey, priority); counts are exact BIGINTs. Both
+    * CASE branches aggregate in the same pass — never two joins.
+    */
+  def joinLinePriority(s: SparkSession, d: String): DataFrame = {
+    val crit = col("o_orderpriority") === "1-URGENT" ||
+      col("o_orderpriority") === "2-HIGH"
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .select("l_orderkey", "l_returnflag")
+      .join(Tables.orders(s, d).select("o_orderkey", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(when(crit, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(crit, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy("l_returnflag")
+  }
+
+  /** q_agg_supplier_census — TPC-H Q16's parts/supplier-relationship
+    * census adapted to this schema (the supplier-part relation is the
+    * DISTINCT (l_partkey, l_suppkey) set observed in lineitem — no
+    * partsupp; the complaint blacklist is the negative-balance supplier
+    * set — no s_comment): per (brand, type, size) over the selected
+    * sizes, how many distinct suppliers can provide the part, EXCLUDING
+    * blacklisted suppliers via NOT IN — the anti-join + per-group
+    * count-distinct shape. Scale shape: the filtered part dim
+    * broadcasts into the lineitem scan BEFORE the distinct, so the
+    * dedup shuffle carries only qualifying-part rows; the blacklist is
+    * a ≤|suppliers|-row broadcast anti join (exact NOT IN here:
+    * s_suppkey is never null). The oracle keeps the textbook NOT-IN
+    * subquery text.
+    */
+  def aggSupplierCensus(s: SparkSession, d: String): DataFrame = {
+    val sizes = Seq(1, 4, 7, 10, 13, 16, 19, 23)
+    val parts = Tables.part(s, d)
+      .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "MEDIUM" &&
+        col("p_size").isin(sizes: _*))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    val blacklist = Tables.supplier(s, d)
+      .filter(col("s_acctbal") < 0).select("s_suppkey")
+    Tables.lineitem(s, d).select("l_partkey", "l_suppkey")
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(blacklist), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+  }
+
   /** q_pivot — status-by-priority order counts as a wide table
     * (groupBy + pivot with an EXPLICIT value list: without it Spark runs
     * an extra distinct pass over the pivot column AND the output schema
@@ -1232,6 +1357,10 @@ object Relational {
     "q_subquery_top_supplier" -> (subqueryTopSupplier _),
     "q_agg_forecast_revenue" -> (aggForecastRevenue _),
     "q_agg_market_share"    -> (aggMarketShare _),
+    "q_agg_profit_by_nation" -> (aggProfitByNation _),
+    "q_agg_important_parts" -> (aggImportantParts _),
+    "q_join_line_priority"  -> (joinLinePriority _),
+    "q_agg_supplier_census" -> (aggSupplierCensus _),
     "q_pivot"               -> (pivotStatus _),
     "q_window_lag_lead"     -> (windowLagLead _),
     "q_window_ntile"        -> (windowNtile _),
@@ -1487,6 +1616,56 @@ object Relational {
         "CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) / " +
         "CAST(SUM(volume) AS DOUBLE) AS mkt_share " +
         "FROM vol GROUP BY o_year ORDER BY o_year"),
+    // TPC-H Q9 textbook text (p_retailprice plays ps_supplycost)
+    "q_agg_profit_by_nation" ->
+      ("SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit FROM (" +
+        "SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year, " +
+        "CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+        "(1 - CAST(l_discount AS DECIMAL(18,2))) - " +
+        "CAST(p_retailprice AS DECIMAL(18,2)) * " +
+        "CAST(l_quantity AS DECIMAL(18,2)) AS amount " +
+        "FROM part, supplier, lineitem, orders, nation " +
+        "WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey " +
+        "AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey " +
+        "AND p_name LIKE '%red%') profit " +
+        "GROUP BY nation, o_year ORDER BY nation, o_year DESC"),
+    // TPC-H Q11 textbook two-scan scalar-subquery text; threshold in
+    // exact DECIMAL algebra (value*1000 > total, never a double frac)
+    "q_agg_important_parts" ->
+      ("SELECT l_partkey AS p_partkey, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS value " +
+        "FROM lineitem, supplier, nation " +
+        "WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey " +
+        "AND n_name = 'NATION_3' GROUP BY l_partkey " +
+        "HAVING SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 1000 > (" +
+        "SELECT SUM(CAST(l_extendedprice AS DECIMAL(18,2))) " +
+        "FROM lineitem, supplier, nation " +
+        "WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey " +
+        "AND n_name = 'NATION_3') " +
+        "ORDER BY value DESC, p_partkey"),
+    // TPC-H Q12 textbook CASE-count text (l_returnflag plays l_shipmode)
+    "q_join_line_priority" ->
+      ("SELECT l_returnflag, " +
+        "CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' OR o_orderpriority = '2-HIGH' " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, " +
+        "CAST(SUM(CASE WHEN o_orderpriority <> '1-URGENT' AND o_orderpriority <> '2-HIGH' " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count " +
+        "FROM orders, lineitem WHERE o_orderkey = l_orderkey " +
+        "AND l_shipdate >= TIMESTAMP '1997-01-01' " +
+        "AND l_shipdate < TIMESTAMP '1998-01-01' " +
+        "GROUP BY l_returnflag ORDER BY l_returnflag"),
+    // TPC-H Q16 textbook NOT-IN census text (distinct lineitem
+    // supplier-part pairs play partsupp; negative balance plays the
+    // complaint comment)
+    "q_agg_supplier_census" ->
+      ("SELECT p_brand, p_type, p_size, " +
+        "COUNT(DISTINCT l_suppkey) AS supplier_cnt FROM lineitem, part " +
+        "WHERE p_partkey = l_partkey AND p_brand <> 'Brand#1' " +
+        "AND p_type <> 'MEDIUM' " +
+        "AND p_size IN (1, 4, 7, 10, 13, 16, 19, 23) " +
+        "AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0) " +
+        "GROUP BY p_brand, p_type, p_size " +
+        "ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"),
     "q_subquery_top_supplier" ->
       ("WITH revenue AS (SELECT l_suppkey, " +
         "SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * " +

@@ -410,6 +410,59 @@ class PlanShapeSpec extends AnyFunSuite {
       s"market-share join degenerated:\n$plan")
   }
 
+  test("profit rollup (Q9 shape): parts and supplier-nation broadcast; orders is the only fact-fact join") {
+    val plan = physical(ops.Relational.aggProfitByNation(spark, d))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"red-parts / supplier-nation dims should broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"profit rollup degenerated:\n$plan")
+    // the name filter prunes parts BEFORE the fact join: the part scan
+    // carries the Contains pushdown, not a post-join filter
+    val pushed = plan.linesIterator.filter(_.contains("PushedFilters"))
+      .mkString("\n")
+    assert(pushed.contains("p_name"), s"p_name filter not pushed: $pushed")
+  }
+
+  test("important parts (Q11 shape): ONE lineitem scan — the global total folds the grouped table") {
+    // the textbook text scans the fact slice twice (per-group agg +
+    // global scalar subquery); the engine form must re-aggregate the
+    // already-grouped per-part rows instead — at 100 TB the second scan
+    // is the whole cost of the query
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val qe = ops.Relational.aggImportantParts(spark, d).queryExecution
+      val liScans = qe.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.metadata.get("Location").exists(_.contains("lineitem")) => f
+      }.size
+      assert(liScans == 1,
+        s"global-fraction threshold re-scans lineitem ($liScans scans):\n${qe.executedPlan}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+  }
+
+  test("line priority (Q12 shape): date range pushed to the scan; both CASE branches in ONE aggregate") {
+    val plan = physical(ops.Relational.joinLinePriority(spark, d))
+    val pushed = plan.linesIterator.filter(_.contains("PushedFilters"))
+      .mkString("\n")
+    assert(pushed.contains("l_shipdate"), s"date filter not pushed: $pushed")
+    // one aggregate computes both branch counts — a two-join/two-agg
+    // plan would read the join output twice
+    assert("HashAggregate".r.findAllIn(plan).size <= 2, // partial + final
+      s"CASE counts split across aggregates:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"degenerated:\n$plan")
+  }
+
+  test("supplier census (Q16 shape): part dim broadcasts before the distinct; blacklist is a broadcast anti join") {
+    val plan = physical(ops.Relational.aggSupplierCensus(spark, d))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"filtered part dim should broadcast:\n$plan")
+    assert(plan.contains("LeftAnti"),
+      s"NOT IN must compile to an anti join:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"census degenerated:\n$plan")
+  }
+
   test("disjunctive join: common equi key extracted — hash join with residual OR, never nested-loop") {
     // Q19's defining optimizer property: the OR of brand/size/quantity
     // conjunctions shares p_partkey = l_partkey, which must be pulled
