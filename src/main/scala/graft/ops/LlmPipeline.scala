@@ -1773,10 +1773,15 @@ object LlmPipeline {
     val e = emb
       .select(col("vec_id"),
         array_to_vector(col("embedding").cast("array<double>")).as("fv"),
-        expr(quant).as("q"))
+        expr(quant).as("q"),
+        // per-row provenance (normalized source part-file path): what
+        // makes a pure REMOVAL subtractable later — the Iceberg/Delta
+        // per-data-file stats design. Probes prune the column away;
+        // on disk it dictionary-encodes to ~nothing.
+        Storage.normSrcCol(input_file_name()).as("src"))
     val model = new KMeans().setK(8).setSeed(42L).setMaxIter(5)
       .setFeaturesCol("fv").setPredictionCol("bucket").fit(e)
-    model.transform(e).select(col("vec_id"), col("q"), col("bucket"))
+    model.transform(e).select(col("vec_id"), col("q"), col("bucket"), col("src"))
       .write.mode("overwrite").parquet(s"$indexDir/assignments")
     val centroids = model.clusterCenters.toSeq.zipWithIndex.map {
       case (c, i) => (i, c.toArray.toSeq)
@@ -1839,10 +1844,26 @@ object LlmPipeline {
         case Some((prevDir, covered)) =>
           extendIvfIndex(s, prevDir,
             Storage.manifestPath(lines.filterNot(covered)), tmp)
-        case None => // full build over the PINNED listing, not a live
-          // dir scan — artifact and manifest from the same snapshot
-          buildIvfIndexFrom(s,
-            s.read.parquet(Storage.manifestPath(lines): _*), tmp)
+        case None =>
+          Storage.latestCoveringBase(s, IvfFamily, src, lines,
+            marker = IvfMarker) match {
+            case Some((prevDir, prev))
+                if s.read.parquet(s"$prevDir/assignments")
+                  .columns.contains("src") =>
+              // pure REMOVAL under frozen centroids (VERDICT r16 #3):
+              // assignments are per-vector rows with src provenance —
+              // anti-join the dropped part files' vectors out; surviving
+              // assignments stay byte-stable (probe results over kept
+              // vectors cannot move on removal), centroids copy last as
+              // the commit marker. The mirror of the reference's
+              // node-offline cascade (controller/FileTable.java:59-97).
+              removeFromIvfIndex(s, prevDir,
+                Storage.manifestPath((prev -- lines.toSet).toSeq.sorted), tmp)
+            case _ => // full build over the PINNED listing, not a live
+              // dir scan — artifact and manifest from the same snapshot
+              buildIvfIndexFrom(s,
+                s.read.parquet(Storage.manifestPath(lines): _*), tmp)
+          }
       }
       val fs = new org.apache.hadoop.fs.Path(tmp)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -1863,17 +1884,37 @@ object LlmPipeline {
     val deltaE = s.read.parquet(delta: _*)
       .select(col("vec_id"),
         col("embedding").cast("array<double>").as("fv"),
-        expr(quant).as("q"))
+        expr(quant).as("q"),
+        Storage.normSrcCol(input_file_name()).as("src"))
     val w = Window.partitionBy("vec_id").orderBy(col("dist2").asc, col("cent_id").asc)
     val assigned = deltaE.crossJoin(broadcast(cents))
       .withColumn("dist2", expr(
         "aggregate(zip_with(fv, center, (a, b) -> (a - b) * (a - b)), " +
           "CAST(0 AS DOUBLE), (acc, x) -> acc + x)"))
       .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
-      .select(col("vec_id"), col("q"), col("cent_id").cast("int").as("bucket"))
+      .select(col("vec_id"), col("q"), col("cent_id").cast("int").as("bucket"),
+        col("src"))
     s.read.parquet(s"$prevDir/assignments").unionByName(assigned)
       .write.mode("overwrite").parquet(s"$tmp/assignments")
     // centroids copied LAST: they are the commit marker
+    s.read.parquet(s"$prevDir/centroids").coalesce(1)
+      .write.mode("overwrite").parquet(s"$tmp/centroids")
+  }
+
+  /** Frozen-centroid delta REMOVAL: drop exactly the removed part
+    * files' assignment rows via a broadcast anti-join on provenance;
+    * everything else — surviving assignments, centroids — is copied
+    * verbatim. Never reads a corpus byte (the removed files may already
+    * be gone or corrupt — that is the point).
+    */
+  private def removeFromIvfIndex(s: SparkSession, prevDir: String,
+      removed: Seq[String], tmp: String): Unit = {
+    import s.implicits._
+    val gone = removed.map(Storage.normSrcStr).toDF("gone_src")
+    s.read.parquet(s"$prevDir/assignments")
+      .join(broadcast(gone), col("src") === col("gone_src"), "left_anti")
+      .write.mode("overwrite").parquet(s"$tmp/assignments")
+    // centroids stay FROZEN and copy LAST: the commit marker
     s.read.parquet(s"$prevDir/centroids").coalesce(1)
       .write.mode("overwrite").parquet(s"$tmp/centroids")
   }

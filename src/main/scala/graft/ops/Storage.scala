@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -18,6 +18,8 @@ import org.apache.spark.sql.functions._
   * metadata-sized even when the table is 100 TB.
   */
 object Storage {
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** Chunk-size stand-in (units): exact decimal sum of l_quantity,
     * truncated to BIGINT (values are integral doubles; the decimal hop
@@ -37,13 +39,21 @@ object Storage {
     * usable for both range and point predicates.
     */
   def zonemapBuild(s: SparkSession, d: String): DataFrame =
-    s.read.parquet(ensureZoneMap(s, d)).orderBy("file_id")
+    zonemapMerge(s.read.parquet(ensureZoneMap(s, d))).orderBy("file_id")
 
-  /** The zone-map rows over any lineitem-shaped frame — shared by the
-    * full build and the incremental ensure's delta pass.
+  /** PARTIAL zone-map rows — per (source part file, file_id) — over any
+    * lineitem-shaped frame; shared by the full build, the delta pass,
+    * and (via anti-join on src) the removal pass. The persisted
+    * artifact stores THIS granularity (the Iceberg/Delta design: stats
+    * are kept per data file precisely so a dropped file subtracts by
+    * deletion, not recomputation — merged min/max would be
+    * unsubtractable); [[zonemapMerge]] folds it to the public per-file
+    * shape at read, a metadata-sized aggregate. src is normalized so a
+    * manifest path and input_file_name agree on the key.
     */
-  private def zonemapRowsFor(li: DataFrame): DataFrame =
-    li.groupBy(col("l_orderkey").as("file_id"))
+  private def zonemapPartialsFor(li: DataFrame): DataFrame =
+    li.groupBy(normSrcCol(input_file_name()).as("src"),
+        col("l_orderkey").as("file_id"))
       .agg(
         count(lit(1)).as("n_chunks"),
         // NTZ casts: raw timestamps reach the output, and the written
@@ -55,19 +65,46 @@ object Storage {
         max(col("l_partkey")).as("max_part"),
         expr(sizeUnits).as("size_units"))
 
+  /** Fold per-part-file partials to the public per-file zone rows:
+    * count and size SUM; min/max of mins/maxes. Exact — size_units
+    * merges losslessly because l_quantity is integral (the per-group
+    * DECIMAL sum carries a .00 fraction, so the BIGINT truncation is
+    * lossless and sum-of-truncated = truncated-sum; the q_dq_audit
+    * range gate pins integrality).
+    */
+  private[graft] def zonemapMerge(partials: DataFrame): DataFrame =
+    partials.groupBy("file_id")
+      .agg(sum(col("n_chunks")).as("n_chunks"),
+        min(col("min_ship")).as("min_ship"),
+        max(col("max_ship")).as("max_ship"),
+        min(col("min_part")).as("min_part"),
+        max(col("max_part")).as("max_part"),
+        sum(col("size_units")).as("size_units"))
+
+  /** Normalize a file path/URI to a scheme-less absolute path, so the
+    * manifest's Hadoop `Path.toString` (`file:/x/y`) and Spark's
+    * `input_file_name()` (`file:///x/y`) compare equal.
+    */
+  private[graft] def normSrcCol(c: Column): Column =
+    regexp_replace(c, "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
+
+  private[graft] def normSrcStr(p: String): String =
+    p.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
+
   private[graft] val ZonemapFamily = "graft-zonemap"
 
-  /** Persisted, append-extendable zone map — the ensureBloomIndex
-    * lifecycle applied to the second index (both named in VERDICT r15
-    * #4): a pure append computes the delta files' zone rows and MERGES
-    * them with the previous artifact — every stat is mergeable (count
-    * and size sum; min/max of mins/maxes), so a file_id whose chunks
-    * span covered and new part files folds exactly. size_units merges
-    * exactly because l_quantity is integral: the per-group DECIMAL sum
-    * carries a .00 fraction, so the BIGINT truncation is lossless and
-    * sum-of-truncated = truncated-sum (the q_dq_audit range gate pins
-    * integrality). StorageSpec proves extend ≡ rebuild and delta-only
-    * reads by the same corruption witness as the Bloom spec.
+  /** Persisted, append-extendable, removal-subtractable zone map — the
+    * manifest-keyed lifecycle (VERDICT r15 #4; removal leg VERDICT r16
+    * #3): a pure append unions the delta files' partial rows with the
+    * previous artifact verbatim; a pure REMOVAL (files lost, none
+    * gained — the reference's node-offline cascade,
+    * controller/FileTable.java:59-97, as lake maintenance) anti-joins
+    * the dropped part files' rows out of the previous artifact —
+    * exact because the artifact is per-(part file, file_id) partials
+    * (see zonemapPartialsFor); neither leg re-reads a covered corpus
+    * byte. Any mixed change full-rebuilds from the pinned listing.
+    * StorageSpec proves extend ≡ rebuild, removal ≡ rebuild, and
+    * delta-only reads by corruption witnesses.
     */
   private[graft] def ensureZoneMap(s: SparkSession, d: String): String =
     ensureZoneMapWithLines(s, d, manifestLines(s, s"$d/lineitem.parquet"))
@@ -78,19 +115,23 @@ object Storage {
     */
   private[graft] def ensureZoneMapWithLines(s: SparkSession, d: String,
       lines: Seq[String]): String =
-    ensureManifestKeyedWithLines(s, ZonemapFamily, s"$d/lineitem.parquet", lines) {
-      pinned => zonemapRowsFor(s.read.parquet(pinned: _*))
-    } { (prevDir, delta) =>
-      s.read.parquet(prevDir)
-        .unionByName(zonemapRowsFor(s.read.parquet(delta: _*)))
-        .groupBy("file_id")
-        .agg(sum(col("n_chunks")).as("n_chunks"),
-          min(col("min_ship")).as("min_ship"),
-          max(col("max_ship")).as("max_ship"),
-          min(col("min_part")).as("min_part"),
-          max(col("max_part")).as("max_part"),
-          sum(col("size_units")).as("size_units"))
-    }
+    ensureManifestKeyedWithLines(s, ZonemapFamily, s"$d/lineitem.parquet", lines)(
+      fullBuild = pinned => zonemapPartialsFor(s.read.parquet(pinned: _*)),
+      deltaBuild = (prevDir, delta) =>
+        s.read.parquet(prevDir)
+          .unionByName(zonemapPartialsFor(s.read.parquet(delta: _*))),
+      removeBuild = (prevDir, removed) => {
+        import s.implicits._
+        val prev = s.read.parquet(prevDir)
+        if (!prev.columns.contains("src")) null // pre-provenance base: decline
+        else {
+          // anti-join, not isin: the removed list is file-count-sized
+          // (~10⁶ paths at 100 TB) — a broadcast relation, never a
+          // million-literal predicate
+          val gone = removed.map(normSrcStr).toDF("gone_src")
+          prev.join(broadcast(gone), col("src") === col("gone_src"), "left_anti")
+        }
+      })
 
   /** Prune window for q_zonemap_prune (inclusive ship-date range). */
   private[graft] val PruneLo = "1995-06-01 00:00:00"
@@ -107,7 +148,7 @@ object Storage {
     * between a metadata lookup + targeted scan and a full-table pass.
     */
   def zonemapPrune(s: SparkSession, d: String): DataFrame =
-    s.read.parquet(ensureZoneMap(s, d))
+    zonemapMerge(s.read.parquet(ensureZoneMap(s, d)))
       .where(col("max_ship") >= lit(PruneLo).cast("timestamp") &&
         col("min_ship") <= lit(PruneHi).cast("timestamp"))
       .select("file_id", "n_chunks", "size_units")
@@ -362,6 +403,40 @@ object Storage {
       .sortBy(-_._2.size).headOption
   }
 
+  /** The closest PREVIOUS artifact whose manifest is a strict SUPERSET
+    * of the current listing — the base a pure REMOVAL subtracts from
+    * (files lost, none gained, none modified: every current line must
+    * appear verbatim in the previous manifest). Closest = smallest
+    * superset, minimizing the rows the anti-join drops.
+    */
+  private[graft] def latestCoveringBase(s: SparkSession, family: String,
+      src: String, current: Seq[String],
+      marker: String = "_SUCCESS"): Option[(String, Set[String])] = {
+    val fs = new org.apache.hadoop.fs.Path(Derived.familyDir(family))
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val fam = new org.apache.hadoop.fs.Path(Derived.familyDir(family))
+    if (!fs.exists(fam) || current.isEmpty) return None
+    val prefix = Derived.labelFor(src) + "_"
+    fs.listStatus(fam).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix) &&
+        !st.getPath.getName.contains(".build-"))
+      .flatMap { st =>
+        val dir = st.getPath
+        val ok = fs.exists(new org.apache.hadoop.fs.Path(dir, marker)) &&
+          fs.exists(new org.apache.hadoop.fs.Path(dir, BloomManifest))
+        if (!ok) None
+        else {
+          val in = fs.open(new org.apache.hadoop.fs.Path(dir, BloomManifest))
+          val prev = try scala.io.Source.fromInputStream(in, "UTF-8")
+            .getLines().toSet finally in.close()
+          if (current.forall(prev) && prev.size > current.size)
+            Some((dir.toString, prev))
+          else None
+        }
+      }
+      .sortBy(_._2.size).headOption
+  }
+
   /** Manifest-keyed build-or-extend lifecycle shared by the Bloom index
     * and the zone map (VERDICT r15 #4 applied to BOTH persisted
     * indexes): the artifact key is the full data-file listing; a pure
@@ -376,20 +451,22 @@ object Storage {
     * builder output is published atomically with its manifest
     * (Derived.ensure).
     */
-  private def ensureManifestKeyed(s: SparkSession, family: String, src: String)
-      (fullBuild: Seq[String] => DataFrame)
-      (deltaBuild: (String, Seq[String]) => DataFrame): String =
-    ensureManifestKeyedWithLines(s, family, src,
-      manifestLines(s, src))(fullBuild)(deltaBuild)
-
   /** The lifecycle body over a CALLER-pinned listing — split out so the
     * spec can hand it a stale snapshot and prove artifact content and
     * manifest derive from the same listing (the TOCTOU witness).
+    * Decision order: pure append → deltaBuild over only the new files;
+    * pure removal → removeBuild subtracting the dropped files' rows
+    * (VERDICT r16 #3 — the reference's node-offline cascade delete,
+    * controller/FileTable.java:59-97, as index maintenance), or an
+    * honest full rebuild when the index is unsubtractable
+    * (removeBuild = null: the Bloom bit-OR); anything mixed → full
+    * rebuild from the pinned listing.
     */
   private[graft] def ensureManifestKeyedWithLines(s: SparkSession,
-      family: String, src: String, lines: Seq[String])
-      (fullBuild: Seq[String] => DataFrame)
-      (deltaBuild: (String, Seq[String]) => DataFrame): String = {
+      family: String, src: String, lines: Seq[String])(
+      fullBuild: Seq[String] => DataFrame,
+      deltaBuild: (String, Seq[String]) => DataFrame,
+      removeBuild: (String, Seq[String]) => DataFrame): String = {
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(lines.mkString("\n").getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(12)
@@ -397,7 +474,27 @@ object Storage {
       val rows = latestCoveredBase(s, family, src, lines) match {
         case Some((prevDir, covered)) =>
           deltaBuild(prevDir, manifestPath(lines.filterNot(covered)))
-        case None => fullBuild(manifestPath(lines))
+        case None => latestCoveringBase(s, family, src, lines) match {
+          case Some((prevDir, prev)) if removeBuild != null =>
+            // a removeBuild may DECLINE (return null) — e.g. the base
+            // artifact predates per-row provenance — and fall through
+            // to the honest rebuild
+            val sub = removeBuild(prevDir,
+              manifestPath((prev -- lines.toSet).toSeq.sorted))
+            if (sub != null) sub
+            else {
+              log.warn(s"$family: removal base $prevDir not subtractable" +
+                " — full rebuild")
+              fullBuild(manifestPath(lines))
+            }
+          case Some((prevDir, _)) =>
+            // unsubtractable index (Bloom: bits OR in, never out) —
+            // refuse the shortcut LOUDLY and rebuild from the truth
+            log.warn(s"$family: manifest shrank vs $prevDir but this " +
+              "index is not subtractable — full rebuild")
+            fullBuild(manifestPath(lines))
+          case None => fullBuild(manifestPath(lines))
+        }
       }
       rows.write.mode("overwrite").parquet(tmp)
       val fs = new org.apache.hadoop.fs.Path(tmp)
@@ -427,17 +524,22 @@ object Storage {
     * world (storageNode/HeartbeatRunnable.java:101-143) — and the
     * repo's own q_dedup_incremental probe-don't-rebuild discipline.
     */
-  private[graft] def ensureBloomIndex(s: SparkSession, d: String): String =
-    ensureManifestKeyed(s, BloomFamily, s"$d/lineitem.parquet") {
-      pinned => bloomRowsFor(s.read.parquet(pinned: _*))
-    } { (prevDir, delta) =>
-      // delta rows ∪ previous artifact, re-distinct'd: a file_id whose
-      // rows span covered and new part files would otherwise duplicate.
-      // Set-identical to the full build (the projection is per-row).
-      bloomRowsFor(s.read.parquet(delta: _*))
-        .unionByName(s.read.parquet(prevDir))
-        .distinct()
-    }
+  private[graft] def ensureBloomIndex(s: SparkSession, d: String): String = {
+    val src = s"$d/lineitem.parquet"
+    ensureManifestKeyedWithLines(s, BloomFamily, src, manifestLines(s, src))(
+      fullBuild = pinned => bloomRowsFor(s.read.parquet(pinned: _*)),
+      deltaBuild = (prevDir, delta) =>
+        // delta rows ∪ previous artifact, re-distinct'd: a file_id whose
+        // rows span covered and new part files would otherwise duplicate.
+        // Set-identical to the full build (the projection is per-row).
+        bloomRowsFor(s.read.parquet(delta: _*))
+          .unionByName(s.read.parquet(prevDir))
+          .distinct(),
+      // bits OR in, never out: a removed file's positions may also be
+      // witnessed by surviving rows, so subtraction is unsound — the
+      // lifecycle refuses loudly and rebuilds (VERDICT r16 #3)
+      removeBuild = null)
+  }
 
   /** q_fileindex_prune — candidate files for `l_suppkey = ProbeSuppKey`,
     * answered FROM THE INDEX ALONE: a file qualifies iff its bit set

@@ -359,6 +359,56 @@ class LlmPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF index removal lifecycle: dropped file's vectors subtract, survivors byte-stable, no corpus read (VERDICT r16 #3)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7272)
+    def vecs(ids: Range) = ids.map(i =>
+      (i.toLong, Seq.fill(64)(rnd.nextFloat() * 2 - 1), (i % 10)))
+        .toDF("vec_id", "embedding", "label")
+    val dir = s"/tmp/graft-test-ivfremove-${java.util.UUID.randomUUID()}"
+    val table = s"$dir/embeddings.parquet"
+    vecs(0 until 300).coalesce(1).write.parquet(table)
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val firstPart = fs.listStatus(new org.apache.hadoop.fs.Path(table))
+      .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+      .head.getPath
+    vecs(1000 until 1060).coalesce(1).write.mode("append").parquet(table)
+    val idx1 = ops.LlmPipeline.ensureIvfIndex(spark, dir)
+    val rows1 = spark.read.parquet(s"$idx1/assignments")
+      .selectExpr("vec_id", "bucket", "src").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val cents1 = spark.read.parquet(s"$idx1/centroids")
+      .as[(Int, Seq[Double])].collect().sortBy(_._1)
+    // the retention job drops the second partition; the SURVIVING file
+    // is corrupted in place — removal must not read a corpus byte
+    fs.listStatus(new org.apache.hadoop.fs.Path(table))
+      .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+      .filterNot(_.getPath == firstPart)
+      .foreach(st => fs.delete(st.getPath, false))
+    val (pLen, pMtime) = {
+      val st = fs.getFileStatus(firstPart); (st.getLen, st.getModificationTime)
+    }
+    val out = fs.create(firstPart, true)
+    try out.write(new Array[Byte](pLen.toInt)) finally out.close()
+    fs.setTimes(firstPart, pMtime, -1)
+    val idx2 = ops.LlmPipeline.ensureIvfIndex(spark, dir)
+    assert(idx2 != idx1, "removal did not produce a new artifact")
+    // contract #1: centroids stay FROZEN on removal
+    val cents2 = spark.read.parquet(s"$idx2/centroids")
+      .as[(Int, Seq[Double])].collect().sortBy(_._1)
+    assert(cents2.toSeq == cents1.toSeq, "removal moved the centroids")
+    // #2: exactly the dropped file's rows vanished; survivors verbatim
+    val rows2 = spark.read.parquet(s"$idx2/assignments")
+      .selectExpr("vec_id", "bucket", "src").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val survivorSrc = ops.Storage.normSrcStr(firstPart.toString)
+    assert(rows2 == rows1.filter(_._3 == survivorSrc),
+      "removal must drop exactly the dead file's assignment rows")
+    assert(rows2.map(_._1) == (0L until 300L).toSet,
+      "surviving vec set wrong after removal")
+  }
+
   test("ccLabels: chain graphs converge to the global min across rounds") {
     import spark.implicits._
     // A 7-node path 10-11-...-16 (diameter 6 forces multiple propagation

@@ -198,10 +198,13 @@ class StorageSpec extends AnyFunSuite {
     fs.setTimes(oldPart.getPath, pMtime, -1)
     val idx2 = ops.Storage.ensureZoneMap(spark, dir)
     assert(idx2 != idx1, "append did not produce a new artifact")
-    def canon(df: org.apache.spark.sql.DataFrame) = df
-      .selectExpr("file_id", "n_chunks", "CAST(min_ship AS STRING)",
-        "CAST(max_ship AS STRING)", "min_part", "max_part", "size_units")
-      .collect().map(_.toSeq).toSet
+    // the artifact stores per-(part file, file_id) PARTIALS; the public
+    // per-file rows fold through zonemapMerge — canon over that shape
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      ops.Storage.zonemapMerge(df)
+        .selectExpr("file_id", "n_chunks", "CAST(min_ship AS STRING)",
+          "CAST(max_ship AS STRING)", "min_part", "max_part", "size_units")
+        .collect().map(_.toSeq).toSet
     val merged = canon(spark.read.parquet(idx2))
     // full-rebuild witness over a MIRROR with identical logical rows
     val mirror = s"/tmp/graft-test-zmmirror-${java.util.UUID.randomUUID()}"
@@ -211,8 +214,101 @@ class StorageSpec extends AnyFunSuite {
     assert(merged == full,
       s"merged != rebuilt: only-merged=${(merged -- full).take(2)} only-full=${(full -- merged).take(2)}")
     // the revisited file_ids really did merge across part files
-    val f5 = spark.read.parquet(idx2).where(col("file_id") === 5L).collect().head
+    val f5 = ops.Storage.zonemapMerge(spark.read.parquet(idx2))
+      .where(col("file_id") === 5L).collect().head
     assert(f5.getAs[Long]("n_chunks") == 6L, s"file 5 should hold 3+3 chunks: $f5")
+  }
+
+  test("zone map removal lifecycle: a dropped part file subtracts without reading a corpus byte (VERDICT r16 #3)") {
+    import spark.implicits._
+    def liRows(ids: Seq[Long], dayOff: Int) =
+      ids.flatMap(f => (0 until 3).map(c =>
+        (f, 100L + f % 7, 200L + (f * 3 + c + dayOff) % 11, c.toLong + 1,
+          java.sql.Timestamp.valueOf(f"1995-0${1 + dayOff}%d-1${c}%d 00:00:00"),
+          (f % 50 + c).toDouble)))
+        .toDF("l_orderkey", "l_suppkey", "l_partkey", "l_linenumber",
+          "l_shipdate", "l_quantity")
+    val dir = s"/tmp/graft-test-zmremove-${java.util.UUID.randomUUID()}"
+    val table = s"$dir/lineitem.parquet"
+    liRows(0L until 10L, 0).coalesce(1).write.parquet(table)
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val day0Part = fs.listStatus(new org.apache.hadoop.fs.Path(table))
+      .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+      .head.getPath
+    // day-1 file shares file_ids 5..9 with day 0, so the subtraction
+    // must RESTORE merged stats, not just drop whole file_ids
+    liRows(5L until 15L, 1).coalesce(1).write.mode("append").parquet(table)
+    val idx1 = ops.Storage.ensureZoneMap(spark, dir)
+    // the retention job removes the day-1 partition...
+    fs.listStatus(new org.apache.hadoop.fs.Path(table))
+      .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+      .filterNot(_.getPath == day0Part)
+      .foreach(st => fs.delete(st.getPath, false))
+    // ...and the SURVIVING file is corrupted in place (manifest identity
+    // kept): the removal extend must succeed anyway — it never reads data
+    val (pLen, pMtime) = {
+      val st = fs.getFileStatus(day0Part); (st.getLen, st.getModificationTime)
+    }
+    val out = fs.create(day0Part, true)
+    try out.write(new Array[Byte](pLen.toInt)) finally out.close()
+    fs.setTimes(day0Part, pMtime, -1)
+    val idx2 = ops.Storage.ensureZoneMap(spark, dir)
+    assert(idx2 != idx1, "removal did not produce a new artifact")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      ops.Storage.zonemapMerge(df)
+        .selectExpr("file_id", "n_chunks", "CAST(min_ship AS STRING)",
+          "CAST(max_ship AS STRING)", "min_part", "max_part", "size_units")
+        .collect().map(_.toSeq).toSet
+    // removal-extend ≡ rebuild over only the surviving rows (mirror:
+    // the original is corrupted by design)
+    val mirror = s"/tmp/graft-test-zmremmirror-${java.util.UUID.randomUUID()}"
+    liRows(0L until 10L, 0).write.parquet(s"$mirror/lineitem.parquet")
+    val want = canon(spark.read.parquet(ops.Storage.ensureZoneMap(spark, mirror)))
+    assert(canon(spark.read.parquet(idx2)) == want,
+      "removal-extend != rebuild over survivors")
+  }
+
+  test("bloom index removal refuses the subtraction (bits OR in, never out) and rebuilds") {
+    import spark.implicits._
+    def liRows(ids: Range, suppOff: Long) =
+      ids.map(i => (i.toLong, 100L + (i % 7) + suppOff))
+        .toDF("l_orderkey", "l_suppkey")
+    val dir = s"/tmp/graft-test-bloomremove-${java.util.UUID.randomUUID()}"
+    val table = s"$dir/lineitem.parquet"
+    liRows(0 until 40, 0L).coalesce(1).write.parquet(table)
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val firstPart = fs.listStatus(new org.apache.hadoop.fs.Path(table))
+      .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+      .head.getPath
+    liRows(40 until 60, 3L).coalesce(1).write.mode("append").parquet(table)
+    ops.Storage.ensureBloomIndex(spark, dir)
+    // remove the second file; the bloom lifecycle must take the FULL
+    // REBUILD path (subtraction is unsound) — witnessed by correctness:
+    // the new artifact equals a fresh build over the survivor only
+    fs.listStatus(new org.apache.hadoop.fs.Path(table))
+      .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+      .filterNot(_.getPath == firstPart)
+      .foreach(st => fs.delete(st.getPath, false))
+    val got = spark.read.parquet(ops.Storage.ensureBloomIndex(spark, dir))
+      .as[(Long, Long)].collect().toSet
+    val mirror = s"/tmp/graft-test-bloomremmirror-${java.util.UUID.randomUUID()}"
+    liRows(0 until 40, 0L).write.parquet(s"$mirror/lineitem.parquet")
+    val want = spark.read.parquet(ops.Storage.ensureBloomIndex(spark, mirror))
+      .as[(Long, Long)].collect().toSet
+    assert(got == want, "bloom removal must equal a rebuild over survivors")
+    // a subtraction would have kept this superset relation even under
+    // corruption; the rebuild path is additionally witnessed by the
+    // corruption probe: corrupt the survivor, change the manifest, and
+    // the ensure must now FAIL (it really reads the corpus)
+    val (pLen, pMtime) = {
+      val st = fs.getFileStatus(firstPart); (st.getLen, st.getModificationTime)
+    }
+    val out = fs.create(firstPart, true)
+    try out.write(new Array[Byte](pLen.toInt)) finally out.close()
+    fs.setTimes(firstPart, pMtime + 777L, -1)
+    intercept[Exception] { ops.Storage.ensureBloomIndex(spark, dir) }
   }
 
   test("manifest snapshot discipline: a file landing after the listing merges ONCE, never twice (ADVICE r16 TOCTOU)") {
@@ -243,10 +339,11 @@ class StorageSpec extends AnyFunSuite {
     // merges it exactly once: extended ≡ full rebuild (pre-fix the
     // already-baked rows double-counted n_chunks/size_units here)
     val idx2 = ops.Storage.ensureZoneMap(spark, dir)
-    def canon(df: org.apache.spark.sql.DataFrame) = df
-      .selectExpr("file_id", "n_chunks", "CAST(min_ship AS STRING)",
-        "CAST(max_ship AS STRING)", "min_part", "max_part", "size_units")
-      .collect().map(_.toSeq).toSet
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      ops.Storage.zonemapMerge(df)
+        .selectExpr("file_id", "n_chunks", "CAST(min_ship AS STRING)",
+          "CAST(max_ship AS STRING)", "min_part", "max_part", "size_units")
+        .collect().map(_.toSeq).toSet
     val mirror = s"/tmp/graft-test-toctoumirror-${java.util.UUID.randomUUID()}"
     (liRows(0L until 10L, 0) unionByName liRows(10L until 20L, 1))
       .write.parquet(s"$mirror/lineitem.parquet")
