@@ -44,7 +44,13 @@ object Derived {
     * PREVIOUS artifacts — same formula, no duplicate that could drift.
     */
   def labelFor(sourceFile: String): String =
-    new org.apache.hadoop.fs.Path(sourceFile)
+    // the leading '/' of an absolute path would sanitize to a leading
+    // '_', making every artifact dir HIDDEN-named to Spark path
+    // filtering — harmless for direct reads, but DataSource resolution
+    // logs an "All paths were ignored" warning per read (VERDICT r16
+    // what's-wrong #2), masking the one WARN class that matters. Prefix
+    // with a letter instead.
+    "d" + new org.apache.hadoop.fs.Path(sourceFile)
       .getParent.toString.replaceAll("[^A-Za-z0-9._-]", "_")
 
   /** Hadoop-FS mtime of a source file (0 when absent) — the staleness
