@@ -1734,7 +1734,7 @@ object LlmPipeline {
     */
   private[graft] def ivfIndexDir(s: SparkSession, d: String): String =
     Derived.dirFor(s, IvfFamily, s"$d/embeddings.parquet",
-      version = s"m${ivfManifestKey(s, d)}")
+      version = s"v2m${ivfManifestKey(s, d)}")
 
   /** The manifest component of the IVF artifact key — shared by
     * dirFor and ensure so the two can never disagree on the dir.
@@ -1781,13 +1781,27 @@ object LlmPipeline {
         Storage.normSrcCol(input_file_name()).as("src"))
     val model = new KMeans().setK(8).setSeed(42L).setMaxIter(5)
       .setFeaturesCol("fv").setPredictionCol("bucket").fit(e)
-    model.transform(e).select(col("vec_id"), col("q"), col("bucket"), col("src"))
+    val assigned = model.transform(e)
+      .select(col("vec_id"), col("q"), col("bucket"), col("src"),
+        org.apache.spark.ml.functions.vector_to_array(col("fv")).as("fvarr"))
+    assigned.select("vec_id", "q", "bucket", "src")
       .write.mode("overwrite").parquet(s"$indexDir/assignments")
     val centroids = model.clusterCenters.toSeq.zipWithIndex.map {
       case (c, i) => (i, c.toArray.toSeq)
     }
     import s.implicits._
-    centroids.toDF("cent_id", "center").coalesce(1)
+    val centsDf = centroids.toDF("cent_id", "center")
+    // staleness baseline (VERDICT r16 #4): the build-time mean exact
+    // squared L2 distance-to-assigned-centroid — the distribution every
+    // later append's delta is compared against. One metadata-sized row.
+    assigned.join(broadcast(centsDf), col("bucket") === col("cent_id"))
+      .select(expr(
+        "aggregate(zip_with(fvarr, center, (a, b) -> (a - b) * (a - b)), " +
+          "CAST(0 AS DOUBLE), (acc, x) -> acc + x)").as("dist2"))
+      .agg(count(lit(1)).as("n_vecs"), avg(col("dist2")).as("mean_dist2"))
+      .select(lit("build").as("kind"), col("n_vecs"), col("mean_dist2"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/stats")
+    centsDf.coalesce(1)
       .write.mode("overwrite").parquet(s"$indexDir/centroids")
   }
 
@@ -1801,6 +1815,60 @@ object LlmPipeline {
     */
   def simSearchIvfKmeansProbe(s: SparkSession, d: String): DataFrame =
     ivfKmeansProbe(s.read.parquet(s"${ensureIvfIndex(s, d)}/assignments"))
+
+  /** Recluster when appended vectors sit this much farther (mean exact
+    * squared L2 to their assigned frozen centroid) from the cells than
+    * the build-time corpus did. 1.5× is where the IvfDriftProbe curve
+    * (BENCHNOTES r17) shows cell balance collapsing: at the threshold
+    * crossing (offset 0.5, ratio 1.78) HALF the appended mass already
+    * lands in one cell vs 0.16 for faithful appends — and concentration,
+    * not recall, is what drift actually breaks (drifted probes' recall
+    * RISES because their neighbors co-locate, while the hot cell turns
+    * every nprobe=1 lookup into a near-scan of the appended mass and
+    * keeps growing, 0.79 by offset 2). A faithful append measures 1.01
+    * — the threshold has 50× that margin against false positives.
+    */
+  private[graft] val IvfStaleRatio = 1.5
+  /** Recluster regardless of drift once appends outweigh the clustered
+    * base: frozen cells fitted on a minority of the corpus are stale by
+    * construction (faiss's retrain-after-N-adds rule of thumb).
+    */
+  private[graft] val IvfStaleFrac = 0.5
+
+  /** q_ivf_staleness — the index-maintenance verdict the frozen-centroid
+    * append contract requires (VERDICT r16 #4): ONE metadata-sized row
+    * from the persisted stats table answering "how far has the appended
+    * distribution drifted from the clustered one, and is a recluster
+    * due?". base/delta mean distances are exact per-vector squared L2
+    * recorded at build/extend time (never recomputed — the corpus may
+    * be 100 TB); the verdict is
+    * `drift_ratio > IvfStaleRatio OR appended_frac > IvfStaleFrac`.
+    * No SQL oracle (KMeans state, the q_sim_search_ivf_kmeans rule);
+    * LlmPipelineSpec pins that a planted drifted append flips the flag
+    * and a same-distribution append does not. Reference analogue: the
+    * corruption monitor re-verifies stored state on a schedule instead
+    * of trusting it forever (storageNode/ChunkCorruptionMonitor.java:
+    * 31-75, public GitHub).
+    */
+  def ivfStaleness(s: SparkSession, d: String): DataFrame = {
+    val st = s.read.parquet(s"${ensureIvfIndex(s, d)}/stats")
+    val base = st.where(col("kind") === "build")
+      .select(col("n_vecs").as("n_base"), col("mean_dist2").as("base_mean_dist2"))
+    val delta = st.where(col("kind") === "delta")
+      .agg(coalesce(sum(col("n_vecs")), lit(0L)).as("n_appended"),
+        // n-weighted mean across appends: Σ(nᵢ·meanᵢ)/Σnᵢ
+        (sum(col("n_vecs") * col("mean_dist2")) / sum(col("n_vecs")))
+          .as("delta_mean_dist2"))
+    base.join(broadcast(delta))
+      .select(col("n_base"), col("n_appended"),
+        (col("n_appended").cast("double") /
+          (col("n_base") + col("n_appended")).cast("double")).as("appended_frac"),
+        col("base_mean_dist2"), col("delta_mean_dist2"),
+        (col("delta_mean_dist2") / col("base_mean_dist2")).as("drift_ratio"))
+      .withColumn("recluster",
+        coalesce(col("drift_ratio") > IvfStaleRatio, lit(false)) ||
+          col("appended_frac") > IvfStaleFrac)
+  }
 
   /** Build the persisted IVF index for `d` if absent; returns its dir.
     * Also the hook SqlSurface.registerViews uses to expose the
@@ -1839,17 +1907,23 @@ object LlmPipeline {
     // separate snapshots that a concurrent append could split
     val lines = Storage.manifestLines(s, src)
     Derived.ensure(s, IvfFamily, src,
-      version = s"m${ivfKeyOf(lines)}", marker = IvfMarker) { tmp =>
+      version = s"v2m${ivfKeyOf(lines)}", marker = IvfMarker) { tmp =>
+      // a base from before per-row provenance + staleness stats cannot
+      // extend or subtract — fall through to the full build
+      def currentFormat(dir: String): Boolean = {
+        val fs = new org.apache.hadoop.fs.Path(dir)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.exists(new org.apache.hadoop.fs.Path(s"$dir/stats")) &&
+          s.read.parquet(s"$dir/assignments").columns.contains("src")
+      }
       Storage.latestCoveredBase(s, IvfFamily, src, lines, marker = IvfMarker) match {
-        case Some((prevDir, covered)) =>
+        case Some((prevDir, covered)) if currentFormat(prevDir) =>
           extendIvfIndex(s, prevDir,
             Storage.manifestPath(lines.filterNot(covered)), tmp)
-        case None =>
+        case _ =>
           Storage.latestCoveringBase(s, IvfFamily, src, lines,
             marker = IvfMarker) match {
-            case Some((prevDir, prev))
-                if s.read.parquet(s"$prevDir/assignments")
-                  .columns.contains("src") =>
+            case Some((prevDir, prev)) if currentFormat(prevDir) =>
               // pure REMOVAL under frozen centroids (VERDICT r16 #3):
               // assignments are per-vector rows with src provenance —
               // anti-join the dropped part files' vectors out; surviving
@@ -1893,9 +1967,19 @@ object LlmPipeline {
           "CAST(0 AS DOUBLE), (acc, x) -> acc + x)"))
       .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
       .select(col("vec_id"), col("q"), col("cent_id").cast("int").as("bucket"),
-        col("src"))
-    s.read.parquet(s"$prevDir/assignments").unionByName(assigned)
+        col("src"), col("dist2"))
+      .pinned() // consumed twice: assignment rows + the staleness row
+    s.read.parquet(s"$prevDir/assignments")
+      .unionByName(assigned.drop("dist2"))
       .write.mode("overwrite").parquet(s"$tmp/assignments")
+    // staleness accounting (VERDICT r16 #4): record this delta's mean
+    // distance-to-frozen-centroid next to the build-time baseline —
+    // what ivfStaleness compares to decide the recluster flag
+    s.read.parquet(s"$prevDir/stats").unionByName(
+      assigned.agg(count(lit(1)).as("n_vecs"),
+          avg(col("dist2")).as("mean_dist2"))
+        .select(lit("delta").as("kind"), col("n_vecs"), col("mean_dist2")))
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/stats")
     // centroids copied LAST: they are the commit marker
     s.read.parquet(s"$prevDir/centroids").coalesce(1)
       .write.mode("overwrite").parquet(s"$tmp/centroids")
@@ -1914,6 +1998,11 @@ object LlmPipeline {
     s.read.parquet(s"$prevDir/assignments")
       .join(broadcast(gone), col("src") === col("gone_src"), "left_anti")
       .write.mode("overwrite").parquet(s"$tmp/assignments")
+    // stats copy verbatim: removal does not change the build-time
+    // distribution baseline (delta rows may over-count removed vectors
+    // — conservative: staleness can only read HIGH, never mask drift)
+    s.read.parquet(s"$prevDir/stats").coalesce(1)
+      .write.mode("overwrite").parquet(s"$tmp/stats")
     // centroids stay FROZEN and copy LAST: the commit marker
     s.read.parquet(s"$prevDir/centroids").coalesce(1)
       .write.mode("overwrite").parquet(s"$tmp/centroids")
@@ -3822,6 +3911,7 @@ object LlmPipeline {
     "q_sim_search_ivfpq"    -> (simSearchIvfPq _),
     "q_sim_search_ivf_kmeans" -> (simSearchIvfKmeans _),
     "q_sim_search_ivf_kmeans_probe" -> (simSearchIvfKmeansProbe _),
+    "q_ivf_staleness"       -> (ivfStaleness _),
     "q_text_tokens"         -> (textTokens _),
     "q_text_stats"          -> (textStats _),
     "q_text_langid"         -> (textLangid _),

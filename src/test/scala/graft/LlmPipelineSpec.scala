@@ -409,6 +409,51 @@ class LlmPipelineSpec extends AnyFunSuite {
       "surviving vec set wrong after removal")
   }
 
+  test("q_ivf_staleness: planted drifted append flips the recluster flag; faithful append does not (VERDICT r16 #4)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1313)
+    def vecs(ids: Range, offset: Double) = ids.map(i =>
+      (i.toLong, Seq.fill(64)(rnd.nextFloat() * 2 - 1 + offset), (i % 10)))
+        .toDF("vec_id", "embedding", "label")
+    // corpus A: same-distribution append — drift ratio ~1, frac small
+    val dirA = s"/tmp/graft-test-ivfstale-a-${java.util.UUID.randomUUID()}"
+    vecs(0 until 300, 0.0).coalesce(1).write.parquet(s"$dirA/embeddings.parquet")
+    ops.LlmPipeline.ensureIvfIndex(spark, dirA)
+    vecs(1000 until 1060, 0.0).coalesce(1).write.mode("append")
+      .parquet(s"$dirA/embeddings.parquet")
+    val a = ops.LlmPipeline.ivfStaleness(spark, dirA).collect().head
+    assert(a.getAs[Long]("n_base") == 300L && a.getAs[Long]("n_appended") == 60L)
+    assert(!a.getAs[Boolean]("recluster"),
+      s"faithful append must not trigger a recluster: $a")
+    assert(a.getAs[Double]("drift_ratio") < ops.LlmPipeline.IvfStaleRatio)
+    // corpus B: the appended distribution moved (+5 per dim — far
+    // outside every build-time cell) — drift ratio blows past the
+    // threshold even though the appended fraction is small
+    val dirB = s"/tmp/graft-test-ivfstale-b-${java.util.UUID.randomUUID()}"
+    vecs(0 until 300, 0.0).coalesce(1).write.parquet(s"$dirB/embeddings.parquet")
+    ops.LlmPipeline.ensureIvfIndex(spark, dirB)
+    vecs(1000 until 1060, 5.0).coalesce(1).write.mode("append")
+      .parquet(s"$dirB/embeddings.parquet")
+    val b = ops.LlmPipeline.ivfStaleness(spark, dirB).collect().head
+    assert(b.getAs[Double]("drift_ratio") > ops.LlmPipeline.IvfStaleRatio,
+      s"planted drift not detected: $b")
+    assert(b.getAs[Boolean]("recluster"), s"drifted append must flag: $b")
+    // corpus C: no drift but appends outweigh the clustered base — the
+    // fraction leg triggers (frozen cells fitted on a minority)
+    val dirC = s"/tmp/graft-test-ivfstale-c-${java.util.UUID.randomUUID()}"
+    vecs(0 until 300, 0.0).coalesce(1).write.parquet(s"$dirC/embeddings.parquet")
+    ops.LlmPipeline.ensureIvfIndex(spark, dirC)
+    vecs(1000 until 1400, 0.0).coalesce(1).write.mode("append")
+      .parquet(s"$dirC/embeddings.parquet")
+    val c = ops.LlmPipeline.ivfStaleness(spark, dirC).collect().head
+    assert(c.getAs[Double]("appended_frac") > ops.LlmPipeline.IvfStaleFrac &&
+      c.getAs[Boolean]("recluster"), s"majority append must flag: $c")
+    // and the un-appended fixture reports a quiet index (0 deltas)
+    val fix = ops.LlmPipeline.ivfStaleness(spark, SparkTestSession.sf0001)
+      .collect().head
+    assert(fix.getAs[Long]("n_appended") == 0L && !fix.getAs[Boolean]("recluster"))
+  }
+
   test("ccLabels: chain graphs converge to the global min across rounds") {
     import spark.implicits._
     // A 7-node path 10-11-...-16 (diameter 6 forces multiple propagation
