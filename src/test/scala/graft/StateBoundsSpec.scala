@@ -135,6 +135,58 @@ class StateBoundsSpec extends AnyFunSuite {
       (a, b) => ops.Streaming.streamStreamFullJoin(a.toDS(), b.toDS()))
   }
 
+  test("streaming decontamination restart-resume: verdicts stable across a mid-corpus restart, broadcast rebuilt (VERDICT r16 #8)") {
+    // the one restart path the other legs don't cover: the pipeline is
+    // stopped MID-CORPUS, the benchmark-shingle broadcast is REBUILT
+    // from scratch in the second run (a production restart never keeps
+    // the driver-side broadcast), the remaining files resume from the
+    // checkpoint — and the union of verdicts must equal the one-shot
+    // batch report exactly, with no doc scored twice
+    import spark.implicits._
+    val d = SparkTestSession.sf0001
+    val train = Tables.documents(spark, d)
+      .where($"doc_id" % 20 =!= 0).select($"doc_id", $"text")
+    val wave1 = train.where($"doc_id" < 250)
+    val wave2 = train.where($"doc_id" >= 250)
+    val viaBatch = SqlSurface.canon(
+      SparkEntry.queries("q_decontaminate")(spark, d))
+    backends.foreach { case (backend, provider) =>
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass", provider)
+      spark.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        (backend == "rocksdb-changelog").toString)
+      val base = s"/tmp/graft-decontam-restart-$backend-${java.util.UUID.randomUUID()}"
+      val (spool, sink, ckpt) = (s"$base/spool", s"$base/sink", s"$base/ckpt")
+      wave1.write.parquet(spool)
+      // REBUILT per run: a fresh plan + fresh localCheckpoint — nothing
+      // shared with the previous query's broadcast
+      def startRun() = ops.LlmPipeline.decontaminateStream(
+        spark.readStream.schema("doc_id LONG, text STRING").parquet(spool),
+        ops.LlmPipeline.ngramPostings(spark, d).where($"doc_id" % 20 === 0)
+          .select($"sh").distinct().localCheckpoint())
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        val q1 = startRun()
+        q1.processAllAvailable(); q1.stop(); q1.awaitTermination()
+        // wave 2 lands while the pipeline is DOWN
+        wave2.write.mode("append").parquet(spool)
+        val q2 = startRun()
+        q2.processAllAvailable(); q2.stop(); q2.awaitTermination()
+        val got = spark.read.parquet(sink)
+        assert(got.groupBy("doc_id").count().where($"count" > 1).isEmpty,
+          s"$backend: a doc was scored twice across the restart")
+        assert(SqlSurface.canon(got.select("doc_id", "n_hits")) == viaBatch,
+          s"$backend: restart-resumed verdicts drifted from the batch report")
+      } finally {
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        spark.conf.unset(
+          "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled")
+      }
+    }
+  }
+
   test("flatMapGroupsWithState liveness: state is keyed by live nodes, never by stream length") {
     // processing-time timeout leg: event time never evicts here, so the
     // bound is |nodes| — a long timeout keeps every node alive through
