@@ -32,6 +32,10 @@ object SqlSurface {
     val ivfDir = ops.LlmPipeline.ensureIvfIndex(spark, sfDir)
     spark.read.parquet(s"$ivfDir/assignments")
       .createOrReplaceTempView("ivf_assignments")
+    // the staleness stats rows (build baseline + per-append deltas) —
+    // the SQL spelling of q_ivf_staleness reads them
+    spark.read.parquet(s"$ivfDir/stats")
+      .createOrReplaceTempView("ivf_stats")
   }
 
   /** Spark SQL text for `name`: the oracle text unless overridden. */

@@ -111,7 +111,9 @@ object StressProbe {
       .getOrCreate()
     graft.functions.GraftFunctions.ensureRegistered(spark)
     spark.sparkContext.setLogLevel("WARN")
-    val dir = buildScaled(spark, base, mult)
+    // mult=1 probes the base corpus AS-IS (a genuine SfGen decade) —
+    // replicating 1× would just burn a full disk copy
+    val dir = if (mult == 1) base else buildScaled(spark, base, mult)
     println(s"[stress] scaled dir $dir (${mult}x $base)")
     // BUILD_ONLY: construct (or reuse) the scaled corpus and print its
     // path, running nothing — sweep.sh uses this to stand in the sf1

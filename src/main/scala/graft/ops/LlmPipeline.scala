@@ -6049,6 +6049,23 @@ object LlmPipeline {
       // identity is spec-pinned.
       "q_sim_search_ivf_kmeans" -> ivfKmeansProbeSql,
       "q_sim_search_ivf_kmeans_probe" -> ivfKmeansProbeSql,
+      // the maintenance verdict over the ivf_stats view (same rows
+      // ivfStaleness folds); thresholds interpolated from the one
+      // constant pair so text and engine can never disagree
+      "q_ivf_staleness" ->
+        ("WITH base AS (SELECT n_vecs AS n_base, mean_dist2 AS base_mean_dist2 " +
+          "FROM ivf_stats WHERE kind = 'build'), " +
+          "delta AS (SELECT coalesce(sum(n_vecs), 0L) AS n_appended, " +
+          "sum(n_vecs * mean_dist2) / sum(n_vecs) AS delta_mean_dist2 " +
+          "FROM ivf_stats WHERE kind = 'delta') " +
+          "SELECT n_base, n_appended, " +
+          "CAST(n_appended AS DOUBLE) / CAST(n_base + n_appended AS DOUBLE) AS appended_frac, " +
+          "base_mean_dist2, delta_mean_dist2, " +
+          "delta_mean_dist2 / base_mean_dist2 AS drift_ratio, " +
+          s"(coalesce(delta_mean_dist2 / base_mean_dist2 > $IvfStaleRatio, false) OR " +
+          "CAST(n_appended AS DOUBLE) / CAST(n_base + n_appended AS DOUBLE) > " +
+          s"$IvfStaleFrac) AS recluster " +
+          "FROM base CROSS JOIN delta"),
     )
   }
 
