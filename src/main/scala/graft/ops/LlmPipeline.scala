@@ -1916,28 +1916,24 @@ object LlmPipeline {
         fs.exists(new org.apache.hadoop.fs.Path(s"$dir/stats")) &&
           s.read.parquet(s"$dir/assignments").columns.contains("src")
       }
-      Storage.latestCoveredBase(s, IvfFamily, src, lines, marker = IvfMarker) match {
-        case Some((prevDir, covered)) if currentFormat(prevDir) =>
-          extendIvfIndex(s, prevDir,
-            Storage.manifestPath(lines.filterNot(covered)), tmp)
-        case _ =>
-          Storage.latestCoveringBase(s, IvfFamily, src, lines,
-            marker = IvfMarker) match {
-            case Some((prevDir, prev)) if currentFormat(prevDir) =>
-              // pure REMOVAL under frozen centroids (VERDICT r16 #3):
-              // assignments are per-vector rows with src provenance —
-              // anti-join the dropped part files' vectors out; surviving
-              // assignments stay byte-stable (probe results over kept
-              // vectors cannot move on removal), centroids copy last as
-              // the commit marker. The mirror of the reference's
-              // node-offline cascade (controller/FileTable.java:59-97).
-              removeFromIvfIndex(s, prevDir,
-                Storage.manifestPath((prev -- lines.toSet).toSeq.sorted), tmp)
-            case _ => // full build over the PINNED listing, not a live
-              // dir scan — artifact and manifest from the same snapshot
-              buildIvfIndexFrom(s,
-                s.read.parquet(Storage.manifestPath(lines): _*), tmp)
-          }
+      Storage.bestOverlapBase(s, IvfFamily, src, lines,
+        marker = IvfMarker) match {
+        case Some((prevDir, prev)) if currentFormat(prevDir) =>
+          // evolve under FROZEN centroids (VERDICT r16 #3): subtract
+          // the removed files' vectors (anti-join on src provenance —
+          // the reference's node-offline cascade,
+          // controller/FileTable.java:59-97), assign the added files'
+          // vectors to their nearest previous centroid; surviving
+          // assignments stay byte-stable (probe results over kept
+          // vectors cannot move), centroids copy last as the commit
+          // marker. The general daily tick carries BOTH diffs at once.
+          evolveIvfIndex(s, prevDir,
+            Storage.manifestPath((prev -- lines.toSet).toSeq.sorted),
+            Storage.manifestPath(lines.filterNot(prev)), tmp)
+        case _ => // full build over the PINNED listing, not a live
+          // dir scan — artifact and manifest from the same snapshot
+          buildIvfIndexFrom(s,
+            s.read.parquet(Storage.manifestPath(lines): _*), tmp)
       }
       val fs = new org.apache.hadoop.fs.Path(tmp)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -1947,62 +1943,59 @@ object LlmPipeline {
     }
   }
 
-  /** Frozen-centroid delta assignment: nearest previous centroid by
-    * exact squared L2 (Σ(fᵢ−cᵢ)², cent_id tiebreak) over the 8-row
-    * broadcast centroid table — one mapper-side pass over the delta
-    * files plus a vec-keyed rank-1 window.
+  /** Frozen-centroid index evolution, both diff directions in one pass:
+    * REMOVED part files' assignment rows anti-join out on src
+    * provenance (never reading a corpus byte — the dead files may
+    * already be gone or corrupt, which is the point); ADDED files'
+    * vectors assign to their nearest previous centroid by exact squared
+    * L2 (Σ(fᵢ−cᵢ)², cent_id tiebreak) over the 8-row broadcast
+    * centroid table — one mapper-side pass over only the delta files
+    * plus a vec-keyed rank-1 window. Surviving assignments are copied
+    * verbatim; stats gain one delta row per append (the staleness
+    * baseline stays — removal's old delta rows may over-count removed
+    * vectors, conservative: staleness reads HIGH, never masks drift);
+    * centroids stay FROZEN and copy LAST as the commit marker.
     */
-  private def extendIvfIndex(s: SparkSession, prevDir: String,
-      delta: Seq[String], tmp: String): Unit = {
-    val cents = s.read.parquet(s"$prevDir/centroids")
-    val deltaE = s.read.parquet(delta: _*)
-      .select(col("vec_id"),
-        col("embedding").cast("array<double>").as("fv"),
-        expr(quant).as("q"),
-        Storage.normSrcCol(input_file_name()).as("src"))
-    val w = Window.partitionBy("vec_id").orderBy(col("dist2").asc, col("cent_id").asc)
-    val assigned = deltaE.crossJoin(broadcast(cents))
-      .withColumn("dist2", expr(
-        "aggregate(zip_with(fv, center, (a, b) -> (a - b) * (a - b)), " +
-          "CAST(0 AS DOUBLE), (acc, x) -> acc + x)"))
-      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
-      .select(col("vec_id"), col("q"), col("cent_id").cast("int").as("bucket"),
-        col("src"), col("dist2"))
-      .pinned() // consumed twice: assignment rows + the staleness row
-    s.read.parquet(s"$prevDir/assignments")
-      .unionByName(assigned.drop("dist2"))
+  private def evolveIvfIndex(s: SparkSession, prevDir: String,
+      removed: Seq[String], added: Seq[String], tmp: String): Unit = {
+    import s.implicits._
+    val prevAsg = s.read.parquet(s"$prevDir/assignments")
+    val surviving =
+      if (removed.isEmpty) prevAsg
+      else {
+        val gone = removed.map(Storage.normSrcStr).toDF("gone_src")
+        prevAsg.join(broadcast(gone), col("src") === col("gone_src"), "left_anti")
+      }
+    val assigned =
+      if (added.isEmpty) None
+      else {
+        val cents = s.read.parquet(s"$prevDir/centroids")
+        val deltaE = s.read.parquet(added: _*)
+          .select(col("vec_id"),
+            col("embedding").cast("array<double>").as("fv"),
+            expr(quant).as("q"),
+            Storage.normSrcCol(input_file_name()).as("src"))
+        val w = Window.partitionBy("vec_id")
+          .orderBy(col("dist2").asc, col("cent_id").asc)
+        Some(deltaE.crossJoin(broadcast(cents))
+          .withColumn("dist2", expr(
+            "aggregate(zip_with(fv, center, (a, b) -> (a - b) * (a - b)), " +
+              "CAST(0 AS DOUBLE), (acc, x) -> acc + x)"))
+          .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+          .select(col("vec_id"), col("q"),
+            col("cent_id").cast("int").as("bucket"), col("src"), col("dist2"))
+          .pinned()) // consumed twice: assignment rows + the staleness row
+      }
+    assigned.fold(surviving)(a => surviving.unionByName(a.drop("dist2")))
       .write.mode("overwrite").parquet(s"$tmp/assignments")
-    // staleness accounting (VERDICT r16 #4): record this delta's mean
+    // staleness accounting (VERDICT r16 #4): record each delta's mean
     // distance-to-frozen-centroid next to the build-time baseline —
     // what ivfStaleness compares to decide the recluster flag
-    s.read.parquet(s"$prevDir/stats").unionByName(
-      assigned.agg(count(lit(1)).as("n_vecs"),
-          avg(col("dist2")).as("mean_dist2"))
-        .select(lit("delta").as("kind"), col("n_vecs"), col("mean_dist2")))
-      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/stats")
-    // centroids copied LAST: they are the commit marker
-    s.read.parquet(s"$prevDir/centroids").coalesce(1)
-      .write.mode("overwrite").parquet(s"$tmp/centroids")
-  }
-
-  /** Frozen-centroid delta REMOVAL: drop exactly the removed part
-    * files' assignment rows via a broadcast anti-join on provenance;
-    * everything else — surviving assignments, centroids — is copied
-    * verbatim. Never reads a corpus byte (the removed files may already
-    * be gone or corrupt — that is the point).
-    */
-  private def removeFromIvfIndex(s: SparkSession, prevDir: String,
-      removed: Seq[String], tmp: String): Unit = {
-    import s.implicits._
-    val gone = removed.map(Storage.normSrcStr).toDF("gone_src")
-    s.read.parquet(s"$prevDir/assignments")
-      .join(broadcast(gone), col("src") === col("gone_src"), "left_anti")
-      .write.mode("overwrite").parquet(s"$tmp/assignments")
-    // stats copy verbatim: removal does not change the build-time
-    // distribution baseline (delta rows may over-count removed vectors
-    // — conservative: staleness can only read HIGH, never mask drift)
-    s.read.parquet(s"$prevDir/stats").coalesce(1)
-      .write.mode("overwrite").parquet(s"$tmp/stats")
+    assigned.fold(s.read.parquet(s"$prevDir/stats")) { a =>
+      s.read.parquet(s"$prevDir/stats").unionByName(
+        a.agg(count(lit(1)).as("n_vecs"), avg(col("dist2")).as("mean_dist2"))
+          .select(lit("delta").as("kind"), col("n_vecs"), col("mean_dist2")))
+    }.coalesce(1).write.mode("overwrite").parquet(s"$tmp/stats")
     // centroids stay FROZEN and copy LAST: the commit marker
     s.read.parquet(s"$prevDir/centroids").coalesce(1)
       .write.mode("overwrite").parquet(s"$tmp/centroids")

@@ -117,19 +117,18 @@ object Storage {
       lines: Seq[String]): String =
     ensureManifestKeyedWithLines(s, ZonemapFamily, s"$d/lineitem.parquet", lines)(
       fullBuild = pinned => zonemapPartialsFor(s.read.parquet(pinned: _*)),
-      deltaBuild = (prevDir, delta) =>
-        s.read.parquet(prevDir)
-          .unionByName(zonemapPartialsFor(s.read.parquet(delta: _*))),
-      removeBuild = (prevDir, removed) => {
+      deltaBuild = (prevRows, delta) =>
+        if (!prevRows.columns.contains("src")) null // pre-provenance: decline
+        else prevRows.unionByName(zonemapPartialsFor(s.read.parquet(delta: _*))),
+      removeBuild = (prevRows, removed) => {
         import s.implicits._
-        val prev = s.read.parquet(prevDir)
-        if (!prev.columns.contains("src")) null // pre-provenance base: decline
+        if (!prevRows.columns.contains("src")) null // pre-provenance: decline
         else {
           // anti-join, not isin: the removed list is file-count-sized
           // (~10⁶ paths at 100 TB) — a broadcast relation, never a
           // million-literal predicate
           val gone = removed.map(normSrcStr).toDF("gone_src")
-          prev.join(broadcast(gone), col("src") === col("gone_src"), "left_anti")
+          prevRows.join(broadcast(gone), col("src") === col("gone_src"), "left_anti")
         }
       })
 
@@ -366,57 +365,29 @@ object Storage {
   private[graft] def manifestPath(lines: Seq[String]): Seq[String] =
     lines.map(_.split('\t')(2))
 
-  /** The most-covering PREVIOUS artifact for this dataset whose manifest
-    * is a strict subset of the current listing — the base an append
-    * extends. Enumerates the family dir by the dataset's label prefix
+  /** The best PREVIOUS artifact to evolve toward the current listing:
+    * the one sharing the most manifest lines with it, tiebroken by the
+    * fewest lines to subtract. A subtractable index accepts ANY
+    * overlapping base (the general daily tick — appends AND retention
+    * drops in one manifest change); an unsubtractable one
+    * (`subtractable = false`, the Bloom bit set) only accepts strict
+    * SUBSET bases, because a base with removals would force the full
+    * rebuild even when a cheaper pure-append base exists. Skips
+    * in-flight '.build-' staging dirs (ADVICE r16: a concurrent JVM's
+    * temp dir carries its marker + _MANIFEST BEFORE the publish rename
+    * — selecting it races the rename and reads a vanishing path).
+    * Enumerates the family dir by the dataset's label prefix
     * (Derived.labelFor: same formula as dirFor, no drift).
     */
-  private[graft] def latestCoveredBase(s: SparkSession, family: String, src: String,
-      current: Seq[String], marker: String = "_SUCCESS"): Option[(String, Set[String])] = {
-    val fs = new org.apache.hadoop.fs.Path(Derived.familyDir(family))
-      .getFileSystem(s.sparkContext.hadoopConfiguration)
-    val fam = new org.apache.hadoop.fs.Path(Derived.familyDir(family))
-    if (!fs.exists(fam)) return None
-    val prefix = Derived.labelFor(src) + "_"
-    val cur = current.toSet
-    fs.listStatus(fam).toSeq
-      // skip in-flight '<dir>.build-<uuid>' temp dirs (ADVICE r16):
-      // a concurrent JVM's staging dir carries its marker + _MANIFEST
-      // BEFORE the publish rename — selecting it as prevDir races the
-      // winner's rename and the extend can read a vanishing path
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix) &&
-        !st.getPath.getName.contains(".build-"))
-      .flatMap { st =>
-        val dir = st.getPath
-        val ok = fs.exists(new org.apache.hadoop.fs.Path(dir, marker)) &&
-          fs.exists(new org.apache.hadoop.fs.Path(dir, BloomManifest))
-        if (!ok) None
-        else {
-          val in = fs.open(new org.apache.hadoop.fs.Path(dir, BloomManifest))
-          val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
-            .getLines().toList finally in.close()
-          if (lines.nonEmpty && lines.forall(cur) && lines.size < cur.size)
-            Some((dir.toString, lines.toSet))
-          else None
-        }
-      }
-      .sortBy(-_._2.size).headOption
-  }
-
-  /** The closest PREVIOUS artifact whose manifest is a strict SUPERSET
-    * of the current listing — the base a pure REMOVAL subtracts from
-    * (files lost, none gained, none modified: every current line must
-    * appear verbatim in the previous manifest). Closest = smallest
-    * superset, minimizing the rows the anti-join drops.
-    */
-  private[graft] def latestCoveringBase(s: SparkSession, family: String,
-      src: String, current: Seq[String],
-      marker: String = "_SUCCESS"): Option[(String, Set[String])] = {
+  private[graft] def bestOverlapBase(s: SparkSession, family: String, src: String,
+      current: Seq[String], marker: String = "_SUCCESS",
+      subtractable: Boolean = true): Option[(String, Set[String])] = {
     val fs = new org.apache.hadoop.fs.Path(Derived.familyDir(family))
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     val fam = new org.apache.hadoop.fs.Path(Derived.familyDir(family))
     if (!fs.exists(fam) || current.isEmpty) return None
     val prefix = Derived.labelFor(src) + "_"
+    val cur = current.toSet
     fs.listStatus(fam).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix) &&
         !st.getPath.getName.contains(".build-"))
@@ -429,12 +400,14 @@ object Storage {
           val in = fs.open(new org.apache.hadoop.fs.Path(dir, BloomManifest))
           val prev = try scala.io.Source.fromInputStream(in, "UTF-8")
             .getLines().toSet finally in.close()
-          if (current.forall(prev) && prev.size > current.size)
-            Some((dir.toString, prev))
-          else None
+          val overlap = prev.count(cur)
+          val admissible = overlap > 0 && prev != cur &&
+            (subtractable || prev.forall(cur))
+          if (admissible) Some((dir.toString, prev, overlap)) else None
         }
       }
-      .sortBy(_._2.size).headOption
+      .sortBy { case (_, prev, overlap) => (-overlap, prev.size) }
+      .headOption.map { case (dir, prev, _) => (dir, prev) }
   }
 
   /** Manifest-keyed build-or-extend lifecycle shared by the Bloom index
@@ -454,47 +427,59 @@ object Storage {
   /** The lifecycle body over a CALLER-pinned listing — split out so the
     * spec can hand it a stale snapshot and prove artifact content and
     * manifest derive from the same listing (the TOCTOU witness).
-    * Decision order: pure append → deltaBuild over only the new files;
-    * pure removal → removeBuild subtracting the dropped files' rows
-    * (VERDICT r16 #3 — the reference's node-offline cascade delete,
-    * controller/FileTable.java:59-97, as index maintenance), or an
-    * honest full rebuild when the index is unsubtractable
-    * (removeBuild = null: the Bloom bit-OR); anything mixed → full
-    * rebuild from the pinned listing.
+    *
+    * The manifest diff against the best overlapping previous artifact
+    * splits into `removed` (lines the base covered that are gone) and
+    * `added` (new lines); the general daily tick carries BOTH — an
+    * ingest appends partitions while retention drops old ones. Rows
+    * evolve as `deltaBuild(removeBuild(prevRows, removed), added)`:
+    * subtraction first (VERDICT r16 #3 — the reference's node-offline
+    * cascade delete, controller/FileTable.java:59-97, as index
+    * maintenance), then the append merge, each leg skipped when its
+    * diff is empty. An unsubtractable index (`removeBuild = null`, the
+    * Bloom bit-OR) only ever sees pure-append bases (bestOverlapBase
+    * filters for it) and full-rebuilds on any removal; a removeBuild
+    * may also DECLINE at runtime (return null — e.g. the base predates
+    * per-row provenance) and fall through to the honest rebuild.
+    * Covered corpus bytes are never re-read on the evolve path.
     */
   private[graft] def ensureManifestKeyedWithLines(s: SparkSession,
       family: String, src: String, lines: Seq[String])(
       fullBuild: Seq[String] => DataFrame,
-      deltaBuild: (String, Seq[String]) => DataFrame,
-      removeBuild: (String, Seq[String]) => DataFrame): String = {
+      deltaBuild: (DataFrame, Seq[String]) => DataFrame,
+      removeBuild: (DataFrame, Seq[String]) => DataFrame): String = {
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(lines.mkString("\n").getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(12)
     Derived.ensure(s, family, src, version = s"m$key") { tmp =>
-      val rows = latestCoveredBase(s, family, src, lines) match {
-        case Some((prevDir, covered)) =>
-          deltaBuild(prevDir, manifestPath(lines.filterNot(covered)))
-        case None => latestCoveringBase(s, family, src, lines) match {
-          case Some((prevDir, prev)) if removeBuild != null =>
-            // a removeBuild may DECLINE (return null) — e.g. the base
-            // artifact predates per-row provenance — and fall through
-            // to the honest rebuild
-            val sub = removeBuild(prevDir,
-              manifestPath((prev -- lines.toSet).toSeq.sorted))
-            if (sub != null) sub
-            else {
-              log.warn(s"$family: removal base $prevDir not subtractable" +
-                " — full rebuild")
-              fullBuild(manifestPath(lines))
-            }
-          case Some((prevDir, _)) =>
-            // unsubtractable index (Bloom: bits OR in, never out) —
-            // refuse the shortcut LOUDLY and rebuild from the truth
-            log.warn(s"$family: manifest shrank vs $prevDir but this " +
-              "index is not subtractable — full rebuild")
+      val rows = bestOverlapBase(s, family, src, lines,
+        subtractable = removeBuild != null) match {
+        case Some((prevDir, prev)) =>
+          val removed = manifestPath((prev -- lines.toSet).toSeq.sorted)
+          val added = manifestPath(lines.filterNot(prev))
+          val prevRows = s.read.parquet(prevDir)
+          val afterRemove =
+            if (removed.isEmpty) prevRows
+            else removeBuild(prevRows, removed)
+          val evolved =
+            if (afterRemove == null) null
+            else if (added.isEmpty) afterRemove
+            else deltaBuild(afterRemove, added)
+          if (evolved == null) {
+            // either builder may DECLINE (null) — e.g. the base
+            // artifact predates the current row format
+            log.warn(s"$family: base $prevDir cannot evolve — full rebuild")
             fullBuild(manifestPath(lines))
-          case None => fullBuild(manifestPath(lines))
-        }
+          } else evolved
+        case None =>
+          // refuse the unsound shortcut LOUDLY: if an overlapping base
+          // exists but this index cannot subtract (Bloom: bits OR in,
+          // never out), say so before paying the rebuild
+          if (removeBuild == null &&
+              bestOverlapBase(s, family, src, lines).isDefined)
+            log.warn(s"$family: manifest shrank but this index is not " +
+              "subtractable — full rebuild")
+          fullBuild(manifestPath(lines))
       }
       rows.write.mode("overwrite").parquet(tmp)
       val fs = new org.apache.hadoop.fs.Path(tmp)
@@ -528,12 +513,12 @@ object Storage {
     val src = s"$d/lineitem.parquet"
     ensureManifestKeyedWithLines(s, BloomFamily, src, manifestLines(s, src))(
       fullBuild = pinned => bloomRowsFor(s.read.parquet(pinned: _*)),
-      deltaBuild = (prevDir, delta) =>
+      deltaBuild = (prevRows, delta) =>
         // delta rows ∪ previous artifact, re-distinct'd: a file_id whose
         // rows span covered and new part files would otherwise duplicate.
         // Set-identical to the full build (the projection is per-row).
         bloomRowsFor(s.read.parquet(delta: _*))
-          .unionByName(s.read.parquet(prevDir))
+          .unionByName(prevRows)
           .distinct(),
       // bits OR in, never out: a removed file's positions may also be
       // witnessed by surviving rows, so subtraction is unsound — the

@@ -409,6 +409,54 @@ class LlmPipelineSpec extends AnyFunSuite {
       "surviving vec set wrong after removal")
   }
 
+  test("IVF mixed tick: removal + append evolve in one pass under frozen centroids") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(9090)
+    def vecs(ids: Range) = ids.map(i =>
+      (i.toLong, Seq.fill(64)(rnd.nextFloat() * 2 - 1), (i % 10)))
+        .toDF("vec_id", "embedding", "label")
+    val dir = s"/tmp/graft-test-ivfmixed-${java.util.UUID.randomUUID()}"
+    val table = s"$dir/embeddings.parquet"
+    vecs(0 until 200).coalesce(1).write.parquet(table)
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val firstPart = fs.listStatus(new org.apache.hadoop.fs.Path(table))
+      .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+      .head.getPath
+    vecs(500 until 600).coalesce(1).write.mode("append").parquet(table)
+    val idx1 = ops.LlmPipeline.ensureIvfIndex(spark, dir)
+    val cents1 = spark.read.parquet(s"$idx1/centroids")
+      .as[(Int, Seq[Double])].collect().sortBy(_._1)
+    val keep1 = spark.read.parquet(s"$idx1/assignments")
+      .where($"vec_id" >= 500L).select("vec_id", "bucket")
+      .as[(Long, Int)].collect().toMap
+    // the tick: drop the first partition AND append a third — one evolve
+    fs.delete(firstPart, false)
+    val newDf = vecs(1000 until 1050)
+    val newVecs = newDf.select($"vec_id", $"embedding".cast("array<double>"))
+      .as[(Long, Seq[Double])].collect()
+    newDf.coalesce(1).write.mode("append").parquet(table)
+    val idx2 = ops.LlmPipeline.ensureIvfIndex(spark, dir)
+    assert(idx2 != idx1)
+    // centroids frozen through the mixed tick
+    val cents2 = spark.read.parquet(s"$idx2/centroids")
+      .as[(Int, Seq[Double])].collect().sortBy(_._1)
+    assert(cents2.toSeq == cents1.toSeq, "mixed tick moved the centroids")
+    val asg2 = spark.read.parquet(s"$idx2/assignments")
+      .select("vec_id", "bucket").as[(Long, Int)].collect().toMap
+    // removed file's vectors are gone; survivors byte-stable; new
+    // vectors at their true nearest frozen cell
+    assert(asg2.keySet == (keep1.keySet ++ (1000L until 1050L)),
+      s"wrong vec set after the mixed tick")
+    assert(keep1.forall { case (v, b) => asg2(v) == b }, "survivors moved")
+    newVecs.foreach { case (v, f) =>
+      val best = cents1.map { case (cid, c) =>
+        (f.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum, cid)
+      }.min._2
+      assert(asg2(v) == best, s"vec $v: assigned ${asg2(v)}, nearest $best")
+    }
+  }
+
   test("q_ivf_staleness: planted drifted append flips the recluster flag; faithful append does not (VERDICT r16 #4)") {
     import spark.implicits._
     val rnd = new scala.util.Random(1313)

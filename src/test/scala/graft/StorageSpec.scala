@@ -373,7 +373,52 @@ class StorageSpec extends AnyFunSuite {
         !st.getPath.getName.startsWith(".")))
   }
 
-  test("latestCoveredBase skips in-flight .build- staging dirs (ADVICE r16)") {
+  test("mixed manifest tick: one artifact evolve handles retention drop + ingest append together") {
+    import spark.implicits._
+    def liRows(ids: Seq[Long], dayOff: Int) =
+      ids.flatMap(f => (0 until 3).map(c =>
+        (f, 100L + f % 7, 200L + (f * 3 + c + dayOff) % 11, c.toLong + 1,
+          java.sql.Timestamp.valueOf(f"1995-0${1 + dayOff}%d-1${c}%d 00:00:00"),
+          (f % 50 + c).toDouble)))
+        .toDF("l_orderkey", "l_suppkey", "l_partkey", "l_linenumber",
+          "l_shipdate", "l_quantity")
+    val dir = s"/tmp/graft-test-zmmixed-${java.util.UUID.randomUUID()}"
+    val table = s"$dir/lineitem.parquet"
+    liRows(0L until 10L, 0).coalesce(1).write.parquet(table)
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val day0Part = fs.listStatus(new org.apache.hadoop.fs.Path(table))
+      .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+      .head.getPath
+    liRows(5L until 15L, 1).coalesce(1).write.mode("append").parquet(table)
+    ops.Storage.ensureZoneMap(spark, dir)
+    // the daily tick: retention DROPS day 0 while ingest APPENDS day 2
+    fs.delete(day0Part, false)
+    liRows(12L until 20L, 2).coalesce(1).write.mode("append").parquet(table)
+    // corrupt the covered day-1 file in place: the evolve must succeed
+    // reading only the day-2 delta (day 0 is subtracted, day 1 kept)
+    val day1Part = fs.listStatus(new org.apache.hadoop.fs.Path(table))
+      .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+      .minBy(_.getModificationTime)
+    val (pLen, pMtime) = (day1Part.getLen, day1Part.getModificationTime)
+    val out = fs.create(day1Part.getPath, true)
+    try out.write(new Array[Byte](pLen.toInt)) finally out.close()
+    fs.setTimes(day1Part.getPath, pMtime, -1)
+    val idx = ops.Storage.ensureZoneMap(spark, dir)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      ops.Storage.zonemapMerge(df)
+        .selectExpr("file_id", "n_chunks", "CAST(min_ship AS STRING)",
+          "CAST(max_ship AS STRING)", "min_part", "max_part", "size_units")
+        .collect().map(_.toSeq).toSet
+    val mirror = s"/tmp/graft-test-zmmixedmirror-${java.util.UUID.randomUUID()}"
+    (liRows(5L until 15L, 1) unionByName liRows(12L until 20L, 2))
+      .write.parquet(s"$mirror/lineitem.parquet")
+    val want = canon(spark.read.parquet(ops.Storage.ensureZoneMap(spark, mirror)))
+    assert(canon(spark.read.parquet(idx)) == want,
+      "mixed evolve != rebuild over (kept + appended) rows")
+  }
+
+  test("bestOverlapBase skips in-flight .build- staging dirs (ADVICE r16)") {
     val src = s"/tmp/graft-test-buildskip-${java.util.UUID.randomUUID()}/lineitem.parquet"
     val fam = ops.Derived.familyDir(ops.Storage.ZonemapFamily)
     val label = ops.Derived.labelFor(src)
@@ -389,7 +434,7 @@ class StorageSpec extends AnyFunSuite {
       try m.write("1\t1\tfileA\n".getBytes("UTF-8")) finally m.close()
       val s2 = fs.create(new org.apache.hadoop.fs.Path(staging, "_SUCCESS"))
       try s2.write(Array.empty[Byte]) finally s2.close()
-      val got = ops.Storage.latestCoveredBase(spark, ops.Storage.ZonemapFamily,
+      val got = ops.Storage.bestOverlapBase(spark, ops.Storage.ZonemapFamily,
         src, Seq("1\t1\tfileA", "2\t2\tfileB"))
       assert(!got.exists(_._1.contains(".build-")),
         s"selected an in-flight staging dir as the extend base: $got")
