@@ -152,4 +152,47 @@ object Derived {
     }
     dir
   }
+
+  /** REPLACE the artifact for this (family, source, version) with a
+    * freshly built one — the maintenance verb `ensure` deliberately
+    * lacks (ensure never rebuilds a complete artifact; a scheduled
+    * retrain — the IVF recluster job — must). Builds into a temp dir
+    * first, then swaps: live → trash rename, tmp → live rename, trash
+    * deleted. Readers that raced the swap see either the old artifact
+    * or the new one; the window BETWEEN the two renames (the only
+    * moment the path is absent) is two metadata ops wide, and a reader
+    * landing in it retries via its own ensure — acceptable for an
+    * explicit maintenance action, never taken on the query path.
+    */
+  def replace(s: SparkSession, family: String, sourceFile: String,
+              version: String = "", marker: String = "_SUCCESS")
+             (build: String => Unit): String = {
+    val dir = dirFor(s, family, sourceFile, version)
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = dirPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val lock = buildLocks.computeIfAbsent(dir, _ => new Object)
+    lock.synchronized {
+      val tmp = new org.apache.hadoop.fs.Path(
+        dir + ".build-" + java.util.UUID.randomUUID().toString.take(8))
+      build(tmp.toString)
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$tmp/$marker"))) {
+        fs.delete(tmp, true)
+        throw new IllegalStateException(
+          s"Derived.replace($family): builder left no $marker under $tmp — refusing to publish")
+      }
+      val trash = new org.apache.hadoop.fs.Path(
+        dir + ".old-" + java.util.UUID.randomUUID().toString.take(8))
+      val hadOld = fs.exists(dirPath) && fs.rename(dirPath, trash)
+      fs.mkdirs(dirPath.getParent)
+      if (!fs.rename(tmp, dirPath)) {
+        // restore the old artifact rather than leave the path empty
+        if (hadOld) fs.rename(trash, dirPath)
+        fs.delete(tmp, true)
+        throw new IllegalStateException(
+          s"Derived.replace($family): publish rename to $dir failed")
+      }
+      if (hadOld) fs.delete(trash, true)
+    }
+    dir
+  }
 }

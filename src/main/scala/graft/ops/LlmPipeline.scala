@@ -1850,6 +1850,39 @@ object LlmPipeline {
     * of trusting it forever (storageNode/ChunkCorruptionMonitor.java:
     * 31-75, public GitHub).
     */
+  /** The scheduled-retrain job the staleness verdict drives — the
+    * recluster ACTION completing VERDICT r16 #4's loop: when
+    * q_ivf_staleness flags recluster, re-fit the coarse quantizer on
+    * the CURRENT corpus (the pinned listing) and atomically REPLACE the
+    * index artifact; no-op when the verdict is quiet. This is the one
+    * place the frozen-centroid contract is deliberately suspended — by
+    * an explicit maintenance action, never on the query path (faiss's
+    * scheduled retrain). The rebuilt index starts a fresh staleness
+    * baseline over the whole corpus (no delta rows), so the verdict
+    * returns to quiet until new appends drift again; probes over it
+    * regain balanced cells (IvfDriftProbe: max_cell 0.65 → ~1/k after
+    * a refit of the offset-1.0 corpus). Returns whether a refit ran.
+    */
+  def ivfReclusterIfStale(s: SparkSession, d: String): Boolean = {
+    val verdict = ivfStaleness(s, d).collect().head // ensures the index
+    if (!verdict.getAs[Boolean]("recluster")) false
+    else {
+      val src = s"$d/embeddings.parquet"
+      val lines = Storage.manifestLines(s, src)
+      Derived.replace(s, IvfFamily, src,
+        version = s"v2m${ivfKeyOf(lines)}", marker = IvfMarker) { tmp =>
+        buildIvfIndexFrom(s,
+          s.read.parquet(Storage.manifestPath(lines): _*), tmp)
+        val fs = new org.apache.hadoop.fs.Path(tmp)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        val out = fs.create(new org.apache.hadoop.fs.Path(tmp, "_MANIFEST"))
+        try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+        finally out.close()
+      }
+      true
+    }
+  }
+
   def ivfStaleness(s: SparkSession, d: String): DataFrame = {
     val st = s.read.parquet(s"${ensureIvfIndex(s, d)}/stats")
     val base = st.where(col("kind") === "build")

@@ -502,6 +502,43 @@ class LlmPipelineSpec extends AnyFunSuite {
     assert(fix.getAs[Long]("n_appended") == 0L && !fix.getAs[Boolean]("recluster"))
   }
 
+  test("ivfReclusterIfStale: drifted index refits in place and the verdict returns to quiet") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(2121)
+    def vecs(ids: Range, offset: Double) = ids.map(i =>
+      (i.toLong, Seq.fill(64)(rnd.nextFloat() * 2 - 1 + offset), (i % 10)))
+        .toDF("vec_id", "embedding", "label")
+    val dir = s"/tmp/graft-test-ivfrefit-${java.util.UUID.randomUUID()}"
+    vecs(0 until 300, 0.0).coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+    val idx = ops.LlmPipeline.ensureIvfIndex(spark, dir)
+    // quiet index: the job is a no-op and touches nothing
+    val centsBefore = spark.read.parquet(s"$idx/centroids")
+      .as[(Int, Seq[Double])].collect().sortBy(_._1).toSeq
+    assert(!ops.LlmPipeline.ivfReclusterIfStale(spark, dir),
+      "quiet index must not refit")
+    assert(spark.read.parquet(s"$idx/centroids")
+      .as[(Int, Seq[Double])].collect().sortBy(_._1).toSeq == centsBefore)
+    // drifted append flags; the job refits IN PLACE (same artifact dir)
+    vecs(1000 until 1060, 5.0).coalesce(1).write.mode("append")
+      .parquet(s"$dir/embeddings.parquet")
+    val idx2 = ops.LlmPipeline.ensureIvfIndex(spark, dir)
+    assert(ops.LlmPipeline.ivfStaleness(spark, dir)
+      .collect().head.getAs[Boolean]("recluster"))
+    assert(ops.LlmPipeline.ivfReclusterIfStale(spark, dir), "drift must refit")
+    // same canonical dir, new content: centroids moved (the one
+    // sanctioned suspension of the frozen-centroid contract), every
+    // vector re-assigned, and the staleness baseline restarted — the
+    // verdict is quiet again with zero delta rows
+    val centsAfter = spark.read.parquet(s"$idx2/centroids")
+      .as[(Int, Seq[Double])].collect().sortBy(_._1).toSeq
+    assert(centsAfter != centsBefore, "refit did not move the centroids")
+    val st = ops.LlmPipeline.ivfStaleness(spark, dir).collect().head
+    assert(st.getAs[Long]("n_base") == 360L &&
+      st.getAs[Long]("n_appended") == 0L && !st.getAs[Boolean]("recluster"),
+      s"refit did not restart the baseline: $st")
+    assert(spark.read.parquet(s"$idx2/assignments").count() == 360L)
+  }
+
   test("ccLabels: chain graphs converge to the global min across rounds") {
     import spark.implicits._
     // A 7-node path 10-11-...-16 (diameter 6 forces multiple propagation
