@@ -39,7 +39,7 @@ object Storage {
     * usable for both range and point predicates.
     */
   def zonemapBuild(s: SparkSession, d: String): DataFrame =
-    zonemapMerge(s.read.parquet(ensureZoneMap(s, d))).orderBy("file_id")
+    s.read.parquet(ensureZoneMapMerged(s, d)).orderBy("file_id")
 
   /** PARTIAL zone-map rows — per (source part file, file_id) — over any
     * lineitem-shaped frame; shared by the full build, the delta pass,
@@ -109,6 +109,31 @@ object Storage {
   private[graft] def ensureZoneMap(s: SparkSession, d: String): String =
     ensureZoneMapWithLines(s, d, manifestLines(s, s"$d/lineitem.parquet"))
 
+  private[graft] val ZonemapMergedFamily = "graft-zonemap-merged"
+
+  /** The READ-side zone map: per-file merged rows persisted as their
+    * own manifest-keyed artifact derived from the partials table, so
+    * queries pay the merge shuffle ONCE per manifest state and every
+    * later read (and session) is a plain metadata-sized parquet scan —
+    * the partials stay the EVOLUTION substrate (append unions, removal
+    * anti-joins), the merged view stays the query substrate.
+    */
+  private[graft] def ensureZoneMapMerged(s: SparkSession, d: String): String = {
+    val src = s"$d/lineitem.parquet"
+    val lines = manifestLines(s, src)
+    val partials = ensureZoneMapWithLines(s, d, lines)
+    Derived.ensure(s, ZonemapMergedFamily, src,
+      version = s"m${manifestKey(lines)}") { tmp =>
+      zonemapMerge(s.read.parquet(partials))
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+    }
+  }
+
+  private[graft] def manifestKey(lines: Seq[String]): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(lines.mkString("\n").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+
   /** Spec entry: the zone-map lifecycle over a caller-pinned listing —
     * how StorageSpec simulates the append-during-build race
     * deterministically (the TOCTOU witness).
@@ -147,7 +172,7 @@ object Storage {
     * between a metadata lookup + targeted scan and a full-table pass.
     */
   def zonemapPrune(s: SparkSession, d: String): DataFrame =
-    zonemapMerge(s.read.parquet(ensureZoneMap(s, d)))
+    s.read.parquet(ensureZoneMapMerged(s, d))
       .where(col("max_ship") >= lit(PruneLo).cast("timestamp") &&
         col("min_ship") <= lit(PruneHi).cast("timestamp"))
       .select("file_id", "n_chunks", "size_units")
@@ -448,9 +473,7 @@ object Storage {
       fullBuild: Seq[String] => DataFrame,
       deltaBuild: (DataFrame, Seq[String]) => DataFrame,
       removeBuild: (DataFrame, Seq[String]) => DataFrame): String = {
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(lines.mkString("\n").getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString.take(12)
+    val key = manifestKey(lines)
     Derived.ensure(s, family, src, version = s"m$key") { tmp =>
       val rows = bestOverlapBase(s, family, src, lines,
         subtractable = removeBuild != null) match {
