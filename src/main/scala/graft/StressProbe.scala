@@ -100,7 +100,11 @@ object StressProbe {
     // constant as the corpus grows (32 at 1×/10× keeps the bench
     // config; 100× gets 320). Without this the 100× window-hash
     // aggregate holds 100× state per task and dies in a 4 GB heap.
-    val shufflePartitions = math.max(cpus.toInt, 32 * mult / 10)
+    // SPARK_GRAFT_PARTITIONS overrides the sizing rule — genuine SfGen
+    // decades arrive with mult=1, so the volume term must be supplied
+    // (the r16 sf100 receipts ran at 320)
+    val shufflePartitions = sys.env.get("SPARK_GRAFT_PARTITIONS")
+      .map(_.toInt).getOrElse(math.max(cpus.toInt, 32 * mult / 10))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
