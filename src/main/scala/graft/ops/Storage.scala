@@ -81,12 +81,24 @@ object Storage {
         max(col("max_part")).as("max_part"),
         sum(col("size_units")).as("size_units"))
 
-  /** Normalize a file path/URI to a scheme-less absolute path, so the
-    * manifest's Hadoop `Path.toString` (`file:/x/y`) and Spark's
-    * `input_file_name()` (`file:///x/y`) compare equal.
+  /** Normalize a file path/URI to a scheme-less, percent-DECODED
+    * absolute path, so the manifest's Hadoop `Path.toString`
+    * (`file:/x y` — Path stores a URI but toString returns the decoded
+    * form) and Spark's `input_file_name()` (`file:///x%20y` — the
+    * FileScan carries the URL-ENCODED SparkPath) compare equal (ADVICE
+    * r17: without the decode, a table path with any URI-escapable
+    * character made the removal anti-join match nothing — removed
+    * files' rows survived evolution, modified files double-counted).
+    * Decode is on the COLUMN side only: that is the only encoded side.
+    * `+` is protected first because url_decode applies form semantics
+    * (`+` → space) where URI paths keep `+` literal; try_url_decode +
+    * coalesce keeps a malformed stray `%` as-is rather than failing
+    * the whole scan.
     */
   private[graft] def normSrcCol(c: Column): Column =
-    regexp_replace(c, "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
+    regexp_replace(
+      coalesce(try_url_decode(regexp_replace(c, "\\+", "%2B")), c),
+      "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
 
   private[graft] def normSrcStr(p: String): String =
     p.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")

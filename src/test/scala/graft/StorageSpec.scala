@@ -441,6 +441,53 @@ class StorageSpec extends AnyFunSuite {
     } finally fs.delete(staging, true)
   }
 
+  test("src normalization survives URI-escapable table paths (ADVICE r17: removal in a dir with a space)") {
+    import spark.implicits._
+    def liRows(ids: Seq[Long], dayOff: Int) =
+      ids.flatMap(f => (0 until 3).map(c =>
+        (f, 100L + f % 7, 200L + (f * 3 + c + dayOff) % 11, c.toLong + 1,
+          java.sql.Timestamp.valueOf(f"1995-0${1 + dayOff}%d-1${c}%d 00:00:00"),
+          (f % 50 + c).toDouble)))
+        .toDF("l_orderkey", "l_suppkey", "l_partkey", "l_linenumber",
+          "l_shipdate", "l_quantity")
+    // the dataset dir carries a space AND a literal '+': Path.toString
+    // keeps both plain, input_file_name() percent-encodes the space —
+    // pre-fix the two src keys never matched, so the removal anti-join
+    // silently subtracted NOTHING
+    val dir = s"/tmp/graft-test-urlenc-${java.util.UUID.randomUUID()}/with space+plus"
+    val table = s"$dir/lineitem.parquet"
+    liRows(0L until 10L, 0).coalesce(1).write.parquet(table)
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the two sides of the key agree on this path
+    val part = fs.listStatus(new org.apache.hadoop.fs.Path(table))
+      .filter(st => st.isFile && st.getPath.getName.startsWith("part-")).head.getPath
+    val colSide = spark.read.parquet(table)
+      .select(ops.Storage.normSrcCol(input_file_name()).as("src"))
+      .distinct().as[String].collect().toSet
+    assert(colSide == Set(ops.Storage.normSrcStr(part.toString)),
+      s"normSrcCol/normSrcStr disagree on an escapable path: $colSide vs ${part.toString}")
+    // end-to-end: the removal leg really subtracts in such a dir
+    val day0Part = part
+    liRows(5L until 15L, 1).coalesce(1).write.mode("append").parquet(table)
+    ops.Storage.ensureZoneMap(spark, dir)
+    fs.listStatus(new org.apache.hadoop.fs.Path(table))
+      .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+      .filterNot(_.getPath == day0Part)
+      .foreach(st => fs.delete(st.getPath, false))
+    val idx = ops.Storage.ensureZoneMap(spark, dir)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      ops.Storage.zonemapMerge(df)
+        .selectExpr("file_id", "n_chunks", "CAST(min_ship AS STRING)",
+          "CAST(max_ship AS STRING)", "min_part", "max_part", "size_units")
+        .collect().map(_.toSeq).toSet
+    val mirror = s"/tmp/graft-test-urlencmirror-${java.util.UUID.randomUUID()}"
+    liRows(0L until 10L, 0).write.parquet(s"$mirror/lineitem.parquet")
+    val want = canon(spark.read.parquet(ops.Storage.ensureZoneMap(spark, mirror)))
+    assert(canon(spark.read.parquet(idx)) == want,
+      "removal in an escapable-path dir left the dropped file's rows behind")
+  }
+
   test("z-order interleave: known bit patterns; layout boxes beat 1-D order on a 2-D probe") {
     // zExpr(3, 5): a=0b11 → even bits 1+4; b=0b101 → odd bits 2+32 ⇒ 39
     val z35 = spark.sql(
