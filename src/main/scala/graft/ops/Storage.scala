@@ -114,9 +114,13 @@ object Storage {
     * the dropped part files' rows out of the previous artifact —
     * exact because the artifact is per-(part file, file_id) partials
     * (see zonemapPartialsFor); neither leg re-reads a covered corpus
-    * byte. Any mixed change full-rebuilds from the pinned listing.
-    * StorageSpec proves extend ≡ rebuild, removal ≡ rebuild, and
-    * delta-only reads by corruption witnesses.
+    * byte. A MIXED tick (append + removal in one manifest change — the
+    * general daily shape) evolves both legs in one pass:
+    * `deltaBuild(removeBuild(prev, removed), added)`; a MODIFIED file
+    * (same path, new length/mtime) rides the same two legs — its old
+    * rows subtract by path, its new bytes re-ingest as delta.
+    * StorageSpec proves extend ≡ rebuild, removal ≡ rebuild, mixed ≡
+    * rebuild, and delta-only reads by corruption witnesses.
     */
   private[graft] def ensureZoneMap(s: SparkSession, d: String): String =
     ensureZoneMapWithLines(s, d, manifestLines(s, s"$d/lineitem.parquet"))
@@ -134,11 +138,18 @@ object Storage {
     val src = s"$d/lineitem.parquet"
     val lines = manifestLines(s, src)
     val partials = ensureZoneMapWithLines(s, d, lines)
-    Derived.ensure(s, ZonemapMergedFamily, src,
+    val dir = Derived.dirFor(s, ZonemapMergedFamily, src,
+      version = s"m${manifestKey(lines)}")
+    val fresh = !new org.apache.hadoop.fs.Path(s"$dir/_SUCCESS")
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+      .exists(new org.apache.hadoop.fs.Path(s"$dir/_SUCCESS"))
+    val published = Derived.ensure(s, ZonemapMergedFamily, src,
       version = s"m${manifestKey(lines)}") { tmp =>
       zonemapMerge(s.read.parquet(partials))
         .coalesce(1).write.mode("overwrite").parquet(tmp)
     }
+    if (fresh) Derived.retireSuperseded(s, ZonemapMergedFamily, src, published)
+    published
   }
 
   private[graft] def manifestKey(lines: Seq[String]): String =
@@ -427,7 +438,14 @@ object Storage {
     val cur = current.toSet
     fs.listStatus(fam).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix) &&
-        !st.getPath.getName.contains(".build-"))
+        // skip in-flight '.build-' staging AND '.old-' trash (ADVICE
+        // r17: Derived.replace/retireSuperseded rename the outgoing
+        // artifact to an '.old-' sibling before deleting; selecting it
+        // as the evolve base races its deletion, and a crash between
+        // trash-rename and delete would strand it as a selectable
+        // stale base forever)
+        !st.getPath.getName.contains(".build-") &&
+        !st.getPath.getName.contains(".old-"))
       .flatMap { st =>
         val dir = st.getPath
         val ok = fs.exists(new org.apache.hadoop.fs.Path(dir, marker)) &&
@@ -486,7 +504,14 @@ object Storage {
       deltaBuild: (DataFrame, Seq[String]) => DataFrame,
       removeBuild: (DataFrame, Seq[String]) => DataFrame): String = {
     val key = manifestKey(lines)
-    Derived.ensure(s, family, src, version = s"m$key") { tmp =>
+    // detect "this call will build" BEFORE the ensure: generation GC
+    // (Derived.retireSuperseded) runs only when a fresh generation
+    // actually published — never on the memoized/warm read path
+    val dir = Derived.dirFor(s, family, src, version = s"m$key")
+    val fresh = !new org.apache.hadoop.fs.Path(s"$dir/_SUCCESS")
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+      .exists(new org.apache.hadoop.fs.Path(s"$dir/_SUCCESS"))
+    val published = Derived.ensure(s, family, src, version = s"m$key") { tmp =>
       val rows = bestOverlapBase(s, family, src, lines,
         subtractable = removeBuild != null) match {
         case Some((prevDir, prev)) =>
@@ -523,6 +548,8 @@ object Storage {
       try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
       finally out.close()
     }
+    if (fresh) Derived.retireSuperseded(s, family, src, published)
+    published
   }
 
   /** Persisted form of the Bloom index, keyed by dataset dir + the FULL

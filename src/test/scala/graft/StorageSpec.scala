@@ -488,6 +488,123 @@ class StorageSpec extends AnyFunSuite {
       "removal in an escapable-path dir left the dropped file's rows behind")
   }
 
+  test("generation GC: a three-tick sequence keeps current + N, retires the rest (VERDICT r17 missing #1)") {
+    import spark.implicits._
+    def liRows(ids: Seq[Long], dayOff: Int) =
+      ids.flatMap(f => (0 until 3).map(c =>
+        (f, 100L + f % 7, 200L + (f * 3 + c + dayOff) % 11, c.toLong + 1,
+          java.sql.Timestamp.valueOf(f"1995-0${1 + dayOff}%d-1${c}%d 00:00:00"),
+          (f % 50 + c).toDouble)))
+        .toDF("l_orderkey", "l_suppkey", "l_partkey", "l_linenumber",
+          "l_shipdate", "l_quantity")
+    val dir = s"/tmp/graft-test-zmgc-${java.util.UUID.randomUUID()}"
+    val table = s"$dir/lineitem.parquet"
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // three ticks: initial build + two appends = three generations
+    liRows(0L until 6L, 0).coalesce(1).write.parquet(table)
+    ops.Storage.ensureZoneMap(spark, dir)
+    liRows(6L until 12L, 1).coalesce(1).write.mode("append").parquet(table)
+    ops.Storage.ensureZoneMap(spark, dir)
+    liRows(12L until 18L, 2).coalesce(1).write.mode("append").parquet(table)
+    val cur = ops.Storage.ensureZoneMap(spark, dir)
+    val label = ops.Derived.labelFor(table) + "_"
+    val gens = fs.listStatus(new org.apache.hadoop.fs.Path(
+        ops.Derived.familyDir(ops.Storage.ZonemapFamily)))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(label))
+      .map(_.getPath.getName)
+    assert(gens.length <= 1 + ops.Derived.keepGenerations,
+      s"superseded generations not retired: ${gens.toSeq}")
+    assert(gens.contains(new org.apache.hadoop.fs.Path(cur).getName),
+      "GC must never touch the just-published generation")
+    // the surviving current artifact still answers correctly
+    val got = ops.Storage.zonemapMerge(spark.read.parquet(cur))
+      .agg(sum("n_chunks")).head.getLong(0)
+    assert(got == 18L * 3, s"current artifact wrong after GC: $got chunks")
+  }
+
+  test("generation GC: an in-flight reader of a retired generation does not crash the GC") {
+    import spark.implicits._
+    def liRows(ids: Seq[Long], dayOff: Int) =
+      ids.map(f => (f, 100L + f % 7, 200L + (f + dayOff) % 11, 1L,
+          java.sql.Timestamp.valueOf(f"1995-0${1 + dayOff}%d-11 00:00:00"), 1.0))
+        .toDF("l_orderkey", "l_suppkey", "l_partkey", "l_linenumber",
+          "l_shipdate", "l_quantity")
+    val dir = s"/tmp/graft-test-zmgcreader-${java.util.UUID.randomUUID()}"
+    val table = s"$dir/lineitem.parquet"
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    liRows(0L until 6L, 0).coalesce(1).write.parquet(table)
+    val gen1 = ops.Storage.ensureZoneMap(spark, dir)
+    // the in-flight reader: a part file of generation 1 held OPEN
+    val gen1Part = fs.listStatus(new org.apache.hadoop.fs.Path(gen1))
+      .filter(st => st.isFile && st.getPath.getName.startsWith("part-")).head
+    val in = fs.open(gen1Part.getPath)
+    try {
+      // two more ticks push generation 1 past the keep budget
+      liRows(6L until 12L, 1).coalesce(1).write.mode("append").parquet(table)
+      ops.Storage.ensureZoneMap(spark, dir)
+      liRows(12L until 18L, 2).coalesce(1).write.mode("append").parquet(table)
+      ops.Storage.ensureZoneMap(spark, dir) // GC retires gen1 — must not throw
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(gen1)),
+        "generation 1 should be retired after two further ticks")
+      // POSIX/HDFS: the ALREADY-OPEN stream keeps reading inode-alive
+      // bytes (sequential read — a positioned read would re-open by
+      // path through ChecksumFileSystem and correctly FNF)
+      val buf = new Array[Byte](4)
+      val n = in.read(buf)
+      assert(n == 4 && buf.sameElements("PAR1".getBytes("US-ASCII")),
+        "in-flight reader lost its bytes mid-GC")
+    } finally in.close()
+  }
+
+  test("bestOverlapBase skips '.old-' trash dirs (ADVICE r17: replace/GC trash window)") {
+    val src = s"/tmp/graft-test-oldskip-${java.util.UUID.randomUUID()}/lineitem.parquet"
+    val fam = ops.Derived.familyDir(ops.Storage.ZonemapFamily)
+    val label = ops.Derived.labelFor(src)
+    val fs = new org.apache.hadoop.fs.Path(fam)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a crashed replace/retire's stranded trash: marker + _MANIFEST
+    // complete, but the dir is on its way OUT — selecting it as the
+    // evolve base races its deletion
+    val trash = new org.apache.hadoop.fs.Path(s"$fam/${label}_mdeadbeef.old-abc123")
+    fs.mkdirs(trash)
+    try {
+      val m = fs.create(new org.apache.hadoop.fs.Path(trash, "_MANIFEST"))
+      try m.write("1\t1\tfileA\n".getBytes("UTF-8")) finally m.close()
+      val s2 = fs.create(new org.apache.hadoop.fs.Path(trash, "_SUCCESS"))
+      try s2.write(Array.empty[Byte]) finally s2.close()
+      val got = ops.Storage.bestOverlapBase(spark, ops.Storage.ZonemapFamily,
+        src, Seq("1\t1\tfileA", "2\t2\tfileB"))
+      assert(!got.exists(_._1.contains(".old-")),
+        s"selected a trash dir as the extend base: $got")
+    } finally fs.delete(trash, true)
+  }
+
+  test("generation GC sweeps TTL-aged orphan staging dirs, spares young ones") {
+    import spark.implicits._
+    val dir = s"/tmp/graft-test-zmorphan-${java.util.UUID.randomUUID()}"
+    val table = s"$dir/lineitem.parquet"
+    Seq((1L, 2L, 3L, 1L,
+        java.sql.Timestamp.valueOf("1995-01-11 00:00:00"), 1.0))
+      .toDF("l_orderkey", "l_suppkey", "l_partkey", "l_linenumber",
+        "l_shipdate", "l_quantity")
+      .coalesce(1).write.parquet(table)
+    val fam = ops.Derived.familyDir(ops.Storage.ZonemapFamily)
+    val label = ops.Derived.labelFor(table)
+    val fs = new org.apache.hadoop.fs.Path(fam)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val aged = new org.apache.hadoop.fs.Path(s"$fam/${label}_mcafe01.build-dead01")
+    val young = new org.apache.hadoop.fs.Path(s"$fam/${label}_mcafe02.build-dead02")
+    fs.mkdirs(aged); fs.mkdirs(young)
+    fs.setTimes(aged, System.currentTimeMillis() - ops.Derived.orphanTtlMs - 60000, -1)
+    try {
+      ops.Storage.ensureZoneMap(spark, dir) // fresh build triggers the sweep
+      assert(!fs.exists(aged), "TTL-aged orphan staging dir not swept")
+      assert(fs.exists(young), "young staging dir must be spared (may be in-flight)")
+    } finally { fs.delete(aged, true); fs.delete(young, true) }
+  }
+
   test("z-order interleave: known bit patterns; layout boxes beat 1-D order on a 2-D probe") {
     // zExpr(3, 5): a=0b11 → even bits 1+4; b=0b101 → odd bits 2+32 ⇒ 39
     val z35 = spark.sql(
