@@ -114,36 +114,193 @@ object LlmPipeline {
     * strings) spent 16× the hashing work and fell to SortAggregate —
     * variable-length string agg buffers can't hash-aggregate; BIGINT
     * mins can, and shuffle 8 B per (doc, permutation) instead of 32.
+    *
+    * READ-THROUGH over the PERSISTED substrate (VERDICT r17 #1): the
+    * session memo caches a plain scan of the manifest-keyed artifact
+    * ([[ensureMinhashBanded]]) — a cold session (or second JVM) reads
+    * the signature table instead of re-paying the corpus scan, and a
+    * manifest tick evolves the artifact (append-exact: signatures are
+    * per-doc) instead of rebuilding it.
     */
   private[graft] def minhashBanded(s: SparkSession, d: String): DataFrame =
-    corpusMemo(minhashBandedMemo, s, d)(minhashBandedBuild(s, d))
+    corpusMemo(minhashBandedMemo, s, d)(
+      s.read.parquet(ensureMinhashBanded(s, d))
+        .select("doc_id", "band", "band_key"))
 
-  /** Session memo for the pinned banded signatures: SIX call sites
-    * consume them (sig/pairs registry queries, the cc-label build,
-    * cross-source, cluster stats, verify), each previously re-running
-    * the signature aggregation. Pinned state is 4 rows × ~40 B per doc
-    * — strictly smaller than the postings memo it now derives from.
+  /** Session memo for the banded-signature artifact scan: SIX call
+    * sites consume these rows (sig/pairs registry queries, the cc-label
+    * build, cross-source, cluster stats, verify); the memo keeps the
+    * per-call ensure (manifest listing + family-dir enumeration) to
+    * once per session per corpus state.
     */
   private val minhashBandedMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Long), DataFrame]()
 
-  private def minhashBandedBuild(s: SparkSession, d: String): DataFrame = {
-    // the memoized inverted index IS the (doc, 60-bit shingle hash)
-    // base this signature pass needs (same array_distinct + md5/conv
-    // math, to the bit) — deriving from it means the corpus scan and
-    // shingle hashing run once per session across both families
-    val base = ngramPostings(s, d).select(col("doc_id"), col("sh").as("h"))
-    val sigs = base.groupBy("doc_id").agg(
-      min(col("h").bitwiseXOR(lit(MinhashSalts.head))).as("sig0"),
-      (1 until 16).map(i => min(col("h").bitwiseXOR(lit(MinhashSalts(i)))).as(s"sig$i")): _*)
+  /** Banded-signature rows for a postings subset, src provenance
+    * carried through the aggregate (a doc lives in exactly one part
+    * file, so grouping by (doc_id, src) is the doc_id grouping).
+    */
+  private def minhashBandedRowsFromPostings(posts: DataFrame): DataFrame = {
+    val sigs = posts.groupBy("doc_id", "src").agg(
+      min(col("sh").bitwiseXOR(lit(MinhashSalts.head))).as("sig0"),
+      (1 until 16).map(i => min(col("sh").bitwiseXOR(lit(MinhashSalts(i)))).as(s"sig$i")): _*)
     val bands = (0 until 4).map { b =>
       struct(lit(b).as("band"),
         md5(concat_ws("|",
           (0 until 4).map(i => col(s"sig${4 * b + i}").cast("string")): _*)).as("band_key"))
     }
-    sigs.select(col("doc_id"), explode(array(bands: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
-      .pinned()
+    sigs.select(col("doc_id"), col("src"), explode(array(bands: _*)).as("bk"))
+      .select(col("doc_id"), col("src"),
+        col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+  }
+
+  // ------------------------------------------- persisted dedup substrates
+  /** The dedup tier's corpus-derived substrates — ngram postings,
+    * banded MinHash signatures, SimHash signatures, bucketed embeddings
+    * — as manifest-keyed PERSISTED artifacts (VERDICT r17 #1: they were
+    * per-session memos, so a cold session re-paid a linear corpus scan
+    * per family; q_dedup_overflow_report's 598.8 s sf100 standalone
+    * receipt was exactly that gap). Every substrate row is PER-DOC (a
+    * doc lives in exactly one part file) and carries normalized src
+    * provenance, so the zone-map lifecycle applies verbatim
+    * (Storage.ensureManifestKeyedWithLines): a pure append builds rows
+    * for the delta files only and unions; a retention drop anti-joins
+    * the removed files' rows out; mixed ticks do both; no covered
+    * corpus byte is ever re-read on the evolve path. The reference
+    * analogue: the controller persists what it could recompute from
+    * heartbeats (controller/FileTable.java:107-122, public GitHub).
+    */
+  private[graft] val NgramPostingsFamily = "graft-ngram-postings"
+  private[graft] val MinhashBandedFamily = "graft-minhash-banded"
+  private[graft] val SimhashSigFamily = "graft-simhash-sig"
+  private[graft] val EmbedBucketedFamily = "graft-embed-bucketed"
+
+  /** The shared removal leg: anti-join on src against the (file-count-
+    * sized, broadcast) dropped-path list — the zonemapPartials rule.
+    */
+  private def substrateRemove(s: SparkSession)(
+      prev: DataFrame, removed: Seq[String]): DataFrame = {
+    import s.implicits._
+    if (!prev.columns.contains("src")) null // pre-provenance artifact: decline
+    else {
+      val gone = removed.map(Storage.normSrcStr).toDF("gone_src")
+      prev.join(broadcast(gone), col("src") === col("gone_src"), "left_anti")
+    }
+  }
+
+  /** Per-row substrate lifecycle: `rowsFor(paths)` builds the substrate
+    * rows (src column included) for exactly those part files; append =
+    * rowsFor(delta) unioned, removal = src anti-join.
+    */
+  private def ensureRowSubstrate(s: SparkSession, family: String,
+      table: String, lines: Seq[String])(
+      rowsFor: Seq[String] => DataFrame): String =
+    Storage.ensureManifestKeyedWithLines(s, family, table, lines)(
+      fullBuild = pinned => rowsFor(pinned),
+      deltaBuild = (prev, added) => prev.unionByName(rowsFor(added)),
+      removeBuild = substrateRemove(s))
+
+  /** Inverted-index rows for a set of documents part files: one row per
+    * (doc, distinct shingle), keyed by the shingle's 60-bit base hash,
+    * with src provenance captured at scan time (input_file_name is
+    * only meaningful before the first exchange).
+    */
+  private def ngramPostingsRows(s: SparkSession, paths: Seq[String]): DataFrame =
+    withTk(s.read.parquet(paths: _*))
+      .select(col("doc_id"), Storage.normSrcCol(input_file_name()).as("src"),
+        explode(expr(s"array_distinct($shingles)")).as("sg"))
+      .select(col("doc_id"), col("src"),
+        expr("CAST(conv(substring(md5(sg), 1, 15), 16, 10) AS BIGINT)").as("sh"))
+
+  private[graft] def ensureNgramPostings(s: SparkSession, d: String): String = {
+    val table = s"$d/documents.parquet"
+    ensureRowSubstrate(s, NgramPostingsFamily, table,
+      Storage.manifestLines(s, table))(ngramPostingsRows(s, _))
+  }
+
+  /** The banded-signature artifact derives from the POSTINGS artifact,
+    * never the corpus: the postings rows are exactly the (doc, 60-bit
+    * shingle hash) base the signature aggregate needs, so the corpus
+    * is scanned once (by the postings build) no matter how many
+    * signature families layer on top. The delta leg aggregates only
+    * the delta files' postings (semi-join on src — exact, signatures
+    * are per-doc); the postings ensure is LAZY so a session whose
+    * banded artifact is already current never touches postings.
+    */
+  private[graft] def ensureMinhashBanded(s: SparkSession, d: String): String = {
+    val table = s"$d/documents.parquet"
+    val lines = Storage.manifestLines(s, table)
+    lazy val posts = s.read.parquet(
+      ensureRowSubstrate(s, NgramPostingsFamily, table, lines)(
+        ngramPostingsRows(s, _)))
+    def rowsFor(paths: Seq[String], full: Boolean): DataFrame = {
+      import s.implicits._
+      val base =
+        if (full) posts // the postings artifact covers exactly `lines`
+        else posts.join(
+          broadcast(paths.map(Storage.normSrcStr).toDF("src")),
+          Seq("src"), "left_semi")
+      minhashBandedRowsFromPostings(base)
+    }
+    Storage.ensureManifestKeyedWithLines(s, MinhashBandedFamily, table, lines)(
+      fullBuild = pinned => rowsFor(pinned, full = true),
+      deltaBuild = (prev, added) => prev.unionByName(rowsFor(added, full = false)),
+      removeBuild = substrateRemove(s))
+  }
+
+  /** SimHash signature rows for a set of documents part files. Unlike
+    * the postings-derived MinHash path this MUST scan the corpus:
+    * SimHash weighs shingles WITH multiplicity, postings are distinct.
+    */
+  private def simhashSigRows(s: SparkSession, paths: Seq[String]): DataFrame = {
+    val hs = withTk(s.read.parquet(paths: _*))
+      .select(col("doc_id"), Storage.normSrcCol(input_file_name()).as("src"),
+        explode(expr(shingles)).as("sg"))
+      .select(col("doc_id"), col("src"),
+        expr("CAST(conv(substring(md5(sg), 1, 15), 16, 10) AS BIGINT)").as("h"))
+    val bitSums = (1 to 32).map { b =>
+      sum(when(expr(s"(h >> ${b - 1}) & 1 = 1"), 1L).otherwise(-1L)).as(s"v$b")
+    }
+    val sim = (1 to 32).map { b =>
+      s"(CASE WHEN v$b > 0 THEN CAST(pow(2, ${32 - b}) AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString(" + ")
+    hs.groupBy("doc_id", "src").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), col("src"), expr(sim).as("simhash"))
+  }
+
+  private[graft] def ensureSimhashSig(s: SparkSession, d: String): String = {
+    val table = s"$d/documents.parquet"
+    ensureRowSubstrate(s, SimhashSigFamily, table,
+      Storage.manifestLines(s, table))(simhashSigRows(s, _))
+  }
+
+  /** Bucketed-embedding rows for a set of embeddings part files: label,
+    * milli-quantized vector, exact squared norm, sign-LSH bucket, src.
+    * Pure per-row projection — no shuffle anywhere in the build.
+    */
+  private def embedBucketedRows(s: SparkSession, paths: Seq[String]): DataFrame =
+    s.read.parquet(paths: _*)
+      .select(col("vec_id"), col("label"), expr(quant).as("q"),
+        Storage.normSrcCol(input_file_name()).as("src"))
+      .withColumn("n2", expr(dotL("q", "q")))
+      .withColumn("bucket", expr(lshBucketExpr(lshPlaneDot)).cast("int"))
+
+  private[graft] def ensureEmbedBucketed(s: SparkSession, d: String): String = {
+    val table = s"$d/embeddings.parquet"
+    ensureRowSubstrate(s, EmbedBucketedFamily, table,
+      Storage.manifestLines(s, table))(embedBucketedRows(s, _))
+  }
+
+  /** Test seam: drop every substrate session memo so a spec can replay
+    * a SECOND session against the persisted artifacts (the corruption
+    * witnesses corrupt the corpus in place, clear the memos, and prove
+    * the re-read serves artifact rows without touching a corpus byte).
+    */
+  private[graft] def clearSubstrateMemos(): Unit = {
+    ngramPostingsMemo.clear()
+    minhashBandedMemo.clear()
+    simhashSigMemo.clear()
+    embedBucketedMemo.clear()
   }
 
   /** q_dedup_minhash_sig — per-doc banded MinHash signature. This is the
@@ -260,8 +417,8 @@ object LlmPipeline {
     */
   private def corpusMemo[V](
       memo: java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Long), V],
-      s: SparkSession, d: String)(build: => V): V = {
-    val key = (s, d, Derived.sourceMtime(s, s"$d/documents.parquet"))
+      s: SparkSession, d: String, table: String = "documents.parquet")(build: => V): V = {
+    val key = (s, d, Derived.sourceMtime(s, s"$d/$table"))
     if (!memo.containsKey(key)) {
       val it = memo.keys()
       while (it.hasMoreElements) {
@@ -476,24 +633,16 @@ object LlmPipeline {
     * dedupSimhash so the overflow report shares the exact signature
     * math with pair generation. One md5 + conv per shingle (the
     * minhashBanded base-hash trick); bit b of the signature is integer
-    * bit-test (h >> b) & 1 — the previous form ran 32
-    * substring-compares per shingle over the hex string, which is 32
-    * string ops where 32 codegen'd shifts suffice.
+    * bit-test (h >> b) & 1 (the build lives in [[simhashSigRows]]).
+    * Read-through over the persisted artifact (ensureSimhashSig), the
+    * minhashBanded discipline.
     */
-  private[graft] def simhashSig(s: SparkSession, d: String): DataFrame = {
-    val hs = withTk(Tables.documents(s, d))
-      .select(col("doc_id"), explode(expr(shingles)).as("s"))
-      .select(col("doc_id"),
-        expr("CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)").as("h"))
-    val bitSums = (1 to 32).map { b =>
-      sum(when(expr(s"(h >> ${b - 1}) & 1 = 1"), 1L).otherwise(-1L)).as(s"v$b")
-    }
-    val sim = (1 to 32).map { b =>
-      s"(CASE WHEN v$b > 0 THEN CAST(pow(2, ${32 - b}) AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
-    }.mkString(" + ")
-    hs.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"), expr(sim).as("simhash"))
-  }
+  private[graft] def simhashSig(s: SparkSession, d: String): DataFrame =
+    corpusMemo(simhashSigMemo, s, d)(
+      s.read.parquet(ensureSimhashSig(s, d)).select("doc_id", "simhash"))
+
+  private val simhashSigMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Long), DataFrame]()
 
   /** Pair-generation core for SimHash signatures (doc_id, simhash) —
     * factored out so specs can drive it with synthetic degenerate
@@ -617,9 +766,18 @@ object LlmPipeline {
       .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
     val sh = verifyShingleHashes(s, d, docsInPairs).pinned()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // sh broadcasts EXPLICITLY (candidate-set-bounded by the semi-join
+    // above — the same bound that caps the pair list) so `pairs` stays
+    // the STREAM side: the pin preserves pairs' range partitioning on
+    // (doc_a, doc_b), which the n_inter aggregate then satisfies with
+    // ZERO exchange. Stats-driven planning picked this shape while the
+    // substrates were session-pinned; the persisted-artifact read
+    // changed the estimates and flipped the build side, re-keying the
+    // aggregate — the hint pins the intended plan (PlanShapeSpec's
+    // 2-shuffle budget) independent of estimates.
     val inter = pairs
-      .join(sh.select(col("doc_id").as("doc_a"), col("h")), Seq("doc_a"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("h")), Seq("doc_b", "h"))
+      .join(broadcast(sh.select(col("doc_id").as("doc_a"), col("h"))), Seq("doc_a"))
+      .join(broadcast(sh.select(col("doc_id").as("doc_b"), col("h"))), Seq("doc_b", "h"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
     // inner join on inter: a zero-intersection candidate cannot pass
     // J > 1/2, so the left-coalesce of dedupVerify is dead weight here
@@ -736,23 +894,17 @@ object LlmPipeline {
     */
   private[graft] def ngramPostings(s: SparkSession, d: String): DataFrame =
     corpusMemo(ngramPostingsMemo, s, d)(
-      withTk(Tables.documents(s, d))
-        .select(col("doc_id"), explode(expr(s"array_distinct($shingles)")).as("s"))
-        .select(col("doc_id"),
-          expr("CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)").as("sh"))
-        .pinned())
+      s.read.parquet(ensureNgramPostings(s, d)).select("doc_id", "sh"))
 
   /** Session memo for the pinned inverted index: SEVEN registry queries
     * consume these rows (ngram/collapsed-jaccard pairs, boilerplate,
     * source overlap, the three decontamination forms), and the
     * decontamination family reads them on TWO plan branches (benchmark
-    * + train) — unmemoized, each consumer re-runs the corpus scan →
-    * tokenize → shingle-explode → hash pass, the single most re-executed
-    * subtree in the registry. Pinned state is 16 B × |distinct (doc,
-    * shingle)| (localCheckpoint spills to disk past the storage
-    * fraction); at 100 TB this is the job you run once and PERSIST —
-    * the Derived.ensure index lifecycle — with the session memo as its
-    * in-session equivalent, same staleness key (corpus mtime).
+    * + train) — unmemoized, each consumer would re-run the ensure's
+    * manifest listing per call. The rows themselves come from the
+    * PERSISTED postings artifact (ensureNgramPostings — the job a
+    * 100 TB lake runs once at ingest), so the memo holds a plain
+    * parquet scan, not pinned blocks.
     */
   private val ngramPostingsMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Long), DataFrame]()
@@ -930,13 +1082,17 @@ object LlmPipeline {
     * with its label, milli-quantized vector, exact squared norm, and the
     * deterministic sign-LSH bucket from the shared [[LshPlanes]] — the
     * same planes q_sim_search_lsh probes, so the block key is
-    * data-independent and oracle-exact on both engines.
+    * data-independent and oracle-exact on both engines. Read-through
+    * over the persisted artifact (ensureEmbedBucketed, keyed on the
+    * embeddings manifest), the minhashBanded discipline.
     */
   private[graft] def embedBucketed(s: SparkSession, d: String): DataFrame =
-    Tables.embeddings(s, d)
-      .select(col("vec_id"), col("label"), expr(quant).as("q"))
-      .withColumn("n2", expr(dotL("q", "q")))
-      .withColumn("bucket", expr(lshBucketExpr(lshPlaneDot)).cast("int"))
+    corpusMemo(embedBucketedMemo, s, d, "embeddings.parquet")(
+      s.read.parquet(ensureEmbedBucketed(s, d))
+        .select("vec_id", "label", "q", "n2", "bucket"))
+
+  private val embedBucketedMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Long), DataFrame]()
 
   /** Pair-generation core for bucketed embeddings (vec_id, label, q, n2,
     * bucket) — the minhashPairsFromBanded discipline applied to the
@@ -1732,9 +1888,14 @@ object LlmPipeline {
     * dataset dir (test/bench scale). A production deployment passes an
     * explicit lake path to [[buildIvfIndex]] instead.
     */
-  private[graft] def ivfIndexDir(s: SparkSession, d: String): String =
-    Derived.dirFor(s, IvfFamily, s"$d/embeddings.parquet",
-      version = s"v2m${ivfManifestKey(s, d)}")
+  private[graft] def ivfIndexDir(s: SparkSession, d: String): String = {
+    val src = s"$d/embeddings.parquet"
+    val ver = s"v2m${ivfManifestKey(s, d)}"
+    // refits live as '-r<n>' generations of the same key — resolve to
+    // the newest complete one (the dir ensureIvfIndex would serve)
+    Derived.resolveGeneration(s, IvfFamily, src, ver, IvfMarker)
+      .getOrElse(Derived.dirFor(s, IvfFamily, src, version = ver))
+  }
 
   /** The manifest component of the IVF artifact key — shared by
     * dirFor and ensure so the two can never disagree on the dir.
@@ -1784,7 +1945,11 @@ object LlmPipeline {
     val assigned = model.transform(e)
       .select(col("vec_id"), col("q"), col("bucket"), col("src"),
         org.apache.spark.ml.functions.vector_to_array(col("fv")).as("fvarr"))
-    assigned.select("vec_id", "q", "bucket", "src")
+    assigned.select(col("vec_id"), col("q"), col("bucket"), col("src"),
+        // base/appended provenance: what lets a later REMOVAL tick
+        // decrement the right side of the staleness census (ADVICE r17:
+        // n_base was never decremented, understating appended_frac)
+        lit(false).as("appended"))
       .write.mode("overwrite").parquet(s"$indexDir/assignments")
     val centroids = model.clusterCenters.toSeq.zipWithIndex.map {
       case (c, i) => (i, c.toArray.toSeq)
@@ -1869,7 +2034,7 @@ object LlmPipeline {
     else {
       val src = s"$d/embeddings.parquet"
       val lines = Storage.manifestLines(s, src)
-      Derived.replace(s, IvfFamily, src,
+      Derived.replaceVersioned(s, IvfFamily, src,
         version = s"v2m${ivfKeyOf(lines)}", marker = IvfMarker) { tmp =>
         buildIvfIndexFrom(s,
           s.read.parquet(Storage.manifestPath(lines): _*), tmp)
@@ -1886,20 +2051,37 @@ object LlmPipeline {
   def ivfStaleness(s: SparkSession, d: String): DataFrame = {
     val st = s.read.parquet(s"${ensureIvfIndex(s, d)}/stats")
     val base = st.where(col("kind") === "build")
-      .select(col("n_vecs").as("n_base"), col("mean_dist2").as("base_mean_dist2"))
+      .select(col("n_vecs").as("n_base_raw"), col("mean_dist2").as("base_mean_dist2"))
     val delta = st.where(col("kind") === "delta")
-      .agg(coalesce(sum(col("n_vecs")), lit(0L)).as("n_appended"),
+      .agg(coalesce(sum(col("n_vecs")), lit(0L)).as("n_appended_raw"),
         // n-weighted mean across appends: Σ(nᵢ·meanᵢ)/Σnᵢ
         (sum(col("n_vecs") * col("mean_dist2")) / sum(col("n_vecs")))
           .as("delta_mean_dist2"))
-    base.join(broadcast(delta))
-      .select(col("n_base"), col("n_appended"),
-        (col("n_appended").cast("double") /
-          (col("n_base") + col("n_appended")).cast("double")).as("appended_frac"),
-        col("base_mean_dist2"), col("delta_mean_dist2"),
-        (col("delta_mean_dist2") / col("base_mean_dist2")).as("drift_ratio"))
+    // removal adjustments (ADVICE r17): evolveIvfIndex records each
+    // removal's base/appended row census, so n_base here tracks the
+    // LIVE base — without it, heavy retention drops understated
+    // appended_frac and the IvfStaleFrac leg under-fired (the one
+    // anti-conservative bias the high-reading means don't cover)
+    val adj = st.where(col("kind").startsWith("removed_"))
+      .agg(coalesce(sum(when(col("kind") === "removed_base", col("n_vecs"))), lit(0L))
+          .as("rm_base"),
+        coalesce(sum(when(col("kind") === "removed_appended", col("n_vecs"))), lit(0L))
+          .as("rm_appended"))
+    base.join(broadcast(delta)).join(broadcast(adj))
+      .select((col("n_base_raw") - col("rm_base")).as("n_base"),
+        (col("n_appended_raw") - col("rm_appended")).as("n_appended"),
+        col("base_mean_dist2"), col("delta_mean_dist2"))
+      .withColumn("appended_frac",
+        col("n_appended").cast("double") /
+          (col("n_base") + col("n_appended")).cast("double"))
+      .withColumn("drift_ratio", col("delta_mean_dist2") / col("base_mean_dist2"))
+      .select(col("n_base"), col("n_appended"), col("appended_frac"),
+        col("base_mean_dist2"), col("delta_mean_dist2"), col("drift_ratio"))
       .withColumn("recluster",
-        coalesce(col("drift_ratio") > IvfStaleRatio, lit(false)) ||
+        // drift leg gated on LIVE appended rows: a fully-retained drop
+        // of every appended vector leaves stale delta means behind
+        (col("n_appended") > 0 &&
+          coalesce(col("drift_ratio") > IvfStaleRatio, lit(false))) ||
           col("appended_frac") > IvfStaleFrac)
   }
 
@@ -1939,15 +2121,28 @@ object LlmPipeline {
     // pinned full-build read, AND the written _MANIFEST — never two
     // separate snapshots that a concurrent append could split
     val lines = Storage.manifestLines(s, src)
-    Derived.ensure(s, IvfFamily, src,
+    // a recluster refit publishes as a '-r<n>' GENERATION of this same
+    // manifest key (Derived.replaceVersioned — readers of the previous
+    // generation keep their files); resolve to the newest before the
+    // base-version ensure, or a post-refit call would rebuild (or
+    // serve) the superseded base
+    Derived.resolveGeneration(s, IvfFamily, src,
+        s"v2m${ivfKeyOf(lines)}", IvfMarker) match {
+      case Some(latest) => return latest
+      case None => ()
+    }
+    val published = Derived.ensure(s, IvfFamily, src,
       version = s"v2m${ivfKeyOf(lines)}", marker = IvfMarker) { tmp =>
-      // a base from before per-row provenance + staleness stats cannot
-      // extend or subtract — fall through to the full build
+      // a base from before per-row provenance + staleness stats + the
+      // base/appended census flag cannot extend or subtract — fall
+      // through to the full build
       def currentFormat(dir: String): Boolean = {
         val fs = new org.apache.hadoop.fs.Path(dir)
           .getFileSystem(s.sparkContext.hadoopConfiguration)
-        fs.exists(new org.apache.hadoop.fs.Path(s"$dir/stats")) &&
-          s.read.parquet(s"$dir/assignments").columns.contains("src")
+        fs.exists(new org.apache.hadoop.fs.Path(s"$dir/stats")) && {
+          val cols = s.read.parquet(s"$dir/assignments").columns
+          cols.contains("src") && cols.contains("appended")
+        }
       }
       Storage.bestOverlapBase(s, IvfFamily, src, lines,
         marker = IvfMarker) match {
@@ -1974,6 +2169,10 @@ object LlmPipeline {
       try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
       finally out.close()
     }
+    // reached only when no complete generation existed (resolve above
+    // short-circuits otherwise), i.e. a build just published: GC
+    Derived.retireSuperseded(s, IvfFamily, src, published, marker = IvfMarker)
+    published
   }
 
   /** Frozen-centroid index evolution, both diff directions in one pass:
@@ -1993,12 +2192,25 @@ object LlmPipeline {
       removed: Seq[String], added: Seq[String], tmp: String): Unit = {
     import s.implicits._
     val prevAsg = s.read.parquet(s"$prevDir/assignments")
+    val gone = removed.map(Storage.normSrcStr).toDF("gone_src")
     val surviving =
       if (removed.isEmpty) prevAsg
-      else {
-        val gone = removed.map(Storage.normSrcStr).toDF("gone_src")
-        prevAsg.join(broadcast(gone), col("src") === col("gone_src"), "left_anti")
-      }
+      else prevAsg.join(broadcast(gone), col("src") === col("gone_src"), "left_anti")
+    // removal census for the staleness verdict (ADVICE r17): how many
+    // dropped rows were base vs appended — one agg over INDEX rows
+    // (already in hand for the anti-join), recorded as adjustment rows
+    // so the verdict itself stays a metadata-row read. Means stay as
+    // recorded at build/extend time (partially-removed appends keep
+    // their original weight — conservative: drift reads high).
+    val removedAdj =
+      if (removed.isEmpty) None
+      else Some(prevAsg
+        .join(broadcast(gone), col("src") === col("gone_src"), "left_semi")
+        .groupBy("appended").agg(count(lit(1)).as("n_vecs"))
+        .select(
+          when(col("appended"), lit("removed_appended"))
+            .otherwise(lit("removed_base")).as("kind"),
+          col("n_vecs"), lit(null).cast("double").as("mean_dist2")))
     val assigned =
       if (added.isEmpty) None
       else {
@@ -2016,19 +2228,23 @@ object LlmPipeline {
               "CAST(0 AS DOUBLE), (acc, x) -> acc + x)"))
           .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
           .select(col("vec_id"), col("q"),
-            col("cent_id").cast("int").as("bucket"), col("src"), col("dist2"))
+            col("cent_id").cast("int").as("bucket"), col("src"),
+            lit(true).as("appended"), col("dist2"))
           .pinned()) // consumed twice: assignment rows + the staleness row
       }
     assigned.fold(surviving)(a => surviving.unionByName(a.drop("dist2")))
       .write.mode("overwrite").parquet(s"$tmp/assignments")
     // staleness accounting (VERDICT r16 #4): record each delta's mean
-    // distance-to-frozen-centroid next to the build-time baseline —
-    // what ivfStaleness compares to decide the recluster flag
-    assigned.fold(s.read.parquet(s"$prevDir/stats")) { a =>
+    // distance-to-frozen-centroid next to the build-time baseline, and
+    // each removal's base/appended row census (ADVICE r17) — what
+    // ivfStaleness reads to decide the recluster flag
+    val withDelta = assigned.fold(s.read.parquet(s"$prevDir/stats")) { a =>
       s.read.parquet(s"$prevDir/stats").unionByName(
         a.agg(count(lit(1)).as("n_vecs"), avg(col("dist2")).as("mean_dist2"))
           .select(lit("delta").as("kind"), col("n_vecs"), col("mean_dist2")))
-    }.coalesce(1).write.mode("overwrite").parquet(s"$tmp/stats")
+    }
+    removedAdj.fold(withDelta)(withDelta.unionByName(_))
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/stats")
     // centroids stay FROZEN and copy LAST: the commit marker
     s.read.parquet(s"$prevDir/centroids").coalesce(1)
       .write.mode("overwrite").parquet(s"$tmp/centroids")
@@ -3707,9 +3923,12 @@ object LlmPipeline {
       .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
     val sh = verifyShingleHashes(s, d, docsInPairs).pinned()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // explicit broadcast on the candidate-bounded sh legs keeps pairs
+    // the stream side so the n_inter aggregate rides pairs' pinned
+    // range partitioning exchange-free (see nearBandedVerified)
     val inter = pairs
-      .join(sh.select(col("doc_id").as("doc_a"), col("h")), Seq("doc_a"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("h")), Seq("doc_b", "h"))
+      .join(broadcast(sh.select(col("doc_id").as("doc_a"), col("h"))), Seq("doc_a"))
+      .join(broadcast(sh.select(col("doc_id").as("doc_b"), col("h"))), Seq("doc_b", "h"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
     pairs
       .join(inter, Seq("doc_a", "doc_b"), "left")

@@ -301,6 +301,30 @@ class LlmPipelineSpec extends AnyFunSuite {
     // the shared trigram is the only over-df shingle, at its exact df
     assert(byFam("ngram").map(_._4).toSeq == Seq(120L),
       s"ngram overflow: ${byFam("ngram").toList}")
+    // ADVICE r17: the SQL mirror had only ever been exercised on the
+    // EMPTY fixture result — run the five HAVING-count mirrors (the
+    // SqlSurface text) against this planted corpus and pin text-SQL ≡
+    // engine on the NON-empty path (a band/bit formula drift between
+    // the dialects now fails here instead of passing CI)
+    try {
+      Tables.documents(spark, dir).createOrReplaceTempView("documents")
+      Tables.embeddings(spark, dir).createOrReplaceTempView("embeddings")
+      val sql = SqlSurface.sqlFor("q_dedup_overflow_report")
+        .getOrElse(fail("no SQL surface for q_dedup_overflow_report"))
+      val (sqlCols, sqlRows) = SqlSurface.canon(spark.sql(sql))
+      val (engCols, engRows) =
+        SqlSurface.canon(ops.LlmPipeline.dedupOverflowReport(spark, dir))
+      assert(sqlCols == engCols, s"mirror schema drift: $sqlCols vs $engCols")
+      assert(sqlRows.nonEmpty && sqlRows == engRows,
+        s"SQL mirror != engine on planted hot blocks: " +
+          s"sql=${sqlRows.take(3)} eng=${engRows.take(3)}")
+    } finally {
+      // restore the fixture views other suites register by name
+      Tables.documents(spark, SparkTestSession.sf0001)
+        .createOrReplaceTempView("documents")
+      Tables.embeddings(spark, SparkTestSession.sf0001)
+        .createOrReplaceTempView("embeddings")
+    }
   }
 
   test("IVF index append lifecycle: frozen centroids, stable assignments, delta-only scan") {
@@ -502,7 +526,59 @@ class LlmPipelineSpec extends AnyFunSuite {
     assert(fix.getAs[Long]("n_appended") == 0L && !fix.getAs[Boolean]("recluster"))
   }
 
-  test("ivfReclusterIfStale: drifted index refits in place and the verdict returns to quiet") {
+  test("ivf staleness removal census: retention drops decrement the right side (ADVICE r17)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(777)
+    def vecs(ids: Range, offset: Double) = ids.map(i =>
+      (i.toLong, Seq.fill(64)(rnd.nextFloat() * 2 - 1 + offset), (i % 10)))
+        .toDF("vec_id", "embedding", "label")
+    def parts(table: String) = {
+      val fs = new org.apache.hadoop.fs.Path(table)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(new org.apache.hadoop.fs.Path(table))
+        .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+        .sortBy(_.getModificationTime)
+    }
+    // scenario 1: heavy BASE retention drop — pre-fix n_base kept the
+    // build-time 300, understating appended_frac (100/400 = 0.25) and
+    // never firing; live census reads 100/160 = 0.625 > 0.5
+    val dirA = s"/tmp/graft-test-ivfrmbase-${java.util.UUID.randomUUID()}"
+    val tblA = s"$dirA/embeddings.parquet"
+    vecs(0 until 240, 0.0).coalesce(1).write.parquet(tblA)
+    Thread.sleep(1100) // distinct part mtimes so "oldest" is stable
+    vecs(240 until 300, 0.0).coalesce(1).write.mode("append").parquet(tblA)
+    ops.LlmPipeline.ensureIvfIndex(spark, dirA)
+    vecs(1000 until 1100, 0.0).coalesce(1).write.mode("append").parquet(tblA)
+    ops.LlmPipeline.ensureIvfIndex(spark, dirA)
+    val fsA = new org.apache.hadoop.fs.Path(tblA)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fsA.delete(parts(tblA).head.getPath, false) // drop the 240-vec base file
+    val a = ops.LlmPipeline.ivfStaleness(spark, dirA).collect().head
+    assert(a.getAs[Long]("n_base") == 60L && a.getAs[Long]("n_appended") == 100L,
+      s"removal census wrong: $a")
+    assert(a.getAs[Double]("appended_frac") > ops.LlmPipeline.IvfStaleFrac &&
+      a.getAs[Boolean]("recluster"),
+      s"post-retention minority base must flag a recluster: $a")
+    // scenario 2: the DRIFTED append itself is retained away — its
+    // stale delta means must not keep the drift leg firing
+    val dirB = s"/tmp/graft-test-ivfrmdelta-${java.util.UUID.randomUUID()}"
+    val tblB = s"$dirB/embeddings.parquet"
+    vecs(0 until 300, 0.0).coalesce(1).write.parquet(tblB)
+    ops.LlmPipeline.ensureIvfIndex(spark, dirB)
+    Thread.sleep(1100)
+    vecs(1000 until 1060, 5.0).coalesce(1).write.mode("append").parquet(tblB)
+    ops.LlmPipeline.ensureIvfIndex(spark, dirB)
+    assert(ops.LlmPipeline.ivfStaleness(spark, dirB)
+      .collect().head.getAs[Boolean]("recluster"), "drifted append must flag")
+    val fsB = new org.apache.hadoop.fs.Path(tblB)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fsB.delete(parts(tblB).last.getPath, false) // drop the drifted file
+    val b = ops.LlmPipeline.ivfStaleness(spark, dirB).collect().head
+    assert(b.getAs[Long]("n_appended") == 0L && !b.getAs[Boolean]("recluster"),
+      s"removed append's stale delta means must not fire the drift leg: $b")
+  }
+
+  test("ivfReclusterIfStale: drifted index refits as a new generation and the verdict returns to quiet") {
     import spark.implicits._
     val rnd = new scala.util.Random(2121)
     def vecs(ids: Range, offset: Double) = ids.map(i =>
@@ -518,25 +594,38 @@ class LlmPipelineSpec extends AnyFunSuite {
       "quiet index must not refit")
     assert(spark.read.parquet(s"$idx/centroids")
       .as[(Int, Seq[Double])].collect().sortBy(_._1).toSeq == centsBefore)
-    // drifted append flags; the job refits IN PLACE (same artifact dir)
+    // drifted append flags; the refit publishes as the NEXT '-r<n>'
+    // GENERATION of the same manifest key (ADVICE r17: the old
+    // in-place swap had an absence window that could FNF a racing
+    // reader) — the superseded generation stays on disk for its
+    // in-flight readers
     vecs(1000 until 1060, 5.0).coalesce(1).write.mode("append")
       .parquet(s"$dir/embeddings.parquet")
     val idx2 = ops.LlmPipeline.ensureIvfIndex(spark, dir)
+    // the in-flight reader: a DataFrame holding the pre-refit files
+    val preReader = spark.read.parquet(s"$idx2/assignments")
     assert(ops.LlmPipeline.ivfStaleness(spark, dir)
       .collect().head.getAs[Boolean]("recluster"))
     assert(ops.LlmPipeline.ivfReclusterIfStale(spark, dir), "drift must refit")
-    // same canonical dir, new content: centroids moved (the one
+    // a new generation dir resolves; centroids moved (the one
     // sanctioned suspension of the frozen-centroid contract), every
     // vector re-assigned, and the staleness baseline restarted — the
     // verdict is quiet again with zero delta rows
-    val centsAfter = spark.read.parquet(s"$idx2/centroids")
+    val idx3 = ops.LlmPipeline.ensureIvfIndex(spark, dir)
+    assert(idx3 != idx2 && idx3.contains("-r"),
+      s"refit must publish a new generation: $idx2 -> $idx3")
+    val centsAfter = spark.read.parquet(s"$idx3/centroids")
       .as[(Int, Seq[Double])].collect().sortBy(_._1).toSeq
     assert(centsAfter != centsBefore, "refit did not move the centroids")
     val st = ops.LlmPipeline.ivfStaleness(spark, dir).collect().head
     assert(st.getAs[Long]("n_base") == 360L &&
       st.getAs[Long]("n_appended") == 0L && !st.getAs[Boolean]("recluster"),
       s"refit did not restart the baseline: $st")
-    assert(spark.read.parquet(s"$idx2/assignments").count() == 360L)
+    assert(spark.read.parquet(s"$idx3/assignments").count() == 360L)
+    // the pre-refit generation's files are still readable end-to-end —
+    // no reader ever observes an absent path
+    assert(preReader.count() == 360L,
+      "in-flight reader of the superseded generation lost its files")
   }
 
   test("ccLabels: chain graphs converge to the global min across rounds") {
