@@ -20,12 +20,19 @@ class FoldChainedXorSpec extends AnyFunSuite {
 
   test("chained constant XORs fold to one (rule applied to the live optimizer)") {
     import spark.implicits._
-    // GraftFunctions.ensureRegistered (run at session acquisition — the
-    // same path Verify/Bench/Explain use) installs the rule via
-    // experimental.extraOptimizations; no per-test splicing, so this
-    // asserts the SHIPPED registration path, not a test-only one
-    assert(spark.experimental.extraOptimizations.contains(plans.FoldChainedXor),
-      "ensureRegistered did not install FoldChainedXor")
+    // the rule must be registered through exactly one shipped path:
+    // the spark.sql.extensions injected batch (the test session since
+    // it adopted the full production conf) or, for sessions built
+    // without extensions, ensureRegistered's extraOptimizations append
+    // — never both (a double registration would run the rule twice)
+    val viaExtensions = spark.conf.getOption("spark.sql.extensions")
+      .exists(_.split(',').map(_.trim)
+        .contains(classOf[functions.GraftExtensions].getName))
+    val viaExtra =
+      spark.experimental.extraOptimizations.contains(plans.FoldChainedXor)
+    assert(viaExtensions ^ viaExtra,
+      s"FoldChainedXor must register via exactly one path " +
+        s"(extensions=$viaExtensions, extraOptimizations=$viaExtra)")
     // parquet-backed source: a local Seq would be constant-folded into
     // a LocalRelation before the xor chain is even visible
     val df = Tables.events(spark, SparkTestSession.sf0001)

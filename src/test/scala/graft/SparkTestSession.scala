@@ -46,6 +46,11 @@ object SparkTestSession {
         "spark.sql.streaming.stateStore.providerClass", other)
     }
     val s = builder
+      // full production registration (native functions + optimizer rule
+      // + the CALL graft.<procedure> parser) — the extensions path a
+      // deployment configures; ensureRegistered below stays as the
+      // idempotent belt-and-suspenders for sessions built without it
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
