@@ -115,6 +115,63 @@ object IvfDriftProbe {
       f"${maxCellShare(spark, idx)}%10.3f")
   }
 
+  /** Base vectors sharing a cell with ≥1 appended vector — the MIXED
+    * mass: a probe of either distribution scans it all under nprobe=1.
+    * The split's job is to drive this to ~0 by giving the drifted
+    * cluster its own cells; a full refit achieves the same by moving
+    * every assignment.
+    */
+  private def mixedBase(spark: SparkSession, idx: String): Long = {
+    val asg = spark.read.parquet(s"$idx/assignments")
+    val appCells = asg.where(col("vec_id") >= 100000L)
+      .select("bucket").distinct()
+    asg.where(col("vec_id") < 100000L)
+      .join(appCells, Seq("bucket"), "left_semi").count()
+  }
+
+  /** The two maintenance actions head-to-head on the same drifted
+    * corpus (VERDICT r17 missing #4): the PARTIAL split (hot cells
+    * only, INDEX rows only) vs the FULL refit (whole-corpus re-read +
+    * KMeans). Wall times converge at local scale (both rewrite the
+    * index-sized artifact); the structural differences are what matter
+    * at 100 TB: the split never touches a corpus byte (it runs against
+    * archived/cold corpus files — the spec corrupts them first), fits
+    * KMeans over the hot-cell mass only, and keeps every cold
+    * assignment verbatim, where the refit re-reads the corpus and
+    * moves every vector. Both must separate the drifted mass from the
+    * base members it contaminated (mixed_base -> 0).
+    */
+  private def splitVsRefit(spark: SparkSession, nBase: Int): Unit = {
+    def build(tag: String): String = {
+      val dir = s"/tmp/graft-ivf-splitvs-$tag-" +
+        java.util.UUID.randomUUID().toString.take(8)
+      vecs(spark, 0 until nBase, 0.0, 42).coalesce(4)
+        .write.parquet(s"$dir/embeddings.parquet")
+      ops.LlmPipeline.ensureIvfIndex(spark, dir)
+      vecs(spark, 100000 until (100000 + nBase / 4), 5.0, 77).coalesce(1)
+        .write.mode("append").parquet(s"$dir/embeddings.parquet")
+      ops.LlmPipeline.ensureIvfIndex(spark, dir)
+      dir
+    }
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+    val dSplit = build("split")
+    val mixedBefore = mixedBase(spark,
+      ops.LlmPipeline.ivfIndexDir(spark, dSplit))
+    val (didSplit, tSplit) = timed(ops.LlmPipeline.ivfSplitHotCells(spark, dSplit))
+    val mixedAfterSplit = mixedBase(spark,
+      ops.LlmPipeline.ivfIndexDir(spark, dSplit))
+    val dRefit = build("refit")
+    val (didRefit, tRefit) = timed(ops.LlmPipeline.ivfReclusterIfStale(spark, dRefit))
+    val mixedAfterRefit = mixedBase(spark,
+      ops.LlmPipeline.ivfIndexDir(spark, dRefit))
+    println(f"split-vs-refit nBase=$nBase%d: split ran=$didSplit " +
+      f"$tSplit%6.2fs (mixed_base $mixedBefore%d -> $mixedAfterSplit%d, corpus NOT read); " +
+      f"refit ran=$didRefit $tRefit%6.2fs (-> $mixedAfterRefit%d, corpus re-read)")
+  }
+
   private def run(spark: SparkSession): Unit = {
     println(f"${"offset"}%6s ${"frac"}%6s ${"n_app"}%6s ${"ratio"}%8s " +
       f"${"frac_m"}%8s ${"reclust"}%8s ${"recall_base"}%12s " +
@@ -125,5 +182,8 @@ object IvfDriftProbe {
     // append-fraction sweep at a fixed moderate drift
     for (frac <- Seq(0.05, 0.10, 0.50, 1.00))
       measure(spark, frac, 1.0)
+    // the maintenance actions head-to-head on the drifted shape
+    for (nBase <- Seq(2000, 20000, 100000))
+      splitVsRefit(spark, nBase)
   }
 }

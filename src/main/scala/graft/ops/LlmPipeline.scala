@@ -2048,6 +2048,110 @@ object LlmPipeline {
     }
   }
 
+  /** Appended-mass concentration (per mille) at which one cell is HOT:
+    * 500 = half the appended vectors in one cell — the IvfDriftProbe
+    * collapse signature (a faithful append spreads ~1/k per cell; the
+    * drifted append measured 0.5 at the verdict threshold crossing and
+    * 0.79 by offset 2).
+    */
+  private[graft] val IvfHotCellPpk = 500L
+
+  /** PARTIAL recluster (VERDICT r17 missing #4): when drift has piled
+    * the appended mass into a few cells, split THOSE cells (k=2 KMeans
+    * over each hot cell's own members) instead of re-fitting the whole
+    * quantizer — cost proportional to the hot-cell mass, not the
+    * corpus, which is the difference between a targeted maintenance
+    * action and a full retrain at 100 TB (faiss's split-then-refine
+    * idiom). Everything reads from INDEX rows (the stored
+    * milli-quantized vectors), never the corpus; vectors outside hot
+    * cells keep their buckets verbatim; the refit publishes as the
+    * next '-r<n>' generation (no reader ever sees an absent path) and
+    * re-baselines staleness: split cells adopt their appends into the
+    * clustered structure, so the stats table restarts with a fresh
+    * build row (computed from quantized vectors — within 1e-6 relative
+    * of the raw-embedding baseline, far inside the 1.5× threshold) and
+    * every row's appended flag clears. Returns whether a split ran.
+    */
+  def ivfSplitHotCells(s: SparkSession, d: String): Boolean = {
+    import s.implicits._
+    val src = s"$d/embeddings.parquet"
+    val idxDir = ensureIvfIndex(s, d)
+    val asg0 = s.read.parquet(s"$idxDir/assignments")
+    if (!asg0.columns.contains("appended")) return false // old format
+    val nApp = asg0.where(col("appended")).count()
+    if (nApp == 0) return false
+    val hot = asg0.where(col("appended"))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+      .where(col("n") * 1000L >= lit(nApp) * IvfHotCellPpk)
+      .select(col("bucket").cast("int")).as[Int].collect().toSeq.sorted
+    if (hot.isEmpty) return false
+    val lines = Storage.manifestLines(s, src)
+    Derived.replaceVersioned(s, IvfFamily, src,
+      version = s"v2m${ivfKeyOf(lines)}", marker = IvfMarker) { tmp =>
+      splitCellsInto(s, idxDir, hot, tmp)
+      val fs = new org.apache.hadoop.fs.Path(tmp)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val out = fs.create(new org.apache.hadoop.fs.Path(tmp, "_MANIFEST"))
+      try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+      finally out.close()
+    }
+    true
+  }
+
+  /** The split body: each hot cell's members re-cluster into two child
+    * cells (fresh cent_ids; the parent centroid retires); cold cells
+    * copy verbatim. Baseline stats recompute from the stored quantized
+    * vectors; centroids write LAST (the commit marker).
+    */
+  private def splitCellsInto(s: SparkSession, prevDir: String,
+      hot: Seq[Int], tmp: String): Unit = {
+    import s.implicits._
+    import org.apache.spark.ml.clustering.KMeans
+    val asg = s.read.parquet(s"$prevDir/assignments")
+    val cents = s.read.parquet(s"$prevDir/centroids")
+    var nextId = cents.agg(max("cent_id")).head.getInt(0) + 1
+    val fvExpr = "transform(q, x -> CAST(x AS DOUBLE) / 1000.0)"
+    val cold = asg.where(!col("bucket").isin(hot.map(Int.box): _*))
+    var parts = Seq(cold.select("vec_id", "q", "bucket", "src"))
+    var newCents = Seq.empty[(Int, Seq[Double])]
+    var retired = Seq.empty[Int]
+    hot.foreach { c =>
+      val members = asg.where(col("bucket") === c)
+      if (members.select("q").distinct().limit(2).count() < 2)
+        parts :+= members.select("vec_id", "q", "bucket", "src") // unsplittable
+      else {
+        val feat = members.withColumn("fv",
+          org.apache.spark.ml.functions.array_to_vector(expr(fvExpr)))
+        val km = new KMeans().setK(2).setSeed(42L).setMaxIter(5)
+          .setFeaturesCol("fv").setPredictionCol("sub").fit(feat)
+        parts :+= km.transform(feat)
+          .select(col("vec_id"), col("q"),
+            (col("sub") + lit(nextId)).cast("int").as("bucket"), col("src"))
+        newCents ++= km.clusterCenters.zipWithIndex.map { case (v, i) =>
+          (nextId + i, v.toArray.toSeq)
+        }
+        retired :+= c
+        nextId += 2
+      }
+    }
+    // the split ADOPTS the appends: every row re-baselines as base
+    val newAsg = parts.reduce(_ unionByName _)
+      .withColumn("appended", lit(false))
+      .pinned() // consumed twice: the table + the fresh baseline row
+    newAsg.write.mode("overwrite").parquet(s"$tmp/assignments")
+    val keptCents = cents.where(!col("cent_id").isin(retired.map(Int.box): _*))
+      .unionByName(newCents.toDF("cent_id", "center"))
+      .pinned() // consumed twice: the stats join + the table write
+    newAsg.join(broadcast(keptCents), col("bucket") === col("cent_id"))
+      .select(expr(
+        s"aggregate(zip_with($fvExpr, center, (a, b) -> (a - b) * (a - b)), " +
+          "CAST(0 AS DOUBLE), (acc, x) -> acc + x)").as("dist2"))
+      .agg(count(lit(1)).as("n_vecs"), avg(col("dist2")).as("mean_dist2"))
+      .select(lit("build").as("kind"), col("n_vecs"), col("mean_dist2"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/stats")
+    keptCents.coalesce(1).write.mode("overwrite").parquet(s"$tmp/centroids")
+  }
+
   def ivfStaleness(s: SparkSession, d: String): DataFrame = {
     val st = s.read.parquet(s"${ensureIvfIndex(s, d)}/stats")
     val base = st.where(col("kind") === "build")

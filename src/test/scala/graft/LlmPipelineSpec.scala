@@ -628,6 +628,74 @@ class LlmPipelineSpec extends AnyFunSuite {
       "in-flight reader of the superseded generation lost its files")
   }
 
+  test("ivfSplitHotCells: drifted cell splits alone — cold cells verbatim, verdict quiet (VERDICT r17 missing #4)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31337)
+    def vecs(ids: Range, offset: Double) = ids.map(i =>
+      (i.toLong, Seq.fill(64)(rnd.nextFloat() * 2 - 1 + offset), (i % 10)))
+        .toDF("vec_id", "embedding", "label")
+    val dir = s"/tmp/graft-test-ivfsplit-${java.util.UUID.randomUUID()}"
+    vecs(0 until 300, 0.0).coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+    ops.LlmPipeline.ensureIvfIndex(spark, dir)
+    // quiet index: the split job is a no-op
+    assert(!ops.LlmPipeline.ivfSplitHotCells(spark, dir),
+      "no appends -> nothing to split")
+    // drifted append: all 60 land in ONE frozen cell (the hot cell)
+    vecs(1000 until 1060, 5.0).coalesce(1).write.mode("append")
+      .parquet(s"$dir/embeddings.parquet")
+    val idx1 = ops.LlmPipeline.ensureIvfIndex(spark, dir)
+    val before = spark.read.parquet(s"$idx1/assignments")
+      .select("vec_id", "bucket").as[(Long, Int)].collect().toMap
+    val hotCell = before(1000L)
+    assert((1000L until 1060L).forall(before(_) == hotCell),
+      "drifted appends should concentrate in one cell")
+    val nCentsBefore = spark.read.parquet(s"$idx1/centroids").count()
+    // the split is INDEX-ONLY maintenance: corrupt the corpus in place
+    // (manifest identity kept) — the split must succeed anyway, because
+    // it reads the stored quantized vectors, never a corpus byte (a
+    // full refit here would die on the parquet footer)
+    val fs = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet"))
+      .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+      .foreach { st =>
+        val (len, mtime) = (st.getLen, st.getModificationTime)
+        val out = fs.create(st.getPath, true)
+        try out.write(new Array[Byte](len.toInt)) finally out.close()
+        fs.setTimes(st.getPath, mtime, -1)
+      }
+    assert(ops.LlmPipeline.ivfSplitHotCells(spark, dir), "hot cell must split")
+    val idx2 = ops.LlmPipeline.ensureIvfIndex(spark, dir)
+    assert(idx2 != idx1 && idx2.contains("-r"),
+      s"split must publish a new generation: $idx1 -> $idx2")
+    val after = spark.read.parquet(s"$idx2/assignments")
+      .select("vec_id", "bucket").as[(Long, Int)].collect().toMap
+    assert(after.size == 360)
+    // cold cells verbatim: every vector outside the hot cell keeps its bucket
+    before.filter(_._2 != hotCell).foreach { case (id, b) =>
+      assert(after(id) == b, s"cold vector $id moved: $b -> ${after(id)}")
+    }
+    // the split separates the drift from the cell's base members: the
+    // appends' new cell contains NO base member of the old hot cell
+    val appendCells = (1000L until 1060L).map(after).toSet
+    val oldCellBase = before.collect {
+      case (id, b) if b == hotCell && id < 1000L => id
+    }
+    assert(oldCellBase.forall(id => !appendCells.contains(after(id))),
+      "split did not separate the drifted mass from the cell's base members")
+    // parent retired, two children added; staleness re-baselined quiet
+    val cents = spark.read.parquet(s"$idx2/centroids")
+    assert(cents.count() == nCentsBefore + 1)
+    assert(cents.where(col("cent_id") === hotCell).isEmpty,
+      "parent centroid must retire")
+    val st = ops.LlmPipeline.ivfStaleness(spark, dir).collect().head
+    assert(st.getAs[Long]("n_base") == 360L &&
+      st.getAs[Long]("n_appended") == 0L && !st.getAs[Boolean]("recluster"),
+      s"split must re-baseline the verdict: $st")
+    // probes keep working over the split generation (bucket co-membership)
+    assert(ops.LlmPipeline.simSearchIvfKmeansProbe(spark, dir).count() == 5)
+  }
+
   test("ccLabels: chain graphs converge to the global min across rounds") {
     import spark.implicits._
     // A 7-node path 10-11-...-16 (diameter 6 forces multiple propagation
