@@ -156,8 +156,9 @@ object LlmPipeline {
 
   // ------------------------------------------- persisted dedup substrates
   /** The dedup tier's corpus-derived substrates — ngram postings,
-    * banded MinHash signatures, SimHash signatures, bucketed embeddings
-    * — as manifest-keyed PERSISTED artifacts (VERDICT r17 #1: they were
+    * banded MinHash signatures, SimHash signatures, bucketed
+    * embeddings, winnow fingerprints — as manifest-keyed PERSISTED
+    * artifacts (VERDICT r17 #1: they were
     * per-session memos, so a cold session re-paid a linear corpus scan
     * per family; q_dedup_overflow_report's 598.8 s sf100 standalone
     * receipt was exactly that gap). Every substrate row is PER-DOC (a
@@ -301,6 +302,7 @@ object LlmPipeline {
     minhashBandedMemo.clear()
     simhashSigMemo.clear()
     embedBucketedMemo.clear()
+    winnowFpsMemo.clear()
   }
 
   /** q_dedup_minhash_sig — per-doc banded MinHash signature. This is the
@@ -3348,22 +3350,40 @@ object LlmPipeline {
   private val winnowFpsMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Long), DataFrame]()
 
-  /** Per-doc-distinct winnow fingerprints (doc_id, h), mapper-computed
-    * and pinned — the shared substrate of dedupSubstringWinnow and the
-    * auto router's winnow branch (see the r15 scaladoc there).
+  /** Per-doc-distinct winnow fingerprints (doc_id, h) — the shared
+    * substrate of dedupSubstringWinnow and the auto router's winnow
+    * branch (see the r15 scaladoc there). Read-through over the
+    * persisted artifact (ensureWinnowFps), the minhashBanded
+    * discipline: fingerprints are per-doc, so the manifest lifecycle's
+    * append/removal legs apply verbatim. (The stride-1
+    * substringWindows table below deliberately STAYS a session memo:
+    * it is W× corpus volume by construction — persisting it would
+    * store ~40× the corpus — and the family is fenced with the auto
+    * router sending production volume to THIS quarter-volume form.)
     */
   private def winnowFps(s: SparkSession, d: String): DataFrame =
     corpusMemo(winnowFpsMemo, s, d)(
-      Tables.documents(s, d)
-        .where(col("n_chars") >= SubWinW)
-        .select(col("doc_id"), expr(
+      s.read.parquet(ensureWinnowFps(s, d)).select("doc_id", "h"))
+
+  private[graft] val WinnowFpsFamily = "graft-winnow-fps"
+
+  private def winnowFpsRows(s: SparkSession, paths: Seq[String]): DataFrame =
+    s.read.parquet(paths: _*)
+      .where(col("n_chars") >= SubWinW)
+      .select(col("doc_id"), Storage.normSrcCol(input_file_name()).as("src"),
+        expr(
           s"transform(sequence(CAST(1 AS BIGINT), n_chars - ${SubWinW - 1}), " +
             s"i -> CAST(conv(substring(md5(substring(text, CAST(i AS INT), $SubWinW)), 1, 15), 16, 10) AS BIGINT))")
           .as("hs"))
-        .select(col("doc_id"), explode(expr(
-          s"array_distinct(transform(sequence(0, size(hs) - 1), " +
-            s"j -> array_min(slice(hs, j + 1, $WinnowK))))")).as("h"))
-        .pinned())
+      .select(col("doc_id"), col("src"), explode(expr(
+        s"array_distinct(transform(sequence(0, size(hs) - 1), " +
+          s"j -> array_min(slice(hs, j + 1, $WinnowK))))")).as("h"))
+
+  private[graft] def ensureWinnowFps(s: SparkSession, d: String): String = {
+    val table = s"$d/documents.parquet"
+    ensureRowSubstrate(s, WinnowFpsFamily, table,
+      Storage.manifestLines(s, table))(winnowFpsRows(s, _))
+  }
 
   private def substringWindows(s: SparkSession, d: String): DataFrame =
     corpusMemo(substringWindowsMemo, s, d)(

@@ -4,8 +4,9 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Persisted dedup substrates (VERDICT r17 #1): the ngram postings,
-  * banded MinHash signatures, SimHash signatures, and bucketed
-  * embeddings live under the manifest-keyed artifact lifecycle — a
+  * banded MinHash signatures, SimHash signatures, bucketed embeddings,
+  * and winnow fingerprints live under the manifest-keyed artifact
+  * lifecycle — a
   * cold session reads the artifact instead of re-paying the corpus
   * scan, and manifest ticks evolve (append union / removal anti-join)
   * instead of rebuilding. The witnesses here are the Storage-spec
@@ -71,7 +72,9 @@ class SubstrateSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSet
     def report = ops.LlmPipeline.dedupOverflowReport(spark, dir)
       .collect().map(_.toSeq).toSeq
-    val (wp, wb, ws, we, wr) = (posts, banded, sim, embed, report)
+    def winnow = ops.LlmPipeline.dedupSubstringWinnow(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val (wp, wb, ws, we, wr, ww) = (posts, banded, sim, embed, report, winnow)
     assert(wp.nonEmpty && wb.nonEmpty && ws.nonEmpty && we.nonEmpty)
     // the second session: corpus bytes gone bad in place, memos dropped
     corruptInPlace(s"$dir/documents.parquet")
@@ -85,6 +88,7 @@ class SubstrateSpec extends AnyFunSuite {
     assert(sim == ws, "cold simhash signatures diverged")
     assert(embed == we, "cold embed buckets diverged")
     assert(report == wr, "cold overflow report diverged")
+    assert(winnow == ww, "cold winnow substring result diverged")
   }
 
   test("banded/postings append evolves delta-only: extended ≡ full rebuild") {
