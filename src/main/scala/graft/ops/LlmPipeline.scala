@@ -191,9 +191,10 @@ object LlmPipeline {
 
   /** Per-row substrate lifecycle: `rowsFor(paths)` builds the substrate
     * rows (src column included) for exactly those part files; append =
-    * rowsFor(delta) unioned, removal = src anti-join.
+    * rowsFor(delta) unioned, removal = src anti-join. private[graft]:
+    * Multimodal's phash table rides the same lifecycle.
     */
-  private def ensureRowSubstrate(s: SparkSession, family: String,
+  private[graft] def ensureRowSubstrate(s: SparkSession, family: String,
       table: String, lines: Seq[String])(
       rowsFor: Seq[String] => DataFrame): String =
     Storage.ensureManifestKeyedWithLines(s, family, table, lines)(

@@ -917,19 +917,62 @@ object Multimodal {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
       val md = java.security.MessageDigest.getInstance("MD5")
-      it.map { case (id, rawPayload) =>
-        // null payload ⇒ empty bytes, matching the md5(coalesce(x, ''))
-        // the SQL mirrors compute (md.digest(null) would NPE the task)
-        val payload = if (rawPayload == null) Array.emptyByteArray else rawPayload
-        val hx = grayPixels(payload).orElse(imageIoGrayDecode(payload)) match {
-          case Some((w, h, g)) => f"${aHash64(w, h, g)}%016x"
-          case None =>
-            md.reset()
-            md.digest(payload).map("%02x".format(_)).mkString.take(16)
-        }
-        (id, hx)
-      }
+      it.map { case (id, p) => (id, phashHex(md, p)) }
     }
+  }
+
+  /** One payload's 16-hex perceptual hash — the per-row core shared by
+    * both mapPartitions shapes. null payload ⇒ empty bytes, matching
+    * the md5(coalesce(x, '')) the SQL mirrors compute (md.digest(null)
+    * would NPE the task).
+    */
+  private def phashHex(md: java.security.MessageDigest,
+      rawPayload: Array[Byte]): String = {
+    val payload = if (rawPayload == null) Array.emptyByteArray else rawPayload
+    grayPixels(payload).orElse(imageIoGrayDecode(payload)) match {
+      case Some((w, h, g)) => f"${aHash64(w, h, g)}%016x"
+      case None =>
+        md.reset()
+        md.digest(payload).map("%02x".format(_)).mkString.take(16)
+    }
+  }
+
+  /** The src-carrying shape of [[phashCore]] — what the persisted
+    * substrate build runs (provenance must survive the mapPartitions).
+    */
+  private def phashCoreSrc(
+      ds: Dataset[(Long, String, Array[Byte])]): Dataset[(Long, String, String)] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { case (id, src, p) => (id, src, phashHex(md, p)) }
+    }
+  }
+
+  /** Persisted perceptual-hash table (doc_id, phash_hex, src) — the
+    * SIXTH dedup substrate on the manifest-keyed lifecycle, and the one
+    * where persistence buys the most at 100 TB: the hash is a media
+    * DECODE per document (grayPixels/ImageIO), by far the most
+    * expensive substrate build per byte, and it re-ran per session.
+    * Hashes are per-doc, so append = hash the delta files only and
+    * removal = src anti-join, like the five text/embedding siblings.
+    */
+  private[graft] val PhashFamily = "graft-phash"
+
+  private def phashRows(s: SparkSession, paths: Seq[String]): DataFrame = {
+    import s.implicits._
+    phashCoreSrc(s.read.parquet(paths: _*)
+      .select(col("doc_id"),
+        Storage.normSrcCol(input_file_name()).as("src"),
+        coalesce(col("text"), lit("")).cast("binary").as("payload"))
+      .as[(Long, String, Array[Byte])])
+      .toDF("doc_id", "src", "phash_hex")
+  }
+
+  private[graft] def ensurePhashTable(s: SparkSession, d: String): String = {
+    val table = s"$d/documents.parquet"
+    LlmPipeline.ensureRowSubstrate(s, PhashFamily, table,
+      Storage.manifestLines(s, table))(phashRows(s, _))
   }
 
   /** q_dedup_phash — perceptual near-duplicate image detection as a
@@ -945,28 +988,27 @@ object Multimodal {
     * content — exact dedup's job — and pairing them is quadratic; the
     * 10× stress probe is the receipt).
     */
-  def dedupPhash(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    dedupPhashCore(
-      Tables.documents(s, d)
-        // coalesce: a null text would reach phashCore as a null payload
-        // and NPE md.digest; empty bytes = md5('') stub, mirrored by the
-        // oracle's coalesce so both engines hash the same value
-        .select(col("doc_id"),
-          coalesce(col("text"), lit("")).cast("binary").as("payload"))
-        .as[(Long, Array[Byte])])
-  }
+  def dedupPhash(s: SparkSession, d: String): DataFrame =
+    // read the PERSISTED hash table (ensurePhashTable): the decode ran
+    // once at ingest; the query is banding + verify over 16-hex rows
+    dedupPhashFromHashes(
+      s.read.parquet(ensurePhashTable(s, d)).select("doc_id", "phash_hex"))
 
   /** The hash→band→verify pipeline over an (id, payload) Dataset — the
     * spec drives this with REAL planted images; the registry query
-    * feeds it the fixture corpus (all-stub premise, mirrored exactly by
-    * the DuckDB oracle).
+    * reads the persisted hash table instead (dedupPhash above).
     */
-  private[graft] def dedupPhashCore(ds: Dataset[(Long, Array[Byte])]): DataFrame = {
+  private[graft] def dedupPhashCore(ds: Dataset[(Long, Array[Byte])]): DataFrame =
     // pin the hash table: it feeds FOUR plan legs (both band self-join
     // sides + both verify back-joins), and without the checkpoint each
     // leg re-runs the decode+hash MapPartitions — four corpus scans
-    val h = phashCore(ds).toDF("doc_id", "phash_hex").pinned()
+    dedupPhashFromHashes(phashCore(ds).toDF("doc_id", "phash_hex").pinned())
+
+  /** Banding + exact-Hamming verify over a hash table (doc_id,
+    * phash_hex) — shared by the persisted-table query and the
+    * planted-image spec path.
+    */
+  private def dedupPhashFromHashes(h: DataFrame): DataFrame = {
     val allBands = h.select(col("doc_id"), col("phash_hex"),
         explode(expr(s"sequence(0, ${PhashBands - 1})")).as("band"))
       .withColumn("bv", expr("substring(phash_hex, 1 + 2 * band, 2)"))

@@ -47,13 +47,14 @@ object Procedures {
         s"split=$split index=${LlmPipeline.ivfIndexDir(s, arg(0))}"
       case "ensure_dedup_substrates" =>
         // the ingest-time job that makes every cold dedup query an
-        // artifact read: all five substrate families for one corpus
+        // artifact read: all six substrate families for one corpus
         val dirs = Seq(
           LlmPipeline.ensureNgramPostings(s, arg(0)),
           LlmPipeline.ensureMinhashBanded(s, arg(0)),
           LlmPipeline.ensureSimhashSig(s, arg(0)),
           LlmPipeline.ensureEmbedBucketed(s, arg(0)),
-          LlmPipeline.ensureWinnowFps(s, arg(0)))
+          LlmPipeline.ensureWinnowFps(s, arg(0)),
+          Multimodal.ensurePhashTable(s, arg(0)))
         dirs.mkString(";")
       case "compact_frames" =>
         val small = if (args.length > 1) args(1).toLong else 512L * 1024

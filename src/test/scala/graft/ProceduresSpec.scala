@@ -25,10 +25,10 @@ class ProceduresSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).count() > 0)
   }
 
-  test("CALL graft.ensure_dedup_substrates publishes all five families") {
+  test("CALL graft.ensure_dedup_substrates publishes all six families") {
     val (_, res) = call(s"CALL graft.ensure_dedup_substrates('$d')")
     val dirs = res.split(";")
-    assert(dirs.length == 5, s"expected 5 substrate dirs: $res")
+    assert(dirs.length == 6, s"expected 6 substrate dirs: $res")
     dirs.foreach { dir =>
       assert(spark.read.parquet(dir).count() > 0, s"empty substrate at $dir")
     }

@@ -74,7 +74,9 @@ class SubstrateSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSeq
     def winnow = ops.LlmPipeline.dedupSubstringWinnow(spark, dir)
       .collect().map(_.toSeq).toSet
-    val (wp, wb, ws, we, wr, ww) = (posts, banded, sim, embed, report, winnow)
+    def phash = ops.Multimodal.dedupPhash(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val (wp, wb, ws, we, wr, ww, wh) = (posts, banded, sim, embed, report, winnow, phash)
     assert(wp.nonEmpty && wb.nonEmpty && ws.nonEmpty && we.nonEmpty)
     // the second session: corpus bytes gone bad in place, memos dropped
     corruptInPlace(s"$dir/documents.parquet")
@@ -89,6 +91,7 @@ class SubstrateSpec extends AnyFunSuite {
     assert(embed == we, "cold embed buckets diverged")
     assert(report == wr, "cold overflow report diverged")
     assert(winnow == ww, "cold winnow substring result diverged")
+    assert(phash == wh, "cold phash dedup result diverged")
   }
 
   test("banded/postings append evolves delta-only: extended ≡ full rebuild") {
