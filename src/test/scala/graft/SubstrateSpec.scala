@@ -5,8 +5,8 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Persisted dedup substrates (VERDICT r17 #1): the ngram postings,
   * banded MinHash signatures, SimHash signatures, bucketed embeddings,
-  * and winnow fingerprints live under the manifest-keyed artifact
-  * lifecycle — a
+  * winnow fingerprints, and perceptual hashes live under the
+  * manifest-keyed artifact lifecycle — a
   * cold session reads the artifact instead of re-paying the corpus
   * scan, and manifest ticks evolve (append union / removal anti-join)
   * instead of rebuilding. The witnesses here are the Storage-spec
