@@ -769,18 +769,18 @@ object LlmPipeline {
       .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
     val sh = verifyShingleHashes(s, d, docsInPairs).pinned()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    // sh broadcasts EXPLICITLY (candidate-set-bounded by the semi-join
-    // above — the same bound that caps the pair list) so `pairs` stays
-    // the STREAM side: the pin preserves pairs' range partitioning on
-    // (doc_a, doc_b), which the n_inter aggregate then satisfies with
-    // ZERO exchange. Stats-driven planning picked this shape while the
-    // substrates were session-pinned; the persisted-artifact read
-    // changed the estimates and flipped the build side, re-keying the
-    // aggregate — the hint pins the intended plan (PlanShapeSpec's
-    // 2-shuffle budget) independent of estimates.
+    // build-side choice is deliberately LEFT TO STATS (+ AQE at
+    // runtime): sh is candidate-set-bounded but NOT small-bounded — on
+    // an adversarial corpus the candidate docs' shingle table reaches
+    // corpus scale (sf100: ~450M rows; an r18 interim broadcast hint
+    // here cost q_dedup_near 96 → 468 s, the receipt that reverted
+    // it). When sh is genuinely small Catalyst broadcasts it and the
+    // n_inter aggregate rides pairs' pinned range partitioning for
+    // free; when it is not, the aggregate re-key is one honest
+    // exchange (PlanShapeSpec budgets 3 for the fixture's estimates).
     val inter = pairs
-      .join(broadcast(sh.select(col("doc_id").as("doc_a"), col("h"))), Seq("doc_a"))
-      .join(broadcast(sh.select(col("doc_id").as("doc_b"), col("h"))), Seq("doc_b", "h"))
+      .join(sh.select(col("doc_id").as("doc_a"), col("h")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("h")), Seq("doc_b", "h"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
     // inner join on inter: a zero-intersection candidate cannot pass
     // J > 1/2, so the left-coalesce of dedupVerify is dead weight here
@@ -4048,12 +4048,11 @@ object LlmPipeline {
       .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
     val sh = verifyShingleHashes(s, d, docsInPairs).pinned()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    // explicit broadcast on the candidate-bounded sh legs keeps pairs
-    // the stream side so the n_inter aggregate rides pairs' pinned
-    // range partitioning exchange-free (see nearBandedVerified)
+    // build side left to stats/AQE — sh can reach corpus scale on an
+    // adversarial corpus (see nearBandedVerified's receipt note)
     val inter = pairs
-      .join(broadcast(sh.select(col("doc_id").as("doc_a"), col("h"))), Seq("doc_a"))
-      .join(broadcast(sh.select(col("doc_id").as("doc_b"), col("h"))), Seq("doc_b", "h"))
+      .join(sh.select(col("doc_id").as("doc_a"), col("h")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("h")), Seq("doc_b", "h"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
     pairs
       .join(inter, Seq("doc_a", "doc_b"), "left")

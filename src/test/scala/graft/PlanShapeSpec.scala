@@ -521,12 +521,23 @@ class PlanShapeSpec extends AnyFunSuite {
       // shuffles are correctly NOT in the budget
       "q_dedup_substring" -> 3,        // window self-join + pair agg + order
       "q_dedup_substring_auto" -> 3,   // winnow leg over the same memo table
-      "q_dedup_near" -> 2,             // collapse agg + re-expansion join
+      "q_dedup_near" -> 3,             // collapse agg + re-expansion join
+                                       // + the verify n_inter re-key: with
+                                       // the substrates persisted (r18) the
+                                       // fixture's estimates stream sh and
+                                       // broadcast pairs, so the aggregate
+                                       // no longer rides pairs' pinned range
+                                       // partitioning; forcing sh broadcast
+                                       // to win it back cost 96→468 s at
+                                       // sf100 (sh is corpus-scale there) —
+                                       // the extra fixture exchange is the
+                                       // honest scale-safe budget
       "q_heartbeat_map_explode" -> 3,  // explode + per-file agg + order
       "q_dedup_cc" -> 1,               // memoized labels -> one final agg
-      "q_dedup_near_collapsed" -> 2,   // r15 banded+verify reroute: collapse
+      "q_dedup_near_collapsed" -> 3,   // r15 banded+verify reroute: collapse
                                        // agg + order (banded/shingle substrate
-                                       // pinned); down from 4 with spark.ml
+                                       // persisted) + the verify re-key
+                                       // (same rationale as q_dedup_near)
       "q_dedup_collapsed_jaccard" -> 6, // collapse, band pairs, verify join
       "q_sim_search_ivf_kmeans" -> 0,  // persisted IVF + broadcast probes,
                                        // top-k map-side: shuffle-free read
