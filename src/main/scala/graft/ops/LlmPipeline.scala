@@ -3656,40 +3656,118 @@ object LlmPipeline {
 
   /** Streaming half of the heavy-hitter loop: each micro-batch reduces
     * to ONE sketch row appended to an immutable parquet log — no
-    * mutable driver state, restart-idempotent per batch_id, and the
-    * log grows by ~100 KB per batch regardless of batch size. The
-    * token stream itself is never retained: this is the fixed-memory
-    * frequency monitor over an unbounded key domain.
+    * mutable driver state, and the log grows by ~100 KB per batch
+    * regardless of batch size. The token stream itself is never
+    * retained: this is the fixed-memory frequency monitor over an
+    * unbounded key domain. Restart-idempotence is REAL, not assumed:
+    * the row publishes as the deterministic file `cms-batch-<id>.
+    * parquet` (staging write + rename), so a foreachBatch replay after
+    * a crash-between-write-and-commit sees its file already published
+    * and skips — a bare `mode("append")` would double-count that
+    * batch in every later merge. Pair with [[cmsCompactSketchLog]] on
+    * a maintenance cadence so the log stays (1 checkpoint + tail)
+    * files regardless of stream age.
     */
   def cmsSketchSink(docs: DataFrame, dir: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
-      batch.select(explode(expr(toks)).as("token"))
-        .agg(expr(cmsAgg("token")).as("sk"))
-        .withColumn("batch_id", lit(id))
-        .write.mode("append").parquet(dir)
+      val s = batch.sparkSession
+      val target = new org.apache.hadoop.fs.Path(dir, s"cms-batch-$id.parquet")
+      val fs = target.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(target)) {
+        val staging = new org.apache.hadoop.fs.Path(dir, s".cms-batch-build-$id")
+        batch.select(explode(expr(toks)).as("token"))
+          .agg(expr(cmsAgg("token")).as("sk"))
+          .withColumn("batch_id", lit(id))
+          .coalesce(1)
+          .write.mode("overwrite").parquet(staging.toString)
+        val part = fs.listStatus(staging).toSeq
+          .map(_.getPath).find(_.getName.startsWith("part-"))
+          .getOrElse(throw new IllegalStateException(
+            s"cmsSketchSink: no part file under $staging"))
+        if (!fs.rename(part, target) && !fs.exists(target))
+          throw new IllegalStateException(
+            s"cmsSketchSink: publish rename to $target failed")
+        fs.delete(staging, true)
+        ()
+      }
     }.start()
+
+  /** The sketch log's on-disk schema, read explicitly so PRE-COMPACTION
+    * vintages (two columns: sk, batch_id) and compacted logs (plus
+    * `folded_upto`, non-null only on checkpoint rows) coexist in one
+    * dir: parquet fills the absent column with null, so an old log is
+    * just a log with zero checkpoints — no migration step.
+    */
+  private val cmsLogSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("sk",
+      org.apache.spark.sql.types.BinaryType),
+    org.apache.spark.sql.types.StructField("batch_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("folded_upto",
+      org.apache.spark.sql.types.LongType)))
+
+  private def cmsLog(s: SparkSession, dir: String): DataFrame =
+    s.read.schema(cmsLogSchema).parquet(dir)
+
+  /** The LIVE rows of a sketch log — the newest checkpoint (if any)
+    * plus the raw per-batch rows it does not cover. This filter is what
+    * makes every compaction crash window readable: after the checkpoint
+    * rename but before the covered files are swept, the covered raws
+    * (batch_id ≤ folded_upto) and any superseded older checkpoint
+    * (folded_upto < newest) are both excluded, so no count is ever
+    * double-folded. `ckptUpto` = -1 encodes "no checkpoint yet".
+    */
+  private def cmsLiveRows(log: DataFrame): (DataFrame, Long) = {
+    val ckptUpto = log.filter(col("folded_upto").isNotNull)
+      .agg(max("folded_upto")).collect()(0) match {
+      case r if r.isNullAt(0) => -1L
+      case r => r.getLong(0)
+    }
+    // limit(1) on the checkpoint leg: two racing compactors can publish
+    // twin checkpoints for the SAME folded_upto — bit-identical by
+    // construction (same fold set, associative merge), so any one is
+    // the truth and folding both would double-count.
+    val live = log.filter(col("folded_upto") === ckptUpto).limit(1)
+      .union(log.filter(
+        col("folded_upto").isNull && col("batch_id") > ckptUpto))
+    (live, ckptUpto)
+  }
+
+  /** Distributed fold of sketch rows to one serialized Count-Min
+    * matrix: treeReduce keeps even a never-compacted year-old log off
+    * the driver (the pre-r19 form collect()ed every ~100 KB row and
+    * folded driver-side — O(#batches) memory for a fixed-size answer);
+    * only the single merged matrix comes back.
+    */
+  private def cmsFoldToBytes(rows: DataFrame): Array[Byte] = {
+    import org.apache.spark.util.sketch.CountMinSketch
+    def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+      val sa = CountMinSketch.readFrom(new java.io.ByteArrayInputStream(a))
+      val sb = CountMinSketch.readFrom(new java.io.ByteArrayInputStream(b))
+      sa.mergeInPlace(sb)
+      val out = new java.io.ByteArrayOutputStream()
+      sa.writeTo(out)
+      out.toByteArray
+    }
+    rows.select("sk").rdd.map(_.getAs[Array[Byte]](0)).treeReduce(merge)
+  }
 
   /** Merge-on-read over the sketch log: Count-Min merge is counter-
     * matrix addition — associative and commutative — so folding the
     * per-batch sketches yields BIT-IDENTICAL state to one sketch over
     * the concatenated stream (the spec proves estimate equality
-    * against a batch rebuild). The driver folds one ~100 KB binary per
-    * BATCH (bounded by the log length like the 8-row KMeans index
-    * read, never by data volume), broadcasts the merged bytes as a
-    * literal, and probes with the native cms_estimate.
+    * against a batch rebuild). The fold runs over the LIVE rows only —
+    * after [[cmsCompactSketchLog]] that is (1 checkpoint + tail) rows
+    * regardless of stream age — and distributed (treeReduce), so
+    * neither the log length nor the row bytes ever accumulate on the
+    * driver. The merged ~100 KB matrix broadcasts as a one-row table
+    * and the native cms_estimate probes it per token.
     */
   def cmsMergedEstimates(s: SparkSession, sketchDir: String, d: String): DataFrame = {
-    import org.apache.spark.util.sketch.CountMinSketch
-    val merged = s.read.parquet(sketchDir).select("sk")
-      .collect()
-      .map(r => CountMinSketch.readFrom(
-        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](0))))
-      .reduce { (a, b) => a.mergeInPlace(b); a }
-    val out = new java.io.ByteArrayOutputStream()
-    merged.writeTo(out)
+    val (live, _) = cmsLiveRows(cmsLog(s, sketchDir))
     val skDf = s.createDataFrame(
-      java.util.Arrays.asList(org.apache.spark.sql.Row(out.toByteArray)),
+      java.util.Arrays.asList(org.apache.spark.sql.Row(cmsFoldToBytes(live))),
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("sk",
           org.apache.spark.sql.types.BinaryType))))
@@ -3699,6 +3777,119 @@ object LlmPipeline {
       .select(col("token"), expr("cms_estimate(sk, token)").as("est_count"))
       .withColumn("is_heavy", col("est_count") >= CmsHeavyMin)
       .orderBy("token")
+  }
+
+  /** Test seam for the compaction crash witnesses: 1 = die after the
+    * checkpoint is built but before its publish rename (staging orphan
+    * left), 2 = die after the rename but before the covered files are
+    * swept (checkpoint + covered raws coexist). Production leaves 0.
+    */
+  private[graft] var cmsCrashPoint: Int = 0
+
+  /** Compact the sketch log: fold the current checkpoint plus every
+    * raw batch row older than the newest `keepTail` batches into ONE
+    * new checkpoint row, publish it atomically, then sweep the files
+    * it covers. This bounds [[cmsMergedEstimates]]' fold at
+    * (1 + keepTail) rows forever — the reference's delta-heartbeat
+    * discipline (ship deltas, keep bounded state,
+    * storageNode/HeartbeatRunnable.java:101-143) applied to the one
+    * previously unbounded log in the repo.
+    *
+    * Crash-safe without a transaction log, because reads only trust
+    * the NEWEST checkpoint and ignore everything it covers
+    * ([[cmsLiveRows]]): the checkpoint is built in a dot-prefixed
+    * staging dir (invisible to Spark reads), renamed into the log in
+    * one FS operation, and only then are covered files deleted. A
+    * crash before the rename leaves an orphan staging dir (swept by
+    * the next run once older than [[Derived.orphanTtlMs]]); a crash
+    * after it leaves covered files that every read already excludes
+    * and the next run deletes. Re-running after any crash converges:
+    * the fold set is empty (nothing live in (ckpt, w]) so no new
+    * checkpoint is written, but the sweep still runs. The fold itself
+    * is distributed (treeReduce) so even the FIRST compaction of a
+    * long-lived log never materializes the row set on the driver.
+    *
+    * Returns "ckpt=<w> folded=<n> swept=<files>"; no-ops (folded=0)
+    * when fewer than one batch is old enough to fold.
+    */
+  def cmsCompactSketchLog(s: SparkSession, sketchDir: String,
+      keepTail: Int = 4): String = {
+    require(keepTail >= 0, s"keepTail must be >= 0, got $keepTail")
+    val dirPath = new org.apache.hadoop.fs.Path(sketchDir)
+    val fs = dirPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dirPath)) return "ckpt=-1 folded=0 swept=0"
+    // sweep TTL-aged staging orphans from crashed earlier runs (young
+    // ones may belong to a live concurrent compactor)
+    val now = System.currentTimeMillis()
+    fs.listStatus(dirPath).toSeq
+      .filter { st =>
+        val n = st.getPath.getName
+        (n.startsWith(".cms-ckpt-build-") || n.startsWith(".cms-batch-build-")) &&
+          now - st.getModificationTime > Derived.orphanTtlMs
+      }
+      .foreach(st => fs.delete(st.getPath, true))
+    val log = cmsLog(s, sketchDir)
+      .select(input_file_name().as("f"), col("sk"),
+        col("batch_id"), col("folded_upto"))
+    // per-FILE facts, not per-row: deletion is by file, so a file is
+    // covered only when its newest row is. One small row per batch
+    // file on the driver — metadata, never sketch bytes.
+    val fileMeta = log.groupBy("f").agg(
+      max("batch_id").as("mb"), max("folded_upto").as("fu")).collect()
+      .map(r => (r.getString(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2)))
+    val ckptUpto = fileMeta.map(_._3).foldLeft(-1L)(math.max)
+    val maxBatch = fileMeta.filter(_._3 == -1L).map(_._2).foldLeft(-1L)(math.max)
+    val w = maxBatch - keepTail
+    var folded = 0L
+    if (w > ckptUpto) {
+      val foldSrc = log.filter(
+        (col("folded_upto") === ckptUpto) ||
+          (col("folded_upto").isNull &&
+            col("batch_id") > ckptUpto && col("batch_id") <= w))
+      folded = foldSrc.count()
+      if (folded > 0) {
+        val merged = cmsFoldToBytes(foldSrc)
+        val staging = new org.apache.hadoop.fs.Path(sketchDir,
+          ".cms-ckpt-build-" + java.util.UUID.randomUUID().toString.take(8))
+        s.createDataFrame(
+          java.util.Arrays.asList(
+            org.apache.spark.sql.Row(merged, w, w)),
+          cmsLogSchema).coalesce(1).write.parquet(staging.toString)
+        val part = fs.listStatus(staging).toSeq
+          .map(_.getPath).find(_.getName.startsWith("part-"))
+          .getOrElse(throw new IllegalStateException(
+            s"cmsCompactSketchLog: no part file under $staging"))
+        if (cmsCrashPoint == 1) throw new IllegalStateException(
+          "cmsCrashPoint=1: dying before checkpoint publish")
+        val target = new org.apache.hadoop.fs.Path(sketchDir,
+          s"cms-ckpt-$w-${java.util.UUID.randomUUID().toString.take(8)}.parquet")
+        if (!fs.rename(part, target)) throw new IllegalStateException(
+          s"cmsCompactSketchLog: publish rename to $target failed")
+        fs.delete(staging, true)
+      }
+    }
+    if (cmsCrashPoint == 2) throw new IllegalStateException(
+      "cmsCrashPoint=2: dying before covered-file sweep")
+    // sweep files fully covered by the (possibly just-published)
+    // newest checkpoint: raw files whose newest row folded, and
+    // superseded checkpoints. Runs even when folded=0 so a re-run
+    // after a crash-at-2 still converges.
+    val newUpto = math.max(ckptUpto, if (folded > 0) w else -1L)
+    // a twin checkpoint at the CURRENT upto (two racing compactors) is
+    // bit-identical redundancy — keep the lexicographically first file,
+    // sweep the rest alongside raws and superseded checkpoints
+    val currentCkpts =
+      fileMeta.filter(m => m._3 >= 0L && m._3 == newUpto).map(_._1).sorted
+    val swept = fileMeta.filter { case (f, mb, fu) =>
+      (fu == -1L && mb <= newUpto && mb >= 0L) || (fu >= 0L && fu < newUpto) ||
+        (fu >= 0L && fu == newUpto && currentCkpts.headOption.exists(_ != f))
+    }
+    swept.foreach { case (f, _, _) =>
+      fs.delete(new org.apache.hadoop.fs.Path(new java.net.URI(f)), false)
+    }
+    s"ckpt=$newUpto folded=$folded swept=${swept.length}"
   }
 
   private[graft] val NShards = 32L

@@ -22,7 +22,8 @@ object Procedures {
     "ivf_recluster_if_stale" -> "(dataset_dir)",
     "ivf_split_hot_cells" -> "(dataset_dir)",
     "ensure_dedup_substrates" -> "(dataset_dir)",
-    "compact_frames" -> "(frame_dir[, small_bytes, target_bytes])")
+    "compact_frames" -> "(frame_dir[, small_bytes, target_bytes])",
+    "cms_compact" -> "(sketch_dir[, keep_tail])")
 
   def run(s: SparkSession, proc: String, args: Seq[String]): String = {
     def arg(i: Int): String = {
@@ -56,6 +57,9 @@ object Procedures {
           LlmPipeline.ensureWinnowFps(s, arg(0)),
           Multimodal.ensurePhashTable(s, arg(0)))
         dirs.mkString(";")
+      case "cms_compact" =>
+        val keepTail = if (args.length > 1) args(1).toInt else 4
+        LlmPipeline.cmsCompactSketchLog(s, arg(0), keepTail)
       case "compact_frames" =>
         val small = if (args.length > 1) args(1).toLong else 512L * 1024
         val target = if (args.length > 2) args(2).toLong else 4L * 1024 * 1024
