@@ -3786,6 +3786,10 @@ object LlmPipeline {
     */
   private[graft] var cmsCrashPoint: Int = 0
 
+  case class CmsCompactReport(ckptUpto: Long, folded: Long, swept: Long) {
+    override def toString: String = s"ckpt=$ckptUpto folded=$folded swept=$swept"
+  }
+
   /** Compact the sketch log: fold the current checkpoint plus every
     * raw batch row older than the newest `keepTail` batches into ONE
     * new checkpoint row, publish it atomically, then sweep the files
@@ -3809,15 +3813,16 @@ object LlmPipeline {
     * is distributed (treeReduce) so even the FIRST compaction of a
     * long-lived log never materializes the row set on the driver.
     *
-    * Returns "ckpt=<w> folded=<n> swept=<files>"; no-ops (folded=0)
-    * when fewer than one batch is old enough to fold.
+    * Returns the typed report (rendered "ckpt=<w> folded=<n>
+    * swept=<files>"); no-ops (folded=0) when fewer than one batch is
+    * old enough to fold.
     */
   def cmsCompactSketchLog(s: SparkSession, sketchDir: String,
-      keepTail: Int = 4): String = {
+      keepTail: Int = 4): CmsCompactReport = {
     require(keepTail >= 0, s"keepTail must be >= 0, got $keepTail")
     val dirPath = new org.apache.hadoop.fs.Path(sketchDir)
     val fs = dirPath.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(dirPath)) return "ckpt=-1 folded=0 swept=0"
+    if (!fs.exists(dirPath)) return CmsCompactReport(-1L, 0L, 0L)
     // sweep TTL-aged staging orphans from crashed earlier runs (young
     // ones may belong to a live concurrent compactor)
     val now = System.currentTimeMillis()
@@ -3889,7 +3894,7 @@ object LlmPipeline {
     swept.foreach { case (f, _, _) =>
       fs.delete(new org.apache.hadoop.fs.Path(new java.net.URI(f)), false)
     }
-    s"ckpt=$newUpto folded=$folded swept=${swept.length}"
+    CmsCompactReport(newUpto, folded, swept.length.toLong)
   }
 
   private[graft] val NShards = 32L

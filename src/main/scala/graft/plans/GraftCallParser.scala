@@ -22,13 +22,15 @@ import org.apache.spark.sql.types.{DataType, StringType, StructType}
   * session's own parser, so the extension is a pure superset of Spark
   * SQL.
   */
-case class GraftCallCommand(proc: String, args: Seq[String])
+case class GraftCallCommand(proc: String, args: Seq[graft.ops.Procedures.CallArg])
     extends LeafRunnableCommand {
-  override val output: Seq[Attribute] = Seq(
-    AttributeReference("procedure", StringType, nullable = false)(),
-    AttributeReference("result", StringType, nullable = false)())
+  // per-procedure TYPED schema (Delta/Iceberg CALL shape) — resolvable
+  // from the name alone, so analysis sees the real columns before run
+  override val output: Seq[Attribute] =
+    graft.ops.Procedures.outputSchema(proc).fields.toSeq.map(f =>
+      AttributeReference(f.name, f.dataType, f.nullable)())
   override def run(s: SparkSession): Seq[Row] =
-    Seq(Row(proc, graft.ops.Procedures.run(s, proc, args)))
+    graft.ops.Procedures.run(s, proc, args)
 }
 
 class GraftCallParser(delegate: ParserInterface) extends ParserInterface {
@@ -42,31 +44,61 @@ class GraftCallParser(delegate: ParserInterface) extends ParserInterface {
     case _ => delegate.parsePlan(sqlText)
   }
 
-  /** Quote-aware top-level comma split; string literals may contain
-    * commas; '' escapes a quote inside a literal (standard SQL).
+  private val Named = """(?s)^([A-Za-z_][A-Za-z0-9_]*)\s*=>\s*(.*)$""".r
+
+  /** Quote-aware top-level comma split into typed arguments. Quoted
+    * literals are kept VERBATIM — the empty string survives and inner
+    * whitespace is untouched (pre-r19 this trimmed inside quotes and
+    * dropped '' entirely, silently shifting later positional args);
+    * unquoted tokens are trimmed, and a blank one between commas is a
+    * loud error, never a silent drop. `''` escapes a quote inside a
+    * literal (standard SQL); `name => value` marks a named argument
+    * (Iceberg CALL shape).
     */
-  private[graft] def splitArgs(s: String): Seq[String] = {
-    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+  private[graft] def splitArgs(s: String): Seq[graft.ops.Procedures.CallArg] = {
+    // split on top-level commas: '' is two ADJACENT quotes, so simply
+    // toggling quote state on every quote keeps commas inside literals
+    // unsplit without tracking the escape
+    val segs = scala.collection.mutable.ArrayBuffer.empty[String]
     val cur = new StringBuilder
     var inQuote = false
-    var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (inQuote) {
-        if (c == '\'' && i + 1 < s.length && s.charAt(i + 1) == '\'') {
-          cur.append('\''); i += 1
-        } else if (c == '\'') inQuote = false
-        else cur.append(c)
-      } else c match {
-        case '\'' => inQuote = true
-        case ',' => out += cur.result().trim; cur.clear()
-        case _ => cur.append(c)
-      }
-      i += 1
+    s.foreach { c =>
+      if (c == '\'') { inQuote = !inQuote; cur.append(c) }
+      else if (c == ',' && !inQuote) { segs += cur.result(); cur.clear() }
+      else cur.append(c)
     }
-    val last = cur.result().trim
-    if (last.nonEmpty || out.nonEmpty) out += last
-    out.toSeq.filter(_.nonEmpty)
+    require(!inQuote, s"unterminated string literal in CALL arguments: $s")
+    segs += cur.result()
+    if (segs.forall(_.trim.isEmpty) && segs.length == 1) Seq.empty
+    else segs.toSeq.map(parseArg)
+  }
+
+  private def parseArg(raw: String): graft.ops.Procedures.CallArg = {
+    val t = raw.trim
+    val (name, rest) = t match {
+      case Named(n, r) => (Some(n.toLowerCase(java.util.Locale.ROOT)), r.trim)
+      case _ => (None, t)
+    }
+    if (rest.startsWith("'")) {
+      val sb = new StringBuilder
+      var i = 1
+      var closed = false
+      while (i < rest.length && !closed) {
+        val c = rest.charAt(i)
+        if (c == '\'') {
+          if (i + 1 < rest.length && rest.charAt(i + 1) == '\'') {
+            sb.append('\''); i += 2
+          } else { closed = true; i += 1 }
+        } else { sb.append(c); i += 1 }
+      }
+      require(closed, s"unterminated string literal in CALL argument: $raw")
+      require(rest.substring(i).trim.isEmpty,
+        s"unexpected content after string literal in CALL argument: $raw")
+      graft.ops.Procedures.CallArg(sb.result(), name)
+    } else {
+      require(rest.nonEmpty, s"empty CALL argument: '$raw'")
+      graft.ops.Procedures.CallArg(rest, name)
+    }
   }
 
   override def parseExpression(sqlText: String): Expression =

@@ -81,7 +81,7 @@ class CmsCompactionSpec extends AnyFunSuite {
     assert(before == exact,
       "collision-free operating point: merged estimates must equal exact counts")
     val report = ops.LlmPipeline.cmsCompactSketchLog(spark, dir, keepTail = 2)
-    assert(report == "ckpt=3 folded=4 swept=4",
+    assert(report.toString == "ckpt=3 folded=4 swept=4",
       s"batches 0..3 fold (watermark = 5 - 2), their 4 files sweep: $report")
     assert(logFiles(dir).length == 3,
       s"1 checkpoint + 2 tail files expected: ${logFiles(dir)}")
@@ -94,7 +94,7 @@ class CmsCompactionSpec extends AnyFunSuite {
     ops.LlmPipeline.cmsCompactSketchLog(spark, dir, keepTail = 2)
     val files = logFiles(dir)
     val report = ops.LlmPipeline.cmsCompactSketchLog(spark, dir, keepTail = 2)
-    assert(report == "ckpt=3 folded=0 swept=0", s"no new rows aged out: $report")
+    assert(report.toString == "ckpt=3 folded=0 swept=0", s"no new rows aged out: $report")
     assert(logFiles(dir) == files, "an idempotent re-run rewrites nothing")
     assert(estimates(dir, probe) == exact)
   }
@@ -108,7 +108,7 @@ class CmsCompactionSpec extends AnyFunSuite {
     val report = ops.LlmPipeline.cmsCompactSketchLog(spark, dir, keepTail = 2)
     // old ckpt (upto=1) + raws 2,3 fold to upto=3; old ckpt file + 2 raw
     // files sweep — the checkpoint is itself a mergeable delta
-    assert(report == "ckpt=3 folded=3 swept=3", report)
+    assert(report.toString == "ckpt=3 folded=3 swept=3", report)
     assert(logFiles(dir).length == 3)
     assert(estimates(dir, probe) == exact)
   }
@@ -128,7 +128,7 @@ class CmsCompactionSpec extends AnyFunSuite {
     // a young orphan is left alone (it may belong to a live compactor);
     // once TTL-aged it sweeps on the next run
     val report = ops.LlmPipeline.cmsCompactSketchLog(spark, dir, keepTail = 2)
-    assert(report == "ckpt=3 folded=4 swept=4", report)
+    assert(report.toString == "ckpt=3 folded=4 swept=4", report)
     assert(hiddenDirs(dir).exists(_.startsWith(".cms-ckpt-build-")))
     val savedTtl = ops.Derived.orphanTtlMs
     ops.Derived.orphanTtlMs = 0L
@@ -150,7 +150,7 @@ class CmsCompactionSpec extends AnyFunSuite {
     assert(estimates(dir, probe) == exact,
       "live-row filter drops covered raws — the crash window never double-counts")
     val report = ops.LlmPipeline.cmsCompactSketchLog(spark, dir, keepTail = 2)
-    assert(report == "ckpt=3 folded=0 swept=4",
+    assert(report.toString == "ckpt=3 folded=0 swept=4",
       s"re-run folds nothing new but finishes the sweep: $report")
     assert(logFiles(dir).length == 3)
     assert(estimates(dir, probe) == exact)
