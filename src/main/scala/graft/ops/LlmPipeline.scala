@@ -182,7 +182,9 @@ object LlmPipeline {
   private def substrateRemove(s: SparkSession)(
       prev: DataFrame, removed: Seq[String]): DataFrame = {
     import s.implicits._
-    if (!prev.columns.contains("src")) null // pre-provenance artifact: decline
+    // decline pre-provenance AND pre-decode-vintage bases (encoded src
+    // would make the anti-join subtract nothing — ADVICE r18)
+    if (!prev.columns.contains("src") || Storage.srcPreDecodeVintage(prev)) null
     else {
       val gone = removed.map(Storage.normSrcStr).toDF("gone_src")
       prev.join(broadcast(gone), col("src") === col("gone_src"), "left_anti")
@@ -193,6 +195,15 @@ object LlmPipeline {
     * rows (src column included) for exactly those part files; append =
     * rowsFor(delta) unioned, removal = src anti-join. private[graft]:
     * Multimodal's phash table rides the same lifecycle.
+    *
+    * INGEST CONTRACT (ADVICE r18): a doc_id must live in exactly ONE
+    * part file. The signature families group per (doc_id, src), so a
+    * doc_id re-ingested into a second file would fragment into two
+    * signature row-sets and silently diverge from the whole-corpus
+    * groupBy semantics the SQL/oracle mirrors compute. The staged
+    * artifact is validated before publish — one (doc_id → src)
+    * uniqueness agg over ARTIFACT rows, never a corpus re-read — so a
+    * violating corpus fails the build loudly.
     */
   private[graft] def ensureRowSubstrate(s: SparkSession, family: String,
       table: String, lines: Seq[String])(
@@ -200,7 +211,20 @@ object LlmPipeline {
     Storage.ensureManifestKeyedWithLines(s, family, table, lines)(
       fullBuild = pinned => rowsFor(pinned),
       deltaBuild = (prev, added) => prev.unionByName(rowsFor(added)),
-      removeBuild = substrateRemove(s))
+      removeBuild = substrateRemove(s),
+      validate = tmp => {
+        val staged = s.read.parquet(tmp)
+        if (staged.columns.contains("doc_id") && staged.columns.contains("src")) {
+          val bad = staged.groupBy("doc_id")
+            .agg(min("src").as("src_a"), max("src").as("src_b"))
+            .filter(col("src_a") =!= col("src_b")).limit(1).collect()
+          require(bad.isEmpty,
+            s"$family: doc_id ${bad.head.get(0)} spans part files " +
+              s"${bad.head.getString(1)} and ${bad.head.getString(2)} — " +
+              "the ingest contract requires a doc_id to live in exactly " +
+              "one part file (re-ingested doc in a delta file?)")
+        }
+      })
 
   /** Inverted-index rows for a set of documents part files: one row per
     * (doc, distinct shingle), keyed by the shingle's 60-bit base hash,
@@ -2253,7 +2277,11 @@ object LlmPipeline {
       }
       Storage.bestOverlapBase(s, IvfFamily, src, lines,
         marker = IvfMarker) match {
-        case Some((prevDir, prev)) if currentFormat(prevDir) =>
+        // a removal tick additionally requires a post-decode-vintage
+        // base: encoded src values would anti-join out nothing
+        case Some((prevDir, prev)) if currentFormat(prevDir) &&
+            ((prev -- lines.toSet).isEmpty || !Storage.srcPreDecodeVintage(
+              s.read.parquet(s"$prevDir/assignments"))) =>
           // evolve under FROZEN centroids (VERDICT r16 #3): subtract
           // the removed files' vectors (anti-join on src provenance —
           // the reference's node-offline cascade,

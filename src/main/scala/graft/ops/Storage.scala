@@ -103,6 +103,23 @@ object Storage {
   private[graft] def normSrcStr(p: String): String =
     p.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
 
+  /** Pre-decode vintage detection (ADVICE r18): artifacts persisted
+    * before [[normSrcCol]] gained the percent-decode store URL-ENCODED
+    * src values (`/x%20y`), so a removal anti-join against decoded
+    * manifest paths would silently subtract NOTHING — exactly the r17
+    * bug the decode fixed for new artifacts, resurfacing through an
+    * old base. A base whose src column still carries a percent escape
+    * must decline to evolve and fall through to the honest full
+    * rebuild. Conservative by design: a live path that GENUINELY
+    * contains a literal %XX sequence false-positives into a rebuild —
+    * correct answer, just slower, and the rebuilt artifact stores the
+    * decoded form so it only pays once. limit(1) short-circuits the
+    * scan; the check runs only on removal ticks.
+    */
+  private[graft] def srcPreDecodeVintage(prev: DataFrame): Boolean =
+    prev.columns.contains("src") &&
+      prev.filter(col("src").rlike("%[0-9a-fA-F]{2}")).limit(1).count() > 0
+
   private[graft] val ZonemapFamily = "graft-zonemap"
 
   /** Persisted, append-extendable, removal-subtractable zone map — the
@@ -170,7 +187,10 @@ object Storage {
         else prevRows.unionByName(zonemapPartialsFor(s.read.parquet(delta: _*))),
       removeBuild = (prevRows, removed) => {
         import s.implicits._
-        if (!prevRows.columns.contains("src")) null // pre-provenance: decline
+        // decline pre-provenance AND pre-decode-vintage bases (the
+        // latter store encoded src — the anti-join would miss)
+        if (!prevRows.columns.contains("src") ||
+          srcPreDecodeVintage(prevRows)) null
         else {
           // anti-join, not isin: the removed list is file-count-sized
           // (~10⁶ paths at 100 TB) — a broadcast relation, never a
@@ -502,7 +522,8 @@ object Storage {
       family: String, src: String, lines: Seq[String])(
       fullBuild: Seq[String] => DataFrame,
       deltaBuild: (DataFrame, Seq[String]) => DataFrame,
-      removeBuild: (DataFrame, Seq[String]) => DataFrame): String = {
+      removeBuild: (DataFrame, Seq[String]) => DataFrame,
+      validate: String => Unit = _ => ()): String = {
     val key = manifestKey(lines)
     // detect "this call will build" BEFORE the ensure: generation GC
     // (Derived.retireSuperseded) runs only when a fresh generation
@@ -542,6 +563,10 @@ object Storage {
           fullBuild(manifestPath(lines))
       }
       rows.write.mode("overwrite").parquet(tmp)
+      // invariant hook over the STAGED artifact (never the corpus): a
+      // violation throws here, before the publish rename, so a bad
+      // build fails loudly instead of serving a corrupt artifact
+      validate(tmp)
       val fs = new org.apache.hadoop.fs.Path(tmp)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       val out = fs.create(new org.apache.hadoop.fs.Path(tmp, BloomManifest))

@@ -156,4 +156,23 @@ class SubstrateSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSet,
       "postings removal-evolve != rebuild over survivors")
   }
+
+  test("ingest contract: a doc_id re-ingested into a second part file fails the build loudly (ADVICE r18)") {
+    import spark.implicits._
+    val dir = s"/tmp/graft-test-subdupdoc-${java.util.UUID.randomUUID()}"
+    writeDocs(dir, 0L until 12L, 0)
+    ops.LlmPipeline.ngramPostings(spark, dir).count() // day-0 artifact
+    // the violating delta: doc 5 arrives AGAIN in a new part file —
+    // per-(doc_id, src) signature grouping would silently fragment
+    // doc 5 into two signature row-sets
+    Seq((5L, "doc 5 entirely different text now here", "en", "src2", 37L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("append").parquet(s"$dir/documents.parquet")
+    ops.LlmPipeline.clearSubstrateMemos()
+    val e = intercept[IllegalArgumentException] {
+      ops.LlmPipeline.ngramPostings(spark, dir).count()
+    }
+    assert(e.getMessage.contains("spans part files"),
+      s"the staged-artifact validation must name the violation: ${e.getMessage}")
+  }
 }
