@@ -518,6 +518,16 @@ object Storage {
     * per-row provenance) and fall through to the honest rebuild.
     * Covered corpus bytes are never re-read on the evolve path.
     */
+  /** Test seam: fires after an evolve base is SELECTED but before its
+    * rows are read — the one window where another process's generation
+    * GC can retire the base out from under this build
+    * (Derived.retireSuperseded's documented story: the loser "fails
+    * its build loudly and retries into a full rebuild").
+    * CrossProcessRaceSpec injects the concurrent retire
+    * deterministically; production leaves a no-op.
+    */
+  private[graft] var postBaseSelectHook: String => Unit = _ => ()
+
   private[graft] def ensureManifestKeyedWithLines(s: SparkSession,
       family: String, src: String, lines: Seq[String])(
       fullBuild: Seq[String] => DataFrame,
@@ -536,6 +546,7 @@ object Storage {
       val rows = bestOverlapBase(s, family, src, lines,
         subtractable = removeBuild != null) match {
         case Some((prevDir, prev)) =>
+          postBaseSelectHook(prevDir)
           val removed = manifestPath((prev -- lines.toSet).toSeq.sorted)
           val added = manifestPath(lines.filterNot(prev))
           val prevRows = s.read.parquet(prevDir)
