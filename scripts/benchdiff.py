@@ -22,8 +22,10 @@ import sys
 
 
 def load(path):
-    """Returns (times, shuffle_bytes): shuffle_bytes maps query ->
-    read_b + write_b (r15+ records; empty for older rounds)."""
+    """Returns (times, shuffle_bytes, calib_ms): shuffle_bytes maps
+    query -> read_b + write_b (r15+ records; empty for older rounds);
+    calib_ms is the record's fixed-work CPU calibration (r19+ records;
+    None for older)."""
     text = open(path).read()
     try:
         d = json.loads(text)
@@ -34,7 +36,9 @@ def load(path):
                 sh = {k: float(v.get("read_b", 0)) + float(v.get("write_b", 0))
                       for k, v in (p.get("shuffle") or {}).items()
                       if isinstance(v, dict)}
-                return {k: float(v) for k, v in qs.items()}, sh
+                calib = p.get("calib_ms")
+                return ({k: float(v) for k, v in qs.items()}, sh,
+                        float(calib) if calib else None)
     except (json.JSONDecodeError, AttributeError):
         pass
     qs = {}
@@ -42,7 +46,7 @@ def load(path):
         qs[m.group(1)] = float(m.group(2))
     if not qs:
         sys.exit(f"benchdiff: no per-query timings found in {path}")
-    return qs, {}
+    return qs, {}, None
 
 
 def main():
@@ -55,7 +59,22 @@ def main():
             args.append(a)
     if len(args) != 2:
         sys.exit(__doc__)
-    (old, osh), (new, nsh) = load(args[0]), load(args[1])
+    (old, osh, ocal), (new, nsh, ncal) = load(args[0]), load(args[1])
+    # calibration gate (VERDICT r18 missing #3): the fixed-work CPU
+    # probe moves only with box contention, so >10% drift means the two
+    # records measured different machine-states — say so up front
+    # rather than letting uniform environment drift read as code
+    # regressions (the r16->r18 ~1.19x lesson).
+    if ocal and ncal:
+        drift = ncal / ocal
+        if abs(drift - 1.0) > 0.10:
+            print(f"CALIBRATION-DRIFT: fixed-work CPU probe "
+                  f"{ocal:.0f}ms -> {ncal:.0f}ms ({drift:.2f}x) — the box "
+                  f"state differs; wall-clock ratios below carry ~{drift:.2f}x "
+                  f"environment bias on CPU-bound queries")
+    elif ocal or ncal:
+        print("calibration: only one record carries calib_ms "
+              "(pre-r19 vintage on the other side)")
     shared = sorted(set(old) & set(new))
     gone, added = sorted(set(old) - set(new)), sorted(set(new) - set(old))
     regress, improve = [], []
