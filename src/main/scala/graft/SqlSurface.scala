@@ -36,6 +36,11 @@ object SqlSurface {
     // the SQL spelling of q_ivf_staleness reads them
     spark.read.parquet(s"$ivfDir/stats")
       .createOrReplaceTempView("ivf_stats")
+    // the substrate footprint rows (ensures the six dedup substrates,
+    // then six metadata-sized probes) — the SQL spelling of
+    // q_substrate_stats reads them
+    ops.LlmPipeline.substrateStats(spark, sfDir)
+      .createOrReplaceTempView("substrate_stats")
   }
 
   /** Spark SQL text for `name`: the oracle text unless overridden. */

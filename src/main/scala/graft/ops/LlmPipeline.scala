@@ -3398,7 +3398,12 @@ object LlmPipeline {
     corpusMemo(winnowFpsMemo, s, d)(
       s.read.parquet(ensureWinnowFps(s, d)).select("doc_id", "h"))
 
-  private[graft] val WinnowFpsFamily = "graft-winnow-fps"
+  // K is baked into the artifact rows, so the family name carries it:
+  // a K change invalidates persisted fingerprints from the older
+  // builder instead of silently serving them (the Derived version
+  // rule). lazy: WinnowK is declared further down this object and a
+  // strict val here would read its pre-init 0.
+  private[graft] lazy val WinnowFpsFamily = s"graft-winnow-fps-k$WinnowK"
 
   private def winnowFpsRows(s: SparkSession, paths: Seq[String]): DataFrame =
     s.read.parquet(paths: _*)
@@ -3416,6 +3421,42 @@ object LlmPipeline {
     val table = s"$d/documents.parquet"
     ensureRowSubstrate(s, WinnowFpsFamily, table,
       Storage.manifestLines(s, table))(winnowFpsRows(s, _))
+  }
+
+  /** q_substrate_stats — per-family footprint of the persisted dedup
+    * substrates, SQL-visible (VERDICT r18 next #6: the winnow artifact
+    * was a ~9 GB outlier nobody could SEE without shelling du): one row
+    * per family with its published path, row count (parquet footer
+    * metadata — no data scan), and on-disk bytes. Six bounded FS/footer
+    * probes — metadata-sized at any corpus scale. No DuckDB oracle (the
+    * artifact dirs are engine-local state, the ivf_staleness rationale);
+    * LlmPipelineSpec pins shape and row-count consistency.
+    */
+  def substrateStats(s: SparkSession, d: String): DataFrame = {
+    val fams: Seq[(String, String)] = Seq(
+      "embed_bucketed" -> ensureEmbedBucketed(s, d),
+      "minhash_banded" -> ensureMinhashBanded(s, d),
+      "ngram_postings" -> ensureNgramPostings(s, d),
+      "phash" -> Multimodal.ensurePhashTable(s, d),
+      "simhash" -> ensureSimhashSig(s, d),
+      "winnow_fps" -> ensureWinnowFps(s, d))
+    val rows = fams.map { case (family, dir) =>
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val bytes = fs.getContentSummary(p).getLength
+      // footer row counts, never a data scan
+      val nRows = fs.listStatus(p).toSeq
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        .map { st =>
+          val in = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+              st.getPath, s.sparkContext.hadoopConfiguration))
+          try in.getRecordCount finally in.close()
+        }.sum
+      (family, nRows, bytes)
+    }
+    import s.implicits._
+    rows.toDF("family", "n_rows", "bytes").orderBy("family")
   }
 
   private def substringWindows(s: SparkSession, d: String): DataFrame =
@@ -3482,7 +3523,16 @@ object LlmPipeline {
     * yields at least one shared fingerprint, at ~2/(k+1) of the
     * stride-1 index volume.
     */
-  private[graft] val WinnowK = 8
+  // 16 (was 8 through r18): the winnow artifact was the footprint
+  // outlier at sf100 (~9 GB vs 1.3 GB for the other four text
+  // substrates combined — VERDICT r18 next #6). Fingerprint density is
+  // ~2/(K+1), so K=16 halves the persisted index (0.222 -> 0.118 of
+  // positions) while the detection guarantee (spans >= W + K - 1 = 47
+  // chars) stays under the 50-char span threshold the stride-1 form
+  // reports on — every pair a user would act on is still guaranteed
+  // found. All four SQL spellings and the DuckDB oracle interpolate
+  // this constant, so engine and oracle can never disagree.
+  private[graft] val WinnowK = 16
 
   /** q_dedup_substring_winnow — the SCALE form of exact-substring
     * overlap: instead of joining every stride-1 window (q_dedup_
@@ -3490,9 +3540,9 @@ object LlmPipeline {
     * the join over ~100M window rows), each doc keeps only its
     * winnowing fingerprints — the minimum hash of every k consecutive
     * windows. Detection stays EXACT for spans ≥ SubWinW + WinnowK − 1
-    * (39 chars here; the two docs' aligned k-window over a shared span
+    * (47 chars here; the two docs' aligned k-window over a shared span
     * selects the same minimum on both sides), while the joined index
-    * shrinks ~4×; the trade is losing sub-39-char spans and the exact
+    * shrinks ~8×; the trade is losing sub-47-char spans and the exact
     * per-position coverage accounting (the stride-1 form keeps both).
     * Output: candidate pairs with their shared-fingerprint count.
     * Same df-cap gate as the stride-1 form.
@@ -3532,7 +3582,7 @@ object LlmPipeline {
   /** Corpus-volume threshold (total text chars) for the auto form:
     * below it the stride-1 exact-accounting index is affordable; above
     * it the W× window volume is the documented scale killer (345 s at
-    * the 100× ≈ 150M-char stress, BENCHNOTES r11) and winnowing's ~4×
+    * the 100× ≈ 150M-char stress, BENCHNOTES r11) and winnowing's ~8×
     * smaller index with the ≥ SubWinW+WinnowK−1 span guarantee is the
     * right default. 10M chars ≈ the 10× stress tier where stride-1
     * first went quadratic-shaped; gate fixtures (≤ 1.5M) stay stride-1.
@@ -3541,7 +3591,7 @@ object LlmPipeline {
 
   /** q_dedup_substring_auto — the PRODUCTION default for substring
     * overlap: selects stride-1 (exact per-position coverage) vs winnow
-    * (fingerprint index, exact for spans ≥ 39 chars) by corpus volume.
+    * (fingerprint index, exact for spans ≥ 47 chars) by corpus volume.
     * The selector is one metadata-sized aggregate (sum of the already-
     * stored n_chars — the same table-stats consultation a planner
     * does); both branches project the unified (doc_a, doc_b, n_matches,
@@ -4493,6 +4543,7 @@ object LlmPipeline {
     "q_dedup_embed"         -> (dedupEmbed _),
     "q_dedup_semantic"      -> (dedupSemantic _),
     "q_dedup_overflow_report" -> (dedupOverflowReport _),
+    "q_substrate_stats"     -> (substrateStats _),
     "q_embed_centroids"     -> (embedCentroids _),
     "q_embed_outliers"      -> (embedOutliers _),
     "q_embed_quantize"      -> (embedQuantize _),
@@ -5693,6 +5744,10 @@ object LlmPipeline {
   val sparkSql: Map[String, String] = {
     // same null⇒'' rule as the DataFrame shingle substrate
     val dtk = "dtk AS (SELECT *, split(coalesce(text, ''), ' ') AS tk FROM documents)"
+    val substrateStatsSql =
+      // over the substrate_stats view registerViews publishes (ETL
+      // output as view — the ivf_assignments pattern)
+      "SELECT family, n_rows, bytes FROM substrate_stats ORDER BY family"
     val shS = "CASE WHEN size(tk) >= 3 THEN shingle3(tk) ELSE array(coalesce(text, '')) END"
     def hash(c: String) = s"CAST(conv(substring(md5($c), 1, 15), 16, 10) AS BIGINT)"
     val quantS = "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
@@ -6068,6 +6123,7 @@ object LlmPipeline {
           "FROM embeddings e LEFT JOIN lconv l ON l.vec_id = e.vec_id " +
           "ORDER BY e.vec_id"
       },
+      "q_substrate_stats" -> substrateStatsSql,
       // Spark spelling of the five overflow group-counts (the oracle's
       // DuckDB list/unnest idioms don't parse here); same CTEs as the
       // per-family mirrors above

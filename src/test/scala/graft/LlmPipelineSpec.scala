@@ -2072,7 +2072,7 @@ class LlmPipelineSpec extends AnyFunSuite {
     val rnd = new scala.util.Random(7)
     def soup(n: Int, alphabet: String): String =
       (0 until n).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
-    // 80-char planted span (≥ 32 + 8 − 1 = 39 ⇒ detection GUARANTEED),
+    // 80-char planted span (≥ 32 + 16 − 1 = 47 ⇒ detection GUARANTEED),
     // embedded in unrelated prefixes/suffixes; doc 3 shares nothing
     // (disjoint alphabet, so no accidental 32-char window collides)
     val span = soup(80, "abcdefgh")

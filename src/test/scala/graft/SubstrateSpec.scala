@@ -157,6 +157,27 @@ class SubstrateSpec extends AnyFunSuite {
       "postings removal-evolve != rebuild over survivors")
   }
 
+  test("q_substrate_stats: six families, footer row counts exact, bytes on disk positive") {
+    val dir = s"/tmp/graft-test-substats-${java.util.UUID.randomUUID()}"
+    writeDocs(dir, 0L until 12L, 0)
+    writeEmbeds(dir, 0L until 12L)
+    val got = ops.LlmPipeline.substrateStats(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(_._1).toSeq == Seq("embed_bucketed", "minhash_banded",
+      "ngram_postings", "phash", "simhash", "winnow_fps"),
+      s"one footprint row per substrate family, name-ordered: ${got.toSeq}")
+    // footer counts must equal a real count of the published artifact
+    val wantRows = Map(
+      "ngram_postings" -> ops.LlmPipeline.ensureNgramPostings(spark, dir),
+      "winnow_fps" -> ops.LlmPipeline.ensureWinnowFps(spark, dir),
+      "simhash" -> ops.LlmPipeline.ensureSimhashSig(spark, dir))
+      .map { case (f, d2) => f -> spark.read.parquet(d2).count() }
+    got.filter(r => wantRows.contains(r._1)).foreach { case (f, n, bytes) =>
+      assert(n == wantRows(f), s"$f: footer rows $n != artifact count ${wantRows(f)}")
+      assert(bytes > 0L, s"$f: zero on-disk bytes")
+    }
+  }
+
   test("ingest contract: a doc_id re-ingested into a second part file fails the build loudly (ADVICE r18)") {
     import spark.implicits._
     val dir = s"/tmp/graft-test-subdupdoc-${java.util.UUID.randomUUID()}"
