@@ -4644,8 +4644,36 @@ object LlmPipeline {
           s"/ sqrt(CAST(pn.n2a AS DOUBLE) * CAST(${dotDuck("v.q", "v.q")} AS DOUBLE)) AS cos " +
           "FROM a v, pn WHERE v.bucket = pn.probe_bucket AND v.vec_id <> 0 " +
           "ORDER BY cos DESC, vec_id LIMIT 5"
+      // the maintenance verdict is the same dump-replay shape: every
+      // input is a RECORDED stats row (exact sufficient statistics
+      // persisted at build/extend/removal time — never recomputed), so
+      // DuckDB folds the identical doubles. Sums CAST to BIGINT
+      // (DuckDB's sum(BIGINT) is HUGEINT — the q_pack_sequences
+      // type-class trap); live counts subtract the removal census
+      // exactly as ivfStaleness does.
+      val st = s"'$dir/stats/*.parquet'"
+      val nApp = "(n_appended_raw - rm_appended)"
+      val nBase = "(n_base_raw - rm_base)"
+      val frac = s"CAST($nApp AS DOUBLE) / CAST($nBase + $nApp AS DOUBLE)"
+      val staleSql =
+        s"WITH base AS (SELECT n_vecs AS n_base_raw, mean_dist2 AS base_mean_dist2 " +
+          s"FROM $st WHERE kind = 'build'), " +
+          s"delta AS (SELECT CAST(coalesce(sum(n_vecs), 0) AS BIGINT) AS n_appended_raw, " +
+          s"sum(n_vecs * mean_dist2) / CAST(sum(n_vecs) AS DOUBLE) AS delta_mean_dist2 " +
+          s"FROM $st WHERE kind = 'delta'), " +
+          "adj AS (SELECT CAST(coalesce(sum(CASE WHEN kind = 'removed_base' " +
+          "THEN n_vecs END), 0) AS BIGINT) AS rm_base, " +
+          "CAST(coalesce(sum(CASE WHEN kind = 'removed_appended' " +
+          s"THEN n_vecs END), 0) AS BIGINT) AS rm_appended FROM $st) " +
+          s"SELECT CAST($nBase AS BIGINT) AS n_base, CAST($nApp AS BIGINT) AS n_appended, " +
+          s"$frac AS appended_frac, base_mean_dist2, delta_mean_dist2, " +
+          "delta_mean_dist2 / base_mean_dist2 AS drift_ratio, " +
+          s"($nApp > 0 AND coalesce(delta_mean_dist2 / base_mean_dist2 > $IvfStaleRatio, false)) " +
+          s"OR $frac > $IvfStaleFrac AS recluster " +
+          "FROM base CROSS JOIN delta CROSS JOIN adj"
       Map("q_sim_search_ivf_kmeans" -> sql,
-        "q_sim_search_ivf_kmeans_probe" -> sql)
+        "q_sim_search_ivf_kmeans_probe" -> sql,
+        "q_ivf_staleness" -> staleSql)
     }.getOrElse(Map.empty)
 
   def oracle: Map[String, String] = staticOracle ++ ivfKmeansDumpOracle
