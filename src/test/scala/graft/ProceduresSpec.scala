@@ -57,6 +57,22 @@ class ProceduresSpec extends AnyFunSuite {
       .collect().head
     assert((named.getLong(0), named.getLong(1), named.getLong(2)) == (-1L, 0L, 0L),
       "named args resolve in any order")
+    // a REAL log through the SQL front door: 4 batches, keep_tail=1 →
+    // the checkpoint covers batches 0..2 and their 3 files sweep —
+    // the same counts the Scala entry reports
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{expr, lit}
+    val log = s"/tmp/graft-test-callcms-${java.util.UUID.randomUUID()}"
+    (0 until 4).foreach { b =>
+      Seq(s"tok$b").toDF("token")
+        .agg(expr(ops.LlmPipeline.cmsAgg("token")).as("sk"))
+        .withColumn("batch_id", lit(b.toLong))
+        .coalesce(1).write.mode("append").parquet(log)
+    }
+    val c = spark.sql(s"CALL graft.cms_compact('$log', keep_tail => 1)")
+      .collect().head
+    assert((c.getLong(0), c.getLong(1), c.getLong(2)) == (2L, 3L, 3L),
+      s"ckpt_upto=2, 3 rows folded, 3 files swept: $c")
   }
 
   test("argument resolution fails loudly: unknown name, duplicate, missing required") {
