@@ -60,6 +60,15 @@ object Derived {
     "d" + digest + "_" + parent.replaceAll("[^A-Za-z0-9._-]", "_")
   }
 
+  /** The pre-r19 label formula (sanitized parent, NO digest) — kept
+    * ONLY for garbage collection: artifacts published under it became
+    * invisible to dirFor/bestOverlapBase when the digest landed, so
+    * without a matching sweep they would leak on disk forever.
+    */
+  private def legacyLabelFor(sourceFile: String): String =
+    "d" + new org.apache.hadoop.fs.Path(sourceFile)
+      .getParent.toString.replaceAll("[^A-Za-z0-9._-]", "_")
+
   /** Hadoop-FS mtime of a source file (0 when absent) — the staleness
     * stamp session memos key on (substring windows, cc labels), shared
     * so no memo re-grows the java.io.File-on-remote-path trap.
@@ -232,6 +241,47 @@ object Derived {
           st.getPath.toString + ".old-" + java.util.UUID.randomUUID().toString.take(8))
         if (fs.rename(st.getPath, trash)) fs.delete(trash, true)
       }
+    // legacy-label sweep: this dataset's pre-digest artifacts are
+    // unreachable by every current code path (no keep budget — they
+    // can never be served again), reclaimed once TTL-aged
+    val legacyPrefix = legacyLabelFor(sourceFile) + "_"
+    if (legacyPrefix != prefix) fs.listStatus(fam).toSeq
+      .filter { st =>
+        val n = st.getPath.getName
+        st.isDirectory && n.startsWith(legacyPrefix) && !n.startsWith(prefix) &&
+          now - st.getModificationTime > generationTtlMs
+      }
+      .foreach { st =>
+        val trash = new org.apache.hadoop.fs.Path(
+          st.getPath.toString + ".old-" + java.util.UUID.randomUUID().toString.take(8))
+        if (fs.rename(st.getPath, trash)) fs.delete(trash, true)
+      }
+  }
+
+  /** Reclaim a RETIRED family's artifacts for one dataset: a family
+    * RENAME (e.g. the winnow fingerprints' K-suffix) strands the old
+    * family dir outside every current prefix — nothing serves it,
+    * nothing retires it. Sweeps the dataset's entries under BOTH label
+    * vintages, TTL-gated, and removes the family dir once empty. The
+    * successor family's ensure calls this as its migration sweep.
+    */
+  private[graft] def retireRetiredFamily(s: SparkSession, family: String,
+      sourceFile: String): Unit = {
+    val fam = new org.apache.hadoop.fs.Path(familyDir(family))
+    val fs = fam.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(fam)) return
+    val prefixes = Seq(labelFor(sourceFile) + "_", legacyLabelFor(sourceFile) + "_")
+    val now = System.currentTimeMillis()
+    fs.listStatus(fam).toSeq
+      .filter(st => st.isDirectory &&
+        prefixes.exists(st.getPath.getName.startsWith) &&
+        now - st.getModificationTime > generationTtlMs)
+      .foreach { st =>
+        val trash = new org.apache.hadoop.fs.Path(
+          st.getPath.toString + ".old-" + java.util.UUID.randomUUID().toString.take(8))
+        if (fs.rename(st.getPath, trash)) fs.delete(trash, true)
+      }
+    if (fs.listStatus(fam).isEmpty) fs.delete(fam, false)
   }
 
   /** Resolve the LATEST complete generation for (family, source,

@@ -182,9 +182,10 @@ object LlmPipeline {
   private def substrateRemove(s: SparkSession)(
       prev: DataFrame, removed: Seq[String]): DataFrame = {
     import s.implicits._
-    // decline pre-provenance AND pre-decode-vintage bases (encoded src
-    // would make the anti-join subtract nothing — ADVICE r18)
-    if (!prev.columns.contains("src") || Storage.srcPreDecodeVintage(prev)) null
+    // pre-provenance bases decline; pre-decode vintage (encoded src —
+    // the anti-join would subtract nothing, ADVICE r18) is gated
+    // centrally in Storage.ensureManifestKeyedWithLines
+    if (!prev.columns.contains("src")) null
     else {
       val gone = removed.map(Storage.normSrcStr).toDF("gone_src")
       prev.join(broadcast(gone), col("src") === col("gone_src"), "left_anti")
@@ -2070,6 +2071,7 @@ object LlmPipeline {
           s.read.parquet(Storage.manifestPath(lines): _*), tmp)
         val fs = new org.apache.hadoop.fs.Path(tmp)
           .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.create(new org.apache.hadoop.fs.Path(tmp, Storage.SrcFormatMarker)).close()
         val out = fs.create(new org.apache.hadoop.fs.Path(tmp, "_MANIFEST"))
         try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
         finally out.close()
@@ -2121,7 +2123,8 @@ object LlmPipeline {
       splitCellsInto(s, idxDir, hot, tmp)
       val fs = new org.apache.hadoop.fs.Path(tmp)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
-      val out = fs.create(new org.apache.hadoop.fs.Path(tmp, "_MANIFEST"))
+      fs.create(new org.apache.hadoop.fs.Path(tmp, Storage.SrcFormatMarker)).close()
+        val out = fs.create(new org.apache.hadoop.fs.Path(tmp, "_MANIFEST"))
       try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
       finally out.close()
     }
@@ -2280,11 +2283,13 @@ object LlmPipeline {
       }
       Storage.bestOverlapBase(s, IvfFamily, src, lines,
         marker = IvfMarker) match {
-        // a removal tick additionally requires a post-decode-vintage
-        // base: encoded src values would anti-join out nothing
+        // a removal tick additionally requires a trusted-src base:
+        // marker-present ⇒ decoded by construction; marker-less falls
+        // back to the content probe (encoded src would anti-join out
+        // nothing)
         case Some((prevDir, prev)) if currentFormat(prevDir) &&
-            ((prev -- lines.toSet).isEmpty || !Storage.srcPreDecodeVintage(
-              s.read.parquet(s"$prevDir/assignments"))) =>
+            ((prev -- lines.toSet).isEmpty || Storage.removalBaseTrusted(
+              s, prevDir, s.read.parquet(s"$prevDir/assignments"))) =>
           // evolve under FROZEN centroids (VERDICT r16 #3): subtract
           // the removed files' vectors (anti-join on src provenance —
           // the reference's node-offline cascade,
@@ -2303,7 +2308,8 @@ object LlmPipeline {
       }
       val fs = new org.apache.hadoop.fs.Path(tmp)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
-      val out = fs.create(new org.apache.hadoop.fs.Path(tmp, "_MANIFEST"))
+      fs.create(new org.apache.hadoop.fs.Path(tmp, Storage.SrcFormatMarker)).close()
+        val out = fs.create(new org.apache.hadoop.fs.Path(tmp, "_MANIFEST"))
       try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
       finally out.close()
     }
@@ -3419,6 +3425,11 @@ object LlmPipeline {
 
   private[graft] def ensureWinnowFps(s: SparkSession, d: String): String = {
     val table = s"$d/documents.parquet"
+    // migration sweep: pre-r19 fingerprints live under the retired
+    // un-suffixed family name, stranded outside every current prefix
+    // (the K rename invalidated them by design; this reclaims the
+    // bytes — at sf100 the K=8 artifact was ~9 GB)
+    Derived.retireRetiredFamily(s, "graft-winnow-fps", table)
     ensureRowSubstrate(s, WinnowFpsFamily, table,
       Storage.manifestLines(s, table))(winnowFpsRows(s, _))
   }
@@ -3756,8 +3767,30 @@ object LlmPipeline {
       val s = batch.sparkSession
       val target = new org.apache.hadoop.fs.Path(dir, s"cms-batch-$id.parquet")
       val fs = target.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (!fs.exists(target)) {
-        val staging = new org.apache.hadoop.fs.Path(dir, s".cms-batch-build-$id")
+      // the replay guard is the batch ID, not just the file: once a
+      // compaction has folded batch `id` into a checkpoint and swept
+      // its file, a replay of that id (or a restart whose fresh stream
+      // checkpoint restarts ids at 0) must still skip — publishing it
+      // would land a row cmsLiveRows excludes (batch_id <= ckpt) and
+      // the next sweep silently deletes: accepted-but-never-counted.
+      // The floor is parsed from the checkpoint FILE NAMES
+      // (cms-ckpt-<upto>-<uuid>.parquet) — one listing, no footer read.
+      val ckptFloor =
+        if (!fs.exists(new org.apache.hadoop.fs.Path(dir))) -1L
+        else fs.listStatus(new org.apache.hadoop.fs.Path(dir)).toSeq
+          .map(_.getPath.getName)
+          .filter(_.startsWith("cms-ckpt-"))
+          .flatMap(_.stripPrefix("cms-ckpt-").split("-").headOption
+            .flatMap(_.toLongOption))
+          .foldLeft(-1L)(math.max)
+      if (id > ckptFloor && !fs.exists(target)) {
+        // UUID staging: two processes replaying the same batch id must
+        // not share a staging dir (one's overwrite could tear the
+        // other's part file mid-rename); the deterministic TARGET name
+        // still arbitrates — the loser's rename fails against the
+        // winner's published file and its staging is discarded
+        val staging = new org.apache.hadoop.fs.Path(dir,
+          s".cms-batch-build-$id-${java.util.UUID.randomUUID().toString.take(8)}")
         batch.select(explode(expr(toks)).as("token"))
           .agg(expr(cmsAgg("token")).as("sk"))
           .withColumn("batch_id", lit(id))
@@ -3931,10 +3964,14 @@ object LlmPipeline {
     val w = maxBatch - keepTail
     var folded = 0L
     if (w > ckptUpto) {
-      val foldSrc = log.filter(
-        (col("folded_upto") === ckptUpto) ||
-          (col("folded_upto").isNull &&
-            col("batch_id") > ckptUpto && col("batch_id") <= w))
+      // limit(1) on the checkpoint leg, same guard as cmsLiveRows: twin
+      // checkpoints at the SAME folded_upto (racing compactors, or a
+      // crash-at-2 leftover next to a fresh twin) are bit-identical by
+      // construction — folding both would bake doubled prefix counts
+      // into the new checkpoint PERMANENTLY
+      val foldSrc = log.filter(col("folded_upto") === ckptUpto).limit(1)
+        .union(log.filter(col("folded_upto").isNull &&
+          col("batch_id") > ckptUpto && col("batch_id") <= w))
       folded = foldSrc.count()
       if (folded > 0) {
         val merged = cmsFoldToBytes(foldSrc)

@@ -103,6 +103,18 @@ object Storage {
   private[graft] def normSrcStr(p: String): String =
     p.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
 
+  /** Format-version marker written into every artifact published since
+    * the percent-decode era: its PRESENCE proves the src column stores
+    * decoded values, so a removal tick never needs the content probe
+    * below — which matters for the one path the probe cannot
+    * distinguish: a dataset dir that GENUINELY contains a literal %XX
+    * sequence would otherwise decline + full-rebuild on EVERY removal
+    * tick forever (the rebuilt artifact re-stores the same literal
+    * '%XX' and re-trips the probe — the "only pays once" claim held
+    * only for escapable-but-literal-%-free paths).
+    */
+  private[graft] val SrcFormatMarker = "_SRCV2"
+
   /** Pre-decode vintage detection (ADVICE r18): artifacts persisted
     * before [[normSrcCol]] gained the percent-decode store URL-ENCODED
     * src values (`/x%20y`), so a removal anti-join against decoded
@@ -110,15 +122,24 @@ object Storage {
     * bug the decode fixed for new artifacts, resurfacing through an
     * old base. A base whose src column still carries a percent escape
     * must decline to evolve and fall through to the honest full
-    * rebuild. Conservative by design: a live path that GENUINELY
-    * contains a literal %XX sequence false-positives into a rebuild —
-    * correct answer, just slower, and the rebuilt artifact stores the
-    * decoded form so it only pays once. limit(1) short-circuits the
-    * scan; the check runs only on removal ticks.
+    * rebuild — CONSULTED ONLY when the base predates
+    * [[SrcFormatMarker]] (marker present ⇒ decoded by construction,
+    * no probe, no false positive on literal-% paths). limit(1)
+    * short-circuits the scan; the check runs only on removal ticks.
     */
   private[graft] def srcPreDecodeVintage(prev: DataFrame): Boolean =
     prev.columns.contains("src") &&
       prev.filter(col("src").rlike("%[0-9a-fA-F]{2}")).limit(1).count() > 0
+
+  /** The central removal-tick vintage gate: marker-present bases are
+    * trusted; marker-less bases fall back to the content probe.
+    */
+  private[graft] def removalBaseTrusted(s: SparkSession, prevDir: String,
+      prevRows: DataFrame): Boolean = {
+    val m = new org.apache.hadoop.fs.Path(prevDir, SrcFormatMarker)
+    m.getFileSystem(s.sparkContext.hadoopConfiguration).exists(m) ||
+      !srcPreDecodeVintage(prevRows)
+  }
 
   private[graft] val ZonemapFamily = "graft-zonemap"
 
@@ -187,10 +208,9 @@ object Storage {
         else prevRows.unionByName(zonemapPartialsFor(s.read.parquet(delta: _*))),
       removeBuild = (prevRows, removed) => {
         import s.implicits._
-        // decline pre-provenance AND pre-decode-vintage bases (the
-        // latter store encoded src — the anti-join would miss)
-        if (!prevRows.columns.contains("src") ||
-          srcPreDecodeVintage(prevRows)) null
+        // pre-provenance bases decline (pre-decode vintage is gated
+        // centrally in ensureManifestKeyedWithLines)
+        if (!prevRows.columns.contains("src")) null
         else {
           // anti-join, not isin: the removed list is file-count-sized
           // (~10⁶ paths at 100 TB) — a broadcast relation, never a
@@ -552,6 +572,12 @@ object Storage {
           val prevRows = s.read.parquet(prevDir)
           val afterRemove =
             if (removed.isEmpty) prevRows
+            // the centralized vintage gate (ADVICE r18 + review): a
+            // marker-less base whose src column carries %-escapes may
+            // be pre-decode vintage — decline here so every family's
+            // removal leg shares one rule, and marker-present bases on
+            // literal-% paths keep their fast path
+            else if (!removalBaseTrusted(s, prevDir, prevRows)) null
             else removeBuild(prevRows, removed)
           val evolved =
             if (afterRemove == null) null
@@ -580,6 +606,9 @@ object Storage {
       validate(tmp)
       val fs = new org.apache.hadoop.fs.Path(tmp)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
+      // src-format marker: proves this artifact stores DECODED src, so
+      // future removal ticks skip the vintage content probe
+      fs.create(new org.apache.hadoop.fs.Path(tmp, SrcFormatMarker)).close()
       val out = fs.create(new org.apache.hadoop.fs.Path(tmp, BloomManifest))
       try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
       finally out.close()

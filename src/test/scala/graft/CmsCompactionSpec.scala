@@ -156,6 +156,51 @@ class CmsCompactionSpec extends AnyFunSuite {
     assert(estimates(dir, probe) == exact)
   }
 
+  test("twin checkpoints fold ONCE: a racing compactor's duplicate never doubles counts") {
+    val dir = mkLog(); val probe = mkProbeDir()
+    ops.LlmPipeline.cmsCompactSketchLog(spark, dir, keepTail = 2)
+    // the crash-at-2 + racing-compactor state: a bit-identical TWIN of
+    // the current checkpoint coexists in the log
+    val fsLocal = new java.io.File(dir)
+    val ckpt = fsLocal.listFiles.find(_.getName.startsWith("cms-ckpt-3-")).get
+    java.nio.file.Files.copy(ckpt.toPath,
+      new java.io.File(dir, "cms-ckpt-3-twin0000.parquet").toPath)
+    assert(estimates(dir, probe) == exact, "reads already dedupe twins")
+    // the stream advances and the NEXT compaction folds the checkpoint
+    // forward — exactly one twin may enter the fold
+    appendOldVintage(dir, 6L, Seq("apple"))
+    appendOldVintage(dir, 7L, Seq("banana"))
+    val report = ops.LlmPipeline.cmsCompactSketchLog(spark, dir, keepTail = 2)
+    assert(report.toString == "ckpt=5 folded=3 swept=4",
+      s"1 ckpt (deduped) + raws 4,5 fold; both twins + raws 4,5 sweep: $report")
+    val want = exact ++ Map("apple" -> (exact("apple") + 1),
+      "banana" -> (exact("banana") + 1))
+    assert(estimates(dir, probe) == want,
+      "a twin checkpoint folded twice would double every batch-0..3 count")
+  }
+
+  test("a batch id at or below the checkpoint floor is skipped even after its file was swept") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = mkLog(); val probe = mkProbeDir()
+    ops.LlmPipeline.cmsCompactSketchLog(spark, dir, keepTail = 2)
+    // batches 0..3 folded and their files swept: a restart with a FRESH
+    // stream checkpoint restarts ids at 0 — the file-existence guard is
+    // gone, so the sink must fall back to the checkpoint-name floor or
+    // the new row would be accepted, excluded by every read, and
+    // deleted by the next sweep (silent loss)
+    val ms = MemoryStream[(Long, String)]
+    val q = ops.LlmPipeline.cmsSketchSink(ms.toDF().toDF("doc_id", "text"), dir)
+    try {
+      ms.addData((9L, "elder elder elder"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(!logFiles(dir).contains("cms-batch-0.parquet"),
+      s"batch 0 <= ckpt floor 3 must be skipped as a replay: ${logFiles(dir)}")
+    assert(estimates(dir, probe) == exact, "skipped replay changes no count")
+  }
+
   test("sink publishes deterministic per-batch files and skips a replayed batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

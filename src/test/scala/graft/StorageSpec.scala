@@ -514,7 +514,9 @@ class StorageSpec extends AnyFunSuite {
     liRows(6L until 12L, 1).coalesce(1).write.mode("append").parquet(table)
     val base = ops.Storage.ensureZoneMap(spark, dir)
     // rewrite the artifact's src column to the encoded form, keeping
-    // _MANIFEST/_SUCCESS so it stays a selectable evolve base
+    // _MANIFEST/_SUCCESS so it stays a selectable evolve base; drop
+    // the _SRCV2 format marker too — a genuine pre-decode artifact
+    // predates it (marker present would rightly skip the probe)
     val doctored = spark.read.parquet(base)
       .withColumn("src", regexp_replace(col("src"), " ", "%20"))
     val stage = s"/tmp/graft-test-vintage-stage-${java.util.UUID.randomUUID()}"
@@ -522,6 +524,8 @@ class StorageSpec extends AnyFunSuite {
     fs.listStatus(new org.apache.hadoop.fs.Path(base))
       .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
       .foreach(st => fs.delete(st.getPath, false))
+    fs.delete(new org.apache.hadoop.fs.Path(base,
+      ops.Storage.SrcFormatMarker), false)
     fs.listStatus(new org.apache.hadoop.fs.Path(stage))
       .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
       .foreach(st => fs.rename(st.getPath,
@@ -537,6 +541,49 @@ class StorageSpec extends AnyFunSuite {
       .agg(sum("n_chunks")).head.getLong(0)
     assert(got == 6L,
       s"old-vintage base must decline and rebuild: expected day-0's 6 chunks, got $got")
+  }
+
+  test("literal-%XX dataset with the format marker keeps the removal fast path") {
+    import spark.implicits._
+    def liRows(ids: Seq[Long], dayOff: Int) =
+      ids.map(f => (f, 100L + f % 7, 200L + (f + dayOff) % 11, 1L,
+          java.sql.Timestamp.valueOf(f"1995-0${1 + dayOff}%d-11 00:00:00"), 1.0))
+        .toDF("l_orderkey", "l_suppkey", "l_partkey", "l_linenumber",
+          "l_shipdate", "l_quantity")
+    // the dir name CONTAINS a literal %20: the decoded src values keep
+    // it, so the content probe alone would flag this NEW artifact as
+    // pre-decode vintage on EVERY removal tick — permanent full
+    // rebuilds. The _SRCV2 marker written at build time must keep the
+    // evolve fast path instead.
+    val dir = s"/tmp/graft-test-litpct-${java.util.UUID.randomUUID()}/with%20literal"
+    val table = s"$dir/lineitem.parquet"
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    liRows(0L until 6L, 0).coalesce(1).write.parquet(table)
+    val day0 = fs.listStatus(new org.apache.hadoop.fs.Path(table))
+      .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+      .head.getPath
+    liRows(6L until 12L, 1).coalesce(1).write.mode("append").parquet(table)
+    val base = ops.Storage.ensureZoneMap(spark, dir)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(base,
+      ops.Storage.SrcFormatMarker)), "new artifacts carry the format marker")
+    // retention drops day-1; the SURVIVOR goes corrupt in place, so a
+    // full rebuild would die on its footer — only the artifact-evolve
+    // fast path can answer
+    fs.listStatus(new org.apache.hadoop.fs.Path(table))
+      .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+      .filterNot(_.getPath == day0)
+      .foreach(st => fs.delete(st.getPath, false))
+    val st0 = fs.getFileStatus(day0)
+    val (len, mtime) = (st0.getLen, st0.getModificationTime)
+    val out = fs.create(day0, true)
+    try out.write(new Array[Byte](len.toInt)) finally out.close()
+    fs.setTimes(day0, mtime, -1)
+    val idx = ops.Storage.ensureZoneMap(spark, dir)
+    val got = ops.Storage.zonemapMerge(spark.read.parquet(idx))
+      .agg(sum("n_chunks")).head.getLong(0)
+    assert(got == 6L,
+      s"marker-trusted evolve must subtract day-1 without a corpus read: $got")
   }
 
   test("generation GC: a three-tick sequence keeps current + N, retires the rest (VERDICT r17 missing #1)") {
@@ -649,6 +696,49 @@ class StorageSpec extends AnyFunSuite {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(gen1)),
       "an aged generation past the keep budget retires")
     assert(fs.exists(new org.apache.hadoop.fs.Path(cur)))
+  }
+
+  test("legacy-label and retired-family artifacts reclaim once TTL-aged") {
+    import spark.implicits._
+    val dir = s"/tmp/graft-test-legacygc-${java.util.UUID.randomUUID()}"
+    val table = s"$dir/lineitem.parquet"
+    Seq((1L, 2L, 3L, 1L,
+        java.sql.Timestamp.valueOf("1995-01-11 00:00:00"), 1.0))
+      .toDF("l_orderkey", "l_suppkey", "l_partkey", "l_linenumber",
+        "l_shipdate", "l_quantity")
+      .coalesce(1).write.parquet(table)
+    val cur = ops.Storage.ensureZoneMap(spark, dir)
+    val fam = ops.Derived.familyDir(ops.Storage.ZonemapFamily)
+    val fs = new org.apache.hadoop.fs.Path(fam)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a pre-digest (r18-vintage) artifact of THIS dataset: matches no
+    // current prefix, so only the legacy sweep can ever reclaim it
+    val legacyLabel = "d" + new org.apache.hadoop.fs.Path(table)
+      .getParent.toString.replaceAll("[^A-Za-z0-9._-]", "_")
+    val aged = new org.apache.hadoop.fs.Path(s"$fam/${legacyLabel}_m01dead")
+    val young = new org.apache.hadoop.fs.Path(s"$fam/${legacyLabel}_m02dead")
+    fs.mkdirs(aged); fs.mkdirs(young)
+    fs.setTimes(aged,
+      System.currentTimeMillis() - ops.Derived.generationTtlMs - 60000, -1)
+    try {
+      ops.Derived.retireSuperseded(spark, ops.Storage.ZonemapFamily, table, cur)
+      assert(!fs.exists(aged), "TTL-aged legacy-label artifact not reclaimed")
+      assert(fs.exists(young), "young legacy dir spared (TTL gate)")
+      assert(fs.exists(new org.apache.hadoop.fs.Path(cur)))
+    } finally { fs.delete(aged, true); fs.delete(young, true) }
+    // a RETIRED family (renamed away, e.g. the winnow K bump): the
+    // successor's migration sweep reclaims the dataset's entries and
+    // the empty family dir itself
+    val rfam = s"graft-test-retired-${java.util.UUID.randomUUID().toString.take(8)}"
+    val rdir = new org.apache.hadoop.fs.Path(
+      s"${ops.Derived.familyDir(rfam)}/${ops.Derived.labelFor(table)}_m03dead")
+    fs.mkdirs(rdir)
+    fs.setTimes(rdir,
+      System.currentTimeMillis() - ops.Derived.generationTtlMs - 60000, -1)
+    ops.Derived.retireRetiredFamily(spark, rfam, table)
+    assert(!fs.exists(rdir), "retired-family artifact not reclaimed")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(ops.Derived.familyDir(rfam))),
+      "emptied retired family dir should be removed")
   }
 
   test("labelFor disambiguates datasets the sanitizer collapses (ADVICE r18)") {
