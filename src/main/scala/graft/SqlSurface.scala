@@ -38,7 +38,11 @@ object SqlSurface {
       .createOrReplaceTempView("ivf_stats")
     // the substrate footprint rows (ensures the six dedup substrates,
     // then six metadata-sized probes) — the SQL spelling of
-    // q_substrate_stats reads them
+    // q_substrate_stats reads them. Eager-at-registration is the
+    // established ivf_assignments pattern above: at steady state every
+    // ensure is a marker probe (the ingest job ran
+    // CALL graft.ensure_dedup_substrates), and a cold corpus pays the
+    // one-time build here rather than silently serving absent stats
     ops.LlmPipeline.substrateStats(spark, sfDir)
       .createOrReplaceTempView("substrate_stats")
   }
