@@ -243,13 +243,17 @@ object Derived {
       }
     // legacy-label sweep: this dataset's pre-digest artifacts are
     // unreachable by every current code path (no keep budget — they
-    // can never be served again), reclaimed once TTL-aged
+    // can never be served again), reclaimed once TTL-aged. The gate is
+    // the LONG orphanTtlMs, not generationTtlMs (ADVICE r19): in a
+    // mixed-version rolling deployment a process still running
+    // pre-digest code serves these dirs LIVE — an upgrade window, not
+    // an in-flight-query window, so the sweep must outwait a deploy.
     val legacyPrefix = legacyLabelFor(sourceFile) + "_"
     if (legacyPrefix != prefix) fs.listStatus(fam).toSeq
       .filter { st =>
         val n = st.getPath.getName
         st.isDirectory && n.startsWith(legacyPrefix) && !n.startsWith(prefix) &&
-          now - st.getModificationTime > generationTtlMs
+          now - st.getModificationTime > orphanTtlMs
       }
       .foreach { st =>
         val trash = new org.apache.hadoop.fs.Path(
@@ -264,6 +268,9 @@ object Derived {
     * nothing retires it. Sweeps the dataset's entries under BOTH label
     * vintages, TTL-gated, and removes the family dir once empty. The
     * successor family's ensure calls this as its migration sweep.
+    * Same orphanTtlMs gate as the legacy-label sweep: a rolling deploy
+    * may still run the OLD family's code against these dirs, so the
+    * reclaim must outwait an upgrade window, not just a query.
     */
   private[graft] def retireRetiredFamily(s: SparkSession, family: String,
       sourceFile: String): Unit = {
@@ -275,7 +282,7 @@ object Derived {
     fs.listStatus(fam).toSeq
       .filter(st => st.isDirectory &&
         prefixes.exists(st.getPath.getName.startsWith) &&
-        now - st.getModificationTime > generationTtlMs)
+        now - st.getModificationTime > orphanTtlMs)
       .foreach { st =>
         val trash = new org.apache.hadoop.fs.Path(
           st.getPath.toString + ".old-" + java.util.UUID.randomUUID().toString.take(8))

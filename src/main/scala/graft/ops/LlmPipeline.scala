@@ -3783,7 +3783,17 @@ object LlmPipeline {
           .flatMap(_.stripPrefix("cms-ckpt-").split("-").headOption
             .flatMap(_.toLongOption))
           .foldLeft(-1L)(math.max)
-      if (id > ckptFloor && !fs.exists(target)) {
+      if (id <= ckptFloor) {
+        // make silent data loss at least observable (ADVICE r19): a
+        // TRUE replay of a folded batch is by-design invisible, but a
+        // RESET stream checkpoint (ids restart at 0) against an
+        // existing compacted log drops genuinely new data here — a
+        // fresh stream checkpoint requires a fresh sketch dir.
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"cmsSketchSink: batch $id at/below checkpoint floor $ckptFloor " +
+            s"in $dir — skipped as a replay; if this stream's checkpoint " +
+            "was reset, point it at a FRESH sketch dir or this data is lost")
+      } else if (!fs.exists(target)) {
         // UUID staging: two processes replaying the same batch id must
         // not share a staging dir (one's overwrite could tear the
         // other's part file mid-rename); the deterministic TARGET name
@@ -3901,6 +3911,18 @@ object LlmPipeline {
     */
   private[graft] var cmsCrashPoint: Int = 0
 
+  /** In-flight-reader grace for the covered-file sweep (ADVICE r19):
+    * a cmsMergedEstimates that LISTED the log before a checkpoint
+    * published may still scan the covered files it planned — deleting
+    * them immediately after the rename FileNotFounds that reader at
+    * task launch, the exact race Derived.generationTtlMs closes for
+    * generation GC. Files covered by a checkpoint are swept only once
+    * that checkpoint has aged one window; reads are already correct
+    * either way (cmsLiveRows excludes covered rows). Defaults to the
+    * same window as the generation GC; specs pin 0 for determinism.
+    */
+  private[graft] var cmsCoveredTtlMs: Long = Derived.generationTtlMs
+
   case class CmsCompactReport(ckptUpto: Long, folded: Long, swept: Long) {
     override def toString: String = s"ckpt=$ckptUpto folded=$folded swept=$swept"
   }
@@ -4006,7 +4028,18 @@ object LlmPipeline {
     // sweep the rest alongside raws and superseded checkpoints
     val currentCkpts =
       fileMeta.filter(m => m._3 >= 0L && m._3 == newUpto).map(_._1).sorted
-    val swept = fileMeta.filter { case (f, mb, fu) =>
+    // TTL gate on the COVERING checkpoint's age ([[cmsCoveredTtlMs]]):
+    // a just-published checkpoint's covered files linger one window
+    // for in-flight readers; the next cadence tick sweeps them. A
+    // this-run publish is age ~0 by definition.
+    val ckptAgedOut =
+      if (folded > 0) cmsCoveredTtlMs <= 0L
+      else currentCkpts.headOption.forall { f =>
+        now - fs.getFileStatus(new org.apache.hadoop.fs.Path(
+          new java.net.URI(f))).getModificationTime > cmsCoveredTtlMs
+      }
+    val swept = if (!ckptAgedOut) Array.empty[(String, Long, Long)]
+    else fileMeta.filter { case (f, mb, fu) =>
       (fu == -1L && mb <= newUpto && mb >= 0L) || (fu >= 0L && fu < newUpto) ||
         (fu >= 0L && fu == newUpto && currentCkpts.headOption.exists(_ != f))
     }

@@ -562,6 +562,15 @@ object Storage {
     val fresh = !new org.apache.hadoop.fs.Path(s"$dir/_SUCCESS")
       .getFileSystem(s.sparkContext.hadoopConfiguration)
       .exists(new org.apache.hadoop.fs.Path(s"$dir/_SUCCESS"))
+    // whether the staged artifact may carry the _SRCV2 trust marker:
+    // true for every path whose src values are decoded BY CONSTRUCTION
+    // (full rebuild; evolve from a trusted base). An add-only evolve
+    // copies base rows verbatim, so stamping unconditionally would
+    // LAUNDER a marker-less pre-decode base into a "trusted" artifact
+    // and a later removal tick would silently subtract nothing
+    // (ADVICE r19 medium) — the add-only leg must carry the base's own
+    // trust (marker or passing content probe) forward instead.
+    var stampSrcMarker = true
     val published = Derived.ensure(s, family, src, version = s"m$key") { tmp =>
       val rows = bestOverlapBase(s, family, src, lines,
         subtractable = removeBuild != null) match {
@@ -571,7 +580,10 @@ object Storage {
           val added = manifestPath(lines.filterNot(prev))
           val prevRows = s.read.parquet(prevDir)
           val afterRemove =
-            if (removed.isEmpty) prevRows
+            if (removed.isEmpty) {
+              stampSrcMarker = removalBaseTrusted(s, prevDir, prevRows)
+              prevRows
+            }
             // the centralized vintage gate (ADVICE r18 + review): a
             // marker-less base whose src column carries %-escapes may
             // be pre-decode vintage — decline here so every family's
@@ -587,6 +599,7 @@ object Storage {
             // either builder may DECLINE (null) — e.g. the base
             // artifact predates the current row format
             log.warn(s"$family: base $prevDir cannot evolve — full rebuild")
+            stampSrcMarker = true // fresh decode, trusted by construction
             fullBuild(manifestPath(lines))
           } else evolved
         case None =>
@@ -607,8 +620,11 @@ object Storage {
       val fs = new org.apache.hadoop.fs.Path(tmp)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       // src-format marker: proves this artifact stores DECODED src, so
-      // future removal ticks skip the vintage content probe
-      fs.create(new org.apache.hadoop.fs.Path(tmp, SrcFormatMarker)).close()
+      // future removal ticks skip the vintage content probe. Withheld
+      // when an add-only evolve copied rows from an untrusted base —
+      // the next removal tick then re-runs the content probe honestly.
+      if (stampSrcMarker)
+        fs.create(new org.apache.hadoop.fs.Path(tmp, SrcFormatMarker)).close()
       val out = fs.create(new org.apache.hadoop.fs.Path(tmp, BloomManifest))
       try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
       finally out.close()

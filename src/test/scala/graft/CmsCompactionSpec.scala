@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions.{expr, lit}
+import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The CMS sketch-log compaction contract (VERDICT r18 missing #1):
@@ -14,8 +15,19 @@ import org.scalatest.funsuite.AnyFunSuite
   * storageNode/HeartbeatRunnable.java:101-143) applied to the one
   * previously unbounded driver-side log.
   */
-class CmsCompactionSpec extends AnyFunSuite {
+class CmsCompactionSpec extends AnyFunSuite with BeforeAndAfterAll {
   private lazy val spark = SparkTestSession.spark
+
+  // lift the in-flight-reader sweep grace for determinism: these
+  // fixtures assert exact swept counts in the same run; the TTL gate
+  // itself has a dedicated test below
+  private var savedCoveredTtl = 0L
+  override def beforeAll(): Unit = {
+    savedCoveredTtl = ops.LlmPipeline.cmsCoveredTtlMs
+    ops.LlmPipeline.cmsCoveredTtlMs = 0L
+  }
+  override def afterAll(): Unit =
+    ops.LlmPipeline.cmsCoveredTtlMs = savedCoveredTtl
 
   /** All distinct tokens used by the fixtures — the probe corpus. */
   private val vocab = Seq("apple", "banana", "cherry", "date", "elder")
@@ -177,6 +189,29 @@ class CmsCompactionSpec extends AnyFunSuite {
       "banana" -> (exact("banana") + 1))
     assert(estimates(dir, probe) == want,
       "a twin checkpoint folded twice would double every batch-0..3 count")
+  }
+
+  test("covered files linger one TTL window for in-flight readers, then sweep") {
+    val dir = mkLog(); val probe = mkProbeDir()
+    ops.LlmPipeline.cmsCoveredTtlMs = 3600L * 1000
+    try {
+      val r1 = ops.LlmPipeline.cmsCompactSketchLog(spark, dir, keepTail = 2)
+      assert(r1.toString == "ckpt=3 folded=4 swept=0",
+        s"a just-published checkpoint's covered files must linger: $r1")
+      assert(logFiles(dir).length == batches.length + 1,
+        "covered raws still on disk for readers that planned over them")
+      assert(estimates(dir, probe) == exact,
+        "reads exclude covered rows regardless of the sweep")
+      // age the checkpoint past the TTL: the next cadence tick sweeps
+      val ckpt = new java.io.File(dir).listFiles
+        .find(_.getName.startsWith("cms-ckpt-3-")).get
+      ckpt.setLastModified(System.currentTimeMillis() - 2 * 3600L * 1000)
+      val r2 = ops.LlmPipeline.cmsCompactSketchLog(spark, dir, keepTail = 2)
+      assert(r2.toString == "ckpt=3 folded=0 swept=4",
+        s"an aged checkpoint's covered files sweep: $r2")
+      assert(logFiles(dir).length == 3)
+      assert(estimates(dir, probe) == exact)
+    } finally ops.LlmPipeline.cmsCoveredTtlMs = 0L
   }
 
   test("a batch id at or below the checkpoint floor is skipped even after its file was swept") {

@@ -69,8 +69,11 @@ class ProceduresSpec extends AnyFunSuite {
         .withColumn("batch_id", lit(b.toLong))
         .coalesce(1).write.mode("append").parquet(log)
     }
-    val c = spark.sql(s"CALL graft.cms_compact('$log', keep_tail => 1)")
+    val savedTtl = ops.LlmPipeline.cmsCoveredTtlMs
+    ops.LlmPipeline.cmsCoveredTtlMs = 0L // deterministic same-run sweep
+    val c = try spark.sql(s"CALL graft.cms_compact('$log', keep_tail => 1)")
       .collect().head
+    finally ops.LlmPipeline.cmsCoveredTtlMs = savedTtl
     assert((c.getLong(0), c.getLong(1), c.getLong(2)) == (2L, 3L, 3L),
       s"ckpt_upto=2, 3 rows folded, 3 files swept: $c")
   }

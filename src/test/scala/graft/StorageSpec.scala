@@ -543,6 +543,58 @@ class StorageSpec extends AnyFunSuite {
       s"old-vintage base must decline and rebuild: expected day-0's 6 chunks, got $got")
   }
 
+  test("add-only evolve from an untrusted base does not launder the _SRCV2 marker (ADVICE r19)") {
+    import spark.implicits._
+    def liRows(ids: Seq[Long], dayOff: Int) =
+      ids.map(f => (f, 100L + f % 7, 200L + (f + dayOff) % 11, 1L,
+          java.sql.Timestamp.valueOf(f"1995-0${1 + dayOff}%d-11 00:00:00"), 1.0))
+        .toDF("l_orderkey", "l_suppkey", "l_partkey", "l_linenumber",
+          "l_shipdate", "l_quantity")
+    val dir = s"/tmp/graft-test-launder-${java.util.UUID.randomUUID()}/with space"
+    val table = s"$dir/lineitem.parquet"
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    liRows(0L until 6L, 0).coalesce(1).write.parquet(table)
+    val day0Part = fs.listStatus(new org.apache.hadoop.fs.Path(table))
+      .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+      .head.getPath
+    val base = ops.Storage.ensureZoneMap(spark, dir)
+    // doctor the base to the pre-decode vintage: src ENCODED, no marker
+    val doctored = spark.read.parquet(base)
+      .withColumn("src", regexp_replace(col("src"), " ", "%20"))
+    val stage = s"/tmp/graft-test-launder-stage-${java.util.UUID.randomUUID()}"
+    doctored.write.parquet(stage)
+    fs.listStatus(new org.apache.hadoop.fs.Path(base))
+      .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+      .foreach(st => fs.delete(st.getPath, false))
+    fs.delete(new org.apache.hadoop.fs.Path(base,
+      ops.Storage.SrcFormatMarker), false)
+    fs.listStatus(new org.apache.hadoop.fs.Path(stage))
+      .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+      .foreach(st => fs.rename(st.getPath,
+        new org.apache.hadoop.fs.Path(base, st.getPath.getName)))
+    // ADD-ONLY tick: the evolve copies the doctored rows verbatim, so
+    // the published artifact must NOT carry the trust marker it never
+    // verified — stamping here would make the encoded rows permanently
+    // "trusted" and a later removal would silently subtract nothing
+    liRows(6L until 12L, 1).coalesce(1).write.mode("append").parquet(table)
+    val evolved = ops.Storage.ensureZoneMap(spark, dir)
+    assert(evolved != base)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(evolved,
+      ops.Storage.SrcFormatMarker)),
+      "add-only evolve from a marker-less pre-decode base stamped _SRCV2")
+    // the removal tick the gate exists for: retention drops day-0; the
+    // marker-less evolved base must re-probe, decline, and full-rebuild
+    // from the surviving day-1 file — a laundered marker would instead
+    // keep all 12 chunks (anti-join against encoded src removes nothing)
+    fs.delete(day0Part, false)
+    val idx = ops.Storage.ensureZoneMap(spark, dir)
+    val got = ops.Storage.zonemapMerge(spark.read.parquet(idx))
+      .agg(sum("n_chunks")).head.getLong(0)
+    assert(got == 6L,
+      s"untrusted evolved base must decline removal: expected day-1's 6 chunks, got $got")
+  }
+
   test("literal-%XX dataset with the format marker keeps the removal fast path") {
     import spark.implicits._
     def liRows(ids: Seq[Long], dayOff: Int) =
@@ -719,7 +771,7 @@ class StorageSpec extends AnyFunSuite {
     val young = new org.apache.hadoop.fs.Path(s"$fam/${legacyLabel}_m02dead")
     fs.mkdirs(aged); fs.mkdirs(young)
     fs.setTimes(aged,
-      System.currentTimeMillis() - ops.Derived.generationTtlMs - 60000, -1)
+      System.currentTimeMillis() - ops.Derived.orphanTtlMs - 60000, -1)
     try {
       ops.Derived.retireSuperseded(spark, ops.Storage.ZonemapFamily, table, cur)
       assert(!fs.exists(aged), "TTL-aged legacy-label artifact not reclaimed")
@@ -734,7 +786,7 @@ class StorageSpec extends AnyFunSuite {
       s"${ops.Derived.familyDir(rfam)}/${ops.Derived.labelFor(table)}_m03dead")
     fs.mkdirs(rdir)
     fs.setTimes(rdir,
-      System.currentTimeMillis() - ops.Derived.generationTtlMs - 60000, -1)
+      System.currentTimeMillis() - ops.Derived.orphanTtlMs - 60000, -1)
     ops.Derived.retireRetiredFamily(spark, rfam, table)
     assert(!fs.exists(rdir), "retired-family artifact not reclaimed")
     assert(!fs.exists(new org.apache.hadoop.fs.Path(ops.Derived.familyDir(rfam))),
