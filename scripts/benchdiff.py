@@ -65,16 +65,24 @@ def main():
     # records measured different machine-states — say so up front
     # rather than letting uniform environment drift read as code
     # regressions (the r16->r18 ~1.19x lesson).
+    # calib normalization (VERDICT r19 missing #3): when BOTH records
+    # carry the fixed-work probe, scale wall-clock ratios by
+    # calib_old/calib_new — the probe moves only with box contention,
+    # so the normalized column is the code's share of a delta and the
+    # time gate fires on IT, not on environment drift (the recurring
+    # ~1.2x box-drift signature adjudicated r16..r19 by hand).
+    cfac = 1.0
     if ocal and ncal:
         drift = ncal / ocal
+        cfac = ocal / ncal
         if abs(drift - 1.0) > 0.10:
             print(f"CALIBRATION-DRIFT: fixed-work CPU probe "
                   f"{ocal:.0f}ms -> {ncal:.0f}ms ({drift:.2f}x) — the box "
-                  f"state differs; wall-clock ratios below carry ~{drift:.2f}x "
-                  f"environment bias on CPU-bound queries")
+                  f"state differs; ratios below gate on the calib-normalized "
+                  f"column (raw x {cfac:.2f})")
     elif ocal or ncal:
         print("calibration: only one record carries calib_ms "
-              "(pre-r19 vintage on the other side)")
+              "(pre-r19 vintage on the other side) — ratios are raw")
     shared = sorted(set(old) & set(new))
     gone, added = sorted(set(old) - set(new)), sorted(set(new) - set(old))
     regress, improve = [], []
@@ -83,15 +91,19 @@ def main():
         if o <= 0 or n <= 0:
             continue
         r = n / o
+        rn = r * cfac
         # sub-100ms pairs are pure noise at any ratio
-        if r >= th and n >= 0.1:
-            regress.append((r, q, o, n))
-        elif r <= 1 / th and o >= 0.1:
-            improve.append((r, q, o, n))
-    for r, q, o, n in sorted(regress, reverse=True):
-        print(f"REGRESS  {q:36s} {o:8.2f}s -> {n:8.2f}s  ({r:.2f}x)")
-    for r, q, o, n in sorted(improve):
-        print(f"improve  {q:36s} {o:8.2f}s -> {n:8.2f}s  ({r:.2f}x)")
+        if rn >= th and n >= 0.1:
+            regress.append((rn, r, q, o, n))
+        elif rn <= 1 / th and o >= 0.1:
+            improve.append((rn, r, q, o, n))
+    def fmt(r, rn):
+        return (f"({r:.2f}x)" if cfac == 1.0
+                else f"(raw {r:.2f}x, norm {rn:.2f}x)")
+    for rn, r, q, o, n in sorted(regress, reverse=True):
+        print(f"REGRESS  {q:36s} {o:8.2f}s -> {n:8.2f}s  {fmt(r, rn)}")
+    for rn, r, q, o, n in sorted(improve):
+        print(f"improve  {q:36s} {o:8.2f}s -> {n:8.2f}s  {fmt(r, rn)}")
     # shuffle-bytes column (VERDICT r14 #5): bytes are deterministic, so
     # inflation is signal even when wall-time hides it in box noise.
     # Floor at 16 MB — small-query byte jitter (AQE coalescing) is not.
@@ -108,9 +120,12 @@ def main():
         print(f"added:   {', '.join(added)}")
     to, tn = sum(old[q] for q in shared), sum(new[q] for q in shared)
     ratio = f"{tn / to:.2f}x" if to > 0 else "n/a"
+    norm = (f", calib-norm {tn / to * cfac:.2f}x" if to > 0 and cfac != 1.0
+            else "")
     print(f"totals over {len(shared)} shared queries: "
-          f"{to:.1f}s -> {tn:.1f}s ({ratio}); "
-          f"{len(regress)} regressions >= {th}x, {len(improve)} improvements")
+          f"{to:.1f}s -> {tn:.1f}s ({ratio}{norm}); "
+          f"{len(regress)} regressions >= {th}x (normalized), "
+          f"{len(improve)} improvements")
     if osh and nsh:
         tob = sum(osh.values()) / 1e6
         tnb = sum(nsh.values()) / 1e6

@@ -117,6 +117,63 @@ def gzip_witness(con, files0):
     return True, f"{len(rows)} rows, every byte count matches python zlib"
 
 
+def substrate_stats_witness(con, files0, sf_dir):
+    """Independent byte/row witness for q_substrate_stats (VERDICT r19
+    missing #5 — the gzip_witness pattern).
+
+    The query's bytes/n_rows are env-dependent (artifact dirs under
+    java.io.tmpdir keyed by dataset label + source mtime), so a DuckDB
+    oracle is impossible — but the artifact dirs are plain directories:
+    recompute each family's on-disk bytes with os.walk and its row
+    count by re-reading the artifact parquet in DuckDB, locating the
+    CURRENT artifact exactly the way Derived.dirFor does (md5-digest
+    label + source-table mtime in ms).
+    """
+    import hashlib
+    import re
+    import tempfile
+    fam_map = {
+        "embed_bucketed": ("graft-embed-bucketed", "embeddings.parquet"),
+        "minhash_banded": ("graft-minhash-banded", "documents.parquet"),
+        "ngram_postings": ("graft-ngram-postings", "documents.parquet"),
+        "phash": ("graft-phash", "documents.parquet"),
+        # the winnow family name carries its K granularity — glob it
+        "winnow_fps": ("graft-winnow-fps-k*", "documents.parquet"),
+        "simhash": ("graft-simhash-sig", "documents.parquet"),
+    }
+    rows = con.sql(f"SELECT family, n_rows, bytes FROM '{files0}' "
+                   "ORDER BY family").fetchall()
+    if sorted(r[0] for r in rows) != sorted(fam_map):
+        return False, f"families {sorted(r[0] for r in rows)} != {sorted(fam_map)}"
+    tmp = tempfile.gettempdir()
+    parent = os.path.normpath(os.path.abspath(sf_dir))
+    label = ("d" + hashlib.md5(parent.encode()).hexdigest()[:8] + "_"
+             + re.sub(r"[^A-Za-z0-9._-]", "_", parent))
+    for family, n_rows, n_bytes in rows:
+        fam_glob, table = fam_map[family]
+        mtime_ms = int(os.path.getmtime(os.path.join(sf_dir, table)) * 1000)
+        cands = [d for d in glob.glob(f"{tmp}/{fam_glob}/{label}_{mtime_ms}*")
+                 if os.path.isdir(d)
+                 and ".build-" not in d and ".old-" not in d]
+        if len(cands) != 1:
+            return False, (f"{family}: {len(cands)} candidate artifact dirs "
+                           f"for {label}_{mtime_ms} (cannot witness)")
+        # skip '.<name>.crc' checksum shadows: Hadoop's LocalFileSystem
+        # writes them but getContentSummary (what the query reports)
+        # excludes checksum files — they are FS bookkeeping, not bytes
+        want_bytes = sum(
+            os.path.getsize(os.path.join(root, f))
+            for root, _, fls in os.walk(cands[0]) for f in fls
+            if not f.startswith("."))
+        want_rows = con.sql(
+            f"SELECT count(*) FROM '{cands[0]}/*.parquet'").fetchone()[0]
+        if (n_rows, n_bytes) != (want_rows, want_bytes):
+            return False, (f"{family}: spark (rows={n_rows}, bytes={n_bytes}) "
+                           f"vs walk (rows={want_rows}, bytes={want_bytes})")
+    return True, (f"{len(rows)} families, bytes match os.walk and "
+                  "row counts match a duckdb re-read")
+
+
 BIG_ROWS = 2_000_000
 
 
@@ -250,6 +307,15 @@ def main():
                     n_pass += 1
                 else:
                     print(f"FAIL {name} (zlib witness): {msg}")
+                    n_fail += 1
+                continue
+            if name == "q_substrate_stats":
+                ok, msg = substrate_stats_witness(con, files[0], sf_dir)
+                if ok:
+                    print(f"PASS {name} (byte witness): {msg}")
+                    n_pass += 1
+                else:
+                    print(f"FAIL {name} (byte witness): {msg}")
                     n_fail += 1
                 continue
             status = "ROWS-ONLY" if len(mine_rows) >= 0 else "??"

@@ -24,6 +24,10 @@ object SqlProbe {
     spark.sparkContext.setLogLevel("ERROR")
     graft.functions.GraftFunctions.ensureRegistered(spark)
     SqlSurface.registerViews(spark, sfDir)
+    // registration is metadata-only; this probe exercises every SQL
+    // spelling, so build the derived views' artifacts up front (the
+    // ingest job's CALL ensure_* role)
+    SqlSurface.registerDerivedViews(spark, sfDir, buildIfAbsent = true)
     val subset = args.drop(1).toSet
     val names = SparkEntry.oracleSql.keySet.toSeq.sorted
       .filter(n => subset.isEmpty || subset(n))

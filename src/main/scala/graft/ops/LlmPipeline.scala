@@ -1934,6 +1934,15 @@ object LlmPipeline {
   private def ivfManifestKey(s: SparkSession, d: String): String =
     ivfKeyOf(Storage.manifestLines(s, s"$d/embeddings.parquet"))
 
+  /** Metadata-only probe: is the CURRENT IVF index (this manifest key,
+    * any refit generation) already published? One listing + marker
+    * probes, zero corpus reads — the SQL-surface registration gate
+    * (SqlSurface.registerDerivedViews).
+    */
+  private[graft] def ivfIndexReady(s: SparkSession, d: String): Boolean =
+    Derived.resolveGeneration(s, IvfFamily, s"$d/embeddings.parquet",
+      s"v2m${ivfManifestKey(s, d)}", IvfMarker).isDefined
+
   private def ivfKeyOf(lines: Seq[String]): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(lines.mkString("\n").getBytes("UTF-8"))
@@ -3443,6 +3452,30 @@ object LlmPipeline {
     * artifact dirs are engine-local state, the ivf_staleness rationale);
     * LlmPipelineSpec pins shape and row-count consistency.
     */
+  /** Metadata-only probe: are all six dedup substrates current for
+    * this corpus (completion marker present at the exact manifest
+    * key)? Two source listings + six marker probes, zero corpus reads
+    * — the SQL-surface registration gate
+    * (SqlSurface.registerDerivedViews).
+    */
+  private[graft] def substratesReady(s: SparkSession, d: String): Boolean = {
+    val docT = s"$d/documents.parquet"
+    val embT = s"$d/embeddings.parquet"
+    lazy val docKey = Storage.manifestKey(Storage.manifestLines(s, docT))
+    lazy val embKey = Storage.manifestKey(Storage.manifestLines(s, embT))
+    def ready(family: String, table: String, key: String): Boolean = {
+      val dir = Derived.dirFor(s, family, table, version = s"m$key")
+      val p = new org.apache.hadoop.fs.Path(s"$dir/_SUCCESS")
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
+    }
+    ready(NgramPostingsFamily, docT, docKey) &&
+      ready(MinhashBandedFamily, docT, docKey) &&
+      ready(SimhashSigFamily, docT, docKey) &&
+      ready(WinnowFpsFamily, docT, docKey) &&
+      ready(Multimodal.PhashFamily, docT, docKey) &&
+      ready(EmbedBucketedFamily, embT, embKey)
+  }
+
   def substrateStats(s: SparkSession, d: String): DataFrame = {
     val fams: Seq[(String, String)] = Seq(
       "embed_bucketed" -> ensureEmbedBucketed(s, d),
@@ -4091,10 +4124,12 @@ object LlmPipeline {
     * the export is one corpus pass run by the publishing job; every
     * re-ingest after it reads the shards, never the source table).
     */
+  private[graft] val JsonlExportFamily = "graft-jsonl-export"
+
   private[graft] def ensureJsonlExport(s: SparkSession, d: String): String =
     // v2: the writer moved to hive-partitioned shard dirs — the version
     // bump invalidates flat-layout exports from the older builder
-    Derived.ensure(s, "graft-jsonl-export", s"$d/documents.parquet", "v2") { dir =>
+    Derived.ensure(s, JsonlExportFamily, s"$d/documents.parquet", "v2") { dir =>
       graft.sources.JsonlCorpus.write(Tables.documents(s, d), dir)
     }
 

@@ -34,6 +34,18 @@ object Procedures {
     StructField("family", StringType, nullable = false),
     StructField("path", StringType, nullable = false)))
 
+  /** Every persisted-artifact family store the engine writes — the
+    * orphan GC's sweep surface. A family added anywhere must be listed
+    * here or its abandoned-dataset artifacts leak (GcOrphansSpec pins
+    * the count against the ensure entry points).
+    */
+  private[graft] def artifactFamilies: Seq[String] = Seq(
+    Storage.ZonemapFamily, Storage.ZonemapMergedFamily, Storage.BloomFamily,
+    LlmPipeline.NgramPostingsFamily, LlmPipeline.MinhashBandedFamily,
+    LlmPipeline.SimhashSigFamily, LlmPipeline.EmbedBucketedFamily,
+    LlmPipeline.WinnowFpsFamily, LlmPipeline.IvfFamily,
+    LlmPipeline.JsonlExportFamily, Multimodal.PhashFamily)
+
   private val procs: Seq[(String, Proc)] = Seq(
     "ensure_zone_map" -> Proc(
       Seq(Param("dataset_dir")), ensureSchema,
@@ -43,33 +55,63 @@ object Procedures {
       (s, a) => Seq(Row("bloom", Storage.ensureBloomIndex(s, a(0))))),
     "ensure_ivf_index" -> Proc(
       Seq(Param("dataset_dir")), ensureSchema,
-      (s, a) => Seq(Row("ivf", LlmPipeline.ensureIvfIndex(s, a(0))))),
+      (s, a) => {
+        val r = Seq(Row("ivf", LlmPipeline.ensureIvfIndex(s, a(0))))
+        graft.SqlSurface.refreshDerivedViews(s, a(0))
+        r
+      }),
     "ivf_recluster_if_stale" -> Proc(
       Seq(Param("dataset_dir")),
       StructType(Seq(
         StructField("refit", BooleanType, nullable = false),
         StructField("index_path", StringType, nullable = false))),
-      (s, a) => Seq(Row(LlmPipeline.ivfReclusterIfStale(s, a(0)),
-        LlmPipeline.ivfIndexDir(s, a(0))))),
+      (s, a) => {
+        val r = Seq(Row(LlmPipeline.ivfReclusterIfStale(s, a(0)),
+          LlmPipeline.ivfIndexDir(s, a(0))))
+        graft.SqlSurface.refreshDerivedViews(s, a(0))
+        r
+      }),
     "ivf_split_hot_cells" -> Proc(
       Seq(Param("dataset_dir")),
       StructType(Seq(
         StructField("split", BooleanType, nullable = false),
         StructField("index_path", StringType, nullable = false))),
-      (s, a) => Seq(Row(LlmPipeline.ivfSplitHotCells(s, a(0)),
-        LlmPipeline.ivfIndexDir(s, a(0))))),
+      (s, a) => {
+        val r = Seq(Row(LlmPipeline.ivfSplitHotCells(s, a(0)),
+          LlmPipeline.ivfIndexDir(s, a(0))))
+        graft.SqlSurface.refreshDerivedViews(s, a(0))
+        r
+      }),
     // the ingest-time job that makes every cold dedup query an
     // artifact read: all six substrate families for one corpus, one
     // row per family so a caller can join/filter the published paths
     "ensure_dedup_substrates" -> Proc(
       Seq(Param("dataset_dir")), ensureSchema,
-      (s, a) => Seq(
-        Row("ngram_postings", LlmPipeline.ensureNgramPostings(s, a(0))),
-        Row("minhash_banded", LlmPipeline.ensureMinhashBanded(s, a(0))),
-        Row("simhash", LlmPipeline.ensureSimhashSig(s, a(0))),
-        Row("embed_bucketed", LlmPipeline.ensureEmbedBucketed(s, a(0))),
-        Row("winnow_fps", LlmPipeline.ensureWinnowFps(s, a(0))),
-        Row("phash", Multimodal.ensurePhashTable(s, a(0))))),
+      (s, a) => {
+        val r = Seq(
+          Row("ngram_postings", LlmPipeline.ensureNgramPostings(s, a(0))),
+          Row("minhash_banded", LlmPipeline.ensureMinhashBanded(s, a(0))),
+          Row("simhash", LlmPipeline.ensureSimhashSig(s, a(0))),
+          Row("embed_bucketed", LlmPipeline.ensureEmbedBucketed(s, a(0))),
+          Row("winnow_fps", LlmPipeline.ensureWinnowFps(s, a(0))),
+          Row("phash", Multimodal.ensurePhashTable(s, a(0))))
+        // the SQL surface's substrate_stats view is a snapshot — once
+        // this verb has (re)built substrates, re-derive it so SQL and
+        // DataFrame spellings agree on the fresh artifact (ADVICE r19)
+        graft.SqlSurface.refreshDerivedViews(s, a(0))
+        r
+      }),
+    // the fleet-wide janitor for datasets nothing will ever touch
+    // again: two-phase (tombstone → TTL → reclaim), safe to schedule
+    // on a cadence against live stores
+    "gc_orphans" -> Proc(
+      Seq(Param("ttl_ms", Some(Derived.generationTtlMs.toString))),
+      StructType(Seq(
+        StructField("family", StringType, nullable = false),
+        StructField("path", StringType, nullable = false),
+        StructField("action", StringType, nullable = false))),
+      (s, a) => Derived.gcOrphans(s, artifactFamilies, a(0).toLong)
+        .map { case (f, p, act) => Row(f, p, act) }),
     "cms_compact" -> Proc(
       Seq(Param("sketch_dir"), Param("keep_tail", Some("4"))),
       StructType(Seq(

@@ -28,7 +28,15 @@ class SqlSurfaceSpec extends AnyFunSuite {
   // count-for-count. One generated test per query keeps failures
   // attributable.
   // ------------------------------------------------------------------
-  private lazy val viewsReady: Unit = SqlSurface.registerViews(spark, d)
+  private lazy val viewsReady: Unit = {
+    SqlSurface.registerViews(spark, d)
+    // the documented cold-corpus workflow: registration is
+    // metadata-only (zero corpus passes); the ingest-side CALL verbs
+    // build the derived artifacts and refresh their views
+    // (SqlSurface.refreshDerivedViews) — exercised here end-to-end
+    spark.sql(s"CALL graft.ensure_ivf_index('$d')").collect()
+    spark.sql(s"CALL graft.ensure_dedup_substrates('$d')").collect()
+  }
 
   SparkEntry.oracleSql.keySet.toSeq.sorted.foreach { name =>
     test(s"SQL surface ≡ DataFrame API: $name") {
