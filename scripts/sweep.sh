@@ -94,3 +94,36 @@ if [ "${GRAFT_SWEEP_SF10BENCH:-0}" = "1" ] && [ -f BENCH_SF10.json ]; then
     sbt -batch "runMain graft.Bench" 2>&1 | grep '"metric"'
   python3 scripts/benchdiff.py BENCH_SF10.json /tmp/graft_bench_full.json --threshold 2.0
 fi
+
+# sf100 steady-state gate (VERDICT r19 missing #4): benchdiff the
+# committed heavy-tier sf100 record (BENCH_SF100.json — warm dedup
+# steady states at genuine sf100) against a fresh run of the same
+# query set. Opt-in — generation alone costs ~1 h and ~60 GB:
+#   GRAFT_SWEEP_SF100=1 bash scripts/sweep.sh
+# Threshold 2.0 for the same reason as the sf10 gate (multi-minute
+# queries swing with box state; the calib-normalized column in
+# benchdiff absorbs uniform drift).
+if [ "${GRAFT_SWEEP_SF100:-0}" = "1" ] && [ -f BENCH_SF100.json ]; then
+  dir=/tmp/graft_sf100
+  if [ ! -f "$dir/_BUILT" ]; then
+    echo "=== sf100 gate: generating genuine sf100 fixtures ==="
+    SPARK_DRIVER_MEM=64g sbt -batch "runMain graft.SfGen $dir 100" 2>&1 | grep '\[sfgen\]' || \
+      { echo "sweep: sf100 generation failed"; exit 1; }
+    touch "$dir/_BUILT"
+  fi
+  # warm the substrates untimed first (the record is STEADY-STATE:
+  # artifact-backed reads, not the one-time ingest build) —
+  # q_substrate_stats ensures all six families then probes metadata
+  echo "=== sf100 gate: ensuring dedup substrates (untimed) ==="
+  SPARK_DRIVER_MEM=64g SPARK_GRAFT_SF_DIR="$dir" \
+    SPARK_GRAFT_BENCH_ONLY=q_substrate_stats \
+    SPARK_GRAFT_EXTRA_CONF="spark.sql.shuffle.partitions=320" \
+    sbt -batch "runMain graft.Bench" >/dev/null 2>&1 || \
+    { echo "sweep: sf100 substrate ensure failed"; exit 1; }
+  names=$(python3 -c "import json; d=json.load(open('BENCH_SF100.json')); print(','.join(sorted(d['queries'])))")
+  echo "=== sf100 steady-state gate ($names) ==="
+  SPARK_DRIVER_MEM=64g SPARK_GRAFT_SF_DIR="$dir" SPARK_GRAFT_BENCH_ONLY="$names" \
+    SPARK_GRAFT_EXTRA_CONF="spark.sql.shuffle.partitions=320" \
+    sbt -batch "runMain graft.Bench" 2>&1 | grep '"metric"'
+  python3 scripts/benchdiff.py BENCH_SF100.json /tmp/graft_bench_full.json --threshold 2.0
+fi

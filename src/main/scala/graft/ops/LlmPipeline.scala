@@ -4008,7 +4008,13 @@ object LlmPipeline {
         col("batch_id"), col("folded_upto"))
     // per-FILE facts, not per-row: deletion is by file, so a file is
     // covered only when its newest row is. One small row per batch
-    // file on the driver — metadata, never sketch bytes.
+    // file on the driver — metadata, never sketch bytes. Bounded at
+    // 1 + keepTail files once any compaction has run; the only
+    // O(#files) case is the FIRST-ever compaction of a log deployed
+    // without a cadence (a year-old uncompacted log ≈ 500k rows of
+    // (path, two longs) ≈ tens of MB driver-side, one time). If that
+    // deployment shape ever becomes real, replace this collect with a
+    // listing-based fold over file-name batch ids.
     val fileMeta = log.groupBy("f").agg(
       max("batch_id").as("mb"), max("folded_upto").as("fu")).collect()
       .map(r => (r.getString(0),
