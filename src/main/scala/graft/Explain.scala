@@ -5,7 +5,10 @@ import org.apache.spark.sql.SparkSession
 /** Dev tool: print the formatted physical plan for one (or every) query
   * and time N executions — the `.explain`-and-iterate loop SURVEY §4
   * prescribes. Usage:
-  *   sbt "runMain graft.Explain <queryName|ALL> [sfDir] [iters]"
+  *   sbt "runMain graft.Explain <queryName[,name2,...]|ALL> [sfDir] [iters]"
+  * GRAFT_PLAN_DIR=<dir> additionally writes each named query's
+  * `.explain("formatted")` output to <dir>/<name>_<GRAFT_PLAN_TAG>.txt —
+  * the optimization-round evidence files (plans/r20/..._before/after).
   */
 object Explain {
   def main(args: Array[String]): Unit = {
@@ -28,10 +31,20 @@ object Explain {
     spark.sparkContext.setLogLevel("WARN")
     val targets =
       if (name == "ALL") SparkEntry.queries.toSeq.sortBy(_._1)
-      else Seq(name -> SparkEntry.queries(name))
+      else name.split(",").map(_.trim).toSeq.map(n => n -> SparkEntry.queries(n))
+    val planDir = sys.env.get("GRAFT_PLAN_DIR")
+    val planTag = sys.env.getOrElse("GRAFT_PLAN_TAG", "before")
     targets.foreach { case (n, fn) =>
       val df = fn(spark, sfDir)
       if (name != "ALL") df.explain("formatted")
+      planDir.foreach { dir =>
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+        val formatted = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$dir/${n}_$planTag.txt"),
+          formatted.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
       // scale red flags: a cartesian product is always a bug; sort-based
       // aggregation and one-partition exchanges deserve a justification
       // (some are inherent: string/struct agg buffers, global sorts)

@@ -85,6 +85,32 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 
+  /** Scale-adaptive scan fan-out (optimization guide §2.2/§2.5, §6): the
+    * driver fixtures are single-file, single-row-group parquet, so every
+    * scan is ONE split — and a CPU-heavy map stage (explode + per-window
+    * md5, per-row digests, partial aggregation) runs on 1 of the
+    * session's cores while 31 idle. Parquet cannot split below the
+    * row-group, so the only way to engage the machine is an explicit
+    * exchange AFTER the scan. This helper adds that exchange **only
+    * when the scan under-parallelizes** (fewer input splits than
+    * `defaultParallelism`): at production scale the same table arrives
+    * in hundreds of splits and `fanOut` is the identity — no shuffle is
+    * added at 100 TB, so map-side combining above it is never lost
+    * where it matters. The repartition is KEYED (hash) on a
+    * high-cardinality column chosen by the call site — round-robin
+    * repartition would pay the sort-before-repartition pass
+    * (SPARK-23207) and guide §2.5 forbids rand-derived keys under
+    * retries; when the key is the downstream grouping key the
+    * aggregation reuses this exchange outright (guide §2.4), so the
+    * plan's shuffle count does not grow.
+    */
+  def fanOut(df: DataFrame, keys: Column*): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df
+    else if (keys.nonEmpty) df.repartition(target, keys: _*)
+    else df.repartition(target)
+  }
+
   /** Exact decimal sum of a ~2-decimal DOUBLE money column, returned as
     * DOUBLE. Summing doubles directly is partition-order dependent (and
     * differs from DuckDB); summing DECIMAL(18,2) is exact and

@@ -3395,6 +3395,19 @@ object LlmPipeline {
   private val substringWindowsMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Long), DataFrame]()
 
+  /** Per-doc-distinct window hashes (doc_id, h) — the df-count and
+    * join-leg input both the stride-1 form and the auto router's
+    * stride-1 branch derive from the windows memo. Memoized (and
+    * pinned) for the same reason as the windows themselves: two
+    * registry queries re-derived this distinct per call, paying a
+    * W×-volume shuffle + localCheckpoint each time (measured ~1.4 s
+    * per extra call at sf0.1). Same intermediate-substrate class as
+    * ngramPostingsMemo — the pair join, span window and gaps-and-
+    * islands accounting still run per invocation.
+    */
+  private val substringDistinctMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Long), DataFrame]()
+
   private val winnowFpsMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Long), DataFrame]()
 
@@ -3421,9 +3434,17 @@ object LlmPipeline {
   private[graft] lazy val WinnowFpsFamily = s"graft-winnow-fps-k$WinnowK"
 
   private def winnowFpsRows(s: SparkSession, paths: Seq[String]): DataFrame =
-    s.read.parquet(paths: _*)
-      .where(col("n_chars") >= SubWinW)
-      .select(col("doc_id"), Storage.normSrcCol(input_file_name()).as("src"),
+    // src (input_file_name) is projected BELOW the fanOut exchange —
+    // it is undefined above a repartition — and the W×-volume window
+    // hashing runs above it, engaging every core on the single-split
+    // fixture scan (identity at production split counts, guide §2.2)
+    Tables.fanOut(
+      s.read.parquet(paths: _*)
+        .where(col("n_chars") >= SubWinW)
+        .select(col("doc_id"), Storage.normSrcCol(input_file_name()).as("src"),
+          col("text"), col("n_chars")),
+      col("doc_id"))
+      .select(col("doc_id"), col("src"),
         expr(
           s"transform(sequence(CAST(1 AS BIGINT), n_chars - ${SubWinW - 1}), " +
             s"i -> CAST(conv(substring(md5(substring(text, CAST(i AS INT), $SubWinW)), 1, 15), 16, 10) AS BIGINT))")
@@ -3505,8 +3526,15 @@ object LlmPipeline {
 
   private def substringWindows(s: SparkSession, d: String): DataFrame =
     corpusMemo(substringWindowsMemo, s, d)(
-      Tables.documents(s, d)
-        .where(col("n_chars") >= SubWinW)
+      // fanOut before the W×-volume explode+md5 pass: the fixture scan
+      // is one split, so unfanned the whole window pass runs on one
+      // core (measured 4.1 s of the registry's slowest query at sf0.1);
+      // at production split counts fanOut is the identity (guide §2.2)
+      Tables.fanOut(
+        Tables.documents(s, d)
+          .where(col("n_chars") >= SubWinW)
+          .select(col("doc_id"), col("text"), col("n_chars")),
+        col("doc_id"))
         .select(col("doc_id"),
           explode(expr(s"sequence(CAST(1 AS BIGINT), n_chars - ${SubWinW - 1})")).as("pos"),
           col("text"))
@@ -3542,11 +3570,19 @@ object LlmPipeline {
           "winnow above 10M chars) or q_dedup_substring_winnow, or raise " +
           "spark.graft.substringStride1MaxChars to accept the cost explicitly.")
     val wins = substringWindows(s, d)
-    val ds = wins.select("doc_id", "h").distinct().pinned()
+    val ds = corpusMemo(substringDistinctMemo, s, d)(
+      wins.select("doc_id", "h").distinct().pinned())
     val g = ds.groupBy("h").agg(count(lit(1)).as("df"))
       .where(col("df").between(2, SubDfCap)).select("h")
-    val cov = wins.join(g, "h")
-      .join(ds.select(col("doc_id").as("doc_b"), col("h")), "h")
+    // Join reassociation (guide §3): the df-gate is applied to the
+    // per-doc-distinct side FIRST, so the join side facing the
+    // W×-volume wins table is the df-capped RARE slice (pair-relevant
+    // by construction) instead of the full distinct table — the
+    // previous shape built a broadcast hash relation over ALL distinct
+    // (doc, h) rows per call (~1.3 M entries at sf0.1). Same join
+    // graph, pure reassociation: wins ⋈ g ⋈ ds ≡ wins ⋈ (ds ⋈ g).
+    val rareB = ds.join(g, "h").select(col("doc_id").as("doc_b"), col("h"))
+    val cov = wins.join(rareB, "h")
       .where(col("doc_id") < col("doc_b"))
       .select(col("doc_id").as("doc_a"), col("doc_b"), col("pos"))
     cov
