@@ -37,8 +37,16 @@ object OptProbe {
         expr(s"CAST(conv(substring(md5(substring(text, CAST(pos AS INT), $W)), 1, 15), 16, 10) AS BIGINT)").as("h"))
     def noop(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
+    def winsNative = docs
+      .where(col("n_chars") >= W)
+      .select(col("doc_id"),
+        posexplode(expr(s"win_hashes60(text, n_chars, $W)")).as(Seq("p0", "h")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("h"))
     val target: () => Unit = stage match {
       case "winhash" => () => noop(winsSeq)                       // explode+md5 window pass
+      case "winhash_native" => () => noop(winsNative)             // native one-pass form
+      case "winhash_native1" => () => noop(winsNative.coalesce(1)) // single-core, per-window cost
+      case "winhash1" => () => noop(winsSeq.coalesce(1))
       case "windistinct" => () => noop(winsSeq.select("doc_id", "h").distinct())
       case "lineitem_scan" => () => noop(spark.read.parquet(s"$sfDir/lineitem.parquet"))
       case other => () => noop(SparkEntry.queries(other)(spark, sfDir))

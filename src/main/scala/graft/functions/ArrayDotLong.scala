@@ -110,6 +110,8 @@ object GraftFunctions {
     reg.registerFunction(GzipSize.identifier, GzipSize.info, GzipSize.builder)
     reg.registerFunction(CmsEstimate.identifier, CmsEstimate.info,
       CmsEstimate.builder)
+    reg.registerFunction(WinHashes60.identifier, WinHashes60.info,
+      WinHashes60.builder)
     // A session built with spark.sql.extensions=GraftExtensions already
     // runs FoldChainedXor in its injected-rule batch; appending it to
     // extraOptimizations too would run it in a second batch. The rule IS

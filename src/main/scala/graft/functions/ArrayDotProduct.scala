@@ -121,6 +121,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (GzipSize.identifier, GzipSize.info, GzipSize.builder))
     ext.injectFunction(
       (CmsEstimate.identifier, CmsEstimate.info, CmsEstimate.builder))
+    ext.injectFunction(
+      (WinHashes60.identifier, WinHashes60.info, WinHashes60.builder))
     ext.injectOptimizerRule(_ => graft.plans.FoldChainedXor)
     ext.injectParser((_, delegate) => new graft.plans.GraftCallParser(delegate))
   }

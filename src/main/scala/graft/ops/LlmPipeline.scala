@@ -233,8 +233,19 @@ object LlmPipeline {
     * only meaningful before the first exchange).
     */
   private def ngramPostingsRows(s: SparkSession, paths: Seq[String]): DataFrame =
-    withTk(s.read.parquet(paths: _*))
-      .select(col("doc_id"), Storage.normSrcCol(input_file_name()).as("src"),
+    // fanOut below the shingle explode+md5 (and below the
+    // input_file_name projection, which an exchange would void): the
+    // single-split fixture scan otherwise runs the whole tokenize/
+    // shingle/hash pass on one core, and — because the BUILD's
+    // partitioning is the artifact's file layout — published the
+    // artifact as ONE file, making every consumer's scan single-task
+    // too. Identity at production split counts (guide §2.2, §6).
+    withTk(Tables.fanOut(
+      s.read.parquet(paths: _*)
+        .select(col("doc_id"), Storage.normSrcCol(input_file_name()).as("src"),
+          col("text")),
+      col("doc_id")))
+      .select(col("doc_id"), col("src"),
         explode(expr(s"array_distinct($shingles)")).as("sg"))
       .select(col("doc_id"), col("src"),
         expr("CAST(conv(substring(md5(sg), 1, 15), 16, 10) AS BIGINT)").as("sh"))
@@ -280,8 +291,15 @@ object LlmPipeline {
     * SimHash weighs shingles WITH multiplicity, postings are distinct.
     */
   private def simhashSigRows(s: SparkSession, paths: Seq[String]): DataFrame = {
-    val hs = withTk(s.read.parquet(paths: _*))
-      .select(col("doc_id"), Storage.normSrcCol(input_file_name()).as("src"),
+    // same fanOut rationale as ngramPostingsRows: parallel shingle+md5
+    // build, multi-split artifact, keyed on the signature grouping so
+    // the (doc_id, src) aggregate reuses the exchange
+    val hs = withTk(Tables.fanOut(
+      s.read.parquet(paths: _*)
+        .select(col("doc_id"), Storage.normSrcCol(input_file_name()).as("src"),
+          col("text")),
+      col("doc_id")))
+      .select(col("doc_id"), col("src"),
         explode(expr(shingles)).as("sg"))
       .select(col("doc_id"), col("src"),
         expr("CAST(conv(substring(md5(sg), 1, 15), 16, 10) AS BIGINT)").as("h"))
@@ -3445,10 +3463,9 @@ object LlmPipeline {
           col("text"), col("n_chars")),
       col("doc_id"))
       .select(col("doc_id"), col("src"),
-        expr(
-          s"transform(sequence(CAST(1 AS BIGINT), n_chars - ${SubWinW - 1}), " +
-            s"i -> CAST(conv(substring(md5(substring(text, CAST(i AS INT), $SubWinW)), 1, 15), 16, 10) AS BIGINT))")
-          .as("hs"))
+        // native window-hash pass (see substringWindows) — the rolling
+        // K-minimum winnow below is unchanged
+        expr(s"win_hashes60(text, n_chars, $SubWinW)").as("hs"))
       .select(col("doc_id"), col("src"), explode(expr(
         s"array_distinct(transform(sequence(0, size(hs) - 1), " +
           s"j -> array_min(slice(hs, j + 1, $WinnowK))))")).as("h"))
@@ -3530,17 +3547,19 @@ object LlmPipeline {
       // is one split, so unfanned the whole window pass runs on one
       // core (measured 4.1 s of the registry's slowest query at sf0.1);
       // at production split counts fanOut is the identity (guide §2.2)
+      // win_hashes60 (native, functions/WinHashes60) replaces the
+      // per-position substring→md5→hex→conv chain: one offsets walk +
+      // one digest per window instead of an O(pos) re-scan and a hex
+      // round-trip per window — value-identical (the oracle keeps the
+      // composable spelling and the hash gate proves it)
       Tables.fanOut(
         Tables.documents(s, d)
           .where(col("n_chars") >= SubWinW)
           .select(col("doc_id"), col("text"), col("n_chars")),
         col("doc_id"))
         .select(col("doc_id"),
-          explode(expr(s"sequence(CAST(1 AS BIGINT), n_chars - ${SubWinW - 1})")).as("pos"),
-          col("text"))
-        .select(col("doc_id"), col("pos"),
-          expr(s"CAST(conv(substring(md5(substring(text, CAST(pos AS INT), $SubWinW)), 1, 15), 16, 10) AS BIGINT)")
-            .as("h"))
+          posexplode(expr(s"win_hashes60(text, n_chars, $SubWinW)")).as(Seq("p0", "h")))
+        .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("h"))
         .pinned())
 
   /** Hard corpus-volume ceiling (total text chars) for the stride-1

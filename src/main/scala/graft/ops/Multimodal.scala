@@ -961,10 +961,16 @@ object Multimodal {
 
   private def phashRows(s: SparkSession, paths: Seq[String]): DataFrame = {
     import s.implicits._
-    phashCoreSrc(s.read.parquet(paths: _*)
-      .select(col("doc_id"),
-        Storage.normSrcCol(input_file_name()).as("src"),
-        coalesce(col("text"), lit("")).cast("binary").as("payload"))
+    // fanOut below the input_file_name projection: the per-doc image
+    // DECODE (the most expensive substrate build per byte) otherwise
+    // runs on the fixture scan's single split; identity at production
+    // split counts (guide §2.2)
+    phashCoreSrc(graft.Tables.fanOut(
+      s.read.parquet(paths: _*)
+        .select(col("doc_id"),
+          Storage.normSrcCol(input_file_name()).as("src"),
+          coalesce(col("text"), lit("")).cast("binary").as("payload")),
+      col("doc_id"))
       .as[(Long, String, Array[Byte])])
       .toDF("doc_id", "src", "phash_hex")
   }
