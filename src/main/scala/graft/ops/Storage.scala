@@ -612,7 +612,22 @@ object Storage {
               "subtractable — full rebuild")
           fullBuild(manifestPath(lines))
       }
-      rows.write.mode("overwrite").parquet(tmp)
+      // Write-side sizing (guide §6): builders fan their map stages out
+      // to every core (Tables.fanOut), which would otherwise publish
+      // one artifact FILE per map partition — 32 tiny files at test SFs
+      // (192 serial footer opens in q_substrate_stats alone measured a
+      // 3.2× regression). The AQE rebalance hint re-sizes the WRITE to
+      // the advisory partition target (64 MB default) without touching
+      // the upstream parallelism: one file at sf0.1, proportional file
+      // counts at corpus scale. Keyed on the artifact's id column so
+      // the exchange is hash (deterministic under retries, §2.5), not
+      // round-robin; AQE splits any skewed output partition.
+      val sized = Seq("doc_id", "vec_id", "file_id")
+        .find(rows.columns.contains) match {
+          case Some(k) => rows.hint("rebalance", k)
+          case None => rows
+        }
+      sized.write.mode("overwrite").parquet(tmp)
       // invariant hook over the STAGED artifact (never the corpus): a
       // violation throws here, before the publish rename, so a bad
       // build fails loudly instead of serving a corrupt artifact
