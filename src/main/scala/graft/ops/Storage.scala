@@ -548,6 +548,31 @@ object Storage {
     */
   private[graft] var postBaseSelectHook: String => Unit = _ => ()
 
+  /** Post-write small-file compaction for STAGED artifacts (see the
+    * call site above for the rationale). Rewrites in place (write to a
+    * sibling staging dir, delete, rename) only when the file count is
+    * ≳4× what ~64 MB files would need AND the artifact is under 2 GiB
+    * (the rewrite is a local read+write of a small artifact, never a
+    * shuffle — coalesce over the already-materialized staged files
+    * cannot collapse the build's parallelism retroactively).
+    */
+  private def compactSmallFiles(s: SparkSession, tmp: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(tmp)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(p).filter(f =>
+      f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val bytes = parts.map(_.getLen).sum
+    val target = math.max(1L, (bytes + (64L << 20) - 1) / (64L << 20)).toInt
+    if (parts.length > target * 4 && bytes < (2L << 30)) {
+      val tmp2 = new org.apache.hadoop.fs.Path(tmp + ".compact")
+      s.read.parquet(tmp).coalesce(target)
+        .write.mode("overwrite").parquet(tmp2.toString)
+      fs.delete(p, true)
+      if (!fs.rename(tmp2, p))
+        throw new java.io.IOException(s"compactSmallFiles: rename $tmp2 -> $p failed")
+    }
+  }
+
   private[graft] def ensureManifestKeyedWithLines(s: SparkSession,
       family: String, src: String, lines: Seq[String])(
       fullBuild: Seq[String] => DataFrame,
@@ -612,22 +637,22 @@ object Storage {
               "subtractable — full rebuild")
           fullBuild(manifestPath(lines))
       }
+      rows.write.mode("overwrite").parquet(tmp)
       // Write-side sizing (guide §6): builders fan their map stages out
       // to every core (Tables.fanOut), which would otherwise publish
       // one artifact FILE per map partition — 32 tiny files at test SFs
       // (192 serial footer opens in q_substrate_stats alone measured a
-      // 3.2× regression). The AQE rebalance hint re-sizes the WRITE to
-      // the advisory partition target (64 MB default) without touching
-      // the upstream parallelism: one file at sf0.1, proportional file
-      // counts at corpus scale. Keyed on the artifact's id column so
-      // the exchange is hash (deterministic under retries, §2.5), not
-      // round-robin; AQE splits any skewed output partition.
-      val sized = Seq("doc_id", "vec_id", "file_id")
-        .find(rows.columns.contains) match {
-          case Some(k) => rows.hint("rebalance", k)
-          case None => rows
-        }
-      sized.write.mode("overwrite").parquet(tmp)
+      // 3.2× regression). Compact ONLY the pathological layout, after
+      // the fact: when the staged artifact has many times more files
+      // than its bytes justify (and is small enough that a local
+      // rewrite is trivial), read it back and rewrite coalesced to
+      // ~64 MB files. Costs one cheap rewrite exactly when the build
+      // was fanned out over tiny data; a production-scale build (input
+      // already multi-split, files ≈ split-sized) never qualifies and
+      // pays nothing — unlike an unconditional pre-write rebalance,
+      // which was measured adding an artifact-sized shuffle to every
+      // large build (bloom at sf10: +2.3 GB shuffle for nothing).
+      compactSmallFiles(s, tmp)
       // invariant hook over the STAGED artifact (never the corpus): a
       // violation throws here, before the publish rename, so a bad
       // build fails loudly instead of serving a corrupt artifact
