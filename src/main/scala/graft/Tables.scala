@@ -14,8 +14,38 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType, TimestampNTZType}
   * heartbeat stream (reference storageNode/HeartbeatRunnable.java:43-47).
   */
 object Tables {
-  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    normNtz(spark.read.parquet(s"$sfDir/$name.parquet"))
+
+  /** Session-scoped PLAN memo for the base-table reads (VERDICT r20 #2,
+    * the ~0.65 s/query fixed floor): every `spark.read.parquet` call
+    * eagerly resolves the relation on the driver — file listing +
+    * a parquet footer read for schema inference — and the registry's
+    * 192 queries each re-paid it for every table they touch (~400+
+    * resolutions per bench run for identical immutable plans). Memoize
+    * the resolved DataFrame per (session, path, source mtime): a
+    * DataFrame is an immutable logical plan, so reuse changes NO query
+    * result and NO physical plan — each query still analyzes, optimizes
+    * and executes its own tree from the shared leaf. NOT result
+    * caching: nothing is persisted or precomputed, every action still
+    * computes from the parquet bytes. The mtime key makes a regenerated
+    * fixture (same path, new bytes) miss — same staleness contract as
+    * every corpus memo — and stale keys for the same (session, path)
+    * are evicted on refresh.
+    */
+  private val readMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Long), DataFrame]()
+
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val path = s"$sfDir/$name.parquet"
+    val key = (spark, path, ops.Derived.sourceMtime(spark, path))
+    if (!readMemo.containsKey(key)) {
+      val it = readMemo.keys()
+      while (it.hasMoreElements) {
+        val k = it.nextElement()
+        if (k._1 == spark && k._2 == path) readMemo.remove(k)
+      }
+    }
+    readMemo.computeIfAbsent(key, _ => normNtz(spark.read.parquet(path)))
+  }
 
   /** Normalize TIMESTAMP_NTZ columns to TIMESTAMP (LTZ). The fixture
     * contract is naive-UTC micros read as LTZ (every session builder
@@ -103,12 +133,72 @@ object Tables {
     * retries; when the key is the downstream grouping key the
     * aggregation reuses this exchange outright (guide §2.4), so the
     * plan's shuffle count does not grow.
+    *
+    * The under-parallelization guard reads the SOURCE FILE LISTING, not
+    * `df.rdd.getNumPartitions` (VERDICT r20 #2: df.rdd compiles the
+    * DataFrame to an RDD — a full extra physical-planning pass on the
+    * driver per call; a split estimate from the listing costs at most a
+    * few getFileStatus calls and zero planning). `srcPaths` are the
+    * files/dirs the frame's leaf scan reads — the manifest-pinned part
+    * files for substrate builders, the table path for direct scans.
+    * The estimate replays Spark's own FilePartition math
+    * (maxSplitBytes = min(maxPartitionBytes, max(openCost,
+    * totalPadded/defaultParallelism))), so the fire/identity decision
+    * matches what the old RDD probe observed; listing work is bounded —
+    * `srcPaths.length >= cores` short-circuits to identity with zero FS
+    * calls (≥ N files always pack to ≥ ~N splits under that math), and
+    * a directory walk stops as soon as enough bytes are seen.
     */
-  def fanOut(df: DataFrame, keys: Column*): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df
-    else if (keys.nonEmpty) df.repartition(target, keys: _*)
-    else df.repartition(target)
+  def fanOut(df: DataFrame, srcPaths: Seq[String], keys: Column*): DataFrame = {
+    val s = df.sparkSession
+    val target = s.sparkContext.defaultParallelism
+    if (srcPaths.length < target &&
+        estimatedScanSplits(s, srcPaths, target) < target) {
+      if (keys.nonEmpty) df.repartition(target, keys: _*)
+      else df.repartition(target)
+    } else df
+  }
+
+  private def confBytes(s: SparkSession, key: String, dflt: Long): Long =
+    try s.conf.getOption(key)
+      .map(org.apache.spark.network.util.JavaUtils.byteStringAsBytes)
+      .getOrElse(dflt)
+    catch { case scala.util.control.NonFatal(_) => dflt }
+
+  /** Estimated split count of a parquet scan over `paths`, per Spark's
+    * FilePartition packing. Early-exits once the accumulated padded
+    * bytes prove splits ≥ `target`, so the walk touches O(cores) files
+    * even on a production-sized directory.
+    */
+  private def estimatedScanSplits(s: SparkSession, paths: Seq[String],
+      target: Int): Long = {
+    val openCost = confBytes(s, "spark.sql.files.openCostInBytes", 4L << 20)
+    val maxPart = confBytes(s, "spark.sql.files.maxPartitionBytes", 128L << 20)
+    val enough = target.toLong * maxPart // padded bytes proving >= target splits
+    var padded = 0L
+    var nFiles = 0L
+    val it = paths.iterator
+    while (it.hasNext && padded < enough && nFiles < target) {
+      val p = new org.apache.hadoop.fs.Path(it.next())
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) {
+        val st = fs.getFileStatus(p)
+        if (st.isFile) { padded += st.getLen + openCost; nFiles += 1 }
+        else {
+          val files = fs.listFiles(p, true)
+          while (files.hasNext && padded < enough && nFiles < target) {
+            val f = files.next()
+            val name = f.getPath.getName
+            if (f.isFile && !name.startsWith("_") && !name.startsWith("."))
+              { padded += f.getLen + openCost; nFiles += 1 }
+          }
+        }
+      }
+    }
+    if (padded >= enough || nFiles >= target) return target.toLong
+    val bytesPerCore = padded / math.max(1, target)
+    val maxSplit = math.min(maxPart, math.max(openCost, bytesPerCore))
+    (padded + maxSplit - 1) / math.max(1L, maxSplit)
   }
 
   /** Exact decimal sum of a ~2-decimal DOUBLE money column, returned as

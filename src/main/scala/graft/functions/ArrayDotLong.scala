@@ -112,6 +112,8 @@ object GraftFunctions {
       CmsEstimate.builder)
     reg.registerFunction(WinHashes60.identifier, WinHashes60.info,
       WinHashes60.builder)
+    reg.registerFunction(Md5Prefix64.identifier, Md5Prefix64.info,
+      Md5Prefix64.builder)
     // A session built with spark.sql.extensions=GraftExtensions already
     // runs FoldChainedXor in its injected-rule batch; appending it to
     // extraOptimizations too would run it in a second batch. The rule IS

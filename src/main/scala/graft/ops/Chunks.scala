@@ -280,11 +280,25 @@ object Chunks {
     * in-memory heartbeat holds; the map is |nodes| rows regardless of
     * corpus size.
     */
-  private[graft] def heartbeatPayload(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d)
+  private[graft] def heartbeatPayload(s: SparkSession, d: String,
+      fan: Boolean = false): DataFrame = {
+    val base = Tables.lineitem(s, d)
       .select(col("l_suppkey").as("node_id"),
         concat(lit("f_"), lpad(col("l_orderkey").cast("string"), 12, "0")).as("filename"),
         col("l_linenumber").cast("int").as("seq"))
+    // `fan`: engage every core for the collect_set object aggregate when
+    // the scan under-parallelizes (single-split fixture files — guide
+    // §2.2; identity at production split counts). Keyed on the FULL
+    // grouping key so the (node, file) aggregate reuses this exchange
+    // (guide §2.4) — the plan's shuffle count does not grow. Only
+    // q_heartbeat_map_explode opts in: it must materialize the whole
+    // payload (explode's cardinality depends on it), where its siblings'
+    // `.count()` plans prune the payload expressions and an exchange
+    // would only add cost (the r20 blanket experiment measured exactly
+    // that: explode 2.30 → 1.62 s, every pruned sibling SLOWER).
+    (if (fan) Tables.fanOut(base, Seq(s"$d/lineitem.parquet"),
+        col("node_id"), col("filename"))
+     else base)
       .groupBy("node_id", "filename")
       // a node holds a chunk ONCE: the fixture duplicates (suppkey,
       // orderkey, linenumber) rows, and collect_list would announce
@@ -292,6 +306,7 @@ object Chunks {
       .agg(sort_array(collect_set(col("seq"))).as("seqs"))
       .groupBy("node_id")
       .agg(map_from_entries(collect_list(struct(col("filename"), col("seqs")))).as("payload"))
+  }
 
   /** q_heartbeat_map — controller-side questions answered FROM THE MAP
     * (not from the flat rows): file count via map_keys, chunk total via
@@ -367,7 +382,7 @@ object Chunks {
     * duplicates (orderkey, linenumber) across replica rows).
     */
   def heartbeatMapExplode(s: SparkSession, d: String): DataFrame =
-    heartbeatPayload(s, d)
+    heartbeatPayload(s, d, fan = true)
       .select(col("node_id"), explode(col("payload")).as(Seq("filename", "seqs")))
       .select(col("node_id"), col("filename"),
         expr("CAST(size(seqs) AS BIGINT)").as("n_seqs"),

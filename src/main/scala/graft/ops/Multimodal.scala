@@ -970,7 +970,7 @@ object Multimodal {
         .select(col("doc_id"),
           Storage.normSrcCol(input_file_name()).as("src"),
           coalesce(col("text"), lit("")).cast("binary").as("payload")),
-      col("doc_id"))
+      paths, col("doc_id"))
       .as[(Long, String, Array[Byte])])
       .toDF("doc_id", "src", "phash_hex")
   }

@@ -369,7 +369,13 @@ object Storage {
     */
   private def bloomHash(key: String, duck: Boolean): String =
     if (duck) s"CAST(concat('0x', substring(md5($key), 1, 15)) AS BIGINT)"
-    else s"CAST(conv(substring(md5($key), 1, 15), 16, 10) AS BIGINT)"
+    // the native 60-bit hash (functions/Md5Prefix64) — value-identical
+    // to CAST(conv(substring(md5(k),1,15),16,10) AS BIGINT) without the
+    // hex round-trip; the positions are oracle-checked OUTPUT
+    // (q_fileindex_build), so the gate proves build/probe/oracle still
+    // agree. Registered by GraftExtensions AND GraftFunctions, so both
+    // the DataFrame builders and the Spark-SQL surface texts resolve it.
+    else s"md5_prefix64($key)"
 
   private def bloomPosPair(h: String, duck: Boolean): Seq[String] = {
     val div = if (duck) "//" else "DIV"
