@@ -123,6 +123,13 @@ object LlmPipeline {
     * per-doc) instead of rebuilding it.
     */
   private[graft] def minhashBanded(s: SparkSession, d: String): DataFrame =
+    // NO fanOut here, by measurement (r21): a keyed exchange on
+    // (band, band_key) was tried alongside the postings one and the
+    // banded consumers read flat-to-slower (q_dedup_near 1.64 → 1.76 s
+    // raw / flat normalized, q_dedup_editdist likewise) — the banded
+    // table is bands×docs rows (~80 k at sf0.1), so the bucket
+    // aggregate is too small to repay the exchange the way the
+    // shingle-volume postings scan does.
     corpusMemo(minhashBandedMemo, s, d)(
       s.read.parquet(ensureMinhashBanded(s, d))
         .select("doc_id", "band", "band_key"))
@@ -937,7 +944,7 @@ object LlmPipeline {
   private[graft] val NgramDfCap = 100
 
   def dedupNgram(s: SparkSession, d: String): DataFrame =
-    ngramPairsFromPostings(ngramPostings(s, d))
+    ngramPairsFromPostings(ngramPostingsFanned(s, d))
 
   /** Inverted-index rows (doc_id, sh): one row per (doc, distinct
     * shingle), keyed by the shingle's 60-bit base hash, not the shingle
@@ -950,6 +957,31 @@ object LlmPipeline {
   private[graft] def ngramPostings(s: SparkSession, d: String): DataFrame =
     corpusMemo(ngramPostingsMemo, s, d)(
       s.read.parquet(ensureNgramPostings(s, d)).select("doc_id", "sh"))
+
+  /** The postings scan PRE-FANNED on the posting-list key, for the
+    * PAIR-GENERATION consumers only (q_dedup_ngram,
+    * q_dedup_collapsed_jaccard): the compacted artifact is ONE file at
+    * test SFs (Storage.compactSmallFiles), so the intersection
+    * aggregate's map side otherwise runs on one core; keyed on sh the
+    * groupBy reuses this exchange (guide §2.4 — consumer shuffle counts
+    * unchanged, PlanShapeSpec pins them), and at production split
+    * counts fanOut is the identity (guide §2.2). A SEPARATE memo, not a
+    * change to [[ngramPostings]], by measurement (r21): fanning the
+    * shared memo made the non-pair consumers (boilerplate, source
+    * overlap, the decontamination family — whose first step is NOT an
+    * sh-clustered aggregate or whose volume is too small to repay an
+    * exchange) flat-to-slower, while the two pair queries gained
+    * 1.2–1.4×.
+    */
+  private val ngramPostingsFannedMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Long), DataFrame]()
+
+  private def ngramPostingsFanned(s: SparkSession, d: String): DataFrame =
+    corpusMemo(ngramPostingsFannedMemo, s, d)({
+      val dir = ensureNgramPostings(s, d)
+      Tables.fanOut(
+        s.read.parquet(dir).select("doc_id", "sh"), Seq(dir), col("sh"))
+    })
 
   /** Session memo for the pinned inverted index: SEVEN registry queries
     * consume these rows (ngram/collapsed-jaccard pairs, boilerplate,
@@ -3762,7 +3794,7 @@ object LlmPipeline {
       .groupBy(md5(coalesce(col("text"), lit(""))).as("norm_key"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id")
-    ngramPairsFromPostings(ngramPostings(s, d).join(reps, "doc_id"))
+    ngramPairsFromPostings(ngramPostingsFanned(s, d).join(reps, "doc_id"))
   }
 
   private[graft] val EditDistMax = 16
