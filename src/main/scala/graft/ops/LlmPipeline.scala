@@ -3762,9 +3762,19 @@ object LlmPipeline {
     * planner does); the selector for the auto form and the stride-1
     * ceiling guard.
     */
+  /** Total corpus chars — the stride-1 volume fence's input. Memoized
+    * per (session, dir, mtime): it is a pure function of the corpus,
+    * and unmemoized every q_dedup_substring call ran this eager
+    * aggregate job (and q_dedup_substring_auto ran it TWICE — once to
+    * route, once inside the routed stride-1 form).
+    */
+  private val corpusCharsMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Long), Long]()
+
   private def corpusChars(s: SparkSession, d: String): Long =
-    Tables.documents(s, d)
-      .agg(coalesce(sum(col("n_chars")), lit(0L)).as("v")).head.getLong(0)
+    corpusMemo(corpusCharsMemo, s, d)(
+      Tables.documents(s, d)
+        .agg(coalesce(sum(col("n_chars")), lit(0L)).as("v")).head.getLong(0))
 
   def dedupSubstringAuto(s: SparkSession, d: String): DataFrame = {
     val vol = corpusChars(s, d)
