@@ -114,6 +114,7 @@ object GraftFunctions {
       WinHashes60.builder)
     reg.registerFunction(Md5Prefix64.identifier, Md5Prefix64.info,
       Md5Prefix64.builder)
+    reg.registerFunction(WinMinK.identifier, WinMinK.info, WinMinK.builder)
     // A session built with spark.sql.extensions=GraftExtensions already
     // runs FoldChainedXor in its injected-rule batch; appending it to
     // extraOptimizations too would run it in a second batch. The rule IS

@@ -125,6 +125,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (WinHashes60.identifier, WinHashes60.info, WinHashes60.builder))
     ext.injectFunction(
       (Md5Prefix64.identifier, Md5Prefix64.info, Md5Prefix64.builder))
+    ext.injectFunction(
+      (WinMinK.identifier, WinMinK.info, WinMinK.builder))
     ext.injectOptimizerRule(_ => graft.plans.FoldChainedXor)
     ext.injectParser((_, delegate) => new graft.plans.GraftCallParser(delegate))
   }

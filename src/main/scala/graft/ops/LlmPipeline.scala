@@ -3522,12 +3522,15 @@ object LlmPipeline {
           col("text"), col("n_chars")),
       paths, col("doc_id"))
       .select(col("doc_id"), col("src"),
-        // native window-hash pass (see substringWindows) — the rolling
-        // K-minimum winnow below is unchanged
+        // native window-hash pass (see substringWindows)
         expr(s"win_hashes60(text, n_chars, $SubWinW)").as("hs"))
+      // win_min_k ≡ transform(sequence(0, size(hs)-1),
+      //   j -> array_min(slice(hs, j+1, K))) as one O(n) monotonic-deque
+      // pass instead of O(n·K) with a k-array allocation per position
+      // (functions/WinMinK; the sf10 winnow build's dominant stage) —
+      // value-identical, spec-pinned, oracle keeps its own spelling
       .select(col("doc_id"), col("src"), explode(expr(
-        s"array_distinct(transform(sequence(0, size(hs) - 1), " +
-          s"j -> array_min(slice(hs, j + 1, $WinnowK))))")).as("h"))
+        s"array_distinct(win_min_k(hs, $WinnowK))")).as("h"))
 
   private[graft] def ensureWinnowFps(s: SparkSession, d: String): String = {
     val table = s"$d/documents.parquet"
